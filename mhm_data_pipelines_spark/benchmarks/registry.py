@@ -1,0 +1,939 @@
+"""Registry of every SURVEY.md §2 operator as a (Spark query, DuckDB
+oracle SQL) pair over the driver's synthetic tables
+(``/root/testdata/sf*/``). This backs ``__spark_entry__.py`` and
+``bench.py``.
+
+Mapping of the phenotyping domain onto the synthetic star schema:
+``events`` plays the sensor stream (user_id ≈ participant, event_type ≈
+metric, ts, value); ``documents``/``embeddings`` back the training-data
+extensions; the TPC-H tables exercise the join/sort/window pass-through
+surface that the reference lacks but the engine exposes (SURVEY §2.3/2.6).
+
+Cross-engine hash-match conventions (BASELINE.md caveats):
+* every computed column aliased identically on both sides;
+* float aggregates rounded on BOTH sides — 2dp for large sums, 4dp for
+  means/ratios (fp accumulation order differs between engines);
+* ``stddev_pop`` (np.std ddof=0 parity), exact interpolated ``median``;
+* no bare ``sum(int)`` in oracles (DuckDB yields HUGEINT → cast BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.functions.stats import stats_agg_exprs
+from mhm_data_pipelines_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from mhm_data_pipelines_spark.functions.timeutils import iso_week_key
+from mhm_data_pipelines_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    embedding_near_duplicates,
+    minhash_near_duplicates,
+    simhash_duplicates,
+)
+from mhm_data_pipelines_spark.operators.overview import (
+    missing_data_report,
+    overview_stats,
+)
+from mhm_data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    label_centroids_long,
+    lsh_topk,
+)
+
+QuerySpec = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. ``events.ts`` is TIMESTAMP(NANOS) parquet
+    — Spark reads it as LongType nanos (``nanosAsLong`` conf, session.py)
+    and we convert to a microsecond timestamp here (the data carries no
+    sub-microsecond component, so this is lossless)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# --------------------------------------------------------------------------
+# Reference surface: overview / availability / time keys (SURVEY §2.4-2.5)
+# --------------------------------------------------------------------------
+
+def q_overview_stats(spark, sf_dir):
+    """A3/A4/A5/O1: per-(participant, metric) row count, date range,
+    distinct-day count — process-overview.py:207-226 on the events table."""
+    out = overview_stats(
+        _t(spark, sf_dir, "events"), ts="ts", group_cols=["user_id", "event_type"]
+    )
+    # DATE columns as ISO strings: engines disagree on date↔timestamp
+    # representation after pandas conversion; strings hash identically.
+    return out.withColumn(
+        "start_date", F.col("start_date").cast("string")
+    ).withColumn("end_date", F.col("end_date").cast("string"))
+
+
+SQL_OVERVIEW_STATS = """
+SELECT user_id, event_type,
+       count(*) AS row_count,
+       strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS start_date,
+       strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS end_date,
+       count(DISTINCT CAST(ts AS DATE)) AS day_count
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_feature_stats(spark, sf_dir):
+    """A6: the stats block (count/mean/exact-median/stddev_pop/min/max) —
+    extract_patient_summary.py:114-118 semantics per metric."""
+    df = _t(spark, sf_dir, "events")
+    total, mean, median, std, mn, mx = stats_agg_exprs("value")
+    return df.groupBy("event_type").agg(
+        total,
+        F.round(mean, 4).alias("mean"),
+        F.round(median, 4).alias("median"),
+        F.round(std, 4).alias("std_dev"),
+        mn.alias("min_value"),
+        mx.alias("max_value"),
+    )
+
+
+SQL_FEATURE_STATS = """
+SELECT event_type,
+       count(value) AS total_entries,
+       round(avg(value), 4) AS mean,
+       round(median(value), 4) AS median,
+       round(stddev_pop(value), 4) AS std_dev,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_monthly_activity(spark, sf_dir):
+    """W1 monthly time keys + A3 counts + sum per (participant, period)."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("time_key")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_MONTHLY_ACTIVITY = """
+SELECT user_id, strftime(ts, '%Y-%m') AS time_key,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, strftime(ts, '%Y-%m')
+"""
+
+
+def q_iso_week_activity(spark, sf_dir):
+    """W1 ISO week keys (watch-list #1: ISO week-year across boundaries)."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy(iso_week_key("ts").alias("week_key")).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_ISO_WEEK_ACTIVITY = """
+SELECT printf('%d-W%02d', isoyear(ts), weekofyear(ts)) AS week_key,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_daily_availability(spark, sf_dir):
+    """W2/A13 long form: rows per (participant, date) —
+    data_collection.py:113-122."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_DAILY_AVAILABILITY = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS date, count(*) AS n
+FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_availability_pivot(spark, sf_dir):
+    """A13 pivot: participant × metric count matrix, 0-filled
+    (data_collection.py:65). Pivot values supplied → single pass."""
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().na.fill(0)
+    )
+
+
+SQL_AVAILABILITY_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_missing_data(spark, sf_dir):
+    """J3 anti-join: expected (participant × metric) minus pairs with
+    enough data ("missing or incomplete", README.md:69-71)."""
+    df = _t(spark, sf_dir, "events")
+    present = (
+        df.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .drop("n")
+    )
+    expected = df.select("user_id").distinct().crossJoin(
+        df.select("event_type").distinct()
+    )
+    return missing_data_report(present, expected, keys=["user_id", "event_type"])
+
+
+SQL_MISSING_DATA = """
+WITH present AS (
+  SELECT user_id, event_type FROM events
+  GROUP BY user_id, event_type HAVING count(*) >= 5
+), expected AS (
+  SELECT u.user_id, t.event_type
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT e.user_id, e.event_type FROM expected e
+WHERE NOT EXISTS (
+  SELECT 1 FROM present p
+  WHERE p.user_id = e.user_id AND p.event_type = e.event_type
+)
+"""
+
+
+def q_device_split(spark, sf_dir):
+    """A11 device split: metric renamed metric/device
+    (process-overview.py:129-150); device derived from the JSON props."""
+    df = _t(spark, sf_dir, "events")
+    device = (F.get_json_object("props", "$.k").cast("int") % 3).cast("string")
+    return df.groupBy(
+        F.concat_ws("/", F.col("event_type"), device).alias("metric_device")
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_DEVICE_SPLIT = """
+SELECT event_type || '/' || CAST(CAST(props->>'$.k' AS INTEGER) % 3 AS VARCHAR)
+         AS metric_device,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """A8 value-frequency histogram (bucketed) —
+    extract_patient_summary.py:344-374 shape."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy(
+        "event_type", F.floor(F.col("value") / 50).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY event_type, CAST(floor(value / 50) AS BIGINT)
+"""
+
+
+def q_summary_assembly(spark, sf_dir):
+    """J1: full-outer assembly of two aggregate families per
+    (participant, period) with zero-count defaults (watch-list #8)."""
+    df = _t(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("time_key")
+    purchases = (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", month)
+        .agg(F.count("*").alias("p_n"), F.round(F.sum("value"), 2).alias("p_sum"))
+    )
+    errors = (
+        df.filter(F.col("event_type") == "error")
+        .groupBy("user_id", month)
+        .agg(F.count("*").alias("e_n"))
+    )
+    joined = purchases.join(errors, ["user_id", "time_key"], "full_outer")
+    return joined.na.fill({"p_n": 0, "p_sum": 0.0, "e_n": 0})
+
+
+SQL_SUMMARY_ASSEMBLY = """
+WITH p AS (
+  SELECT user_id, strftime(ts, '%Y-%m') AS time_key,
+         count(*) AS p_n, round(sum(value), 2) AS p_sum
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), e AS (
+  SELECT user_id, strftime(ts, '%Y-%m') AS time_key, count(*) AS e_n
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       COALESCE(p.time_key, e.time_key) AS time_key,
+       COALESCE(p_n, 0) AS p_n,
+       COALESCE(p_sum, 0.0) AS p_sum,
+       COALESCE(e_n, 0) AS e_n
+FROM p FULL OUTER JOIN e
+  ON p.user_id = e.user_id AND p.time_key = e.time_key
+"""
+
+
+def q_date_ranges(spark, sf_dir):
+    """A4/O3: per-participant observation range + span (main.py:67-74)."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+            "span_days"
+        ),
+    )
+
+
+SQL_DATE_RANGES = """
+SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+            AS INTEGER) AS span_days
+FROM events GROUP BY user_id
+"""
+
+
+def q_distinct_measurements(spark, sf_dir):
+    """A10/O2: sorted distinct measurement set per participant
+    (summary.py:168-186, main.py:155-173)."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types"),
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("types_csv"),
+    )
+
+
+SQL_DISTINCT_MEASUREMENTS = """
+SELECT user_id, count(DISTINCT event_type) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup_counts(spark, sf_dir):
+    """§2.4 note: per-site + combined 'all sites' convenience as ROLLUP
+    (process-overview.py:242-249)."""
+    df = _t(spark, sf_dir, "events")
+    return df.rollup("event_type").agg(F.count("*").alias("n"))
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# Join / sort / window pass-through surface (SURVEY §2.3, §2.5-2.7 notes)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: the canonical scan→agg shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    customer is the small side → explicit broadcast."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local supplier volume: 6-way join; all dimension
+    tables broadcast (region/nation/supplier/customer are tiny at every
+    SF — only orders⋈lineitem shuffles)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """§2.6 top-k via ranking window: top 3 orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_sessionization(spark, sf_dir):
+    """Sessionization (gap > 30 min ⇒ new session) via lag + running sum —
+    the batch twin of streaming session windows (§2.9 mapping)."""
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sessions = df.select(
+        "user_id",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZATION = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    """§2.5 analytic windows (lag): inter-event gap stats per participant."""
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_sec = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000.0
+    gaps = df.select("user_id", gap_sec.alias("gap_sec")).filter(
+        F.col("gap_sec").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+        F.round(F.max("gap_sec"), 4).alias("max_gap_sec"),
+        F.count("*").alias("n_gaps"),
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+           / 1000000.0 AS gap_sec
+  FROM events
+)
+SELECT user_id, round(avg(gap_sec), 4) AS avg_gap_sec,
+       round(max(gap_sec), 4) AS max_gap_sec, count(*) AS n_gaps
+FROM g WHERE gap_sec IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_users_intersect(spark, sf_dir):
+    """U set ops: participants present in both activity classes."""
+    df = _t(spark, sf_dir, "events")
+    purchasers = df.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = df.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.intersect(erroring)
+
+
+SQL_USERS_INTERSECT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data extensions: text analysis / dedup / similarity
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+)
+_SQL_TOKENS_LOWER = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Text analysis: token counting aggregated per language."""
+    df = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(len({_SQL_TOKENS})), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def q_doc_quality(spark, sf_dir):
+    """Text analysis: per-document quality features + composite score."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 4).alias("p_ratio"),
+        F.round(quality_score("text"), 2).alias("quality"),
+    )
+
+
+SQL_DOC_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains({_SQL_STOPLIST}, lower(x))))
+                  * 1.0 / len(toks)
+             ELSE 0.0 END, 4) AS stop_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  * 1.0 / length(text)
+             ELSE 0.0 END, 4) AS p_ratio,
+       round(
+         (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> list_contains({_SQL_STOPLIST}, lower(x))))
+                      * 1.0 / len(toks) ELSE 0.0 END > 0.05
+            THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                      * 1.0 / length(text) ELSE 0.0 END < 0.2
+            THEN 0.2 ELSE 0.0 END), 2) AS quality
+FROM t
+"""
+
+
+def q_dedup_exact_keep(spark, sf_dir):
+    """Exact dedup: lowest doc_id kept per normalized-text fingerprint."""
+    return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+SQL_DEDUP_EXACT_KEEP = f"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY md5(array_to_string({_SQL_TOKENS_LOWER}, ' '))
+"""
+
+
+def q_dup_groups(spark, sf_dir):
+    """Exact-duplicate group report (fingerprint, members, kept id)."""
+    return exact_duplicates(_t(spark, sf_dir, "documents")).select(
+        "fp", "n_members", "keep_id"
+    )
+
+
+SQL_DUP_GROUPS = f"""
+SELECT md5(array_to_string({_SQL_TOKENS_LOWER}, ' ')) AS fp,
+       count(*) AS n_members, min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: stable 128-bit content id per doc."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint("text").alias("fp"))
+
+
+SQL_DOC_FINGERPRINTS = f"""
+SELECT doc_id, md5(array_to_string({_SQL_TOKENS_LOWER}, ' ')) AS fp
+FROM documents
+"""
+
+
+def q_unigram_jaccard_pairs(spark, sf_dir):
+    """N-gram (token-set) Jaccard near-dup pairs, blocked by source —
+    the verification-stage join shape (no cross product)."""
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    union = F.size(F.array_union("a.toks", "b.toks"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+SQL_UNIGRAM_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, source, list_distinct({_SQL_TOKENS_LOWER}) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0
+             / len(list_distinct(list_cat(a.toks, b.toks))), 4) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0
+            / len(list_distinct(list_cat(a.toks, b.toks))), 4) >= 0.9
+"""
+
+
+def q_binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: typed metadata over an opaque binary payload
+    (text bytes stand in for media payloads)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.lit("text/plain").alias("mime_type"),
+    )
+
+
+SQL_BINARY_METADATA = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       'text/plain' AS mime_type
+FROM documents
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """ANN baseline: exact brute-force cosine top-10 for one query vector
+    (the embedding of vec_id 0). The query vector is a plan literal — the
+    scan is map-only + TakeOrdered, no shuffle."""
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = brute_force_topk(df.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+SQL_EMBEDDING_TOPK = """
+SELECT b.vec_id, round(list_cosine_similarity(
+         CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid (long form) — the IVF coarse-quantizer step."""
+    out = label_centroids_long(_t(spark, sf_dir, "embeddings"))
+    return out.withColumn("mean_val", F.round("mean_val", 6))
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(r.pos AS INTEGER) AS pos,
+       round(avg(CAST(embedding[r.pos] AS DOUBLE)), 6) AS mean_val
+FROM embeddings CROSS JOIN range(1, 65) r(pos)
+GROUP BY label, CAST(r.pos AS INTEGER)
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the blocked
+    equi-join shape that replaces the cross product at scale)."""
+    out = embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+# --- rows-only queries (no SQL-expressible oracle: hashing/approx ops) ----
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID per document (marker-stopword / script
+    detection). Rows-only check: heuristic internals aren't ANSI SQL."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) near-dup candidate pairs with estimated
+    Jaccard ≥ 0.5. Rows-only: xxhash64 signatures aren't reproducible in
+    ANSI SQL (correctness covered by tests against exact Jaccard)."""
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash_groups(spark, sf_dir):
+    """SimHash-identical document groups. Rows-only (hash-based)."""
+    return simhash_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH-bucketed top-k for 5 query
+    vectors. Rows-only (approximate by design; recall covered by tests)."""
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    out = lsh_topk(corpus, queries, dim=64, k=10, bits=4)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "overview_stats": q_overview_stats,
+    "feature_stats": q_feature_stats,
+    "monthly_activity": q_monthly_activity,
+    "iso_week_activity": q_iso_week_activity,
+    "daily_availability": q_daily_availability,
+    "availability_pivot": q_availability_pivot,
+    "missing_data": q_missing_data,
+    "device_split": q_device_split,
+    "value_histogram": q_value_histogram,
+    "summary_assembly": q_summary_assembly,
+    "date_ranges": q_date_ranges,
+    "distinct_measurements": q_distinct_measurements,
+    "rollup_counts": q_rollup_counts,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "sessionization": q_sessionization,
+    "event_gaps": q_event_gaps,
+    "users_intersect": q_users_intersect,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dup_groups": q_dup_groups,
+    "doc_fingerprints": q_doc_fingerprints,
+    "unigram_jaccard_pairs": q_unigram_jaccard_pairs,
+    "binary_metadata": q_binary_metadata,
+    "embedding_topk": q_embedding_topk,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_groups": q_simhash_groups,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "overview_stats": SQL_OVERVIEW_STATS,
+    "feature_stats": SQL_FEATURE_STATS,
+    "monthly_activity": SQL_MONTHLY_ACTIVITY,
+    "iso_week_activity": SQL_ISO_WEEK_ACTIVITY,
+    "daily_availability": SQL_DAILY_AVAILABILITY,
+    "availability_pivot": SQL_AVAILABILITY_PIVOT,
+    "missing_data": SQL_MISSING_DATA,
+    "device_split": SQL_DEVICE_SPLIT,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "summary_assembly": SQL_SUMMARY_ASSEMBLY,
+    "date_ranges": SQL_DATE_RANGES,
+    "distinct_measurements": SQL_DISTINCT_MEASUREMENTS,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "top_orders_per_customer": SQL_TOP_ORDERS,
+    "sessionization": SQL_SESSIONIZATION,
+    "event_gaps": SQL_EVENT_GAPS,
+    "users_intersect": SQL_USERS_INTERSECT,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
+    "dup_groups": SQL_DUP_GROUPS,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "unigram_jaccard_pairs": SQL_UNIGRAM_JACCARD,
+    "binary_metadata": SQL_BINARY_METADATA,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+}
+
+#: Headline queries timed by bench.py at sf0.1.
+BENCH_QUERIES: list[str] = [
+    "overview_stats",
+    "feature_stats",
+    "monthly_activity",
+    "availability_pivot",
+    "summary_assembly",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "top_orders_per_customer",
+    "sessionization",
+    "doc_quality",
+    "dedup_exact_keep",
+    "minhash_neardup",
+    "embedding_topk",
+    "embedding_centroids",
+]

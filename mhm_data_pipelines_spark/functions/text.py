@@ -1,0 +1,133 @@
+"""Text-analysis expression builders for large-scale training-data
+pipelines: tokenization, quality scoring, language ID, fingerprinting.
+
+No reference counterpart (north-star extension per BASELINE.json). All
+hot-path expressions are builtin Column functions — JVM-side, codegen'd —
+so they scale to 100 TB of documents without Python in the row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal English stopword set for ratio features (deterministic,
+#: engine-owned — swap for a real list in production).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty strings dropped (split on runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_tokens_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish sub-word-friendly tokenization: split on non-alphanumerics,
+    keeping digit runs and lowercased word pieces (regex analogue of a
+    byte-pair pretokenizer's word-splitting stage)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    − punctuation excess. Deterministic and cheap; a stand-in for
+    Gopher/C4-style quality rules, structured so each term is a pushdown-
+    friendly expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    len_term = F.when((n >= 10) & (n <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_term = F.when(stopword_ratio(c) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_term = F.when(punct_ratio(c) < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    return len_term + stop_term + punct_term
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of the lowercased text —
+    the unit for MinHash/Jaccard dedup."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams, for n-gram Jaccard similarity."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the *normalized* text
+    (lowercase, collapsed whitespace) — stable across engines (MD5), used
+    as the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.concat_ws(" ", tokens(F.lower(c)))
+    return F.md5(normalized)
+
+
+#: Tiny per-language character/stopword profiles for the n-gram heuristic
+#: language ID. Real deployments plug in fastText/CLD3 via pandas_udf;
+#: this keeps the interface + a deterministic fallback.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": (),  # CJK detected by script below
+}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK script detection, else argmax of
+    marker-stopword hits, defaulting to 'en'. Pure Column expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(tokens(c), F.lower)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        marks = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(marks, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    has_cjk = c.rlike(r"[一-鿿]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en"))
+    )

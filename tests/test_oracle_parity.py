@@ -1,0 +1,23 @@
+"""Every declared query hash-matches its DuckDB oracle (the t2 gate),
+parametrized over the full registry, at sf0.001 for speed. The driver
+runs the same comparison at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from mhm_data_pipelines_spark.benchmarks.registry import ORACLES, QUERIES
+from tests.oracle_utils import check_query
+from tests.conftest import SF_DIR
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    check_query(spark, SF_DIR, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
