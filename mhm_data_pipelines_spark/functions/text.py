@@ -74,19 +74,24 @@ def quality_score(text: Column | str) -> Column:
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of the lowercased text —
-    the unit for MinHash/Jaccard dedup."""
+    the unit for MinHash/Jaccard dedup. Texts shorter than ``n`` yield an
+    empty array (``sequence`` would otherwise run *descending*)."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    return F.when(F.length(c) >= n,
+                  F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams, for n-gram Jaccard similarity."""
+    """Distinct word n-grams, for n-gram Jaccard similarity; fewer than
+    ``n`` tokens yields an empty array."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n,
+                  F.array_distinct(
+                      F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+                  )).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -1,18 +1,44 @@
 """Composed operator pipelines — each is a reference workflow re-expressed
 as one declarative DataFrame plan."""
 
+from mhm_data_pipelines_spark.operators.compact import (
+    compact_lake,
+    read_compacted,
+)
+from mhm_data_pipelines_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_duplicates,
+)
 from mhm_data_pipelines_spark.operators.overview import (
     availability_long,
     availability_matrix,
     missing_data_report,
     overview_stats,
 )
+from mhm_data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pairs,
+    label_centroids,
+    lsh_topk,
+)
 from mhm_data_pipelines_spark.operators.summary import patient_summary
 
 __all__ = [
     "availability_long",
     "availability_matrix",
+    "brute_force_topk",
+    "brute_force_topk_pairs",
+    "compact_lake",
+    "dedup_exact",
+    "exact_duplicates",
+    "label_centroids",
+    "lsh_topk",
+    "minhash_near_duplicates",
     "missing_data_report",
     "overview_stats",
     "patient_summary",
+    "read_compacted",
+    "simhash_duplicates",
 ]

@@ -33,6 +33,7 @@ def exact_duplicates(
 ) -> DataFrame:
     """Groups of exact duplicates (normalized-text fingerprint): one row
     per duplicated fingerprint with member ids and the kept (min) id."""
+    df = _spread_small_input(df)
     return (
         df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
@@ -51,6 +52,7 @@ def dedup_exact(
     """Keep the lowest-id document per distinct normalized text. Shuffles
     only (fingerprint, id); the winning rows are recovered with a
     broadcast-able semi-join instead of shuffling full documents."""
+    df = _spread_small_input(df)
     keep = (
         df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
@@ -58,6 +60,16 @@ def dedup_exact(
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Compute-heavy map over a small file reads as one partition (the
+    scan parallelism follows bytes, not cost) — spread it across the
+    cluster first. No-op when the input is already well-partitioned."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def minhash_signatures(
@@ -72,12 +84,17 @@ def minhash_signatures(
 
     signature[i] = min over shingles of xxhash64(shingle, seed=i).
     """
+    df = _spread_small_input(df)
     shingles = char_ngrams(text_col, shingle_size)
+
+    def _seeded(i: int):
+        # NB: a two-parameter lambda given to F.transform would receive
+        # (element, index) — the seed must be closed over, not defaulted.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles, _seeded(i)))
             for i in range(num_hashes)
         ]
     )
@@ -171,6 +188,7 @@ def simhash(
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     token hashes, built from builtin expressions (token → xxhash64 →
     per-bit ±1 votes aggregated via array folds)."""
+    df = _spread_small_input(df)
     toks = F.transform(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: F.xxhash64(t),

@@ -1,0 +1,158 @@
+"""Incremental ingest as Structured Streaming.
+
+The reference's ingest pattern is micro-batch shaped without being
+streaming: new ``YYYYMMDD_HHMM[_i].csv.gz`` files arrive per metric and
+merges are incremental/idempotent — skip-if-output-exists
+(``mhm-data-pipelines/merge-data.py:68-70``), resumable listing pages
+(``download_data.py:96-104``), partial global-stats rewrites per
+directory (``process-overview.py:276-332``). SURVEY §2.9 maps this to
+the Structured Streaming file source: checkpointed exactly-once over
+"new files per trigger", with ``Trigger.AvailableNow`` giving the
+batch-job ergonomics the reference scripts have (run, drain, exit).
+
+Watermarking + windowed/session aggregation are new capabilities beyond
+the reference (its late-data policy was "coerce to null and drop", P3).
+
+Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size; the file
+index checkpoint replaces skip-if-exists bookkeeping; ``foreachBatch``
+writes reproduce the per-directory partial-stats emission without ever
+re-reading old data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+from mhm_data_pipelines_spark.sources.lake import path_dimensions
+
+
+def stream_lake(
+    spark: SparkSession,
+    root: str,
+    schema: StructType | str,
+    layout: str = "raw",
+    fmt: str = "csv",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of sources.lake.read_lake: new files under the
+    glob become micro-batch rows, with the same path-derived dimension
+    columns. Streaming file sources require an explicit schema (per
+    metric — stream one metric subtree per query, or the compacted
+    parquet lake for the unified stream)."""
+    root = root.rstrip("/")
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(root)
+    root_depth = len([s for s in root.split("://")[-1].split("/") if s])
+    for name, expr in path_dimensions(root_depth, layout=layout).items():
+        df = df.withColumn(name, expr)
+    return df
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("participant_id", "metric"),
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling-window counts with late-data bound: the streaming version
+    of the daily availability aggregate (W2/A5). Rows later than the
+    watermark are dropped — an explicit policy where the reference had
+    only null-coercion."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("win"), *keys)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts: str = "ts",
+    key: str = "participant_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Session windows (gap-based) per participant — the streaming twin
+    of the batch sessionization query (benchmarks.registry)."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("win"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def incremental_overview(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("site", "participant_id", "metric"),
+) -> DataStreamWriter:
+    """foreachBatch partial-stats emission: each micro-batch appends its
+    partial (count/min/max/day-set) aggregate; readers merge partials
+    with one more groupBy — exactly the reference's
+    accumulate-then-merge contract (process-overview.py:168-194,301-324)
+    but checkpointed and restart-safe."""
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.filter(F.col(ts).isNotNull())
+            .groupBy(*keys)
+            .agg(
+                F.count("*").alias("row_count"),
+                F.min(F.to_date(ts)).alias("start_date"),
+                F.max(F.to_date(ts)).alias("end_date"),
+                F.collect_set(F.to_date(ts)).alias("day_set"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )
+
+
+def merge_partial_overview(partials: DataFrame) -> DataFrame:
+    """Final merge of the partial stats written by incremental_overview —
+    must equal a single-pass overview_stats over all data (tested)."""
+    keys = ["site", "participant_id", "metric"]
+    return (
+        partials.groupBy(*keys)
+        .agg(
+            F.sum("row_count").alias("row_count"),
+            F.min("start_date").alias("start_date"),
+            F.max("end_date").alias("end_date"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("day_set")))
+            ).cast("long").alias("day_count"),
+        )
+        .orderBy(*keys)
+    )

@@ -1,0 +1,109 @@
+"""Dedup operators: exact, MinHash-LSH (recall vs exact Jaccard), SimHash,
+n-gram Jaccard verification, embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The  quick brown fox jumps over the LAZY dog"),  # normalized dup
+    (4, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (5, "completely different content about spark engines"),
+    (6, "completely different content about spark engines and scale"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].member_ids == [1, 2, 3]  # case/whitespace-insensitive
+    assert groups[0].keep_id == 1
+
+
+def test_dedup_exact_keeps_lowest_id(docs):
+    kept = {r.doc_id for r in dedup_exact(docs).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    s1 = minhash_signatures(docs, num_hashes=16).orderBy("doc_id").collect()
+    s2 = minhash_signatures(docs, num_hashes=16).orderBy("doc_id").collect()
+    assert all(len(r.signature) == 16 for r in s1)
+    assert [r.signature for r in s1] == [r.signature for r in s2]
+    # identical docs → identical signatures
+    by_id = {r.doc_id: r.signature for r in s1}
+    assert by_id[1] == by_id[2]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=32, bands=16, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found and (2, 3) in found
+    assert (1, 4) in found  # one-word change, high shingle overlap
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 2)] == 1.0
+
+
+def test_minhash_candidates_no_self_or_reversed_pairs(docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cands = minhash_lsh_candidates(sigs, bands=8).collect()
+    assert all(r.id_a < r.id_b for r in cands)
+
+
+def test_simhash_identical_for_same_tokens(docs):
+    groups = simhash_duplicates(docs).collect()
+    members = {tuple(g.member_ids) for g in groups}
+    # 1 and 2 identical text → same simhash (3 differs: simhash tokenizes
+    # raw lowercase incl. double space handling).
+    assert any({1, 2} <= set(m) for m in members)
+
+
+def test_ngram_jaccard_verification(docs, spark):
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 4), (1, 5)], "id_a long, id_b long"
+    )
+    out = ngram_jaccard_pairs(docs, cands, n=3, threshold=0.0).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert jac[(1, 2)] == 1.0
+    assert 0.0 < jac[(1, 4)] < 1.0
+    assert jac[(1, 5)] == 0.0
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "x"),
+        (2, [0.99, 0.01, 0.0], "x"),   # near dup of 1
+        (3, [0.0, 1.0, 0.0], "x"),     # orthogonal
+        (4, [1.0, 0.0, 0.0], "y"),     # same dir as 1 but other block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pairs = embedding_near_duplicates(
+        df, block_col="label", threshold=0.95
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    # unblocked brute force also finds the cross-block pair
+    pairs_all = embedding_near_duplicates(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs_all} == {(1, 2), (1, 4), (2, 4)}

@@ -1,0 +1,104 @@
+"""Similarity search: brute-force top-k vs numpy reference, LSH recall,
+centroids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pairs,
+    label_centroids,
+    label_centroids_long,
+    lsh_bucket_ids,
+    lsh_topk,
+)
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def corpus_np():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(N, DIM)).astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, corpus_np):
+    rows = [(i, corpus_np[i].tolist(), int(i % 4)) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_brute_force_topk_matches_numpy(corpus, corpus_np):
+    q = corpus_np[0]
+    sims = corpus_np @ q / (np.linalg.norm(corpus_np, axis=1) * np.linalg.norm(q))
+    expect = set(np.argsort(-sims)[:10].tolist())
+    got = brute_force_topk(corpus, q.tolist(), k=10).collect()
+    assert {r.vec_id for r in got} == expect
+    top = max(got, key=lambda r: r.cosine)
+    assert top.vec_id == 0 and top.cosine == pytest.approx(1.0)
+
+
+def test_brute_force_topk_pairs(corpus, corpus_np):
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk_pairs(corpus, queries, k=5).collect()
+    assert len(got) == 15
+    for qid in range(3):
+        qrows = [r for r in got if r.query_id == qid]
+        q = corpus_np[qid]
+        sims = corpus_np @ q / (
+            np.linalg.norm(corpus_np, axis=1) * np.linalg.norm(q)
+        )
+        expect = set(np.argsort(-sims)[:5].tolist())
+        assert {r.vec_id for r in qrows} == expect
+
+
+def test_lsh_buckets_deterministic_and_bounded(corpus):
+    b1 = lsh_bucket_ids(corpus, dim=DIM, bits=6).select("vec_id", "lsh_bucket")
+    b2 = lsh_bucket_ids(corpus, dim=DIM, bits=6).select("vec_id", "lsh_bucket")
+    assert b1.collect() == b2.collect()
+    assert b1.agg(F.max("lsh_bucket")).first()[0] < 2**6
+    assert b1.agg(F.min("lsh_bucket")).first()[0] >= 0
+
+
+def test_lsh_topk_recall(corpus, corpus_np):
+    """With few bits the bucket join must return the query itself (same
+    bucket, cosine 1.0) and nonzero overlap with the exact top-k."""
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(corpus, queries, dim=DIM, k=10, bits=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    overlap = 0
+    for qid in range(5):
+        assert qid in by_q[qid]  # self lands in own bucket
+        q = corpus_np[qid]
+        sims = corpus_np @ q / (
+            np.linalg.norm(corpus_np, axis=1) * np.linalg.norm(q)
+        )
+        exact = set(np.argsort(-sims)[:10].tolist())
+        overlap += len(exact & by_q[qid])
+    assert overlap >= 10  # ≥20% avg recall at 2 bits on random data
+
+
+def test_label_centroids(corpus, corpus_np):
+    long = label_centroids_long(corpus).collect()
+    lookup = {(r.label, r.pos): r.mean_val for r in long}
+    for label in range(4):
+        member = corpus_np[[i for i in range(N) if i % 4 == label]]
+        mean = member.mean(axis=0)
+        for pos in range(DIM):
+            assert lookup[(label, pos + 1)] == pytest.approx(mean[pos])
+    wide = label_centroids(corpus).collect()
+    by_label = {r.label: r.centroid for r in wide}
+    member0 = corpus_np[[i for i in range(N) if i % 4 == 0]].mean(axis=0)
+    assert by_label[0] == pytest.approx(member0.tolist())

@@ -1,0 +1,123 @@
+"""Structured Streaming: file-source ingest, windowed/session aggregation,
+incremental partial-stats emission ≡ single-pass (the reference's
+accumulate-then-merge contract)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.overview import overview_stats
+from mhm_data_pipelines_spark.streaming.ingest import (
+    incremental_overview,
+    merge_partial_overview,
+    sessionized_counts,
+    stream_lake,
+    windowed_counts,
+)
+
+SCHEMA = "`value.time` string, `value.key` string, `value.intVal` string"
+DEC = 1735387200.0  # 2024-12-28 12:00 UTC
+DAY = 86400.0
+
+
+def _write(root, site, pid, metric, fname, rows):
+    p = root / "top" / site / pid / metric / fname
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(p, "wt") as f:
+        f.write("value.time,value.key,value.intVal\n")
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+
+
+def _run_available_now(writer):
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def test_stream_lake_micro_batches(spark, tmp_path):
+    root = tmp_path / "streamlake"
+    _write(root, "LON", "P1", "steps", "20241228_1200.csv.gz",
+           [(DEC + i * 3600, "Steps", 100 + i) for i in range(4)])
+    _write(root, "LON", "P1", "steps", "20241229_1200.csv.gz",
+           [(DEC + DAY + i * 3600, "Steps", 200 + i) for i in range(2)])
+
+    stream = stream_lake(spark, str(root), SCHEMA, layout="raw")
+    assert stream.isStreaming
+    enriched = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("`value.time`").cast("double"))
+    )
+    # Complete-mode memory sink: append mode would hold the final windows
+    # open waiting for the watermark, which never advances past end-of-
+    # stream in a drained availableNow run.
+    w = windowed_counts(enriched, window="1 day", watermark="2 days")
+    _run_available_now(
+        w.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+    )
+    got = {
+        (str(r.window_start), r.participant_id, r.metric): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2024-12-28 00:00:00", "P1", "steps")] == 4
+    assert got[("2024-12-29 00:00:00", "P1", "steps")] == 2
+
+
+def test_session_windows(spark, tmp_path):
+    root = tmp_path / "sesslake"
+    # Two bursts 2 hours apart → 2 sessions with a 30-minute gap window.
+    rows = [(DEC + i * 60, "Steps", i) for i in range(3)]
+    rows += [(DEC + 7200 + i * 60, "Steps", i) for i in range(2)]
+    _write(root, "LON", "P1", "steps", "20241228_1200.csv.gz", rows)
+    stream = stream_lake(spark, str(root), SCHEMA, layout="raw")
+    enriched = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("`value.time`").cast("double"))
+    )
+    s = sessionized_counts(enriched, gap="30 minutes")
+    _run_available_now(
+        s.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+    )
+    sessions = spark.sql(
+        "SELECT * FROM sess_counts ORDER BY session_start"
+    ).collect()
+    assert [r.n_events for r in sessions] == [3, 2]
+
+
+def test_incremental_overview_equals_single_pass(spark, tmp_path):
+    """foreachBatch partials merged == one-shot overview_stats (SURVEY
+    §5.4 property, streaming edition)."""
+    root = tmp_path / "inclake"
+    _write(root, "LON", "P1", "steps", "20241228_1200.csv.gz",
+           [(DEC + i * 3600, "Steps", i) for i in range(5)])
+    _write(root, "MAN", "P2", "steps", "20241229_1200.csv.gz",
+           [(DEC + DAY + i * 7200, "Steps", i) for i in range(3)])
+
+    stream = stream_lake(
+        spark, str(root), SCHEMA, layout="raw", max_files_per_trigger=1
+    ).withColumn("ts", F.timestamp_seconds(F.col("`value.time`").cast("double")))
+    partial_path = str(tmp_path / "partials")
+    _run_available_now(
+        incremental_overview(stream, partial_path, str(tmp_path / "ck3"))
+    )
+    partials = spark.read.parquet(partial_path)
+    # maxFilesPerTrigger=1 → one partial batch per file.
+    assert partials.select("batch_id").distinct().count() == 2
+    merged = merge_partial_overview(partials).collect()
+
+    from mhm_data_pipelines_spark.sources.lake import read_lake_unified
+
+    whole = overview_stats(
+        read_lake_unified(spark, str(root), layout="raw").withColumn(
+            "ts", F.timestamp_seconds(F.col("`value.time`").cast("double"))
+        )
+    ).collect()
+    as_tuples = lambda rows: {
+        (r.site, r.participant_id, r.metric, r.row_count,
+         str(r.start_date), str(r.end_date), r.day_count)
+        for r in rows
+    }
+    assert as_tuples(merged) == as_tuples(whole)
