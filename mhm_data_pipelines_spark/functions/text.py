@@ -72,15 +72,21 @@ def quality_score(text: Column | str) -> Column:
     return len_term + stop_term + punct_term
 
 
-def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams (shingles) of the lowercased text —
-    the unit for MinHash/Jaccard dedup. Texts shorter than ``n`` yield an
-    empty array (``sequence`` would otherwise run *descending*)."""
+def char_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Character n-grams (shingles) of the lowercased text — the unit for
+    MinHash/Jaccard dedup. Texts shorter than ``n`` yield an empty array
+    (``sequence`` would otherwise run *descending*). Pass
+    ``distinct=False`` when the consumer is duplicate-insensitive (a min
+    over hashes) — ``array_distinct`` on strings is a per-row hash set
+    and is pure overhead there."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
     idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
-    return F.when(F.length(c) >= n,
-                  F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
-                  ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
