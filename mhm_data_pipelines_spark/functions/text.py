@@ -103,9 +103,11 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint of the *normalized* text
     (lowercase, collapsed whitespace) — stable across engines (MD5), used
-    as the exact-dedup key."""
+    as the exact-dedup key. Normalization is regexp-based (codegen'd
+    string ops) rather than a split/filter/concat higher-order pipeline —
+    identical output, but stays inside whole-stage codegen."""
     c = F.col(text) if isinstance(text, str) else text
-    normalized = F.concat_ws(" ", tokens(F.lower(c)))
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(normalized)
 
 
