@@ -48,6 +48,8 @@ from mhm_data_pipelines_spark.operators.overview import (
 )
 from mhm_data_pipelines_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
+    label_centroids,
     label_centroids_long,
     lsh_topk,
 )
@@ -1072,6 +1074,23 @@ def q_simhash_groups(spark, sf_dir):
     return simhash_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: label-supervised coarse quantizer (collected as metadata
+    — tiny by construction), shuffle-free corpus assignment, nprobe=2
+    probing. Rows-only (approximate; recall covered by tests)."""
+    df = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["label"], list(r["centroid"]))
+        for r in label_centroids(df).collect()
+    ]
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    out = ivf_topk(corpus, queries, cents, k=10, nprobe=2)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 def q_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH-bucketed top-k for 5 query
     vectors. Rows-only (approximate by design; recall covered by tests)."""
@@ -1125,6 +1144,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
+    "ivf_topk": q_ivf_topk,
     "minhash_neardup": q_minhash_neardup,
     "simhash_groups": q_simhash_groups,
     "lsh_topk": q_lsh_topk,

@@ -16,7 +16,7 @@ North-star extension (BASELINE.json). Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.functions.vectors import cosine, dot, normalize
@@ -115,6 +115,79 @@ def lsh_topk(
         F.col(query_id_col), "lsh_bucket", normalize(vec_col).alias("qv")
     )
     scored = cb.join(qb, "lsh_bucket").select(
+        query_id_col, id_col, dot("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    ``centroids`` is the coarse quantizer — (list_id, centroid) pairs.
+    A quantizer is metadata-sized by construction (hundreds of vectors,
+    not data-sized), so it is embedded as plan literals and ships with
+    the task binary: **corpus assignment is a pure projection — zero
+    shuffle, zero join** — each vector picks its nearest centroid via a
+    ``greatest``-of-structs argmax (struct comparison is lexicographic,
+    so (similarity, list_id) picks max-similarity with deterministic
+    ties). Queries explode their ``nprobe`` nearest lists and equi-join
+    corpus on ``list_id`` — the only shuffle, sized by list fan-out, not
+    |corpus|×|queries|.
+
+    Build centroids with :func:`label_centroids` (label-supervised) or
+    any k-means pass; recall grows with ``nprobe`` (= exact when nprobe
+    covers all lists).
+    """
+    import math
+
+    def _normalized_lit(vec: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return [float(x) / n for x in vec]
+
+    def _sim_structs(v: Column) -> list[Column]:
+        out = []
+        for list_id, cvec in centroids:
+            lit = F.array(*[F.lit(x) for x in _normalized_lit(cvec)])
+            out.append(
+                F.struct(
+                    dot(v, lit).alias("sim"), F.lit(int(list_id)).alias("list_id")
+                )
+            )
+        return out
+
+    c = corpus.select(F.col(id_col), normalize(vec_col).alias("cv"))
+    c = c.withColumn(
+        "list_id", F.greatest(*_sim_structs(F.col("cv")))["list_id"]
+    )
+
+    q = queries.select(F.col(query_id_col), normalize(vec_col).alias("qv"))
+    probes = F.transform(
+        F.slice(
+            F.sort_array(F.array(*_sim_structs(F.col("qv"))), asc=False),
+            1,
+            nprobe,
+        ),
+        lambda s: s["list_id"],
+    )
+    q = q.select(
+        query_id_col, "qv", F.explode(probes).alias("list_id")
+    )
+
+    scored = c.join(F.broadcast(q), "list_id").select(
         query_id_col, id_col, dot("qv", "cv").alias("cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from mhm_data_pipelines_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_pairs,
+    ivf_topk,
     label_centroids,
     label_centroids_long,
     lsh_bucket_ids,
@@ -88,6 +89,39 @@ def test_lsh_topk_recall(corpus, corpus_np):
         exact = set(np.argsort(-sims)[:10].tolist())
         overlap += len(exact & by_q[qid])
     assert overlap >= 10  # ≥20% avg recall at 2 bits on random data
+
+
+def test_ivf_topk_recall_and_exactness(corpus, corpus_np):
+    """nprobe = all lists ⇒ IVF degrades to exact search (every bucket
+    probed); small nprobe keeps decent recall and must include self."""
+    cents = [(r.label, list(r.centroid)) for r in label_centroids(corpus).collect()]
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def exact_topk(qid):
+        q = corpus_np[qid]
+        sims = corpus_np @ q / (
+            np.linalg.norm(corpus_np, axis=1) * np.linalg.norm(q)
+        )
+        return set(np.argsort(-sims)[:10].tolist())
+
+    # full probe = exact
+    got_all = ivf_topk(corpus, queries, cents, k=10, nprobe=len(cents)).collect()
+    by_q = {}
+    for r in got_all:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid in range(5):
+        assert by_q[qid] == exact_topk(qid)
+
+    # partial probe: self found, reasonable overlap on random data
+    got_1 = ivf_topk(corpus, queries, cents, k=10, nprobe=1).collect()
+    by_q1 = {}
+    for r in got_1:
+        by_q1.setdefault(r.query_id, set()).add(r.vec_id)
+    overlap = sum(len(exact_topk(q) & by_q1.get(q, set())) for q in range(5))
+    assert all(q in by_q1.get(q, set()) for q in range(5))
+    assert overlap >= 10
 
 
 def test_label_centroids(corpus, corpus_np):
