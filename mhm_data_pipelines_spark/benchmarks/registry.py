@@ -997,6 +997,29 @@ FROM documents
 """
 
 
+def q_frame_samples(spark, sf_dir):
+    """Multimodal frame-sampling plan: explode-by-metadata fan-out (one
+    row per planned frame), aggregated back to per-asset frame counts —
+    text bytes stand in for media; duration synthesized from n_chars."""
+    from mhm_data_pipelines_spark.operators.multimodal import frame_sample_plan
+
+    df = _t(spark, sf_dir, "documents")
+    assets = df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("mime_type"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    plan = frame_sample_plan(assets, every_ms=1000)
+    return plan.groupBy("asset_id").agg(F.count("*").alias("n_frames"))
+
+
+SQL_FRAME_SAMPLES = """
+SELECT doc_id AS asset_id,
+       CAST(floor((n_chars * 10) / 1000.0) AS BIGINT) + 1 AS n_frames
+FROM documents
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """ANN baseline: exact brute-force cosine top-10 for one query vector
     (the embedding of vec_id 0). The query vector is a plan literal — the
@@ -1052,6 +1075,24 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 # --- rows-only queries (no SQL-expressible oracle: hashing/approx ops) ----
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (Arrow batch
+    path; deterministic byte-histogram stand-in for a media model).
+    Rows-only: python-UDF internals aren't ANSI SQL."""
+    from mhm_data_pipelines_spark.operators.multimodal import extract_features
+
+    df = _t(spark, sf_dir, "documents")
+    assets = df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("mime_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(assets)
+
 
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID per document (marker-stopword / script
@@ -1140,6 +1181,8 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": q_doc_fingerprints,
     "unigram_jaccard_pairs": q_unigram_jaccard_pairs,
     "binary_metadata": q_binary_metadata,
+    "frame_samples": q_frame_samples,
+    "multimodal_features": q_multimodal_features,
     "embedding_topk": q_embedding_topk,
     "embedding_centroids": q_embedding_centroids,
     "embedding_neardup": q_embedding_neardup,
@@ -1185,6 +1228,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "unigram_jaccard_pairs": SQL_UNIGRAM_JACCARD,
     "binary_metadata": SQL_BINARY_METADATA,
+    "frame_samples": SQL_FRAME_SAMPLES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
