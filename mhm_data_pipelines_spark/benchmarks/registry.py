@@ -355,6 +355,23 @@ SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)
 """
 
 
+def q_cube_counts(spark, sf_dir):
+    """§2.4 note: all-subtotal convenience as CUBE over (metric, year) —
+    one pass produces per-cell, per-metric, per-year, and grand totals."""
+    df = _t(spark, sf_dir, "events")
+    return df.cube("event_type", F.year("ts").alias("yr")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT event_type, CAST(year(ts) AS INTEGER) AS yr, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY CUBE(event_type, CAST(year(ts) AS INTEGER))
+"""
+
+
 # --------------------------------------------------------------------------
 # Join / sort / window pass-through surface (SURVEY §2.3, §2.5-2.7 notes)
 # --------------------------------------------------------------------------
@@ -1160,6 +1177,7 @@ QUERIES: dict[str, QuerySpec] = {
     "date_ranges": q_date_ranges,
     "distinct_measurements": q_distinct_measurements,
     "rollup_counts": q_rollup_counts,
+    "cube_counts": q_cube_counts,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -1207,6 +1225,7 @@ ORACLES: dict[str, str] = {
     "date_ranges": SQL_DATE_RANGES,
     "distinct_measurements": SQL_DISTINCT_MEASUREMENTS,
     "rollup_counts": SQL_ROLLUP_COUNTS,
+    "cube_counts": SQL_CUBE_COUNTS,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q4": SQL_TPCH_Q4,
