@@ -20,9 +20,11 @@ from mhm_data_pipelines_spark.operators.overview import (
 from mhm_data_pipelines_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_pairs,
+    ivf_topk,
     label_centroids,
     lsh_topk,
 )
+from mhm_data_pipelines_spark.operators.skew import salted_agg, salted_join
 from mhm_data_pipelines_spark.operators.summary import patient_summary
 
 __all__ = [
@@ -33,8 +35,11 @@ __all__ = [
     "compact_lake",
     "dedup_exact",
     "exact_duplicates",
+    "ivf_topk",
     "label_centroids",
     "lsh_topk",
+    "salted_agg",
+    "salted_join",
     "minhash_near_duplicates",
     "missing_data_report",
     "overview_stats",

@@ -1,0 +1,71 @@
+"""Salted aggregation/join must be result-identical to the unsalted
+forms (on a deliberately skewed distribution), per SURVEY §4.2's
+participant-skew watch item."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    tail = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50)).alias("k"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    got = salted_agg(
+        skewed,
+        ["k"],
+        {
+            "n": ("count", "*"),
+            "total": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+            "mean": ("avg", "v"),
+        },
+        buckets=8,
+    )
+    want = skewed.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.avg("v").alias("mean"),
+    )
+    g = {r.k: r for r in got.collect()}
+    w = {r.k: r for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k].n == w[k].n
+        assert g[k].total == pytest.approx(w[k].total)
+        assert g[k].lo == w[k].lo and g[k].hi == w[k].hi
+        assert g[k].mean == pytest.approx(w[k].mean)
+
+
+def test_salted_agg_rejects_non_decomposable(skewed):
+    with pytest.raises(ValueError, match="not salt-decomposable"):
+        salted_agg(skewed, ["k"], {"d": ("count_distinct", "v")})
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(50)],
+        "k string, label string",
+    )
+    got = salted_join(skewed, dim, on=["k"], buckets=4)
+    want = skewed.join(dim, "k")
+    assert got.count() == want.count()
+    gc = got.groupBy("k", "label").count().collect()
+    wc = want.groupBy("k", "label").count().collect()
+    assert sorted(map(tuple, gc)) == sorted(map(tuple, wc))
