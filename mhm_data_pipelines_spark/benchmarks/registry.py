@@ -826,6 +826,38 @@ FROM g WHERE gap_sec IS NOT NULL GROUP BY user_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators.temporal): for each purchase event, the most
+    recent prior-or-equal view event of the same user — one union+window
+    shuffle, no range-join fan-out. Oracle is DuckDB's native ASOF JOIN."""
+    from mhm_data_pipelines_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on=["user_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("asof_ts").alias("asof_us"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT p.user_id, p.event_id,
+       epoch_us(v.ts) AS asof_us,
+       round(v.value, 4) AS asof_value
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def q_users_intersect(spark, sf_dir):
     """U set ops: participants present in both activity classes."""
     df = _t(spark, sf_dir, "events")
@@ -1191,6 +1223,7 @@ QUERIES: dict[str, QuerySpec] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "sessionization": q_sessionization,
     "event_gaps": q_event_gaps,
+    "asof_join": q_asof_join,
     "users_intersect": q_users_intersect,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1239,6 +1272,7 @@ ORACLES: dict[str, str] = {
     "top_orders_per_customer": SQL_TOP_ORDERS,
     "sessionization": SQL_SESSIONIZATION,
     "event_gaps": SQL_EVENT_GAPS,
+    "asof_join": SQL_ASOF_JOIN,
     "users_intersect": SQL_USERS_INTERSECT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,

@@ -26,8 +26,10 @@ from mhm_data_pipelines_spark.operators.similarity import (
 )
 from mhm_data_pipelines_spark.operators.skew import salted_agg, salted_join
 from mhm_data_pipelines_spark.operators.summary import patient_summary
+from mhm_data_pipelines_spark.operators.temporal import asof_join
 
 __all__ = [
+    "asof_join",
     "availability_long",
     "availability_matrix",
     "brute_force_topk",

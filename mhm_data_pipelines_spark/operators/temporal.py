@@ -1,0 +1,109 @@
+"""Temporal joins Spark lacks as builtins: as-of join (latest right row
+at-or-before each left row's timestamp).
+
+No reference counterpart (the reference correlates streams only by
+shared calendar buckets); this is the canonical sensor-fusion primitive
+for the domain — e.g. attach the most recent device-status reading to
+every symptom report.
+
+Scale design: the naive formulation is an inequality join (left.ts >=
+right.ts) — a range join that explodes to |L|×|R| per key before
+aggregation. This implementation instead UNIONS the two sides, sorts by
+(key, ts) once, and propagates the last-seen right payload with
+``last(..., ignorenulls=True)`` over an unbounded-preceding window:
+**one shuffle of |L|+|R| rows, zero join fan-out**, skew bounded by the
+hottest key like any windowed op (salt via operators.skew if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For every ``left`` row, attach the ``right`` row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``on`` key (NULLs when no
+    prior right row exists) — semantics of DuckDB/pandas ASOF JOIN
+    (backward direction).
+
+    ``right_cols``: right payload columns to carry (default: all except
+    keys + timestamp), returned with an ``asof_`` prefix plus
+    ``asof_ts``. ``tolerance`` (an INTERVAL literal like ``'2 days'``)
+    drops matches older than ``left_ts - tolerance``.
+
+    Ties on equal timestamps: the right row *at* the left timestamp
+    matches (>= semantics); among right rows with identical (key, ts)
+    the last by sort order wins (deterministic input ordering is the
+    caller's contract, as in pandas merge_asof).
+    """
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in (*on, right_ts)
+        ]
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("asof_ts"),
+                    *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+                ).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("_l"),
+        F.struct(
+            F.col(right_ts).alias("asof_ts"),
+            *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+        ).alias("_r"),
+    )
+
+    # Right rows sort before left rows at the same timestamp (_is_left
+    # ascending) so a right row AT left_ts is visible to that left row.
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "_last_r", F.last("_r", ignorenulls=True).over(w)
+    )
+
+    out = carried.filter(F.col("_is_left") == 1)
+    match = F.col("_last_r")
+    if tolerance is not None:
+        match = F.when(
+            F.col("_last_r.asof_ts")
+            >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}"),
+            F.col("_last_r"),
+        )
+    return out.select(
+        F.col("_l.*"),
+        match.alias("_m"),
+    ).select(
+        *[c for c in left.columns],
+        F.col("_m.asof_ts").alias("asof_ts"),
+        *[F.col(f"_m.asof_{c}").alias(f"asof_{c}") for c in right_cols],
+    )

@@ -1,0 +1,100 @@
+"""as-of join vs a naive per-row maximum (and vs pandas merge_asof
+semantics for ties/missing)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (1, _ts("2024-01-01T09:00:00"), "pre"),
+            (2, _ts("2024-01-02T00:00:00"), "c"),
+            (3, _ts("2024-01-01T00:00:00"), "nomatch"),
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T11:00:00"), 20.0),
+            (1, _ts("2024-01-01T12:00:00"), 30.0),  # equal-ts match for "b"
+            (2, _ts("2024-01-01T00:00:00"), 40.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(sides):
+    left, right = sides
+    got = {
+        (r.k, r.tag): (r.asof_ts, r.asof_v)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert got[(1, "a")] == (_ts("2024-01-01T09:30:00"), 10.0)
+    assert got[(1, "b")] == (_ts("2024-01-01T12:00:00"), 30.0)  # >= tie
+    assert got[(1, "pre")] == (None, None)  # no prior right row
+    assert got[(2, "c")] == (_ts("2024-01-01T00:00:00"), 40.0)
+    assert got[(3, "nomatch")] == (None, None)  # key absent on right
+
+
+def test_asof_tolerance(sides):
+    left, right = sides
+    got = {
+        (r.k, r.tag): r.asof_v
+        for r in asof_join(
+            left, right, on=["k"], tolerance="2 HOURS"
+        ).collect()
+    }
+    assert got[(1, "a")] == 10.0
+    assert got[(2, "c")] is None  # match is 24h old > 2h tolerance
+
+
+def test_asof_matches_naive_on_events(spark):
+    """Property check on generated data: window formulation ==
+    naive groupBy-max formulation."""
+    ev = spark.range(500).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 37 % 10007).alias("ts"),
+        (F.col("id") * 13 % 101).cast("double").alias("v"),
+    )
+    left = ev.filter(F.col("v") < 50).select("k", "ts")
+    right = ev.filter(F.col("v") >= 50).select("k", "ts", "v")
+
+    got = asof_join(left, right, on=["k"]).select("k", "ts", "asof_ts", "asof_v")
+
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k")) & (F.col("l.ts") >= F.col("r.ts")),
+            "left",
+        )
+        .groupBy(F.col("l.k").alias("k"), F.col("l.ts").alias("ts"))
+        .agg(
+            F.max(F.col("r.ts")).alias("asof_ts"),
+            F.max_by(F.col("r.v"), F.col("r.ts")).alias("asof_v"),
+        )
+    )
+    g = {(r.k, r.ts): (r.asof_ts, r.asof_v) for r in got.collect()}
+    n = {(r.k, r.ts): (r.asof_ts, r.asof_v) for r in naive.collect()}
+    assert set(g) == set(n)
+    for key in n:
+        assert g[key][0] == n[key][0]
+        # equal right-ts duplicates: any of the tied v values is valid
+        if g[key][1] != n[key][1]:
+            assert g[key][0] is not None
