@@ -858,6 +858,37 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (operators.temporal): purchases
+    within 1 hour after an error event of the same user — bucketed
+    equi-join, not a per-key cross product. Oracle is DuckDB's
+    inequality join."""
+    from mhm_data_pipelines_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = range_join(purchases, errors, on=["user_id"], bucket="30 minutes")
+    return out.select("user_id", "purchase_id", "error_id")
+
+
+SQL_RANGE_JOIN = """
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_users_intersect(spark, sf_dir):
     """U set ops: participants present in both activity classes."""
     df = _t(spark, sf_dir, "events")
@@ -1224,6 +1255,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sessionization": q_sessionization,
     "event_gaps": q_event_gaps,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "users_intersect": q_users_intersect,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1273,6 +1305,7 @@ ORACLES: dict[str, str] = {
     "sessionization": SQL_SESSIONIZATION,
     "event_gaps": SQL_EVENT_GAPS,
     "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "users_intersect": SQL_USERS_INTERSECT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,

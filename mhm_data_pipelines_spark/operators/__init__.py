@@ -26,7 +26,7 @@ from mhm_data_pipelines_spark.operators.similarity import (
 )
 from mhm_data_pipelines_spark.operators.skew import salted_agg, salted_join
 from mhm_data_pipelines_spark.operators.summary import patient_summary
-from mhm_data_pipelines_spark.operators.temporal import asof_join
+from mhm_data_pipelines_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
     "asof_join",
@@ -46,6 +46,7 @@ __all__ = [
     "missing_data_report",
     "overview_stats",
     "patient_summary",
+    "range_join",
     "read_compacted",
     "simhash_duplicates",
 ]

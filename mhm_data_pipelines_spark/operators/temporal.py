@@ -21,6 +21,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """All (point, interval) pairs with ``start ≤ point_ts ≤ end`` within
+    the same key — the point-in-interval range join.
+
+    A naive inequality join degenerates to a per-key cross product
+    (Catalyst can only plan it as BroadcastNestedLoop / cartesian +
+    filter). This implementation quantizes time into ``bucket``-sized
+    cells: each interval is exploded to the cells it overlaps, each point
+    maps to exactly one cell, and the join becomes an **equi-join on
+    (key, cell)** — shuffle-partitioned, AQE-skew-splittable — followed
+    by the exact range filter. Each qualifying pair appears exactly once
+    (a point's single cell occurs once per interval). Choose ``bucket``
+    near the typical interval length: fan-out per interval ≈
+    length/bucket + 1.
+    """
+    cell = F.expr(f"INTERVAL {bucket}")
+    p_cell = F.unix_micros(F.col(point_ts)) - (
+        F.unix_micros(F.col(point_ts))
+        % F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + cell)
+    )
+    cell_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + cell)
+    i_cells = F.sequence(
+        F.unix_micros(F.col(start_col)) - (F.unix_micros(F.col(start_col)) % cell_us),
+        F.unix_micros(F.col(end_col)) - (F.unix_micros(F.col(end_col)) % cell_us),
+        cell_us,
+    )
+    p = points.withColumn("_cell", p_cell)
+    i = intervals.withColumn("_cell", F.explode(i_cells))
+    joined = p.join(i, [*on, "_cell"]).drop("_cell")
+    return joined.filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -98,3 +98,31 @@ def test_asof_matches_naive_on_events(spark):
         # equal right-ts duplicates: any of the tied v values is valid
         if g[key][1] != n[key][1]:
             assert g[key][0] is not None
+
+
+def test_range_join_equals_naive(spark):
+    from mhm_data_pipelines_spark.operators.temporal import range_join
+
+    ev = spark.range(400).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 97 % 50000).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    iv = spark.range(60).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 731 % 48000).alias("start_ts"),
+        F.timestamp_seconds(F.col("id") * 731 % 48000 + 3600 * (1 + F.col("id") % 3)).alias("end_ts"),
+        F.col("id").alias("iid"),
+    )
+    got = range_join(ev, iv, on=["k"], bucket="30 minutes").select("pid", "iid")
+    naive = (
+        ev.alias("p")
+        .join(
+            iv.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("p.ts") <= F.col("i.end_ts")),
+        )
+        .select("pid", "iid")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
