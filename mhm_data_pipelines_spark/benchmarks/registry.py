@@ -355,6 +355,39 @@ SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)
 """
 
 
+def q_tiered_rollup(spark, sf_dir):
+    """Hypertable-style tiered rollup (operators.rollup_ts): the DAILY
+    tier here is derived from HOURLY partials, never from raw rows —
+    the oracle computes daily directly from raw, so the hash match
+    proves the partial-merge is lossless."""
+    from mhm_data_pipelines_spark.operators.rollup_ts import rollup_tiers
+
+    df = _t(spark, sf_dir, "events")
+    tiers = rollup_tiers(
+        df, ["1 hour", "1 day"], keys=["user_id"], ts="ts", value="value"
+    )
+    daily = tiers["1 day"]
+    return daily.select(
+        "user_id",
+        F.col("bucket_start").cast("string").alias("day_start"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+SQL_TIERED_ROLLUP = """
+SELECT user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+       count(value) AS n,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
 def q_cube_counts(spark, sf_dir):
     """§2.4 note: all-subtotal convenience as CUBE over (metric, year) —
     one pass produces per-cell, per-metric, per-year, and grand totals."""
@@ -978,6 +1011,43 @@ FROM t
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Text analysis: top-5 TF-IDF terms per document (functions.text).
+    Ranking on 6dp-rounded scores so cross-engine ln() ulp differences
+    resolve to the deterministic term tie-break."""
+    from mhm_data_pipelines_spark.functions.text import tfidf_top_terms
+
+    df = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(df, k=5, round_scores=6)
+    return out.select(
+        "doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"), "rank"
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, lower(t.term) AS term
+  FROM documents, unnest({_SQL_TOKENS}) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, round(tfidf, 4) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     """Exact dedup: lowest doc_id kept per normalized-text fingerprint."""
     return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
@@ -1259,6 +1329,8 @@ QUERIES: dict[str, QuerySpec] = {
     "users_intersect": q_users_intersect,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "tiered_rollup": q_tiered_rollup,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dup_groups": q_dup_groups,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1309,6 +1381,8 @@ ORACLES: dict[str, str] = {
     "users_intersect": SQL_USERS_INTERSECT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "tiered_rollup": SQL_TIERED_ROLLUP,
     "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
     "dup_groups": SQL_DUP_GROUPS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,

@@ -111,6 +111,53 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    round_scores: int | None = None,
+):
+    """Top-k TF-IDF terms per document, entirely with builtin ops:
+    explode tokens → term frequency per (doc, term) → document frequency
+    per term (one agg over the same exploded relation) → idf = ln(N/df)
+    → rank per doc. The doc-frequency side is an aggregate of the
+    corpus vocabulary — small — and broadcasts; the only large shuffle
+    is the (doc, term) frequency aggregation.
+
+    Plain (unsmoothed) idf so the formula is oracle-expressible; ties
+    broken by term text. ``round_scores`` ranks on a rounded score —
+    cross-engine ``ln`` can differ in the last ulp, so rounding turns
+    near-ties into exact ties resolved by the term tie-break.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", "tf", score.alias("tfidf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 #: Tiny per-language character/stopword profiles for the n-gram heuristic
 #: language ID. Real deployments plug in fastText/CLD3 via pandas_udf;
 #: this keeps the interface + a deterministic fallback.

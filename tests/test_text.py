@@ -101,3 +101,24 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_tfidf_top_terms(spark):
+    from mhm_data_pipelines_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.tf) for r in
+           tfidf_top_terms(docs, k=2).collect()}
+    # doc 1: apple appears twice and only in doc 1 -> top term
+    assert got[(1, 1)] == ("apple", 2)
+    # doc 3: durian unique to doc 3 beats cherry (df=2) at tf=3?
+    # tfidf(cherry)=3*ln(3/2)=1.216 > tfidf(durian)=1*ln(3)=1.099
+    assert got[(3, 1)] == ("cherry", 3)
+    assert got[(3, 2)] == ("durian", 1)
