@@ -1409,7 +1409,11 @@ BENCH_QUERIES: list[str] = [
     "tpch_q18",
     "top_orders_per_customer",
     "sessionization",
+    "asof_join",
+    "range_join",
+    "tiered_rollup",
     "doc_quality",
+    "tfidf_top_terms",
     "dedup_exact_keep",
     "minhash_neardup",
     "embedding_topk",
