@@ -34,8 +34,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + file listing so per-query numbers measure the query,
-    # not session startup (first trivial job pays codegen warm-up).
+    # not session startup: one trivial scan (codegen bootstrap) and one
+    # small aggregate (hash-agg + shuffle machinery). No headline query's
+    # own plan is pre-run.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .groupBy("n_regionkey")
+        .count()
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

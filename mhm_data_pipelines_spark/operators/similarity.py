@@ -70,6 +70,66 @@ def brute_force_topk_pairs(
     )
 
 
+def brute_force_topk_pairs_blas(
+    corpus: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-batched BLAS variant of :func:`brute_force_topk_pairs`:
+    queries ship as a literal matrix in the UDF closure (they are always
+    small); each ``mapInPandas`` batch computes one
+    ``corpus_batch @ queries.T`` matrix product — vectorized numpy
+    instead of per-row expression folds, which wins once |queries| × dim
+    is large enough to amortize Arrow transfer. Per-partition candidates
+    then reduce to a global top-k with one tiny window over
+    ``k × partitions × |queries|`` rows.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qids = [int(q[0]) for q in query_vecs]
+    qmat = np.array([q[1] for q in query_vecs], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = math.inf  # zero queries match nothing
+    qmat = qmat / qnorm[:, None]
+
+    def run(batches):
+        for pdf in batches:
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(c, axis=1)
+            cn[cn == 0] = math.inf
+            sims = (c / cn[:, None]) @ qmat.T  # |batch| × |queries|
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                top = np.argsort(-col, kind="stable")[: min(k, len(col))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[top],
+                            "cosine": col[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        run, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def lsh_bucket_ids(
     df: DataFrame,
     dim: int,

@@ -136,3 +136,21 @@ def test_label_centroids(corpus, corpus_np):
     by_label = {r.label: r.centroid for r in wide}
     member0 = corpus_np[[i for i in range(N) if i % 4 == 0]].mean(axis=0)
     assert by_label[0] == pytest.approx(member0.tolist())
+
+
+def test_blas_topk_matches_expression_path(corpus, corpus_np):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        brute_force_topk_pairs_blas,
+    )
+
+    qvecs = [(i, corpus_np[i].tolist()) for i in range(3)]
+    got = brute_force_topk_pairs_blas(corpus, qvecs, k=5).collect()
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = brute_force_topk_pairs(corpus, queries, k=5).collect()
+    g = {(r.query_id, r.vec_id): r.cosine for r in got}
+    w = {(r.query_id, r.vec_id): r.cosine for r in want}
+    assert set(g) == set(w)
+    for key in w:
+        assert g[key] == pytest.approx(w[key])
