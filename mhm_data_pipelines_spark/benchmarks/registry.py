@@ -266,6 +266,43 @@ FROM events GROUP BY event_type, CAST(floor(value / 50) AS BIGINT)
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per metric (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont`` — both linear interpolation)."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_split_assignment(spark, sf_dir):
+    """Deterministic hash-keyed train/val/test split, grouped by source
+    (leakage-free: all docs of a source share a split). Rows-only per
+    split-count: xxhash64 bucketing isn't ANSI SQL; stability and
+    leakage properties are covered in tests/test_sampling.py."""
+    from mhm_data_pipelines_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    out = train_val_test_split(df, key="source")
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
 def q_summary_assembly(spark, sf_dir):
     """J1: full-outer assembly of two aggregate families per
     (participant, period) with zero-count defaults (watch-list #8)."""
@@ -1306,6 +1343,8 @@ QUERIES: dict[str, QuerySpec] = {
     "missing_data": q_missing_data,
     "device_split": q_device_split,
     "value_histogram": q_value_histogram,
+    "value_percentiles": q_value_percentiles,
+    "split_assignment": q_split_assignment,
     "summary_assembly": q_summary_assembly,
     "date_ranges": q_date_ranges,
     "distinct_measurements": q_distinct_measurements,
@@ -1358,6 +1397,7 @@ ORACLES: dict[str, str] = {
     "missing_data": SQL_MISSING_DATA,
     "device_split": SQL_DEVICE_SPLIT,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "summary_assembly": SQL_SUMMARY_ASSEMBLY,
     "date_ranges": SQL_DATE_RANGES,
     "distinct_measurements": SQL_DISTINCT_MEASUREMENTS,

@@ -24,6 +24,10 @@ from mhm_data_pipelines_spark.operators.similarity import (
     label_centroids,
     lsh_topk,
 )
+from mhm_data_pipelines_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
+)
 from mhm_data_pipelines_spark.operators.skew import salted_agg, salted_join
 from mhm_data_pipelines_spark.operators.summary import patient_summary
 from mhm_data_pipelines_spark.operators.temporal import asof_join, range_join
@@ -36,6 +40,7 @@ __all__ = [
     "brute_force_topk_pairs",
     "compact_lake",
     "dedup_exact",
+    "deterministic_sample",
     "exact_duplicates",
     "ivf_topk",
     "label_centroids",
@@ -49,4 +54,5 @@ __all__ = [
     "range_join",
     "read_compacted",
     "simhash_duplicates",
+    "train_val_test_split",
 ]

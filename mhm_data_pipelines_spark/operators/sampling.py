@@ -1,0 +1,76 @@
+"""Deterministic sampling and dataset splits for training-data pipelines.
+
+No reference counterpart (north-star extension). ``df.sample()`` is
+seed-stable only for a fixed partitioning — repartition the input and
+the sample changes, which is unacceptable for reproducible training
+sets. These operators derive membership from a **content hash of a key
+column**, so the decision is a pure projection: reproducible across
+partitionings, engines, and re-runs; pushdown-friendly; zero shuffle.
+
+Leakage control: hash the *group* key (e.g. source/site) instead of the
+row id and every row of a group lands in the same split — no near-dup
+leakage across train/validation boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Denominator for hash-bucket fractions (1e6 → 0.0001% resolution).
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column | str, seed: int) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by hash of ``key`` — stable
+    under repartition/rerun (unlike ``df.sample``), and a plain filter
+    the optimizer can push down."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(key, seed) < int(fraction * _BUCKETS))
+
+
+def split_column(
+    weights: dict[str, float],
+    key: Column | str,
+    seed: int = 42,
+) -> Column:
+    """A split-label Column (``'train'``/``'val'``/... per ``weights``,
+    which must sum to 1) from the hash of ``key``. Hash a group key
+    (source, site, participant) to keep whole groups in one split."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = _bucket(key, seed)
+    expr: Column | None = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = b < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Stamp a ``split`` column (default 80/10/10 train/val/test) keyed
+    by ``key``'s hash — deterministic, group-leakage-free when ``key``
+    is a group column."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_column(weights, key, seed))
