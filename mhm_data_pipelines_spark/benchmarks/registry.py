@@ -967,6 +967,21 @@ def q_users_intersect(spark, sf_dir):
     return purchasers.intersect(erroring)
 
 
+def q_users_except(spark, sf_dir):
+    """U3 set difference: participants who purchase but never error."""
+    df = _t(spark, sf_dir, "events")
+    purchasers = df.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = df.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.exceptAll(erroring)
+
+
+SQL_USERS_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
 SQL_USERS_INTERSECT = """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 INTERSECT
@@ -1366,6 +1381,7 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "users_intersect": q_users_intersect,
+    "users_except": q_users_except,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1419,6 +1435,7 @@ ORACLES: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "users_intersect": SQL_USERS_INTERSECT,
+    "users_except": SQL_USERS_EXCEPT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
