@@ -103,12 +103,18 @@ def minhash_signatures(
     """
     df = _spread_small_input(df)
     shingles = char_ngrams(text_col, shingle_size, distinct=False)
-    ex = df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
-    h1 = F.xxhash64("_sh")
-    h2 = F.xxhash64("_sh", F.lit(1))
+    # Base hashes projected ONCE per shingle row — the aggregate exprs
+    # then hash only fixed-width longs. Inlining h1/h2 into each of the
+    # num_hashes agg expressions re-hashes the string per expression
+    # (no CSE across aggregates): measured 3× slower at sf0.1.
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("_sh")).select(
+        id_col,
+        F.xxhash64("_sh").alias("_h1"),
+        F.xxhash64("_sh", F.lit(1)).alias("_h2"),
+    )
     agg = ex.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(h1, h2, F.lit(i))).alias(f"_h{i}")
+            F.min(F.xxhash64("_h1", "_h2", F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
