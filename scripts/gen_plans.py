@@ -1,0 +1,87 @@
+"""Regenerate PLANS.md: trimmed `.explain("formatted")` output for the
+flagship registry queries, as physical-plan evidence (pushdown, column
+pruning, broadcast vs shuffle joins, aggregate phases)."""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mhm_data_pipelines_spark.benchmarks.registry import QUERIES  # noqa: E402
+from mhm_data_pipelines_spark.session import get_spark  # noqa: E402
+
+NOTES = {
+    "tpch_q3": (
+        "3-way join: every filter lands in PushedFilters, lineitem scan "
+        "reads 4 of 10 columns, customer broadcast."
+    ),
+    "tpch_q1": (
+        "scan->agg: pushdown + partial/final HashAggregate inside one "
+        "WholeStageCodegen span."
+    ),
+    "overview_stats": (
+        "distinct-day counting: two-phase distinct aggregate, 3-column "
+        "ReadSchema."
+    ),
+    "dedup_exact_keep": (
+        "exact dedup: the keep-side scan reads ONLY doc_id; full rows "
+        "recovered via semi join, text never shuffles twice."
+    ),
+    "minhash_neardup": (
+        "MinHash: explode + single hash-aggregate (codegen), banded "
+        "self-join is an equi-join on (band,bucket) - no cross product."
+    ),
+    "asof_join": (
+        "as-of join: one Exchange on the key, window over union - no "
+        "range-join nested loop."
+    ),
+    "tiered_rollup": (
+        "daily tier aggregates hourly partials - second HashAggregate "
+        "consumes the first, raw rows read once."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    out = [
+        '# PLANS - physical-plan evidence (sf0.01, `.explain("formatted")`)\n',
+        "Regenerate: `python scripts/gen_plans.py` (this file is generated"
+        " output, trimmed to the",
+        "plan skeleton + scan details; full plans via"
+        ' `.explain("formatted")` on any registry query).\n',
+    ]
+    for name, note in NOTES.items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name](spark, sf).explain("formatted")
+        lines = []
+        in_tree = True
+        for ln in buf.getvalue().splitlines():
+            if ln.startswith("== Physical Plan =="):
+                continue
+            if re.match(r"^\(\d+\) ", ln):
+                in_tree = False
+            if in_tree and ln.strip():
+                lines.append(ln)
+            elif re.search(r"PushedFilters:|ReadSchema:|^\(\d+\) Scan", ln):
+                lines.append(ln.strip())
+        out.append(
+            f"\n## {name}\n\n{note}\n\n```\n" + "\n".join(lines[:60]) + "\n```\n"
+        )
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(NOTES)} sections)")
+
+
+if __name__ == "__main__":
+    main()
