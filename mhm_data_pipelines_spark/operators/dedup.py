@@ -234,40 +234,38 @@ def simhash(
     bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    token hashes, built from builtin expressions (token → xxhash64 →
-    per-bit ±1 votes aggregated via array folds)."""
-    df = _spread_small_input(df)
-    toks = F.transform(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: F.xxhash64(t),
-    )
-    # votes[j] = sum over tokens of (bit j set ? +1 : -1). Bit indices are
-    # plan-time literals (shiftright requires them), so the per-bit exprs
-    # are built in a Python loop — still one pass over the token array.
-    def _bit_votes(h):
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                )
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for j in range(bits)
-            ]
-        )
+    token hashes.
 
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(_bit_votes(h), acc, lambda v, a: a + v),
+    Physical shape mirrors minhash_signatures: explode tokens → one
+    hash-aggregate computing all ``bits`` vote sums (codegen, map-side
+    partial agg) → bit assembly in a final projection. The folded
+    ``aggregate``/``zip_with`` formulation allocates a boxed
+    ``bits``-element array per token per row in interpreted eval — at
+    local[32] that OOMs a default-size JVM on a few hundred documents.
+
+    ``split`` always yields ≥1 element (empty text → [""]), so every
+    input doc keeps a signature row.
+    """
+    df = _spread_small_input(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        id_col, F.xxhash64("_t").alias("_h")
+    )
+    vote = lambda j: F.when(  # noqa: E731
+        F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+    votes = ex.groupBy(id_col).agg(
+        *[F.sum(vote(j)).alias(f"_v{j}") for j in range(bits)]
     )
     sig = F.lit(0).cast("long")
     for j in range(bits):
+        bit = 1 << j if j < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
-            F.when(F.element_at(votes, j + 1) > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"_v{j}") > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_duplicates(

@@ -20,6 +20,10 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # local-mode JVM hosts driver AND all executor threads: the 1g
+    # default heap OOMs under local[32] task concurrency. Only takes
+    # effect at JVM launch (no-op on an already-running session).
+    "spark.driver.memory": "8g",
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones. Critical at 100 TB where static partition counts are wrong.
     "spark.sql.adaptive.enabled": "true",
