@@ -767,6 +767,508 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# The synthetic schema carries no partsupp table and no
+# l_shipmode/commitdate/receiptdate, p_container, c_phone columns, so the
+# remaining TPC-H shapes are adapted to the columns that exist — the PLAN
+# SHAPE (scalar subqueries, correlated aggregates, exists/not-exists,
+# outer-join distributions) is what each query exercises, not the spec
+# constants.
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style volume shipping between two nations: both
+    nation-resolved dimension chains (supplier, customer) are filtered to
+    the nation pair BEFORE the join and broadcast; the only shuffle is
+    lineitem⋈orders. Year emitted as string (cross-engine int-width
+    parity, same convention as monthly_activity)."""
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(F.round(F.sum(volume), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         strftime(l_shipdate, '%Y') AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-style national market share: conditional-sum ratio per
+    year. part/customer-chain/supplier-chain all broadcast (each is a
+    fraction of lineitem at every SF); one lineitem⋈orders shuffle."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(F.round(F.sum(national) / F.sum(volume), 4).alias("mkt_share"))
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+)
+GROUP BY o_year
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-style product-type profit (adapted: no partsupp table →
+    profit is discounted revenue without the supplycost term), grouped by
+    supplier nation × order year."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "nation", F.date_format("o_orderdate", "yyyy").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, strftime(o_orderdate, '%Y')
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution: left outer join
+    preserving order-less customers, then a second aggregation over the
+    first's result (the classic two-level group-by)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    the scalar-max subquery realized as a single-row broadcast joined
+    back on equality (no driver-side collect). Revenue rounded BEFORE the
+    max-equality compare so both engines resolve the same winner."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-style part/supplier relationship (adapted: the
+    part↔supplier link is lineitem, not partsupp): distinct-supplier
+    count per (brand, type, size) with NOT-style exclusion filters."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    links = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        links.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-style small-quantity-order revenue: correlated per-part
+    average realized as a part-level aggregate broadcast back onto the
+    fact rows (the aggregate has one row per qualifying part — always
+    broadcastable; no window shuffle over the full fact table).
+    p_container doesn't exist → p_type plays the second filter."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-style discounted revenue: disjunction of three
+    brand/size/quantity predicate bundles evaluated after a broadcast
+    join (Catalyst cannot split an OR across the join, but every conjunct
+    inside each bundle still prunes via the common join key)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bundle)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-style supplier promotion shortlist (adapted: shipped
+    quantity from lineitem replaces partsupp availqty): suppliers whose
+    1996 shipped volume of any 'blue' part exceeds a threshold, restricted
+    to one nation. The qualifying-supplier set flows into a LEFT SEMI join
+    so supplier rows are never duplicated."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("blue"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    qualifying = (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 45)
+        .select("l_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%blue%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 45
+  )
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-style waiting-supplier report (adapted: returnflag 'R'
+    on finalized orders plays the late-delivery flag; no receipt/commit
+    dates in the schema). EXISTS → LEFT SEMI and NOT EXISTS → LEFT ANTI,
+    both as equi-joins on orderkey with the supplier-inequality residual
+    — shuffled hash semi/anti joins, never a nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"),
+        "l_returnflag",
+    )
+    l1 = l1.join(
+        other.select("_ok", "_sk"),
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    )
+    l1 = l1.join(
+        other.filter(F.col("l_returnflag") == "R").select("_ok", "_sk"),
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_anti",
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3' AND l1.l_returnflag = 'R'
+  AND l1.l_orderkey IN (SELECT o_orderkey FROM orders
+                        WHERE o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-style global sales opportunity (adapted: nationkey plays
+    the phone country code): above-average-balance customers with no
+    urgent orders (every synthetic customer has ≥1 order, so the classic
+    "no orders at all" form is vacuous here). Scalar average as a
+    single-row broadcast; the NOT EXISTS as LEFT ANTI against the
+    filtered orders."""
+    codes = [3, 8, 13, 18, 23]
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(codes))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (3, 8, 13, 18, 23)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_nationkey IN (3, 8, 13, 18, 23))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def q_lineitem_unpivot(spark, sf_dir):
     """A12 wide→long unpivot (the answer-column-family melt,
     extract_patient_summary.py:306-377): measure columns stacked to
@@ -1370,10 +1872,21 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "lineitem_unpivot": q_lineitem_unpivot,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sessionization": q_sessionization,
@@ -1424,10 +1937,21 @@ ORACLES: dict[str, str] = {
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q9": SQL_TPCH_Q9,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q13": SQL_TPCH_Q13,
     "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q17": SQL_TPCH_Q17,
     "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q21": SQL_TPCH_Q21,
+    "tpch_q22": SQL_TPCH_Q22,
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "top_orders_per_customer": SQL_TOP_ORDERS,
     "sessionization": SQL_SESSIONIZATION,
@@ -1462,8 +1986,12 @@ BENCH_QUERIES: list[str] = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q8",
     "tpch_q10",
+    "tpch_q13",
+    "tpch_q17",
     "tpch_q18",
+    "tpch_q21",
     "top_orders_per_customer",
     "sessionization",
     "asof_join",
