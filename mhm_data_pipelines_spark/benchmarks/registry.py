@@ -1368,6 +1368,72 @@ FROM s GROUP BY user_id
 """
 
 
+def q_stateful_sessions_stream(spark, sf_dir):
+    """§2.9 custom stateful operator, in the gate end-to-end: the
+    applyInPandasWithState sessionizer drained over the events table.
+    The watermark is pinned past the data's whole time span so the
+    trailing no-data batch fires no event-time timeouts, making the
+    output exactly the data-closed sessions — every session except each
+    user's last — which IS SQL-expressible, so this streaming operator
+    gets a full value-level oracle (production uses a real watermark;
+    timeout flush is covered by test_stateful_streaming). Session bounds
+    emitted as epoch micros (integer hash parity across engines)."""
+    from mhm_data_pipelines_spark.streaming.stateful import stateful_sessions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        # FileStreamSource needs a directory basePath; select the single
+        # table file with a glob filter.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = stateful_sessions(stream, gap_minutes=30.0, watermark="36500 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("_stateful_sessions_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("_stateful_sessions_gate").select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+SQL_STATEFUL_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), agg AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, n_events, sum_value
+FROM agg
+WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+"""
+
+
 def q_event_gaps(spark, sf_dir):
     """§2.5 analytic windows (lag): inter-event gap stats per participant."""
     df = _t(spark, sf_dir, "events")
@@ -1890,6 +1956,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sessionization": q_sessionization,
+    "stateful_sessions_stream": q_stateful_sessions_stream,
     "event_gaps": q_event_gaps,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1955,6 +2022,7 @@ ORACLES: dict[str, str] = {
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "top_orders_per_customer": SQL_TOP_ORDERS,
     "sessionization": SQL_SESSIONIZATION,
+    "stateful_sessions_stream": SQL_STATEFUL_SESSIONS,
     "event_gaps": SQL_EVENT_GAPS,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,

@@ -1,0 +1,166 @@
+"""Custom stateful streaming: applyInPandasWithState sessionization must
+match the batch sessionization semantics; dropDuplicatesWithinWatermark
+must match batch exact dedup."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.streaming.stateful import (
+    dedup_stream,
+    stateful_sessions,
+)
+
+DEC = 1735387200  # 2024-12-28 12:00 UTC
+MIN = 60
+
+
+def _events_parquet(spark, tmp_path, rows):
+    """rows: (event_id, user_id, offset_seconds, value)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": [pd.Timestamp(DEC + r[2], unit="s") for r in rows],
+            "value": [float(r[3]) for r in rows],
+        }
+    )
+    path = tmp_path / "events_stream"
+    path.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+        str(path / "batch0")
+    )
+    return str(path)
+
+
+def _stream(spark, path):
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+
+
+def _drain(writer, name):
+    q = (
+        writer.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_sessions_match_batch_semantics(spark, tmp_path):
+    # user 1: three sessions (two closed by later data, one dangling);
+    # user 2: one dangling session only.
+    rows = [
+        (1, 1, 0, 1.0),
+        (2, 1, 5 * MIN, 2.0),          # session A: 2 events
+        (3, 1, 60 * MIN, 4.0),         # gap 55m > 30m → closes A
+        (4, 1, 70 * MIN, 8.0),         # session B: 2 events
+        (5, 1, 200 * MIN, 16.0),       # closes B; session C dangling
+        (6, 2, 0, 32.0),               # user 2: dangling only
+    ]
+    path = _events_parquet(spark, tmp_path, rows)
+    out = stateful_sessions(_stream(spark, path), gap_minutes=30.0)
+    _drain(out.writeStream, "sessions_out")
+    got = {
+        (r.user_id, str(r.session_start), r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # Closed sessions must be exactly A and B (dangling C / user-2 stay
+    # in state: event time never advances past their timeout in this
+    # single drained run).
+    assert (1, "2024-12-28 12:00:00", 2, 3.0) in got
+    assert (1, "2024-12-28 13:00:00", 2, 12.0) in got
+    assert all(uid != 2 for uid, *_ in got)
+    assert len(got) == 2
+
+
+def test_stateful_sessions_timeout_flush(spark, tmp_path):
+    """A second batch far in the future advances the watermark past the
+    dangling session's timeout → it flushes exactly once."""
+    path = _events_parquet(
+        spark, tmp_path, [(1, 7, 0, 1.0), (2, 7, 5 * MIN, 2.0)]
+    )
+    out = stateful_sessions(
+        _stream(spark, path), gap_minutes=30.0, watermark="10 minutes"
+    )
+    _drain(out.writeStream, "sessions_t1")
+    assert spark.sql("SELECT * FROM sessions_t1").count() == 0
+
+    # Late second file: another key's event two days on moves event time.
+    pdf = pd.DataFrame(
+        {
+            "event_id": [99],
+            "user_id": [8],
+            "ts": [pd.Timestamp(DEC + 2 * 86400, unit="s")],
+            "value": [0.0],
+        }
+    )
+    import pathlib
+
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(pathlib.Path(path) / "batch1")
+    )
+    # Fresh query over the same checkpoint-free memory sink: availableNow
+    # re-reads both files; batch 2 carries the watermark forward and the
+    # user-7 session times out.
+    out2 = stateful_sessions(
+        _stream(spark, path), gap_minutes=30.0, watermark="10 minutes"
+    )
+    q = (
+        out2.writeStream.format("memory")
+        .queryName("sessions_t2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_t2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flushed = [
+        r
+        for r in spark.sql("SELECT * FROM sessions_t2").collect()
+        if r.user_id == 7
+    ]
+    assert len(flushed) == 1
+    assert flushed[0].n_events == 2 and flushed[0].sum_value == 3.0
+
+
+def test_dedup_stream_first_arrival_wins(spark, tmp_path):
+    rows = [
+        (1, 1, 0, 1.0),
+        (1, 1, 60, 1.0),   # duplicate event_id
+        (2, 1, 120, 2.0),
+        (2, 1, 120, 2.0),  # exact duplicate row
+        (3, 2, 0, 3.0),
+    ]
+    path = _events_parquet(spark, tmp_path, rows)
+    out = dedup_stream(_stream(spark, path), keys=("event_id",))
+    _drain(out.writeStream, "dedup_out")
+    got = spark.sql("SELECT * FROM dedup_out")
+    assert got.count() == 3
+    assert got.select("event_id").distinct().count() == 3
+    batch = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(path)
+        .dropDuplicates(["event_id"])
+    )
+    assert got.count() == batch.count()
+
+
+def test_stateful_sessions_is_distributed(spark, tmp_path):
+    """State partitions by the grouping key: the physical plan must show
+    a stateful applyInPandasWithState over a hash exchange on user_id,
+    not any driver-side collection."""
+    path = _events_parquet(spark, tmp_path, [(1, 1, 0, 1.0)])
+    plan = stateful_sessions(_stream(spark, path))._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert "user_id" in plan
