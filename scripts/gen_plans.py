@@ -44,6 +44,20 @@ NOTES = {
         "daily tier aggregates hourly partials - second HashAggregate "
         "consumes the first, raw rows read once."
     ),
+    "tpch_q17": (
+        "correlated per-part average as a part-level HashAggregate "
+        "broadcast back onto the fact rows - no window shuffle over "
+        "lineitem."
+    ),
+    "tpch_q21": (
+        "EXISTS/NOT EXISTS as hash semi/anti joins on the orderkey "
+        "equi-key with a suppkey-inequality residual - never a nested "
+        "loop; all predicates reach the scans."
+    ),
+    "tpch_q13": (
+        "left-outer preserving zero-order customers, then a second "
+        "aggregation over the first's output."
+    ),
 }
 
 
