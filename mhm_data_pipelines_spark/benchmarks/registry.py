@@ -1749,6 +1749,78 @@ WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: the exact-Jaccard pair graph closed
+    under transitivity by ITERATIVE min-label propagation
+    (operators.components) — a genuinely iterative distributed algorithm
+    that still gets a full value oracle, because DuckDB can close the
+    same edge set with a recursive CTE."""
+    from mhm_data_pipelines_spark.operators.components import (
+        connected_components,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    pairs = q_unigram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, nodes=df.select("doc_id"))
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+_SQL_NEARDUP_EDGES = """
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents) a
+  JOIN (SELECT doc_id, source, list_distinct({toks}) AS toks FROM documents) b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0
+              / len(list_distinct(list_cat(a.toks, b.toks))), 4) >= 0.9
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+"""
+
+
+def q_neardup_dedup_keep(spark, sf_dir):
+    """End-to-end near-dup dedup: one min-id representative survives per
+    cluster (dedup_by_components); singletons survive untouched."""
+    from mhm_data_pipelines_spark.operators.components import (
+        dedup_by_components,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    pairs = q_unigram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_by_components(df, pairs).select("doc_id", "source", "n_chars")
+
+
+SQL_NEARDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_NEARDUP_EDGES.format(toks=_SQL_TOKENS_LOWER)
+    + "SELECT doc_id, component FROM comp"
+)
+
+SQL_NEARDUP_DEDUP_KEEP = (
+    "WITH RECURSIVE "
+    + _SQL_NEARDUP_EDGES.format(toks=_SQL_TOKENS_LOWER)
+    + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component
+"""
+)
+
+
 def q_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: typed metadata over an opaque binary payload
     (text bytes stand in for media payloads)."""
@@ -1970,6 +2042,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_groups": q_dup_groups,
     "doc_fingerprints": q_doc_fingerprints,
     "unigram_jaccard_pairs": q_unigram_jaccard_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "neardup_dedup_keep": q_neardup_dedup_keep,
     "binary_metadata": q_binary_metadata,
     "frame_samples": q_frame_samples,
     "multimodal_features": q_multimodal_features,
@@ -2036,6 +2110,8 @@ ORACLES: dict[str, str] = {
     "dup_groups": SQL_DUP_GROUPS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "unigram_jaccard_pairs": SQL_UNIGRAM_JACCARD,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
     "binary_metadata": SQL_BINARY_METADATA,
     "frame_samples": SQL_FRAME_SAMPLES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
