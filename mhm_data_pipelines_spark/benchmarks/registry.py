@@ -1804,6 +1804,109 @@ def q_neardup_dedup_keep(spark, sf_dir):
     return dedup_by_components(df, pairs).select("doc_id", "source", "n_chars")
 
 
+def q_corpus_prep(spark, sf_dir):
+    """Flagship end-to-end training-corpus prep: quality filter →
+    exact dedup (normalized fingerprint, min-id keeps) → near-dup
+    CLUSTER dedup (exact-Jaccard pairs → connected components → one
+    survivor per cluster). Every stage is the distributed form: the
+    quality filter is a pushdown-friendly scalar, exact dedup shuffles
+    only (fingerprint, id), the pair join is blocked by source, and the
+    component loop is one keyed shuffle per round. Quality threshold
+    0.75 sits between the score lattice points 0.7 and 0.8 so float
+    representation of 0.5+0.3 can't flip membership cross-engine."""
+    from mhm_data_pipelines_spark.operators.components import (
+        dedup_by_components,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    q = df.filter(quality_score("text") >= 0.75)
+    # The survivor set fans out to three consumers (pair self-join, node
+    # set, final semi-join) and seeds an iterative loop — materialize it
+    # once instead of recomputing filter+dedup per consumer per round.
+    d = dedup_exact(q).localCheckpoint()
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    union = F.size(F.array_union("a.toks", "b.toks"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    return dedup_by_components(d, pairs).select("doc_id", "source", "n_chars")
+
+
+_SQL_QUALITY_EXPR = f"""(
+  (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+  + (CASE WHEN CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({{stop}}, lower(x))))
+              * 1.0 / len(toks) ELSE 0.0 END > 0.05 THEN 0.3 ELSE 0.0 END)
+  + (CASE WHEN CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              * 1.0 / length(text) ELSE 0.0 END < 0.2 THEN 0.2 ELSE 0.0 END)
+)"""
+
+
+SQL_CORPUS_PREP = f"""
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, source, n_chars, text, {{tok}} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, source, n_chars, text FROM t0
+  WHERE {_SQL_QUALITY_EXPR} >= 0.75
+),
+d AS (
+  SELECT min(doc_id) AS doc_id FROM q
+  GROUP BY md5(array_to_string({{tokl}}, ' '))
+),
+dq AS (SELECT q.* FROM q JOIN d USING (doc_id)),
+p2 AS (
+  SELECT doc_id, source, list_distinct({{tokl}}) AS ltoks FROM dq
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM p2 a JOIN p2 b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.ltoks, b.ltoks)) * 1.0
+              / len(list_distinct(list_cat(a.ltoks, b.ltoks))), 4) >= 0.9
+),
+edges AS (
+  SELECT id_a AS ea, id_b AS eb FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(ea, eb) AS (
+  SELECT ea, eb FROM edges
+  UNION
+  SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea
+),
+comp AS (
+  SELECT dq.doc_id,
+         least(dq.doc_id, coalesce(min(r.eb), dq.doc_id)) AS component
+  FROM dq LEFT JOIN reach r ON r.ea = dq.doc_id
+  GROUP BY dq.doc_id
+)
+SELECT dq.doc_id, dq.source, dq.n_chars
+FROM dq JOIN comp ON dq.doc_id = comp.doc_id
+WHERE comp.doc_id = comp.component
+"""
+
+SQL_CORPUS_PREP = SQL_CORPUS_PREP.format(
+    stop=_SQL_STOPLIST, tok=_SQL_TOKENS, tokl=_SQL_TOKENS_LOWER
+)
+
 SQL_NEARDUP_CLUSTERS = (
     "WITH RECURSIVE "
     + _SQL_NEARDUP_EDGES.format(toks=_SQL_TOKENS_LOWER)
@@ -2044,6 +2147,7 @@ QUERIES: dict[str, QuerySpec] = {
     "unigram_jaccard_pairs": q_unigram_jaccard_pairs,
     "neardup_clusters": q_neardup_clusters,
     "neardup_dedup_keep": q_neardup_dedup_keep,
+    "corpus_prep": q_corpus_prep,
     "binary_metadata": q_binary_metadata,
     "frame_samples": q_frame_samples,
     "multimodal_features": q_multimodal_features,
@@ -2112,6 +2216,7 @@ ORACLES: dict[str, str] = {
     "unigram_jaccard_pairs": SQL_UNIGRAM_JACCARD,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
+    "corpus_prep": SQL_CORPUS_PREP,
     "binary_metadata": SQL_BINARY_METADATA,
     "frame_samples": SQL_FRAME_SAMPLES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
