@@ -1804,6 +1804,42 @@ def q_neardup_dedup_keep(spark, sf_dir):
     return dedup_by_components(df, pairs).select("doc_id", "source", "n_chars")
 
 
+def q_stratified_counts(spark, sf_dir):
+    """Exact-quota stratified sampling: per-source sampled counts. The
+    membership is content-hash-ranked (not SQL-reproducible) but the
+    quota arithmetic is — counts get the full oracle; membership
+    determinism is property-tested in test_sampling.py."""
+    from mhm_data_pipelines_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    s = stratified_sample(df, ["source"], 30, "doc_id")
+    return s.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+SQL_STRATIFIED_COUNTS = """
+SELECT source, least(30, count(*)) AS n_sampled
+FROM documents GROUP BY source
+"""
+
+
+def q_balanced_classes(spark, sf_dir):
+    """Class balancing to the minority size: per-label counts after
+    downsampling all equal min class size."""
+    from mhm_data_pipelines_spark.operators.sampling import balance_classes
+
+    df = _t(spark, sf_dir, "embeddings")
+    b = balance_classes(df, "label", "vec_id")
+    return b.groupBy("label").agg(F.count("*").alias("n"))
+
+
+SQL_BALANCED_CLASSES = """
+WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT label, (SELECT min(n) FROM c) AS n FROM c
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     """Flagship end-to-end training-corpus prep: quality filter →
     exact dedup (normalized fingerprint, min-id keeps) → near-dup
@@ -2148,6 +2184,8 @@ QUERIES: dict[str, QuerySpec] = {
     "neardup_clusters": q_neardup_clusters,
     "neardup_dedup_keep": q_neardup_dedup_keep,
     "corpus_prep": q_corpus_prep,
+    "stratified_counts": q_stratified_counts,
+    "balanced_classes": q_balanced_classes,
     "binary_metadata": q_binary_metadata,
     "frame_samples": q_frame_samples,
     "multimodal_features": q_multimodal_features,
@@ -2217,6 +2255,8 @@ ORACLES: dict[str, str] = {
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
     "corpus_prep": SQL_CORPUS_PREP,
+    "stratified_counts": SQL_STRATIFIED_COUNTS,
+    "balanced_classes": SQL_BALANCED_CLASSES,
     "binary_metadata": SQL_BINARY_METADATA,
     "frame_samples": SQL_FRAME_SAMPLES,
     "embedding_topk": SQL_EMBEDDING_TOPK,

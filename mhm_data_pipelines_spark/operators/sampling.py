@@ -74,3 +74,56 @@ def train_val_test_split(
     is a group column."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn("split", split_column(weights, key, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT per-stratum quotas, deterministically: rows rank inside
+    each stratum by content hash (ties → key) and the ``n_per_stratum``
+    smallest survive. Strata smaller than the quota pass through whole.
+
+    Cost is one shuffle+sort keyed by the strata — fine while every
+    stratum fits an executor. For huge or skewed strata prefer
+    ``deterministic_sample`` with ``fraction = quota / count`` per
+    stratum: same hash membership, zero sort, quota ± hash noise.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(_bucket(key, seed), F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample every class to the MINORITY class size (exact, hash-
+    deterministic) — the classic class-balancing step before training.
+    The minority size is a one-row aggregate broadcast into the quota
+    filter; membership is the same content-hash rank as
+    ``stratified_sample`` so reruns keep identical rows."""
+    from pyspark.sql import Window
+
+    quota = (
+        df.groupBy(label_col)
+        .agg(F.count("*").alias("_n"))
+        .agg(F.min("_n").alias("_quota"))
+    )
+    w = Window.partitionBy(label_col).orderBy(_bucket(key, seed), F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quota))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

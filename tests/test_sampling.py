@@ -53,3 +53,44 @@ def test_split_weights_validation(rows):
         train_val_test_split(rows, key="id", weights={"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError, match="fraction"):
         deterministic_sample(rows, 1.5, "id")
+
+
+def test_stratified_exact_quota_and_determinism(rows, spark):
+    from mhm_data_pipelines_spark.operators.sampling import stratified_sample
+
+    # 97 strata of ~103 rows; quota 10 → exactly 10 each.
+    s = stratified_sample(rows, ["grp"], 10, "id")
+    counts = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {10}
+    a = {(r.grp, r.id) for r in s.collect()}
+    b = {
+        (r.grp, r.id)
+        for r in stratified_sample(rows.repartition(17), ["grp"], 10, "id").collect()
+    }
+    assert a == b
+
+
+def test_stratified_small_stratum_passthrough(spark):
+    from mhm_data_pipelines_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id bigint, s string"
+    )
+    assert stratified_sample(df, ["s"], 5, "id").count() == 3
+
+
+def test_balance_classes_to_minority(spark):
+    from mhm_data_pipelines_spark.operators.sampling import balance_classes
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 700, "big").otherwise(
+            F.when(F.col("id") < 900, "mid").otherwise("small")
+        ).alias("label"),
+    )
+    out = balance_classes(df, "label", "id")
+    counts = {
+        r.label: r.n
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 100, "mid": 100, "small": 100}
