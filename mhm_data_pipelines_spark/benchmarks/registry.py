@@ -1368,6 +1368,79 @@ FROM s GROUP BY user_id
 """
 
 
+def q_gap_fill(spark, sf_dir):
+    """Calendar regularization: dense per-user daily series with
+    forward-filled gaps (operators.timeseries) — the repair step on top
+    of the reference's missing-data REPORT. Per-key grid from a min/max
+    aggregate (never a global-calendar cross join)."""
+    from mhm_data_pipelines_spark.operators.timeseries import gap_fill_daily
+
+    df = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    out = gap_fill_daily(df, keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.round("value", 4).alias("value"),
+        "was_gap",
+    )
+
+
+SQL_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                     CAST(max(day) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY user_id
+),
+j AS (
+  SELECT g.user_id, g.day, d.v
+  FROM grid g LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       round(last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING), 4) AS value,
+       v IS NULL AS was_gap
+FROM j
+"""
+
+
+def q_rolling_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 7 observations of its user (PRECEDING frame only — no
+    self-normalization); |z| > 3 flagged. Tie-broken by event_id so the
+    frame is engine-independent."""
+    from mhm_data_pipelines_spark.operators.timeseries import rolling_zscore
+
+    df = _t(spark, sf_dir, "events")
+    out = rolling_zscore(df, order_id="event_id", window=7)
+    return (
+        out.filter(F.abs(F.col("z")) > 3)
+        .select("user_id", "event_id", F.round("z", 3).alias("z"))
+    )
+
+
+SQL_ROLLING_ANOMALIES = """
+WITH z AS (
+  SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w = 7
+                   AND stddev_pop(value) OVER w > 0
+              THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+         END AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(z, 3) AS z
+FROM z WHERE abs(z) > 3
+"""
+
+
 def q_stateful_sessions_stream(spark, sf_dir):
     """§2.9 custom stateful operator, in the gate end-to-end: the
     applyInPandasWithState sessionizer drained over the events table.
@@ -2169,6 +2242,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sessionization": q_sessionization,
     "stateful_sessions_stream": q_stateful_sessions_stream,
     "event_gaps": q_event_gaps,
+    "gap_fill": q_gap_fill,
+    "rolling_anomalies": q_rolling_anomalies,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "users_intersect": q_users_intersect,
@@ -2240,6 +2315,8 @@ ORACLES: dict[str, str] = {
     "sessionization": SQL_SESSIONIZATION,
     "stateful_sessions_stream": SQL_STATEFUL_SESSIONS,
     "event_gaps": SQL_EVENT_GAPS,
+    "gap_fill": SQL_GAP_FILL,
+    "rolling_anomalies": SQL_ROLLING_ANOMALIES,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "users_intersect": SQL_USERS_INTERSECT,
