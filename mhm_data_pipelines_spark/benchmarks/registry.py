@@ -1913,6 +1913,39 @@ SELECT label, (SELECT min(n) FROM c) AS n FROM c
 """
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing: per-source token-budget bin assignment plus the
+    bin fill report (operators.packing) — window running-sum shape, one
+    shuffle per shard key."""
+    from mhm_data_pipelines_spark.operators.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    packed = pack_documents(df, budget_tokens=256)
+    return pack_stats(packed).select(
+        "source", "pack_id", "n_docs", "fill_tokens"
+    )
+
+
+SQL_PACK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / 256) AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS fill_tokens
+FROM p GROUP BY source, pack_id
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     """Flagship end-to-end training-corpus prep: quality filter →
     exact dedup (normalized fingerprint, min-id keeps) → near-dup
@@ -2261,6 +2294,7 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_prep": q_corpus_prep,
     "stratified_counts": q_stratified_counts,
     "balanced_classes": q_balanced_classes,
+    "pack_documents": q_pack_documents,
     "binary_metadata": q_binary_metadata,
     "frame_samples": q_frame_samples,
     "multimodal_features": q_multimodal_features,
@@ -2334,6 +2368,7 @@ ORACLES: dict[str, str] = {
     "corpus_prep": SQL_CORPUS_PREP,
     "stratified_counts": SQL_STRATIFIED_COUNTS,
     "balanced_classes": SQL_BALANCED_CLASSES,
+    "pack_documents": SQL_PACK_DOCUMENTS,
     "binary_metadata": SQL_BINARY_METADATA,
     "frame_samples": SQL_FRAME_SAMPLES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
