@@ -2398,6 +2398,9 @@ BENCH_QUERIES: list[str] = [
     "asof_join",
     "range_join",
     "tiered_rollup",
+    "gap_fill",
+    "rolling_anomalies",
+    "pack_documents",
     "doc_quality",
     "tfidf_top_terms",
     "dedup_exact_keep",
