@@ -1368,6 +1368,34 @@ FROM s GROUP BY user_id
 """
 
 
+def q_latest_event_state(spark, sf_dir):
+    """CDC latest-wins resolution (operators.upsert): current-state
+    table from the append-only event log — ONE max_by hash aggregate
+    (map-side combining), never a window sort over the full log.
+    Tie order (version, event_id, value) mirrored in the oracle's
+    ORDER BY so both engines resolve identical winners."""
+    from mhm_data_pipelines_spark.operators.upsert import latest_wins
+
+    df = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+    )
+    return latest_wins(df, ["user_id", "event_type"], "ts_us")
+
+
+SQL_LATEST_EVENT_STATE = """
+SELECT event_id, user_id, event_type, value, ts_us
+FROM (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC,
+                                     value DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Calendar regularization: dense per-user daily series with
     forward-filled gaps (operators.timeseries) — the repair step on top
@@ -2277,6 +2305,7 @@ QUERIES: dict[str, QuerySpec] = {
     "event_gaps": q_event_gaps,
     "gap_fill": q_gap_fill,
     "rolling_anomalies": q_rolling_anomalies,
+    "latest_event_state": q_latest_event_state,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "users_intersect": q_users_intersect,
@@ -2351,6 +2380,7 @@ ORACLES: dict[str, str] = {
     "event_gaps": SQL_EVENT_GAPS,
     "gap_fill": SQL_GAP_FILL,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
+    "latest_event_state": SQL_LATEST_EVENT_STATE,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "users_intersect": SQL_USERS_INTERSECT,

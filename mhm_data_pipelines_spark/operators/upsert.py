@@ -1,0 +1,83 @@
+"""Latest-wins merge (CDC/upsert compaction) without a table format.
+
+The reference's ingest is append-only with skip-if-exists file
+semantics (merge-data.py:68-70) — it has no record-level upsert. At
+100 TB with at-least-once delivery, re-sent batches and corrected
+records need MERGE semantics. Delta/Iceberg provide this as a table
+operation; this module provides the engine-level equivalent over plain
+parquet: deterministic latest-version-wins resolution, then a
+partition-scoped rewrite.
+
+Scale notes: resolution is ONE hash aggregate on the merge keys
+(``max_by`` of the whole row struct — no window sort, no join); the
+rewrite targets only partitions that received updates (dynamic
+partition overwrite), so a 10k-partition table with updates in 3
+partitions rewrites 3.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    version: str,
+) -> DataFrame:
+    """One row per key: the highest-``version`` row (ties resolved by
+    the full row struct ordering, so the result is deterministic even
+    with duplicate versions). A single hash aggregate — map-side
+    partial ``max_by`` combines before the shuffle."""
+    keys = list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    row = F.struct(F.col(version), *[F.col(c) for c in payload if c != version])
+    agg = df.groupBy(*keys).agg(F.max_by(row, row).alias("_r"))
+    return agg.select(
+        *keys, *[F.col(f"_r.{c}") for c in [version] + [p for p in payload if p != version]]
+    ).select(*df.columns)
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version: str,
+) -> DataFrame:
+    """MERGE: rows of ``base`` overwritten by higher-version ``updates``
+    rows on the same key; new keys inserted; base rows without updates
+    pass through untouched. Equivalent to Delta's
+    ``MERGE WHEN MATCHED AND s.v > t.v THEN UPDATE WHEN NOT MATCHED
+    THEN INSERT`` — realized as union + latest-wins, one shuffle."""
+    return latest_wins(
+        base.unionByName(updates, allowMissingColumns=False), keys, version
+    )
+
+
+def write_upsert_partitioned(
+    base_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version: str,
+    partition_col: str,
+) -> None:
+    """Apply updates to a partitioned parquet table rewriting ONLY the
+    touched partitions: dynamic partition overwrite keyed by the update
+    set's partition values. The read is partition-pruned to the same
+    set, so cost scales with the update footprint, not the table."""
+    spark = updates.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    base = (
+        spark.read.parquet(base_path)
+        .filter(F.col(partition_col).isin(touched))
+    )
+    merged = merge_upsert(base, updates, keys, version)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(base_path)
+    )
