@@ -2211,9 +2211,35 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID per document (marker-stopword / script
-    detection). Rows-only check: heuristic internals aren't ANSI SQL."""
+    detection). Fully oracle-checked: the marker-hit argmax (ties →
+    alphabetically-last language, mirroring array_max on struct(hits,
+    lang)) and the CJK script test are both ANSI-expressible."""
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS_LOWER} AS toks FROM documents
+),
+h AS (
+  SELECT doc_id, text,
+    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','y'], x))) AS h_es,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN greatest(h_en, h_es, h_fr, h_de) > 0 THEN
+         CASE WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+              WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+              ELSE 'de' END
+       ELSE 'en' END AS pred_lang
+FROM h
+"""
 
 
 def q_minhash_neardup(spark, sf_dir):
@@ -2381,6 +2407,7 @@ ORACLES: dict[str, str] = {
     "gap_fill": SQL_GAP_FILL,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
     "latest_event_state": SQL_LATEST_EVENT_STATE,
+    "lang_id": SQL_LANG_ID,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "users_intersect": SQL_USERS_INTERSECT,
