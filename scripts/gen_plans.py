@@ -58,6 +58,15 @@ NOTES = {
         "left-outer preserving zero-order customers, then a second "
         "aggregation over the first's output."
     ),
+    "gap_fill": (
+        "calendar grid from a per-key min/max aggregate (explode "
+        "sequence), daily side broadcast, one exchange on the key - "
+        "never a global-calendar cross join."
+    ),
+    "latest_event_state": (
+        "CDC latest-wins: one max_by hash aggregate with map-side "
+        "partials - no window sort over the log."
+    ),
 }
 
 
