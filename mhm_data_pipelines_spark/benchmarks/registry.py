@@ -1368,6 +1368,92 @@ FROM s GROUP BY user_id
 """
 
 
+def q_salted_agg_parity(spark, sf_dir):
+    """Skew-mitigated two-stage aggregation IN the oracle gate: the
+    salted path must produce byte-identical results to a plain GROUP BY
+    (the oracle) — proving the hot-key machinery is semantically free."""
+    from mhm_data_pipelines_spark.operators.skew import salted_agg
+
+    df = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        df,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "value"),
+            "total": ("sum", "value"),
+            "mean": ("avg", "value"),
+            "mx": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("mean", 4).alias("mean"),
+        "mx",
+    )
+
+
+SQL_SALTED_AGG_PARITY = """
+SELECT event_type, count(value) AS n,
+       round(sum(value), 2) AS total,
+       round(avg(value), 4) AS mean,
+       max(value) AS mx
+FROM events GROUP BY event_type
+"""
+
+
+def q_analytic_windows(spark, sf_dir):
+    """Analytic window-function sweep per user ordered by time: lead,
+    ntile, percent_rank, cume_dist in one pass (one shuffle on the
+    partition key). Ties broken by event_id so frames are
+    engine-deterministic."""
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return df.select(
+        "user_id",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_ANALYTIC_WINDOWS = """
+SELECT user_id, event_id,
+       lead(event_type) OVER w AS next_type,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id disambiguation — the
+    general form behind the rollup/cube conveniences (A14)."""
+    df = _t(spark, sf_dir, "events")
+    df.createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT user_id, event_type, count(*) AS n,
+               CAST(grouping_id(user_id, event_type) AS INT) AS gid
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((user_id, event_type), (user_id), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT user_id, event_type, count(*) AS n,
+       CAST(grouping_id(user_id, event_type) AS INT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((user_id, event_type), (user_id), ())
+"""
+
+
 def q_latest_event_state(spark, sf_dir):
     """CDC latest-wins resolution (operators.upsert): current-state
     table from the append-only event log — ONE max_by hash aggregate
@@ -2332,6 +2418,9 @@ QUERIES: dict[str, QuerySpec] = {
     "gap_fill": q_gap_fill,
     "rolling_anomalies": q_rolling_anomalies,
     "latest_event_state": q_latest_event_state,
+    "salted_agg_parity": q_salted_agg_parity,
+    "analytic_windows": q_analytic_windows,
+    "grouping_sets": q_grouping_sets,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "users_intersect": q_users_intersect,
@@ -2407,6 +2496,9 @@ ORACLES: dict[str, str] = {
     "gap_fill": SQL_GAP_FILL,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
     "latest_event_state": SQL_LATEST_EVENT_STATE,
+    "salted_agg_parity": SQL_SALTED_AGG_PARITY,
+    "analytic_windows": SQL_ANALYTIC_WINDOWS,
+    "grouping_sets": SQL_GROUPING_SETS,
     "lang_id": SQL_LANG_ID,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
