@@ -1368,6 +1368,34 @@ FROM s GROUP BY user_id
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """F11's read direction: semi-structured extraction from the JSON
+    props column (from_json with an explicit schema — schema-on-read
+    stays a projection, no Python in the loop), aggregated per type."""
+    df = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 def q_salted_agg_parity(spark, sf_dir):
     """Skew-mitigated two-stage aggregation IN the oracle gate: the
     salted path must produce byte-identical results to a plain GROUP BY
@@ -2419,6 +2447,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rolling_anomalies": q_rolling_anomalies,
     "latest_event_state": q_latest_event_state,
     "salted_agg_parity": q_salted_agg_parity,
+    "json_extract": q_json_extract,
     "analytic_windows": q_analytic_windows,
     "grouping_sets": q_grouping_sets,
     "asof_join": q_asof_join,
@@ -2497,6 +2526,7 @@ ORACLES: dict[str, str] = {
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
     "latest_event_state": SQL_LATEST_EVENT_STATE,
     "salted_agg_parity": SQL_SALTED_AGG_PARITY,
+    "json_extract": SQL_JSON_EXTRACT,
     "analytic_windows": SQL_ANALYTIC_WINDOWS,
     "grouping_sets": SQL_GROUPING_SETS,
     "lang_id": SQL_LANG_ID,
