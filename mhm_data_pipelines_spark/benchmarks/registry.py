@@ -775,6 +775,78 @@ JOIN customer ON o_custkey = c_custkey
 # constants.
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-style best-supplier-per-part (adapted: the part↔supplier
+    link is lineitem, the minimized cost is replaced by maximized
+    supplier account balance — no partsupp table). Per-part argmax as a
+    ``max_by`` over a comparison struct (acctbal, suppkey tie-break) —
+    one hash aggregate, no window sort; every dimension chain
+    broadcasts."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    links = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = (
+        links.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    pick = F.struct("s_acctbal", "s_suppkey", "s_name", "n_name")
+    return (
+        cand.groupBy("p_partkey")
+        .agg(F.max_by(pick, pick).alias("_b"))
+        .select(
+            F.round("_b.s_acctbal", 2).alias("s_acctbal"),
+            F.col("_b.s_name").alias("s_name"),
+            F.col("_b.n_name").alias("n_name"),
+            "p_partkey",
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH cand AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE' AND p_size <= 15
+),
+fl AS (
+  SELECT pk, s_suppkey, s_acctbal, s_name, n_name FROM cand
+  JOIN supplier ON sk = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT pk, s_suppkey FROM (
+    SELECT pk, s_suppkey,
+           row_number() OVER (PARTITION BY pk
+                              ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn
+    FROM fl
+  ) WHERE rn = 1
+)
+SELECT round(f.s_acctbal, 2) AS s_acctbal, f.s_name, f.n_name,
+       f.pk AS p_partkey
+FROM fl f JOIN best b ON f.pk = b.pk AND f.s_suppkey = b.s_suppkey
+"""
+
+
 def q_tpch_q7(spark, sf_dir):
     """TPC-H Q7-style volume shipping between two nations: both
     nation-resolved dimension chains (supplier, customer) are filtered to
@@ -2419,6 +2491,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_counts": q_rollup_counts,
     "cube_counts": q_cube_counts,
     "tpch_q1": q_tpch_q1,
+    "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -2498,6 +2571,7 @@ ORACLES: dict[str, str] = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "cube_counts": SQL_CUBE_COUNTS,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q2": SQL_TPCH_Q2,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
