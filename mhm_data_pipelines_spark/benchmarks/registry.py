@@ -1582,6 +1582,37 @@ FROM (
 """
 
 
+def q_rolling_1h(spark, sf_dir):
+    """Time-RANGE window frame (not row frame): for each event, count
+    and sum of the user's events in the trailing hour — rangeBetween on
+    the epoch-seconds order key. The range frame makes the window
+    value-based, so duplicate timestamps contribute symmetrically
+    (engine-independent, unlike a row frame with ties)."""
+    df = _t(spark, sf_dir, "events")
+    sec = F.unix_micros("ts") / F.lit(1_000_000.0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec.alias("_sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+SQL_ROLLING_1H = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) / 1000000.0
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Calendar regularization: dense per-user daily series with
     forward-filled gaps (operators.timeseries) — the repair step on top
@@ -2522,6 +2553,7 @@ QUERIES: dict[str, QuerySpec] = {
     "salted_agg_parity": q_salted_agg_parity,
     "json_extract": q_json_extract,
     "analytic_windows": q_analytic_windows,
+    "rolling_1h": q_rolling_1h,
     "grouping_sets": q_grouping_sets,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2602,6 +2634,7 @@ ORACLES: dict[str, str] = {
     "salted_agg_parity": SQL_SALTED_AGG_PARITY,
     "json_extract": SQL_JSON_EXTRACT,
     "analytic_windows": SQL_ANALYTIC_WINDOWS,
+    "rolling_1h": SQL_ROLLING_1H,
     "grouping_sets": SQL_GROUPING_SETS,
     "lang_id": SQL_LANG_ID,
     "asof_join": SQL_ASOF_JOIN,
