@@ -140,6 +140,7 @@ def read_lake(
     exclude: list[str] | None = None,
     include_substring: bool = False,
     glob: str | None = None,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """Read the whole lake (or an include/exclude-pruned slice) as one
     DataFrame with dimension columns materialized.
@@ -149,6 +150,12 @@ def read_lake(
     single declarative scan; corrupt files are skipped at file
     granularity like the reference's try/except
     (collect_data_metadata.py:92-93) via ``ignoreCorruptFiles``.
+
+    Row-level malformation (ragged CSV lines, bad quoting) follows
+    PERMISSIVE mode; pass ``corrupt_record_col`` (requires an explicit
+    ``schema`` including that string column) to capture the raw text of
+    each bad row for quarantine instead of silent nulls — the
+    row-granular upgrade of the reference's file-granular skip.
     """
     root = root.rstrip("/")
     reader = (
@@ -159,6 +166,15 @@ def read_lake(
         reader = reader.option("header", "true")
         if schema is None:
             reader = reader.option("inferSchema", "true")
+    if corrupt_record_col:
+        if schema is None:
+            raise ValueError(
+                "corrupt_record_col requires an explicit schema "
+                "containing that string column"
+            )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_record_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     if glob:

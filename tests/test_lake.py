@@ -91,3 +91,37 @@ def test_catalog_cache_roundtrip(spark, lake_root, tmp_path):
     # Second call hits the parquet checkpoint (pickle-cache parity).
     c2 = build_catalog(spark, lake_root, cache_path=cache)
     assert c2.count() == n
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """Row-level malformation: bad rows land whole in the quarantine
+    column (PERMISSIVE + columnNameOfCorruptRecord), good rows parse."""
+    import gzip
+
+    p = tmp_path / "qlake" / "top" / "LON" / "P1" / "steps" / "20241228_1200.csv.gz"
+    p.parent.mkdir(parents=True)
+    with gzip.open(p, "wt") as f:
+        f.write("a,b\n1,2\nnot_an_int,5\n3,4\n")
+
+    df = read_lake(
+        spark,
+        str(tmp_path / "qlake"),
+        layout="raw",
+        schema="a int, b int, _bad string",
+        corrupt_record_col="_bad",
+        glob="*.csv.gz",
+    ).cache()  # corrupt-record column requires no post-filter re-parse race
+    good = df.filter(F.col("_bad").isNull()).select("a", "b").collect()
+    bad = df.filter(F.col("_bad").isNotNull()).select("_bad").collect()
+    assert sorted((r.a, r.b) for r in good) == [(1, 2), (3, 4)]
+    assert [r._bad for r in bad] == ["not_an_int,5"]
+    df.unpersist()
+
+
+def test_corrupt_record_requires_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_lake(
+            spark, str(tmp_path), layout="raw", corrupt_record_col="_bad"
+        )
