@@ -30,6 +30,7 @@ from typing import Any, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUT_SCHEMA = (
@@ -142,6 +143,44 @@ def stateful_sessions(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "5 minutes",
+    watermark: str = "1 day",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key that occur at-or-after it, within
+    ``max_delay`` (e.g. "errors within 5 minutes of a purchase").
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so Spark can expire buffered state: each side's buffer
+    holds at most ``watermark + max_delay`` of data per key — the
+    requirement for an unbounded-stream join to run forever. Right
+    columns come back ``right_prefix``-renamed (stream-stream joins
+    forbid ambiguous references).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select([F.col(c).alias(f"{right_prefix}{c}") for c in r.columns])
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (
+            F.col(f"{right_prefix}{right_ts}")
+            >= F.col(left_ts)
+        )
+        & (
+            F.col(f"{right_prefix}{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")
 
 
 def dedup_stream(

@@ -27,7 +27,7 @@ def _events_parquet(spark, tmp_path, rows):
         }
     )
     path = tmp_path / "events_stream"
-    path.mkdir()
+    path.mkdir(parents=True)
     spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
         str(path / "batch0")
     )
@@ -164,3 +164,47 @@ def test_stateful_sessions_is_distributed(spark, tmp_path):
     plan = stateful_sessions(_stream(spark, path))._jdf.queryExecution().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
     assert "user_id" in plan
+
+
+def test_correlate_streams_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join ≡ the equivalent batch join."""
+    from mhm_data_pipelines_spark.streaming.stateful import correlate_streams
+
+    purchases = [(1, 1, 0, 10.0), (2, 1, 10 * MIN, 20.0), (3, 2, 0, 5.0)]
+    errors = [
+        (50, 1, 2 * MIN, 0.0),    # within 5min of purchase 1
+        (51, 1, 11 * MIN, 0.0),   # within 5min of purchase 2
+        (52, 1, 30 * MIN, 0.0),   # matches nothing
+        (53, 2, 3 * MIN, 0.0),    # within 5min of purchase 3
+        (54, 3, 0, 0.0),          # different user
+    ]
+    lp = _events_parquet(spark, tmp_path / "l", purchases)
+    rp = _events_parquet(spark, tmp_path / "r", errors)
+    out = correlate_streams(
+        _stream(spark, lp), _stream(spark, rp), max_delay="5 minutes"
+    )
+    _drain(out.writeStream, "corr_out")
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM corr_out").collect()
+    }
+    assert got == {(1, 50), (2, 51), (3, 53)}
+    # batch twin
+    import pyspark.sql.functions as F
+
+    lb = spark.read.option("recursiveFileLookup", "true").parquet(lp)
+    rb = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(rp)
+        .select([F.col(c).alias(f"r_{c}") for c in ["event_id", "user_id", "ts", "value"]])
+    )
+    want = {
+        (r.event_id, r.r_event_id)
+        for r in lb.join(
+            rb,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("ts"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 5 minutes")),
+        ).collect()
+    }
+    assert got == want
