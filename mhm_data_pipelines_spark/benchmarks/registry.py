@@ -2670,6 +2670,7 @@ BENCH_QUERIES: list[str] = [
     "availability_pivot",
     "summary_assembly",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
@@ -2686,6 +2687,10 @@ BENCH_QUERIES: list[str] = [
     "tiered_rollup",
     "gap_fill",
     "rolling_anomalies",
+    "rolling_1h",
+    "latest_event_state",
+    "analytic_windows",
+    "json_extract",
     "pack_documents",
     "doc_quality",
     "tfidf_top_terms",
