@@ -1986,6 +1986,45 @@ FROM (
 """
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring: each document's mean token
+    log-probability under the corpus unigram model (the cheap stand-in
+    for perplexity-based data filtering à la CCNet/Gopher). Corpus
+    frequencies are one hash aggregate over the exploded tokens; the
+    model (vocab-sized) broadcasts back onto the same relation — the
+    TF-IDF shuffle shape. MLE needs no smoothing: every scored token is
+    in the corpus by construction."""
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id", F.explode(F.transform(tokens("text"), F.lower)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("_total"))
+    logp = F.log(F.col("c") / F.col("_total"))
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+    )
+
+
+SQL_DOC_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / t)), 4) AS avg_logp
+FROM toks JOIN freq USING (term), total
+GROUP BY doc_id
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     """Exact dedup: lowest doc_id kept per normalized-text fingerprint."""
     return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
@@ -2562,6 +2601,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_lm_score": q_doc_lm_score,
     "tiered_rollup": q_tiered_rollup,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dup_groups": q_dup_groups,
@@ -2644,6 +2684,7 @@ ORACLES: dict[str, str] = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "doc_lm_score": SQL_DOC_LM_SCORE,
     "tiered_rollup": SQL_TIERED_ROLLUP,
     "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
     "dup_groups": SQL_DUP_GROUPS,
