@@ -2025,6 +2025,114 @@ GROUP BY doc_id
 """
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary report per source: token volume, vocab size,
+    type-token ratio, hapax share (Heaps/Zipf diagnostics that drive
+    tokenizer and dedup threshold choices). Two stacked aggregates over
+    one exploded relation."""
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "source", F.explode(F.transform(tokens("text"), F.lower)).alias("term")
+    )
+    per_term = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    return per_term.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("type_token_ratio"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias(
+            "hapax"
+        ),
+    )
+
+
+SQL_VOCAB_STATS = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents
+),
+per_term AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+       round(count(*) * 1.0 / sum(c), 4) AS type_token_ratio,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+FROM per_term GROUP BY source
+"""
+
+
+def q_top_terms_per_source(spark, sf_dir):
+    """Exact heavy hitters: top-10 tokens per source by count (ties →
+    term order). Aggregate then per-group rank — the rank input is the
+    per-source vocabulary, already ~1000× smaller than the token
+    stream."""
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "source", F.explode(F.transform(tokens("text"), F.lower)).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_TOP_TERMS_PER_SOURCE = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents
+),
+counts AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+)
+SELECT source, term, c, CAST(rank AS INT) AS rank FROM (
+  SELECT source, term, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rank
+  FROM counts
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 embedding quantization (symmetric per-vector scale) as pure
+    expressions: scale = 127/max|x|, q = round(x*scale). The 4×
+    storage/bandwidth cut for ANN at scale; checked value-exactly
+    against the same arithmetic in SQL. Returns per-vector checksums so
+    the compare is compact."""
+    df = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / absmax
+    q = F.transform(
+        "embedding", lambda x: F.round(x * scale).cast("int")
+    )
+    return df.select(
+        "vec_id",
+        F.round(scale, 4).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "q_sum"
+        ),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / CAST(list_max(list_transform(embedding, x -> abs(x)))
+                      AS DOUBLE) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, x -> CAST(round(x * scale) AS INTEGER)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 4) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       list_max(qv) AS q_max, list_min(qv) AS q_min
+FROM q
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     """Exact dedup: lowest doc_id kept per normalized-text fingerprint."""
     return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
@@ -2602,6 +2710,9 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_quality": q_doc_quality,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
+    "vocab_stats": q_vocab_stats,
+    "top_terms_per_source": q_top_terms_per_source,
+    "embedding_quantize": q_embedding_quantize,
     "tiered_rollup": q_tiered_rollup,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dup_groups": q_dup_groups,
@@ -2685,6 +2796,9 @@ ORACLES: dict[str, str] = {
     "doc_quality": SQL_DOC_QUALITY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_lm_score": SQL_DOC_LM_SCORE,
+    "vocab_stats": SQL_VOCAB_STATS,
+    "top_terms_per_source": SQL_TOP_TERMS_PER_SOURCE,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "tiered_rollup": SQL_TIERED_ROLLUP,
     "dedup_exact_keep": SQL_DEDUP_EXACT_KEEP,
     "dup_groups": SQL_DUP_GROUPS,
