@@ -125,3 +125,26 @@ def test_corrupt_record_requires_schema(spark, tmp_path):
         read_lake(
             spark, str(tmp_path), layout="raw", corrupt_record_col="_bad"
         )
+
+
+def test_write_table_format_roundtrips(spark, tmp_path):
+    """S7/S8 generality: the sink round-trips parquet, ORC, JSON-lines,
+    and gzip CSV with values intact (CSV/JSON read back with an explicit
+    schema — no inference surprises)."""
+    from mhm_data_pipelines_spark.sources.io import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id bigint, s string, v double",
+    )
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        out = str(tmp_path / fmt)
+        write_table(df, out, fmt=fmt)
+        reader = spark.read
+        if fmt in ("csv", "json"):
+            reader = reader.schema("id bigint, s string, v double")
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        got = sorted(map(tuple, reader.format(fmt).load(out).collect()))
+        assert got == want, fmt
