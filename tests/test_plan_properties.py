@@ -31,6 +31,7 @@ EXECUTES_ON_BUILD = {
 #: constant append. Keep this list tight — additions need justification.
 SINGLE_ROW_BROADCAST_OK = {
     "tfidf_top_terms",    # crossJoin(broadcast(count_distinct n_docs))
+    "doc_lm_score",       # crossJoin(broadcast(corpus token total)) — 1 row
     "tpch_q22",           # crossJoin(broadcast(avg acctbal))
     "doc_quality",        # quality normalization scalar (if planned so)
     "value_percentiles",  # scalar percentile bounds
