@@ -44,6 +44,13 @@ _DEFAULTS: dict[str, str] = {
     # Session TZ pinned to UTC so calendar bucketing (time keys, distinct
     # days) is deterministic regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Runtime Bloom-filter pushdown: a selective dimension filter prunes
+    # the fact-side shuffle before it happens — big win on the
+    # orders⋈lineitem shape when the dim filter is selective at 100 TB.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # zstd beats snappy ~30% on size at comparable read speed — at 100 TB
+    # that's tens of TB of I/O per full scan.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
