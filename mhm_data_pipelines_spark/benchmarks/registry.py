@@ -1003,6 +1003,55 @@ GROUP BY n_name, strftime(o_orderdate, '%Y')
 """
 
 
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-style important stock (adapted: shipped value from
+    lineitem replaces partsupp stock value): parts whose value supplied
+    by one nation's suppliers exceeds a fraction of that nation's total
+    — the group-share-vs-global-scalar HAVING shape. The scalar total
+    re-aggregates the (small) per-part aggregate and broadcasts; the
+    per-part relation is computed once and reused (no second scan of
+    lineitem)."""
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("_v"))
+        .localCheckpoint()  # reused by the scalar and the filter
+    )
+    thresh = pv.agg((F.sum("_v") * 0.001).alias("_t"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("_v") > F.col("_t"))
+        .select("l_partkey", F.round("_v", 2).alias("value"))
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH sn AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_0'
+),
+pv AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(v, 2) AS value
+FROM pv WHERE v > (SELECT sum(v) * 0.001 FROM pv)
+"""
+
+
 def q_tpch_q13(spark, sf_dir):
     """TPC-H Q13-style customer order-count distribution: left outer join
     preserving order-less customers, then a second aggregation over the
@@ -2678,6 +2727,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
@@ -2763,6 +2813,7 @@ ORACLES: dict[str, str] = {
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q9": SQL_TPCH_Q9,
     "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q11": SQL_TPCH_Q11,
     "tpch_q12": SQL_TPCH_Q12,
     "tpch_q13": SQL_TPCH_Q13,
     "tpch_q14": SQL_TPCH_Q14,

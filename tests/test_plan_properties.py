@@ -23,6 +23,7 @@ EXECUTES_ON_BUILD = {
     "neardup_clusters",
     "neardup_dedup_keep",
     "corpus_prep",
+    "tpch_q11",  # localCheckpoint of the reused per-part aggregate
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
