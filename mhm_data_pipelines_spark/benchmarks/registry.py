@@ -795,17 +795,20 @@ def q_tpch_q2(spark, sf_dir):
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # Broadcast-filter BEFORE the distinct: the dedup shuffle then
+    # carries only the ~5% of link pairs that touch qualifying parts,
+    # not every (partkey, suppkey) in the fact table.
     links = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    cand = (
-        links.join(
+        .join(
             F.broadcast(part.select("p_partkey")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "p_partkey")
+        .distinct()
+    )
+    cand = links.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
     )
     pick = F.struct("s_acctbal", "s_suppkey", "s_name", "n_name")
     return (
