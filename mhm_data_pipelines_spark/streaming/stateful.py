@@ -93,41 +93,51 @@ def stateful_sessions(
         vals = pdf[value].to_numpy(dtype="float64")
         carried: tuple[Any, ...] | None = state.get if state.exists else None
         # Vectorized split: a new session starts where the gap from the
-        # previous event exceeds gap_us.
+        # previous event exceeds gap_us. Segments are contiguous ranges
+        # of the sorted batch.
         new_session = np.empty(len(ts_us), dtype=bool)
-        new_session[0] = (
-            carried is None or ts_us[0] - carried[1] > gap_us
-        )
+        new_session[0] = True
         np.greater(np.diff(ts_us), gap_us, out=new_session[1:])
-        seg = np.cumsum(new_session)  # 1-based segment ids
-        if carried is not None and not new_session[0]:
-            seg0_mask = seg == 1
-            start = carried[0]
-            n0 = carried[2] + int(seg0_mask.sum())
-            sv0 = carried[3] + float(vals[seg0_mask].sum())
-            merged0 = (start, int(ts_us[seg0_mask].max()), n0, sv0)
-        else:
-            merged0 = None
-            if carried is not None:
-                yield _emit_row(uid, carried[0], carried[1], carried[2], carried[3])
-        n_segs = int(seg[-1])
-        open_seg: tuple[int, int, int, float] | None = None
-        for s in range(1, n_segs + 1):
-            if s == 1 and merged0 is not None:
-                summary = merged0
-            else:
-                m = seg == s
-                summary = (
-                    int(ts_us[m].min()),
-                    int(ts_us[m].max()),
-                    int(m.sum()),
-                    float(vals[m].sum()),
+        seg_starts = np.flatnonzero(new_session)
+        seg_ends = np.append(seg_starts[1:], len(ts_us))
+        summaries = [
+            (
+                int(ts_us[a]),
+                int(ts_us[b - 1]),
+                int(b - a),
+                float(vals[a:b].sum()),
+            )
+            for a, b in zip(seg_starts, seg_ends)
+        ]
+        # The carried open session participates as an interval summary of
+        # its own. Late-but-within-watermark events may land anywhere
+        # relative to it, so a plain "does the first batch event extend
+        # the carried end?" check is wrong two ways: session_end could
+        # regress below the carried `last` (prematurely re-arming the
+        # event-time timeout), and the carried span [start, last] can
+        # bridge batch segments that sit > gap apart from each other.
+        # A gap-tolerant interval merge over (carried + batch segments),
+        # sorted by start, handles every arrival order with one pass.
+        if carried is not None:
+            summaries.append(
+                (int(carried[0]), int(carried[1]), int(carried[2]), float(carried[3]))
+            )
+            summaries.sort(key=lambda s: (s[0], s[1]))
+        merged: list[tuple[int, int, int, float]] = [summaries[0]]
+        for s in summaries[1:]:
+            cur = merged[-1]
+            if s[0] <= cur[1] + gap_us:
+                merged[-1] = (
+                    cur[0],
+                    max(cur[1], s[1]),
+                    cur[2] + s[2],
+                    cur[3] + s[3],
                 )
-            if s == n_segs:
-                open_seg = summary
             else:
-                yield _emit_row(uid, *summary)
-        assert open_seg is not None
+                merged.append(s)
+        for closed in merged[:-1]:
+            yield _emit_row(uid, *closed)
+        open_seg = merged[-1]
         state.update(open_seg)
         # Flush the open session once event time passes last + gap.
         state.setTimeoutTimestamp(open_seg[1] // 1000 + gap_us // 1000)

@@ -134,6 +134,59 @@ def test_stateful_sessions_timeout_flush(spark, tmp_path):
     assert flushed[0].n_events == 2 and flushed[0].sum_value == 3.0
 
 
+def test_stateful_sessions_out_of_order_across_batches(spark, tmp_path):
+    """Late-but-within-watermark events must merge into the carried
+    session without regressing session_end, and the carried span must
+    bridge batch segments that sit further than the gap apart from each
+    other (the carried events in between justify the merge)."""
+    # Batch 0 → carried open session [12:00, 12:50], 3 events.
+    path = _events_parquet(
+        spark,
+        tmp_path,
+        [(1, 1, 0, 1.0), (2, 1, 25 * MIN, 2.0), (3, 1, 50 * MIN, 4.0)],
+    )
+    # Batch 1: a late event inside the carried span (12:10), an event
+    # that only merges via the carried end (13:10 is 20m past 12:50 but
+    # 60m past 12:10 — the old per-batch split would wrongly close it
+    # off), and a far-future other-key event to advance the watermark so
+    # the merged session flushes on timeout.
+    import pathlib
+    import time
+
+    time.sleep(1.1)  # file-source orders batches by modification time
+    pdf = pd.DataFrame(
+        {
+            "event_id": [10, 11, 99],
+            "user_id": [1, 1, 8],
+            "ts": [
+                pd.Timestamp(DEC + 10 * MIN, unit="s"),
+                pd.Timestamp(DEC + 70 * MIN, unit="s"),
+                pd.Timestamp(DEC + 2 * 86400, unit="s"),
+            ],
+            "value": [8.0, 16.0, 0.0],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(pathlib.Path(path) / "batch1")
+    )
+    schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)  # force true cross-batch state
+        .parquet(path)
+    )
+    out = stateful_sessions(stream, gap_minutes=30.0, watermark="1 day")
+    _drain(out.writeStream, "sessions_ooo")
+    got = [
+        (str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.sql(
+            "SELECT * FROM sessions_ooo WHERE user_id = 1"
+        ).collect()
+    ]
+    assert got == [("2024-12-28 12:00:00", "2024-12-28 13:10:00", 5, 31.0)]
+
+
 def test_dedup_stream_first_arrival_wins(spark, tmp_path):
     rows = [
         (1, 1, 0, 1.0),
