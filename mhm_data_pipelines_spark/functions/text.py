@@ -117,13 +117,18 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 5,
     round_scores: int | None = None,
+    min_df: int = 1,
 ):
     """Top-k TF-IDF terms per document, entirely with builtin ops:
     explode tokens → term frequency per (doc, term) → document frequency
     per term (one agg over the same exploded relation) → idf = ln(N/df)
-    → rank per doc. The doc-frequency side is an aggregate of the
-    corpus vocabulary — small — and broadcasts; the only large shuffle
-    is the (doc, term) frequency aggregation.
+    → rank per doc. The doc-frequency side is an aggregate over the
+    corpus VOCABULARY, which is unbounded on heavy-tailed web text, so
+    it carries no broadcast hint — AQE picks broadcast vs shuffle from
+    its runtime size. ``min_df`` prunes the vocabulary (and the output:
+    terms in fewer than ``min_df`` docs score in nothing) before the
+    join when the tail is known to be junk. The single-row ``n_docs``
+    aggregate is the only forced broadcast.
 
     Plain (unsmoothed) idf so the formula is oracle-expressible; ties
     broken by term text. ``round_scores`` ranks on a rounded score —
@@ -140,12 +145,14 @@ def tfidf_top_terms(
     docfreq = tf.groupBy("term").agg(
         F.count_distinct(id_col).alias("df")
     )
+    if min_df > 1:
+        docfreq = docfreq.filter(F.col("df") >= min_df)
     n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     if round_scores is not None:
         score = F.round(score, round_scores)
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(id_col, "term", "tf", score.alias("tfidf"))
     )

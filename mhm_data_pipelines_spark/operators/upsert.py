@@ -67,17 +67,39 @@ def write_upsert_partitioned(
     """Apply updates to a partitioned parquet table rewriting ONLY the
     touched partitions: dynamic partition overwrite keyed by the update
     set's partition values. The read is partition-pruned to the same
-    set, so cost scales with the update footprint, not the table."""
+    set, so cost scales with the update footprint, not the table.
+
+    The merged result is materialized (``localCheckpoint``) BEFORE the
+    overwrite so the write never reads the files it is replacing; the
+    checkpoint cost is bounded by the update footprint. Plain parquet
+    still has no commit protocol: a crash between partition deletions
+    and the rewrite can leave touched partitions partially written —
+    callers needing atomic MERGE under failure should write through a
+    transactional table format (Delta/Iceberg) instead. The session's
+    ``partitionOverwriteMode`` is restored on exit."""
     spark = updates.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    prior_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = (
         spark.read.parquet(base_path)
         .filter(F.col(partition_col).isin(touched))
     )
-    merged = merge_upsert(base, updates, keys, version)
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(base_path)
-    )
+    # Eager checkpoint: cuts lineage back to base_path so the overwrite
+    # below does not depend on the files it deletes.
+    merged = merge_upsert(base, updates, keys, version).localCheckpoint()
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(base_path)
+        )
+    finally:
+        if prior_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prior_mode
+            )

@@ -31,8 +31,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-accelerated pandas interchange for pandas_udf / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Don't silently produce wrong answers on overflow/bad casts; the
-    # engine uses try_cast explicitly where null-on-error is the contract.
+    # ANSI mode is INTENTIONALLY off: hash-mixing arithmetic (MinHash /
+    # SimHash families) relies on wraparound LONG overflow, which ANSI
+    # turns into runtime errors. Error semantics are owned explicitly
+    # instead — try_cast / guards wherever null-on-bad-input is the
+    # contract (see functions.timeutils), and every registry query is
+    # also smoke-tested under a bare ANSI-on session.
     "spark.sql.ansi.enabled": "false",
     # Parquet: pushdown + schema-drift tolerance across files.
     "spark.sql.parquet.filterPushdown": "true",

@@ -122,3 +122,19 @@ def test_tfidf_top_terms(spark):
     # tfidf(cherry)=3*ln(3/2)=1.216 > tfidf(durian)=1*ln(3)=1.099
     assert got[(3, 1)] == ("cherry", 3)
     assert got[(3, 2)] == ("durian", 1)
+
+    # min_df prunes the vocabulary tail: df(durian)=1 < 2 drops it.
+    pruned = {(r.doc_id, r.rank): r.term for r in
+              tfidf_top_terms(docs, k=2, min_df=2).collect()}
+    assert "durian" not in set(pruned.values())
+    assert pruned[(3, 1)] == "cherry"
+
+    # Scale guard: the unbounded docfreq aggregate must NOT carry a
+    # broadcast hint (AQE decides from runtime size); the single-row
+    # n_docs scalar is the only hinted broadcast in the plan.
+    analyzed = (
+        tfidf_top_terms(docs, k=2)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert analyzed.count("ResolvedHint") == 1
+    assert "n_docs" in analyzed.split("ResolvedHint", 1)[1][:300]

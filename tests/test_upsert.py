@@ -77,3 +77,24 @@ def test_partitioned_rewrite_touches_only_updated_partitions(spark, tmp_path):
         for r, _, fs in os.walk(base_path) for f in fs if "pt=b" in r
     )
     assert mtime_b_after == mtime_b
+
+
+def test_partitioned_rewrite_restores_overwrite_mode(spark, tmp_path):
+    """The session-global partitionOverwriteMode must come back to its
+    prior value (upsert sets 'dynamic' only for its own write)."""
+    base_path = str(tmp_path / "tbl2")
+    spark.createDataFrame([(1, 1, "one", "a")], SCHEMA).write.partitionBy(
+        "pt"
+    ).parquet(base_path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        updates = spark.createDataFrame([(1, 2, "one-v2", "a")], SCHEMA)
+        write_upsert_partitioned(base_path, updates, ["k"], "v", "pt")
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "static"
+        )
+        got = {r.k: (r.v, r.payload) for r in spark.read.parquet(base_path).collect()}
+        assert got == {1: (2, "one-v2")}
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
