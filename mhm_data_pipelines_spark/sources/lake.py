@@ -226,7 +226,18 @@ def read_lake_unified(
     At 100 TB, pass ``schemas`` (per-metric StructType, seedable from the
     reference's S3 JSON schema docs) to skip inference, and point this at
     the compacted parquet lake instead of raw gzip CSVs.
+
+    Scale contract: nothing file-sized ever reaches the driver. The
+    distributed listing is reduced to the DISTINCT METRIC NAMES (a lake
+    has dozens of metrics regardless of file count — metadata-sized),
+    and each metric becomes ONE glob-scoped declarative read
+    (``root/*/…/<metric>`` + ``pathGlobFilter``) whose file enumeration
+    stays inside Spark's FileIndex. Driver memory and job count scale
+    with metric count, never with files.
     """
+    import fnmatch
+    import re
+
     from mhm_data_pipelines_spark.sources.catalog import build_catalog
 
     root = root.rstrip("/")
@@ -238,27 +249,42 @@ def read_lake_unified(
         )
         listing = listing.filter(pred)
     # metric = path segment layout-dependent; reuse path_dimensions on the
-    # listing so grouping matches read-time extraction.
+    # listing so grouping matches read-time extraction. The filename glob
+    # is applied distributed (fnmatch → anchored regex) so metrics whose
+    # directories hold only non-matching files don't produce empty reads.
     root_depth = len([s for s in root.split("://")[-1].split("/") if s])
     dims = path_dimensions(root_depth, layout=layout, path=F.col("path"))
-    files_by_metric: dict[str, list[str]] = {}
-    import fnmatch
-
-    for row in listing.select(
-        F.col("path"), dims["metric"].alias("metric")
-    ).collect():
-        if fnmatch.fnmatch(row.path.rsplit("/", 1)[-1], glob):
-            files_by_metric.setdefault(row.metric, []).append(row.path)
+    fname_re = fnmatch.translate(glob)
+    metric_rows = (
+        listing.filter(
+            F.element_at(_path_parts(F.col("path")), -1).rlike(fname_re)
+        )
+        .select(dims["metric"].alias("metric"))
+        .filter(F.col("metric").isNotNull())
+        .distinct()
+        .collect()  # metric names only: bounded, metadata-sized
+    )
+    # Metric name → one glob path selecting exactly its subtree.
+    metric_depth = {"raw": 3, "merged": 2, "flat": 1}[layout]
+    wild = "/".join(["*"] * metric_depth)
 
     parts = []
-    for metric, files in sorted(files_by_metric.items()):
-        reader = spark.read.option("header", "true").option(
-            "ignoreCorruptFiles", "true"
+    for metric in sorted(r.metric for r in metric_rows):
+        if re.search(r"[*?\[\]{}\\]", metric):  # glob metachar ≠ literal dir
+            raise ValueError(
+                f"metric directory name {metric!r} contains glob "
+                "metacharacters; read it via read_lake(glob=...) instead"
+            )
+        reader = (
+            spark.read.option("header", "true")
+            .option("ignoreCorruptFiles", "true")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", glob)
         )
         schema = (schemas or {}).get(metric)
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.csv(files)
+        df = reader.csv(f"{root}/{wild}/{metric}")
         if schema is None:
             # Typeless normalization: everything string, like raw CSV text.
             df = df.select(
@@ -267,6 +293,16 @@ def read_lake_unified(
         mdims = path_dimensions(root_depth, layout=layout)
         for name, expr in mdims.items():
             df = df.withColumn(name, expr)
+        if pred is not None:
+            # Re-apply file-level include/exclude inside the scan: the
+            # glob selects the whole metric subtree, but the predicate
+            # may exclude specific sites/participants within it.
+            df = df.filter(
+                include_exclude_predicate(
+                    F.input_file_name(), include, exclude,
+                    substring=include_substring,
+                )
+            )
         parts.append(df)
     if not parts:
         raise ValueError(f"read_lake_unified: no files matched under {root}")

@@ -73,6 +73,45 @@ def test_union_with_drift(spark):
     assert out[1].a is None and out[1].b == 3.5
 
 
+def test_read_lake_unified_many_metrics(spark, tmp_path):
+    """Heterogeneous lake: N metrics with distinct headers → one
+    drift-unioned frame, per-metric columns aligned (never misread under
+    another metric's header), include/exclude still file-granular."""
+    import gzip
+
+    from mhm_data_pipelines_spark.sources.lake import read_lake_unified
+
+    root = tmp_path / "unilake"
+    n_metrics = 12
+    for site in ("LON", "MAN"):
+        for m in range(n_metrics):
+            p = root / "top" / site / f"P{m:02d}" / f"metric_{m:02d}"
+            p.mkdir(parents=True)
+            with gzip.open(p / "20241228_1200.csv.gz", "wt") as f:
+                f.write(f"ts,col_{m:02d}\n")  # header unique per metric
+                f.write(f"1000,{m}\n")
+                f.write(f"2000,{m + 100}\n")
+    df = read_lake_unified(spark, str(root), layout="raw")
+    # Every metric's unique column survives the union; rows land under
+    # their own metric only.
+    assert {f"col_{m:02d}" for m in range(n_metrics)} <= set(df.columns)
+    assert df.count() == 2 * n_metrics * 2
+    one = df.filter(F.col("metric") == "metric_03")
+    assert one.count() == 4
+    vals = {r["col_03"] for r in one.select("col_03").collect()}
+    assert vals == {"3", "103"}
+    # Other metrics' columns are null on this metric's rows.
+    assert one.filter(F.col("col_04").isNotNull()).count() == 0
+
+    # include/exclude is file-granular (site-level), not just metric-level.
+    lon = read_lake_unified(spark, str(root), layout="raw", include=["LON"])
+    assert lon.count() == n_metrics * 2
+    assert lon.select("site").distinct().collect()[0].site == "LON"
+    # a metric excluded entirely never reads (its column vanishes too)
+    ex = read_lake_unified(spark, str(root), layout="raw", exclude=["metric_05"])
+    assert "col_05" not in ex.columns
+
+
 def test_build_catalog(spark, lake_root):
     cat = build_catalog(spark, lake_root)
     rows = cat.collect()
