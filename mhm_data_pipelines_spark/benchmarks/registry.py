@@ -41,6 +41,7 @@ from mhm_data_pipelines_spark.operators.dedup import (
     embedding_near_duplicates,
     minhash_near_duplicates,
     simhash_duplicates,
+    simhash_near_duplicates,
 )
 from mhm_data_pipelines_spark.operators.overview import (
     missing_data_report,
@@ -2672,6 +2673,58 @@ def q_simhash_groups(spark, sf_dir):
     return simhash_duplicates(_t(spark, sf_dir, "documents"))
 
 
+_SIMHASH_BITS = 60
+_SIMHASH_K = 6
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """Banded SimHash near-dup pairs, Hamming ≤ 6 over a 60-bit
+    md5-derived signature — EXACT by pigeonhole (k+1 disjoint chunks),
+    so a brute-force O(n²) DuckDB oracle reproduces it value-for-value:
+    md5 is the one hash both engines share."""
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=_SIMHASH_K,
+        bits=_SIMHASH_BITS,
+        token_hash="md5",
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_neardup(bits: int = _SIMHASH_BITS, k: int = _SIMHASH_K) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE t <> ''
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig} AS sig FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {k}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_SIMHASH_NEARDUP = _sql_simhash_neardup()
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: label-supervised coarse quantizer (collected as metadata
     — tiny by construction), shuffle-free corpus assignment, nprobe=2
@@ -2787,6 +2840,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_topk": q_ivf_topk,
     "minhash_neardup": q_minhash_neardup,
     "simhash_groups": q_simhash_groups,
+    "simhash_neardup": q_simhash_neardup,
     "lsh_topk": q_lsh_topk,
 }
 
@@ -2858,6 +2912,7 @@ ORACLES: dict[str, str] = {
     "dup_groups": SQL_DUP_GROUPS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "unigram_jaccard_pairs": SQL_UNIGRAM_JACCARD,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
     "corpus_prep": SQL_CORPUS_PREP,

@@ -232,6 +232,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     token hashes.
@@ -243,14 +244,33 @@ def simhash(
     ``bits``-element array per token per row in interpreted eval — at
     local[32] that OOMs a default-size JVM on a few hundred documents.
 
-    ``split`` always yields ≥1 element (empty text → [""]), so every
-    input doc keeps a signature row.
+    ``token_hash``:
+
+    * ``"xxhash64"`` (default, fastest): ``split`` always yields ≥1
+      element (empty text → [""]), so every input doc keeps a
+      signature row.
+    * ``"md5"``: token hash = first 60 bits of md5 — reproducible in
+      any engine with md5 (the cross-engine-oracle variant; DuckDB has
+      no xxhash64). Caps ``bits`` at 60 and drops empty tokens (engines
+      disagree on splitting "" — Spark gives [""], DuckDB []), so
+      all-whitespace docs carry no signature.
     """
     df = _spread_small_input(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
-        id_col, F.xxhash64("_t").alias("_h")
-    )
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    if token_hash == "xxhash64":
+        ex = ex.select(id_col, F.xxhash64("_t").alias("_h"))
+    elif token_hash == "md5":
+        if bits > 60:
+            raise ValueError("md5 token hash provides at most 60 bits")
+        ex = ex.filter(F.col("_t") != "").select(
+            id_col,
+            F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
     vote = lambda j: F.when(  # noqa: E731
         F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1
     ).otherwise(-1)
@@ -272,8 +292,8 @@ def simhash_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Documents sharing an identical SimHash (Hamming distance 0) —
-    one groupBy on the 64-bit signature. For distance ≤ k, band the
-    signature into k+1 chunks and union the per-chunk groupings."""
+    one groupBy on the 64-bit signature. For distance ≤ k see
+    :func:`simhash_near_duplicates`."""
     sigs = simhash(df, text_col, id_col)
     return (
         sigs.groupBy("simhash")
@@ -283,6 +303,83 @@ def simhash_duplicates(
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),
         )
         .filter(F.col("n_members") > 1)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """All pairs within SimHash Hamming distance ≤ ``max_hamming`` —
+    EXACT (full recall), not a heuristic: the signature splits into
+    ``max_hamming + 1`` disjoint bit chunks, and by pigeonhole any pair
+    with ≤ ``max_hamming`` differing bits agrees exactly on at least one
+    chunk. Candidates are therefore one equi-join on (chunk_idx,
+    chunk_value) — co-partitioned shuffle, never all-pairs — and the
+    final ``bit_count(xor) <= k`` filter discards pigeonhole collisions,
+    so the result equals the brute-force O(n²) definition.
+
+    Returns (id_a, id_b, hamming). Scale note: chunk width is
+    ``bits // (k+1)``; large ``k`` on small ``bits`` means few bucket
+    values and fat buckets — widen ``bits`` (or pre-block by another
+    key) before raising ``k`` past ~7 on web-scale corpora.
+    """
+    sigs = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    nb = max_hamming + 1
+    base_w, extra = divmod(bits, nb)
+    if base_w == 0:
+        raise ValueError(f"bits={bits} cannot split into {nb} chunks")
+    chunks: list[tuple[int, int, int]] = []  # (idx, offset, width)
+    off = 0
+    for i in range(nb):
+        w = base_w + (1 if i < extra else 0)
+        chunks.append((i, off, w))
+        off += w
+
+    def chunk_val(offset: int, width: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), offset)
+        if offset + width >= 64:
+            return shifted  # top chunk: shift already dropped the rest
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        chunk_val(o, w).alias("chunk"),
+                    )
+                    for i, o, w in chunks
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 

@@ -79,6 +79,47 @@ def test_simhash_identical_for_same_tokens(docs):
     assert any({1, 2} <= set(m) for m in members)
 
 
+def test_simhash_near_duplicates_matches_brute_force(spark):
+    """Banded Hamming≤k candidates + exact verify must equal the brute
+    force O(n²) result — the pigeonhole guarantee, for both hash
+    families and a k that doesn't divide the bit width evenly."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    base = "w%d " * 40
+    rows = [(i, base % tuple(range(i, i + 40))) for i in range(20)]
+    # planted near-dups: doc 100/101 differ from doc 0 by 1-2 tokens
+    d0 = base % tuple(range(40))
+    rows += [(100, d0.replace("w1 ", "x1 ")), (101, d0.replace("w2 ", "x2 "))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for token_hash, bits, k in (("xxhash64", 64, 6), ("md5", 60, 7)):
+        sigs = simhash(df, bits=bits, token_hash=token_hash)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        brute = {
+            (r.id_a, r.id_b, r.h)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("int").alias("h"),
+            )
+            .filter(F.col("h") <= k)
+            .collect()
+        }
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_duplicates(
+                df, max_hamming=k, bits=bits, token_hash=token_hash
+            ).collect()
+        }
+        assert banded == brute, (token_hash, bits, k)
+        assert brute, "fixture must produce at least one near-dup pair"
+
+
 def test_ngram_jaccard_verification(docs, spark):
     cands = spark.createDataFrame(
         [(1, 2), (1, 4), (1, 5)], "id_a long, id_b long"
