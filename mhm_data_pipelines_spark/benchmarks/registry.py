@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from mhm_data_pipelines_spark.functions.stats import stats_agg_exprs
 from mhm_data_pipelines_spark.functions.text import (
     STOPWORDS,
+    char_ngrams,
     fingerprint,
     lang_id,
     punct_ratio,
@@ -39,7 +40,10 @@ from mhm_data_pipelines_spark.operators.dedup import (
     dedup_exact,
     exact_duplicates,
     embedding_near_duplicates,
+    minhash_lsh_candidates,
     minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
     simhash_duplicates,
     simhash_near_duplicates,
 )
@@ -289,19 +293,43 @@ FROM events GROUP BY event_type
 
 def q_split_assignment(spark, sf_dir):
     """Deterministic hash-keyed train/val/test split, grouped by source
-    (leakage-free: all docs of a source share a split). Rows-only per
-    split-count: xxhash64 bucketing isn't ANSI SQL; stability and
-    leakage properties are covered in tests/test_sampling.py."""
+    (leakage-free: all docs of a source share a split). Uses the md5
+    hash family — 60 bits of md5("<source>:<seed>") mod 1e6 — which any
+    md5-capable engine reproduces bit-for-bit, so the full per-split
+    counts get a value oracle (the xxhash64 family stays the perf
+    default; membership stability is covered in tests/test_sampling.py)."""
     from mhm_data_pipelines_spark.operators.sampling import (
         train_val_test_split,
     )
 
     df = _t(spark, sf_dir, "documents")
-    out = train_val_test_split(df, key="source")
-    return out.groupBy("split").agg(
-        F.count("*").alias("n_docs"),
-        F.count_distinct("source").alias("n_sources"),
+    out = train_val_test_split(df, key="source", hash_family="md5")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
     )
+
+
+SQL_SPLIT_ASSIGNMENT = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source || ':42'), 1, 15)) AS BIGINT)
+           % 1000000 AS bkt
+  FROM documents
+), s AS (
+  SELECT source,
+         CASE WHEN bkt < 800000 THEN 'train'
+              WHEN bkt < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+FROM s GROUP BY split ORDER BY split
+"""
 
 
 def q_summary_assembly(spark, sf_dir):
@@ -2611,7 +2639,13 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (Arrow batch
     path; deterministic byte-histogram stand-in for a media model).
-    Rows-only: python-UDF internals aren't ANSI SQL."""
+
+    Full value oracle via integer reconstruction: the float32 feature is
+    bucket_count/n_bytes, so round(feature[j] * n_bytes) recovers the
+    exact integer histogram (float32 error ≪ 0.5 at payload sizes), and
+    DuckDB rebuilds the same histogram from the characters of the ASCII
+    payload — verifying the whole Arrow/mapInPandas path end-to-end
+    without comparing floats."""
     from mhm_data_pipelines_spark.operators.multimodal import extract_features
 
     df = _t(spark, sf_dir, "documents")
@@ -2623,7 +2657,44 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(None).cast("long").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_features(assets)
+    feats = extract_features(assets)
+    return (
+        feats.select(
+            "asset_id",
+            "mime_type",
+            "n_bytes",
+            F.posexplode("feature").alias("bucket", "share"),
+        )
+        .select(
+            "asset_id",
+            "mime_type",
+            "n_bytes",
+            "bucket",
+            F.round(F.col("share") * F.col("n_bytes"))
+            .cast("long")
+            .alias("bucket_count"),
+        )
+        .orderBy("asset_id", "bucket")
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH chars AS (
+  SELECT doc_id, unicode(substr(text, i, 1)) % 8 AS bucket
+  FROM documents, LATERAL unnest(generate_series(1, len(text))) AS u(i)
+), counts AS (
+  SELECT doc_id, bucket, count(*) AS c FROM chars GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, len(d.text) AS n, g.bucket
+  FROM documents d CROSS JOIN range(0, 8) g(bucket)
+)
+SELECT grid.doc_id AS asset_id, 'text/plain' AS mime_type,
+       grid.n AS n_bytes, CAST(grid.bucket AS INTEGER) AS bucket,
+       coalesce(c, 0) AS bucket_count
+FROM grid LEFT JOIN counts
+  ON counts.doc_id = grid.doc_id AND counts.bucket = grid.bucket
+ORDER BY asset_id, bucket
+"""
 
 
 def q_lang_id(spark, sf_dir):
@@ -2660,17 +2731,78 @@ FROM h
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash(32)+LSH(8 bands) near-dup candidate pairs with estimated
-    Jaccard ≥ 0.5. Rows-only: xxhash64 signatures aren't reproducible in
-    ANSI SQL (correctness covered by tests against exact Jaccard)."""
-    return minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+    """MinHash-LSH near-dup pipeline with EXACT verification: signatures
+    → banded candidates at rows-per-band=1 (32 bands × 1 hash: a true
+    pair at Jaccard 0.5 escapes all bands with probability (1-J)^32 ≈
+    2e-10 — recall is certain at gate scale) → exact char-5-gram Jaccard
+    on candidates only → keep ≥ 0.5. Because recall is total, the output
+    EQUALS the brute-force definition, which DuckDB computes
+    independently over all pairs — a full value oracle for a pipeline
+    whose xxhash64 internals DuckDB cannot reproduce. The production
+    default (8 bands × 4 rows + estimated-Jaccard verify) stays in
+    minhash_near_duplicates; this gate shape trades extra candidates for
+    provable completeness."""
+    df = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(df, num_hashes=32).persist()
+    cands = minhash_lsh_candidates(sigs, bands=32, num_hashes=32)
+    grams = df.select(
+        "doc_id", char_ngrams("text", 5, distinct=True).alias("g")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
     )
 
 
+SQL_MINHASH_NEARDUP = """
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+  FROM norm, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_simhash_groups(spark, sf_dir):
-    """SimHash-identical document groups. Rows-only (hash-based)."""
-    return simhash_duplicates(_t(spark, sf_dir, "documents"))
+    """SimHash-identical document groups (Hamming distance 0), on the
+    60-bit md5-derived signature so DuckDB rebuilds the signatures and
+    the grouping gets a full value oracle. The xxhash64 production
+    variant is covered by tests (same vote/assembly code path)."""
+    sigs = simhash(
+        _t(spark, sf_dir, "documents"), bits=60, token_hash="md5"
+    )
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("simhash")
+    )
 
 
 _SIMHASH_BITS = 60
@@ -2724,11 +2856,22 @@ ORDER BY id_a, id_b
 
 SQL_SIMHASH_NEARDUP = _sql_simhash_neardup()
 
+#: Reuses the signature CTEs: identical-signature groups.
+SQL_SIMHASH_GROUPS = (
+    SQL_SIMHASH_NEARDUP.split("SELECT a.doc_id")[0]
+    + """SELECT sig AS simhash, count(*) AS n_members, min(doc_id) AS keep_id
+FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY simhash
+"""
+)
+
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN: label-supervised coarse quantizer (collected as metadata
-    — tiny by construction), shuffle-free corpus assignment, nprobe=2
-    probing. Rows-only (approximate; recall covered by tests)."""
+    """IVF ANN with EXHAUSTIVE probing (nprobe = all lists): exercises
+    the full IVF machinery — shuffle-free literal-quantizer assignment,
+    probe-list explode, bucketed join, per-query ranking — while being
+    provably equal to exact brute-force top-k, so DuckDB's independent
+    brute force is a full value oracle. Selective-probe (nprobe=2)
+    recall stays covered in tests/test_similarity.py."""
     df = _t(spark, sf_dir, "embeddings")
     cents = [
         (r["label"], list(r["centroid"]))
@@ -2738,8 +2881,26 @@ def q_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = df.filter(F.col("vec_id") >= 5)
-    out = ivf_topk(corpus, queries, cents, k=10, nprobe=2)
-    return out.withColumn("cosine", F.round("cosine", 4))
+    out = ivf_topk(corpus, queries, cents, k=10, nprobe=len(cents))
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "query_id", F.desc("cosine"), "vec_id"
+    )
+
+
+SQL_IVF_TOPK = """
+SELECT a.vec_id AS query_id, b.vec_id,
+       round(list_cosine_similarity(
+         CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id >= 5
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])) DESC,
+           b.vec_id
+) <= 10
+ORDER BY 1, 3 DESC, 2
+"""
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -2913,6 +3074,11 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "unigram_jaccard_pairs": SQL_UNIGRAM_JACCARD,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "simhash_groups": SQL_SIMHASH_GROUPS,
+    "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "split_assignment": SQL_SPLIT_ASSIGNMENT,
+    "ivf_topk": SQL_IVF_TOPK,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
     "corpus_prep": SQL_CORPUS_PREP,

@@ -21,9 +21,29 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _bucket(key: Column | str, seed: int) -> Column:
+def _bucket(
+    key: Column | str, seed: int, hash_family: str = "xxhash64"
+) -> Column:
+    """Uniform bucket in [0, 1e6) from a content hash of ``key``.
+
+    ``hash_family="xxhash64"`` (default): fastest, JVM-side.
+    ``hash_family="md5"``: 60 bits of md5 over ``"<key>:<seed>"`` —
+    bit-identical in any engine with md5 (DuckDB, Postgres, …), used
+    when split membership must be reproducible outside Spark (e.g. the
+    correctness oracle, or a reader re-deriving splits downstream).
+    Both are pure projections: no shuffle, pushdown-friendly.
+    """
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    if hash_family == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(_BUCKETS))
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
 
 
 def deterministic_sample(
@@ -31,19 +51,23 @@ def deterministic_sample(
     fraction: float,
     key: str,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Keep ≈``fraction`` of rows, chosen by hash of ``key`` — stable
     under repartition/rerun (unlike ``df.sample``), and a plain filter
     the optimizer can push down."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(_bucket(key, seed) < int(fraction * _BUCKETS))
+    return df.filter(
+        _bucket(key, seed, hash_family) < int(fraction * _BUCKETS)
+    )
 
 
 def split_column(
     weights: dict[str, float],
     key: Column | str,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> Column:
     """A split-label Column (``'train'``/``'val'``/... per ``weights``,
     which must sum to 1) from the hash of ``key``. Hash a group key
@@ -51,7 +75,7 @@ def split_column(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    b = _bucket(key, seed)
+    b = _bucket(key, seed, hash_family)
     expr: Column | None = None
     cum = 0.0
     items = list(weights.items())
@@ -68,12 +92,15 @@ def train_val_test_split(
     key: str,
     weights: dict[str, float] | None = None,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Stamp a ``split`` column (default 80/10/10 train/val/test) keyed
     by ``key``'s hash — deterministic, group-leakage-free when ``key``
     is a group column."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    return df.withColumn("split", split_column(weights, key, seed))
+    return df.withColumn(
+        "split", split_column(weights, key, seed, hash_family)
+    )
 
 
 def stratified_sample(
