@@ -1833,6 +1833,107 @@ WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
 """
 
 
+def _event_stream(spark, sf_dir):
+    """File-source stream over the events table (see
+    q_stateful_sessions_stream for the glob-filter / nanos notes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _drain_to_table(out, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return out.sparkSession.table(name)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """§2.9 streaming exact dedup in the gate end-to-end: the events
+    stream UNIONED WITH ITSELF (every event arrives twice — the
+    at-least-once-delivery shape) flows through
+    dropDuplicatesWithinWatermark; first arrival wins. The watermark is
+    pinned past the data span so nothing expires mid-drain, making the
+    result exactly DISTINCT events — the batch twin DuckDB verifies
+    value-for-value."""
+    from mhm_data_pipelines_spark.streaming.stateful import dedup_stream
+
+    doubled = _event_stream(spark, sf_dir).unionByName(
+        _event_stream(spark, sf_dir)
+    )
+    out = dedup_stream(doubled, keys=("event_id",), watermark="36500 days")
+    got = _drain_to_table(
+        out.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        ),
+        "_stream_dedup_gate",
+    )
+    return got
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events
+"""
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """§2.9 stream-stream interval join in the gate: errors within 30
+    minutes at-or-after a purchase by the same user
+    (streaming.stateful.correlate_streams — both sides watermarked, the
+    event-time range bounds buffered state). Watermarks pinned past the
+    data span for a data-closed drain; the batch twin is the plain
+    interval self-join DuckDB runs."""
+    from mhm_data_pipelines_spark.streaming.stateful import correlate_streams
+
+    left = _event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = _event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    out = correlate_streams(
+        left, right, max_delay="30 minutes", watermark="36500 days"
+    )
+    got = _drain_to_table(
+        out.select(
+            "event_id",
+            F.col("r_event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros("r_ts").alias("r_ts_us"),
+        ),
+        "_stream_ijoin_gate",
+    )
+    return got
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id, e.event_id AS r_event_id,
+       epoch_us(p.ts) AS ts_us, epoch_us(e.ts) AS r_ts_us
+FROM events p JOIN events e
+  ON p.event_type = 'purchase' AND e.event_type = 'error'
+ AND p.user_id = e.user_id
+ AND epoch_us(e.ts) >= epoch_us(p.ts)
+ AND epoch_us(e.ts) <= epoch_us(p.ts) + 1800000000
+"""
+
+
 def q_event_gaps(spark, sf_dir):
     """§2.5 analytic windows (lag): inter-event gap stats per participant."""
     df = _t(spark, sf_dir, "events")
@@ -2960,6 +3061,8 @@ QUERIES: dict[str, QuerySpec] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "sessionization": q_sessionization,
     "stateful_sessions_stream": q_stateful_sessions_stream,
+    "stream_dedup": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
     "event_gaps": q_event_gaps,
     "gap_fill": q_gap_fill,
     "rolling_anomalies": q_rolling_anomalies,
@@ -3047,6 +3150,8 @@ ORACLES: dict[str, str] = {
     "top_orders_per_customer": SQL_TOP_ORDERS,
     "sessionization": SQL_SESSIONIZATION,
     "stateful_sessions_stream": SQL_STATEFUL_SESSIONS,
+    "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "event_gaps": SQL_EVENT_GAPS,
     "gap_fill": SQL_GAP_FILL,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,

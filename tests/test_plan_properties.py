@@ -20,6 +20,8 @@ SF = "/root/testdata/sf0.001"
 #: own tests instead.
 EXECUTES_ON_BUILD = {
     "stateful_sessions_stream",
+    "stream_dedup",
+    "stream_interval_join",
     "neardup_clusters",
     "neardup_dedup_keep",
     "corpus_prep",
