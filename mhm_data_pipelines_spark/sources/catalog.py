@@ -85,6 +85,129 @@ def build_catalog(
     return catalog
 
 
+def _doc_type_map():
+    """JSON-doc type name → Spark type (JSON-Schema names + Avro-ish
+    primitive names; unknown types degrade to string, matching the
+    engine's "CSV is typeless, extraction try_casts" contract)."""
+    from pyspark.sql import types as T
+
+    return {
+        "string": T.StringType(),
+        "number": T.DoubleType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "integer": T.LongType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "boolean": T.BooleanType(),
+        "timestamp": T.TimestampType(),
+        "date": T.DateType(),
+    }
+
+
+def parse_schema_doc(text: str):
+    """Parse a per-measurement JSON schema document into a
+    ``StructType``.
+
+    The reference stores these docs next to the data
+    (``mhm-data-pipelines/summary.py:133-144``), fetches them as opaque
+    strings (``:152-166``) and only ever prints them
+    (``view_schema``, ``:300-312``) — it never *uses* them. Here they
+    become real reader schemas. Two shapes are accepted:
+
+    * JSON-Schema-ish: ``{"type": "object", "properties":
+      {"col": {"type": "number"}, ...}}``
+    * Avro-ish field list: ``{"fields": [{"name": "col",
+      "type": "double"}, ...]}``
+
+    Unknown field types map to string. Returns ``None`` for docs with
+    neither shape (e.g. the reference's empty-download fallback ``""``).
+    """
+    import json
+
+    from pyspark.sql.types import StringType, StructType
+
+    try:
+        doc = json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(doc, dict):
+        return None
+    if isinstance(doc.get("properties"), dict):
+        items = [
+            (name, (spec or {}).get("type", "string"))
+            for name, spec in doc["properties"].items()
+        ]
+    elif isinstance(doc.get("fields"), list):
+        items = [
+            (f.get("name"), f.get("type", "string"))
+            for f in doc["fields"]
+            if isinstance(f, dict) and f.get("name")
+        ]
+    else:
+        return None
+    if not items:
+        return None
+    type_map = _doc_type_map()
+    schema = StructType()
+    for name, typ in items:
+        schema.add(name, type_map.get(str(typ).lower(), StringType()), True)
+    return schema
+
+
+def load_schema_docs(spark: SparkSession, catalog: DataFrame):
+    """Read every schema document the catalog knows about →
+    ``{measurement: StructType}``, ready to feed
+    ``read_lake_unified(schemas=...)`` / ``read_lake(schema=...)``.
+
+    Doc content is fetched with the distributed ``binaryFile`` source;
+    only the parsed results come to the driver — schema docs are one
+    per measurement (metadata-sized by construction, like the
+    reference's ``self.schemas`` dict, summary.py:101,138-144), so this
+    never scales with data volume. First doc per measurement wins,
+    matching the reference's skip-if-present behavior."""
+    docs = (
+        catalog.filter(F.col("is_schema"))
+        .select("measurement", "path")
+        .collect()
+    )
+    out = {}
+    for row in docs:
+        if row.measurement in out:
+            continue
+        content = (
+            spark.read.format("binaryFile")
+            .load(row.path)
+            .select("content")
+            .first()
+        )
+        parsed = parse_schema_doc(
+            bytes(content["content"]).decode("utf-8", errors="replace")
+        )
+        if parsed is not None:
+            out[row.measurement] = parsed
+    return out
+
+
+def schema_drift(expected, actual) -> dict[str, list[str]]:
+    """Drift between a schema-doc ``StructType`` and the schema actually
+    read from data: columns the doc promises but the data lacks
+    (``missing``), data columns the doc doesn't know (``extra``), and
+    same-name columns whose types disagree (``type_mismatch``,
+    rendered ``name: doc_type != data_type``)."""
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    act = {f.name: f.dataType.simpleString() for f in actual.fields}
+    return {
+        "missing": sorted(set(exp) - set(act)),
+        "extra": sorted(set(act) - set(exp)),
+        "type_mismatch": sorted(
+            f"{n}: {exp[n]} != {act[n]}"
+            for n in set(exp) & set(act)
+            if exp[n] != act[n]
+        ),
+    }
+
+
 def attach_schemas(catalog: DataFrame) -> DataFrame:
     """Associate each data file with its measurement's schema document —
     the reference's key-adjacency association (summary.py:133-144) as a

@@ -105,3 +105,78 @@ def test_catalog_flat_layout_commands(spark, tmp_path):
     joined = attach_schemas(cat)
     with_schema = joined.filter(F.col("schema_path").isNotNull())
     assert with_schema.count() == 3  # all u1/steps data files
+
+
+def test_schema_doc_to_structtype_roundtrip(spark, tmp_path):
+    """S6 completion: JSON schema docs parse into StructTypes that drive
+    the typed lake read; drift between doc and data is reported."""
+    import gzip
+    import json
+
+    from pyspark.sql.types import DoubleType, LongType, StringType
+
+    from mhm_data_pipelines_spark.sources.catalog import (
+        load_schema_docs,
+        parse_schema_doc,
+        schema_drift,
+    )
+    from mhm_data_pipelines_spark.sources.lake import read_lake
+
+    root = tmp_path / "typedlake"
+    p = root / "u1" / "steps"
+    p.mkdir(parents=True)
+    with gzip.open(p / "20240101_0900.csv.gz", "wt") as f:
+        f.write("ts,steps,device\n1000.5,200,pixel\n2000.5,300,galaxy\n")
+    # JSON-Schema shape for steps; field-list shape for hr.
+    (p / "schema.json").write_text(json.dumps({
+        "type": "object",
+        "properties": {
+            "ts": {"type": "number"},
+            "steps": {"type": "integer"},
+            "device": {"type": "string"},
+        },
+    }))
+    p2 = root / "u1" / "hr"
+    p2.mkdir(parents=True)
+    with gzip.open(p2 / "20240101_0900.csv.gz", "wt") as f:
+        f.write("ts,bpm\n1000.5,61.5\n")
+    (p2 / "schema.json").write_text(json.dumps({
+        "fields": [
+            {"name": "ts", "type": "double"},
+            {"name": "bpm", "type": "float"},
+        ]
+    }))
+
+    cat = build_catalog(spark, str(root))
+    schemas = load_schema_docs(spark, cat)
+    assert set(schemas) == {"steps", "hr"}
+    steps_schema = schemas["steps"]
+    assert [f.dataType for f in steps_schema.fields] == [
+        DoubleType(), LongType(), StringType()
+    ]
+
+    # The parsed schema drives a typed read: no inference, real types.
+    df = read_lake(
+        spark, str(root), layout="flat", schema=steps_schema,
+        glob="*.csv.gz", include=["steps"],
+    )
+    row = df.orderBy("ts").first()
+    assert row.ts == 1000.5 and row.steps == 200
+
+    # Drift: doc promises a column the data lacks; data has an extra one;
+    # a shared column disagrees on type.
+    doc = parse_schema_doc(json.dumps({
+        "properties": {
+            "ts": {"type": "string"},
+            "steps": {"type": "integer"},
+            "hrv": {"type": "number"},
+        }
+    }))
+    d = schema_drift(doc, steps_schema)
+    assert d["missing"] == ["hrv"]
+    assert d["extra"] == ["device"]
+    assert d["type_mismatch"] == ["ts: string != double"]
+
+    # Reference fallback: empty / unparseable docs are skipped, not fatal.
+    assert parse_schema_doc("") is None
+    assert parse_schema_doc('{"type": "object"}') is None
