@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.sources.lake import read_lake_unified
 
-#: Partition layout of the compacted lake.
-COMPACT_PARTITIONS = ["site", "participant_id", "metric"]
+#: Partition layout of the compacted lake, per source-lake layout (the
+#: flat S3-key layout has no site segment — summary.py:125-128).
+COMPACT_PARTITIONS = {
+    "raw": ["site", "participant_id", "metric"],
+    "merged": ["site", "participant_id", "metric"],
+    "flat": ["participant_id", "metric"],
+}
 
 
 def compact_lake(
@@ -53,7 +58,7 @@ def compact_lake(
     df = read_lake_unified(
         spark, raw_root, layout=layout, include=include, exclude=exclude
     )
-    partitions = list(COMPACT_PARTITIONS)
+    partitions = list(COMPACT_PARTITIONS[layout])
     if monthly:
         df = df.withColumn(
             "batch_month", F.date_format("file_timestamp", "yyyy-MM")

@@ -1,0 +1,95 @@
+"""CLI parity (D5): every reference subcommand dispatches and runs on a
+fixture lake (summary.py:333-402 / main.py:309-330 surface)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from mhm_data_pipelines_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def flat_lake(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clilake")
+    for user, meas, fname, rows in [
+        ("u1", "steps", "20240101_0900.csv.gz", [("1000.5", "200")]),
+        ("u1", "steps", "20240102_0900.csv.gz", [("2000.5", "300")]),
+        ("u1", "hr", "20240101_0900.csv.gz", [("1000.5", "61.5")]),
+        ("u2", "steps", "20240103_0900.csv.gz", [("3000.5", "400")]),
+    ]:
+        p = root / user / meas / fname
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with gzip.open(p, "wt") as f:
+            f.write("value.time,value\n")
+            for r in rows:
+                f.write(",".join(r) + "\n")
+    (root / "u1" / "steps" / "schema.json").write_text(
+        json.dumps({"properties": {"value.time": {"type": "number"}}})
+    )
+    return str(root)
+
+
+def run(spark, flat_lake, *argv, cache=None):
+    base = ["--root", flat_lake, "--layout", "flat"]
+    if cache:
+        base += ["--cache", cache]
+    return main([*base, *argv], spark=spark)
+
+
+def test_catalog_commands_smoke(spark, flat_lake, capsys):
+    assert run(spark, flat_lake, "list_all_users") == 0
+    out = capsys.readouterr().out
+    assert "u1" in out and "u2" in out
+
+    assert run(spark, flat_lake, "generate_summary_report") == 0
+    assert "steps" in capsys.readouterr().out
+
+    assert run(spark, flat_lake, "get_measurements_for_user", "u1") == 0
+    out = capsys.readouterr().out
+    assert "hr" in out and "steps" in out
+
+    assert run(spark, flat_lake, "list_all_measurements") == 0
+    assert "steps" in capsys.readouterr().out
+
+    assert run(spark, flat_lake, "get_users_for_measurement", "hr") == 0
+    out = capsys.readouterr().out
+    assert "u1" in out and "u2" not in out
+
+    assert run(spark, flat_lake, "files_per_batch") == 0
+    assert "2024-01-01" in capsys.readouterr().out
+
+    assert run(spark, flat_lake, "list_commands") == 0
+    assert "view_schema" in capsys.readouterr().out
+
+
+def test_view_schema(spark, flat_lake, capsys):
+    assert run(spark, flat_lake, "view_schema", "steps") == 0
+    assert "value.time" in capsys.readouterr().out
+    assert run(spark, flat_lake, "view_schema", "nope") == 1
+    assert "No schema found" in capsys.readouterr().out
+
+
+def test_summary_cache_lifecycle(spark, flat_lake, tmp_path, capsys):
+    cache = str(tmp_path / "catalog_cache")
+    assert run(spark, flat_lake, "check_summary_file", cache=cache) == 1
+    capsys.readouterr()
+    assert run(spark, flat_lake, "update_summary_file", cache=cache) == 0
+    assert "refreshed" in capsys.readouterr().out
+    assert run(spark, flat_lake, "check_summary_file", cache=cache) == 0
+    assert "OK" in capsys.readouterr().out
+    # cache required for the stateful commands
+    assert run(spark, flat_lake, "update_summary_file") == 2
+
+
+def test_merge_and_overview(spark, flat_lake, tmp_path, capsys):
+    out = str(tmp_path / "compacted")
+    assert run(spark, flat_lake, "merge", "--out", out) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() == 4
+
+    assert run(spark, flat_lake, "overview") == 0
+    got = capsys.readouterr().out
+    assert "participant_id" in got and "row_count" in got
