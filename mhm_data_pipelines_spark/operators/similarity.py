@@ -185,6 +185,32 @@ def lsh_topk(
     )
 
 
+def _normalized_lit(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [float(x) / n for x in vec]
+
+
+def _centroid_sim_structs(
+    centroids: list[tuple[int, list[float]]], v: Column
+) -> list[Column]:
+    """(similarity, list_id) structs for an L2-normalized vector column
+    against literal centroids — ``greatest(...)`` of these is the
+    zero-shuffle nearest-centroid assignment shared by :func:`ivf_topk`
+    and :func:`train_kmeans` (struct comparison is lexicographic, so
+    ties resolve deterministically by list_id)."""
+    out = []
+    for list_id, cvec in centroids:
+        lit = F.array(*[F.lit(x) for x in _normalized_lit(cvec)])
+        out.append(
+            F.struct(
+                dot(v, lit).alias("sim"), F.lit(int(list_id)).alias("list_id")
+            )
+        )
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -209,35 +235,22 @@ def ivf_topk(
     |corpus|×|queries|.
 
     Build centroids with :func:`label_centroids` (label-supervised) or
-    any k-means pass; recall grows with ``nprobe`` (= exact when nprobe
-    covers all lists).
+    :func:`train_kmeans` (unsupervised); recall grows with ``nprobe``
+    (= exact when nprobe covers all lists).
     """
-    import math
-
-    def _normalized_lit(vec: list[float]) -> list[float]:
-        n = math.sqrt(sum(x * x for x in vec)) or 1.0
-        return [float(x) / n for x in vec]
-
-    def _sim_structs(v: Column) -> list[Column]:
-        out = []
-        for list_id, cvec in centroids:
-            lit = F.array(*[F.lit(x) for x in _normalized_lit(cvec)])
-            out.append(
-                F.struct(
-                    dot(v, lit).alias("sim"), F.lit(int(list_id)).alias("list_id")
-                )
-            )
-        return out
-
     c = corpus.select(F.col(id_col), normalize(vec_col).alias("cv"))
     c = c.withColumn(
-        "list_id", F.greatest(*_sim_structs(F.col("cv")))["list_id"]
+        "list_id",
+        F.greatest(*_centroid_sim_structs(centroids, F.col("cv")))["list_id"],
     )
 
     q = queries.select(F.col(query_id_col), normalize(vec_col).alias("qv"))
     probes = F.transform(
         F.slice(
-            F.sort_array(F.array(*_sim_structs(F.col("qv"))), asc=False),
+            F.sort_array(
+                F.array(*_centroid_sim_structs(centroids, F.col("qv"))),
+                asc=False,
+            ),
             1,
             nprobe,
         ),
@@ -256,6 +269,89 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def train_kmeans(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> list[tuple[int, list[float]]]:
+    """Unsupervised spherical k-means-lite → IVF coarse quantizer
+    (``[(list_id, centroid), ...]`` for :func:`ivf_topk`) with no labels
+    required.
+
+    Spark-first shape — the data never leaves the cluster:
+
+    * init: the ``n_lists`` vectors with the smallest ``xxhash64(id,
+      seed)`` (a deterministic, repartition-stable sample;
+      ``orderBy(...).limit(n)`` plans as TakeOrdered, not a full sort);
+    * each Lloyd round: assignment is the same literal-centroid
+      ``greatest``-of-structs projection IVF uses (ZERO shuffle), the
+      update is one posexplode + (list_id, pos) hash-aggregate; only the
+      ``n_lists × dim`` centroid matrix — metadata-sized by
+      construction — is collected per round, and each round is an
+      independent job over the base relation, so lineage never grows
+      (nothing to checkpoint);
+    * empty lists keep their previous centroid; training stops early
+      when total centroid movement drops under ``tol``.
+
+    Cosine geometry throughout (vectors and centroids L2-normalized),
+    matching :func:`ivf_topk`'s assignment metric.
+    """
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    base = df.select(F.col(id_col), normalize(vec_col).alias("v"))
+    init = (
+        base.select(
+            "v",
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_lists)
+        .collect()
+    )
+    cents: list[list[float]] = [_normalized_lit(list(r["v"])) for r in init]
+    for _ in range(max_iter):
+        centroids = list(enumerate(cents))
+        assigned = base.withColumn(
+            "list_id",
+            F.greatest(*_centroid_sim_structs(centroids, F.col("v")))[
+                "list_id"
+            ],
+        )
+        rows = (
+            assigned.select(
+                "list_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("dims")
+            )
+            .select(
+                "list_id",
+                F.transform("dims", lambda d: d["m"]).alias("centroid"),
+            )
+            .collect()  # n_lists rows — metadata-sized
+        )
+        new_means = {r["list_id"]: list(r["centroid"]) for r in rows}
+        movement = 0.0
+        new_cents = []
+        for i, old in enumerate(cents):
+            cand = _normalized_lit(new_means[i]) if i in new_means else old
+            movement += sum((a - b) ** 2 for a, b in zip(cand, old))
+            new_cents.append(cand)
+        cents = new_cents
+        if movement < tol:
+            break
+    return list(enumerate(cents))
 
 
 def label_centroids_long(

@@ -91,6 +91,59 @@ def test_lsh_topk_recall(corpus, corpus_np):
     assert overlap >= 10  # ≥20% avg recall at 2 bits on random data
 
 
+def test_train_kmeans_unsupervised_ivf(corpus, corpus_np):
+    """k-means-lite quantizer: deterministic for a seed, non-degenerate
+    partition, and usable by ivf_topk without labels — full probe stays
+    exact, nprobe=2 keeps useful recall on the real embeddings shape."""
+    from mhm_data_pipelines_spark.operators.similarity import train_kmeans
+
+    cents = train_kmeans(corpus, n_lists=8, max_iter=4)
+    assert [i for i, _ in cents] == list(range(8))
+    assert train_kmeans(corpus, n_lists=8, max_iter=4) == cents  # seed-stable
+    assert all(
+        abs(sum(x * x for x in c) - 1.0) < 1e-9 for _, c in cents
+    )  # spherical: unit centroids
+    # The quantizer actually partitions the corpus (no single fat list).
+    from mhm_data_pipelines_spark.operators.similarity import (
+        _centroid_sim_structs,
+    )
+    from mhm_data_pipelines_spark.functions.vectors import normalize
+
+    assigned = corpus.select(
+        F.greatest(
+            *_centroid_sim_structs(cents, normalize("embedding"))
+        )["list_id"].alias("list_id")
+    )
+    sizes = {r.list_id: r.n for r in
+             assigned.groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) >= 4 and max(sizes.values()) < N
+
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def exact_topk(qid):
+        q = corpus_np[qid]
+        sims = corpus_np @ q / (
+            np.linalg.norm(corpus_np, axis=1) * np.linalg.norm(q)
+        )
+        return set(np.argsort(-sims)[:10].tolist())
+
+    got_all = ivf_topk(corpus, queries, cents, k=10, nprobe=len(cents)).collect()
+    by_q = {}
+    for r in got_all:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid in range(5):
+        assert by_q[qid] == exact_topk(qid)
+
+    got_2 = ivf_topk(corpus, queries, cents, k=10, nprobe=2).collect()
+    by_q2 = {}
+    for r in got_2:
+        by_q2.setdefault(r.query_id, set()).add(r.vec_id)
+    overlap = sum(len(exact_topk(q) & by_q2.get(q, set())) for q in range(5))
+    assert overlap >= 15  # ≥30% avg recall at nprobe=2/8 on random data
+
+
 def test_ivf_topk_recall_and_exactness(corpus, corpus_np):
     """nprobe = all lists ⇒ IVF degrades to exact search (every bucket
     probed); small nprobe keeps decent recall and must include self."""
