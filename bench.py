@@ -1,10 +1,15 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "sf", "queries_warm"}.
 
-Each query is executed with a full materialization (count of the result —
-collects nothing to the driver beyond the count) after a warm-up of the
-input file listing. Wall time per query; "value" is the total.
+Every query runs TWICE: the first (cold) run includes plan + codegen
+compile — that's what "queries"/"value" report, keeping round-over-round
+totals comparable — and the second (warm) run isolates execution time
+(cold is typically 3-5× warm on sub-second queries; memory-noted). The
+"queries_warm" map is what regression hunting should read:
+``python scripts/bench_diff.py BENCH_rA.json BENCH_rB.json`` names
+per-query movers. Each run fully materializes via count() — nothing but
+the count reaches the driver.
 """
 
 from __future__ import annotations
@@ -45,22 +50,34 @@ def main() -> None:
         .count()
     )
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        # Fresh build so caches/persists internal to the query function
+        # are re-created too; plan + codegen are now JIT-warm.
+        t1 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t1, 3)
+        print(
+            f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(cold.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -37,6 +37,7 @@ from mhm_data_pipelines_spark.functions.text import (
 )
 from mhm_data_pipelines_spark.functions.timeutils import iso_week_key
 from mhm_data_pipelines_spark.operators.dedup import (
+    MINHASH_MD5_P,
     dedup_exact,
     exact_duplicates,
     embedding_near_duplicates,
@@ -2831,58 +2832,64 @@ FROM h
 """
 
 
+#: Gate MinHash shape: 32 hashes, 16 bands × 2 rows, est ≥ 17/32. The
+#: pigeonhole bound (≤15 disagreeing slots over 16 bands → some band
+#: fully agrees) makes banding COMPLETE w.r.t. the estimated-Jaccard
+#: threshold, while 2-row bands keep bucket collisions ~J² (1-row bands
+#: are also complete but collide at rate J: measured 40× slower at
+#: sf0.1 — the scale lesson, not just a gate detail).
+_MINHASH_N = 32
+_MINHASH_BANDS = 16
+_MINHASH_EST_T = 17 / 32
+
+
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash-LSH near-dup pipeline with EXACT verification: signatures
-    → banded candidates at rows-per-band=1 (32 bands × 1 hash: a true
-    pair at Jaccard 0.5 escapes all bands with probability (1-J)^32 ≈
-    2e-10 — recall is certain at gate scale) → exact char-5-gram Jaccard
-    on candidates only → keep ≥ 0.5. Because recall is total, the output
-    EQUALS the brute-force definition, which DuckDB computes
-    independently over all pairs — a full value oracle for a pipeline
-    whose xxhash64 internals DuckDB cannot reproduce. The production
-    default (8 bands × 4 rows + estimated-Jaccard verify) stays in
-    minhash_near_duplicates; this gate shape trades extra candidates for
-    provable completeness."""
-    df = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(df, num_hashes=32).persist()
-    cands = minhash_lsh_candidates(sigs, bands=32, num_hashes=32)
-    grams = df.select(
-        "doc_id", char_ngrams("text", 5, distinct=True).alias("g")
+    """MinHash-LSH near-dup pipeline, end-to-end, with a FULL value
+    oracle: the md5-derived ``(h1 + i*h2) mod p`` permutation family is
+    bit-identical in DuckDB, banding is provably complete at the est
+    threshold (see _MINHASH_* notes), so DuckDB's brute-force
+    signature comparison over all pairs reproduces the result exactly.
+    The xxhash64 production family stays the default elsewhere (faster;
+    covered by tests against exact Jaccard)."""
+    out = minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_EST_T,
+        hash_family="md5",
     )
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
-    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
-    union = F.size(F.array_union("g_a", "g_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cands.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    ).orderBy("id_a", "id_b")
 
 
-SQL_MINHASH_NEARDUP = """
+SQL_MINHASH_NEARDUP = f"""
 WITH norm AS (
   SELECT doc_id, lower(text) AS t FROM documents
 ), g AS (
-  SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+  SELECT doc_id, substr(t, i, 5) AS sh
   FROM norm, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
   WHERE len(t) >= 5
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+           % {MINHASH_MD5_P} AS h1,
+         CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
+           % {MINHASH_MD5_P - 1} + 1 AS h2
+  FROM g
+), sigs AS (
+  SELECT doc_id, u.i,
+         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+  FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
+  GROUP BY doc_id, u.i
+), agree AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
+  FROM sigs a JOIN sigs b ON a.i = b.i AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b,
-       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.5
+SELECT id_a, id_b, round(eq / {_MINHASH_N}.0, 4) AS est_jaccard
+FROM agree WHERE eq >= {int(_MINHASH_EST_T * _MINHASH_N)}
 ORDER BY id_a, id_b
 """
 
@@ -3231,6 +3238,7 @@ BENCH_QUERIES: list[str] = [
     "tfidf_top_terms",
     "dedup_exact_keep",
     "minhash_neardup",
+    "simhash_neardup",
     "embedding_topk",
     "embedding_centroids",
 ]

@@ -72,12 +72,18 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Modulus/derivation constants of the md5 MinHash family — shared with
+#: the DuckDB oracle (registry), so keep in sync with SQL_MINHASH_NEARDUP.
+MINHASH_MD5_P = 2_147_483_647  # 2^31 - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_size: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures over character shingles, entirely with builtin
     expressions — no Python, no UDF.
@@ -98,6 +104,13 @@ def minhash_signatures(
     ≥0.5 vs 25 true (the naive per-seed family ``xxhash64(shingle, i)``
     is correlated across seeds and returned 244).
 
+    ``hash_family="md5"`` derives the whole family from ONE md5 per
+    shingle — two 60-bit halves ``h1, h2`` of the digest feed the
+    classic ``(h1 + i*h2) mod p`` permutations (p = 2^31-1; products
+    stay ≤ 2^36, so the arithmetic is ANSI/overflow-safe and
+    bit-identical in any engine with md5 — this is the cross-engine
+    oracle family, see the registry's DuckDB twin).
+
     A document shorter than ``shingle_size`` has no shingles; it keeps a
     row with an all-NULL signature (never band-matches real content).
     """
@@ -107,16 +120,32 @@ def minhash_signatures(
     # then hash only fixed-width longs. Inlining h1/h2 into each of the
     # num_hashes agg expressions re-hashes the string per expression
     # (no CSE across aggregates): measured 3× slower at sf0.1.
-    ex = df.select(F.col(id_col), F.explode(shingles).alias("_sh")).select(
-        id_col,
-        F.xxhash64("_sh").alias("_h1"),
-        F.xxhash64("_sh", F.lit(1)).alias("_h2"),
-    )
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    if hash_family == "xxhash64":
+        ex = ex.select(
+            id_col,
+            F.xxhash64("_sh").alias("_h1"),
+            F.xxhash64("_sh", F.lit(1)).alias("_h2"),
+        )
+        mh = lambda i: F.xxhash64("_h1", "_h2", F.lit(i))  # noqa: E731
+    elif hash_family == "md5":
+        p = MINHASH_MD5_P
+        hex60 = lambda c, start: F.conv(  # noqa: E731
+            F.substring(c, start, 15), 16, 10
+        ).cast("long")
+        md5c = F.md5("_sh")
+        ex = ex.select(
+            id_col,
+            (hex60(md5c, 1) % F.lit(p)).alias("_h1"),
+            (hex60(md5c, 16) % F.lit(p - 1) + 1).alias("_h2"),
+        )
+        mh = lambda i: (  # noqa: E731
+            F.col("_h1") + F.lit(i) * F.col("_h2")
+        ) % F.lit(p)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     agg = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("_h1", "_h2", F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(mh(i)).alias(f"_h{i}") for i in range(num_hashes)]
     )
     sigs = agg.select(
         F.col(id_col),
@@ -196,16 +225,27 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_size: int = 5,
     threshold: float = 0.7,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → verification by estimated Jaccard (signature agreement rate)
-    ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    ≥ threshold. Returns (id_a, id_b, est_jaccard).
+
+    Completeness note (pigeonhole, same trick as
+    :func:`simhash_near_duplicates`): a pair with ≥ ``threshold``
+    agreement has < ``num_hashes*(1-threshold)+1`` disagreeing slots, so
+    whenever ``bands > num_hashes*(1-threshold)`` some band agrees
+    fully and banding provably finds the pair — e.g. 32 hashes, 16
+    bands, threshold 17/32 is EXACT w.r.t. estimated Jaccard while
+    keeping 2-row bands (bucket collision rate ~J², scale-sane; 1-row
+    bands are complete at ≥0.5 but collide at rate J — measured 40×
+    slower at sf0.1)."""
     # The signature pipeline feeds three consumers (banding + both sides
     # of the verification join); without materialization Spark recomputes
     # the full shingle/hash work per consumer. On a cluster this would be
     # a checkpoint to storage; in-process, persist() is the same cut.
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size
+        df, text_col, id_col, num_hashes, shingle_size, hash_family
     ).persist()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))

@@ -1,0 +1,76 @@
+"""Round-over-round bench regression diff.
+
+Usage: python scripts/bench_diff.py BENCH_rOLD.json BENCH_rNEW.json
+       [--threshold 1.3] [--metric warm|cold]
+
+Compares per-query times between two bench.py outputs and prints movers
+sorted by ratio. Prefers the warm map ("queries_warm") when both files
+have it — warm isolates execution from codegen-compile noise — else
+falls back to the cold map ("queries"). Exit code 1 when any query
+regresses past the threshold (so a driver/CI step can gate on it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str, metric: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.loads(f.read().strip().splitlines()[-1])
+    if metric == "warm":
+        return doc.get("queries_warm") or doc["queries"]
+    return doc["queries"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.3)
+    ap.add_argument("--metric", choices=["warm", "cold"], default="warm")
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=0.2,
+        help="ignore queries faster than this in BOTH rounds (noise floor)",
+    )
+    args = ap.parse_args()
+
+    old = load(args.old, args.metric)
+    new = load(args.new, args.metric)
+
+    rows = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if max(o, n) < args.min_sec:
+            continue
+        rows.append((n / o if o else float("inf"), name, o, n))
+    rows.sort(reverse=True)
+
+    regressed = [r for r in rows if r[0] >= args.threshold]
+    improved = [r for r in rows if r[0] <= 1 / args.threshold]
+    print(f"{'query':<28} {'old':>8} {'new':>8} {'ratio':>7}")
+    for ratio, name, o, n in rows:
+        flag = " <-- REGRESSED" if ratio >= args.threshold else (
+            " (improved)" if ratio <= 1 / args.threshold else ""
+        )
+        print(f"{name:<28} {o:>8.3f} {n:>8.3f} {ratio:>6.2f}x{flag}")
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"dropped queries: {', '.join(only_old)}")
+    if only_new:
+        print(f"new queries: {', '.join(only_new)}")
+    print(
+        f"summary: {len(regressed)} regressed >= {args.threshold}x, "
+        f"{len(improved)} improved, {len(rows)} compared "
+        f"({args.metric} times)"
+    )
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
