@@ -3013,14 +3013,71 @@ ORDER BY 1, 3 DESC, 2
 
 def q_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH-bucketed top-k for 5 query
-    vectors. Rows-only (approximate by design; recall covered by tests)."""
+    vectors — with a FULL value oracle. The hyperplanes are seeded
+    driver-side literals (similarity.lsh_bucket_ids) and every float op
+    in the pipeline (cast-widen, left-fold dot, sqrt, divide) is a
+    deterministic IEEE-double sequence, so the DuckDB twin unrolls the
+    SAME constants into the SAME operation order and reproduces the
+    buckets and cosines bit-identically (see _lsh_topk_oracle_sql)."""
     df = _t(spark, sf_dir, "embeddings")
     queries = df.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = df.filter(F.col("vec_id") >= 5)
     out = lsh_topk(corpus, queries, dim=64, k=10, bits=4)
-    return out.withColumn("cosine", F.round("cosine", 4))
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "query_id", F.desc("cosine"), "vec_id"
+    )
+
+
+def _lsh_topk_oracle_sql(dim: int = 64, bits: int = 4, seed: int = 42) -> str:
+    """DuckDB twin of q_lsh_topk, bit-identical by construction.
+
+    Mirrors similarity.lsh_bucket_ids + lsh_topk float-for-float:
+    * same hyperplanes — regenerated here with the same seeded RNG and
+      embedded as shortest-round-trip literals (repr), which DuckDB
+      parses back to the identical double;
+    * same op order — Spark's dot/norm are sequential left folds with a
+      0.0 seed, equal to SQL's left-associative `t1 + t2 + ...`; each
+      float element widens to double exactly in both engines, and IEEE
+      *, +, /, sqrt are correctly rounded, so every intermediate (bucket
+      sign, norm, cosine) has the same bits.
+    Buckets use the raw vector, cosines the normalized one, as in the
+    operator. Zero-norm vectors yield NULL cosine (Spark's `when` guard
+    in vectors.normalize) — mirrored with a CASE.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    bucket = "CAST(0 AS BIGINT)"
+    for h in planes:
+        d = " + ".join(f"e[{i + 1}] * {h[i]!r}" for i in range(dim))
+        bucket = f"({bucket} * 2 + (CASE WHEN ({d}) > 0 THEN 1 ELSE 0 END))"
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    cos = " + ".join(
+        f"(q.e[{i + 1}] / q.nrm) * (c.e[{i + 1}] / c.nrm)"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, {bucket} AS bucket, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+SELECT q.vec_id AS query_id, c.vec_id,
+       round(CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN {cos} END, 4) AS cosine
+FROM b q JOIN b c ON q.bucket = c.bucket
+WHERE q.vec_id < 5 AND c.vec_id >= 5
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN {cos} END DESC,
+           c.vec_id
+) <= 10
+ORDER BY 1, 3 DESC, 2
+"""
+
+
+SQL_LSH_TOPK = _lsh_topk_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3190,6 +3247,7 @@ ORACLES: dict[str, str] = {
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "split_assignment": SQL_SPLIT_ASSIGNMENT,
     "ivf_topk": SQL_IVF_TOPK,
+    "lsh_topk": SQL_LSH_TOPK,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_dedup_keep": SQL_NEARDUP_DEDUP_KEEP,
