@@ -2832,25 +2832,91 @@ FROM h
 """
 
 
-#: Gate MinHash shape: 32 hashes, 16 bands × 2 rows, est ≥ 17/32. The
-#: pigeonhole bound (≤15 disagreeing slots over 16 bands → some band
-#: fully agrees) makes banding COMPLETE w.r.t. the estimated-Jaccard
-#: threshold, while 2-row bands keep bucket collisions ~J² (1-row bands
-#: are also complete but collide at rate J: measured 40× slower at
-#: sf0.1 — the scale lesson, not just a gate detail).
+def q_minhash_exact_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pipeline with EXACT verification: signatures
+    → banded candidates at rows-per-band=1 (32 bands × 1 hash: a true
+    pair at Jaccard 0.5 escapes all bands with probability (1-J)^32 ≈
+    2e-10 — recall is certain at gate scale) → exact char-5-gram Jaccard
+    on candidates only → keep ≥ 0.5. Because recall is total, the output
+    EQUALS the brute-force definition, which DuckDB computes
+    independently over all pairs — a full value oracle for a pipeline
+    whose xxhash64 internals DuckDB cannot reproduce. The production
+    default (8 bands × 4 rows + estimated-Jaccard verify) stays in
+    minhash_near_duplicates; this gate shape trades extra candidates for
+    provable completeness. GATE-ONLY: 1-row bands collide at rate J per
+    band, and this corpus is overlap-heavy — fine at sf0.01 gate scale,
+    a candidate flood at sf0.1+ (measured 177 s; the banded+est
+    q_minhash_neardup is the bench headline)."""
+    df = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(df, num_hashes=32).persist()
+    cands = minhash_lsh_candidates(sigs, bands=32, num_hashes=32)
+    grams = df.select(
+        "doc_id", char_ngrams("text", 5, distinct=True).alias("g")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_MINHASH_EXACT_PAIRS = """
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+  FROM norm, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+#: Bench/gate MinHash shape: 32 hashes, 8 bands × 4 rows, est ≥ 25/32.
+#: The pigeonhole bound (≤7 disagreeing slots can dirty at most 7 of
+#: the 8 bands → some band fully agrees) makes banding COMPLETE w.r.t.
+#: the estimated-Jaccard threshold, so the DuckDB brute-force signature
+#: twin is a FULL value oracle. 4-row bands collide at ~J⁴ — measured
+#: 100 k candidates vs 5 M for 16×2 bands at sf0.1 on this
+#: overlap-heavy corpus (3.2 s → 1.9 s warm). (A 16-hash variant was
+#: also measured: estimator variance floods the output with J≈0.4
+#: pairs — 5790 rows vs 363 — erasing its codegen savings.)
 _MINHASH_N = 32
-_MINHASH_BANDS = 16
-_MINHASH_EST_T = 17 / 32
+_MINHASH_BANDS = 8
+_MINHASH_EST_T = 25 / 32
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash-LSH near-dup pipeline, end-to-end, with a FULL value
-    oracle: the md5-derived ``(h1 + i*h2) mod p`` permutation family is
-    bit-identical in DuckDB, banding is provably complete at the est
-    threshold (see _MINHASH_* notes), so DuckDB's brute-force
-    signature comparison over all pairs reproduces the result exactly.
-    The xxhash64 production family stays the default elsewhere (faster;
-    covered by tests against exact Jaccard)."""
+    """MinHash-LSH near-dup pipeline (signatures → banded candidates →
+    estimated-Jaccard verify), same shape as the production default but
+    on the md5-derived
+    ``(h1 + i*h2) mod p`` permutation family, which is bit-identical
+    in DuckDB (one md5 per shingle, two 60-bit halves). Banding is
+    provably complete at the est threshold (see _MINHASH_* notes), so
+    DuckDB's brute-force signature comparison over all pairs reproduces
+    the output exactly — a FULL value oracle for the signature/banding
+    math itself; q_minhash_exact_pairs separately checks the pipeline
+    against ground-truth Jaccard. (The xxhash64 family stays the
+    production default; md5 measured ≈ equal cost at sf0.1.)"""
     out = minhash_near_duplicates(
         _t(spark, sf_dir, "documents"),
         num_hashes=_MINHASH_N,
@@ -3167,6 +3233,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lang_id": q_lang_id,
     "ivf_topk": q_ivf_topk,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_exact_pairs": q_minhash_exact_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_neardup": q_simhash_neardup,
     "lsh_topk": q_lsh_topk,
@@ -3245,6 +3312,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "minhash_exact_pairs": SQL_MINHASH_EXACT_PAIRS,
     "split_assignment": SQL_SPLIT_ASSIGNMENT,
     "ivf_topk": SQL_IVF_TOPK,
     "lsh_topk": SQL_LSH_TOPK,

@@ -19,7 +19,13 @@ import sys
 
 def load(path: str, metric: str) -> dict[str, float]:
     with open(path) as f:
-        doc = json.loads(f.read().strip().splitlines()[-1])
+        raw = f.read().strip()
+    try:
+        doc = json.loads(raw)  # bench.py line or driver's pretty JSON
+    except json.JSONDecodeError:
+        doc = json.loads(raw.splitlines()[-1])  # JSON line after noise
+    if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]  # driver-wrapped BENCH_r{N}.json
     if metric == "warm":
         return doc.get("queries_warm") or doc["queries"]
     return doc["queries"]
