@@ -2132,6 +2132,127 @@ FROM t
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """Text scrubbing: PII redaction over the documents table. The
+    corpus carries no real PII, so the gate plants a deterministic
+    contact block per doc (email + phone + IPv4 + SSN derived from
+    doc_id) and checks the redaction chain strips every shape — the
+    regexes live in the Java∩RE2 subset, so DuckDB applies the SAME
+    patterns and the redacted text must match byte-for-byte."""
+    from mhm_data_pipelines_spark.functions.text import redact_pii
+
+    df = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return df.select(
+        "doc_id", redact_pii(contact).alias("redacted")
+    ).orderBy("doc_id")
+
+
+def _sql_pii_redaction() -> str:
+    from mhm_data_pipelines_spark.functions.text import PII_PATTERNS
+
+    expr = (
+        "text || ' contact user' || doc_id || '@example.com or "
+        "+1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    for kind, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind}]', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents ORDER BY doc_id"
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Text analysis: Gopher-style repetition signals (duplicate-word
+    fraction, top-word share, top-bigram share) — the boilerplate/spam
+    filter stage of a corpus pipeline."""
+    from mhm_data_pipelines_spark.functions.text import repetition_stats
+
+    df = _t(spark, sf_dir, "documents")
+    return repetition_stats(df).orderBy("doc_id")
+
+
+SQL_DOC_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+  GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct
+  FROM wc GROUP BY 1
+), wtop AS (
+  SELECT doc_id, w AS top_word, c AS top_c
+  FROM wc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) = 1
+), bc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+    FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2
+  )
+  GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bc
+  FROM bc GROUP BY 1
+)
+SELECT ws.doc_id, ws.n_words,
+       round(1.0 - ws.n_distinct * 1.0 / ws.n_words, 4) AS dup_word_frac,
+       wtop.top_word,
+       round(wtop.top_c * 1.0 / ws.n_words, 4) AS top_word_frac,
+       round(bs.top_bc * 1.0 / bs.n_bigrams, 4) AS top_bigram_frac
+FROM ws
+JOIN wtop USING (doc_id)
+LEFT JOIN bs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_decontamination(spark, sf_dir):
+    """Test-set decontamination: training docs sharing word 3-grams with
+    the pseudo-eval slice (doc_id % 97 == 0) and how much — the
+    C4/GPT-3-style leakage check, as an n-gram equi-join (eval side is
+    benchmark-sized; AQE broadcasts it)."""
+    from mhm_data_pipelines_spark.operators.decontam import ngram_overlap
+
+    df = _t(spark, sf_dir, "documents")
+    eval_df = df.filter(F.col("doc_id") % 97 == 0)
+    train = df.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(train, eval_df, n=3).orderBy("doc_id")
+
+
+SQL_DECONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS ng
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+)
+SELECT tr.doc_id,
+       count(DISTINCT tr.ng) AS n_shared_ngrams,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) tr
+JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) ev ON tr.ng = ev.ng
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Text analysis: top-5 TF-IDF terms per document (functions.text).
     Ranking on 6dp-rounded scores so cross-engine ln() ulp differences
@@ -3208,6 +3329,9 @@ QUERIES: dict[str, QuerySpec] = {
     "users_except": q_users_except,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
+    "pii_redaction": q_pii_redaction,
+    "doc_repetition": q_doc_repetition,
+    "decontamination": q_decontamination,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "vocab_stats": q_vocab_stats,
@@ -3299,6 +3423,9 @@ ORACLES: dict[str, str] = {
     "users_except": SQL_USERS_EXCEPT,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
+    "pii_redaction": SQL_PII_REDACTION,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "decontamination": SQL_DECONTAMINATION,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "vocab_stats": SQL_VOCAB_STATS,
@@ -3362,6 +3489,9 @@ BENCH_QUERIES: list[str] = [
     "pack_documents",
     "doc_quality",
     "tfidf_top_terms",
+    "pii_redaction",
+    "doc_repetition",
+    "decontamination",
     "dedup_exact_keep",
     "minhash_neardup",
     "simhash_neardup",

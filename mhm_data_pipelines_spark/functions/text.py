@@ -165,6 +165,94 @@ def tfidf_top_terms(
     )
 
 
+#: PII patterns, ordered most- to least-specific so earlier redactions
+#: can't leave fragments a later pattern half-matches (SSN before the
+#: generic phone shape, email before bare domains). Restricted to the
+#: regex subset Java (Spark) and RE2 (DuckDB/ripgrep) agree on — no
+#: lookaround, no backreferences — so the chain is oracle-reproducible
+#: and portable to scanner tooling.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"(\+?\d{1,2}[ -]?)?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b"),
+)
+
+
+def redact_pii(text: Column | str, replacement: str = "[{kind}]") -> Column:
+    """Redact emails / SSNs / IPv4s / phone shapes with per-kind tags
+    (``[email]`` …), as a chain of builtin ``regexp_replace`` calls —
+    codegen'd string ops, no Python in the row loop, safe to run over
+    100 TB of text. ``replacement`` may reference ``{kind}``."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, replacement.format(kind=kind))
+    return c
+
+
+def repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-word share, most-frequent-bigram share.
+    High values mark boilerplate/spam for corpus filtering.
+
+    One explode over (lowercased) tokens feeds a (doc, word) count, a
+    second over adjacent bigrams feeds a (doc, bigram) count; per-doc
+    argmax via ``max_by``-style struct-max (count DESC, token ASC
+    tie-break — deterministic and oracle-expressible). Everything is
+    partial-aggregated map-side; nothing touches the driver."""
+    toks = F.transform(tokens(text_col), F.lower)
+    words = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    # Argmax as min(struct(−count, token)): highest count, then FIRST
+    # token lexicographically — a plain max(struct(count, token)) would
+    # tie-break on the LAST token, which DuckDB's arg_max doesn't match.
+    word_stats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("w"))).alias("_top"),
+    )
+    # Guard BEFORE exploding: sequence(1, 0) runs *descending* for
+    # 1-token docs (same pitfall as char_ngrams). Docs with <2 tokens
+    # simply have no bigram row (NULL top_bigram_frac via the left join).
+    bigrams = df.filter(F.size(tokens(text_col)) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    bc = bigrams.groupBy(id_col, "b").agg(F.count("*").alias("c"))
+    bg_stats = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("b"))).alias("_topb"),
+    )
+    return (
+        word_stats.join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_words"), 4
+            ).alias("dup_word_frac"),
+            F.col("_top")["w"].alias("top_word"),
+            F.round((-F.col("_top")["nc"]) / F.col("n_words"), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                (-F.col("_topb")["nc"]) / F.col("n_bigrams"), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 #: Tiny per-language character/stopword profiles for the n-gram heuristic
 #: language ID. Real deployments plug in fastText/CLD3 via pandas_udf;
 #: this keeps the interface + a deterministic fallback.

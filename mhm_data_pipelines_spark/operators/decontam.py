@@ -1,0 +1,78 @@
+"""Test-set decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark corpus (the C4/Dolma/GPT-3-style
+contamination rule — an eval example "leaks" into training when enough
+of its n-grams appear verbatim).
+
+No reference counterpart (north-star LLM-pipeline extension per
+BASELINE.json). Scale design: both sides explode to DISTINCT word
+n-grams and meet in an equi-join on the n-gram string — the training
+side shuffles each distinct n-gram once (bounded by corpus token count),
+while the eval side is a curated benchmark and therefore small; AQE
+broadcasts it when it fits (no forced hint — the same unbounded-side
+lesson as tfidf_top_terms). The verdict aggregation is a partial-agg
+count per training doc, so nothing driver-side scales with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.functions.text import word_ngrams
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Per-training-doc contamination evidence: how many distinct word
+    ``n``-grams it shares with the eval corpus, and with how many
+    distinct eval docs. Returns (id_col, n_shared_ngrams, n_eval_docs);
+    training docs with no overlap are absent (left-join + zero-fill in
+    :func:`decontaminate` when the full verdict column is needed)."""
+    eval_id = eval_id_col or id_col
+    tg = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("ng")
+    )
+    eg = eval_df.select(
+        F.col(eval_id).alias("_eval_id"),
+        F.explode(word_ngrams(text_col, n)).alias("ng"),
+    )
+    return (
+        tg.join(eg, "ng")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("ng").alias("n_shared_ngrams"),
+            F.count_distinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Training corpus with a contamination verdict: rows whose distinct
+    shared-``n``-gram count with the eval corpus is ≥ ``min_shared`` are
+    marked ``contaminated`` (drop them with ``.filter(~col)``). Keeps
+    every training row (overlap columns zero-filled) so the caller can
+    audit the borderline band before choosing ``min_shared``."""
+    overlap = ngram_overlap(
+        train, eval_df, n, id_col, text_col, eval_id_col
+    )
+    return (
+        train.join(overlap, id_col, "left")
+        .fillna({"n_shared_ngrams": 0, "n_eval_docs": 0})
+        .withColumn(
+            "contaminated", F.col("n_shared_ngrams") >= F.lit(min_shared)
+        )
+    )

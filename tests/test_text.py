@@ -138,3 +138,88 @@ def test_tfidf_top_terms(spark):
     )
     assert analyzed.count("ResolvedHint") == 1
     assert "n_docs" in analyzed.split("ResolvedHint", 1)[1][:300]
+
+
+# --------------------------------------------------------------------------
+# PII redaction / repetition stats / decontamination
+
+
+def test_redact_pii_all_shapes(spark):
+    from mhm_data_pipelines_spark.functions.text import redact_pii
+
+    got = _one(
+        spark,
+        "mail a.b+c@ex.co, ssn 123-45-6789, ip 10.0.0.1, "
+        "call +1 (555) 123-4567 now",
+        redact_pii(F.col("text")),
+    )
+    assert got == "mail [email], ssn [ssn], ip [ipv4], call [phone] now"
+
+
+def test_redact_pii_no_pii_unchanged(spark):
+    from mhm_data_pipelines_spark.functions.text import redact_pii
+
+    for s in ("nothing here 42", "", "v1.2 is out"):
+        assert _one(spark, s, redact_pii(F.col("text"))) == s
+
+
+def test_redact_pii_custom_replacement(spark):
+    from mhm_data_pipelines_spark.functions.text import redact_pii
+
+    got = _one(spark, "x@y.io", redact_pii(F.col("text"), "<gone>"))
+    assert got == "<gone>"
+
+
+def test_repetition_stats(spark):
+    from mhm_data_pipelines_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),
+            (2, "all words differ here"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_words == 4
+    assert r1.dup_word_frac == 0.5           # 2 distinct / 4 words
+    assert (r1.top_word, r1.top_word_frac) == ("spam", 0.75)
+    assert r1.top_bigram_frac == round(2 / 3, 4)  # "spam spam" ×2 of 3
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0 and r2.top_word_frac == 0.25
+    # tie on count=1 → lexicographically first token wins
+    assert r2.top_word == "all"
+    # 1-token doc: no bigrams (NULL, not a crash via descending sequence)
+    r3 = rows[3]
+    assert r3.n_words == 1 and r3.top_bigram_frac is None
+
+
+def test_decontaminate_verdicts(spark):
+    from mhm_data_pipelines_spark.operators.decontam import (
+        decontaminate,
+        ngram_overlap,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares "quick brown fox"
+            (2, "totally unrelated training doc"),
+            (3, "short doc"),                     # <3 tokens: no n-grams
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "a quick brown fox appears"), (101, "quick brown fox here")],
+        "doc_id long, text string",
+    )
+    ov = {r.doc_id: r for r in ngram_overlap(train, eval_df).collect()}
+    assert set(ov) == {1}
+    assert ov[1].n_shared_ngrams == 1 and ov[1].n_eval_docs == 2
+
+    out = {r.doc_id: r for r in decontaminate(train, eval_df).collect()}
+    assert len(out) == 3                      # every training row kept
+    assert out[1].contaminated is True
+    assert out[2].contaminated is False and out[2].n_shared_ngrams == 0
+    assert out[3].contaminated is False
