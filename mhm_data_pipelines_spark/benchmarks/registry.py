@@ -2253,6 +2253,81 @@ ORDER BY 1
 """
 
 
+def q_source_mix(spark, sf_dir):
+    """Corpus mixing: deterministic per-source quotas toward target
+    proportions (Dolma/Pile-style), md5 hash-rank membership so DuckDB
+    reproduces the selected rows exactly."""
+    from mhm_data_pipelines_spark.operators.sampling import mix_sources
+
+    df = _t(spark, sf_dir, "documents")
+    out = mix_sources(
+        df,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total=30,
+        key="doc_id",
+        hash_family="md5",
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_SOURCE_MIX = """
+WITH q(source, quota) AS (VALUES ('src0', 15), ('src1', 9), ('src2', 6)),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(doc_id || ':42'), 1, 15))
+                         AS BIGINT) % 1000000,
+                    doc_id
+         ) AS rk
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source
+FROM r JOIN q USING (source)
+WHERE rk <= quota
+ORDER BY doc_id
+"""
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Budgeted corpus selection: keep documents in (n_chars DESC,
+    doc_id) order while the cumulative token count stays ≤ 5000 — the
+    distributed prefix-sum operator (no single-task global window)."""
+    from mhm_data_pipelines_spark.operators.budget import select_to_budget
+    from mhm_data_pipelines_spark.functions.text import token_count
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    out = select_to_budget(
+        df,
+        budget=5000,
+        order_by=[F.desc("n_chars"), F.col("doc_id")],
+        value_col="n_tokens",
+    )
+    return out.select(
+        "doc_id", "n_tokens", "running_total"
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, len({_SQL_TOKENS}) AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running_total
+  FROM t
+)
+SELECT doc_id, n_tokens, running_total
+FROM r WHERE running_total <= 5000
+ORDER BY doc_id
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Text analysis: top-5 TF-IDF terms per document (functions.text).
     Ranking on 6dp-rounded scores so cross-engine ln() ulp differences
@@ -3332,6 +3407,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_redaction": q_pii_redaction,
     "doc_repetition": q_doc_repetition,
     "decontamination": q_decontamination,
+    "source_mix": q_source_mix,
+    "token_budget_select": q_token_budget_select,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "vocab_stats": q_vocab_stats,
@@ -3426,6 +3503,8 @@ ORACLES: dict[str, str] = {
     "pii_redaction": SQL_PII_REDACTION,
     "doc_repetition": SQL_DOC_REPETITION,
     "decontamination": SQL_DECONTAMINATION,
+    "source_mix": SQL_SOURCE_MIX,
+    "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "vocab_stats": SQL_VOCAB_STATS,
@@ -3487,6 +3566,7 @@ BENCH_QUERIES: list[str] = [
     "analytic_windows",
     "json_extract",
     "pack_documents",
+    "token_budget_select",
     "doc_quality",
     "tfidf_top_terms",
     "pii_redaction",

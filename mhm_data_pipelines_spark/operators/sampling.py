@@ -129,6 +129,46 @@ def stratified_sample(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    key: str,
+    source_col: str = "source",
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Dolma/Pile-style corpus mixing: compose a training set of
+    ≈``total`` rows with EXACT per-source quotas ``floor(w_s · total)``,
+    deterministically. Rows rank inside their source by content hash
+    (ties → key) and the quota smallest survive — reruns and
+    repartitionings keep identical rows, and a source smaller than its
+    quota passes through whole (the classic under-weight case; upsample
+    by repeating the source in ``weights``-space upstream if needed).
+
+    Sources absent from ``weights`` are dropped (quota 0). The quota
+    table is ``len(weights)`` literal rows broadcast into the filter;
+    the only data movement is the per-source rank shuffle (same shape
+    as :func:`stratified_sample`)."""
+    from pyspark.sql import Window
+
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mix weights must be non-negative")
+    quotas = [(s, int(w * total)) for s, w in weights.items()]
+    quota_df = df.sparkSession.createDataFrame(
+        quotas, f"{source_col} string, _quota long"
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        _bucket(key, seed, hash_family), F.col(key)
+    )
+    return (
+        df.join(F.broadcast(quota_df), source_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )
+
+
 def balance_classes(
     df: DataFrame,
     label_col: str,

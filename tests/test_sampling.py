@@ -94,3 +94,68 @@ def test_balance_classes_to_minority(spark):
         for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"big": 100, "mid": 100, "small": 100}
+
+
+def test_mix_sources_quotas_and_determinism(spark):
+    from mhm_data_pipelines_spark.operators.sampling import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    out = mix_sources(df, weights, total=40, key="doc_id")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # exact quotas: floor(w * total); src3 absent from weights -> dropped
+    assert counts == {"src0": 20, "src1": 10, "src2": 10}
+    # deterministic under repartition (content-hash rank, not df.sample)
+    again = mix_sources(df.repartition(13), weights, total=40, key="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # source smaller than quota passes through whole
+    small = mix_sources(df, {"src0": 1.0}, total=999, key="doc_id")
+    assert small.count() == 25
+
+
+def test_running_total_matches_single_window(spark):
+    from pyspark.sql import Window
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(500)], "id long, v long"
+    )
+    got = {
+        r.id: r.running_total
+        for r in running_total(
+            df, order_by=[F.desc("v"), F.col("id")], value_col="v",
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.desc("v"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.id: r.rt
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_select_to_budget_greedy_prefix(spark):
+    from mhm_data_pipelines_spark.operators.budget import select_to_budget
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 4)], "id long, v long"
+    )
+    out = select_to_budget(
+        df, budget=10, order_by=["id"], value_col="v"
+    ).collect()
+    # 4+4=8 fits, third row would hit 12 > 10 -> exactly two rows
+    assert sorted((r.id, r.running_total) for r in out) == [(1, 4), (2, 8)]
+    empty = select_to_budget(df, budget=3, order_by=["id"], value_col="v")
+    assert empty.count() == 0
