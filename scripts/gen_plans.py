@@ -67,6 +67,43 @@ NOTES = {
         "CDC latest-wins: one max_by hash aggregate with map-side "
         "partials - no window sort over the log."
     ),
+    "pii_redaction": (
+        "PII redaction: the whole regexp_replace chain is one "
+        "projection inside a single WholeStageCodegen span - "
+        "2-column ReadSchema; the only exchange is the gate's "
+        "display orderBy."
+    ),
+    "doc_repetition": (
+        "repetition signals: word and bigram explodes each feed "
+        "partial/final hash aggregates; per-doc argmax is a struct-min "
+        "aggregate, not a window sort over the corpus."
+    ),
+    "decontamination": (
+        "decontamination: distinct word-3-gram explodes meet in an "
+        "equi-join on the n-gram; the benchmark-sized eval side is "
+        "AQE-broadcast, train side shuffles each distinct n-gram once."
+    ),
+    "source_mix": (
+        "corpus mixing: literal quota table broadcast; one exchange on "
+        "source for the rank window; hash-rank membership is a pure "
+        "projection."
+    ),
+    "token_budget_select": (
+        "budget selection: range repartition + window PARTITIONED BY "
+        "partition id (parallel prefix sum) - no single-task global "
+        "window; per-partition offsets broadcast back."
+    ),
+    "lsh_topk": (
+        "LSH ANN: bucket assignment is a projection (hyperplane "
+        "literals ride the plan); probe is an equi-join on lsh_bucket "
+        "so the corpus moves once; top-k window runs on the joined "
+        "subset only."
+    ),
+    "simhash_neardup": (
+        "SimHash Hamming<=k: chunk explode + self equi-join on "
+        "(band,chunk) with a ReusedExchange for the second side - "
+        "pigeonhole-complete, never all-pairs."
+    ),
 }
 
 
