@@ -2328,6 +2328,38 @@ ORDER BY doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 20-token chunks with 5-token overlap
+    (stride 15) — per-row explode, zero shuffle."""
+    from mhm_data_pipelines_spark.operators.packing import chunk_documents
+
+    df = _t(spark, sf_dir, "documents")
+    return chunk_documents(df, chunk_tokens=20, overlap=5).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, u.i AS chunk_id
+  FROM t, LATERAL unnest(generate_series(0,
+    CASE WHEN n <= 20 THEN 0 ELSE CAST(ceil((n - 20) / 15) AS INT) END
+  )) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       len(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20))
+         AS n_tokens,
+       array_to_string(
+         list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20), ' '
+       ) AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Text analysis: top-5 TF-IDF terms per document (functions.text).
     Ranking on 6dp-rounded scores so cross-engine ln() ulp differences
@@ -3409,6 +3441,7 @@ QUERIES: dict[str, QuerySpec] = {
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
+    "chunk_documents": q_chunk_documents,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "vocab_stats": q_vocab_stats,
@@ -3505,6 +3538,7 @@ ORACLES: dict[str, str] = {
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "vocab_stats": SQL_VOCAB_STATS,

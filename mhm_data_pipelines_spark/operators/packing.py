@@ -57,3 +57,49 @@ def pack_stats(packed: DataFrame, keys: Sequence[str] = ("source",)) -> DataFram
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("fill_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document into token chunks of
+    ``chunk_tokens`` with ``overlap`` tokens carried between adjacent
+    chunks (stride = chunk − overlap) — the step that turns long
+    documents into trainer-sized examples.
+
+    Pure per-row explode: chunk boundaries are computed from the token
+    count, ``slice`` re-materializes each chunk — no shuffle at all, so
+    it scales embarrassingly. The final (short) chunk is kept; documents
+    with ≤ ``chunk_tokens`` tokens yield themselves as chunk 0. Returns
+    (id_col, chunk_id, n_tokens, chunk_text) with chunk token counts.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, ... while start <= n (1-indexed slice);
+    # n_chunks = 1 + floor(max(n - chunk, 0) / stride), final partial
+    # chunk included iff it adds tokens beyond the previous chunk's end.
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int")
+    )
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    ex = df.select(F.col(id_col), toks.alias("_toks"), chunk)
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return ex.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

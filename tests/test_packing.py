@@ -3,6 +3,8 @@ rule (a doc belongs to the bin where it starts), fill stats."""
 
 from __future__ import annotations
 
+import pytest
+
 from mhm_data_pipelines_spark.operators.packing import (
     pack_documents,
     pack_stats,
@@ -45,3 +47,39 @@ def test_pack_stats_fill(spark):
         for r in pack_stats(pack_documents(df, budget_tokens=5)).collect()
     }
     assert stats == {("s", 0): (2, 6), ("s", 1): (1, 3)}
+
+
+def test_chunk_documents_coverage_and_edges(spark):
+    from mhm_data_pipelines_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks -> 3 chunks
+            (2, "a b c d"),                              # == chunk size
+            (3, "only two"),                             # short
+            (4, ""),                                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # stride 2: starts 1,3,5,7 -> 10 tokens need ceil((10-4)/2)=3 extra
+    assert [k for k in sorted(rows) if k[0] == 1] == [(1, i) for i in range(4)]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t2 t3 t4 t5"
+    assert rows[(1, 3)].chunk_text == "t6 t7 t8 t9"
+    # every token appears in some chunk (coverage invariant)
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # boundary doc -> exactly one full chunk; short doc -> itself
+    assert [k for k in sorted(rows) if k[0] == 2] == [(2, 0)]
+    assert rows[(2, 0)].n_tokens == 4
+    assert rows[(3, 0)].chunk_text == "only two"
+    # empty text keeps an (empty) chunk-0 row rather than vanishing
+    assert rows[(4, 0)].n_tokens == 0
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
