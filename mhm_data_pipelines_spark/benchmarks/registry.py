@@ -2360,6 +2360,90 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_llm_dataset_build(spark, sf_dir):
+    """Flagship end-to-end LLM-dataset build, composing the corpus
+    operators in their production order: test-set decontamination
+    (drop any doc sharing a word 3-gram with the doc_id%97 pseudo-eval
+    slice) → quality filter (≥ 0.75, between score lattice points) →
+    exact dedup (normalized fingerprint, min-id keeps) → token-budget
+    selection (best-first by n_chars DESC under a 3000-token budget,
+    distributed prefix sum) → 20/5 context-window chunking. Every stage
+    is the distributed form: anti-join on exploded n-grams, pushdown
+    scalar filter, (fingerprint,id)-only shuffle, range-partitioned
+    prefix sum, zero-shuffle chunk explode."""
+    from mhm_data_pipelines_spark.operators.budget import select_to_budget
+    from mhm_data_pipelines_spark.operators.decontam import ngram_overlap
+    from mhm_data_pipelines_spark.operators.packing import chunk_documents
+    from mhm_data_pipelines_spark.functions.text import token_count
+
+    df = _t(spark, sf_dir, "documents")
+    eval_df = df.filter(F.col("doc_id") % 97 == 0)
+    train = df.filter(F.col("doc_id") % 97 != 0)
+    dirty = ngram_overlap(train, eval_df, n=3).select("doc_id")
+    clean = train.join(dirty, "doc_id", "left_anti")
+    q = clean.filter(quality_score("text") >= 0.75)
+    d = dedup_exact(q)
+    sel = select_to_budget(
+        d.withColumn("n_tokens", token_count("text").cast("long")),
+        budget=3000,
+        order_by=[F.desc("n_chars"), F.col("doc_id")],
+        value_col="n_tokens",
+        keep_running=False,
+    )
+    return chunk_documents(sel, chunk_tokens=20, overlap=5).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_LLM_DATASET_BUILD = f"""
+WITH t0 AS (
+  SELECT doc_id, source, n_chars, text, {_SQL_TOKENS} AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS ng
+  FROM t0, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+), dirty AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) tr
+  JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) ev ON tr.ng = ev.ng
+), q AS (
+  SELECT * FROM t0
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    AND {{qual}} >= 0.75
+), d AS (
+  SELECT min(doc_id) AS doc_id FROM q
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), sel AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (
+    SELECT q.doc_id, q.toks, q.n_chars,
+           CAST(sum(len(q.toks)) OVER (
+             ORDER BY q.n_chars DESC, q.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rt
+    FROM q JOIN d USING (doc_id)
+  ) WHERE rt <= 3000
+), c AS (
+  SELECT doc_id, toks, u.i AS chunk_id
+  FROM sel, LATERAL unnest(generate_series(0,
+    CASE WHEN n <= 20 THEN 0 ELSE CAST(ceil((n - 20) / 15) AS INT) END
+  )) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       len(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20))
+         AS n_tokens,
+       array_to_string(
+         list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20), ' '
+       ) AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Text analysis: top-5 TF-IDF terms per document (functions.text).
     Ranking on 6dp-rounded scores so cross-engine ln() ulp differences
@@ -2850,6 +2934,10 @@ WHERE comp.doc_id = comp.component
 
 SQL_CORPUS_PREP = SQL_CORPUS_PREP.format(
     stop=_SQL_STOPLIST, tok=_SQL_TOKENS, tokl=_SQL_TOKENS_LOWER
+)
+
+SQL_LLM_DATASET_BUILD = SQL_LLM_DATASET_BUILD.format(
+    qual=_SQL_QUALITY_EXPR.format(stop=_SQL_STOPLIST)
 )
 
 SQL_NEARDUP_CLUSTERS = (
@@ -3442,6 +3530,7 @@ QUERIES: dict[str, QuerySpec] = {
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
     "chunk_documents": q_chunk_documents,
+    "llm_dataset_build": q_llm_dataset_build,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "vocab_stats": q_vocab_stats,
@@ -3539,6 +3628,7 @@ ORACLES: dict[str, str] = {
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "llm_dataset_build": SQL_LLM_DATASET_BUILD,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "vocab_stats": SQL_VOCAB_STATS,
