@@ -2628,6 +2628,92 @@ FROM q
 """
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, epoch-micros ts)
+    — the data-layout primitive behind `layout.write_zordered`, which
+    keeps EVERY interleaved dimension's row-group min/max tight so
+    point/range filters on any of them prune scan I/O at 100 TB. The
+    key is pure integer arithmetic after one single-row min/max
+    aggregate (scalar broadcast): no sort, no UDF, whole plan stays in
+    codegen. Full-value oracle: the quantize+interleave bit math is
+    reproduced exactly in DuckDB."""
+    from mhm_data_pipelines_spark.operators.layout import with_zorder_key
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    out = with_zorder_key(df, ["user_id", "ts_us"], bits=8)
+    return out.select("event_id", "zkey").orderBy("event_id")
+
+
+def _sql_interleave(cols: list[str], bits: int) -> str:
+    parts = []
+    for k, q in enumerate(cols):
+        for j in range(bits):
+            parts.append(f"((({q} >> {j}) & 1) << {j * len(cols) + k})")
+    return " + ".join(parts)
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH b AS (
+  SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+         min(epoch_us(ts)) AS min_t, max(epoch_us(ts)) AS max_t
+  FROM events
+), q AS (
+  SELECT event_id,
+         CASE WHEN max_u = min_u THEN 0 ELSE CAST(floor(
+           CAST(user_id - min_u AS DOUBLE) * 255.0
+           / CAST(max_u - min_u AS DOUBLE)) AS BIGINT) END AS qu,
+         CASE WHEN max_t = min_t THEN 0 ELSE CAST(floor(
+           CAST(epoch_us(ts) - min_t AS DOUBLE) * 255.0
+           / CAST(max_t - min_t AS DOUBLE)) AS BIGINT) END AS qt
+  FROM events, b
+)
+SELECT event_id,
+       CAST({_sql_interleave(["qu", "qt"], 8)} AS BIGINT) AS zkey
+FROM q ORDER BY event_id
+"""
+
+
+def q_approx_sketch_bounds(spark, sf_dir):
+    """Sketch surface with an invariant oracle: per event type, HLL++
+    approx-distinct (rsd 1%) and KLL-style percentile_approx must land
+    inside exact error bands computed in the SAME aggregation (approx
+    within 5% of exact distinct; approx median inside the exact
+    p40–p60 band). At 100 TB the sketches are the mergeable, bounded-
+    memory path (no exact-distinct shuffle explosion); the oracle
+    pattern (Spark emits the bound-check booleans, DuckDB emits exact
+    values + TRUE) makes a non-deterministic-looking estimator fully
+    hash-checkable."""
+    df = _t(spark, sf_dir, "events")
+    agg = df.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_count_distinct(user_id, 0.01)").alias("_hll"),
+        F.expr("percentile(value, 0.40D)").alias("_p40"),
+        F.expr("percentile(value, 0.60D)").alias("_p60"),
+        F.expr("percentile_approx(value, 0.5D, 10000)").alias("_ap50"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("_ap50") >= F.col("_p40"))
+            & (F.col("_ap50") <= F.col("_p60"))
+        ).alias("p50_within_band"),
+    ).orderBy("event_type")
+
+
+SQL_APPROX_SKETCH_BOUNDS = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct, TRUE AS p50_within_band
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     """Exact dedup: lowest doc_id kept per normalized-text fingerprint."""
     return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
@@ -3531,6 +3617,8 @@ QUERIES: dict[str, QuerySpec] = {
     "token_budget_select": q_token_budget_select,
     "chunk_documents": q_chunk_documents,
     "llm_dataset_build": q_llm_dataset_build,
+    "zorder_layout": q_zorder_layout,
+    "approx_sketch_bounds": q_approx_sketch_bounds,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "vocab_stats": q_vocab_stats,
@@ -3629,6 +3717,8 @@ ORACLES: dict[str, str] = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "llm_dataset_build": SQL_LLM_DATASET_BUILD,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
+    "approx_sketch_bounds": SQL_APPROX_SKETCH_BOUNDS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "vocab_stats": SQL_VOCAB_STATS,

@@ -41,6 +41,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "summary_assembly",
     "corpus_prep",
     "balanced_classes",   # crossJoin(broadcast(min class count)) — 1 row
+    "zorder_layout",      # crossJoin(broadcast(per-column min/max)) — 1 row
     "missing_data",       # distinct-participants × distinct-metrics grid:
                           # a dims×dims cross building the expected-cell
                           # universe (J3), both sides tiny aggregates
