@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mhm_data_pipelines_spark.benchmarks.registry import (  # noqa: E402
     ORACLES,
     QUERIES,
+    gate_ordered_queries,
 )
 
 
@@ -36,7 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, in
+    GATE_PRIORITY order (the driver verifies the first 50 each round;
+    round 3 rotates the LLM-pipeline extension keys into that window)."""
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,7 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(fn) for name, fn in QUERIES.items()}
+    return {name: _wrap(fn) for name, fn in gate_ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

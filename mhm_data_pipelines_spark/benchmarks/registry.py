@@ -3750,6 +3750,74 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }
 
+#: Driver-gate ordering. The external verify harness compares exactly the
+#: FIRST 50 entries of ``__spark_entry__.queries()`` against their DuckDB
+#: oracles each round. Rounds 1-2 verified the SURVEY §2 / TPC-H surface
+#: (green in CORRECTNESS_r01/r02 with unchanged definitions since), so
+#: round 3 rotates the 47 LLM-pipeline extension keys into the gate window,
+#: keeping three previously-green canaries (reference-core, TPC-H, window
+#: family). Keys not listed here follow in QUERIES definition order; the
+#: full set is still hash-checked every CI run by test_oracle_parity.py.
+GATE_PRIORITY: list[str] = [
+    "analytic_windows",
+    "rolling_1h",
+    "grouping_sets",
+    "asof_join",
+    "range_join",
+    "users_intersect",
+    "users_except",
+    "doc_token_stats",
+    "doc_quality",
+    "pii_redaction",
+    "doc_repetition",
+    "decontamination",
+    "source_mix",
+    "token_budget_select",
+    "chunk_documents",
+    "llm_dataset_build",
+    "zorder_layout",
+    "approx_sketch_bounds",
+    "tfidf_top_terms",
+    "doc_lm_score",
+    "vocab_stats",
+    "top_terms_per_source",
+    "embedding_quantize",
+    "tiered_rollup",
+    "dedup_exact_keep",
+    "dup_groups",
+    "doc_fingerprints",
+    "unigram_jaccard_pairs",
+    "neardup_clusters",
+    "neardup_dedup_keep",
+    "corpus_prep",
+    "stratified_counts",
+    "balanced_classes",
+    "pack_documents",
+    "binary_metadata",
+    "frame_samples",
+    "multimodal_features",
+    "embedding_topk",
+    "embedding_centroids",
+    "embedding_neardup",
+    "lang_id",
+    "ivf_topk",
+    "minhash_neardup",
+    "minhash_exact_pairs",
+    "simhash_groups",
+    "simhash_neardup",
+    "lsh_topk",
+    "overview_stats",
+    "tpch_q1",
+    "sessionization",
+]
+
+
+def gate_ordered_queries() -> dict[str, QuerySpec]:
+    """QUERIES re-keyed so GATE_PRIORITY occupies the first slots."""
+    rest = [k for k in QUERIES if k not in set(GATE_PRIORITY)]
+    return {k: QUERIES[k] for k in [*GATE_PRIORITY, *rest]}
+
+
 #: Headline queries timed by bench.py at sf0.1.
 BENCH_QUERIES: list[str] = [
     "overview_stats",
