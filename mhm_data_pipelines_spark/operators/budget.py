@@ -42,8 +42,20 @@ def running_total(
     boundary would otherwise make the split nondeterministic."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint (eager) freezes the range split: repartitionByRange
+    # picks boundaries by SAMPLING with partition-dependent seeds, so
+    # re-executing the unpersisted frame in two jobs (the totals collect
+    # below + the caller's final action) could assign boundary rows to
+    # DIFFERENT _pid values — the broadcast offsets would then attach to
+    # the wrong partitions and the cumulative sums would be silently
+    # wrong. Materializing once also means the input is scanned once,
+    # not three times. On a multi-node cluster this would be
+    # ``checkpoint()`` to reliable storage; in-process the local form is
+    # the same lineage cut.
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")

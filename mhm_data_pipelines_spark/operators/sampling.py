@@ -14,6 +14,8 @@ leakage across train/validation boundaries.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -154,7 +156,14 @@ def mix_sources(
 
     if any(w < 0 for w in weights.values()):
         raise ValueError("mix weights must be non-negative")
-    quotas = [(s, int(w * total)) for s, w in weights.items()]
+    # Decimal-exact quotas: float binary representation makes
+    # int(w * total) undershoot for weights like 0.29 (0.29*100 ->
+    # 28.999... -> 28). Interpreting the weight via its decimal literal
+    # gives floor(w_s * total) exactly as documented; a weight that is
+    # an exact multiple of 1/total therefore keeps its full quota.
+    quotas = [
+        (s, int(Fraction(str(w)) * total)) for s, w in weights.items()
+    ]
     quota_df = df.sparkSession.createDataFrame(
         quotas, f"{source_col} string, _quota long"
     )

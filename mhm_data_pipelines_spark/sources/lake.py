@@ -254,7 +254,13 @@ def read_lake_unified(
     # directories hold only non-matching files don't produce empty reads.
     root_depth = len([s for s in root.split("://")[-1].split("/") if s])
     dims = path_dimensions(root_depth, layout=layout, path=F.col("path"))
-    fname_re = fnmatch.translate(glob)
+    # fnmatch.translate anchors only the END ((?s:...)\Z); rlike is a
+    # substring search, so a glob like "data_*.csv" would also SUFFIX-
+    # match "mydata_x.csv" at listing time while the per-metric scan's
+    # pathGlobFilter full-matches — selecting a metric whose scan then
+    # matches zero files (schema-less empty CSV read fails). Prepend ^
+    # so listing-time and scan-time filename semantics agree.
+    fname_re = "^" + fnmatch.translate(glob)
     metric_rows = (
         listing.filter(
             F.element_at(_path_parts(F.col("path")), -1).rlike(fname_re)

@@ -187,3 +187,29 @@ def test_write_table_format_roundtrips(spark, tmp_path):
             reader = reader.option("header", "true")
         got = sorted(map(tuple, reader.format(fmt).load(out).collect()))
         assert got == want, fmt
+
+
+def test_read_lake_unified_glob_listing_full_match(spark, tmp_path):
+    """Listing-time filename matching must FULL-match like the scan-time
+    pathGlobFilter: a metric whose files only suffix-match the glob
+    (prefix differs) must not be selected into an empty, failing read."""
+    import gzip
+
+    from mhm_data_pipelines_spark.sources.lake import read_lake_unified
+
+    root = tmp_path / "globlake"
+    good = root / "top" / "LON" / "P00" / "metric_good"
+    good.mkdir(parents=True)
+    with gzip.open(good / "data_20240101.csv.gz", "wt") as f:
+        f.write("ts,v\n1000,1\n")
+    bad = root / "top" / "LON" / "P01" / "metric_bad"
+    bad.mkdir(parents=True)
+    # suffix-matches "data_*.csv.gz" but does not full-match it
+    with gzip.open(bad / "olddata_20240101.csv.gz", "wt") as f:
+        f.write("ts,v\n1000,2\n")
+    df = read_lake_unified(
+        spark, str(root), layout="raw", glob="data_*.csv.gz"
+    )
+    mets = {r.metric for r in df.select("metric").distinct().collect()}
+    assert mets == {"metric_good"}
+    assert df.count() == 1

@@ -159,3 +159,44 @@ def test_select_to_budget_greedy_prefix(spark):
     assert sorted((r.id, r.running_total) for r in out) == [(1, 4), (2, 8)]
     empty = select_to_budget(df, budget=3, order_by=["id"], value_col="v")
     assert empty.count() == 0
+
+
+def test_running_total_single_scan_frozen_partitioning(spark, tmp_path):
+    """The ranged frame is localCheckpoint'ed: the returned plan must read
+    the materialized blocks (Scan ExistingRDD), never re-scan the parquet
+    source — re-execution would re-sample range boundaries and could
+    assign boundary rows to different _pid values than the offsets job."""
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    src = str(tmp_path / "rt_src")
+    spark.createDataFrame(
+        [(i, (i * 13) % 7 + 1) for i in range(300)], "id long, v long"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = running_total(df, order_by=["id"], value_col="v", num_partitions=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    # Re-collecting twice yields identical sums (frozen split).
+    a = sorted((r.id, r.running_total) for r in out.collect())
+    b = sorted((r.id, r.running_total) for r in out.collect())
+    assert a == b
+    last = max(r[1] for r in a)
+    assert last == sum((i * 13) % 7 + 1 for i in range(300))
+
+
+def test_mix_sources_decimal_exact_quotas(spark):
+    """float repr must not shave quotas: 0.29*100 is 28.999... in binary
+    float; the decimal-exact quota is 29."""
+    from mhm_data_pipelines_spark.operators.sampling import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else "b") for i in range(120)],
+        "doc_id long, source string",
+    )
+    out = mix_sources(df, {"a": 0.29, "b": 0.07}, total=100, key="doc_id")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 29, "b": 7}
