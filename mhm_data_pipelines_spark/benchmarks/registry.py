@@ -68,15 +68,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table. ``events.ts`` is TIMESTAMP(NANOS) parquet
-    — Spark reads it as LongType nanos (``nanosAsLong`` conf, session.py)
-    and we convert to a microsecond timestamp here (the data carries no
-    sub-microsecond component, so this is lossless)."""
+    """Read one synthetic table. ``events.ts`` has shipped as both
+    TIMESTAMP(NANOS) — which Spark reads as LongType nanos under the
+    ``nanosAsLong`` conf and we convert to a µs timestamp (lossless, the
+    data carries no sub-µs component) — and as a native µs timestamp,
+    which needs no conversion. Detect by the read schema, not the sf."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ts(df)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize a ``ts`` column to session-TZ TIMESTAMP: nanos-as-long
+    files get a µs conversion; TIMESTAMP_NTZ files get an epoch-identity
+    cast (session TZ is pinned UTC) — watermarks and ``unix_micros``
+    require the LTZ type."""
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        t = field.dataType.simpleString()
+        if t == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -1780,18 +1794,7 @@ def q_stateful_sessions_stream(spark, sf_dir):
     emitted as epoch micros (integer hash parity across engines)."""
     from mhm_data_pipelines_spark.streaming.stateful import stateful_sessions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        # FileStreamSource needs a directory basePath; select the single
-        # table file with a glob filter.
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _event_stream(spark, sf_dir)
     out = stateful_sessions(stream, gap_minutes=30.0, watermark="36500 days")
     q = (
         out.writeStream.format("memory")
@@ -1835,18 +1838,24 @@ WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
 
 
 def _event_stream(spark, sf_dir):
-    """File-source stream over the events table (see
-    q_stateful_sessions_stream for the glob-filter / nanos notes)."""
+    """File-source stream over the events table. FileStreamSource needs a
+    directory basePath, so the single table file is selected with a glob
+    filter. The stream schema is probed from a metadata-only batch read
+    (footer scan, no data job) — the generator has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (read as LongType under ``nanosAsLong``) and as a
+    native µs timestamp; only the former needs the explicit conversion."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
+    batch_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    st = (
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return _normalize_ts(st)
 
 
 def _drain_to_table(out, name):

@@ -17,8 +17,12 @@ design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from mhm_data_pipelines_spark.functions.text import (
     char_ngrams,
@@ -169,6 +173,8 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     num_hashes: int | None = None,
+    max_bucket_size: int | None = None,
+    log_hot: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands, hash
     each band, and emit candidate pairs sharing any (band, hash) bucket.
@@ -178,6 +184,20 @@ def minhash_lsh_candidates(
 
     Pass ``num_hashes`` (the signature length) when known — probing it
     from the data costs an extra job over the signature pipeline.
+
+    ``max_bucket_size`` bounds the quadratic bucket fan-out at scale: a
+    bucket with m members emits m(m-1)/2 pairs, and boilerplate-heavy
+    corpora produce buckets with 10⁵+ members (all mutual near-dups) —
+    at 100 TB that join explodes. A bucket over the cap is already a
+    dup-cluster, so it short-circuits to STAR pairs (min-id
+    representative ↔ each member): m-1 pairs, linear, and downstream
+    :func:`~mhm_data_pipelines_spark.operators.components.connected_components`
+    recovers the exact same cluster via transitivity. Trade-off: star
+    pairs skip the non-representative pairwise edges, so per-pair
+    verification (est-Jaccard) sees each member only against the
+    representative — acceptable precisely because an over-cap bucket is
+    overwhelming agreement by construction. ``log_hot=True`` runs one
+    extra metadata-sized count job and logs how many buckets were capped.
     """
     if num_hashes is None:
         num_hashes = signatures.select(F.size("signature")).first()[0]
@@ -201,20 +221,60 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    banded, star = _cap_hot_buckets(
+        banded, ["band", "bucket"], id_col, max_bucket_size, log_hot
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def _cap_hot_buckets(
+    banded: DataFrame,
+    bucket_keys: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+    log_hot: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split a banded frame into (under-cap rows, star pairs for over-cap
+    buckets). Star pairs are (id_a=bucket-min id, id_b=member id) — m-1
+    edges per hot bucket instead of m(m-1)/2, same connected component.
+
+    The bucket-size window shares its hash partitioning with the
+    downstream (band, bucket) equi-join, so AQE/exchange-reuse keeps this
+    at one extra shuffle of (id, band, bucket) — never of document text.
+    """
+    if max_bucket_size is None:
+        return banded, None
+    w = Window.partitionBy(*bucket_keys)
+    sized = banded.withColumn("_n", F.count("*").over(w))
+    cold = sized.filter(F.col("_n") <= max_bucket_size).drop("_n")
+    hot = sized.filter(F.col("_n") > max_bucket_size).drop("_n")
+    reps = hot.groupBy(*bucket_keys).agg(F.min(id_col).alias("id_a"))
+    star = (
+        hot.join(reps, bucket_keys)
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+    if log_hot:
+        # Metadata-sized action: one count of capped buckets, opt-in
+        # because it re-runs the upstream pipeline as a separate job.
+        n_hot = reps.count()
+        _log.info(
+            "LSH hot-bucket cap: %d bucket(s) over %d members "
+            "short-circuited to star pairs", n_hot, max_bucket_size,
+        )
+    return cold, star
 
 
 def minhash_near_duplicates(
@@ -226,10 +286,15 @@ def minhash_near_duplicates(
     shingle_size: int = 5,
     threshold: float = 0.7,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → verification by estimated Jaccard (signature agreement rate)
     ≥ threshold. Returns (id_a, id_b, est_jaccard).
+
+    ``max_bucket_size`` (default 10k) caps quadratic hot-bucket fan-out
+    — see :func:`minhash_lsh_candidates`. Star pairs from capped buckets
+    still pass through the est-Jaccard verification below.
 
     Completeness note (pigeonhole, same trick as
     :func:`simhash_near_duplicates`): a pair with ≥ ``threshold``
@@ -247,7 +312,10 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, hash_family
     ).persist()
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes=num_hashes,
+        max_bucket_size=max_bucket_size,
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -353,20 +421,31 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bits: int = 64,
     token_hash: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """All pairs within SimHash Hamming distance ≤ ``max_hamming`` —
-    EXACT (full recall), not a heuristic: the signature splits into
-    ``max_hamming + 1`` disjoint bit chunks, and by pigeonhole any pair
-    with ≤ ``max_hamming`` differing bits agrees exactly on at least one
-    chunk. Candidates are therefore one equi-join on (chunk_idx,
-    chunk_value) — co-partitioned shuffle, never all-pairs — and the
-    final ``bit_count(xor) <= k`` filter discards pigeonhole collisions,
-    so the result equals the brute-force O(n²) definition.
+    EXACT (full recall) below the bucket cap, not a heuristic: the
+    signature splits into ``max_hamming + 1`` disjoint bit chunks, and by
+    pigeonhole any pair with ≤ ``max_hamming`` differing bits agrees
+    exactly on at least one chunk. Candidates are therefore one equi-join
+    on (chunk_idx, chunk_value) — co-partitioned shuffle, never
+    all-pairs — and the final ``bit_count(xor) <= k`` filter discards
+    pigeonhole collisions, so the result equals the brute-force O(n²)
+    definition.
 
     Returns (id_a, id_b, hamming). Scale note: chunk width is
     ``bits // (k+1)``; large ``k`` on small ``bits`` means few bucket
     values and fat buckets — widen ``bits`` (or pre-block by another
     key) before raising ``k`` past ~7 on web-scale corpora.
+
+    ``max_bucket_size`` (default 10k): a chunk bucket over the cap —
+    boilerplate corpora put 10⁵+ mutually-near-identical docs in one
+    bucket — short-circuits to star pairs against the bucket's min-id
+    representative (m-1 edges instead of m²/2; see
+    :func:`minhash_lsh_candidates`). Star pairs are still subject to the
+    exact ``hamming <= k`` filter, so precision is unchanged; recall for
+    over-cap buckets is via the representative (connected-components
+    downstream recovers the full cluster).
     """
     sigs = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
     nb = max_hamming + 1
@@ -401,12 +480,15 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    banded, star = _cap_hot_buckets(
+        banded, ["band", "chunk"], id_col, max_bucket_size
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -419,8 +501,26 @@ def simhash_near_duplicates(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .distinct()
     )
+    if star is not None:
+        # Star pairs carry ids only — re-attach both signatures for the
+        # exact Hamming filter. Hot buckets are rare by construction, so
+        # these joins see a small left side.
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("_sig_a")
+        )
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("_sig_b")
+        )
+        star_h = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+        star_pairs = (
+            star.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(star_h <= max_hamming)
+            .select("id_a", "id_b", star_h.cast("int").alias("hamming"))
+        )
+        pairs = pairs.unionByName(star_pairs)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(

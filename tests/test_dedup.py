@@ -120,6 +120,75 @@ def test_simhash_near_duplicates_matches_brute_force(spark):
         assert brute, "fixture must produce at least one near-dup pair"
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """A 1.2k-member bucket (identical boilerplate docs) must emit star
+    pairs (m-1 edges to the min-id representative), not m(m-1)/2 pairwise
+    — the 100 TB hot-bucket safeguard. Connected components over the star
+    edges recover the full dup cluster."""
+    from mhm_data_pipelines_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 1200
+    rows = [(i, "standard license boilerplate header repeated verbatim")
+            for i in range(n)]
+    rows += [(10_000 + i, f"genuinely unique document body number {i} xyz")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=16)
+    capped = minhash_lsh_candidates(
+        sigs, bands=8, num_hashes=16, max_bucket_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    boiler = {p for p in got if p[0] < 10_000 and p[1] < 10_000}
+    # identical docs → identical signature → one hot bucket per band →
+    # the SAME star set from every band → exactly n-1 edges after distinct
+    assert boiler == {(0, j) for j in range(1, n)}
+    assert len(got) < 2 * n  # bounded: nowhere near n²/2 ≈ 720k
+    comps = connected_components(capped)
+    sizes = (
+        comps.groupBy("component").count().orderBy(F.desc("count")).first()
+    )
+    assert sizes["count"] == n  # full cluster recovered via transitivity
+
+
+def test_minhash_cap_above_bucket_size_is_noop(docs):
+    uncapped = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_near_duplicates(
+            docs, num_hashes=32, bands=16, threshold=0.5,
+            max_bucket_size=None,
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_near_duplicates(
+            docs, num_hashes=32, bands=16, threshold=0.5,
+            max_bucket_size=100,
+        ).collect()
+    }
+    assert uncapped == capped
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Identical-token docs all land in one chunk bucket per band; over
+    the cap they must come back as star pairs with hamming 0 — linear
+    fan-out, precision preserved by the exact hamming filter."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    n = 500
+    rows = [(i, "identical token stream for every single document")
+            for i in range(n)]
+    rows += [(10_000, "an entirely different vocabulary cluster here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_duplicates(df, max_hamming=3, max_bucket_size=50)
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert set(got) == {(0, j) for j in range(1, n)}
+    assert all(h == 0 for h in got.values())
+
+
 def test_ngram_jaccard_verification(docs, spark):
     cands = spark.createDataFrame(
         [(1, 2), (1, 4), (1, 5)], "id_a long, id_b long"
