@@ -91,8 +91,21 @@ def char_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams, for n-gram Jaccard similarity; fewer than
-    ``n`` tokens yields an empty array."""
-    toks = tokens(text)
+    ``n`` tokens yields an empty array.
+
+    Inlines the tokenize — each reference to the token array re-runs the
+    split (HOFs are interpreted, no CSE). When the caller can stage a
+    projection, prefer ``tokens(...)`` in one select and
+    :func:`ngrams_of_tokens` after a Generate boundary (see
+    ``operators.decontam``) — measured ~2× on n-gram-explode pipelines."""
+    return ngrams_of_tokens(tokens(text), n)
+
+
+def ngrams_of_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-TOKENIZED array column —
+    the two-stage form of :func:`word_ngrams` for explode pipelines
+    where the tokenize should run once per row, not once per reference."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.when(F.size(toks) >= n,
                   F.array_distinct(
@@ -137,6 +150,10 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    # NOTE: deliberately no spread_small_input here — the token explode
+    # is cheap per row and feeds a shuffle (groupBy) regardless; A/B at
+    # sf0.1 showed the extra repartition costs ~2× warm. Contrast
+    # operators.decontam, whose n-gram build is ~10× heavier per row.
     toks = df.select(
         F.col(id_col),
         F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
@@ -203,7 +220,12 @@ def repetition_stats(
     second over adjacent bigrams feeds a (doc, bigram) count; per-doc
     argmax via ``max_by``-style struct-max (count DESC, token ASC
     tie-break — deterministic and oracle-expressible). Everything is
-    partial-aggregated map-side; nothing touches the driver."""
+    partial-aggregated map-side; nothing touches the driver.
+
+    No spread_small_input: per-row cost is one split + two light
+    transforms, and both explodes land in shuffles — A/B at sf0.1
+    measured the repartition as a net 2× loss (cf. operators.decontam
+    where the heavier n-gram build makes it a 4× win)."""
     toks = F.transform(tokens(text_col), F.lower)
     words = df.select(F.col(id_col), F.explode(toks).alias("w"))
     wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mhm_data_pipelines_spark.functions.text import word_ngrams
+from mhm_data_pipelines_spark.functions.partitioning import spread_small_input
+from mhm_data_pipelines_spark.functions.text import ngrams_of_tokens, tokens
 
 
 def ngram_overlap(
@@ -35,12 +36,9 @@ def ngram_overlap(
     training docs with no overlap are absent (left-join + zero-fill in
     :func:`decontaminate` when the full verdict column is needed)."""
     eval_id = eval_id_col or id_col
-    tg = train.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("ng")
-    )
-    eg = eval_df.select(
-        F.col(eval_id).alias("_eval_id"),
-        F.explode(word_ngrams(text_col, n)).alias("ng"),
+    tg = _exploded_ngrams(train, id_col, text_col, n)
+    eg = _exploded_ngrams(eval_df, eval_id, text_col, n).withColumnRenamed(
+        eval_id, "_eval_id"
     )
     return (
         tg.join(eg, "ng")
@@ -49,6 +47,22 @@ def ngram_overlap(
             F.count_distinct("ng").alias("n_shared_ngrams"),
             F.count_distinct("_eval_id").alias("n_eval_docs"),
         )
+    )
+
+
+def _exploded_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, ng) rows: spread the scan (n-gram build is the compute-bound
+    stage — a byte-sized scan would otherwise run it on one core), then
+    tokenize in its OWN projection before the explode. The Generate
+    boundary stops CollapseProject from re-inlining the tokenize into
+    every reference inside the n-gram transform (HOFs are interpreted —
+    no codegen CSE) — measured ~2× at sf0.1."""
+    spread = spread_small_input(df)
+    tokd = spread.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return tokd.select(
+        F.col(id_col), F.explode(ngrams_of_tokens("_toks", n)).alias("ng")
     )
 
 

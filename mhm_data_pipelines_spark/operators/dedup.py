@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
+from mhm_data_pipelines_spark.functions.partitioning import (
+    spread_small_input as _spread_small_input,
+)
 from mhm_data_pipelines_spark.functions.text import (
     char_ngrams,
     fingerprint,
@@ -64,16 +67,6 @@ def dedup_exact(
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
-
-
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Compute-heavy map over a small file reads as one partition (the
-    scan parallelism follows bytes, not cost) — spread it across the
-    cluster first. No-op when the input is already well-partitioned."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
 
 
 #: Modulus/derivation constants of the md5 MinHash family — shared with
