@@ -17,6 +17,7 @@ partitions rewrites 3.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -65,41 +66,66 @@ def write_upsert_partitioned(
     partition_col: str,
 ) -> None:
     """Apply updates to a partitioned parquet table rewriting ONLY the
-    touched partitions: dynamic partition overwrite keyed by the update
-    set's partition values. The read is partition-pruned to the same
-    set, so cost scales with the update footprint, not the table.
+    touched partitions. The read is partition-pruned to the update set's
+    partition values, so cost scales with the update footprint, not the
+    table.
 
-    The merged result is materialized (``localCheckpoint``) BEFORE the
-    overwrite so the write never reads the files it is replacing; the
-    checkpoint cost is bounded by the update footprint. Plain parquet
-    still has no commit protocol: a crash between partition deletions
-    and the rewrite can leave touched partitions partially written —
-    callers needing atomic MERGE under failure should write through a
-    transactional table format (Delta/Iceberg) instead. The session's
-    ``partitionOverwriteMode`` is restored on exit."""
+    Commit protocol (plain parquet has none, so this builds the minimal
+    one): the merged partitions are fully written to a sibling temp dir
+    first, then swapped into the table one directory RENAME at a time,
+    and only after every swap succeeds is the temp dir (holding the
+    retired partition data) deleted. Failure windows:
+
+    * crash during the merge/write → base table untouched; an orphaned
+      ``<base>__upsert_tmp_*`` dir remains (safe to delete — Spark never
+      lists sibling paths).
+    * crash mid-swap → each touched partition is either the complete old
+      or the complete new version (directory rename is atomic on
+      HDFS/POSIX); never a torn partition. Partitions swapped so far
+      show the merge, the rest don't — partition-atomic, not
+      table-atomic. Retired originals remain under the temp dir for
+      manual recovery.
+
+    On object stores without atomic rename (plain S3), rename degrades
+    to copy+delete per partition — correct but with a wider window;
+    genuinely table-atomic MERGE there needs a transactional format
+    (Delta/Iceberg) or an S3-committer-style manifest."""
     spark = updates.sparkSession
-    prior_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", None
-    )
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = (
         spark.read.parquet(base_path)
         .filter(F.col(partition_col).isin(touched))
     )
-    # Eager checkpoint: cuts lineage back to base_path so the overwrite
-    # below does not depend on the files it deletes.
-    merged = merge_upsert(base, updates, keys, version).localCheckpoint()
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(base_path)
-        )
-    finally:
-        if prior_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prior_mode
-            )
+    merged = merge_upsert(base, updates, keys, version)
+    # Sibling path (never inside base_path: a reader listing the table
+    # mid-upsert must not see half-written files).
+    tmp_path = f"{base_path}__upsert_tmp_{uuid.uuid4().hex}"
+    merged.write.partitionBy(partition_col).parquet(tmp_path)
+    _swap_partitions(spark, base_path, tmp_path, partition_col)
+
+
+def _swap_partitions(
+    spark, base_path: str, tmp_path: str, partition_col: str
+) -> None:
+    """Swap every ``<partition_col>=*`` directory of ``tmp_path`` into
+    ``base_path`` (retiring any existing one into the temp dir), then
+    drop the temp dir. Partition dirs are discovered by LISTING the temp
+    output — not rebuilt from values — so Spark's partition-value path
+    escaping is honored verbatim. Separated from the write as the
+    crash-injection seam for tests."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(hpath(tmp_path)):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue  # _SUCCESS marker etc.
+        dst = hpath(f"{base_path}/{name}")
+        if fs.exists(dst) and not fs.rename(
+            dst, hpath(f"{tmp_path}/_retired_{name}")
+        ):
+            raise IOError(f"upsert swap: could not retire {dst}")
+        if not fs.rename(status.getPath(), dst):
+            raise IOError(f"upsert swap: could not publish {name}")
+    fs.delete(hpath(tmp_path), True)

@@ -79,6 +79,51 @@ def test_partitioned_rewrite_touches_only_updated_partitions(spark, tmp_path):
     assert mtime_b_after == mtime_b
 
 
+def test_crash_between_write_and_swap_leaves_base_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Commit-protocol crash injection: die after the temp-dir write but
+    before any partition swap — the base table must be byte-identical,
+    with only an orphaned temp dir left, and a retry must converge."""
+    import os
+
+    import pytest
+
+    import mhm_data_pipelines_spark.operators.upsert as up
+
+    base_path = str(tmp_path / "tbl3")
+    spark.createDataFrame(
+        [(1, 1, "one", "a"), (2, 1, "two", "a"), (3, 1, "three", "b")],
+        SCHEMA,
+    ).write.partitionBy("pt").parquet(base_path)
+    before = {
+        r.k: (r.v, r.payload) for r in spark.read.parquet(base_path).collect()
+    }
+    updates = spark.createDataFrame([(2, 9, "two-v9", "a")], SCHEMA)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before swap")
+
+    monkeypatch.setattr(up, "_swap_partitions", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        up.write_upsert_partitioned(base_path, updates, ["k"], "v", "pt")
+    after_crash = {
+        r.k: (r.v, r.payload) for r in spark.read.parquet(base_path).collect()
+    }
+    assert after_crash == before  # base untouched
+    orphans = [
+        d for d in os.listdir(tmp_path) if "__upsert_tmp_" in d
+    ]
+    assert orphans  # written-but-unpublished merge survives for cleanup
+
+    monkeypatch.undo()
+    up.write_upsert_partitioned(base_path, updates, ["k"], "v", "pt")
+    got = {
+        r.k: (r.v, r.payload) for r in spark.read.parquet(base_path).collect()
+    }
+    assert got == {1: (1, "one"), 2: (9, "two-v9"), 3: (1, "three")}
+
+
 def test_partitioned_rewrite_restores_overwrite_mode(spark, tmp_path):
     """The session-global partitionOverwriteMode must come back to its
     prior value (upsert sets 'dynamic' only for its own write)."""
