@@ -100,7 +100,90 @@ def test_multimodal_decode_stub_raises():
     from mhm_data_pipelines_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG")  # compressed format, no pillow installed
+
+
+def test_ppm_decode_roundtrip_and_resize():
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img)) == img).all()
+    # comments + extra whitespace in the header parse too
+    hdr = b"P6\n# a comment\n 9 12\n255\n" + img.tobytes()
+    assert (decode_image(hdr) == img).all()
+    small = resize_nearest(img, 4, 3)
+    assert small.shape == (4, 3, 3)
+    assert (small == img[[0, 3, 6, 9]][:, [0, 3, 6]]).all()
+    up = resize_nearest(img, 24, 18)
+    assert up.shape == (24, 18, 3)
+
+
+def test_real_image_features_through_spark(spark):
+    """The decode path run END-TO-END through mapInPandas: PPM payloads
+    decoded to pixels, per-channel stats + luminance grid verified
+    against a local numpy computation; an undecodable payload yields the
+    zero vector instead of failing the batch."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        extract_features,
+        image_feature_extractor,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(42)
+    imgs = {
+        1: rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
+        2: np.full((8, 4, 3), 255, dtype=np.uint8),  # white
+    }
+    rows = [
+        (1, "image/x-portable-pixmap", bytearray(encode_ppm(imgs[1])), 16, 16, None),
+        (2, "image/x-portable-pixmap", bytearray(encode_ppm(imgs[2])), 4, 8, None),
+        (3, "image/png", bytearray(b"\x89PNG\r\n\x1a\nnotreal"), None, None, None),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, mime_type string, payload binary, "
+        "width long, height long, duration_ms long",
+    )
+    feats = {
+        r.asset_id: r
+        for r in extract_features(
+            assets, extractor=image_feature_extractor
+        ).collect()
+    }
+    for aid, img in imgs.items():
+        assert feats[aid].feature == pytest.approx(
+            image_feature_extractor(encode_ppm(img)), abs=1e-6
+        )
+    # white image: means 1.0, stds 0.0, grid 1.0
+    assert feats[2].feature == pytest.approx([1, 1, 1, 0, 0, 0, 1, 1, 1, 1])
+    assert feats[3].feature == [0.0] * 10  # undecodable → quarantine vector
+
+
+def test_image_features_with_pillow_if_present():
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — exercised when installed
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from mhm_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = np.zeros((5, 5, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    assert (decode_image(buf.getvalue()) == img).all()
 
 
 def test_tfidf_top_terms(spark):
