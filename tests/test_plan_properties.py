@@ -9,6 +9,8 @@ accidentally plans a cross product fails here before it ever ships.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mhm_data_pipelines_spark.benchmarks.registry import QUERIES
@@ -52,15 +54,70 @@ SINGLE_ROW_BROADCAST_OK = {
     "name", sorted(set(QUERIES) - EXECUTES_ON_BUILD)
 )
 def test_no_cartesian_or_unexpected_nested_loop(spark, name):
-    plan = (
-        QUERIES[name](spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cross product"
     if name not in SINGLE_ROW_BROADCAST_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join; if the broadcast side is a "
             "single-row scalar, whitelist it explicitly"
+        )
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _count_shuffles(plan: str) -> int:
+    """Shuffle Exchanges only (hash/range/single-partition) — NOT
+    BroadcastExchange, which is the cheap path we encourage."""
+    return len(re.findall(r"Exchange (hash|range|Single)", plan))
+
+
+#: Shuffle-count CEILINGS (and broadcast-join requirements) for the most
+#: expensive headline queries, captured from the intended plans at
+#: sf0.001. An edit that silently adds an Exchange — or degrades a
+#: broadcast dimension join to a sort-merge — fails here with a plan
+#: diff, before it costs anything at scale. Ceilings are the captured
+#: value, not "captured + slack": loosen one ONLY with a written reason.
+PLAN_BUDGETS: dict[str, dict] = {
+    # banded LSH self-joins + hot-bucket window + verification joins
+    "simhash_neardup": {"max_shuffles": 12},
+    "minhash_neardup": {"max_shuffles": 12},
+    # ngram equi-join: eval side must stay broadcast (never shuffle the
+    # exploded train-side ngrams into a sort-merge)
+    "decontamination": {"max_shuffles": 3, "require": ["BroadcastHashJoin"]},
+    "tfidf_top_terms": {"max_shuffles": 6},
+    # two-phase prefix sum: spread repartition + final window sort only
+    "token_budget_select": {"max_shuffles": 2},
+    # TPC-H joins ride broadcast dims over ONE lineitem shuffle
+    "tpch_q2": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
+    "tpch_q8": {"max_shuffles": 1, "require": ["BroadcastHashJoin"]},
+    "tpch_q21": {"max_shuffles": 1, "require": ["BroadcastHashJoin"]},
+    "top_orders_per_customer": {"max_shuffles": 1},
+    "doc_repetition": {"max_shuffles": 5},
+    # N-way full-outer assembly: full outer can't broadcast — exactly one
+    # co-partitioned SMJ chain over two shuffles
+    "summary_assembly": {"max_shuffles": 2},
+    "llm_dataset_build": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
+def test_headliner_plan_budget(spark, name):
+    budget = PLAN_BUDGETS[name]
+    plan = _plan(spark, name)
+    n = _count_shuffles(plan)
+    assert n <= budget["max_shuffles"], (
+        f"{name}: {n} shuffle Exchanges, budget {budget['max_shuffles']} — "
+        f"a change added a shuffle. Plan:\n{plan[:4000]}"
+    )
+    for frag in budget.get("require", ()):
+        assert frag in plan, (
+            f"{name}: expected {frag} in the plan (broadcast degraded to "
+            f"shuffle join?). Plan:\n{plan[:4000]}"
         )
