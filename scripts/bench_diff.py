@@ -2,6 +2,9 @@
 
 Usage: python scripts/bench_diff.py BENCH_rOLD.json BENCH_rNEW.json
        [--threshold 1.3] [--metric warm|cold]
+       python scripts/bench_diff.py BENCH_rNEW.json
+       (one file: compares against the FROZEN baseline — BENCH_r02.json,
+        the per-query table written into BASELINE.md)
 
 Compares per-query times between two bench.py outputs and prints movers
 sorted by ratio. Prefers the warm map ("queries_warm") when both files
@@ -14,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -31,10 +35,18 @@ def load(path: str, metric: str) -> dict[str, float]:
     return doc["queries"]
 
 
+#: The written baseline (BASELINE.md "Frozen per-query baseline"):
+#: round-2 bench at sf0.1, local[32]. One-file invocations diff vs this.
+FROZEN_BASELINE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_r02.json",
+)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
+    ap.add_argument("files", nargs="+", metavar="BENCH.json",
+                    help="OLD NEW, or just NEW (diffs vs frozen baseline)")
     ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--metric", choices=["warm", "cold"], default="warm")
     ap.add_argument(
@@ -44,9 +56,16 @@ def main() -> int:
         help="ignore queries faster than this in BOTH rounds (noise floor)",
     )
     args = ap.parse_args()
+    if len(args.files) == 1:
+        old_path, new_path = FROZEN_BASELINE, args.files[0]
+        print(f"(diffing against frozen baseline {old_path})")
+    elif len(args.files) == 2:
+        old_path, new_path = args.files
+    else:
+        ap.error("expected one or two BENCH files")
 
-    old = load(args.old, args.metric)
-    new = load(args.new, args.metric)
+    old = load(old_path, args.metric)
+    new = load(new_path, args.metric)
 
     rows = []
     for name in sorted(set(old) & set(new)):
