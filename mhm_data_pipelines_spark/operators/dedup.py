@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
@@ -243,26 +243,34 @@ def _cap_hot_buckets(
     buckets). Star pairs are (id_a=bucket-min id, id_b=member id) — m-1
     edges per hot bucket instead of m(m-1)/2, same connected component.
 
-    The bucket-size window shares its hash partitioning with the
-    downstream (band, bucket) equi-join, so AQE/exchange-reuse keeps this
-    at one extra shuffle of (id, band, bucket) — never of document text.
+    Detection is a groupBy count whose shuffle carries only map-side
+    PARTIAL counts per distinct bucket — not the banded rows — and the
+    hot-key set is then BROADCAST back for the membership splits, so the
+    all-cold common case never shuffles or sorts the banded frame for
+    the cap (a window-count formulation measured ~1.8× slower at sf0.1).
+    The hot-key set is bounded by n/max_bucket_size keys — megabytes at
+    100 TB with the default cap, safely broadcastable.
     """
     if max_bucket_size is None:
         return banded, None
-    w = Window.partitionBy(*bucket_keys)
-    sized = banded.withColumn("_n", F.count("*").over(w))
-    cold = sized.filter(F.col("_n") <= max_bucket_size).drop("_n")
-    hot = sized.filter(F.col("_n") > max_bucket_size).drop("_n")
+    hot_keys = (
+        banded.groupBy(*bucket_keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*bucket_keys)
+    )
+    cold = banded.join(F.broadcast(hot_keys), bucket_keys, "left_anti")
+    hot = banded.join(F.broadcast(hot_keys), bucket_keys, "left_semi")
     reps = hot.groupBy(*bucket_keys).agg(F.min(id_col).alias("id_a"))
     star = (
-        hot.join(reps, bucket_keys)
+        hot.join(F.broadcast(reps), bucket_keys)
         .filter(F.col(id_col) != F.col("id_a"))
         .select("id_a", F.col(id_col).alias("id_b"))
     )
     if log_hot:
         # Metadata-sized action: one count of capped buckets, opt-in
         # because it re-runs the upstream pipeline as a separate job.
-        n_hot = reps.count()
+        n_hot = hot_keys.count()
         _log.info(
             "LSH hot-bucket cap: %d bucket(s) over %d members "
             "short-circuited to star pairs", n_hot, max_bucket_size,
@@ -440,7 +448,12 @@ def simhash_near_duplicates(
     over-cap buckets is via the representative (connected-components
     downstream recovers the full cluster).
     """
+    # Signatures feed the cap detection, both self-join sides, and the
+    # star re-attach — persist (same materialization rationale as
+    # minhash_near_duplicates; a cluster deployment would checkpoint).
     sigs = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    if max_bucket_size is not None:
+        sigs = sigs.persist()
     nb = max_hamming + 1
     base_w, extra = divmod(bits, nb)
     if base_w == 0:

@@ -64,6 +64,10 @@ def test_no_cartesian_or_unexpected_nested_loop(spark, name):
 
 
 def _plan(spark, name: str) -> str:
+    # Cached subtrees left by earlier tests (the LSH operators persist
+    # their signature frames) get substituted as InMemoryTableScan and
+    # change Exchange counts — fingerprint the UNCACHED plan.
+    spark.catalog.clearCache()
     return (
         QUERIES[name](spark, SF)
         ._jdf.queryExecution()
@@ -85,9 +89,13 @@ def _count_shuffles(plan: str) -> int:
 #: diff, before it costs anything at scale. Ceilings are the captured
 #: value, not "captured + slack": loosen one ONLY with a written reason.
 PLAN_BUDGETS: dict[str, dict] = {
-    # banded LSH self-joins + hot-bucket window + verification joins
-    "simhash_neardup": {"max_shuffles": 12},
-    "minhash_neardup": {"max_shuffles": 12},
+    # banded LSH self-joins + verification joins, PLUS the hot-bucket
+    # cap's detection aggregates: those extra Exchanges carry map-side
+    # partial (bucket, count) rows — metadata-sized — and the membership
+    # splits ride broadcasts, so the count overstates the data moved
+    # (wall-clock beats the window-based 12-Exchange formulation ~1.4×)
+    "simhash_neardup": {"max_shuffles": 17},
+    "minhash_neardup": {"max_shuffles": 17},
     # ngram equi-join: eval side must stay broadcast (never shuffle the
     # exploded train-side ngrams into a sort-merge)
     "decontamination": {"max_shuffles": 3, "require": ["BroadcastHashJoin"]},
@@ -103,7 +111,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # N-way full-outer assembly: full outer can't broadcast — exactly one
     # co-partitioned SMJ chain over two shuffles
     "summary_assembly": {"max_shuffles": 2},
-    "llm_dataset_build": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
+    # composed pipeline: decontam spread repartition + dedup semi-join agg
+    # + prefix-sum window/_pid + chunk-order sort — each stage's own
+    # intended shape, captured post-r3 optimizations
+    "llm_dataset_build": {"max_shuffles": 7, "require": ["BroadcastHashJoin"]},
 }
 
 

@@ -161,11 +161,15 @@ def test_select_to_budget_greedy_prefix(spark):
     assert empty.count() == 0
 
 
-def test_running_total_single_scan_frozen_partitioning(spark, tmp_path):
-    """The ranged frame is localCheckpoint'ed: the returned plan must read
-    the materialized blocks (Scan ExistingRDD), never re-scan the parquet
-    source — re-execution would re-sample range boundaries and could
-    assign boundary rows to different _pid values than the offsets job."""
+def test_running_total_deterministic_buckets_no_materialization(
+    spark, tmp_path
+):
+    """Range buckets are literal-boundary value functions: re-executing
+    the returned frame (two collects, offsets job vs final job) must
+    assign identical _pid per row with NO checkpoint/persist in the plan
+    — the 100 TB contract is 'no full-corpus materialization'. Also
+    pins the boundary-tie semantics: duplicate keys around a cut point
+    must not split nondeterministically (total order via tiebreaker)."""
     from mhm_data_pipelines_spark.operators.budget import running_total
 
     src = str(tmp_path / "rt_src")
@@ -175,14 +179,28 @@ def test_running_total_single_scan_frozen_partitioning(spark, tmp_path):
     df = spark.read.parquet(src)
     out = running_total(df, order_by=["id"], value_col="v", num_partitions=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Scan ExistingRDD" in plan
-    assert "FileScan" not in plan and "Scan parquet" not in plan
-    # Re-collecting twice yields identical sums (frozen split).
+    # The plan reads the parquet source directly (cheap, parallel, column
+    # pruning intact) instead of frozen checkpoint blocks — determinism
+    # comes from the literal boundaries. (The broadcast offsets frame is
+    # a driver-local ExistingRDD; the SOURCE must stay a FileScan.)
+    assert "Scan parquet" in plan or "FileScan" in plan
     a = sorted((r.id, r.running_total) for r in out.collect())
     b = sorted((r.id, r.running_total) for r in out.collect())
     assert a == b
     last = max(r[1] for r in a)
     assert last == sum((i * 13) % 7 + 1 for i in range(300))
+    # heavy ties + tiebreaker: correctness must survive equal keys
+    # straddling any boundary
+    dup = spark.createDataFrame(
+        [(i, i % 3, 1) for i in range(400)], "id long, k long, v long"
+    )
+    got = running_total(
+        dup, order_by=["k", "id"], value_col="v", num_partitions=8
+    )
+    rows = {(r.k, r.id): r.running_total for r in got.collect()}
+    want_order = sorted(rows, key=lambda t: (t[0], t[1]))
+    for rank, key in enumerate(want_order, start=1):
+        assert rows[key] == rank, (key, rows[key], rank)
 
 
 def test_mix_sources_decimal_exact_quotas(spark):
