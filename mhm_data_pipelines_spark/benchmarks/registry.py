@@ -2230,6 +2230,57 @@ ORDER BY doc_id
 """
 
 
+def q_doc_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (MOSS / Schleimer et al. SIGMOD'03): per-
+    doc set of k-gram-hash window minima — the substring-robust
+    fingerprint for boilerplate/plagiarism overlap. Verified value-level
+    against DuckDB rebuilding the identical md5-60bit hash sequence and
+    window minima; output is the per-doc fingerprint-set summary
+    (count, min, max, modular checksum) so the compared frame stays
+    row-per-doc while still pinning every fingerprint value."""
+    from mhm_data_pipelines_spark.functions.text import winnow_fingerprints
+
+    df = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(df, k=8, window=4)
+    ex = fp.select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count("fp").alias("n_fp"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+            F.sum(F.col("fp") % F.lit(1_000_003)).alias("fp_sum_mod"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_WINNOWING = """
+WITH t AS (
+  SELECT doc_id, lower(text) AS s FROM documents
+), g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 15)) AS BIGINT) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(s) - 7)) AS u(i)
+  WHERE len(s) >= 8
+), seq AS (
+  SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id
+), wins AS (
+  SELECT doc_id, list_min(hs[j:j+3]) AS mh
+  FROM seq, LATERAL unnest(generate_series(1, len(hs) - 3)) AS v(j)
+), dfp AS (
+  SELECT DISTINCT doc_id, mh FROM wins
+)
+SELECT d.doc_id,
+       count(f.mh) AS n_fp,
+       min(f.mh) AS fp_min,
+       max(f.mh) AS fp_max,
+       CAST(sum(f.mh % 1000003) AS BIGINT) AS fp_sum_mod
+FROM documents d LEFT JOIN dfp f ON d.doc_id = f.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -3621,6 +3672,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_quality": q_doc_quality,
     "pii_redaction": q_pii_redaction,
     "doc_repetition": q_doc_repetition,
+    "doc_winnowing": q_doc_winnowing,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
@@ -3721,6 +3773,7 @@ ORACLES: dict[str, str] = {
     "doc_quality": SQL_DOC_QUALITY,
     "pii_redaction": SQL_PII_REDACTION,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_winnowing": SQL_DOC_WINNOWING,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
@@ -3862,6 +3915,7 @@ BENCH_QUERIES: list[str] = [
     "tfidf_top_terms",
     "pii_redaction",
     "doc_repetition",
+    "doc_winnowing",
     "decontamination",
     "dedup_exact_keep",
     "minhash_neardup",

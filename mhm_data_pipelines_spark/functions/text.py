@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from mhm_data_pipelines_spark.functions.partitioning import spread_small_input
+
 #: Minimal English stopword set for ratio features (deterministic,
 #: engine-owned — swap for a real list in production).
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -111,6 +113,74 @@ def ngrams_of_tokens(toks: Column | str, n: int = 3) -> Column:
                   F.array_distinct(
                       F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
                   )).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-gram of the
+    lowercased text, slide a ``window`` over the hash sequence, and keep
+    the per-window minima as the fingerprint SET — returned as a
+    ``fingerprints`` array column alongside ``id_col``. Guarantees any
+    match of length ≥ ``window + k - 1`` shares a fingerprint while
+    storing ~2/(window+1) of the hashes — the standard substring-robust
+    fingerprint for plagiarism/boilerplate detection, where whole-doc
+    fingerprints (``fingerprint``) and shingle MinHash (set overlap)
+    both miss reordered or embedded copies.
+
+    Hash family: first 60 bits of md5 per k-gram — bit-identical in any
+    engine with md5 (cross-engine oracle parity, same scheme as the
+    MinHash md5 family). Texts shorter than ``k + window - 1`` chars
+    yield an empty array (no full window exists).
+
+    PLAN SHAPE (this is a DataFrame function, not a Column, on
+    purpose): the hash array MUST be materialized in its own projection
+    before the window-min transform references it. A single composed
+    expression embeds the k-gram hashing inside the window transform's
+    lambda, where interpreted HOF evaluation recomputes the whole hash
+    array per window index — measured 180 s vs 1.7 s at sf0.01 (~100×).
+    The two-select form survives CollapseProject because the hash alias
+    is referenced more than once (size + slice + guard), which blocks
+    inlining of non-cheap expressions. The scan is also spread first:
+    per-row hashing is decontam-grade heavy (same A/B rationale).
+    """
+    spread = spread_small_input(df)
+    hashed = spread.select(
+        F.col(id_col), kgram_hashes(text_col, k).alias("_h")
+    )
+    return hashed.select(
+        id_col, winnow_from_hashes("_h", window).alias("fingerprints")
+    )
+
+
+def kgram_hashes(text: Column | str, k: int = 8) -> Column:
+    """60-bit md5 hash per character ``k``-gram of the lowercased text
+    (the winnowing hash sequence; cross-engine-reproducible family)."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(c, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+
+def winnow_from_hashes(hashes: Column | str, window: int = 4) -> Column:
+    """Distinct per-window minima over an ALREADY-PROJECTED hash-array
+    column — the staged second half of :func:`winnow_fingerprints`."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(h) - (window - 1)),
+        lambda i: F.array_min(F.slice(h, i, window)),
+    )
+    return F.when(
+        F.size(h) >= window, F.array_distinct(mins)
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -186,6 +186,44 @@ def test_image_features_with_pillow_if_present():
     assert (decode_image(buf.getvalue()) == img).all()
 
 
+def test_winnow_fingerprints(spark):
+    """Staged winnowing equals the local reference implementation; the
+    winnowing guarantee holds (docs sharing a substring of length
+    ≥ window + k − 1 share a fingerprint); short texts fingerprint to
+    empty, not error."""
+    import hashlib
+
+    from mhm_data_pipelines_spark.functions.text import winnow_fingerprints
+
+    def local(text, k=8, w=4):
+        s = text.lower()
+        if len(s) < k + w - 1:
+            return set()
+        hs = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    shared = "a distinctive plagiarized passage that is long enough"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, f"prefix text then {shared} then unrelated tail content"),
+        (3, f"{shared} embedded at the very start, different elsewhere"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df).collect()
+    }
+    for i, t in rows:
+        assert got[i] == local(t), i
+    assert got[4] == set()
+    assert got[2] & got[3], "shared substring must share a fingerprint"
+    assert not (got[1] & got[2])
+
+
 def test_tfidf_top_terms(spark):
     from mhm_data_pipelines_spark.functions.text import tfidf_top_terms
 
