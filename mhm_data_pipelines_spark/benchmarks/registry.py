@@ -2281,6 +2281,85 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Substring-overlap candidate pairs: docs sharing ≥ 40 winnowing
+    fingerprints — catches embedded/reordered copies that whole-doc and
+    shingle-set dedup miss. The synthetic corpus's shared vocabulary
+    puts the pairwise noise floor at p99 ≈ 26 shared fingerprints;
+    40 isolates genuinely overlapping documents (cap above test bucket
+    sizes, so the DuckDB twin is the exact pairwise join)."""
+    from mhm_data_pipelines_spark.operators.dedup import winnow_overlap_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    out = winnow_overlap_pairs(df, k=8, window=4, min_shared=40)
+    return out.orderBy("id_a", "id_b")
+
+
+SQL_WINNOW_OVERLAP = """
+WITH t AS (
+  SELECT doc_id, lower(text) AS s FROM documents
+), g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 15)) AS BIGINT) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(s) - 7)) AS u(i)
+  WHERE len(s) >= 8
+), seq AS (
+  SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id
+), wins AS (
+  SELECT doc_id, list_min(hs[j:j+3]) AS mh
+  FROM seq, LATERAL unnest(generate_series(1, len(hs) - 3)) AS v(j)
+), dfp AS (
+  SELECT DISTINCT doc_id, mh FROM wins
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM dfp a JOIN dfp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 40
+ORDER BY 1, 2
+"""
+
+
+def q_corpus_composition(spark, sf_dir):
+    """Corpus composition report: per-(source, lang) doc counts and
+    within-source shares, plus each source's language-distribution
+    Shannon entropy — the mix-monitoring readout a corpus pipeline
+    publishes alongside its mixing quotas. Entropy rounded so the
+    cross-engine ln agrees to the hash."""
+    df = _t(spark, sf_dir, "documents")
+    cell = df.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    w_src = Window.partitionBy("source")
+    share = F.col("n_docs") / F.sum("n_docs").over(w_src)
+    out = cell.withColumn("share", share)
+    ent = F.sum(-F.col("share") * F.log("share")).over(w_src)
+    return (
+        out.select(
+            "source",
+            "lang",
+            "n_docs",
+            F.round("share", 6).alias("share"),
+            F.round(ent, 6).alias("source_lang_entropy"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_CORPUS_COMPOSITION = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+), s AS (
+  SELECT source, lang, n_docs,
+         n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source) AS share
+  FROM cell
+)
+SELECT source, lang, n_docs,
+       round(share, 6) AS share,
+       round(sum(-share * ln(share)) OVER (PARTITION BY source), 6)
+         AS source_lang_entropy
+FROM s
+ORDER BY source, lang
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -3673,6 +3752,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_redaction": q_pii_redaction,
     "doc_repetition": q_doc_repetition,
     "doc_winnowing": q_doc_winnowing,
+    "winnow_overlap": q_winnow_overlap,
+    "corpus_composition": q_corpus_composition,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
@@ -3774,6 +3855,8 @@ ORACLES: dict[str, str] = {
     "pii_redaction": SQL_PII_REDACTION,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_winnowing": SQL_DOC_WINNOWING,
+    "winnow_overlap": SQL_WINNOW_OVERLAP,
+    "corpus_composition": SQL_CORPUS_COMPOSITION,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,

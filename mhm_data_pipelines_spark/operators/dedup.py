@@ -529,6 +529,66 @@ def simhash_near_duplicates(
     return pairs.distinct()
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Substring-overlap candidate pairs via shared winnowing
+    fingerprints (:func:`~mhm_data_pipelines_spark.functions.text.
+    winnow_fingerprints`): docs sharing ≥ ``min_shared`` fingerprints.
+    By the winnowing guarantee this catches every pair sharing a
+    substring of length ≥ ``window + k - 1`` — including reordered or
+    embedded copies that whole-doc and shingle-set dedup miss.
+
+    Same scale shape as the LSH pair emitters: explode fingerprints →
+    equi-join on the fingerprint value (co-partitioned shuffle, no
+    cross product), with the hot-bucket cap short-circuiting
+    boilerplate fingerprints shared by >``max_bucket_size`` docs into
+    star edges (those pairs report n_shared=NULL — cluster membership
+    via connected components, not a pairwise count)."""
+    from mhm_data_pipelines_spark.functions.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    # explode_OUTER, then drop the null rows: plain explode of a bare
+    # staged-alias attribute triggers InferFiltersFromGenerate, whose
+    # size(...)>0 predicate gets pushed below the staging projections
+    # with the FULL winnow expression inlined — re-hashing the k-gram
+    # array per window index inside the filter (measured 193 s vs 3 s at
+    # sf0.001). The outer form infers nothing; the null-filter on the
+    # generated attribute cannot be pushed below the Generate.
+    ex = fp.select(
+        F.col(id_col), F.explode_outer("fingerprints").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    cold, star = _cap_hot_buckets(ex, ["fp"], id_col, max_bucket_size)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    if star is not None:
+        pairs = pairs.unionByName(
+            star.distinct().withColumn(
+                "n_shared", F.lit(None).cast("long")
+            )
+        )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

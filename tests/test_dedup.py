@@ -189,6 +189,29 @@ def test_simhash_hot_bucket_cap(spark):
     assert all(h == 0 for h in got.values())
 
 
+def test_winnow_overlap_pairs(spark):
+    """Docs embedding the same long passage must pair up (winnowing
+    guarantee) with n_shared ≥ min_shared; unrelated docs must not."""
+    from mhm_data_pipelines_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = (
+        "a very distinctive stretch of text that appears verbatim in "
+        "two different documents and nowhere else at all"
+    )
+    rows = [
+        (1, f"intro words {passage} and a unique tail for doc one"),
+        (2, f"{passage} with an entirely different continuation here"),
+        (3, "nothing in common with the others whatsoever in any way"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(df, min_shared=5).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 5
+
+
 def test_ngram_jaccard_verification(docs, spark):
     cands = spark.createDataFrame(
         [(1, 2), (1, 4), (1, 5)], "id_a long, id_b long"
