@@ -79,7 +79,9 @@ NOTES = {
         "aggregate, not a window sort over the corpus."
     ),
     "decontamination": (
-        "decontamination: distinct word-3-gram explodes meet in an "
+        "decontamination: scan spread first (n-gram build is the "
+        "compute-bound stage), tokenize staged in its own projection "
+        "under the Generate; distinct word-3-gram explodes meet in an "
         "equi-join on the n-gram; the benchmark-sized eval side is "
         "AQE-broadcast, train side shuffles each distinct n-gram once."
     ),
@@ -89,9 +91,24 @@ NOTES = {
         "projection."
     ),
     "token_budget_select": (
-        "budget selection: range repartition + window PARTITIONED BY "
-        "partition id (parallel prefix sum) - no single-task global "
-        "window; per-partition offsets broadcast back."
+        "budget selection: literal range boundaries (hash-of-values "
+        "TakeOrdered sample) make _pid a pure row function - window "
+        "partitioned by _pid (parallel prefix sum), no single-task "
+        "global window, no full-corpus checkpoint; per-bucket offsets "
+        "broadcast back; source stays a direct FileScan."
+    ),
+    "doc_winnowing": (
+        "winnowing (MOSS): k-gram md5 hashes staged in their own "
+        "projection (multi-reference alias blocks CollapseProject "
+        "re-inlining), window minima in the next, explode_outer so "
+        "InferFiltersFromGenerate cannot push an inlined size() filter "
+        "below the staging."
+    ),
+    "winnow_overlap": (
+        "substring-overlap pairs: fingerprint equi-join "
+        "(co-partitioned shuffle, no cross product) + pair-count "
+        "aggregate; hot-bucket cap short-circuits boilerplate "
+        "fingerprints to star edges via broadcast membership split."
     ),
     "lsh_topk": (
         "LSH ANN: bucket assignment is a projection (hyperplane "
