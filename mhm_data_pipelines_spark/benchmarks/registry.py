@@ -2360,6 +2360,63 @@ ORDER BY source, lang
 """
 
 
+def q_c4_filter_stats(spark, sf_dir):
+    """C4-style cleaning diagnostics (Raffel et al. 2020 heuristics):
+    per-doc line-rule counts + page flags + keep verdict, entirely as
+    Column expressions with a line-identical DuckDB twin."""
+    from mhm_data_pipelines_spark.functions.text import c4_line_stats
+
+    df = _t(spark, sf_dir, "documents")
+    s = df.select("doc_id", c4_line_stats("text").alias("s"))
+    return (
+        s.select(
+            "doc_id",
+            *[
+                F.col(f"s.{f}").cast("long").alias(f)
+                for f in (
+                    "n_lines",
+                    "n_kept_lines",
+                    "n_nopunct_lines",
+                    "n_short_lines",
+                )
+            ],
+            "s.has_lorem",
+            "s.has_brace",
+            "s.doc_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_C4_FILTER_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls,
+         lower(text) LIKE '%lorem ipsum%' AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM documents
+), s AS (
+  SELECT doc_id, has_lorem, has_brace,
+         len(ls) AS n_lines,
+         len(list_filter(ls, x ->
+             regexp_matches(trim(x), '[.!?]["”'']?$') AND
+             len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                             w -> w <> '')) >= 3)) AS n_kept_lines,
+         len(list_filter(ls, x ->
+             NOT regexp_matches(trim(x), '[.!?]["”'']?$')))
+           AS n_nopunct_lines,
+         len(list_filter(ls, x ->
+             len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                             w -> w <> '')) < 3)) AS n_short_lines
+  FROM t
+)
+SELECT doc_id, n_lines, n_kept_lines, n_nopunct_lines, n_short_lines,
+       has_lorem, has_brace,
+       (n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS doc_kept
+FROM s ORDER BY doc_id
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -3754,6 +3811,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap": q_winnow_overlap,
     "corpus_composition": q_corpus_composition,
+    "c4_filter_stats": q_c4_filter_stats,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
@@ -3857,6 +3915,7 @@ ORACLES: dict[str, str] = {
     "doc_winnowing": SQL_DOC_WINNOWING,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "corpus_composition": SQL_CORPUS_COMPOSITION,
+    "c4_filter_stats": SQL_C4_FILTER_STATS,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
@@ -3951,10 +4010,15 @@ GATE_PRIORITY: list[str] = [
     "simhash_groups",
     "simhash_neardup",
     "lsh_topk",
-    "overview_stats",
-    "tpch_q1",
-    "sessionization",
+    "doc_winnowing",
+    "winnow_overlap",
+    "corpus_composition",
 ]
+# ^ 50 slots = the driver-verified window. Round 3 fills it with the 47
+# LLM-extension keys that had no driver CORRECTNESS rows after round 2
+# plus this round's three new queries; the §2/TPC-H keys rotated out all
+# carry two rounds of green driver history with unchanged definitions
+# (and remain under the repo-local full-registry oracle suite).
 
 
 def gate_ordered_queries() -> dict[str, QuerySpec]:

@@ -115,6 +115,64 @@ def ngrams_of_tokens(toks: Column | str, n: int = 3) -> Column:
                   )).otherwise(F.array().cast("array<string>"))
 
 
+def c4_line_stats(text: Column | str) -> Column:
+    """C4-style line-level cleaning diagnostics (Raffel et al. 2020,
+    §2.2 heuristics) as one struct column: per-document counts of lines
+    kept/dropped by each rule plus the page-level flags. Rules, applied
+    per newline-delimited line:
+
+    * terminal punctuation — keep only lines ending in ``.``, ``!``,
+      ``?`` or closing quote after one;
+    * ≥ 3 words;
+    page-level: contains "lorem ipsum" (template junk) or ``{`` (code);
+    ``doc_kept`` = ≥ 3 kept lines and neither page flag (the paper uses
+    5 sentences on web pages; 3 lines is the line-granular analogue).
+
+    Pure Column expressions (split + filter HOFs) so the whole rule set
+    is pushdown-friendly and oracle-reproducible."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, r"\n")
+    nonblank = F.filter(lines, lambda ln: F.trim(ln) != "")
+    term = lambda ln: F.trim(ln).rlike(r'[.!?]["”\']?$')  # noqa: E731
+    words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(ln), r"\s+"), lambda t: t != "")
+    )
+    kept = F.filter(nonblank, lambda ln: term(ln) & (words(ln) >= 3))
+    lower = F.lower(c)
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = c.contains("{")
+    n_kept = F.size(kept)
+    return F.struct(
+        F.size(nonblank).alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.size(
+            F.filter(nonblank, lambda ln: ~term(ln))
+        ).alias("n_nopunct_lines"),
+        F.size(
+            F.filter(nonblank, lambda ln: words(ln) < 3)
+        ).alias("n_short_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= 3) & ~has_lorem & ~has_brace).alias("doc_kept"),
+    )
+
+
+def c4_clean_text(text: Column | str) -> Column:
+    """The cleaned page under the same C4 line rules: kept lines
+    re-joined with newlines (empty string when nothing survives)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, r"\n")
+    term = lambda ln: F.trim(ln).rlike(r'[.!?]["”\']?$')  # noqa: E731
+    words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(ln), r"\s+"), lambda t: t != "")
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: (F.trim(ln) != "") & term(ln) & (words(ln) >= 3),
+    )
+    return F.array_join(kept, "\n")
+
+
 def winnow_fingerprints(
     df,
     id_col: str = "doc_id",

@@ -186,6 +186,54 @@ def test_image_features_with_pillow_if_present():
     assert (decode_image(buf.getvalue()) == img).all()
 
 
+def test_c4_line_filtering(spark):
+    """C4 heuristics on planted lines: terminal punctuation + ≥3 words
+    keep a line; lorem-ipsum / brace pages are flagged; clean text is
+    the kept lines re-joined."""
+    from mhm_data_pipelines_spark.functions.text import (
+        c4_clean_text,
+        c4_line_stats,
+    )
+
+    doc = "\n".join(
+        [
+            "This is a proper sentence with enough words.",
+            "Too short.",                 # <3 words
+            "no terminal punctuation here",
+            "",                           # blank — not counted
+            "Another good sentence stays in the document!",
+            'He said "stop now."',        # quote after period keeps it
+        ]
+    )
+    rows = [
+        (1, doc),
+        (2, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+        (3, "function f() { return 1; } is code not prose."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in df.select("doc_id", c4_line_stats("text").alias("s")).collect()
+    }
+    assert got[1]["n_lines"] == 5
+    assert got[1]["n_kept_lines"] == 3
+    assert got[1]["n_short_lines"] == 1
+    assert got[1]["n_nopunct_lines"] == 1
+    assert not got[1]["has_lorem"] and not got[1]["has_brace"]
+    assert got[1]["doc_kept"]
+    assert got[2]["has_lorem"] and not got[2]["doc_kept"]
+    assert got[3]["has_brace"] and not got[3]["doc_kept"]
+    clean = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", c4_clean_text("text").alias("c")).collect()
+    }
+    assert clean[1].split("\n") == [
+        "This is a proper sentence with enough words.",
+        "Another good sentence stays in the document!",
+        'He said "stop now."',
+    ]
+
+
 def test_winnow_fingerprints(spark):
     """Staged winnowing equals the local reference implementation; the
     winnowing guarantee holds (docs sharing a substring of length
