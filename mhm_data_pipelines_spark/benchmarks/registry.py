@@ -2360,6 +2360,58 @@ ORDER BY source, lang
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level paragraph dedup (first occurrence wins, Dolma-style)
+    — per-doc paragraph counts + md5 of the reassembled text so the
+    whole reconstruction is value-pinned without shipping long strings
+    through the compare."""
+    from mhm_data_pipelines_spark.operators.dedup import dedup_paragraphs
+
+    df = _t(spark, sf_dir, "documents")
+    out = dedup_paragraphs(df)
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("text_dedup").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH p0 AS (
+  SELECT doc_id, i AS pos, parts[i] AS para
+  FROM (SELECT doc_id, string_split(text, e'\n\n') AS parts
+        FROM documents),
+       LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+), p AS (
+  SELECT doc_id, pos, para FROM p0 WHERE trim(para) <> ''
+), k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g')))
+           ORDER BY doc_id, pos
+         ) AS rn
+  FROM p
+), kept AS (
+  SELECT doc_id, pos, para FROM k WHERE rn = 1
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(para, e'\n\n' ORDER BY pos)) AS clean_fp
+  FROM kept GROUP BY 1
+), tot AS (
+  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t.n_paras, 0) AS n_paras,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_fp, md5('')) AS clean_fp
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_c4_filter_stats(spark, sf_dir):
     """C4-style cleaning diagnostics (Raffel et al. 2020 heuristics):
     per-doc line-rule counts + page flags + keep verdict, entirely as
@@ -3812,6 +3864,7 @@ QUERIES: dict[str, QuerySpec] = {
     "winnow_overlap": q_winnow_overlap,
     "corpus_composition": q_corpus_composition,
     "c4_filter_stats": q_c4_filter_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
@@ -3916,6 +3969,7 @@ ORACLES: dict[str, str] = {
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "corpus_composition": SQL_CORPUS_COMPOSITION,
     "c4_filter_stats": SQL_C4_FILTER_STATS,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,

@@ -529,6 +529,74 @@ def simhash_near_duplicates(
     return pairs.distinct()
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup, first-occurrence-wins (the
+    Dolma/C4-family paragraph rule; finer than doc-level exact dedup,
+    coarser than substring dedup): every paragraph keeps only its first
+    occurrence across the whole corpus — ordered by (doc id, position)
+    — and each document is reassembled from its surviving paragraphs in
+    original order. Returns (id, n_paras, n_kept, text_dedup); docs
+    whose every paragraph was seen earlier come back empty, ready for a
+    length filter.
+
+    Scale shape: paragraphs explode to (id, pos, para); the
+    first-occurrence winner per normalized-paragraph fingerprint is ONE
+    hash aggregate (min struct — no window sort); winners join back on
+    the fingerprint (same key → exchange reuse) and reassembly is a
+    per-doc hash aggregate. Paragraph text shuffles once for the
+    reassembly — inherent to reconstructing documents.
+    """
+    import re
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("pos", "para"),
+    ).filter(F.trim("para") != "")
+    keyed = paras.withColumn("_fp", fingerprint("para"))
+    first = keyed.groupBy("_fp").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("_first")
+    )
+    kept = (
+        keyed.join(first, "_fp")
+        .filter(
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col("pos") == F.col("_first.p"))
+        )
+        .drop("_fp", "_first")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

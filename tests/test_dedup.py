@@ -212,6 +212,31 @@ def test_winnow_overlap_pairs(spark):
     assert got[(1, 2)] >= 5
 
 
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Repeated paragraph survives only in its first (doc, pos) home —
+    across docs AND within one doc; reassembly preserves order; a doc
+    made entirely of seen paragraphs comes back empty."""
+    from mhm_data_pipelines_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "This boilerplate notice appears everywhere."
+    rows = [
+        (1, f"Unique opening for doc one.\n\n{boiler}\n\nUnique close."),
+        (2, f"{boiler}\n\nDoc two's own paragraph survives."),
+        (3, f"{boiler}\n\n{boiler}"),  # nothing novel at all
+        (4, f"Doc four repeats itself.\n\nDoc four repeats itself."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert (got[1].n_paras, got[1].n_kept) == (3, 3)
+    assert got[1].text_dedup == rows[0][1]  # first doc keeps everything
+    assert (got[2].n_paras, got[2].n_kept) == (2, 1)
+    assert got[2].text_dedup == "Doc two's own paragraph survives."
+    assert (got[3].n_paras, got[3].n_kept) == (2, 0)
+    assert got[3].text_dedup == ""
+    assert (got[4].n_paras, got[4].n_kept) == (2, 1)  # self-dup collapsed
+    assert got[4].text_dedup == "Doc four repeats itself."
+
+
 def test_ngram_jaccard_verification(docs, spark):
     cands = spark.createDataFrame(
         [(1, 2), (1, 4), (1, 5)], "id_a long, id_b long"
