@@ -4117,6 +4117,8 @@ BENCH_QUERIES: list[str] = [
     "pii_redaction",
     "doc_repetition",
     "doc_winnowing",
+    "c4_filter_stats",
+    "paragraph_dedup",
     "decontamination",
     "dedup_exact_keep",
     "minhash_neardup",

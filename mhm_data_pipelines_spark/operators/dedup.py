@@ -167,7 +167,6 @@ def minhash_lsh_candidates(
     bands: int = 8,
     num_hashes: int | None = None,
     max_bucket_size: int | None = None,
-    log_hot: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands, hash
     each band, and emit candidate pairs sharing any (band, hash) bucket.
@@ -189,8 +188,9 @@ def minhash_lsh_candidates(
     pairs skip the non-representative pairwise edges, so per-pair
     verification (est-Jaccard) sees each member only against the
     representative — acceptable precisely because an over-cap bucket is
-    overwhelming agreement by construction. ``log_hot=True`` runs one
-    extra metadata-sized count job and logs how many buckets were capped.
+    overwhelming agreement by construction. Detection runs one
+    metadata-sized job at construction time and logs any capped buckets;
+    with none found the executed plan is identical to the uncapped one.
     """
     if num_hashes is None:
         num_hashes = signatures.select(F.size("signature")).first()[0]
@@ -215,7 +215,7 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     banded, star = _cap_hot_buckets(
-        banded, ["band", "bucket"], id_col, max_bucket_size, log_hot
+        banded, ["band", "bucket"], id_col, max_bucket_size
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -232,49 +232,75 @@ def minhash_lsh_candidates(
     return pairs.distinct()
 
 
+#: Above this many hot buckets the literal filter would bloat the plan
+#: (and the driver collect) — fall back to the broadcast-join split.
+#: n/max_bucket_size bounds the count, so reaching this means a
+#: pathologically boilerplate corpus.
+_MAX_HOT_LITERALS = 10_000
+
+
 def _cap_hot_buckets(
     banded: DataFrame,
     bucket_keys: list[str],
     id_col: str,
     max_bucket_size: int | None,
-    log_hot: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Split a banded frame into (under-cap rows, star pairs for over-cap
     buckets). Star pairs are (id_a=bucket-min id, id_b=member id) — m-1
     edges per hot bucket instead of m(m-1)/2, same connected component.
 
-    Detection is a groupBy count whose shuffle carries only map-side
-    PARTIAL counts per distinct bucket — not the banded rows — and the
-    hot-key set is then BROADCAST back for the membership splits, so the
-    all-cold common case never shuffles or sorts the banded frame for
-    the cap (a window-count formulation measured ~1.8× slower at sf0.1).
-    The hot-key set is bounded by n/max_bucket_size keys — megabytes at
-    100 TB with the default cap, safely broadcastable.
+    Detection runs ONCE at plan-construction time: a groupBy count whose
+    shuffle carries map-side PARTIAL counts per distinct bucket (never
+    the banded rows), collected driver-side — bounded by
+    n/max_bucket_size keys. The common all-cold case then returns the
+    banded frame UNTOUCHED (zero executed-plan overhead — the same plan
+    as no cap; the detection job is the entire cost). When hot buckets
+    exist they become a literal membership predicate, or a broadcast
+    split past ``_MAX_HOT_LITERALS``. (Earlier formulations kept the
+    split in-plan: window-count ~1.8× slower, broadcast-join split
+    ~1.3× — both paid on every execution even with zero hot buckets.)
     """
     if max_bucket_size is None:
         return banded, None
-    hot_keys = (
+    hot_rows = (
         banded.groupBy(*bucket_keys)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket_size)
         .select(*bucket_keys)
+        .limit(_MAX_HOT_LITERALS + 1)
+        .collect()
     )
-    cold = banded.join(F.broadcast(hot_keys), bucket_keys, "left_anti")
-    hot = banded.join(F.broadcast(hot_keys), bucket_keys, "left_semi")
+    if not hot_rows:
+        return banded, None
+    _log.info(
+        "LSH hot-bucket cap: %d bucket(s) over %d members "
+        "short-circuited to star pairs",
+        len(hot_rows), max_bucket_size,
+    )
+    if len(hot_rows) > _MAX_HOT_LITERALS:
+        hot_keys = (
+            banded.groupBy(*bucket_keys)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select(*bucket_keys)
+        )
+        cold = banded.join(F.broadcast(hot_keys), bucket_keys, "left_anti")
+        hot = banded.join(F.broadcast(hot_keys), bucket_keys, "left_semi")
+    else:
+        is_hot = F.lit(False)
+        for r in hot_rows:
+            match = F.lit(True)
+            for k in bucket_keys:
+                match = match & (F.col(k) == F.lit(r[k]))
+            is_hot = is_hot | match
+        cold = banded.filter(~is_hot)
+        hot = banded.filter(is_hot)
     reps = hot.groupBy(*bucket_keys).agg(F.min(id_col).alias("id_a"))
     star = (
         hot.join(F.broadcast(reps), bucket_keys)
         .filter(F.col(id_col) != F.col("id_a"))
         .select("id_a", F.col(id_col).alias("id_b"))
     )
-    if log_hot:
-        # Metadata-sized action: one count of capped buckets, opt-in
-        # because it re-runs the upstream pipeline as a separate job.
-        n_hot = hot_keys.count()
-        _log.info(
-            "LSH hot-bucket cap: %d bucket(s) over %d members "
-            "short-circuited to star pairs", n_hot, max_bucket_size,
-        )
     return cold, star
 
 

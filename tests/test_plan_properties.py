@@ -89,13 +89,12 @@ def _count_shuffles(plan: str) -> int:
 #: diff, before it costs anything at scale. Ceilings are the captured
 #: value, not "captured + slack": loosen one ONLY with a written reason.
 PLAN_BUDGETS: dict[str, dict] = {
-    # banded LSH self-joins + verification joins, PLUS the hot-bucket
-    # cap's detection aggregates: those extra Exchanges carry map-side
-    # partial (bucket, count) rows — metadata-sized — and the membership
-    # splits ride broadcasts, so the count overstates the data moved
-    # (wall-clock beats the window-based 12-Exchange formulation ~1.4×)
-    "simhash_neardup": {"max_shuffles": 17},
-    "minhash_neardup": {"max_shuffles": 17},
+    # banded LSH self-joins + verification joins. The hot-bucket cap
+    # detects at CONSTRUCTION time (one metadata-sized job) and, with no
+    # hot buckets, leaves the executed plan identical to the uncapped
+    # one — these ceilings are the clean uncapped shapes.
+    "simhash_neardup": {"max_shuffles": 5},
+    "minhash_neardup": {"max_shuffles": 10},
     # ngram equi-join: eval side must stay broadcast (never shuffle the
     # exploded train-side ngrams into a sort-merge)
     "decontamination": {"max_shuffles": 3, "require": ["BroadcastHashJoin"]},
