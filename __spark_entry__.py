@@ -19,7 +19,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS import the package when unpickling UDF closures
+# (mapInPandas / applyInPandasWithState); sys.path edits don't reach
+# them, PYTHONPATH does — required when the harness drives this module
+# from another cwd with a session not built by mdps.session.get_spark.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+    )
 
 from mhm_data_pipelines_spark.benchmarks.registry import (  # noqa: E402
     ORACLES,

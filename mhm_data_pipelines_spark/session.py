@@ -70,6 +70,19 @@ def get_spark(
     master is configured in the environment; on a real cluster pass
     ``None`` and launch via spark-submit so the cluster manager decides.
     """
+    # Python workers unpickle UDF closures (mapInPandas feature
+    # extractors, applyInPandasWithState sessionizers) by importing this
+    # package; when the engine is used from a checkout rather than a pip
+    # install, make the package root importable for workers regardless
+    # of the caller's cwd. Cluster deployments ship the package via
+    # --py-files / pip instead — this is the local-mode analogue.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
