@@ -3796,6 +3796,94 @@ ORDER BY 1, 3 DESC, 2
 SQL_LSH_TOPK = _lsh_topk_oracle_sql()
 
 
+def q_ann_recall(spark, sf_dir):
+    """Approximation QUALITY measured in-engine: recall@10 of the
+    LSH-bucketed ANN against exact brute force, per query vector — the
+    metric that justifies (or rejects) an approximate index before it
+    ships. Both sides reuse their proven-deterministic float pipelines,
+    so the DuckDB twin reproduces both top-10 SETS exactly and the
+    recall is a full value oracle, not a statistical check.
+
+    On the synthetic embeddings the reading is ~0.0-0.2: a single
+    4-bit hyperplane table (16 buckets, one probe) is provably too
+    coarse — the metric exists to say exactly that; production raises
+    bits/tables (or switches to IVF with multi-probe, cf. ivf_topk)
+    until recall clears its bar."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        brute_force_topk_pairs,
+        lsh_topk,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    lsh = lsh_topk(corpus, queries, dim=64, k=10, bits=4).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    exact = brute_force_topk_pairs(corpus, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact.join(lsh, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(10.0), 4).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_oracle_sql(dim: int = 64, bits: int = 4, seed: int = 42) -> str:
+    """DuckDB twin of q_ann_recall: the lsh CTE regenerates the same
+    seeded hyperplane literals / float-op order as _lsh_topk_oracle_sql;
+    the brute-force CTE ranks with the IDENTICAL cosine expression so
+    near-cutoff ties resolve the same way in both engines."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    bucket = "CAST(0 AS BIGINT)"
+    for h in planes:
+        d = " + ".join(f"e[{i + 1}] * {h[i]!r}" for i in range(dim))
+        bucket = f"({bucket} * 2 + (CASE WHEN ({d}) > 0 THEN 1 ELSE 0 END))"
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    cos = " + ".join(
+        f"(q.e[{i + 1}] / q.nrm) * (c.e[{i + 1}] / c.nrm)"
+        for i in range(dim)
+    )
+    rank = (
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN {cos} END DESC, c.vec_id)"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, {bucket} AS bucket, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), lsh AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+  QUALIFY {rank} <= 10
+), bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id >= 5
+  QUALIFY {rank} <= 10
+)
+SELECT bf.query_id,
+       count(lsh.vec_id) AS n_hits,
+       round(count(lsh.vec_id) / 10.0, 4) AS recall_at_10
+FROM bf LEFT JOIN lsh
+  ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_ANN_RECALL = _ann_recall_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -3865,6 +3953,7 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_composition": q_corpus_composition,
     "c4_filter_stats": q_c4_filter_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "ann_recall": q_ann_recall,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
@@ -3970,6 +4059,7 @@ ORACLES: dict[str, str] = {
     "corpus_composition": SQL_CORPUS_COMPOSITION,
     "c4_filter_stats": SQL_C4_FILTER_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "ann_recall": SQL_ANN_RECALL,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
