@@ -47,6 +47,10 @@ SINGLE_ROW_BROADCAST_OK = {
     "missing_data",       # distinct-participants × distinct-metrics grid:
                           # a dims×dims cross building the expected-cell
                           # universe (J3), both sides tiny aggregates
+    "ann_recall",         # brute-force ground-truth side: corpus ×
+                          # broadcast(5 query rows) — the exact-verify
+                          # path is a bounded cross by design; the
+                          # approximate side under test is an equi-join
 }
 
 
