@@ -93,10 +93,22 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path, col):
         upath
     )
 
-    needle = df.select(F.expr(f"percentile(CAST({col} AS DOUBLE), 0.5D)")).first()[0]
-    needle = int(needle)
-    z_frac = _rowgroup_prune_fraction(zpath, col, needle)
-    u_frac = _rowgroup_prune_fraction(upath, col, needle)
+    # Mean prune fraction over three probe points: repartitionByRange
+    # samples boundaries with RDD-id-dependent seeds, so the exact file
+    # layout varies with session history — a single median probe sat on
+    # a knife-edge margin and flaked ~1 in 5 full-suite runs.
+    needles = [
+        int(df.select(
+            F.expr(f"percentile(CAST({col} AS DOUBLE), {p}D)")
+        ).first()[0])
+        for p in (0.25, 0.5, 0.75)
+    ]
+    z_frac = sum(
+        _rowgroup_prune_fraction(zpath, col, n) for n in needles
+    ) / len(needles)
+    u_frac = sum(
+        _rowgroup_prune_fraction(upath, col, n) for n in needles
+    ) / len(needles)
     # z-order prunes meaningfully on this dimension; the layout sorted
     # by the OTHER column prunes (near) nothing
     assert z_frac >= 0.5, f"z-order pruned only {z_frac:.0%} on {col}"
