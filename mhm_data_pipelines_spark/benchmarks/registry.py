@@ -3291,6 +3291,61 @@ WHERE c.doc_id = c.component
 )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): block
+    the embedding space by cluster, find within-cluster cosine near-dup
+    pairs, close the pair graph under transitivity, and keep ONE min-id
+    representative per semantic group — singletons survive untouched.
+    Composes three independently-oracled stages (blocked embedding
+    near-dup ≡ embedding_neardup's pair set, iterative
+    connected-components ≡ the recursive-CTE closure, min-id survivor
+    rule), so the full pipeline keeps a full value oracle."""
+    from mhm_data_pipelines_spark.operators.components import (
+        dedup_by_components,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        df, block_col="label", threshold=0.3
+    ).select("id_a", "id_b")
+    return (
+        dedup_by_components(df, pairs, id_col="vec_id")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.3
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT v.vec_id,
+         least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component
+  FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+  GROUP BY v.vec_id
+)
+SELECT e.vec_id, e.label
+FROM embeddings e JOIN comp c ON e.vec_id = c.vec_id
+WHERE c.vec_id = c.component
+ORDER BY e.vec_id
+"""
+
+
 def q_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: typed metadata over an opaque binary payload
     (text bytes stand in for media payloads)."""
@@ -3954,6 +4009,7 @@ QUERIES: dict[str, QuerySpec] = {
     "c4_filter_stats": q_c4_filter_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
+    "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
     "token_budget_select": q_token_budget_select,
@@ -4060,6 +4116,7 @@ ORACLES: dict[str, str] = {
     "c4_filter_stats": SQL_C4_FILTER_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,

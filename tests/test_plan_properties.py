@@ -26,6 +26,7 @@ EXECUTES_ON_BUILD = {
     "stream_interval_join",
     "neardup_clusters",
     "neardup_dedup_keep",
+    "semantic_dedup",
     "corpus_prep",
     "tpch_q11",  # localCheckpoint of the reused per-part aggregate
 }
