@@ -1,6 +1,12 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line {"metric", "value", "unit", "queries", "sf", "queries_warm"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-4 fix for BENCH_r03 ``parsed: null``): the final
+stdout line is a COMPACT JSON object — metric/value/unit/warm_total/sf
+plus the per-query cold map "queries" — small enough for the driver's
+tail-capture window. The full record (cold AND warm per-query maps) is
+written to ``BENCH_local.json`` next to this file; that file is what
+``python scripts/bench_diff.py`` should read for regression hunting.
 
 Every query runs TWICE: the first (cold) run includes plan + codegen
 compile — that's what "queries"/"value" report, keeping round-over-round
@@ -69,17 +75,35 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "sf": float(sf) if sf else None,
+    }
+    # Full record (cold + warm maps, 3-dec) for scripts/bench_diff.py.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # Final stdout line stays compact (driver tail-capture window is
+    # ~2 KB): totals + the warm per-query map at 2 decimals, no cold map.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(cold.values()), 3),
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "sec",
-                "queries": cold,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf else None,
-            }
+                "warm_total": full["warm_total"],
+                "sf": full["sf"],
+                "queries": {k: round(v, 2) for k, v in warm.items()},
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -3939,6 +3939,133 @@ GROUP BY 1 ORDER BY 1
 SQL_ANN_RECALL = _ann_recall_oracle_sql()
 
 
+def _ivf_seeded_centroids(
+    dim: int = 64, n_lists: int = 8, seed: int = 7
+) -> list[tuple[int, list[float]]]:
+    """Fixed-seed random coarse quantizer for the ivf_recall gate query:
+    data-INDEPENDENT centroids (unlike label_centroids / train_kmeans)
+    so the DuckDB twin can regenerate the identical literals and the
+    recall reading is a full value oracle, not a statistical check."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for i in range(n_lists)
+    ]
+
+
+def q_ivf_recall(spark, sf_dir):
+    """Selective-probe IVF recall@10 vs exact brute force — the
+    companion to ann_recall that certifies the APPROXIMATE IVF path
+    (nprobe=2 of 8 lists), not the exhaustive-probe-≡-exact path that
+    ivf_topk's oracle covers. Centroids are seeded driver-side literals
+    (_ivf_seeded_centroids) and every float op — cast-widen, left-fold
+    dot, sqrt, divide, greatest-of-structs argmax with list_id
+    tie-break — is a deterministic IEEE-double sequence the DuckDB twin
+    replays exactly (cf. VERDICT r3 next-step #8)."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        brute_force_topk_pairs,
+        ivf_topk,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    cents = _ivf_seeded_centroids()
+    ivf = ivf_topk(corpus, queries, cents, k=10, nprobe=2).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    exact = brute_force_topk_pairs(corpus, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(10.0), 4).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivf_recall_oracle_sql(
+    dim: int = 64, n_lists: int = 8, nprobe: int = 2, seed: int = 7
+) -> str:
+    """DuckDB twin of q_ivf_recall. Mirrors operators.similarity.ivf_topk
+    float-for-float: centroids are regenerated with the same seeded RNG,
+    L2-normalized driver-side in Python (same floats the Spark literals
+    carry, via repr round-trip); per-centroid similarity is the same
+    left-associative `(e[i]/nrm) * c_i` fold; corpus assignment takes
+    argmax similarity with ties to the LARGER list_id (greatest() of
+    (sim, list_id) structs is lexicographic max); queries take their
+    nprobe top lists by the same ordering."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_lists):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([float(x) / n for x in v])
+
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    sim_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS list_id, ("
+        + " + ".join(
+            f"(e[{i + 1}] / nrm) * {c[i]!r}" for i in range(dim)
+        )
+        + ") AS sim FROM b"
+        for j, c in enumerate(cents)
+    )
+    cos = " + ".join(
+        f"(q.e[{i + 1}] / q.nrm) * (c.e[{i + 1}] / c.nrm)"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), sims AS (
+  {sim_selects}
+), asn AS (
+  SELECT vec_id, list_id FROM sims WHERE vec_id >= 5
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) = 1
+), probes AS (
+  SELECT vec_id AS query_id, list_id FROM sims WHERE vec_id < 5
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) <= {nprobe}
+), ivf AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p
+  JOIN asn a ON a.list_id = p.list_id
+  JOIN b q ON q.vec_id = p.query_id
+  JOIN b c ON c.vec_id = a.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY p.query_id ORDER BY ({cos}) DESC, a.vec_id) <= 10
+), bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id >= 5
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY ({cos}) DESC, c.vec_id) <= 10
+)
+SELECT bf.query_id,
+       count(ivf.vec_id) AS n_hits,
+       round(count(ivf.vec_id) / 10.0, 4) AS recall_at_10
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_IVF_RECALL = _ivf_recall_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -4009,6 +4136,7 @@ QUERIES: dict[str, QuerySpec] = {
     "c4_filter_stats": q_c4_filter_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
+    "ivf_recall": q_ivf_recall,
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
@@ -4116,6 +4244,7 @@ ORACLES: dict[str, str] = {
     "c4_filter_stats": SQL_C4_FILTER_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
+    "ivf_recall": SQL_IVF_RECALL,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
@@ -4164,33 +4293,54 @@ ORACLES: dict[str, str] = {
 #: family). Keys not listed here follow in QUERIES definition order; the
 #: full set is still hash-checked every CI run by test_oracle_parity.py.
 GATE_PRIORITY: list[str] = [
-    "analytic_windows",
-    "rolling_1h",
-    "grouping_sets",
+    # -- canaries: long-green core keys kept PERMANENTLY in the window so
+    #    a regression in the rotated-out majority still has a tripwire
+    #    (VERDICT r3 next-step #7). Do not rotate these out.
+    "tpch_q1",
+    "overview_stats",
+    "summary_assembly",
+    # -- never-driver-verified (landed after the r3 rotation) + one
+    #    re-certification (stateful_sessions_stream's reader was
+    #    refactored after its r2 green row) + this round's new query.
+    "ann_recall",
+    "ivf_recall",
+    "c4_filter_stats",
+    "paragraph_dedup",
+    "semantic_dedup",
+    "stateful_sessions_stream",
+    # -- re-verify: definitions touched in round 4 (budget rewrite,
+    #    minhash hot-bucket amortization, kgram short-text guard,
+    #    winnow hot-bucket dedup/recall fix).
+    "token_budget_select",
+    "minhash_neardup",
+    "minhash_exact_pairs",
+    "simhash_groups",
+    "simhash_neardup",
+    "doc_winnowing",
+    "winnow_overlap",
+    "doc_fingerprints",
+    # -- single-green r3 keys kept warm (rotated subset; the 9 dropped
+    #    this round are all untouched expression-only queries with green
+    #    r3 rows: analytic_windows, rolling_1h, grouping_sets,
+    #    users_intersect, users_except, doc_token_stats,
+    #    embedding_quantize, approx_sketch_bounds, lang_id).
     "asof_join",
     "range_join",
-    "users_intersect",
-    "users_except",
-    "doc_token_stats",
     "doc_quality",
     "pii_redaction",
     "doc_repetition",
     "decontamination",
     "source_mix",
-    "token_budget_select",
     "chunk_documents",
     "llm_dataset_build",
     "zorder_layout",
-    "approx_sketch_bounds",
     "tfidf_top_terms",
     "doc_lm_score",
     "vocab_stats",
     "top_terms_per_source",
-    "embedding_quantize",
     "tiered_rollup",
     "dedup_exact_keep",
     "dup_groups",
-    "doc_fingerprints",
     "unigram_jaccard_pairs",
     "neardup_clusters",
     "neardup_dedup_keep",
@@ -4204,22 +4354,16 @@ GATE_PRIORITY: list[str] = [
     "embedding_topk",
     "embedding_centroids",
     "embedding_neardup",
-    "lang_id",
     "ivf_topk",
-    "minhash_neardup",
-    "minhash_exact_pairs",
-    "simhash_groups",
-    "simhash_neardup",
     "lsh_topk",
-    "doc_winnowing",
-    "winnow_overlap",
     "corpus_composition",
 ]
-# ^ 50 slots = the driver-verified window. Round 3 fills it with the 47
-# LLM-extension keys that had no driver CORRECTNESS rows after round 2
-# plus this round's three new queries; the §2/TPC-H keys rotated out all
-# carry two rounds of green driver history with unchanged definitions
-# (and remain under the repo-local full-registry oracle suite).
+# ^ 50 slots = the driver-verified window. Rotation policy (round 4):
+# 3 permanent canaries first, then keys with no driver row yet or with
+# definitions changed since their last green row, then single-green
+# keys; multi-round-green unchanged keys rotate out first (they remain
+# covered by the repo-local full-registry oracle suite,
+# tests/test_oracle_parity.py).
 
 
 def gate_ordered_queries() -> dict[str, QuerySpec]:
