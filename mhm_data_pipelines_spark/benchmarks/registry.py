@@ -2551,8 +2551,11 @@ def q_token_budget_select(spark, sf_dir):
     out = select_to_budget(
         df,
         budget=5000,
-        order_by=[F.desc("n_chars"), F.col("doc_id")],
+        order_by=[("n_chars", False), ("doc_id", True)],
         value_col="n_tokens",
+        # tokenization is the expensive upstream — evaluate it once and
+        # share the tagged frame between the totals and window jobs
+        share_scan=True,
     )
     return out.select(
         "doc_id", "n_tokens", "running_total"
@@ -2634,9 +2637,12 @@ def q_llm_dataset_build(spark, sf_dir):
     sel = select_to_budget(
         d.withColumn("n_tokens", token_count("text").cast("long")),
         budget=3000,
-        order_by=[F.desc("n_chars"), F.col("doc_id")],
+        order_by=[("n_chars", False), ("doc_id", True)],
         value_col="n_tokens",
         keep_running=False,
+        # the upstream decontam→quality→dedup chain is expensive —
+        # evaluate it once and share across the prefix-sum jobs
+        share_scan=True,
     )
     return chunk_documents(sel, chunk_tokens=20, overlap=5).orderBy(
         "doc_id", "chunk_id"

@@ -38,18 +38,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _split_sort_order(
-    spark, order_by: list[Column | str]
-) -> list[tuple[Column, bool]]:
-    """(bare expression, ascending?) per ordering column — unwraps
-    ``F.desc(...)``-style SortOrder columns via the ColumnNode API so
-    the bare key can be projected/compared outside a sort context."""
+#: Public ordering spec: a column name, a bare Column (ascending), an
+#: ``(column, ascending)`` pair, or — classic-PySpark only — an
+#: ``F.desc(...)``-style SortOrder Column (unwrapped via JVM internals).
+OrderSpec = "Column | str | tuple[Column | str, bool]"
+
+
+def _split_sort_order(spark, order_by: list) -> list[tuple[Column, bool]]:
+    """(bare expression, ascending?) per ordering entry.
+
+    ``(col, asc)`` tuples are the portable spelling (works under Spark
+    Connect, no JVM access). A raw ``F.desc(...)`` Column is still
+    accepted on classic PySpark by unwrapping the SortOrder node; when
+    that private API is unavailable (Connect), a clear error tells the
+    caller to pass the tuple form instead."""
     out: list[tuple[Column, bool]] = []
     for c in order_by:
+        if isinstance(c, tuple):
+            e, asc = c
+            out.append((F.col(e) if isinstance(e, str) else e, bool(asc)))
+            continue
         if isinstance(c, str):
             out.append((F.col(c), True))
             continue
-        node = c._jc.node()
+        try:
+            node = c._jc.node()
+        except AttributeError as exc:  # Spark Connect: no _jc
+            raise TypeError(
+                "Cannot unwrap a SortOrder Column without JVM access "
+                "(Spark Connect). Pass (column, ascending) pairs in "
+                "order_by instead of F.desc(...)/F.asc(...)."
+            ) from exc
         if node.getClass().getSimpleName() == "SortOrder":
             bare = Column(
                 spark._jvm.org.apache.spark.sql.Column(node.child())
@@ -105,71 +124,134 @@ def _sample_boundaries(
     return [rows[(j * len(rows)) // parts] for j in range(1, parts)]
 
 
-def _bucket_expr(
-    pairs: list[tuple[Column, bool]], boundaries: list[tuple]
-) -> Column:
+def _sql_lit(v) -> str:
+    """Render a sampled boundary value as a Spark SQL literal with exact
+    round-trip (floats go through repr + CAST so no precision is lost)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(
+        f"unsupported boundary key type {type(v).__name__}; cast the "
+        "ordering key to int/float/str/date/timestamp first"
+    )
+
+
+def _bucket_sql(
+    key_names: list[str],
+    dirs: list[bool],
+    boundaries: list[tuple],
+) -> str:
     """Bucket id = how many boundaries this row sorts strictly AFTER
     (lexicographic compare honoring per-column direction) — a pure
     row-value expression, identical on every execution. Rows equal to a
-    boundary key land in the lower bucket."""
-    if not boundaries:
-        return F.lit(0)
-    pid: Column = F.lit(0)
+    boundary key land in the lower bucket.
+
+    Emitted as ONE generated SQL string for ``F.expr``: building it from
+    Column operators costs ~16 py4j driver round-trips per boundary on
+    classic PySpark — at 1000 partitions that is ~16k blocking JVM calls
+    of pure plan-construction latency before any job starts. A single
+    expr() parse is one round-trip regardless of partition count."""
+    terms = []
     for b in boundaries:
-        after = F.lit(False)
-        prefix_eq = F.lit(True)
-        for (e, asc), bv in zip(pairs, b):
-            gt = (e > F.lit(bv)) if asc else (e < F.lit(bv))
-            after = after | (prefix_eq & gt)
-            prefix_eq = prefix_eq & (e == F.lit(bv))
-        pid = pid + F.when(after, 1).otherwise(0)
-    return pid
+        disjuncts = []
+        prefix_eq: list[str] = []
+        for name, asc, bv in zip(key_names, dirs, b):
+            lit = _sql_lit(bv)
+            cmp_ = f"{name} > {lit}" if asc else f"{name} < {lit}"
+            disjuncts.append(" AND ".join([*prefix_eq, cmp_]))
+            prefix_eq.append(f"{name} = {lit}")
+        cond = " OR ".join(f"({d})" for d in disjuncts)
+        terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    return " + ".join(terms) if terms else "0"
 
 
 def running_total(
     df: DataFrame,
-    order_by: list[Column | str],
+    order_by: list,
     value_col: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
     boundary_samples_per_partition: int = 64,
+    share_scan: bool = False,
 ) -> DataFrame:
     """``out_col`` = inclusive cumulative sum of ``value_col`` over the
     global ``order_by`` ordering, computed with the literal-boundary
-    distributed prefix sum above (no single-task window, no
-    materialization). ``order_by`` MUST be a total order (include a
-    unique tiebreaker) with NON-NULL keys — null keys have no defined
-    range bucket (boundary comparisons are null-poisoned); coalesce
-    them to a sentinel first."""
+    distributed prefix sum above (no single-task window and, by
+    default, no materialization). ``order_by`` MUST be a total order
+    (include a unique tiebreaker) with NON-NULL keys — null keys have
+    no defined range bucket (boundary comparisons are null-poisoned);
+    coalesce them to a sentinel first.
+
+    ``share_scan=True`` lazily ``localCheckpoint``\\ s the bucket-tagged
+    frame so the per-bucket-totals job and the final window job
+    evaluate the upstream plan ONCE instead of twice — opt in when the
+    input embeds expensive derivations (tokenization, Pandas UDFs);
+    the boundary-sample job stays on the original (column-pruned) plan
+    since it reads only the ordering keys. The default keeps the
+    pure-lineage contract: every job re-derives buckets from literal
+    boundaries, nothing is pinned to executor storage, and executor
+    loss costs recompute instead of query failure."""
     spark = df.sparkSession
     pairs = _split_sort_order(spark, order_by)
-    sort_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    sort_cols = [
+        (e if asc else e.desc()) for e, asc in pairs
+    ]
     parts = num_partitions or spark.sparkContext.defaultParallelism
     boundaries = _sample_boundaries(
         df, pairs, parts, boundary_samples_per_partition
     )
-    tagged = df.withColumn(
-        "_pid", _bucket_expr(pairs, boundaries).cast("int")
+    # Stage the (possibly computed) keys under reserved names so the
+    # generated bucket SQL can reference them by name; dropped below.
+    key_names = [f"_rt_k{i}" for i in range(len(pairs))]
+    staged = df.withColumns(
+        {n: e for n, (e, _) in zip(key_names, pairs)}
     )
+    tagged = staged.withColumn(
+        "_pid",
+        F.expr(
+            _bucket_sql(key_names, [a for _, a in pairs], boundaries)
+        ).cast("int"),
+    ).drop(*key_names)
+    if share_scan:
+        tagged = tagged.localCheckpoint(eager=False)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = tagged.withColumn("_local_cum", F.sum(value_col).over(w))
-    # One row per bucket — metadata-sized by construction. Safe to run
-    # as its own job: _pid depends only on row values + literal bounds.
-    totals = sorted(
+    # Exclusive prefix offsets per bucket, computed IN-PLAN: the
+    # per-bucket totals are one row per bucket (metadata-sized by
+    # construction), so the unpartitioned window over them is a
+    # single-task sort of num_partitions rows — not a scale hazard —
+    # and the broadcast join appends the offset without any driver
+    # collect/createDataFrame round-trip. _pid depends only on row
+    # values + literal bounds, so the totals subtree re-derives the
+    # same buckets as the window subtree on every execution.
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = (
         tagged.groupBy("_pid")
         .agg(F.sum(value_col).alias("_tot"))
-        .collect(),
-        key=lambda r: r["_pid"],
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_tot").over(woff), F.lit(0))
+            .cast("long")
+            .alias("_offset"),
+        )
     )
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["_pid"], acc))
-        acc += r["_tot"] or 0
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_offset") + F.col("_local_cum")).cast("long"))
@@ -180,16 +262,18 @@ def running_total(
 def select_to_budget(
     df: DataFrame,
     budget: int,
-    order_by: list[Column | str],
+    order_by: list,
     value_col: str,
     keep_running: bool = True,
+    share_scan: bool = False,
 ) -> DataFrame:
     """Greedy budgeted selection: walk ``df`` in ``order_by`` order and
     keep rows while the cumulative ``value_col`` stays ≤ ``budget`` —
     the "best docs until the token budget is spent" primitive. A row
     whose value would cross the budget is dropped, as is everything
     after it (inclusive-sum semantics, matching SQL's
-    ``SUM(...) OVER (... ROWS UNBOUNDED PRECEDING) <= budget``)."""
-    out = running_total(df, order_by, value_col)
+    ``SUM(...) OVER (... ROWS UNBOUNDED PRECEDING) <= budget``).
+    ``share_scan`` forwards to :func:`running_total`."""
+    out = running_total(df, order_by, value_col, share_scan=share_scan)
     out = out.filter(F.col("running_total") <= budget)
     return out if keep_running else out.drop("running_total")

@@ -108,8 +108,13 @@ PLAN_BUDGETS: dict[str, dict] = {
     # exploded train-side ngrams into a sort-merge)
     "decontamination": {"max_shuffles": 3, "require": ["BroadcastHashJoin"]},
     "tfidf_top_terms": {"max_shuffles": 6},
-    # two-phase prefix sum: spread repartition + final window sort only
-    "token_budget_select": {"max_shuffles": 2},
+    # two-phase prefix sum: _pid window Exchange + final sort, plus the
+    # in-plan offsets subtree's two metadata-sized Exchanges (per-bucket
+    # totals: map-side-combined partial rows, then a single-partition
+    # window over num_partitions rows) — r4 traded the driver
+    # collect/createDataFrame offsets round-trip for these two tiny
+    # shuffles (net warm win, no driver action at execution)
+    "token_budget_select": {"max_shuffles": 4},
     # TPC-H joins ride broadcast dims over ONE lineitem shuffle
     "tpch_q2": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
     "tpch_q8": {"max_shuffles": 1, "require": ["BroadcastHashJoin"]},
