@@ -218,13 +218,20 @@ def winnow_fingerprints(
 
 def kgram_hashes(text: Column | str, k: int = 8) -> Column:
     """60-bit md5 hash per character ``k``-gram of the lowercased text
-    (the winnowing hash sequence; cross-engine-reproducible family)."""
+    (the winnowing hash sequence; cross-engine-reproducible family).
+    Text shorter than ``k`` has no k-grams → empty array. The guard is
+    required, not cosmetic: Spark's ``sequence(1, 0)`` DESCENDS
+    ([1, 0]), so the unguarded expression emitted two bogus hashes for
+    short texts (ADVICE r3)."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
         lambda i: F.conv(
             F.substring(F.md5(F.substring(c, i, k)), 1, 15), 16, 10
         ).cast("long"),
+    )
+    return F.when(F.length(c) >= k, grams).otherwise(
+        F.array().cast("array<long>")
     )
 
 

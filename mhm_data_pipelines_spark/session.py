@@ -76,6 +76,14 @@ def get_spark(
     # install, make the package root importable for workers regardless
     # of the caller's cwd. Cluster deployments ship the package via
     # --py-files / pip instead — this is the local-mode analogue.
+    #
+    # Two channels, because each alone has a hole (ADVICE r3): the
+    # os.environ mutation reaches workers only if the JVM gateway has
+    # not launched yet, and the ``spark.executorEnv.PYTHONPATH`` conf
+    # reaches them only if THIS builder creates the session. With a
+    # session that already existed before this module was imported,
+    # neither can help — create the session after importing the package
+    # (getOrCreate reuse of a session built here is fine).
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     py_path = os.environ.get("PYTHONPATH", "")
     if pkg_root not in py_path.split(os.pathsep):
@@ -84,6 +92,9 @@ def get_spark(
         )
 
     builder = SparkSession.builder.appName(app_name)
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+    )
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
