@@ -4072,6 +4072,123 @@ GROUP BY 1 ORDER BY 1
 SQL_IVF_RECALL = _ivf_recall_oracle_sql()
 
 
+def q_staging_mirror(spark, sf_dir):
+    """S5 staging escape hatch (download_data.py:83-145), verified
+    end-to-end: ``stage_objects`` mirrors the ``region`` table's files
+    to a fresh temp dir via the distributed mapInPandas copy job, then
+    the query READS THE MIRROR BACK — so the driver's full-value oracle
+    (``SELECT * FROM region`` against the ORIGINAL) proves the staged
+    bytes are a working, lossless copy. Bounded: one small table, fresh
+    dest per run (skip-if-exists never masks the copy)."""
+    import tempfile
+
+    from mhm_data_pipelines_spark.sources.staging import stage_objects
+
+    dest = tempfile.mkdtemp(prefix="mhm_stage_gate_")
+    status = stage_objects(
+        spark, sf_dir, dest, include=["region.parquet"]
+    )
+    errs = status.filter(F.col("action") == "error").count()
+    if errs:
+        raise RuntimeError(f"staging reported {errs} copy errors")
+    return (
+        spark.read.parquet(f"{dest}/region.parquet")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+
+
+SQL_STAGING_MIRROR = """
+SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+"""
+
+
+def q_heatmap_render(spark, sf_dir):
+    """S12 heatmap sink (data_collection.py:64-73), verified at the
+    PIXEL level: render the participant×date availability matrix to a
+    PPM via the engine pivot + numpy rasterizer, read the written image
+    back, and sample each cell's center pixel. The oracle recomputes
+    the expected RGB from the counts alone (YlGnBu piecewise-linear
+    ramp, half-up rounding — bit-reproducible IEEE-double math), so a
+    hash match certifies the whole sink: pivot → normalize → colormap
+    → raster → bytes on disk."""
+    import tempfile
+
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.heatmap import render_heatmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("participant_id"), "ts"
+    )
+    out = tempfile.mktemp(suffix=".ppm", prefix="mhm_heatmap_gate_")
+    ids, dates = render_heatmap(ev, out)
+    with open(out, "rb") as f:
+        data = f.read()
+    head = data.split(b"\n", 3)
+    w, h = (int(x) for x in head[1].split())
+    img = np.frombuffer(head[3], dtype=np.uint8).reshape(h, w, 3)
+    cell, grid = 12, 1
+    px = []
+    for i, pid in enumerate(ids):
+        y = grid + i * (cell + grid) + cell // 2
+        for j, d in enumerate(dates):
+            x = grid + j * (cell + grid) + cell // 2
+            r, g, b = (int(v) for v in img[y, x])
+            px.append((pid, d, r, g, b))
+    pixels = spark.createDataFrame(  # bounded: participants × days
+        px, "participant_id string, date string, r int, g int, b int"
+    )
+    counts = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "participant_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.join(pixels, ["participant_id", "date"]).orderBy(
+        "participant_id", "date"
+    )
+
+
+def _heatmap_oracle_sql() -> str:
+    """DuckDB twin of heatmap._colormap: pos = (n/max)*4 (same float-op
+    order as numpy), piecewise-linear interp over the YlGnBu anchors,
+    floor(x+0.5) half-up rounding."""
+    anchors = {
+        "r": [255, 199, 65, 34, 8],
+        "g": [255, 233, 182, 94, 29],
+        "b": [217, 180, 196, 168, 88],
+    }
+    chan = ",\n  ".join(
+        f"CAST(floor({a}[lo+1]*(1.0-frac) + {a}[hi+1]*frac + 0.5) AS INT)"
+        f" AS {c}"
+        for c, a in anchors.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS participant_id,
+         strftime(ts, '%Y-%m-%d') AS date, count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), m AS (SELECT max(n) AS mx FROM c),
+q AS (
+  SELECT participant_id, date, n,
+         CAST(floor((CAST(n AS DOUBLE)/mx)*4.0) AS INT) AS lo,
+         LEAST(CAST(floor((CAST(n AS DOUBLE)/mx)*4.0) AS INT)+1, 4) AS hi,
+         (CAST(n AS DOUBLE)/mx)*4.0
+           - floor((CAST(n AS DOUBLE)/mx)*4.0) AS frac
+  FROM c, m
+)
+SELECT participant_id, date, n,
+  {chan}
+FROM q ORDER BY participant_id, date
+"""
+
+
+SQL_HEATMAP_RENDER = _heatmap_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -4180,6 +4297,8 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_groups": q_simhash_groups,
     "simhash_neardup": q_simhash_neardup,
     "lsh_topk": q_lsh_topk,
+    "staging_mirror": q_staging_mirror,
+    "heatmap_render": q_heatmap_render,
 }
 
 ORACLES: dict[str, str] = {
@@ -4288,6 +4407,8 @@ ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "staging_mirror": SQL_STAGING_MIRROR,
+    "heatmap_render": SQL_HEATMAP_RENDER,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4314,6 +4435,8 @@ GATE_PRIORITY: list[str] = [
     "paragraph_dedup",
     "semantic_dedup",
     "stateful_sessions_stream",
+    "staging_mirror",
+    "heatmap_render",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4361,9 +4484,11 @@ GATE_PRIORITY: list[str] = [
     "embedding_centroids",
     "embedding_neardup",
     "ivf_topk",
-    "lsh_topk",
-    "corpus_composition",
 ]
+# ^ rotation note: lsh_topk and corpus_composition (both r3-green,
+# definitions unchanged) rotated out to make room for the round-4
+# staging_mirror/heatmap_render keys; they stay hash-checked by
+# tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with
 # definitions changed since their last green row, then single-green
