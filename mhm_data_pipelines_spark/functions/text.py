@@ -77,10 +77,12 @@ def quality_score(text: Column | str) -> Column:
 def char_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Character n-grams (shingles) of the lowercased text — the unit for
     MinHash/Jaccard dedup. Texts shorter than ``n`` yield an empty array
-    (``sequence`` would otherwise run *descending*). Pass
-    ``distinct=False`` when the consumer is duplicate-insensitive (a min
-    over hashes) — ``array_distinct`` on strings is a per-row hash set
-    and is pure overhead there."""
+    (``sequence`` would otherwise run *descending*). ``distinct=False``
+    keeps duplicate shingles — only useful when the consumer needs
+    occurrence counts; duplicate-insensitive consumers (min-over-hashes)
+    should keep the default: the per-row hash set costs less than
+    hashing the ~30% repeated shingles it drops (measured at sf0.1 in
+    ``minhash_signatures``)."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
     idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
     grams = F.transform(idx, lambda i: F.substring(c, i, n))

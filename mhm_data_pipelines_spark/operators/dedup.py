@@ -112,7 +112,14 @@ def minhash_signatures(
     row with an all-NULL signature (never band-matches real content).
     """
     df = _spread_small_input(df)
-    shingles = char_ngrams(text_col, shingle_size, distinct=False)
+    # distinct=True: a min over hashes is duplicate-insensitive, so
+    # per-doc shingle dedup only drops rows (~30% of English 5-grams
+    # repeat within a doc) — each dropped row saves the base hash (md5 +
+    # two convs on the oracle family) AND all num_hashes agg-side evals.
+    # Measured at sf0.1: 1.99 s → 1.27 s (md5), 1.10 → 0.93 (xxhash64)
+    # for the signature stage; array_distinct's per-row hash set is far
+    # cheaper than what it avoids.
+    shingles = char_ngrams(text_col, shingle_size, distinct=True)
     # Base hashes projected ONCE per shingle row — the aggregate exprs
     # then hash only fixed-width longs. Inlining h1/h2 into each of the
     # num_hashes agg expressions re-hashes the string per expression
