@@ -4189,6 +4189,142 @@ FROM q ORDER BY participant_id, date
 SQL_HEATMAP_RENDER = _heatmap_oracle_sql()
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (mT5/mC4 recipe): per-source
+    quotas ∝ sqrt(count) at T=2, derived from the data itself with
+    INTEGER-exact arithmetic (isqrt + integer div — no float summation
+    order for engines to disagree on), md5 hash-rank membership so
+    DuckDB reproduces the selected rows exactly."""
+    from mhm_data_pipelines_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(
+        _t(spark, sf_dir, "documents"),
+        total=2000,
+        key="doc_id",
+        temperature=2.0,
+        hash_family="md5",
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+q AS (
+  SELECT source,
+         CAST((2000 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w)
+              AS BIGINT) AS quota
+  FROM w
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(doc_id || ':42'), 1, 15))
+                         AS BIGINT) % 1000000,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source
+FROM r JOIN q USING (source)
+WHERE rk <= quota
+ORDER BY doc_id
+"""
+
+
+#: Fixed retrieval query for the BM25 gate key — common corpus words so
+#: several sources match with distinct tf/df profiles.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERY = "data model the quality"
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval: top-20 documents for a fixed query.
+    Scale shape: token explode filtered to the query's terms before any
+    shuffle, df/corpus-stats broadcast, TakeOrdered top-k. Scores round
+    to 4 decimals (cross-engine ln is last-ulp exact only)."""
+    from mhm_data_pipelines_spark.operators.retrieval import bm25_topk
+
+    out = bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        _BM25_QUERY,
+        k=20,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        round_scores=4,
+    )
+    return out.select("doc_id", "score", "n_terms_matched")
+
+
+def _bm25_oracle_sql() -> str:
+    terms = sorted({t.lower() for t in _BM25_QUERY.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    k1, b = _BM25_K1, _BM25_B
+    # Literals via repr so the SQL parses to the SAME doubles the Spark
+    # expression folds to (k1 + 1.0 etc.).
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk, len({_SQL_TOKENS}) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+), t AS (
+  SELECT doc_id, unnest(tk) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM t WHERE term IN ({in_list}) GROUP BY 1, 2
+), df_ AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0!r}) /
+           (tf + {k1!r} * (1.0 - {b!r} + ({b!r} * dl) / avgdl)) AS pt
+  FROM tf
+  JOIN df_ USING (term)
+  JOIN toks USING (doc_id), stats
+)
+SELECT doc_id, round(sum(pt), 4) AS score,
+       count(*) AS n_terms_matched
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+SQL_BM25_TOPK = _bm25_oracle_sql()
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training first pass: corpus-weighted adjacent
+    character-pair counts (vocabulary collapses first, pairs explode
+    from distinct words only). Top 50 pairs."""
+    from mhm_data_pipelines_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), top_n=50
+    )
+
+
+SQL_BPE_PAIRS = f"""
+WITH w AS (
+  SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS wc FROM w GROUP BY word
+), pairs AS (
+  SELECT wc,
+         unnest(list_transform(
+           range(1, length(word)),
+           i -> [substr(word, i, 1), substr(word, i + 1, 1)]
+         )) AS p
+  FROM wc WHERE length(word) >= 2
+)
+SELECT p[1] AS "left", p[2] AS "right",
+       CAST(sum(wc) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, "left", "right" LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -4299,6 +4435,9 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_topk": q_lsh_topk,
     "staging_mirror": q_staging_mirror,
     "heatmap_render": q_heatmap_render,
+    "temperature_mix": q_temperature_mix,
+    "bm25_topk": q_bm25_topk,
+    "bpe_pairs": q_bpe_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4409,6 +4548,9 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "staging_mirror": SQL_STAGING_MIRROR,
     "heatmap_render": SQL_HEATMAP_RENDER,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
+    "bm25_topk": SQL_BM25_TOPK,
+    "bpe_pairs": SQL_BPE_PAIRS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4437,6 +4579,9 @@ GATE_PRIORITY: list[str] = [
     "stateful_sessions_stream",
     "staging_mirror",
     "heatmap_render",
+    "temperature_mix",
+    "bm25_topk",
+    "bpe_pairs",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4453,9 +4598,6 @@ GATE_PRIORITY: list[str] = [
     #    r3 rows: analytic_windows, rolling_1h, grouping_sets,
     #    users_intersect, users_except, doc_token_stats,
     #    embedding_quantize, approx_sketch_bounds, lang_id).
-    "asof_join",
-    "range_join",
-    "doc_quality",
     "pii_redaction",
     "doc_repetition",
     "decontamination",
@@ -4485,9 +4627,10 @@ GATE_PRIORITY: list[str] = [
     "embedding_neardup",
     "ivf_topk",
 ]
-# ^ rotation note: lsh_topk and corpus_composition (both r3-green,
-# definitions unchanged) rotated out to make room for the round-4
-# staging_mirror/heatmap_render keys; they stay hash-checked by
+# ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join
+# and doc_quality (all r3-green, definitions unchanged) rotated out to
+# make room for the round-4 keys (staging_mirror, heatmap_render,
+# temperature_mix, bm25_topk, bpe_pairs); they stay hash-checked by
 # tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with

@@ -445,3 +445,58 @@ def lang_id(text: Column | str) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en"))
     )
+
+
+def bpe_pair_counts(
+    df,
+    text_col: str = "text",
+    top_n: int | None = None,
+):
+    """Adjacent-symbol pair frequencies over the corpus — the counting
+    step of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016): each word contributes its adjacent character pairs, weighted
+    by how often the word occurs. Returns ``(left, right, n)``.
+
+    No reference counterpart (north-star extension: tokenizer training
+    is a corpus-scale counting job, exactly this engine's shape). Scale
+    design: words collapse to ``(word, count)`` FIRST (one hash-agg;
+    vocabulary ≪ token count on natural text), then pairs explode from
+    the vocabulary only — pair fan-out is per *distinct word*, and the
+    final pair agg is map-side combined. Full BPE training iterates
+    merge → recount on the vocabulary table, which is metadata-sized
+    (≤ a few million rows at any corpus size) — subsequent iterations
+    are cheap; this corpus-scale first pass is the one that needs the
+    cluster.
+
+    Pure expressions end-to-end (split/explode/substring/agg); no UDF.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.transform(tokens(text_col), F.lower)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    # substring is 1-based; position i pairs chars (i, i+1)
+    idx = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = words.filter(F.length("word") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.substring(F.col("word"), i, 1).alias("left"),
+                    F.substring(F.col("word"), i + 1, 1).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    ).select("wc", "p.left", "p.right")
+    out = (
+        pairs.groupBy("left", "right")
+        .agg(F.sum("wc").alias("n"))
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("n"), "left", "right").limit(top_n)
+    return out

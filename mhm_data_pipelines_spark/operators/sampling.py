@@ -203,3 +203,73 @@ def balance_classes(
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    key: str,
+    source_col: str = "source",
+    temperature: float = 2.0,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the mT5/mC4 multilingual
+    recipe): per-source sampling weight ∝ ``n_s^(1/T)``, so ``T > 1``
+    upweights low-resource sources relative to their natural share and
+    ``T → ∞`` approaches uniform. Quotas derive from the data itself —
+    unlike :func:`mix_sources` no hand-written weight table is needed.
+
+    Quota arithmetic is INTEGER-EXACT for the default ``T = 2``:
+    ``w_s = isqrt(n_s)`` (floor-sqrt of a BIGINT is exact in IEEE
+    double for n < 2^52, since sqrt is correctly rounded) and
+    ``quota_s = (total * w_s) div Σw`` — integer multiply/divide, no
+    float summation order to disagree about, so the same quotas fall
+    out of any engine (the DuckDB oracle recomputes them). Other
+    temperatures use ``floor(pow(n, 1/T))``, where ``pow`` is not
+    guaranteed correctly rounded — cross-engine quota parity may be off
+    by one on knife-edge values (documented trade-off). ``total * w_s``
+    must fit a signed 64-bit int (holds through 100 TB-scale corpora:
+    n_s ≤ 1e13 → w_s ≤ ~3.2e6, total ≤ 1e12).
+
+    Selection inside each source is the same content-hash rank as
+    :func:`mix_sources` — deterministic under repartition/rerun; a
+    source smaller than its quota passes through whole. One agg over
+    sources (metadata-sized) + one per-source rank shuffle.
+    """
+    from pyspark.sql import Window
+
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    if temperature == 2.0:
+        wexpr = F.floor(F.sqrt(F.col("_n"))).cast("long")
+    else:
+        wexpr = F.floor(
+            F.pow(F.col("_n").cast("double"), 1.0 / temperature)
+        ).cast("long")
+    weighted = counts.withColumn("_w", wexpr)
+    # Σw over the (metadata-sized) source table, in-plan: the
+    # unpartitioned window is a single-task pass over num_sources rows.
+    wsum = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quota_df = weighted.select(
+        source_col,
+        F.expr(f"CAST({total} AS BIGINT) * _w").alias("_tw"),
+        F.sum("_w").over(wsum).alias("_sw"),
+    ).select(
+        source_col,
+        # `div`, not `/`: Spark's `/` on BIGINTs is DOUBLE division —
+        # `div` keeps the quota in exact integer arithmetic.
+        F.expr("_tw div _sw").alias("_quota"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        _bucket(key, seed, hash_family), F.col(key)
+    )
+    return (
+        df.join(F.broadcast(quota_df), source_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

@@ -218,3 +218,46 @@ def test_mix_sources_decimal_exact_quotas(spark):
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"a": 29, "b": 7}
+
+
+def test_temperature_mix_integer_exact_quotas(spark):
+    from math import isqrt
+
+    from mhm_data_pipelines_spark.operators.sampling import temperature_mix
+
+    # sources with very skewed sizes: T=2 upweights the small ones
+    sizes = {"big": 400, "mid": 100, "small": 25}
+    rows = [
+        (f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "key string, source string")
+    total = 300
+    out = temperature_mix(df, total=total, key="key")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    ws = {s: isqrt(n) for s, n in sizes.items()}
+    sw = sum(ws.values())
+    want = {s: min((total * w) // sw, sizes[s]) for s, w in ws.items()}
+    assert counts == want
+    # sqrt weighting: small source share (≈14%) beats natural (~4.8%)
+    assert counts["small"] / total > sizes["small"] / sum(sizes.values())
+
+    # deterministic under repartition
+    a = {r.key for r in out.collect()}
+    b = {
+        r.key
+        for r in temperature_mix(
+            df.repartition(7), total=total, key="key"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_temperature_mix_validates_temperature(spark):
+    from mhm_data_pipelines_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame([("a", "s")], "key string, source string")
+    with pytest.raises(ValueError):
+        temperature_mix(df, total=1, key="key", temperature=0.0)

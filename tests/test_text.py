@@ -392,3 +392,19 @@ def test_decontaminate_verdicts(spark):
     assert out[1].contaminated is True
     assert out[2].contaminated is False and out[2].n_shared_ngrams == 0
     assert out[3].contaminated is False
+
+
+def test_bpe_pair_counts_hand_check(spark):
+    from mhm_data_pipelines_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "Ab x")], "doc_id long, text string"
+    )
+    # vocabulary: ab×3 (case-folded), abc×1, x×1 (no pairs: len 1)
+    got = {
+        (r.left, r.right): r.n for r in bpe_pair_counts(df).collect()
+    }
+    assert got == {("a", "b"): 4, ("b", "c"): 1}
+
+    top = bpe_pair_counts(df, top_n=1).collect()
+    assert len(top) == 1 and (top[0].left, top[0].right) == ("a", "b")
