@@ -121,6 +121,23 @@ NOTES = {
         "(band,chunk) with a ReusedExchange for the second side - "
         "pigeonhole-complete, never all-pairs."
     ),
+    "temperature_mix": (
+        "temperature mixing: source-count aggregate (metadata-sized) "
+        "-> single-task window over sources for the integer quota -> "
+        "quota broadcast back onto the per-source rank window; one "
+        "corpus shuffle total."
+    ),
+    "bm25_topk": (
+        "BM25: the query-term isin filter sits under the Generate so "
+        "only matching tokens shuffle; docfreq (<= |query| rows) and "
+        "corpus stats (1 row) broadcast; final top-k is TakeOrdered - "
+        "no global sort."
+    ),
+    "bpe_pairs": (
+        "BPE pair counts: token explode collapses to the vocabulary "
+        "FIRST (one hash agg), pairs explode from distinct words only; "
+        "final pair aggregate map-side combined, top-n TakeOrdered."
+    ),
 }
 
 

@@ -29,6 +29,8 @@ EXECUTES_ON_BUILD = {
     "semantic_dedup",
     "corpus_prep",
     "tpch_q11",  # localCheckpoint of the reused per-part aggregate
+    "staging_mirror",  # runs the distributed copy + status count on build
+    "heatmap_render",  # renders + collects the bounded pivot on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
@@ -56,6 +58,7 @@ SINGLE_ROW_BROADCAST_OK = {
                           # side is corpus × broadcast(5 query rows);
                           # the IVF side under test is an equi-join on
                           # list_id
+    "bm25_topk",          # crossJoin(broadcast(N docs + avgdl)) — 1 row
 }
 
 
@@ -128,6 +131,15 @@ PLAN_BUDGETS: dict[str, dict] = {
     # + prefix-sum window/_pid + chunk-order sort — each stage's own
     # intended shape, captured post-r3 optimizations
     "llm_dataset_build": {"max_shuffles": 7, "require": ["BroadcastHashJoin"]},
+    # r4 additions. temperature_mix: source-count agg + single-task
+    # window over the (metadata-sized) source table + per-source rank
+    # window + quota broadcast-join back. bm25: term-filtered tf agg +
+    # docfreq agg (≤ query terms, broadcast) + dl join + final agg;
+    # TakeOrdered top-k adds no Exchange. bpe_pairs: vocab agg + pair
+    # agg, top-n via TakeOrdered.
+    "temperature_mix": {"max_shuffles": 4, "require": ["BroadcastHashJoin"]},
+    "bm25_topk": {"max_shuffles": 5, "require": ["BroadcastHashJoin"]},
+    "bpe_pairs": {"max_shuffles": 2},
 }
 
 

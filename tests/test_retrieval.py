@@ -76,3 +76,17 @@ def test_bm25_unmatched_docs_absent_and_case_folded(spark, corpus):
 def test_bm25_empty_query_raises(spark, corpus):
     with pytest.raises(ValueError):
         bm25_scores(corpus, "   ")
+
+
+def test_bm25_share_scan_same_results(spark, corpus):
+    base = {
+        (r.doc_id, r.score)
+        for r in bm25_scores(corpus, "spark data", round_scores=6).collect()
+    }
+    shared = {
+        (r.doc_id, r.score)
+        for r in bm25_scores(
+            corpus, "spark data", round_scores=6, share_scan=True
+        ).collect()
+    }
+    assert base == shared
