@@ -4305,6 +4305,70 @@ def q_bpe_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup: the 20% of docs with doc_id % 5 = 0 arrive
+    as a NEW BATCH and are matched against the standing signature index
+    of the other 80% — only the batch is shingled/hashed. md5 family +
+    pigeonhole-complete banding, so DuckDB's brute-force cross of the
+    two signature sets reproduces the output value-for-value."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        minhash_match_index,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        num_hashes=_MINHASH_N,
+        hash_family="md5",
+    )
+    out = minhash_match_index(
+        new,
+        index_sigs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_EST_T,
+        hash_family="md5",
+    )
+    return out.select(
+        "id_new", "id_index",
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+    ).orderBy("id_new", "id_index")
+
+
+SQL_MINHASH_INCREMENTAL = f"""
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT doc_id, substr(t, i, 5) AS sh
+  FROM norm, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+           % {MINHASH_MD5_P} AS h1,
+         CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
+           % {MINHASH_MD5_P - 1} + 1 AS h2
+  FROM g
+), sigs AS (
+  SELECT doc_id, u.i,
+         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+  FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
+  GROUP BY doc_id, u.i
+), agree AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_index,
+         sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
+  FROM sigs a JOIN sigs b
+    ON a.i = b.i AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+)
+SELECT id_new, id_index, round(eq / {_MINHASH_N}.0, 4) AS est_jaccard
+FROM agree WHERE eq >= {int(_MINHASH_EST_T * _MINHASH_N)}
+ORDER BY id_new, id_index
+"""
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -4438,6 +4502,7 @@ QUERIES: dict[str, QuerySpec] = {
     "temperature_mix": q_temperature_mix,
     "bm25_topk": q_bm25_topk,
     "bpe_pairs": q_bpe_pairs,
+    "minhash_incremental": q_minhash_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -4551,6 +4616,7 @@ ORACLES: dict[str, str] = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "bm25_topk": SQL_BM25_TOPK,
     "bpe_pairs": SQL_BPE_PAIRS,
+    "minhash_incremental": SQL_MINHASH_INCREMENTAL,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4582,6 +4648,7 @@ GATE_PRIORITY: list[str] = [
     "temperature_mix",
     "bm25_topk",
     "bpe_pairs",
+    "minhash_incremental",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4599,7 +4666,6 @@ GATE_PRIORITY: list[str] = [
     #    users_intersect, users_except, doc_token_stats,
     #    embedding_quantize, approx_sketch_bounds, lang_id).
     "pii_redaction",
-    "doc_repetition",
     "decontamination",
     "source_mix",
     "chunk_documents",
@@ -4627,10 +4693,11 @@ GATE_PRIORITY: list[str] = [
     "embedding_neardup",
     "ivf_topk",
 ]
-# ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join
-# and doc_quality (all r3-green, definitions unchanged) rotated out to
-# make room for the round-4 keys (staging_mirror, heatmap_render,
-# temperature_mix, bm25_topk, bpe_pairs); they stay hash-checked by
+# ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
+# doc_quality and doc_repetition (all r3-green, definitions unchanged)
+# rotated out to make room for the round-4 keys (staging_mirror,
+# heatmap_render, temperature_mix, bm25_topk, bpe_pairs,
+# minhash_incremental); they stay hash-checked by
 # tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with

@@ -201,26 +201,7 @@ def minhash_lsh_candidates(
     """
     if num_hashes is None:
         num_hashes = signatures.select(F.size("signature")).first()[0]
-    rows_per_band = num_hashes // bands
-    # All-NULL signatures (shingle-less docs) band to one shared bucket
-    # value — drop them before the self-join, not after the fan-out.
-    signatures = signatures.filter(F.element_at("signature", 1).isNotNull())
-    banded = signatures.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _band_signatures(signatures, id_col, bands, num_hashes)
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
@@ -238,6 +219,37 @@ def minhash_lsh_candidates(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
     return pairs.distinct()
+
+
+def _band_signatures(
+    signatures: DataFrame, id_col: str, bands: int, num_hashes: int
+) -> DataFrame:
+    """(id, band, bucket) rows: the signature split into ``bands`` equal
+    slices, each hashed to a bucket value. All-NULL signatures
+    (shingle-less docs) would band to one shared bucket — dropped here,
+    before any fan-out."""
+    rows_per_band = num_hashes // bands
+    signatures = signatures.filter(
+        F.element_at("signature", 1).isNotNull()
+    )
+    return signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(
+                                "signature", b * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
 
 
 def _with_bucket_stats(
@@ -361,6 +373,92 @@ def minhash_near_duplicates(
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_match_index(
+    new_df: DataFrame,
+    index_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.7,
+    hash_family: str = "xxhash64",
+    prune_index: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: match an incoming BATCH against a
+    standing signature INDEX (``minhash_signatures`` output, typically a
+    parquet table maintained across ingestion runs). Returns
+    ``(id_new, id_index, est_jaccard)`` — new docs whose estimated
+    Jaccard vs an indexed doc is ≥ ``threshold``. The daily-ingestion
+    shape: only the new batch is shingled/hashed; the historical corpus
+    contributes nothing but its (num_hashes)-long signatures.
+
+    Same banding completeness as :func:`minhash_near_duplicates`
+    (pigeonhole over bands), but the candidate join is new-vs-index, not
+    a self-join — no quadratic hot-bucket concern on the batch side.
+
+    Scale design: with ``prune_index`` (default) the new batch's bucket
+    keys — at most ``|batch| * bands`` rows, usually tiny — broadcast
+    into a semi-join that prunes the index's banded rows BEFORE the pair
+    join, so the standing index is filtered scan-side rather than
+    shuffled wholesale each run. For a 100 TB index, store the banded
+    form bucketed by (band, bucket) (``sources/bucketed.py``) and the
+    pair join is shuffle-free on the index side; the signature index
+    itself is ~num_hashes longs per doc — ~0.1% of corpus bytes.
+
+    ``index_signatures`` and the new batch must share ``num_hashes``,
+    ``shingle_size`` and ``hash_family`` — signatures from different
+    parameters never match (min-hash values are family-specific)."""
+    sigs_new = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_size, hash_family
+    ).persist()
+    banded_new = _band_signatures(sigs_new, id_col, bands, num_hashes)
+    banded_idx = _band_signatures(
+        index_signatures, id_col, bands, num_hashes
+    )
+    if prune_index:
+        keys = banded_new.select("band", "bucket").distinct()
+        banded_idx = banded_idx.join(
+            F.broadcast(keys), ["band", "bucket"], "left_semi"
+        )
+    a = banded_new.alias("a")
+    b = banded_idx.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_new"),
+            F.col(f"b.{id_col}").alias("id_index"),
+        )
+        .distinct()
+    )
+    sa = sigs_new.select(
+        F.col(id_col).alias("id_new"), F.col("signature").alias("sig_a")
+    )
+    sb = index_signatures.select(
+        F.col(id_col).alias("id_index"),
+        F.col("signature").alias("sig_b"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cands.join(sa, "id_new")
+        .join(sb, "id_index")
+        .select("id_new", "id_index", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

@@ -265,3 +265,30 @@ def test_embedding_near_duplicates(spark):
     # unblocked brute force also finds the cross-block pair
     pairs_all = embedding_near_duplicates(df, threshold=0.95).collect()
     assert {(r.id_a, r.id_b) for r in pairs_all} == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_minhash_match_index_finds_cross_split_dups(docs, spark):
+    from mhm_data_pipelines_spark.operators.dedup import minhash_match_index
+
+    # index = docs 1-3 (near-identical cluster), batch = docs 4-6;
+    # doc 4 is a one-word edit of doc 1 → must match the index.
+    index = docs.filter(F.col("doc_id") <= 3)
+    batch = docs.filter(F.col("doc_id") >= 4)
+    index_sigs = minhash_signatures(index, num_hashes=32)
+    out = minhash_match_index(
+        batch, index_sigs, num_hashes=32, bands=16, threshold=0.5
+    )
+    pairs = {(r.id_new, r.id_index) for r in out.collect()}
+    assert (4, 1) in pairs
+    # batch-internal and index-internal pairs never appear
+    assert all(a >= 4 and b <= 3 for a, b in pairs)
+
+    # prune_index is a pure optimization: same result without it
+    no_prune = {
+        (r.id_new, r.id_index)
+        for r in minhash_match_index(
+            batch, index_sigs, num_hashes=32, bands=16,
+            threshold=0.5, prune_index=False,
+        ).collect()
+    }
+    assert pairs == no_prune

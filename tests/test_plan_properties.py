@@ -140,6 +140,14 @@ PLAN_BUDGETS: dict[str, dict] = {
     "temperature_mix": {"max_shuffles": 4, "require": ["BroadcastHashJoin"]},
     "bm25_topk": {"max_shuffles": 5, "require": ["BroadcastHashJoin"]},
     "bpe_pairs": {"max_shuffles": 2},
+    # batch-vs-index: batch signature agg + banding for both sides +
+    # broadcast semi-prune of the index + pair join + two verify joins;
+    # the index side must never shuffle wholesale (semi-join is the
+    # broadcast requirement below).
+    "minhash_incremental": {
+        "max_shuffles": 8,
+        "require": ["BroadcastHashJoin"],
+    },
 }
 
 
