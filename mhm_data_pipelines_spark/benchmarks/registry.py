@@ -4369,6 +4369,69 @@ ORDER BY id_new, id_index
 """
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming near-dup ingestion, value-verified end-to-end: the
+    documents table arrives as TWO micro-batches (index docs first, the
+    doc_id % 5 = 0 batch second) through ``streaming.stateful.
+    neardup_stream`` — each batch is hashed, matched against the
+    standing signature index, and appended to it. The drained matches
+    must equal the BATCH incremental operator's output, so this reuses
+    SQL_MINHASH_INCREMENTAL verbatim as a full value oracle (the
+    index-seeding batch emits no matches: the index is empty when it
+    arrives)."""
+    import tempfile
+
+    from mhm_data_pipelines_spark.streaming.stateful import neardup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="mhm_stream_nd_")
+    src = f"{root}/src"
+    # Two files, written in arrival order (FileStreamSource processes
+    # oldest-first; maxFilesPerTrigger=1 → one file per micro-batch).
+    docs.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.parquet(
+        f"{src}/b0_index"
+    )
+    docs.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(
+        f"{src}/b1_new"
+    )
+    # Pin arrival order: FileStreamSource orders by modification time,
+    # and back-to-back writes can tie at clock granularity — age the
+    # index batch explicitly so it always forms micro-batch 0.
+    import os as _os
+    import time as _time
+
+    old = _time.time() - 3600
+    for d, _, files in _os.walk(f"{src}/b0_index"):
+        for fn in files:
+            _os.utime(_os.path.join(d, fn), (old, old))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = neardup_stream(
+        stream,
+        index_path=f"{root}/index",
+        checkpoint=f"{root}/ck",
+        out_path=f"{root}/matches",
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_EST_T,
+        hash_family="md5",
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{root}/matches")
+        .select(
+            "id_new", "id_index",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+        )
+        .orderBy("id_new", "id_index")
+    )
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -4503,6 +4566,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bm25_topk": q_bm25_topk,
     "bpe_pairs": q_bpe_pairs,
     "minhash_incremental": q_minhash_incremental,
+    "stream_neardup": q_stream_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4617,6 +4681,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "bpe_pairs": SQL_BPE_PAIRS,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
+    "stream_neardup": SQL_MINHASH_INCREMENTAL,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4649,6 +4714,7 @@ GATE_PRIORITY: list[str] = [
     "bm25_topk",
     "bpe_pairs",
     "minhash_incremental",
+    "stream_neardup",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4667,7 +4733,6 @@ GATE_PRIORITY: list[str] = [
     #    embedding_quantize, approx_sketch_bounds, lang_id).
     "pii_redaction",
     "decontamination",
-    "source_mix",
     "chunk_documents",
     "llm_dataset_build",
     "zorder_layout",
@@ -4694,11 +4759,11 @@ GATE_PRIORITY: list[str] = [
     "ivf_topk",
 ]
 # ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
-# doc_quality and doc_repetition (all r3-green, definitions unchanged)
-# rotated out to make room for the round-4 keys (staging_mirror,
-# heatmap_render, temperature_mix, bm25_topk, bpe_pairs,
-# minhash_incremental); they stay hash-checked by
-# tests/test_oracle_parity.py.
+# doc_quality, doc_repetition and source_mix (all r3-green, definitions
+# unchanged) rotated out to make room for the round-4 keys
+# (staging_mirror, heatmap_render, temperature_mix, bm25_topk,
+# bpe_pairs, minhash_incremental, stream_neardup); they stay
+# hash-checked by tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with
 # definitions changed since their last green row, then single-green

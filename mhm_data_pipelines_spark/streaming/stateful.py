@@ -206,3 +206,77 @@ def dedup_stream(
     return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def neardup_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    threshold: float = 0.7,
+    hash_family: str = "xxhash64",
+    update_index: bool = True,
+):
+    """Streaming NEAR-dup detection: each micro-batch of documents is
+    matched against the standing MinHash signature index at
+    ``index_path`` via :func:`~mhm_data_pipelines_spark.operators.dedup.
+    minhash_match_index` (only the batch is hashed), matches append to
+    ``out_path``, and — with ``update_index`` — the batch's own
+    signatures append to the index so later batches dedup against
+    earlier ones. The streaming twin of the incremental ingestion
+    pipeline; :func:`dedup_stream` handles the EXACT-key case with
+    per-key state, while near-dup state lives in the index table (far
+    too wide for the state store: num_hashes longs per historical doc).
+
+    foreachBatch is the right harness: the banded join + verify is a
+    batch plan per micro-batch, checkpoint-tracked so a restart neither
+    re-matches nor re-appends a completed batch (parquet appends are
+    idempotent per epoch only through the checkpoint — exactly the
+    semantics the reference's skip-if-exists bookkeeping approximated).
+
+    Batch-INTERNAL near-dups are intentionally not emitted here — run
+    ``minhash_near_duplicates`` on the batch inside a custom
+    ``foreachBatch`` if the arrival unit can contain its own dups.
+    Returns the unstarted ``DataStreamWriter``.
+    """
+    from mhm_data_pipelines_spark.operators.dedup import (
+        minhash_match_index,
+        minhash_signatures,
+    )
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        sigs = minhash_signatures(
+            batch, text_col, id_col, num_hashes, shingle_size, hash_family
+        )
+        if have_index:
+            matches = minhash_match_index(
+                batch,
+                index,
+                text_col,
+                id_col,
+                num_hashes,
+                bands,
+                shingle_size,
+                threshold,
+                hash_family,
+            ).withColumn("batch_id", F.lit(batch_id))
+            matches.write.mode("append").parquet(out_path)
+        if update_index:
+            sigs.write.mode("append").parquet(index_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )

@@ -31,6 +31,7 @@ EXECUTES_ON_BUILD = {
     "tpch_q11",  # localCheckpoint of the reused per-part aggregate
     "staging_mirror",  # runs the distributed copy + status count on build
     "heatmap_render",  # renders + collects the bounded pivot on build
+    "stream_neardup",  # drains a two-batch streaming query on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join

@@ -261,3 +261,55 @@ def test_correlate_streams_matches_batch_join(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_neardup_stream_matches_against_growing_index(spark, tmp_path):
+    """Two micro-batches of documents: batch 2 contains a near-copy of a
+    batch-1 doc. With update_index, batch 1 seeds the index and batch 2
+    matches against it; the match lands in the output parquet."""
+    from mhm_data_pipelines_spark.streaming.stateful import neardup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet field"
+    )
+    docs_path = tmp_path / "docs_stream"
+    docs_path.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, "completely unrelated content about engines")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(docs_path / "b0"))
+
+    index_path = str(tmp_path / "sig_index")
+    out_path = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck_nd")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(docs_path))
+    )
+
+    def run():
+        q = neardup_stream(
+            stream, index_path, ck, out_path, threshold=0.5
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run()
+    # index seeded with batch-1 signatures
+    assert spark.read.parquet(index_path).count() == 2
+
+    # second arrival: near-copy of doc 1 + a fresh doc
+    spark.createDataFrame(
+        [(3, base.replace("quick", "swift")), (4, "another new doc")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(docs_path / "b1"))
+    run()
+
+    matches = spark.read.parquet(out_path)
+    got = {(r.id_new, r.id_index) for r in matches.collect()}
+    assert (3, 1) in got
+    assert all(b in (1, 2) for _, b in got)
+    # index grew to cover both batches
+    assert spark.read.parquet(index_path).count() == 4
