@@ -68,6 +68,12 @@ def main() -> None:
         t1 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t1, 3)
+        # The LSH pipelines persist their signature frames and nothing
+        # unpersists them once the result is counted — without this,
+        # dozens of leaked cached relations accumulate over the run and
+        # later queries measure under memory pressure they would never
+        # see in isolation.
+        spark.catalog.clearCache()
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
             f" ({n} rows)",
