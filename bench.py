@@ -2,11 +2,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Output contract (round-4 fix for BENCH_r03 ``parsed: null``): the final
-stdout line is a COMPACT JSON object — metric/value/unit/warm_total/sf
-plus the per-query cold map "queries" — small enough for the driver's
-tail-capture window. The full record (cold AND warm per-query maps) is
-written to ``BENCH_local.json`` next to this file; that file is what
-``python scripts/bench_diff.py`` should read for regression hunting.
+stdout line is a COMPACT JSON object — metric/"value" (cold total)/
+unit/warm_total/sf plus the per-query WARM map under "queries" (warm is
+the regression-hunting signal; 2-decimal rounding keeps the line inside
+the driver's tail-capture window). The full record (cold AND warm
+per-query maps, 3-decimal) is written to ``BENCH_local.json`` next to
+this file; that file is what ``python scripts/bench_diff.py`` should
+read for regression hunting.
 
 Every query runs TWICE: the first (cold) run includes plan + codegen
 compile — that's what "queries"/"value" report, keeping round-over-round

@@ -4421,7 +4421,13 @@ def q_stream_neardup(spark, sf_dir):
         hash_family="md5",
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_neardup: availableNow drain exceeded 300 s — "
+            "matches table would be partial; failing instead of "
+            "returning it"
+        )
     return (
         spark.read.parquet(f"{root}/matches")
         .select(

@@ -128,11 +128,17 @@ def _sql_lit(v) -> str:
     """Render a sampled boundary value as a Spark SQL literal with exact
     round-trip (floats go through repr + CAST so no precision is lost)."""
     import datetime
+    import decimal
 
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, int):
         return f"{v}L"
+    if isinstance(v, decimal.Decimal):
+        # Plain (non-scientific) decimal literal: Spark parses it as an
+        # exact DECIMAL of the literal's own precision/scale, which
+        # then compares exactly against the decimal ordering key.
+        return format(v, "f")
     if isinstance(v, float):
         return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, str):

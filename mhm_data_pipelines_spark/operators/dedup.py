@@ -17,12 +17,8 @@ design notes per operator:
 
 from __future__ import annotations
 
-import logging
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-_log = logging.getLogger(__name__)
 
 from mhm_data_pipelines_spark.functions.partitioning import (
     spread_small_input as _spread_small_input,
@@ -388,6 +384,7 @@ def minhash_match_index(
     threshold: float = 0.7,
     hash_family: str = "xxhash64",
     prune_index: bool = True,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: match an incoming BATCH against a
     standing signature INDEX (``minhash_signatures`` output, typically a
@@ -412,10 +409,19 @@ def minhash_match_index(
 
     ``index_signatures`` and the new batch must share ``num_hashes``,
     ``shingle_size`` and ``hash_family`` — signatures from different
-    parameters never match (min-hash values are family-specific)."""
-    sigs_new = minhash_signatures(
-        new_df, text_col, id_col, num_hashes, shingle_size, hash_family
-    ).persist()
+    parameters never match (min-hash values are family-specific).
+
+    ``new_signatures``: pass the batch's precomputed signature frame to
+    skip the internal hashing (and the internal ``persist`` — lifecycle
+    is then the CALLER's: persist before, unpersist after the result is
+    consumed). The streaming wrapper uses this to hash each micro-batch
+    exactly once for both the match and the index append."""
+    if new_signatures is not None:
+        sigs_new = new_signatures
+    else:
+        sigs_new = minhash_signatures(
+            new_df, text_col, id_col, num_hashes, shingle_size, hash_family
+        ).persist()
     banded_new = _band_signatures(sigs_new, id_col, bands, num_hashes)
     banded_idx = _band_signatures(
         index_signatures, id_col, bands, num_hashes

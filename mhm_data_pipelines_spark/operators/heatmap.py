@@ -113,30 +113,41 @@ def render_heatmap(
     matrix → image file. Returns ``(row_ids, date_columns)`` so callers
     can emit axis legends (PPM carries no text).
 
-    If matplotlib is importable the image is a real ``YlGnBu`` PNG with
-    titled axes (reference visual parity); otherwise the numpy PPM
-    rasterizer above. The input is the *event-level* frame (one row per
+    The output FORMAT follows the file extension, deterministically —
+    never the environment: a ``.ppm`` path always uses the built-in
+    numpy rasterizer (matplotlib cannot write PPM, and silently
+    switching format by environment would break byte-level consumers
+    like the pixel-oracle gate query); any other extension renders a
+    titled-axes matplotlib figure (reference visual parity,
+    data_collection.py:64-73) and raises a clear error if matplotlib is
+    unavailable. The input is the *event-level* frame (one row per
     observation), exactly like the reference — the pivot happens here,
     in the engine, not in pandas."""
     matrix = availability_matrix(df, ts=ts, id_col=id_col)
     ids, dates, counts = heatmap_array(matrix, id_col=id_col)
+    ext = heatmap_file.rsplit(".", 1)[-1].lower()
+    if ext == "ppm":
+        write_ppm(counts, heatmap_file, cell=cell)
+        return ids, dates
     try:  # pragma: no cover - matplotlib absent in this container
         import matplotlib
+    except ImportError as exc:
+        raise ValueError(
+            f"rendering {heatmap_file!r} requires matplotlib; use a "
+            ".ppm path for the built-in zero-dependency rasterizer"
+        ) from exc
+    matplotlib.use("Agg")  # pragma: no cover
+    import matplotlib.pyplot as plt  # pragma: no cover
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(20, 10))
-        im = ax.imshow(counts, aspect="auto", cmap="YlGnBu")
-        ax.set_title("Data Availability Heatmap")
-        ax.set_xlabel("Date")
-        ax.set_ylabel("Participant")
-        ax.set_xticks(range(len(dates)), dates, rotation=90, fontsize=6)
-        ax.set_yticks(range(len(ids)), ids, fontsize=6)
-        fig.colorbar(im)
-        fig.tight_layout()
-        fig.savefig(heatmap_file)
-        plt.close(fig)
-    except ImportError:
-        write_ppm(counts, heatmap_file, cell=cell)
+    fig, ax = plt.subplots(figsize=(20, 10))
+    im = ax.imshow(counts, aspect="auto", cmap="YlGnBu")
+    ax.set_title("Data Availability Heatmap")
+    ax.set_xlabel("Date")
+    ax.set_ylabel("Participant")
+    ax.set_xticks(range(len(dates)), dates, rotation=90, fontsize=6)
+    ax.set_yticks(range(len(ids)), ids, fontsize=6)
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(heatmap_file)
+    plt.close(fig)
     return ids, dates

@@ -234,16 +234,25 @@ def neardup_stream(
     too wide for the state store: num_hashes longs per historical doc).
 
     foreachBatch is the right harness: the banded join + verify is a
-    batch plan per micro-batch, checkpoint-tracked so a restart neither
-    re-matches nor re-appends a completed batch (parquet appends are
-    idempotent per epoch only through the checkpoint — exactly the
-    semantics the reference's skip-if-exists bookkeeping approximated).
+    batch plan per micro-batch. foreachBatch re-runs a batch whose
+    epoch failed mid-emit, so the writes are made IDEMPOTENT by
+    scoping each batch to its own ``batch_id=N`` partition directory
+    with overwrite semantics — a retried batch replaces its partial
+    output instead of appending it twice. Readers load the directory
+    roots (partition discovery surfaces ``batch_id`` as a column;
+    consumers of the index use only id + signature).
+
+    Each micro-batch is hashed exactly ONCE: the persisted signature
+    frame feeds the match (via ``new_signatures``) and the index
+    append, then unpersists — per-batch executor storage is bounded.
 
     Batch-INTERNAL near-dups are intentionally not emitted here — run
     ``minhash_near_duplicates`` on the batch inside a custom
     ``foreachBatch`` if the arrival unit can contain its own dups.
     Returns the unstarted ``DataStreamWriter``.
     """
+    from pyspark.errors import AnalysisException
+
     from mhm_data_pipelines_spark.operators.dedup import (
         minhash_match_index,
         minhash_signatures,
@@ -254,26 +263,50 @@ def neardup_stream(
         try:
             index = spark.read.parquet(index_path)
             have_index = True
-        except Exception:
+        except AnalysisException as exc:
+            # Only "index not created yet" is expected; a corrupt or
+            # transiently unreadable index must FAIL the batch, not
+            # silently match against nothing.
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             have_index = False
         sigs = minhash_signatures(
             batch, text_col, id_col, num_hashes, shingle_size, hash_family
-        )
-        if have_index:
-            matches = minhash_match_index(
-                batch,
-                index,
-                text_col,
-                id_col,
-                num_hashes,
-                bands,
-                shingle_size,
-                threshold,
-                hash_family,
-            ).withColumn("batch_id", F.lit(batch_id))
-            matches.write.mode("append").parquet(out_path)
-        if update_index:
-            sigs.write.mode("append").parquet(index_path)
+        ).persist()
+        try:
+            if have_index:
+                matches = minhash_match_index(
+                    batch,
+                    index,
+                    text_col,
+                    id_col,
+                    num_hashes,
+                    bands,
+                    shingle_size,
+                    threshold,
+                    hash_family,
+                    new_signatures=sigs,
+                )
+                matches.write.mode("overwrite").parquet(
+                    f"{out_path}/batch_id={batch_id}"
+                )
+            elif batch_id == 0:
+                # Materialize the matches root even when batch 0 has no
+                # index to match against, so readers never hit
+                # PATH_NOT_FOUND on a stream that produced no matches.
+                id_t = dict(batch.dtypes)[id_col]
+                spark.createDataFrame(
+                    [],
+                    f"id_new {id_t}, id_index {id_t}, est_jaccard double",
+                ).write.mode("overwrite").parquet(
+                    f"{out_path}/batch_id={batch_id}"
+                )
+            if update_index:
+                sigs.write.mode("overwrite").parquet(
+                    f"{index_path}/batch_id={batch_id}"
+                )
+        finally:
+            sigs.unpersist()
 
     return (
         stream.writeStream.outputMode("append")

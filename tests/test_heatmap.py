@@ -71,3 +71,13 @@ def test_write_ppm_colormap_monotone(tmp_path):
     assert list(lum) == sorted(lum, reverse=True)
     with pytest.raises(ValueError):
         write_ppm(np.zeros((0, 0)), p)
+
+
+def test_render_heatmap_nonppm_requires_matplotlib(spark, events, tmp_path):
+    try:
+        import matplotlib  # noqa: F401
+        pytest.skip("matplotlib present: the PNG path would succeed")
+    except ImportError:
+        pass
+    with pytest.raises(ValueError, match="matplotlib"):
+        render_heatmap(events, str(tmp_path / "x.png"))

@@ -261,3 +261,19 @@ def test_temperature_mix_validates_temperature(spark):
     df = spark.createDataFrame([("a", "s")], "key string, source string")
     with pytest.raises(ValueError):
         temperature_mix(df, total=1, key="key", temperature=0.0)
+
+
+def test_running_total_decimal_ordering_key(spark):
+    from decimal import Decimal
+
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    rows = [(i, Decimal(f"{i}.25"), 1) for i in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "id long, price decimal(10,2), v long"
+    ).repartition(4)
+    out = running_total(
+        df, order_by=["price", "id"], value_col="v", num_partitions=3
+    ).collect()
+    got = {r.id: r.running_total for r in out}
+    assert got == {i: i for i in range(1, 9)}
