@@ -4438,6 +4438,53 @@ def q_stream_neardup(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter terms via the ``approx_top_k`` sketch (Spark 4) —
+    the bounded-memory path for 100 TB frequency analysis (mergeable
+    per-partition sketches, no full-vocabulary shuffle). Invariant
+    oracle, same pattern as ``approx_sketch_bounds``: the Spark side
+    emits the EXACT top-10 terms plus a boolean asserting each is
+    present in the approx top-20 with a count within 2% + 5; DuckDB
+    emits the exact top-10 and TRUE. A hash match certifies the sketch
+    surface without demanding bit-equal estimates."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.transform(tokens("text"), F.lower)).alias("term")
+    )
+    exact_top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(10)
+    )
+    approx = (
+        toks.agg(F.expr("approx_top_k(term, 20)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").alias("approx_n"),
+        )
+    )
+    ok = F.col("approx_n").isNotNull() & (
+        F.abs(F.col("approx_n") - F.col("n"))
+        <= F.col("n") * 0.02 + F.lit(5)
+    )
+    return (
+        exact_top.join(F.broadcast(approx), "term", "left")
+        .select("term", "n", ok.alias("ok"))
+        .orderBy(F.desc("n"), "term")
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH t AS (
+  SELECT lower(unnest({_SQL_TOKENS})) AS term FROM documents
+)
+SELECT term, count(*) AS n, TRUE AS ok
+FROM t GROUP BY term
+ORDER BY n DESC, term LIMIT 10
+"""
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -4573,6 +4620,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_pairs": q_bpe_pairs,
     "minhash_incremental": q_minhash_incremental,
     "stream_neardup": q_stream_neardup,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -4688,6 +4736,7 @@ ORACLES: dict[str, str] = {
     "bpe_pairs": SQL_BPE_PAIRS,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4721,6 +4770,7 @@ GATE_PRIORITY: list[str] = [
     "bpe_pairs",
     "minhash_incremental",
     "stream_neardup",
+    "heavy_hitters",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4739,7 +4789,6 @@ GATE_PRIORITY: list[str] = [
     #    embedding_quantize, approx_sketch_bounds, lang_id).
     "pii_redaction",
     "decontamination",
-    "chunk_documents",
     "llm_dataset_build",
     "zorder_layout",
     "tfidf_top_terms",
@@ -4765,11 +4814,11 @@ GATE_PRIORITY: list[str] = [
     "ivf_topk",
 ]
 # ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
-# doc_quality, doc_repetition and source_mix (all r3-green, definitions
-# unchanged) rotated out to make room for the round-4 keys
-# (staging_mirror, heatmap_render, temperature_mix, bm25_topk,
-# bpe_pairs, minhash_incremental, stream_neardup); they stay
-# hash-checked by tests/test_oracle_parity.py.
+# doc_quality, doc_repetition, source_mix and chunk_documents (all
+# r3-green, definitions unchanged) rotated out to make room for the
+# round-4 keys (staging_mirror, heatmap_render, temperature_mix,
+# bm25_topk, bpe_pairs, minhash_incremental, stream_neardup,
+# heavy_hitters); they stay hash-checked by tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with
 # definitions changed since their last green row, then single-green

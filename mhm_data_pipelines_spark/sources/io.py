@@ -36,18 +36,29 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     gzip_csv: bool = True,
+    compression: str | None = None,
 ) -> None:
     """Partitioned table sink. ``mode='ignore'`` reproduces the
     reference's skip-if-output-exists incremental semantics
     (merge-data.py:68-70); ``'overwrite'`` its ``--update`` flag
-    (merge-data.py:109,164)."""
+    (merge-data.py:109,164).
+
+    ``fmt`` is any Spark data source: parquet (default), csv
+    (header + gzip per the reference), json, orc — ORC ships in
+    vanilla Spark and is the columnar alternative when downstream
+    readers are Hive/Trino-first. ``compression`` overrides the
+    format's default codec (e.g. ``"zstd"`` for parquet/orc — ~25-30%
+    smaller than snappy at similar scan speed, the right default for
+    100 TB cold data; scan-heavy hot tables may prefer snappy)."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer = writer.option("header", "true")
-        if gzip_csv:
-            writer = writer.option("compression", "gzip")
+        if gzip_csv and compression is None:
+            compression = "gzip"
+    if compression:
+        writer = writer.option("compression", compression)
     writer.format(fmt).save(path)
 
 

@@ -213,3 +213,18 @@ def test_read_lake_unified_glob_listing_full_match(spark, tmp_path):
     mets = {r.metric for r in df.select("metric").distinct().collect()}
     assert mets == {"metric_good"}
     assert df.count() == 1
+
+
+def test_write_table_zstd_compression(spark, tmp_path):
+    """compression override reaches the files (zstd parquet — the cold-
+    data codec for 100 TB archives) and reads back intact."""
+    import glob as globmod
+
+    from mhm_data_pipelines_spark.sources.io import write_table
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)], "id long, s string")
+    out = str(tmp_path / "zstd_tbl")
+    write_table(df, out, compression="zstd")
+    files = globmod.glob(f"{out}/*.parquet")
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(out).count() == 100

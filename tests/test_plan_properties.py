@@ -149,6 +149,9 @@ PLAN_BUDGETS: dict[str, dict] = {
         "max_shuffles": 8,
         "require": ["BroadcastHashJoin"],
     },
+    # exact top-10 agg + mergeable approx_top_k sketch agg; approx side
+    # (≤20 rows) broadcast onto the exact side
+    "heavy_hitters": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
 }
 
 
