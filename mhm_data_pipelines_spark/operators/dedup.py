@@ -121,13 +121,17 @@ def minhash_signatures(
     # num_hashes agg expressions re-hashes the string per expression
     # (no CSE across aggregates): measured 3× slower at sf0.1.
     ex = df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    # Aggregate exprs as SQL text (one F.expr = one py4j round-trip
+    # each, vs ~3 per hash for the Column-operator chain — plan
+    # construction is rebuilt per call and was ~0.5 s at 32 hashes;
+    # see the simhash vote aggregates for the same rationale).
     if hash_family == "xxhash64":
         ex = ex.select(
             id_col,
             F.xxhash64("_sh").alias("_h1"),
             F.xxhash64("_sh", F.lit(1)).alias("_h2"),
         )
-        mh = lambda i: F.xxhash64("_h1", "_h2", F.lit(i))  # noqa: E731
+        mh_sql = "min(xxhash64(_h1, _h2, {i})) AS _h{i}"
     elif hash_family == "md5":
         p = MINHASH_MD5_P
         hex60 = lambda c, start: F.conv(  # noqa: E731
@@ -139,13 +143,12 @@ def minhash_signatures(
             (hex60(md5c, 1) % F.lit(p)).alias("_h1"),
             (hex60(md5c, 16) % F.lit(p - 1) + 1).alias("_h2"),
         )
-        mh = lambda i: (  # noqa: E731
-            F.col("_h1") + F.lit(i) * F.col("_h2")
-        ) % F.lit(p)
+        # All operands non-negative, so SQL % (remainder) ≡ pmod here.
+        mh_sql = f"min((_h1 + {{i}} * _h2) % {p}) AS _h{{i}}"
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     agg = ex.groupBy(id_col).agg(
-        *[F.min(mh(i)).alias(f"_h{i}") for i in range(num_hashes)]
+        *[F.expr(mh_sql.format(i=i)) for i in range(num_hashes)]
     )
     sigs = agg.select(
         F.col(id_col),
@@ -513,21 +516,33 @@ def simhash(
         )
     else:
         raise ValueError(f"unknown token_hash: {token_hash!r}")
-    vote = lambda j: F.when(  # noqa: E731
-        F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1
-    ).otherwise(-1)
+    # SQL-TEXT expressions, one F.expr per aggregate and ONE for the
+    # whole bit assembly: the Column-operator formulation costs ~7 py4j
+    # driver round-trips per bit (vote chain) plus ~5 per bit (OR
+    # chain) — ~1.5 s of pure plan-construction latency per call at 60
+    # bits, REBUILT on every invocation (it dominated the measured
+    # "warm" time; execution itself is ~0.3 s at sf0.1). A parsed SQL
+    # string is one round-trip regardless of bit count. Same plan, same
+    # results; see budget._bucket_sql for the same technique.
     votes = ex.groupBy(id_col).agg(
-        *[F.sum(vote(j)).alias(f"_v{j}") for j in range(bits)]
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        bit = 1 << j if j < 63 else -(1 << 63)
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"_v{j}") > 0, F.lit(bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
+        *[
+            F.expr(
+                f"sum(CASE WHEN ((_h >> {j}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS _v{j}"
             )
-        )
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+            for j in range(bits)
+        ]
+    )
+    # shiftleft(1L, j) yields min-long naturally at j=63 — no literal
+    # that the SQL parser would reject as overflow.
+    sig_sql = " | ".join(
+        f"(CASE WHEN _v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return votes.select(
+        F.col(id_col), F.expr(sig_sql).alias("simhash")
+    )
 
 
 def simhash_duplicates(
