@@ -67,15 +67,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: (applicationId, sf_dir, name) → analyzed DataFrame. The synthetic
+#: tables are immutable per round, but every ``spark.read.parquet``
+#: re-lists the path and re-reads footers for schema — repeated for
+#: EVERY table reference in every query construction (tpch_q8 touches 7
+#: tables; ~10 s of the 42-query bench was this). Memoizing the
+#: analyzed plan (not data — nothing is persisted) removes the repeat
+#: I/O; keyed by applicationId so a new session never sees another
+#: session's plans. Call ``load_table_cache_clear()`` if the files
+#: under a cached path are rewritten mid-session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def load_table_cache_clear() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. ``events.ts`` has shipped as both
     TIMESTAMP(NANOS) — which Spark reads as LongType nanos under the
     ``nanosAsLong`` conf and we convert to a µs timestamp (lossless, the
     data carries no sub-µs component) — and as a native µs timestamp,
     which needs no conversion. Detect by the read schema, not the sf."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _TABLE_CACHE.get(key)
+    if got is not None:
+        return got
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _normalize_ts(df)
+    df = _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
