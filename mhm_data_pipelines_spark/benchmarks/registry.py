@@ -4506,6 +4506,48 @@ ORDER BY n DESC, term LIMIT 10
 """
 
 
+_PROFILE_COLS = [
+    ("doc_id", "bigint"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
+
+
+def q_profile_table(spark, sf_dir):
+    """Per-column table profiling (the data-quality "summarize" pass):
+    rows/nulls/distinct/min/max in ONE aggregate scan + top-3 frequent
+    values from one explode+agg — dbt-profiler / SUMMARIZE shape, full
+    value oracle."""
+    from mhm_data_pipelines_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        columns=[c for c, _ in _PROFILE_COLS],
+        top_k=3,
+    ).orderBy("column")
+
+
+def _profile_oracle_sql() -> str:
+    blocks = []
+    for c, dt in _PROFILE_COLS:
+        blocks.append(f"""
+SELECT '{c}' AS "column", '{dt}' AS dtype,
+  (SELECT count(*) FROM documents) AS n_rows,
+  (SELECT count(*) FILTER (WHERE {c} IS NULL) FROM documents) AS n_nulls,
+  (SELECT count(DISTINCT {c}) FROM documents) AS n_distinct,
+  (SELECT CAST(min({c}) AS VARCHAR) FROM documents) AS min_value,
+  (SELECT CAST(max({c}) AS VARCHAR) FROM documents) AS max_value,
+  coalesce((SELECT string_agg(value || ':' || n, ', ' ORDER BY n DESC, value)
+   FROM (SELECT CAST({c} AS VARCHAR) AS value, count(*) AS n
+         FROM documents WHERE {c} IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, value LIMIT 3)), '') AS top_values""")
+    return "\nUNION ALL\n".join(blocks) + '\nORDER BY "column"'
+
+
+SQL_PROFILE_TABLE = _profile_oracle_sql()
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -4642,6 +4684,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_incremental": q_minhash_incremental,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
+    "profile_table": q_profile_table,
 }
 
 ORACLES: dict[str, str] = {
@@ -4758,6 +4801,7 @@ ORACLES: dict[str, str] = {
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "profile_table": SQL_PROFILE_TABLE,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4792,6 +4836,7 @@ GATE_PRIORITY: list[str] = [
     "minhash_incremental",
     "stream_neardup",
     "heavy_hitters",
+    "profile_table",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4825,7 +4870,6 @@ GATE_PRIORITY: list[str] = [
     "corpus_prep",
     "stratified_counts",
     "balanced_classes",
-    "pack_documents",
     "binary_metadata",
     "frame_samples",
     "multimodal_features",
@@ -4835,11 +4879,12 @@ GATE_PRIORITY: list[str] = [
     "ivf_topk",
 ]
 # ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
-# doc_quality, doc_repetition, source_mix and chunk_documents (all
-# r3-green, definitions unchanged) rotated out to make room for the
-# round-4 keys (staging_mirror, heatmap_render, temperature_mix,
-# bm25_topk, bpe_pairs, minhash_incremental, stream_neardup,
-# heavy_hitters); they stay hash-checked by tests/test_oracle_parity.py.
+# doc_quality, doc_repetition, source_mix, chunk_documents and
+# pack_documents (all r3-green, definitions unchanged) rotated out to
+# make room for the round-4 keys (staging_mirror, heatmap_render,
+# temperature_mix, bm25_topk, bpe_pairs, minhash_incremental,
+# stream_neardup, heavy_hitters, profile_table); they stay hash-checked
+# by tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with
 # definitions changed since their last green row, then single-green
