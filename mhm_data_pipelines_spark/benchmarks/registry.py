@@ -67,16 +67,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-#: (applicationId, sf_dir, name) → analyzed DataFrame. The synthetic
-#: tables are immutable per round, but every ``spark.read.parquet``
-#: re-lists the path and re-reads footers for schema — repeated for
-#: EVERY table reference in every query construction (tpch_q8 touches 7
-#: tables; ~10 s of the 42-query bench was this). Memoizing the
-#: analyzed plan (not data — nothing is persisted) removes the repeat
-#: I/O; keyed by applicationId so a new session never sees another
-#: session's plans. Call ``load_table_cache_clear()`` if the files
-#: under a cached path are rewritten mid-session.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: Per-SESSION memo of analyzed table DataFrames. The synthetic tables
+#: are immutable per round, but every ``spark.read.parquet`` re-lists
+#: the path and re-reads footers for schema — repeated for EVERY table
+#: reference in every query construction (tpch_q8 touches 7 tables;
+#: ~10 s of the 42-query bench was this). Memoizing the analyzed plan
+#: (not data — nothing is persisted) removes the repeat I/O. Keyed by
+#: the SparkSession OBJECT (weakly — entries die with their session):
+#: ``spark.newSession()`` siblings share an applicationId but must not
+#: share plans or session state, so the session itself is the only
+#: correct key. Call ``load_table_cache_clear()`` if the files under a
+#: cached path are rewritten mid-session.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table_cache_clear() -> None:
@@ -89,13 +95,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` conf and we convert to a µs timestamp (lossless, the
     data carries no sub-µs component) — and as a native µs timestamp,
     which needs no conversion. Detect by the read schema, not the sf."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    got = _TABLE_CACHE.get(key)
+    # Set the conf on THIS session even on a cache hit, so ad-hoc
+    # parquet reads beside the memoized plans see the same behavior.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    got = per_session.get(key)
     if got is not None:
         return got
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

@@ -36,35 +36,54 @@ def profile_table(
     n_distinct, min_value, max_value, top_values)`` where
     ``top_values`` is ``"v1:n1, v2:n2, ..."`` (count desc, value asc;
     NULLs excluded)."""
-    cols = columns or df.columns
+    if columns is not None and not columns:
+        raise ValueError("profile_table: empty columns list")
+    cols = columns if columns is not None else df.columns
     dtypes = dict(df.dtypes)
     missing = [c for c in cols if c not in dtypes]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
 
+    def value_expr(c: str):
+        """Comparable STRING form per type so complex columns profile
+        instead of crashing min/max's ordering check: nested types via
+        canonical JSON, binary via hex, atomics via plain cast."""
+        col, t = F.col(f"`{c}`"), dtypes[c]
+        if t.startswith(("struct", "map", "array")):
+            return F.to_json(col)
+        if t == "binary":
+            return F.hex(col)
+        return col.cast("string")
+
     distinct_agg = (
         F.count_distinct if exact_distinct else F.approx_count_distinct
     )
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
-        col = F.col(f"`{c}`")
+    for i, c in enumerate(cols):
+        col, v = F.col(f"`{c}`"), value_expr(c)
+        # min/max on the NATIVE type when orderable (numeric min, not
+        # lexicographic), on the string form otherwise.
+        mm = v if dtypes[c].startswith(("struct", "map", "array")) else col
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}"),
-            distinct_agg(col).alias(f"_nd_{c}"),
-            F.min(col).cast("string").alias(f"_min_{c}"),
-            F.max(col).cast("string").alias(f"_max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{i}"),
+            distinct_agg(v).alias(f"_nd_{i}"),
+            F.min(mm).cast("string").alias(f"_min_{i}"),
+            F.max(mm).cast("string").alias(f"_max_{i}"),
         ]
     stats = df.agg(*aggs)
     # stack(n, label1, v1a, v1b, ..., label2, ...) unpivots the single
-    # stats row to long form without touching the driver.
+    # stats row to long form without touching the driver. Labels are
+    # quoted SQL literals and the stat columns positional aliases, so
+    # arbitrary source column names (spaces, quotes, dots) are safe.
     parts = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        label = c.replace("\\", "\\\\").replace("'", "\\'")
         parts += [
-            f"'{c}'",
-            f"_nulls_{c}",
-            f"_nd_{c}",
-            f"_min_{c}",
-            f"_max_{c}",
+            f"'{label}'",
+            f"_nulls_{i}",
+            f"_nd_{i}",
+            f"_min_{i}",
+            f"_max_{i}",
         ]
     long = stats.select(
         "_rows",
@@ -80,7 +99,7 @@ def profile_table(
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(f"`{c}`").cast("string").alias("value"),
+                        value_expr(c).alias("value"),
                     )
                     for c in cols
                 ]

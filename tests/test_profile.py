@@ -47,3 +47,27 @@ def test_profile_column_subset_and_approx(spark, frame):
 def test_profile_unknown_column_raises(spark, frame):
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(frame, columns=["nope"])
+
+
+def test_profile_complex_and_binary_columns(spark):
+    df = spark.createDataFrame(
+        [(1, {"k": "v"}, [1, 2], bytearray(b"\x01\xff")), (2, None, None, None)],
+        "id long, m map<string,string>, a array<int>, b binary",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["m"].n_nulls == 1 and out["m"].n_distinct == 1
+    assert out["m"].top_values == '{"k":"v"}:1'
+    assert out["a"].min_value == "[1,2]"
+    assert out["b"].top_values == "01FF:1"
+
+
+def test_profile_exotic_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], "`my col` long, `o'brien` long")
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"my col", "o'brien"}
+    assert out["my col"].n_distinct == 1
+
+
+def test_profile_empty_columns_rejected(spark, frame):
+    with pytest.raises(ValueError, match="empty columns"):
+        profile_table(frame, columns=[])
