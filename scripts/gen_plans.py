@@ -138,6 +138,23 @@ NOTES = {
         "FIRST (one hash agg), pairs explode from distinct words only; "
         "final pair aggregate map-side combined, top-n TakeOrdered."
     ),
+    "minhash_incremental": (
+        "incremental dedup: only the batch is hashed; the batch's "
+        "bucket keys broadcast-semi-prune the banded index before the "
+        "pair join, so the standing index filters scan-side instead of "
+        "shuffling wholesale."
+    ),
+    "heavy_hitters": (
+        "heavy hitters: mergeable approx_top_k sketch aggregate beside "
+        "the exact top-10 agg; the <=20-row sketch output broadcasts "
+        "onto the exact side; top-10 is TakeOrdered."
+    ),
+    "profile_table": (
+        "table profiling: ONE aggregate pass for all per-column "
+        "rows/nulls/distinct/min/max (map-side combined) unpivoted via "
+        "stack; top-k values from one explode + hash agg + per-column "
+        "window."
+    ),
 }
 
 
