@@ -4952,4 +4952,11 @@ BENCH_QUERIES: list[str] = [
     "simhash_neardup",
     "embedding_topk",
     "embedding_centroids",
+    # round-4 headliners
+    "minhash_incremental",
+    "bm25_topk",
+    "temperature_mix",
+    "bpe_pairs",
+    "heavy_hitters",
+    "profile_table",
 ]
