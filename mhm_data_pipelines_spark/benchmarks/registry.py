@@ -4557,6 +4557,73 @@ SELECT '{c}' AS "column", '{dt}' AS dtype,
 SQL_PROFILE_TABLE = _profile_oracle_sql()
 
 
+def q_doc_bigram_lm(spark, sf_dir):
+    """Bigram-LM quality scoring: each document's mean bigram
+    conditional log-probability ``ln P(w2|w1)`` under the corpus MLE
+    bigram model — one order deeper than ``doc_lm_score``'s unigram
+    stand-in for CCNet-style perplexity filtering. Corpus bigram counts
+    are one hash aggregate over the exploded bigrams; context counts
+    derive from the bigram table itself (sum per left word), so
+    conditionals are exact MLE with no smoothing needed (every scored
+    bigram is in the corpus by construction). Shuffle shape: one
+    explode + two stacked aggregates + AQE-sized joins back."""
+    df = _t(spark, sf_dir, "documents")
+    tk = df.select(
+        "doc_id",
+        F.transform(tokens("text"), F.lower).alias("tk"),
+    )
+    big = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> concat(tk[i], ' ', tk[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bfreq = big.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx = bfreq.groupBy(
+        F.split("bg", " ")[0].alias("w1")
+    ).agg(F.sum("c12").cast("double").alias("c1"))
+    logp = F.log(F.col("c12") / F.col("c1"))
+    return (
+        big.join(bfreq, "bg")
+        .join(ctx, F.split("bg", " ")[0] == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_BIGRAM_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+), bfreq AS (
+  SELECT bg, count(*) AS c12 FROM big GROUP BY bg
+), ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1,
+         CAST(sum(c12) AS DOUBLE) AS c1
+  FROM bfreq GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln(c12 / c1)), 4) AS avg_logp
+FROM big
+JOIN bfreq USING (bg)
+JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -4694,6 +4761,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
+    "doc_bigram_lm": q_doc_bigram_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -4811,6 +4879,7 @@ ORACLES: dict[str, str] = {
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
+    "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -4846,6 +4915,7 @@ GATE_PRIORITY: list[str] = [
     "stream_neardup",
     "heavy_hitters",
     "profile_table",
+    "doc_bigram_lm",
     # -- re-verify: definitions touched in round 4 (budget rewrite,
     #    minhash hot-bucket amortization, kgram short-text guard,
     #    winnow hot-bucket dedup/recall fix).
@@ -4877,7 +4947,6 @@ GATE_PRIORITY: list[str] = [
     "neardup_clusters",
     "neardup_dedup_keep",
     "corpus_prep",
-    "stratified_counts",
     "balanced_classes",
     "binary_metadata",
     "frame_samples",
@@ -4892,8 +4961,9 @@ GATE_PRIORITY: list[str] = [
 # pack_documents (all r3-green, definitions unchanged) rotated out to
 # make room for the round-4 keys (staging_mirror, heatmap_render,
 # temperature_mix, bm25_topk, bpe_pairs, minhash_incremental,
-# stream_neardup, heavy_hitters, profile_table); they stay hash-checked
-# by tests/test_oracle_parity.py.
+# stream_neardup, heavy_hitters, profile_table, doc_bigram_lm —
+# stratified_counts also rotated out for the last); they stay
+# hash-checked by tests/test_oracle_parity.py.
 # ^ 50 slots = the driver-verified window. Rotation policy (round 4):
 # 3 permanent canaries first, then keys with no driver row yet or with
 # definitions changed since their last green row, then single-green
