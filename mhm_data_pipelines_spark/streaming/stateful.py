@@ -313,3 +313,52 @@ def neardup_stream(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(emit)
     )
+
+
+def compact_signature_index(
+    spark,
+    index_path: str,
+    target_files: int = 8,
+) -> int:
+    """Compact a :func:`neardup_stream` signature index: a long-running
+    stream leaves one ``batch_id=N`` directory per micro-batch, each a
+    few small files — after 10⁴ batches the index read spends more time
+    listing than scanning. Merges every batch partition into a single
+    ``batch_id=-1`` partition (the reserved "compacted epoch"; real
+    batch ids are non-negative, so later appends never collide) of
+    ``target_files`` files, published with the same sibling-temp-dir +
+    rename protocol as ``operators.upsert`` — a crash leaves either the
+    old layout or the new, never a torn index. Returns the number of
+    batch directories retired.
+
+    Operational contract: run while the stream is STOPPED (between
+    restarts). Compacting under a live stream races the in-flight
+    epoch's append.
+    """
+    import uuid as _uuid
+
+    df = spark.read.parquet(index_path).drop("batch_id")
+    tmp = f"{index_path}__compact_tmp_{_uuid.uuid4().hex}"
+    df.coalesce(target_files).write.parquet(f"{tmp}/batch_id=-1")
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    retired = 0
+    for status in fs.listStatus(hpath(index_path)):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("batch_id=")):
+            continue
+        if not fs.rename(
+            status.getPath(), hpath(f"{tmp}/_retired_{name}")
+        ):
+            raise IOError(f"index compact: could not retire {name}")
+        retired += 1
+    if not fs.rename(
+        hpath(f"{tmp}/batch_id=-1"), hpath(f"{index_path}/batch_id=-1")
+    ):
+        raise IOError("index compact: could not publish compacted epoch")
+    fs.delete(hpath(tmp), True)
+    return retired

@@ -313,3 +313,38 @@ def test_neardup_stream_matches_against_growing_index(spark, tmp_path):
     assert all(b in (1, 2) for _, b in got)
     # index grew to cover both batches
     assert spark.read.parquet(index_path).count() == 4
+
+
+def test_compact_signature_index_preserves_rows(spark, tmp_path):
+    from mhm_data_pipelines_spark.operators.dedup import minhash_signatures
+    from mhm_data_pipelines_spark.streaming.stateful import (
+        compact_signature_index,
+    )
+
+    index = str(tmp_path / "sigidx")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    for b in range(3):
+        sigs = minhash_signatures(
+            docs.filter(F.col("doc_id") % 3 == b), num_hashes=16
+        )
+        sigs.write.parquet(f"{index}/batch_id={b}")
+    before = {
+        (r.doc_id, tuple(r.signature))
+        for r in spark.read.parquet(index).collect()
+    }
+    retired = compact_signature_index(spark, index, target_files=2)
+    assert retired == 3
+    after_df = spark.read.parquet(index)
+    after = {
+        (r.doc_id, tuple(r.signature)) for r in after_df.collect()
+    }
+    assert after == before
+    assert set(after_df.select("batch_id").distinct().toPandas().batch_id) == {-1}
+    # a post-compaction stream append coexists with the compacted epoch
+    minhash_signatures(docs.limit(1), num_hashes=16).write.parquet(
+        f"{index}/batch_id=7"
+    )
+    assert spark.read.parquet(index).count() == len(before) + 1
