@@ -2499,6 +2499,148 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filter (Rae et al. 2021, Appendix A): per-doc
+    rule inputs + per-rule pass flags + the all-rules keep verdict,
+    entirely as Column expressions (functions.text.gopher_stats) with a
+    rule-identical DuckDB twin."""
+    from mhm_data_pipelines_spark.functions.text import gopher_stats
+
+    df = _t(spark, sf_dir, "documents")
+    s = df.select("doc_id", gopher_stats("text").alias("s"))
+    return (
+        s.select(
+            "doc_id",
+            F.col("s.n_words").cast("long").alias("n_words"),
+            "s.mean_word_len",
+            "s.symbol_ratio",
+            "s.alpha_frac",
+            F.col("s.n_stop_hits").cast("long").alias("n_stop_hits"),
+            "s.pass_word_count",
+            "s.pass_mean_word_len",
+            "s.pass_symbol_ratio",
+            "s.pass_alpha_words",
+            "s.pass_stopwords",
+            "s.doc_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_GOPHER_STOPS = "[" + ", ".join(
+    f"'{s}'"
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+) + "]"
+
+SQL_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+           AS ls
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+           AS total_len,
+         (len(string_split(text, '#')) - 1)
+         + (len(string_split(text, '...')) - 1)
+         + (len(string_split(text, '…')) - 1) AS n_symbols,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS n_alpha,
+         len(ls) AS n_lines,
+         len(list_filter(ls, x ->
+             substr(trim(x), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+         len(list_filter(ls, x ->
+             trim(x) LIKE '%...' OR trim(x) LIKE '%…'))
+           AS n_ell_lines,
+         len(list_filter({_SQL_GOPHER_STOPS}::VARCHAR[], s ->
+             list_contains(list_transform(toks, x -> lower(x)), s)))
+           AS n_stop_hits
+  FROM t
+), r AS (
+  -- Flags compare the UNROUNDED ratios (the Spark struct rounds only
+  -- the reported values, not the rule inputs).
+  SELECT doc_id, n_words, n_stop_hits,
+         CASE WHEN n_words > 0 THEN total_len / n_words
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN n_symbols / n_words
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN n_alpha / n_words
+              ELSE 0.0 END AS alpha_frac,
+         CASE WHEN n_lines > 0 THEN n_bullet / n_lines
+              ELSE 0.0 END AS bullet_frac,
+         CASE WHEN n_lines > 0 THEN n_ell_lines / n_lines
+              ELSE 0.0 END AS ellipsis_frac
+  FROM s
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       round(alpha_frac, 4) AS alpha_frac,
+       n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       (mean_word_len >= 3 AND mean_word_len <= 10)
+         AS pass_mean_word_len,
+       (symbol_ratio <= 0.1) AS pass_symbol_ratio,
+       (alpha_frac >= 0.8) AS pass_alpha_words,
+       (n_stop_hits >= 2) AS pass_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3 AND mean_word_len <= 10)
+        AND (symbol_ratio <= 0.1)
+        AND (bullet_frac < 0.9)
+        AND (ellipsis_frac < 0.3)
+        AND (alpha_frac >= 0.8)
+        AND (n_stop_hits >= 2)) AS doc_kept
+FROM r ORDER BY doc_id
+"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated token spans across documents (Lee et al. 2022
+    substring-dedup semantics at token-5-gram resolution): maximal
+    diagonal runs of ≥ 2 shared 5-grams per doc pair, via hashed-gram
+    equi-join + gaps-and-islands consolidation
+    (operators.dedup.duplicate_ngram_spans)."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    out = duplicate_ngram_spans(df, k=5, min_run=2, max_gram_df=1000)
+    return out.orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+SQL_DUP_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g0 AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i + 4], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+  WHERE len(toks) >= 5
+), g AS (
+  SELECT doc_id, pos, gram FROM g0
+  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), r AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       count(*) AS n_grams, count(*) + 4 AS span_tokens
+FROM r
+GROUP BY doc_a, doc_b, diag, grp
+HAVING count(*) >= 2
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -4712,6 +4854,8 @@ QUERIES: dict[str, QuerySpec] = {
     "winnow_overlap": q_winnow_overlap,
     "corpus_composition": q_corpus_composition,
     "c4_filter_stats": q_c4_filter_stats,
+    "gopher_quality": q_gopher_quality,
+    "dup_spans": q_dup_spans,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -4830,6 +4974,8 @@ ORACLES: dict[str, str] = {
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "corpus_composition": SQL_CORPUS_COMPOSITION,
     "c4_filter_stats": SQL_C4_FILTER_STATS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "dup_spans": SQL_DUP_SPANS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,

@@ -175,6 +175,116 @@ def c4_clean_text(text: Column | str) -> Column:
     return F.array_join(kept, "\n")
 
 
+#: Gopher (Rae et al. 2021, Appendix A) "must contain ≥ 2 of" stop set —
+#: distinct from the ratio-feature STOPWORDS tuple above by design: the
+#: paper names these eight words specifically.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(text: Column | str) -> Column:
+    """Gopher-style document quality rule inputs (Rae et al. 2021,
+    Appendix A) as one struct column, plus the per-rule pass flags and
+    the all-rules verdict. Rules, on whitespace tokens / newline lines:
+
+    * ``50 ≤ n_words ≤ 100000``;
+    * ``3 ≤ mean_word_len ≤ 10``;
+    * symbol-to-word ratio (``#`` or ``...``/``…``) ≤ 0.1;
+    * < 90% of lines start with a bullet (``-``/``*``/``•``);
+    * < 30% of lines end with an ellipsis;
+    * ≥ 80% of words contain at least one alphabetic character;
+    * ≥ 2 distinct words from the 8-word Gopher stop set.
+
+    Pure Column expressions (split/filter/aggregate HOFs — no UDF), so
+    the rule set stays inside whole-stage codegen and is exactly
+    reproducible by the DuckDB oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(n_words > 0, total_len / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_hash = F.size(F.split(c, r"#")) - 1
+    n_ellipsis = (F.size(F.split(c, r"\.\.\.")) - 1) + (
+        F.size(F.split(c, "…")) - 1
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(c, r"\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.substring(F.trim(ln), 1, 1).isin(
+                    "-", "*", "•"
+                ),
+            )
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).endswith("...")
+                | F.trim(ln).endswith("…"),
+            )
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    lower_toks = F.transform(toks, F.lower)
+    # Count of DISTINCT stop-set members present (iterate the 8-word
+    # stop set, not the document) — unambiguous in both engines.
+    n_stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(lower_toks, s))
+    )
+    p_words = (n_words >= 50) & (n_words <= 100000)
+    p_mean = (mean_word_len >= 3) & (mean_word_len <= 10)
+    p_symbol = symbol_ratio <= 0.1
+    p_bullet = bullet_frac < 0.9
+    p_ellipsis = ellipsis_frac < 0.3
+    p_alpha = alpha_frac >= 0.8
+    p_stop = n_stop_hits >= 2
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop_hits.alias("n_stop_hits"),
+        p_words.alias("pass_word_count"),
+        p_mean.alias("pass_mean_word_len"),
+        p_symbol.alias("pass_symbol_ratio"),
+        p_bullet.alias("pass_bullet_lines"),
+        p_ellipsis.alias("pass_ellipsis_lines"),
+        p_alpha.alias("pass_alpha_words"),
+        p_stop.alias("pass_stopwords"),
+        (
+            p_words
+            & p_mean
+            & p_symbol
+            & p_bullet
+            & p_ellipsis
+            & p_alpha
+            & p_stop
+        ).alias("doc_kept"),
+    )
+
+
 def winnow_fingerprints(
     df,
     id_col: str = "doc_id",

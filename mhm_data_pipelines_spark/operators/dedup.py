@@ -890,3 +890,100 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_run: int = 2,
+    max_gram_df: int | None = 1000,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Maximal exact duplicated token spans across documents (the
+    distributed analogue of Lee et al. 2022's suffix-array substring
+    dedup, at token-``k``-gram resolution): every maximal run of ≥
+    ``min_run`` consecutive shared ``k``-grams between a document pair,
+    reported as (doc_a, doc_b, start_a, start_b, n_grams, span_tokens).
+    A shared span of ``t`` tokens surfaces as a diagonal run of
+    ``t − k + 1`` matching k-grams, so ``span_tokens = n_grams + k − 1``.
+
+    Scale design — no suffix array, three shuffles, all bounded:
+
+    1. k-grams WITH positions via ``posexplode`` of an expression-built
+       slice array (zero Python);
+    2. cross-doc candidate matches by equi-join on the gram (64-bit
+       ``xxhash64`` when ``hash_grams`` — join keys stay 8 bytes and the
+       text never shuffles; P(any collision) ≈ n²/2⁶⁵, deterministic);
+       boilerplate grams occurring > ``max_gram_df`` times corpus-wide
+       are dropped FIRST (window count over the gram key) so no single
+       gram fans out quadratically — the documented recall trade-off:
+       spans running through ultra-common grams are split or suppressed;
+    3. gaps-and-islands consolidation: matches on one (pair, diagonal)
+       with consecutive positions collapse via the classic
+       ``pos − row_number()`` grouping — a window partitioned by the
+       pair, never global.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    )
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    # 1-based token offset of the gram start (posexplode is 0-based).
+    g = g.select(
+        "_id", (F.col("pos0") + 1).alias("pos"), key.alias("gk")
+    )
+    if max_gram_df is not None:
+        # Occurrence-count cap (unpartitioned window COUNT over the gram
+        # key — one co-partitioned pass, no per-row set materialization).
+        w = Window.partitionBy("gk")
+        g = (
+            g.withColumn("_occ", F.count("*").over(w))
+            .filter(F.col("_occ") <= max_gram_df)
+            .drop("_occ")
+        )
+    a, b = g.alias("a"), g.alias("b")
+    # (doc, pos) rows are unique in g, so joined (pa, pb) match rows are
+    # already distinct — no dedup shuffle needed.
+    m = a.join(
+        b,
+        (F.col("a.gk") == F.col("b.gk"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("doc_a"),
+        F.col("b._id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    wisl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count("*").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_run)
+    )
+    return runs.select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        "start_b",
+        "n_grams",
+        (F.col("n_grams") + F.lit(k - 1)).alias("span_tokens"),
+    )

@@ -292,3 +292,55 @@ def test_minhash_match_index_finds_cross_split_dups(docs, spark):
         ).collect()
     }
     assert pairs == no_prune
+
+
+def test_duplicate_ngram_spans_basic(spark):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    # Docs 10/11 share the 8-token run "a b c d e f g h" (10 at offset 3,
+    # 11 at offset 1); doc 12 shares nothing long enough.
+    rows = [
+        (10, "x y z a b c d e f g h tail one"),
+        (11, "w a b c d e f g h other words here"),
+        (12, "a b c q q q q q q q q q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_ngram_spans(df, k=5, min_run=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (10, 11)
+    assert (r.start_a, r.start_b) == (4, 2)
+    # 8 shared tokens -> 4 consecutive 5-grams -> span of 4 + 5 - 1 = 8
+    assert r.n_grams == 4
+    assert r.span_tokens == 8
+
+
+def test_duplicate_ngram_spans_gram_cap_drops_boilerplate(spark):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    # The same 6-token boilerplate in 4 docs -> each of its 2 5-grams
+    # occurs 4 times; cap at 3 suppresses all spans through it.
+    text = "same old boiler plate line again"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(4)], "doc_id long, text string"
+    )
+    assert duplicate_ngram_spans(df, k=5, min_run=2).count() == 6  # C(4,2)
+    assert (
+        duplicate_ngram_spans(df, k=5, min_run=2, max_gram_df=3).count()
+        == 0
+    )
+
+
+def test_duplicate_ngram_spans_short_text_empty(spark):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert duplicate_ngram_spans(df, k=5).count() == 0

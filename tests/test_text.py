@@ -408,3 +408,55 @@ def test_bpe_pair_counts_hand_check(spark):
 
     top = bpe_pair_counts(df, top_n=1).collect()
     assert len(top) == 1 and (top[0].left, top[0].right) == ("a", "b")
+
+
+def test_gopher_stats_rules(spark):
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.functions.text import gopher_stats
+
+    good = " ".join(
+        ["the quick brown fox jumps that have gone with vigor"] * 6
+    )  # 60 words, all alphabetic, >=2 stop-set words, mean len in band
+    short = "too short to pass the word count rule with these few"
+    symbols = " ".join(["see### word##"] * 30)  # hash-heavy, 60 words
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", gopher_stats("text").alias("s")
+        ).collect()
+    }
+    assert out[1].doc_kept
+    assert out[1].n_words == 60
+    assert out[1].pass_stopwords and out[1].n_stop_hits >= 3
+    assert not out[2].pass_word_count and not out[2].doc_kept
+    assert not out[3].pass_symbol_ratio and not out[3].doc_kept
+    assert out[3].symbol_ratio > 0.1
+
+
+def test_gopher_stats_bullet_and_ellipsis_lines(spark):
+    from mhm_data_pipelines_spark.functions.text import gopher_stats
+
+    text = "\n".join(["- bullet line here"] * 9 + ["plain line end"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    s = df.select(gopher_stats("text").alias("s")).collect()[0].s
+    assert s.bullet_frac == 0.9
+    assert not s.pass_bullet_lines
+
+    text2 = "\n".join(["ends with dots..."] * 3 + ["clean"] * 7)
+    df2 = spark.createDataFrame([(1, text2)], "doc_id long, text string")
+    s2 = df2.select(gopher_stats("text").alias("s")).collect()[0].s
+    assert s2.ellipsis_frac == 0.3
+    assert not s2.pass_ellipsis_lines
+
+
+def test_gopher_stats_empty_text(spark):
+    from mhm_data_pipelines_spark.functions.text import gopher_stats
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    s = df.select(gopher_stats("text").alias("s")).collect()[0].s
+    assert s.n_words == 0 and not s.doc_kept
+    assert s.mean_word_len == 0.0 and s.alpha_frac == 0.0
