@@ -4244,6 +4244,125 @@ GROUP BY 1 ORDER BY 1
 SQL_IVF_RECALL = _ivf_recall_oracle_sql()
 
 
+def _pq_seeded_codebooks(
+    dim: int = 64, m: int = 8, ksub: int = 16, seed: int = 13
+) -> list[list[tuple[int, list[float]]]]:
+    """Fixed-seed data-INDEPENDENT PQ codebooks for the pq_topk gate
+    query (same rationale as _ivf_seeded_centroids): the DuckDB twin
+    regenerates identical literals, so the ADC ranking is a full value
+    oracle. Element scale 0.125 ≈ the per-element magnitude of a unit
+    64-dim vector. Production code trains with
+    operators.similarity.train_pq_codebooks instead."""
+    import random
+
+    rng = random.Random(seed)
+    dsub = dim // m
+    return [
+        [
+            (c, [rng.gauss(0.0, 0.125) for _ in range(dsub)])
+            for c in range(ksub)
+        ]
+        for _ in range(m)
+    ]
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (Jégou et al. 2011): corpus
+    encoded to 8 four-bit-ish codes (m=8, ksub=16) by
+    operators.similarity.pq_encode, queries scored via per-query lookup
+    tables (pq_adc_topk). Codebooks are seeded driver-side literals so
+    every float op — normalize, argmin-L2 code assignment with
+    smaller-code ties, LUT inner products, left-associative ADC sum —
+    is a deterministic IEEE-double sequence the DuckDB twin replays
+    exactly."""
+    from mhm_data_pipelines_spark.operators.similarity import pq_adc_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    books = _pq_seeded_codebooks()
+    out = pq_adc_topk(corpus, queries, books, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_score", 4).alias("adc_score"),
+    ).orderBy("query_id", "vec_id")
+
+
+def _pq_topk_oracle_sql(
+    dim: int = 64, m: int = 8, ksub: int = 16, seed: int = 13
+) -> str:
+    """DuckDB twin of q_pq_topk. Mirrors pq_encode/pq_adc_topk
+    float-for-float: codebooks regenerated with the same seeded RNG and
+    embedded via repr round-trip; code assignment is the same
+    left-associative ``(e[j]/nrm − c)·(e[j]/nrm − c)`` sum with
+    (distance, code) lexicographic ties; the ADC score is rebuilt as
+    per-subspace pivot columns added left-to-right (NOT a SUM aggregate,
+    whose addition order would be engine-defined)."""
+    books = _pq_seeded_codebooks(dim, m, ksub, seed)
+    dsub = dim // m
+
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    enc_branches = []
+    lut_branches = []
+    for i, book in enumerate(books):
+        s = i * dsub
+        for code, cvec in book:
+            dist = " + ".join(
+                f"((e[{s + j + 1}] / nrm) - ({c!r}))"
+                f" * ((e[{s + j + 1}] / nrm) - ({c!r}))"
+                for j, c in enumerate(cvec)
+            )
+            enc_branches.append(
+                f"SELECT vec_id, {i} AS sub, {code} AS code,"
+                f" ({dist}) AS d FROM b WHERE vec_id >= 5"
+            )
+            ip = " + ".join(
+                f"((e[{s + j + 1}] / nrm) * ({c!r}))"
+                for j, c in enumerate(cvec)
+            )
+            lut_branches.append(
+                f"SELECT vec_id AS query_id, {i} AS sub, {code} AS code,"
+                f" ({ip}) AS ip FROM b WHERE vec_id < 5"
+            )
+    pivots = ", ".join(
+        f"max(CASE WHEN sub = {i} THEN ip END) AS s{i}" for i in range(m)
+    )
+    score = " + ".join(f"s{i}" for i in range(m))
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), encd AS (
+  {' UNION ALL '.join(enc_branches)}
+), enc AS (
+  SELECT vec_id, sub, code FROM encd
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) = 1
+), lut AS (
+  {' UNION ALL '.join(lut_branches)}
+), parts AS (
+  SELECT l.query_id, c.vec_id, c.sub, l.ip
+  FROM enc c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+), scored AS (
+  SELECT query_id, vec_id, {pivots}
+  FROM parts GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id, ({score}) AS adc
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY ({score}) DESC, vec_id) <= 10
+)
+SELECT query_id, vec_id, round(adc, 4) AS adc_score
+FROM ranked ORDER BY query_id, vec_id
+"""
+
+
+SQL_PQ_TOPK = _pq_topk_oracle_sql()
+
+
 def q_staging_mirror(spark, sf_dir):
     """S5 staging escape hatch (download_data.py:83-145), verified
     end-to-end: ``stage_objects`` mirrors the ``region`` table's files
@@ -4859,6 +4978,7 @@ QUERIES: dict[str, QuerySpec] = {
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
+    "pq_topk": q_pq_topk,
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
@@ -4979,6 +5099,7 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
+    "pq_topk": SQL_PQ_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
@@ -5094,9 +5215,12 @@ GATE_PRIORITY: list[str] = [
     "neardup_dedup_keep",
     "corpus_prep",
     "balanced_classes",
-    "binary_metadata",
-    "frame_samples",
-    "multimodal_features",
+    # -- this session's new queries (never driver-verified): displaced
+    #    binary_metadata / frame_samples / multimodal_features (r3-green,
+    #    definitions unchanged, still covered by test_oracle_parity.py).
+    "gopher_quality",
+    "dup_spans",
+    "pq_topk",
     "embedding_topk",
     "embedding_centroids",
     "embedding_neardup",
@@ -5175,4 +5299,7 @@ BENCH_QUERIES: list[str] = [
     "bpe_pairs",
     "heavy_hitters",
     "profile_table",
+    "gopher_quality",
+    "dup_spans",
+    "pq_topk",
 ]

@@ -395,3 +395,242 @@ def label_centroids(
             F.transform("dims", lambda d: d["mean_val"]).alias("centroid"),
         )
     )
+
+
+def _pq_check(codebooks: list[list[tuple[int, list[float]]]]):
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must have at least one subspace")
+    dsub = len(codebooks[0][0][1])
+    for book in codebooks:
+        for _, cvec in book:
+            if len(cvec) != dsub:
+                raise ValueError("ragged PQ codebook subvector lengths")
+    return m, dsub
+
+
+def _pq_code_sql(
+    book: list[tuple[int, list[float]]], start: int, vcol: str
+) -> str:
+    """SQL-text argmin-L2 code for one subspace: lexicographic
+    ``least`` over (distance, code) structs — min distance, ties to the
+    smaller code. One string per subspace keeps plan construction at
+    m py4j round-trips instead of m × ksub × dsub."""
+    structs = []
+    for code, cvec in book:
+        terms = " + ".join(
+            f"(element_at({vcol}, {start + j + 1}) - ({c!r}))"
+            f" * (element_at({vcol}, {start + j + 1}) - ({c!r}))"
+            for j, c in enumerate(cvec)
+        )
+        structs.append(
+            f"named_struct('d', {terms}, 'c', {int(code)})"
+        )
+    return f"least({', '.join(structs)}).c"
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): L2-normalize,
+    split the vector into ``m`` contiguous subspaces, and store per
+    subspace the id of the nearest codeword (argmin L2, ties to the
+    smaller code) — ``m`` small ints replace ``dim`` floats, the memory
+    move that makes billion-vector search fit a cluster's RAM.
+
+    The codebook is metadata-sized by construction (m × ksub × dsub
+    floats), so it is embedded as plan literals: encoding is a **pure
+    projection — zero shuffle, zero join, zero Python** — same design
+    as :func:`ivf_topk`'s coarse assignment. Codes are 0-based.
+    """
+    m, dsub = _pq_check(codebooks)
+    v = normalize(vec_col)
+    base = df.select(F.col(id_col), v.alias("_cv"))
+    codes = F.array(
+        *[
+            F.expr(_pq_code_sql(book, i * dsub, "_cv"))
+            for i, book in enumerate(codebooks)
+        ]
+    )
+    return base.select(F.col(id_col), codes.alias(codes_col))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ approximate top-k by Asymmetric Distance Computation: the
+    query stays full-precision; each candidate's similarity is the sum
+    over subspaces of a per-query lookup table (inner product of the
+    query subvector with the candidate's codeword).
+
+    Scale shape: the LUT (m × ksub doubles) is computed ONCE per query
+    row as an expression column, then ships with the broadcast of the
+    (always-small) query side; per-candidate scoring is ``m`` array
+    lookups + adds against the encoded corpus — no full-vector math and
+    no shuffle of the corpus beyond the final per-query top-k window.
+    Exactness: recall is bounded by quantization error; raise ksub/m or
+    re-rank the top-k' with true vectors downstream.
+    """
+    m, dsub = _pq_check(codebooks)
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    qv = normalize(vec_col)
+    lut_rows = []
+    for i, book in enumerate(codebooks):
+        cells = []
+        for code, cvec in sorted(book):
+            ip = " + ".join(
+                f"(element_at(_qv, {i * dsub + j + 1}) * ({c!r}))"
+                for j, c in enumerate(cvec)
+            )
+            cells.append(ip)
+        lut_rows.append(f"array({', '.join(cells)})")
+    lut = F.expr(f"array({', '.join(lut_rows)})")
+    q = queries.select(F.col(query_id_col), qv.alias("_qv")).select(
+        query_id_col, lut.alias("_lut")
+    )
+    score = None
+    for i in range(m):
+        term = F.element_at(
+            F.element_at("_lut", i + 1),
+            F.element_at(F.col("pq_codes"), i + 1) + 1,
+        )
+        score = term if score is None else score + term
+    scored = enc.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, score.alias("adc_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace L2 Lloyd iterations over the normalized vectors —
+    the PQ codebook trainer. Same cluster-friendly shape as
+    :func:`train_kmeans`: deterministic hash-sample init, zero-shuffle
+    literal-codeword assignment (the same least-of-structs expression
+    :func:`pq_encode` uses), one posexplode hash-aggregate per round,
+    and only the m × ksub × dsub codeword matrix (metadata-sized)
+    reaches the driver. All m subspaces train in the SAME jobs — the
+    per-round aggregate is keyed by (subspace, code, pos), so the
+    round count, not m, bounds the number of passes."""
+    dim_row = df.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()
+    if not dim_row:
+        raise ValueError("cannot train PQ codebooks on an empty frame")
+    dim = dim_row[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    base = df.select(
+        F.col(id_col).alias("_id"), normalize(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    base = base.persist()
+    try:
+        # Deterministic init: the ksub smallest-hash rows seed every
+        # subspace's codewords (sliced per subspace).
+        seeds = (
+            base.withColumn(
+                "_h", F.xxhash64(F.col("_id"), F.lit(seed))
+            )
+            .orderBy("_h", "_id")
+            .limit(ksub)
+            .select("_cv")
+            .collect()
+        )
+        if len(seeds) < ksub:
+            raise ValueError(
+                f"need at least ksub={ksub} vectors, got {len(seeds)}"
+            )
+        books = [
+            [
+                (c, [float(x) for x in seeds[c]["_cv"][i * dsub:(i + 1) * dsub]])
+                for c in range(ksub)
+            ]
+            for i in range(m)
+        ]
+        for _ in range(max_iter):
+            code_cols = [
+                F.expr(_pq_code_sql(book, i * dsub, "_cv")).alias(f"_c{i}")
+                for i, book in enumerate(books)
+            ]
+            assigned = base.select("_cv", *code_cols)
+            # (subspace, code, pos) → mean over members, all subspaces
+            # in one aggregate job.
+            sub_expr = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("sub"),
+                            F.col(f"_c{i}").alias("code"),
+                            F.slice(
+                                "_cv", i * dsub + 1, dsub
+                            ).alias("v"),
+                        )
+                        for i in range(m)
+                    ]
+                )
+            ).alias("s")
+            rows = (
+                assigned.select(sub_expr)
+                .select("s.sub", "s.code", F.posexplode("s.v"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.avg("col").alias("mval"))
+                .groupBy("sub", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "mval"))
+                    ).alias("dims")
+                )
+                .select(
+                    "sub",
+                    "code",
+                    F.transform("dims", lambda d: d["mval"]).alias("cw"),
+                )
+                .collect()  # m × ksub rows — metadata-sized
+            )
+            new = {(r["sub"], r["code"]): list(r["cw"]) for r in rows}
+            movement = 0.0
+            next_books = []
+            for i, book in enumerate(books):
+                nb = []
+                for code, old in book:
+                    cand = [
+                        float(x) for x in new.get((i, code), old)
+                    ]
+                    movement += sum(
+                        (a - b) ** 2 for a, b in zip(cand, old)
+                    )
+                    nb.append((code, cand))
+                next_books.append(nb)
+            books = next_books
+            if movement < tol:
+                break
+        return books
+    finally:
+        base.unpersist()

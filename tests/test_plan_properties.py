@@ -60,6 +60,12 @@ SINGLE_ROW_BROADCAST_OK = {
                           # the IVF side under test is an equi-join on
                           # list_id
     "bm25_topk",          # crossJoin(broadcast(N docs + avgdl)) — 1 row
+    "pq_topk",            # ADC scoring: encoded corpus ×
+                          # broadcast(5 query rows carrying their LUTs)
+                          # — bounded broadcast cross by design; the
+                          # per-candidate work is m array lookups, and
+                          # a bucketed IVF×PQ composition replaces the
+                          # cross at larger query counts
 }
 
 

@@ -207,3 +207,116 @@ def test_blas_topk_matches_expression_path(corpus, corpus_np):
     assert set(g) == set(w)
     for key in w:
         assert g[key] == pytest.approx(w[key])
+
+
+def _rand_books(m, ksub, dsub, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [
+            (c, [rng.gauss(0.0, 0.25) for _ in range(dsub)])
+            for c in range(ksub)
+        ]
+        for _ in range(m)
+    ]
+
+
+def test_pq_encode_matches_numpy_argmin(corpus, corpus_np):
+    from mhm_data_pipelines_spark.operators.similarity import pq_encode
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    books = _rand_books(m, ksub, dsub)
+    got = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(corpus, books).collect()
+    }
+    V = corpus_np / np.linalg.norm(corpus_np, axis=1, keepdims=True)
+    for i in range(N):
+        for s in range(m):
+            sub = V[i, s * dsub:(s + 1) * dsub]
+            dists = [
+                float(np.sum((sub - np.array(cv)) ** 2))
+                for _, cv in books[s]
+            ]
+            assert got[i][s] == int(np.argmin(dists))
+
+
+def test_pq_adc_topk_matches_numpy_lut(corpus, corpus_np):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    books = _rand_books(m, ksub, dsub)
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = corpus.filter(F.col("vec_id") >= 3)
+    out = pq_adc_topk(c, q, books, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × 5
+
+    # Rebuild ADC scores in numpy from the codes and verify ranking.
+    codes = {
+        r.vec_id: list(r.pq_codes) for r in pq_encode(c, books).collect()
+    }
+    V = corpus_np / np.linalg.norm(corpus_np, axis=1, keepdims=True)
+    for qid in range(3):
+        qv = V[qid]
+        scores = {}
+        for vid, cd in codes.items():
+            rec = np.concatenate(
+                [np.array(books[s][cd[s]][1]) for s in range(m)]
+            )
+            scores[vid] = float(np.dot(qv, rec))
+        want = sorted(scores, key=lambda v: (-scores[v], v))[:5]
+        got = sorted(
+            (r.vec_id for r in rows if r.query_id == qid),
+            key=lambda v: (-scores[v], v),
+        )
+        assert got == want
+        for r in rows:
+            if r.query_id == qid:
+                assert abs(r.adc_score - scores[r.vec_id]) < 1e-9
+
+
+def test_train_pq_codebooks_reduces_reconstruction_error(
+    corpus, corpus_np
+):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    rand_books = _rand_books(m, ksub, dsub)
+    trained = train_pq_codebooks(corpus, m=m, ksub=ksub, max_iter=4)
+    assert len(trained) == m and all(len(b) == ksub for b in trained)
+
+    V = corpus_np / np.linalg.norm(corpus_np, axis=1, keepdims=True)
+
+    def mse(books):
+        enc = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(corpus, books).collect()
+        }
+        errs = []
+        for i in range(N):
+            rec = np.concatenate(
+                [np.array(books[s][enc[i][s]][1]) for s in range(m)]
+            )
+            errs.append(float(np.sum((V[i] - rec) ** 2)))
+        return float(np.mean(errs))
+
+    assert mse(trained) < mse(rand_books) * 0.8
+
+
+def test_train_pq_codebooks_rejects_bad_dims(corpus):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(corpus, m=5)
