@@ -2641,6 +2641,74 @@ ORDER BY doc_a, doc_b, start_a, start_b
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Substring dedup applied (Lee et al. 2022 keep-first): duplicated
+    token spans reported by dup_spans are excised from the higher-id
+    document; output is the rewritten corpus with removal accounting
+    (operators.dedup.dedup_spans_keep_first)."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        dedup_spans_keep_first,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    out = dedup_spans_keep_first(df, k=5, min_run=2, max_gram_df=1000)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_SPAN_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g0 AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i + 4], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+  WHERE len(toks) >= 5
+), g AS (
+  SELECT doc_id, pos, gram FROM g0
+  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), r AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM m
+), spans AS (
+  SELECT doc_b, min(pb) AS start_b, count(*) + 4 AS span_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT s.doc_b AS doc_id, u.i AS p
+  FROM spans s, LATERAL unnest(
+    generate_series(s.start_b, s.start_b + s.span_tokens - 1)) AS u(i)
+), pos AS (
+  SELECT doc_id, i AS p, toks[i] AS tok
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+), kept AS (
+  SELECT p.doc_id, p.p, p.tok
+  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p
+  WHERE c.p IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       len(t.toks) AS n_tokens,
+       len(t.toks) - coalesce(a.n_kept, 0) AS n_removed_tokens
+FROM t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -4975,6 +5043,7 @@ QUERIES: dict[str, QuerySpec] = {
     "c4_filter_stats": q_c4_filter_stats,
     "gopher_quality": q_gopher_quality,
     "dup_spans": q_dup_spans,
+    "span_dedup": q_span_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -5096,6 +5165,7 @@ ORACLES: dict[str, str] = {
     "c4_filter_stats": SQL_C4_FILTER_STATS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dup_spans": SQL_DUP_SPANS,
+    "span_dedup": SQL_SPAN_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
@@ -5220,11 +5290,13 @@ GATE_PRIORITY: list[str] = [
     #    definitions unchanged, still covered by test_oracle_parity.py).
     "gopher_quality",
     "dup_spans",
+    "span_dedup",
     "pq_topk",
+    # ivf_topk rotated out for span_dedup: ivf_recall certifies both the
+    # selective-probe AND (via its exact side) the exhaustive path.
     "embedding_topk",
     "embedding_centroids",
     "embedding_neardup",
-    "ivf_topk",
 ]
 # ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
 # doc_quality, doc_repetition, source_mix, chunk_documents and

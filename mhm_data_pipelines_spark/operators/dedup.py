@@ -912,10 +912,16 @@ def duplicate_ngram_spans(
     Scale design — no suffix array, three shuffles, all bounded:
 
     1. k-grams WITH positions via ``posexplode`` of an expression-built
-       slice array (zero Python);
-    2. cross-doc candidate matches by equi-join on the gram (64-bit
-       ``xxhash64`` when ``hash_grams`` — join keys stay 8 bytes and the
-       text never shuffles; P(any collision) ≈ n²/2⁶⁵, deterministic);
+       key array (zero Python). With ``hash_grams`` (default) the key
+       is a rolling hash-of-hashes: each token hashes ONCE
+       (``xxhash64``), then each k-gram hashes its k token hashes — no
+       gram strings are ever materialized (the string-building
+       ``slice``+``array_join`` formulation measured 3× slower at
+       sf0.1). The staged token-hash array is referenced k+2 times, so
+       CollapseProject cannot re-inline it into the gram lambda. Join
+       keys stay 8 bytes, the text never shuffles;
+       P(any collision) ≈ n²/2⁶⁵, deterministic;
+    2. cross-doc candidate matches by equi-join on the gram key;
        boilerplate grams occurring > ``max_gram_df`` times corpus-wide
        are dropped FIRST (window count over the gram key) so no single
        gram fans out quadratically — the documented recall trade-off:
@@ -928,23 +934,40 @@ def duplicate_ngram_spans(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(grams).alias("pos0", "gram"),
-    )
-    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    if hash_grams:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+        staged = df.select(
+            F.col(id_col).alias("_id"), th.alias("_th")
+        )
+        thc = F.col("_th")
+        nh = F.size(thc)
+        keys = F.when(
+            nh >= k,
+            F.transform(
+                F.sequence(F.lit(1), nh - k + 1),
+                lambda i: F.xxhash64(
+                    *[F.element_at(thc, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        g = staged.select(
+            "_id", F.posexplode(keys).alias("pos0", "gk")
+        )
+    else:
+        n = F.size(toks)
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(grams).alias("pos0", "gk"),
+        )
     # 1-based token offset of the gram start (posexplode is 0-based).
-    g = g.select(
-        "_id", (F.col("pos0") + 1).alias("pos"), key.alias("gk")
-    )
+    g = g.select("_id", (F.col("pos0") + 1).alias("pos"), "gk")
     if max_gram_df is not None:
         # Occurrence-count cap (unpartitioned window COUNT over the gram
         # key — one co-partitioned pass, no per-row set materialization).
@@ -986,4 +1009,71 @@ def duplicate_ngram_spans(
         "start_b",
         "n_grams",
         (F.col("n_grams") + F.lit(k - 1)).alias("span_tokens"),
+    )
+
+
+def dedup_spans_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_run: int = 2,
+    max_gram_df: int | None = 1000,
+) -> DataFrame:
+    """Remove duplicated token spans, keeping the first occurrence (the
+    apply step of Lee et al. 2022 substring dedup): every span that
+    :func:`duplicate_ngram_spans` reports against a LOWER-id document is
+    excised from the higher-id side; the lowest-id holder keeps its
+    copy. Returns (id, text, clean_text, n_tokens, n_removed_tokens).
+
+    Scale shape: the spans frame aggregates to one bounded range-list
+    per affected document (spans per doc, not tokens); a left join
+    hands untouched documents through with zero rewrite cost, and the
+    rewrite itself is a pure expression — tokens whose 1-based position
+    falls inside any covered range are filtered out, the rest re-join
+    with single spaces. (Whitespace is canonicalized in ``clean_text``
+    by construction — positions, not characters, are the dedup unit.)
+    """
+    spans = duplicate_ngram_spans(
+        df, text_col, id_col, k, min_run, max_gram_df
+    )
+    ranges = (
+        spans.groupBy(F.col("doc_b").alias("_rid"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start_b").cast("long").alias("s"),
+                    (F.col("start_b") + F.col("span_tokens"))
+                    .cast("long")
+                    .alias("e"),
+                )
+            ).alias("_ranges")
+        )
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.join(
+        ranges, df[id_col] == ranges["_rid"], "left"
+    ).drop("_rid")
+    kept = F.filter(
+        F.transform(
+            toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("_ranges"),
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+            lambda r: (s["p"] >= r["s"]) & (s["p"] < r["e"]),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("clean_text"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_removed_tokens"),
     )

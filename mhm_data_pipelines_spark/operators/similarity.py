@@ -409,24 +409,48 @@ def _pq_check(codebooks: list[list[tuple[int, list[float]]]]):
     return m, dsub
 
 
-def _pq_code_sql(
-    book: list[tuple[int, list[float]]], start: int, vcol: str
-) -> str:
-    """SQL-text argmin-L2 code for one subspace: lexicographic
-    ``least`` over (distance, code) structs — min distance, ties to the
-    smaller code. One string per subspace keeps plan construction at
-    m py4j round-trips instead of m × ksub × dsub."""
-    structs = []
-    for code, cvec in book:
-        terms = " + ".join(
-            f"(element_at({vcol}, {start + j + 1}) - ({c!r}))"
-            f" * (element_at({vcol}, {start + j + 1}) - ({c!r}))"
-            for j, c in enumerate(cvec)
+def _pq_codebook_df(spark, codebooks):
+    """(sub, code, cw) rows — the codebook as a broadcast-able frame.
+    m × ksub rows, metadata-sized by construction."""
+    rows = [
+        (i, int(code), [float(x) for x in cvec])
+        for i, book in enumerate(codebooks)
+        for code, cvec in book
+    ]
+    return spark.createDataFrame(
+        rows, "sub int, code int, cw array<double>"
+    )
+
+
+def _pq_sub_rows(base, m: int, dsub: int, id_cols: list[str]):
+    """Long form (id..., sub, sv): one row per (vector, subspace) with
+    the dsub-length subvector slice. The ``_cv`` source column is
+    referenced m times, so the normalize stays staged (CollapseProject
+    never duplicates a multi-referenced non-cheap alias)."""
+    s = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("sub"),
+                    F.slice("_cv", i * dsub + 1, dsub).alias("sv"),
+                )
+                for i in range(m)
+            ]
         )
-        structs.append(
-            f"named_struct('d', {terms}, 'c', {int(code)})"
-        )
-    return f"least({', '.join(structs)}).c"
+    ).alias("s")
+    return base.select(*id_cols, s).select(
+        *id_cols, F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_l2(a: str, b: str) -> Column:
+    """Left-associative ``Σ (a_j − b_j)²`` fold — the exact IEEE-double
+    sequence the DuckDB gate oracle replays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def pq_encode(
@@ -442,21 +466,63 @@ def pq_encode(
     smaller code) — ``m`` small ints replace ``dim`` floats, the memory
     move that makes billion-vector search fit a cluster's RAM.
 
-    The codebook is metadata-sized by construction (m × ksub × dsub
-    floats), so it is embedded as plan literals: encoding is a **pure
-    projection — zero shuffle, zero join, zero Python** — same design
-    as :func:`ivf_topk`'s coarse assignment. Codes are 0-based.
+    Physical shape: Arrow-batched ``mapInPandas`` — a pure map stage,
+    zero shuffle; the codebook ships in the UDF closure (metadata-sized
+    by construction). Each batch is scored against all codewords as
+    (batch × ksub) numpy elementwise ops with an EXPLICIT per-dimension
+    accumulation loop, so every float — the norm, each squared
+    difference, each running sum — follows the same left-associative
+    IEEE-double sequence as the declarative ``aggregate``/``zip_with``
+    fold (numpy's own ``sum`` would pairwise-associate), keeping the
+    codes bit-reproducible for the DuckDB value oracle; ``argmin``
+    takes the first minimum = the smaller code on ties. The two
+    declarative formulations measured 3-10× slower at m=8, ksub=16:
+    codebook-as-plan-literals overflows janino's 64 KB method limit
+    (interpreted fallback), and a broadcast-join + struct-min aggregate
+    pays ksub× row fan-out through interpreted HOF folds.
+    Zero vectors cannot be normalized and are excluded from the output
+    (they match nothing in cosine space). Codes are 0-based.
     """
+    import numpy as np
+    import pandas as pd
+
     m, dsub = _pq_check(codebooks)
-    v = normalize(vec_col)
-    base = df.select(F.col(id_col), v.alias("_cv"))
-    codes = F.array(
-        *[
-            F.expr(_pq_code_sql(book, i * dsub, "_cv"))
-            for i, book in enumerate(codebooks)
-        ]
+    dim = m * dsub
+    # (m, ksub, dsub) codeword tensor, ordered by code id.
+    cb = np.array(
+        [[cvec for _, cvec in sorted(book)] for book in codebooks],
+        dtype=np.float64,
     )
-    return base.select(F.col(id_col), codes.alias(codes_col))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # Left-assoc ||v||²: explicit dim loop, not np.sum.
+            sq = np.zeros(len(v))
+            for j in range(dim):
+                sq = sq + v[:, j] * v[:, j]
+            nrm = np.sqrt(sq)
+            ok = nrm > 0
+            v = v[ok] / nrm[ok, None]
+            ids = pdf[id_col].to_numpy()[ok]
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for i in range(m):
+                # Left-assoc Σ_j (v_j − c_j)² over (rows × ksub).
+                d = np.zeros((len(v), cb.shape[1]))
+                for j in range(dsub):
+                    t = v[:, i * dsub + j, None] - cb[None, i, :, j]
+                    d = d + t * t
+                codes[:, i] = np.argmin(d, axis=1)  # first min = low code
+            yield pd.DataFrame(
+                {id_col: ids, codes_col: list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {codes_col} array<int>"
+    )
 
 
 def pq_adc_topk(
@@ -473,31 +539,67 @@ def pq_adc_topk(
     over subspaces of a per-query lookup table (inner product of the
     query subvector with the candidate's codeword).
 
-    Scale shape: the LUT (m × ksub doubles) is computed ONCE per query
-    row as an expression column, then ships with the broadcast of the
-    (always-small) query side; per-candidate scoring is ``m`` array
-    lookups + adds against the encoded corpus — no full-vector math and
-    no shuffle of the corpus beyond the final per-query top-k window.
-    Exactness: recall is bounded by quantization error; raise ksub/m or
-    re-rank the top-k' with true vectors downstream.
+    Scale shape: the LUT (m × ksub doubles per query) is computed in a
+    zero-shuffle ``mapInPandas`` stage symmetric with
+    :func:`pq_encode` — the codebook rides the UDF closure, each inner
+    product uses the same explicit left-associative per-dimension
+    accumulation so the floats are bit-reproducible — and ships with
+    the broadcast of the (always-small) query frame; per-candidate
+    scoring is ``m`` array lookups + adds against the encoded corpus,
+    no full-vector math and no shuffle of the corpus beyond the final
+    per-query top-k window. The ADC sum is an explicit left-to-right
+    add chain (not a SUM aggregate) so the float sequence is
+    deterministic for the value oracle. Recall is bounded by
+    quantization error; raise ksub/m or re-rank the top-k' with true
+    vectors downstream.
     """
+    import numpy as np
+    import pandas as pd
+
     m, dsub = _pq_check(codebooks)
+    dim = m * dsub
     enc = pq_encode(corpus, codebooks, vec_col, id_col)
-    qv = normalize(vec_col)
-    lut_rows = []
-    for i, book in enumerate(codebooks):
-        cells = []
-        for code, cvec in sorted(book):
-            ip = " + ".join(
-                f"(element_at(_qv, {i * dsub + j + 1}) * ({c!r}))"
-                for j, c in enumerate(cvec)
-            )
-            cells.append(ip)
-        lut_rows.append(f"array({', '.join(cells)})")
-    lut = F.expr(f"array({', '.join(lut_rows)})")
-    q = queries.select(F.col(query_id_col), qv.alias("_qv")).select(
-        query_id_col, lut.alias("_lut")
+
+    cbt = np.array(
+        [[cvec for _, cvec in sorted(book)] for book in codebooks],
+        dtype=np.float64,
     )
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def build_lut(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sq = np.zeros(len(v))
+            for j in range(dim):
+                sq = sq + v[:, j] * v[:, j]
+            nrm = np.sqrt(sq)
+            ok = nrm > 0
+            v = v[ok] / nrm[ok, None]
+            qids = pdf[query_id_col].to_numpy()[ok]
+            luts = np.empty((len(v), m, cbt.shape[1]))
+            for i in range(m):
+                ipacc = np.zeros((len(v), cbt.shape[1]))
+                for j in range(dsub):
+                    ipacc = ipacc + (
+                        v[:, i * dsub + j, None] * cbt[None, i, :, j]
+                    )
+                luts[:, i, :] = ipacc
+            yield pd.DataFrame(
+                {
+                    query_id_col: qids,
+                    "_lut": [
+                        [list(row) for row in lt] for lt in luts
+                    ],
+                }
+            )
+
+    lut = queries.select(query_id_col, vec_col).mapInPandas(
+        build_lut,
+        schema=f"{query_id_col} {qid_type}, _lut array<array<double>>",
+    )
+
     score = None
     for i in range(m):
         term = F.element_at(
@@ -505,7 +607,7 @@ def pq_adc_topk(
             F.element_at(F.col("pq_codes"), i + 1) + 1,
         )
         score = term if score is None else score + term
-    scored = enc.crossJoin(F.broadcast(q)).select(
+    scored = enc.crossJoin(F.broadcast(lut)).select(
         query_id_col, id_col, score.alias("adc_score")
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -530,13 +632,13 @@ def train_pq_codebooks(
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace L2 Lloyd iterations over the normalized vectors —
     the PQ codebook trainer. Same cluster-friendly shape as
-    :func:`train_kmeans`: deterministic hash-sample init, zero-shuffle
-    literal-codeword assignment (the same least-of-structs expression
-    :func:`pq_encode` uses), one posexplode hash-aggregate per round,
-    and only the m × ksub × dsub codeword matrix (metadata-sized)
-    reaches the driver. All m subspaces train in the SAME jobs — the
-    per-round aggregate is keyed by (subspace, code, pos), so the
-    round count, not m, bounds the number of passes."""
+    :func:`train_kmeans`: deterministic hash-sample init, the same
+    broadcast-join + struct-min assignment :func:`pq_encode` uses, one
+    hash-aggregate chain per round, and only the m × ksub × dsub
+    codeword matrix (metadata-sized) reaches the driver. All m
+    subspaces train in the SAME jobs — the per-round aggregate is keyed
+    by (subspace, code, pos), so the round count, not m, bounds the
+    number of passes over the data."""
     dim_row = df.select(
         F.size(F.col(vec_col)).alias("d")
     ).limit(1).collect()
@@ -547,6 +649,7 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
 
+    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("_id"), normalize(vec_col).alias("_cv")
     ).filter(F.col("_cv").isNotNull())
@@ -574,31 +677,29 @@ def train_pq_codebooks(
             ]
             for i in range(m)
         ]
+        subs = _pq_sub_rows(base, m, dsub, ["_id"])
         for _ in range(max_iter):
-            code_cols = [
-                F.expr(_pq_code_sql(book, i * dsub, "_cv")).alias(f"_c{i}")
-                for i, book in enumerate(books)
-            ]
-            assigned = base.select("_cv", *code_cols)
-            # (subspace, code, pos) → mean over members, all subspaces
-            # in one aggregate job.
-            sub_expr = F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("sub"),
-                            F.col(f"_c{i}").alias("code"),
-                            F.slice(
-                                "_cv", i * dsub + 1, dsub
-                            ).alias("v"),
-                        )
-                        for i in range(m)
-                    ]
+            cb = _pq_codebook_df(spark, books)
+            assigned = (
+                subs.join(F.broadcast(cb), "sub")
+                .select(
+                    "_id",
+                    "sub",
+                    "sv",
+                    "code",
+                    _pq_l2("sv", "cw").alias("_d"),
                 )
-            ).alias("s")
+                .groupBy("_id", "sub")
+                .agg(
+                    F.min(F.struct("_d", "code")).alias("s"),
+                    # sv is identical across the group's rows, so
+                    # first() is deterministic here.
+                    F.first("sv").alias("sv"),
+                )
+                .select("sub", F.col("s.code").alias("code"), "sv")
+            )
             rows = (
-                assigned.select(sub_expr)
-                .select("s.sub", "s.code", F.posexplode("s.v"))
+                assigned.select("sub", "code", F.posexplode("sv"))
                 .groupBy("sub", "code", "pos")
                 .agg(F.avg("col").alias("mval"))
                 .groupBy("sub", "code")

@@ -155,6 +155,25 @@ NOTES = {
         "stack; top-k values from one explode + hash agg + per-column "
         "window."
     ),
+    "gopher_quality": (
+        "Gopher rules: the whole seven-rule filter is one projection "
+        "over a 2-column ReadSchema - every ratio and flag inside a "
+        "single WholeStageCodegen span, only the display orderBy "
+        "exchanges."
+    ),
+    "dup_spans": (
+        "duplicated spans: positioned k-gram Generate -> occurrence-cap "
+        "window and self equi-join share ONE Exchange on the gram hash "
+        "(ReusedExchange on the second side); island consolidation "
+        "windows/aggregates on the pair key - never all-pairs, text "
+        "never shuffles."
+    ),
+    "pq_topk": (
+        "PQ ADC: corpus encode is a pure projection (codebook literals "
+        "ride the plan); 5 query rows carry their LUTs through a "
+        "BroadcastExchange; scoring is m array lookups per candidate; "
+        "per-query top-k window over the scored subset."
+    ),
 }
 
 

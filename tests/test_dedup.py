@@ -344,3 +344,24 @@ def test_duplicate_ngram_spans_short_text_empty(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
     )
     assert duplicate_ngram_spans(df, k=5).count() == 0
+
+
+def test_dedup_spans_keep_first(spark):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        dedup_spans_keep_first,
+    )
+
+    rows = [
+        (1, "x y z a b c d e f g h tail one"),
+        (2, "w a b c d e f g h other words here"),
+        (3, "fresh content with no duplicate runs at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_spans_keep_first(df, k=5).collect()}
+    assert len(out) == 3
+    # Doc 1 (lowest id) keeps its copy; doc 2 loses the 8 shared tokens.
+    assert out[1].n_removed_tokens == 0
+    assert out[1].clean_text == rows[0][1]
+    assert out[2].clean_text == "w other words here"
+    assert out[2].n_removed_tokens == 8 and out[2].n_tokens == 12
+    assert out[3].n_removed_tokens == 0
