@@ -162,17 +162,27 @@ NOTES = {
         "exchanges."
     ),
     "dup_spans": (
-        "duplicated spans: positioned k-gram Generate -> occurrence-cap "
-        "window and self equi-join share ONE Exchange on the gram hash "
-        "(ReusedExchange on the second side); island consolidation "
+        "duplicated spans: positioned gram keys are hashes of token "
+        "hashes (2-column ReadSchema, no gram strings); occurrence-cap "
+        "window then self EQUI-join on the 8-byte key - at this sf AQE "
+        "broadcasts the capped side, at scale it is a co-partitioned "
+        "SMJ sharing the window's Exchange; island consolidation "
         "windows/aggregates on the pair key - never all-pairs, text "
         "never shuffles."
     ),
+    "span_dedup": (
+        "substring dedup applied: span ranges aggregate to one bounded "
+        "list per affected doc (spans, not tokens) and join the corpus "
+        "on doc_id; the rewrite is a pure token-position filter "
+        "expression - untouched docs pass through the left join with "
+        "zero rewrite cost."
+    ),
     "pq_topk": (
-        "PQ ADC: corpus encode is a pure projection (codebook literals "
-        "ride the plan); 5 query rows carry their LUTs through a "
-        "BroadcastExchange; scoring is m array lookups per candidate; "
-        "per-query top-k window over the scored subset."
+        "PQ ADC: corpus encode and query LUTs are zero-shuffle "
+        "ArrowEvalPython/MapInPandas stages (codebook in the closure); "
+        "LUTs ride a BroadcastExchange; scoring is m array lookups per "
+        "candidate; per-query top-k window over the scored subset "
+        "only."
     ),
 }
 
