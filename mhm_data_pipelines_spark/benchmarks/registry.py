@@ -4431,6 +4431,159 @@ FROM ranked ORDER BY query_id, vec_id
 SQL_PQ_TOPK = _pq_topk_oracle_sql()
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-10 (the FAISS ``IVF8,PQ8x4`` shape): coarse
+    quantizer prunes to nprobe=2 of 8 inverted lists, candidates score
+    by residual-ADC — q·c_list plus the shared-codebook LUT sum
+    (operators.similarity.ivf_pq_index / ivf_pq_topk). Both quantizers
+    are seeded driver-side literals; every float — normalize, coarse
+    similarity with larger-list ties, residual subtraction, argmin-L2
+    codes with smaller-code ties, LUT inner products, the left-to-right
+    ADC chain — is a deterministic IEEE-double sequence the DuckDB twin
+    replays exactly."""
+    from mhm_data_pipelines_spark.operators.similarity import ivf_pq_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    out = ivf_pq_topk(
+        corpus,
+        queries,
+        _ivf_seeded_centroids(),
+        _pq_seeded_codebooks(),
+        k=10,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_score", 4).alias("adc_score"),
+    ).orderBy("query_id", "vec_id")
+
+
+def _ivfpq_topk_oracle_sql(
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    cent_seed: int = 7,
+    book_seed: int = 13,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of q_ivfpq_topk. Regenerates both seeded quantizers,
+    normalizes centroids driver-side (repr round-trip), and mirrors the
+    operator float-for-float: coarse sims and ties as in the ivf_recall
+    oracle; the residual vector is materialized ONCE per corpus row as
+    a list expression (element = e[j]/nrm − CASE on the assigned list)
+    so the 128 per-(sub, code) distance branches stay small; the ADC
+    score is qc plus per-subspace pivot columns added left-to-right."""
+    import math
+    import random
+
+    rng = random.Random(cent_seed)
+    cents = []
+    for _ in range(n_lists):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([float(x) / n for x in v])
+    books = _pq_seeded_codebooks(dim, m, ksub, book_seed)
+    dsub = dim // m
+
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    sim_branches = " UNION ALL ".join(
+        f"SELECT vec_id, {lid} AS list_id, ("
+        + " + ".join(
+            f"(e[{j + 1}] / nrm) * {c[j]!r}" for j in range(dim)
+        )
+        + ") AS sim FROM b"
+        for lid, c in enumerate(cents)
+    )
+    res_elems = ", ".join(
+        f"e[{j + 1}] / nrm - (CASE a.list_id "
+        + " ".join(
+            f"WHEN {lid} THEN {c[j]!r}" for lid, c in enumerate(cents)
+        )
+        + " END)"
+        for j in range(dim)
+    )
+    enc_branches = []
+    lut_branches = []
+    for i, book in enumerate(books):
+        s = i * dsub
+        for code, cvec in book:
+            dist = " + ".join(
+                f"(r[{s + j + 1}] - ({c!r}))"
+                f" * (r[{s + j + 1}] - ({c!r}))"
+                for j, c in enumerate(cvec)
+            )
+            enc_branches.append(
+                f"SELECT vec_id, list_id, {i} AS sub, {code} AS code,"
+                f" ({dist}) AS d FROM resd"
+            )
+            ip = " + ".join(
+                f"((e[{s + j + 1}] / nrm) * ({c!r}))"
+                for j, c in enumerate(cvec)
+            )
+            lut_branches.append(
+                f"SELECT vec_id AS query_id, {i} AS sub, {code} AS code,"
+                f" ({ip}) AS ip FROM b WHERE vec_id < 5"
+            )
+    pivots = ", ".join(
+        f"max(CASE WHEN sub = {i} THEN ip END) AS s{i}" for i in range(m)
+    )
+    score = "qc + " + " + ".join(f"s{i}" for i in range(m))
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), sims AS (
+  {sim_branches}
+), asn AS (
+  SELECT vec_id, list_id FROM sims WHERE vec_id >= 5
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) = 1
+), probes AS (
+  SELECT vec_id AS query_id, list_id, sim AS qc
+  FROM sims WHERE vec_id < 5
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) <= {nprobe}
+), resd AS (
+  SELECT b.vec_id, a.list_id, [{res_elems}] AS r
+  FROM b JOIN asn a ON a.vec_id = b.vec_id
+), encd AS (
+  {' UNION ALL '.join(enc_branches)}
+), enc AS (
+  SELECT vec_id, list_id, sub, code FROM encd
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) = 1
+), lut AS (
+  {' UNION ALL '.join(lut_branches)}
+), parts AS (
+  SELECT p.query_id, c.vec_id, p.qc, c.sub, l.ip
+  FROM probes p
+  JOIN enc c ON c.list_id = p.list_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.sub = c.sub AND l.code = c.code
+), scored AS (
+  SELECT query_id, vec_id, max(qc) AS qc, {pivots}
+  FROM parts GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id, ({score}) AS adc
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY ({score}) DESC, vec_id) <= {k}
+)
+SELECT query_id, vec_id, round(adc, 4) AS adc_score
+FROM ranked ORDER BY query_id, vec_id
+"""
+
+
+SQL_IVFPQ_TOPK = _ivfpq_topk_oracle_sql()
+
+
 def q_staging_mirror(spark, sf_dir):
     """S5 staging escape hatch (download_data.py:83-145), verified
     end-to-end: ``stage_objects`` mirrors the ``region`` table's files
@@ -5048,6 +5201,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
@@ -5170,6 +5324,7 @@ ORACLES: dict[str, str] = {
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
     "pq_topk": SQL_PQ_TOPK,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
@@ -5275,7 +5430,8 @@ GATE_PRIORITY: list[str] = [
     "zorder_layout",
     "tfidf_top_terms",
     "doc_lm_score",
-    "vocab_stats",
+    # vocab_stats rotated out for ivfpq_topk (r3-green expression-only,
+    # still hash-checked by test_oracle_parity.py).
     "top_terms_per_source",
     "tiered_rollup",
     "dedup_exact_keep",
@@ -5292,6 +5448,7 @@ GATE_PRIORITY: list[str] = [
     "dup_spans",
     "span_dedup",
     "pq_topk",
+    "ivfpq_topk",
     # ivf_topk rotated out for span_dedup: ivf_recall certifies both the
     # selective-probe AND (via its exact side) the exhaustive path.
     "embedding_topk",

@@ -735,3 +735,190 @@ def train_pq_codebooks(
         return books
     finally:
         base.unpersist()
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ index build (Jégou et al. 2011, the billion-scale FAISS
+    ``IVFx,PQy`` shape): each vector is assigned to its nearest coarse
+    centroid (inverted list) and its RESIDUAL against that centroid is
+    product-quantized — (id, list_id, pq_codes) rows replace the full
+    vectors.
+
+    One Arrow-batched ``mapInPandas`` pass, zero shuffle; both the
+    coarse quantizer and the codebooks ride the UDF closure
+    (metadata-sized by construction). All float work uses explicit
+    left-associative per-dimension accumulation so norms, similarities,
+    residuals and distances are bit-reproducible for the DuckDB value
+    oracle; coarse ties resolve to the LARGER list id (matching
+    :func:`ivf_topk`'s greatest-of-structs) and code ties to the
+    smaller code.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, dsub = _pq_check(codebooks)
+    dim = m * dsub
+    cents = sorted(centroids)
+    lids = np.array([int(i) for i, _ in cents])
+    C = np.array([_normalized_lit(c) for _, c in cents], dtype=np.float64)
+    cb = np.array(
+        [[cvec for _, cvec in sorted(book)] for book in codebooks],
+        dtype=np.float64,
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sq = np.zeros(len(v))
+            for j in range(dim):
+                sq = sq + v[:, j] * v[:, j]
+            nrm = np.sqrt(sq)
+            ok = nrm > 0
+            v = v[ok] / nrm[ok, None]
+            ids = pdf[id_col].to_numpy()[ok]
+            sims = np.zeros((len(v), len(C)))
+            for j in range(dim):
+                sims = sims + v[:, j, None] * C[None, :, j]
+            # argmax with ties to the LARGER list id: first max of the
+            # reversed columns.
+            best = (len(C) - 1) - np.argmax(sims[:, ::-1], axis=1)
+            r = v - C[best]
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for i in range(m):
+                d = np.zeros((len(v), cb.shape[1]))
+                for j in range(dsub):
+                    t = r[:, i * dsub + j, None] - cb[None, i, :, j]
+                    d = d + t * t
+                codes[:, i] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "list_id": lids[best],
+                    "pq_codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, list_id int, pq_codes array<int>",
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: queries probe their ``nprobe`` nearest
+    inverted lists and score candidates by residual-ADC —
+    ``score = q·c_list + Σᵢ LUT[i][codeᵢ]`` (the q·residual part is the
+    same codebook LUT as plain PQ, since the codebook is shared across
+    lists; the q·centroid part is one scalar per probe).
+
+    Scale shape: the index (:func:`ivf_pq_index`) and the probe frame
+    are both zero-shuffle map stages; candidate generation is an
+    equi-join on ``list_id`` with the (always-small) probe side
+    broadcast — fan-out is list-sized, never |corpus| × |queries| — and
+    the only corpus movement is the final per-query top-k window over
+    probed candidates. The ADC sum is an explicit left-to-right add
+    chain for the value oracle. Recall grows with nprobe and ksub;
+    re-rank the top-k' with true vectors downstream for exactness.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, dsub = _pq_check(codebooks)
+    dim = m * dsub
+    cents = sorted(centroids)
+    lids = np.array([int(i) for i, _ in cents])
+    C = np.array([_normalized_lit(c) for _, c in cents], dtype=np.float64)
+    cb = np.array(
+        [[cvec for _, cvec in sorted(book)] for book in codebooks],
+        dtype=np.float64,
+    )
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    index = ivf_pq_index(corpus, centroids, codebooks, vec_col, id_col)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sq = np.zeros(len(v))
+            for j in range(dim):
+                sq = sq + v[:, j] * v[:, j]
+            nrm = np.sqrt(sq)
+            ok = nrm > 0
+            v = v[ok] / nrm[ok, None]
+            qids = pdf[query_id_col].to_numpy()[ok]
+            sims = np.zeros((len(v), len(C)))
+            for j in range(dim):
+                sims = sims + v[:, j, None] * C[None, :, j]
+            luts = np.empty((len(v), m, cb.shape[1]))
+            for i in range(m):
+                acc = np.zeros((len(v), cb.shape[1]))
+                for j in range(dsub):
+                    acc = acc + v[:, i * dsub + j, None] * cb[None, i, :, j]
+                luts[:, i, :] = acc
+            out = {
+                query_id_col: [],
+                "list_id": [],
+                "qc": [],
+                "_lut": [],
+            }
+            for row in range(len(v)):
+                # nprobe lists by (sim desc, list_id desc) — the same
+                # ordering as ivf_topk's sorted struct slice.
+                order = sorted(
+                    range(len(C)),
+                    key=lambda c: (-sims[row, c], -lids[c]),
+                )[:nprobe]
+                for c in order:
+                    out[query_id_col].append(qids[row])
+                    out["list_id"].append(lids[c])
+                    out["qc"].append(sims[row, c])
+                    out["_lut"].append(
+                        [list(r) for r in luts[row]]
+                    )
+            yield pd.DataFrame(out)
+
+    probes = queries.select(query_id_col, vec_col).mapInPandas(
+        probe,
+        schema=(
+            f"{query_id_col} {qid_type}, list_id int, qc double,"
+            " _lut array<array<double>>"
+        ),
+    )
+
+    score = F.col("qc")
+    for i in range(m):
+        score = score + F.element_at(
+            F.element_at("_lut", i + 1),
+            F.element_at(F.col("pq_codes"), i + 1) + 1,
+        )
+    scored = index.join(F.broadcast(probes), "list_id").select(
+        query_id_col, id_col, score.alias("adc_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

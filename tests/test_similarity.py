@@ -320,3 +320,62 @@ def test_train_pq_codebooks_rejects_bad_dims(corpus):
 
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(corpus, m=5)
+
+
+def test_ivf_pq_index_and_topk(corpus, corpus_np):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    books = _rand_books(m, ksub, dsub)
+    import random
+
+    rng = random.Random(5)
+    cents = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(4)
+    ]
+    idx = ivf_pq_index(corpus, cents, books)
+    rows = idx.collect()
+    assert len(rows) == N
+    assert all(0 <= r.list_id < 4 and len(r.pq_codes) == m for r in rows)
+
+    # Index assignment must agree with numpy: argmax of cosine to the
+    # normalized centroids, ties to the larger list (none expected here).
+    V = corpus_np / np.linalg.norm(corpus_np, axis=1, keepdims=True)
+    C = np.array([c for _, c in cents])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    want = np.argmax(V @ C.T, axis=1)
+    got = {r.vec_id: r.list_id for r in rows}
+    assert sum(got[i] != want[i] for i in range(N)) == 0
+
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = corpus.filter(F.col("vec_id") >= 3)
+    out = ivf_pq_topk(c, q, cents, books, k=5, nprobe=4).collect()
+    assert len(out) == 15
+    # Exhaustive probe (nprobe = n_lists) must rank exactly like plain
+    # PQ ADC on residuals — verify against a numpy reconstruction.
+    codes = {
+        r.vec_id: (r.list_id, list(r.pq_codes))
+        for r in ivf_pq_index(c, cents, books).collect()
+    }
+    for qid in range(3):
+        qv = V[qid]
+        scores = {}
+        for vid, (lid, cd) in codes.items():
+            rec = C[lid] + np.concatenate(
+                [np.array(books[s][cd[s]][1]) for s in range(m)]
+            )
+            scores[vid] = float(np.dot(qv, rec))
+        want_ids = sorted(scores, key=lambda v: (-scores[v], v))[:5]
+        got_ids = [
+            r.vec_id
+            for r in sorted(
+                (r for r in out if r.query_id == qid),
+                key=lambda r: (-r.adc_score, r.vec_id),
+            )
+        ]
+        assert got_ids == want_ids
