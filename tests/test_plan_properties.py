@@ -158,6 +158,21 @@ PLAN_BUDGETS: dict[str, dict] = {
     # exact top-10 agg + mergeable approx_top_k sketch agg; approx side
     # (≤20 rows) broadcast onto the exact side
     "heavy_hitters": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
+    # this session's additions. dup_spans: occurrence-cap window + the
+    # gram self-join (AQE broadcasts the capped side at test sf; the
+    # budget holds for the SMJ shape too) + islands window + display
+    # sort. span_dedup: dup_spans' shuffles + the per-doc range-list
+    # aggregate and its join back onto the corpus. pq/ivfpq: encode and
+    # LUT/probe sides are zero-shuffle map stages — only the top-k
+    # window and display sort exchange; candidate generation must stay
+    # a broadcast join (probes side), never a shuffled corpus.
+    "dup_spans": {"max_shuffles": 4},
+    "span_dedup": {"max_shuffles": 6},
+    "pq_topk": {"max_shuffles": 2},
+    "ivfpq_topk": {"max_shuffles": 2, "require": ["BroadcastHashJoin"]},
+    # Gopher rules: one projection; the only Exchange is the display
+    # orderBy.
+    "gopher_quality": {"max_shuffles": 1},
 }
 
 
