@@ -5530,5 +5530,7 @@ BENCH_QUERIES: list[str] = [
     "profile_table",
     "gopher_quality",
     "dup_spans",
+    "span_dedup",
     "pq_topk",
+    "ivfpq_topk",
 ]

@@ -184,6 +184,14 @@ NOTES = {
         "candidate; per-query top-k window over the scored subset "
         "only."
     ),
+    "ivfpq_topk": (
+        "IVF-PQ: index build (coarse assign + residual PQ codes) and "
+        "the probe frame (nprobe lists + qc scalar + LUT per query) "
+        "are both zero-shuffle map stages; candidate generation is a "
+        "broadcast equi-join on list_id - fan-out is list-sized, never "
+        "corpus x queries; residual-ADC scoring is m lookups + adds; "
+        "only the top-k window and display sort exchange."
+    ),
 }
 
 
