@@ -2709,6 +2709,61 @@ ORDER BY t.doc_id
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every raw document
+    scored by its summed hashed-ngram log importance ratio against the
+    pseudo-target slice (doc_id % 97 == 0) — the classifier-free
+    domain-shift selection signal (operators.selection). md5 bucket
+    family, so DuckDB rebuilds the identical buckets; counts are exact
+    and the smoothed log terms replay float-for-float."""
+    from mhm_data_pipelines_spark.operators.selection import (
+        dsir_log_weights,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    target = df.filter(F.col("doc_id") % 97 == 0)
+    raw = df.filter(F.col("doc_id") % 97 != 0)
+    out = dsir_log_weights(raw, target, buckets=8192)
+    return out.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("log_weight", 4).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents
+), f AS (
+  SELECT doc_id, toks[i] AS feat
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS feat
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 8192 AS b
+  FROM f
+), rawf AS (
+  SELECT * FROM fb WHERE doc_id % 97 <> 0
+), tgtf AS (
+  SELECT * FROM fb WHERE doc_id % 97 = 0
+), tc AS (SELECT b, count(*) AS tc FROM tgtf GROUP BY b),
+rc AS (SELECT b, count(*) AS rc FROM rawf GROUP BY b),
+tt AS (SELECT sum(tc) AS t FROM tc),
+rt AS (SELECT sum(rc) AS r FROM rc)
+SELECT rawf.doc_id, count(*) AS n_feats,
+       round(sum(
+         ln((coalesce(tc.tc, 0) + 1) / (tt.t + 8192))
+         - ln((rc.rc + 1) / (rt.r + 8192))
+       ), 4) AS log_weight
+FROM rawf LEFT JOIN tc USING (b) JOIN rc USING (b), tt, rt
+GROUP BY rawf.doc_id
+ORDER BY rawf.doc_id
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -5197,6 +5252,7 @@ QUERIES: dict[str, QuerySpec] = {
     "gopher_quality": q_gopher_quality,
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,
+    "dsir_weights": q_dsir_weights,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -5320,6 +5376,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dup_spans": SQL_DUP_SPANS,
     "span_dedup": SQL_SPAN_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
@@ -5430,9 +5487,10 @@ GATE_PRIORITY: list[str] = [
     "zorder_layout",
     "tfidf_top_terms",
     "doc_lm_score",
-    # vocab_stats rotated out for ivfpq_topk (r3-green expression-only,
-    # still hash-checked by test_oracle_parity.py).
-    "top_terms_per_source",
+    # vocab_stats rotated out for ivfpq_topk and top_terms_per_source
+    # for dsir_weights (both r3-green expression-only, still
+    # hash-checked by test_oracle_parity.py).
+    "dsir_weights",
     "tiered_rollup",
     "dedup_exact_keep",
     "dup_groups",

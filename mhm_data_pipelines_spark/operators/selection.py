@@ -1,0 +1,111 @@
+"""Data selection by importance weighting (DSIR — Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+North-star extension — no reference counterpart. The method: represent
+documents as hashed word n-gram features, fit bucketed unigram
+distributions over a small TARGET corpus (the domain you want more of)
+and over the RAW pool, and score every raw document by its summed
+per-feature log importance ratio ``log p_target(b) − log p_raw(b)``.
+Selecting the top-weighted documents shifts the pool toward the target
+domain without training a classifier.
+
+Scale design:
+
+* feature extraction is an explode of unigrams + bigrams with an
+  md5-derived bucket id — pure Column expressions, and the md5 family
+  keeps bucket assignment bit-identical across engines (same scheme as
+  the MinHash/source-mix oracle families);
+* both bucket-count tables are bounded by ``buckets`` (rows ≤ B by
+  construction, default 8192) — they BROADCAST back onto the exploded
+  raw features; the only corpus-sized shuffle is the per-doc weight
+  aggregate, map-side combined;
+* totals are single-row aggregates realized as broadcast cross joins
+  (the scalar-subquery pattern the plan tests whitelist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.functions.text import tokens
+
+
+def _hashed_features(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """(id, bucket) rows: lowercased unigram + bigram features WITH
+    multiplicity, bucketed by the md5-60bit family mod ``buckets``."""
+    toks = F.transform(tokens(text_col), F.lower)
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(buckets)
+    )
+    return (
+        df.select(F.col(id_col), F.explode(feats).alias("feat"))
+        .select(id_col, bucket.alias("b"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weight:
+    ``Σ_features log((tc_b + 1)/(T + B)) − log((rc_b + 1)/(R + B))``
+    (Laplace-smoothed bucket unigram models; tc/rc = bucket counts in
+    target/raw, T/R = total feature counts, B = buckets). Returns
+    (id, n_feats, log_weight); higher = more target-like. Documents
+    with no features are omitted (they carry no evidence)."""
+    rawf = _hashed_features(raw, text_col, id_col, buckets)
+    tgtf = _hashed_features(target, text_col, id_col, buckets)
+    tc = tgtf.groupBy("b").agg(F.count("*").alias("tc"))
+    rc = rawf.groupBy("b").agg(F.count("*").alias("rc"))
+    tt = tc.agg(F.sum("tc").alias("_t"))
+    rt = rc.agg(F.sum("rc").alias("_r"))
+    ratio = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+        / (F.col("_t") + F.lit(buckets))
+    ) - F.log((F.col("rc") + 1) / (F.col("_r") + F.lit(buckets)))
+    return (
+        rawf.join(F.broadcast(tc), "b", "left")
+        .join(F.broadcast(rc), "b")  # every raw bucket is in rc
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum(ratio).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+) -> DataFrame:
+    """The ``n`` most target-like raw documents by DSIR weight
+    (deterministic: ties break on id; a global top-n plans as
+    TakeOrdered, never a full sort). The paper resamples with Gumbel
+    noise for diversity — inject it upstream as a column if needed."""
+    w = dsir_log_weights(raw, target, text_col, id_col, buckets)
+    keep = (
+        w.orderBy(F.desc("log_weight"), F.col(id_col))
+        .limit(n)
+        .select(id_col)
+    )
+    return raw.join(keep, id_col, "left_semi")

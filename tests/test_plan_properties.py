@@ -60,6 +60,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # the IVF side under test is an equi-join on
                           # list_id
     "bm25_topk",          # crossJoin(broadcast(N docs + avgdl)) — 1 row
+    "dsir_weights",       # crossJoin(broadcast(total feature counts))
+                          # — two 1-row scalar sides
     "pq_topk",            # ADC scoring: encoded corpus ×
                           # broadcast(5 query rows carrying their LUTs)
                           # — bounded broadcast cross by design; the
