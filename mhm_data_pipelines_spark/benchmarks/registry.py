@@ -2764,6 +2764,77 @@ ORDER BY rawf.doc_id
 """
 
 
+def _classifier_seeded_weights(
+    buckets: int = 1024, seed: int = 3
+) -> list[float]:
+    """Fixed-seed data-independent weight vector for the
+    quality_classifier gate query — the DuckDB twin regenerates the
+    identical floats, so the sigmoid scores are a full value oracle.
+    Production weights come from
+    operators.selection.train_quality_classifier (unit-tested for
+    domain separation)."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.gauss(0.0, 0.1) for _ in range(buckets)]
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-ngram linear quality classifier scoring (the GPT-3/CCNet
+    learned-filter shape, operators.selection.classifier_score):
+    per-doc logit + sigmoid probability under a seeded weight vector.
+    md5 bucket family → bit-identical buckets in DuckDB; the weight
+    table is a broadcast join in Spark and a VALUES join in the twin."""
+    from mhm_data_pipelines_spark.operators.selection import (
+        classifier_score,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    out = classifier_score(df, _classifier_seeded_weights())
+    return out.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("logit", 4).alias("logit"),
+        F.round("prob", 4).alias("prob"),
+    ).orderBy("doc_id")
+
+
+def _quality_classifier_oracle_sql(
+    buckets: int = 1024, seed: int = 3
+) -> str:
+    w = _classifier_seeded_weights(buckets, seed)
+    values = ", ".join(f"({i}, {x!r})" for i, x in enumerate(w))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents
+), f AS (
+  SELECT doc_id, toks[i] AS feat
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS feat
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT)
+           % {buckets} AS b
+  FROM f
+), wt(b, w) AS (VALUES {values}),
+z AS (
+  SELECT fb.doc_id, count(*) AS n_feats,
+         0.0 + sum(wt.w) AS logit
+  FROM fb JOIN wt ON wt.b = fb.b
+  GROUP BY fb.doc_id
+)
+SELECT doc_id, n_feats, round(logit, 4) AS logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS prob
+FROM z ORDER BY doc_id
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _quality_classifier_oracle_sql()
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -5253,6 +5324,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,
     "dsir_weights": q_dsir_weights,
+    "quality_classifier": q_quality_classifier,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -5377,6 +5449,7 @@ ORACLES: dict[str, str] = {
     "dup_spans": SQL_DUP_SPANS,
     "span_dedup": SQL_SPAN_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
@@ -5493,7 +5566,9 @@ GATE_PRIORITY: list[str] = [
     "dsir_weights",
     "tiered_rollup",
     "dedup_exact_keep",
-    "dup_groups",
+    # dup_groups rotated out for quality_classifier (r3-green; the
+    # exact-dedup family keeps dedup_exact_keep as its gate row).
+    "quality_classifier",
     "unigram_jaccard_pairs",
     "neardup_clusters",
     "neardup_dedup_keep",

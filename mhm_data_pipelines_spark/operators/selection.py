@@ -109,3 +109,122 @@ def dsir_select(
         .select(id_col)
     )
     return raw.join(keep, id_col, "left_semi")
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-ngram linear quality classifier scoring (the GPT-3/CCNet
+    learned-filter shape): ``p = sigmoid(bias + Σ_features w[bucket])``.
+    ``weights`` is the dense bucket→weight vector (len = buckets) from
+    :func:`train_quality_classifier` — or any upstream trainer.
+
+    The weight vector is bounded by construction, so it ships as a
+    broadcast (bucket, w) frame; scoring is the DSIR shuffle shape: one
+    exploded-feature broadcast join + one map-side-combined per-doc
+    aggregate. Returns (id, n_feats, logit, prob)."""
+    buckets = len(weights)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "b long, w double",
+    )
+    feats = _hashed_features(df, text_col, id_col, buckets)
+    z = F.lit(float(bias)) + F.sum("w")
+    return (
+        feats.join(F.broadcast(wdf), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            z.alias("logit"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "logit",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    iters: int = 8,
+    lr: float = 0.5,
+) -> tuple[list[float], float]:
+    """Full-batch logistic regression over hashed n-gram features —
+    the distributed trainer for :func:`classifier_score`. Returns
+    (weights, bias).
+
+    Spark-first shape, the same driver/cluster split as the k-means and
+    PQ trainers: per round, (1) per-doc logits via the broadcast-join +
+    aggregate scoring shape, (2) per-bucket gradient = one more
+    broadcast join + aggregate keyed by bucket; only the bounded
+    B-sized gradient vector reaches the driver, and the round count
+    bounds the number of passes. Gradients are averaged over documents
+    (so ``lr`` is scale-free); both frames are persisted as exploded
+    features for the duration of training."""
+    spark = positives.sparkSession
+    pos = _hashed_features(positives, text_col, id_col, buckets)
+    neg = _hashed_features(negatives, text_col, id_col, buckets)
+    feats = (
+        pos.withColumn("y", F.lit(1.0))
+        .unionByName(neg.withColumn("y", F.lit(0.0)))
+        .withColumn("_k", F.concat_ws("/", F.col(id_col), "y"))
+        .persist()
+    )
+    try:
+        n_docs = feats.select("_k").distinct().count()
+        if n_docs == 0:
+            raise ValueError("no documents with features to train on")
+        w = [0.0] * buckets
+        bias = 0.0
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(i, float(x)) for i, x in enumerate(w)],
+                "b long, w double",
+            )
+            docs = (
+                feats.join(F.broadcast(wdf), "b")
+                .groupBy("_k")
+                .agg(
+                    F.first("y").alias("y"),
+                    (F.lit(bias) + F.sum("w")).alias("z"),
+                )
+                .select(
+                    "_k",
+                    (
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+                        - F.col("y")
+                    ).alias("err"),
+                )
+            )
+            grad_rows = (
+                feats.join(docs, "_k")
+                .groupBy("b")
+                .agg(F.sum("err").alias("g"))
+                .collect()  # ≤ buckets rows — bounded by construction
+            )
+            gbias = (
+                feats.select("_k")
+                .distinct()
+                .join(docs, "_k")
+                .agg(F.sum("err"))
+                .collect()[0][0]
+            )
+            for r in grad_rows:
+                w[r["b"]] -= lr * r["g"] / n_docs
+            bias -= lr * float(gbias) / n_docs
+        return w, bias
+    finally:
+        feats.unpersist()

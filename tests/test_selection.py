@@ -61,3 +61,37 @@ def test_dsir_empty_docs_omitted(spark):
     )
     ids = {r.doc_id for r in dsir_log_weights(raw, target).collect()}
     assert ids == {1}
+
+
+def test_quality_classifier_separates_domains(spark):
+    from mhm_data_pipelines_spark.operators.selection import (
+        classifier_score,
+        train_quality_classifier,
+    )
+
+    raw, target = _frames(spark)
+    w, b = train_quality_classifier(
+        target, raw.filter(F.col("doc_id") >= 3), buckets=256, iters=10
+    )
+    scored = {
+        r.doc_id: r.prob
+        for r in classifier_score(raw, w, b, id_col="doc_id").collect()
+    }
+    # Spark-jargon docs score above the cooking docs.
+    assert min(scored[1], scored[2]) > max(scored[3], scored[4])
+    assert 0.0 < min(scored.values()) and max(scored.values()) < 1.0
+
+
+def test_classifier_score_seeded_weights_deterministic(spark):
+    import random
+
+    from mhm_data_pipelines_spark.operators.selection import (
+        classifier_score,
+    )
+
+    raw, _ = _frames(spark)
+    rng = random.Random(3)
+    w = [rng.gauss(0.0, 0.1) for _ in range(128)]
+    a = {r.doc_id: r.prob for r in classifier_score(raw, w).collect()}
+    b = {r.doc_id: r.prob for r in classifier_score(raw, w).collect()}
+    assert a == b and len(a) == 4
