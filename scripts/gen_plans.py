@@ -184,6 +184,18 @@ NOTES = {
         "candidate; per-query top-k window over the scored subset "
         "only."
     ),
+    "dsir_weights": (
+        "DSIR: exploded hashed-ngram features; BOTH bucket-count "
+        "tables broadcast back (bounded by B=8192 rows by "
+        "construction); totals are 1-row broadcast crosses; the only "
+        "corpus-sized shuffle is the per-doc weight aggregate, "
+        "map-side combined."
+    ),
+    "quality_classifier": (
+        "learned filter scoring: the weight vector is a broadcast "
+        "(bucket, w) frame; one exploded-feature broadcast join + one "
+        "map-side-combined per-doc aggregate; sigmoid is a projection."
+    ),
     "ivfpq_topk": (
         "IVF-PQ: index build (coarse assign + residual PQ codes) and "
         "the probe frame (nprobe lists + qc scalar + LUT per query) "

@@ -81,3 +81,52 @@ def test_salted_agg_equals_plain_groupby(sp, rows, buckets):
         assert got[k] == (
             len(g), g.v.sum(), g.v.min(), g.v.max()
         ), (k, got[k])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcde"), min_size=0, max_size=18
+        ).map(lambda ts: " ".join(ts)),
+        min_size=2,
+        max_size=5,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@_settings
+def test_duplicate_ngram_spans_matches_bruteforce(sp, docs, k):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    df = sp.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.n_grams)
+        for r in duplicate_ngram_spans(
+            df, k=k, min_run=1, max_gram_df=None
+        ).collect()
+    }
+
+    # Brute force: all matching k-gram position pairs, consolidated
+    # into maximal diagonal runs.
+    toksets = [d.split() for d in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ta, tb = toksets[a], toksets[b]
+            matches = {
+                (i, j)
+                for i in range(len(ta) - k + 1)
+                for j in range(len(tb) - k + 1)
+                if ta[i:i + k] == tb[j:j + k]
+            }
+            for (i, j) in matches:
+                if (i - 1, j - 1) in matches:
+                    continue  # not a run start
+                run = 1
+                while (i + run, j + run) in matches:
+                    run += 1
+                want.add((a, b, i + 1, j + 1, run))
+    assert got == want
