@@ -57,6 +57,13 @@ def main() -> None:
         .count()
         .count()
     )
+    # Python-worker warmup: the PQ/IVF-PQ/multimodal queries run Arrow
+    # mapInPandas stages; daemon + worker spawn (~1 s) should be paid
+    # here, not inside the first such query's cold number.
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    region.mapInPandas(
+        lambda it: it, schema=region.schema
+    ).count()
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
