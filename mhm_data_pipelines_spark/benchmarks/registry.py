@@ -2835,6 +2835,65 @@ FROM z ORDER BY doc_id
 SQL_QUALITY_CLASSIFIER = _quality_classifier_oracle_sql()
 
 
+#: Fixed, ordered merge list for the bpe_encode gate query —
+#: data-independent so the DuckDB twin replays the identical replace
+#: chain. Production merge lists come from functions.text.train_bpe.
+_BPE_GATE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("an", "d"),
+    ("i", "n"),
+    ("o", "n"),
+    ("r", "e"),
+    ("e", "r"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (Sennrich et al. 2016): encode every
+    document under a fixed ordered merge list
+    (functions.text.bpe_apply — a literal replace chain per word,
+    reproduced verbatim in the oracle). Output pins the full token
+    stream per doc: count + md5 of the space-joined tokens."""
+    from mhm_data_pipelines_spark.functions.text import bpe_apply
+
+    df = _t(spark, sf_dir, "documents")
+    toks = bpe_apply("text", _BPE_GATE_MERGES)
+    return (
+        df.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_bpe_tokens"),
+            F.md5(F.array_join(toks, " ")).alias("bpe_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_oracle_sql(
+    merges: list[tuple[str, str]] = _BPE_GATE_MERGES,
+) -> str:
+    chain = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in merges:
+        chain = f"replace({chain}, '{a} {b}', '{a}{b}')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents
+), enc AS (
+  SELECT doc_id,
+         flatten(list_transform(toks, w ->
+           string_split({chain}, ' '))) AS bt
+  FROM t
+)
+SELECT doc_id, len(bt) AS n_bpe_tokens,
+       md5(array_to_string(bt, ' ')) AS bpe_md5
+FROM enc ORDER BY doc_id
+"""
+
+
+SQL_BPE_ENCODE = _bpe_encode_oracle_sql()
+
+
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: training docs sharing word 3-grams with
     the pseudo-eval slice (doc_id % 97 == 0) and how much — the
@@ -5325,6 +5384,7 @@ QUERIES: dict[str, QuerySpec] = {
     "span_dedup": q_span_dedup,
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
+    "bpe_encode": q_bpe_encode,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -5450,6 +5510,7 @@ ORACLES: dict[str, str] = {
     "span_dedup": SQL_SPAN_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "bpe_encode": SQL_BPE_ENCODE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
@@ -5569,7 +5630,9 @@ GATE_PRIORITY: list[str] = [
     # dup_groups rotated out for quality_classifier (r3-green; the
     # exact-dedup family keeps dedup_exact_keep as its gate row).
     "quality_classifier",
-    "unigram_jaccard_pairs",
+    # unigram_jaccard_pairs rotated out for bpe_encode (r3-green; exact
+    # Jaccard stays certified via minhash_exact_pairs' verify side).
+    "bpe_encode",
     "neardup_clusters",
     "neardup_dedup_keep",
     "corpus_prep",

@@ -610,3 +610,101 @@ def bpe_pair_counts(
     if top_n is not None:
         out = out.orderBy(F.desc("n"), "left", "right").limit(top_n)
     return out
+
+
+def bpe_apply(
+    text: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a FIXED, ordered BPE merge list (Sennrich et al. 2016) to
+    the lowercased whitespace words of ``text``; returns the flat
+    ``array<string>`` of subword tokens. Each word starts as
+    space-separated characters; each merge ``(a, b)`` rewrites every
+    occurrence of ``"a b"`` to ``"ab"``, in priority order. Applying
+    each merge once, globally, in rank order is equivalent to the
+    classic lowest-rank-first loop: merges only grow tokens, so a later
+    merge can never create an earlier merge's pair, and left-to-right
+    replace resolves overlaps the same way the reference
+    implementation's leftmost-first merge does.
+
+    Pure Column expressions — a literal ``replace`` chain inside a
+    per-word ``transform``, reproducible verbatim in the DuckDB oracle.
+    For long merge lists (real tokenizers: 30k+) use a broadcast
+    mapInPandas encoder instead; this expression form is exact and
+    engine-portable for bounded lists (gate/oracle use)."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+
+    def encode_word(w: Column) -> Column:
+        spaced = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in merges:
+            spaced = F.replace(
+                spaced, F.lit(f"{a} {b}"), F.lit(f"{a}{b}")
+            )
+        return spaced
+
+    return F.flatten(
+        F.transform(tokens(c), lambda w: F.split(encode_word(w), " "))
+    )
+
+
+def train_bpe(
+    df,
+    text_col: str = "text",
+    n_merges: int = 16,
+    max_vocab: int = 100_000,
+) -> list[tuple[str, str]]:
+    """BPE tokenizer training: the corpus-scale word count runs on the
+    cluster (ONE hash aggregate — the only pass over the data), then
+    the classic merge loop runs driver-side on the bounded
+    (word, count) vocabulary — vocabulary is metadata-sized on natural
+    text, and ``max_vocab`` caps it by frequency (TakeOrdered, ties by
+    word) as a hard bound. Returns the ordered merge list for
+    :func:`bpe_apply`. Ties in pair frequency break lexicographically
+    for determinism."""
+    rows = (
+        df.select(
+            F.explode(
+                F.transform(tokens(text_col), F.lower)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .orderBy(F.desc("wc"), "word")
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab = {tuple(r["word"]): int(r["wc"]) for r in rows if r["word"]}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, wc in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + wc
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, wc in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + wc
+        vocab = new_vocab
+    return merges

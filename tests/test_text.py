@@ -460,3 +460,45 @@ def test_gopher_stats_empty_text(spark):
     s = df.select(gopher_stats("text").alias("s")).collect()[0].s
     assert s.n_words == 0 and not s.doc_kept
     assert s.mean_word_len == 0.0 and s.alpha_frac == 0.0
+
+
+def test_bpe_apply_fixed_merges(spark):
+    from mhm_data_pipelines_spark.functions.text import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "the thin thread then")], "doc_id long, text string"
+    )
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+    toks = df.select(bpe_apply("text", merges).alias("t")).collect()[0].t
+    assert toks == [
+        "the", "th", "i", "n", "th", "r", "e", "a", "d", "the", "n",
+    ]
+    # Lossless: concatenating subwords recovers the words.
+    assert "".join(toks) == "thethinthreadthen"
+
+
+def test_train_bpe_learns_frequent_pairs(spark):
+    from mhm_data_pipelines_spark.functions.text import (
+        bpe_apply,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the the and and banana")], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=3)
+    # ('a','n') ×4: twice in 'and'×2, twice in 'banana' — beats
+    # ('t','h') ×3.
+    assert merges[0] == ("a", "n")
+    # Encoding with trained merges shrinks the token stream vs chars.
+    enc = df.select(bpe_apply("text", merges).alias("t")).collect()[0].t
+    n_chars = len("thethetheandandbanana")
+    assert len(enc) < n_chars
+    assert "".join(enc) == "thethetheandandbanana"
+
+
+def test_train_bpe_empty_corpus(spark):
+    from mhm_data_pipelines_spark.functions.text import train_bpe
+
+    df = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    assert train_bpe(df, n_merges=3) == []
