@@ -5729,4 +5729,7 @@ BENCH_QUERIES: list[str] = [
     "span_dedup",
     "pq_topk",
     "ivfpq_topk",
+    "dsir_weights",
+    "quality_classifier",
+    "bpe_encode",
 ]

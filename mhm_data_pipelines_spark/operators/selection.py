@@ -35,21 +35,32 @@ def _hashed_features(
     df: DataFrame, text_col: str, id_col: str, buckets: int
 ) -> DataFrame:
     """(id, bucket) rows: lowercased unigram + bigram features WITH
-    multiplicity, bucketed by the md5-60bit family mod ``buckets``."""
-    toks = F.transform(tokens(text_col), F.lower)
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    multiplicity, bucketed by the md5-60bit family mod ``buckets``.
+
+    The token array is STAGED in its own projection before the bigram
+    transform references it — an inlined tokenize inside the transform
+    lambda re-evaluates per element, turning the bigram build O(n²)
+    per document (measured 7× on dsir_weights at sf0.1; same trap
+    word_ngrams documents). The staged alias is referenced four times,
+    so CollapseProject cannot re-inline it."""
+    toked = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), F.lower).alias("_tk"),
+    )
+    tk = F.col("_tk")
+    idx = F.sequence(F.lit(0), F.size(tk) - 2)
     bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+        F.size(tk) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2))),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+    feats = F.concat(tk, bigrams)
     bucket = (
         F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10)
         .cast("long")
         % F.lit(buckets)
     )
     return (
-        df.select(F.col(id_col), F.explode(feats).alias("feat"))
+        toked.select(F.col(id_col), F.explode(feats).alias("feat"))
         .select(id_col, bucket.alias("b"))
     )
 
@@ -67,7 +78,11 @@ def dsir_log_weights(
     target/raw, T/R = total feature counts, B = buckets). Returns
     (id, n_feats, log_weight); higher = more target-like. Documents
     with no features are omitted (they carry no evidence)."""
-    rawf = _hashed_features(raw, text_col, id_col, buckets)
+    # rawf feeds BOTH the rc bucket-count aggregate and the scoring
+    # join — persist so the md5 feature build (the dominant cost) runs
+    # once. Lifecycle matches the LSH signature persists: the caller's
+    # harness clearCache()s between queries.
+    rawf = _hashed_features(raw, text_col, id_col, buckets).persist()
     tgtf = _hashed_features(target, text_col, id_col, buckets)
     tc = tgtf.groupBy("b").agg(F.count("*").alias("tc"))
     rc = rawf.groupBy("b").agg(F.count("*").alias("rc"))
