@@ -184,6 +184,12 @@ NOTES = {
         "candidate; per-query top-k window over the scored subset "
         "only."
     ),
+    "bpe_encode": (
+        "BPE apply: the whole ordered merge chain is one projection "
+        "per document (staged token array + per-word replace chain) "
+        "over a 2-column ReadSchema; only the display orderBy "
+        "exchanges."
+    ),
     "dsir_weights": (
         "DSIR: exploded hashed-ngram features; BOTH bucket-count "
         "tables broadcast back (bounded by B=8192 rows by "
