@@ -4370,6 +4370,98 @@ GROUP BY 1 ORDER BY 1
 SQL_ANN_RECALL = _ann_recall_oracle_sql()
 
 
+def q_multiprobe_recall(spark, sf_dir):
+    """Multi-probe LSH recall@10 (Lv et al. 2007) vs exact brute force
+    — the companion to ann_recall that certifies the RECALL LEVER:
+    probing every bucket at Hamming distance ≤ 1 (bits+1 probes)
+    against the same 4-bit table single-probe baseline ann_recall pins.
+    Same proven-deterministic float pipelines both sides, so the
+    DuckDB twin reproduces both top-10 sets exactly."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        brute_force_topk_pairs,
+        lsh_multiprobe_topk,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    mp = lsh_multiprobe_topk(
+        corpus, queries, dim=64, k=10, bits=4
+    ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    exact = brute_force_topk_pairs(corpus, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact.join(mp, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(10.0), 4).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _multiprobe_recall_oracle_sql(
+    dim: int = 64, bits: int = 4, seed: int = 42
+) -> str:
+    """DuckDB twin of q_multiprobe_recall: _ann_recall_oracle_sql with
+    the probe join widened to Hamming distance ≤ 1 on the bucket id
+    (``bit_count(xor(...)) <= 1``) — exactly the bits+1 probe set the
+    Spark side explodes."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+    bucket = "CAST(0 AS BIGINT)"
+    for h in planes:
+        d = " + ".join(f"e[{i + 1}] * {h[i]!r}" for i in range(dim))
+        bucket = (
+            f"({bucket} * 2 + (CASE WHEN ({d}) > 0 THEN 1 ELSE 0 END))"
+        )
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    cos = " + ".join(
+        f"(q.e[{i + 1}] / q.nrm) * (c.e[{i + 1}] / c.nrm)"
+        for i in range(dim)
+    )
+    rank = (
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"CASE WHEN q.nrm > 0 AND c.nrm > 0 THEN {cos} END DESC,"
+        " c.vec_id)"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, {bucket} AS bucket, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), lsh AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM b q JOIN b c
+    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+  QUALIFY {rank} <= 10
+), bf AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id >= 5
+  QUALIFY {rank} <= 10
+)
+SELECT bf.query_id,
+       count(lsh.vec_id) AS n_hits,
+       round(count(lsh.vec_id) / 10.0, 4) AS recall_at_10
+FROM bf LEFT JOIN lsh
+  ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_MULTIPROBE_RECALL = _multiprobe_recall_oracle_sql()
+
+
 def _ivf_seeded_centroids(
     dim: int = 64, n_lists: int = 8, seed: int = 7
 ) -> list[tuple[int, list[float]]]:
@@ -5385,6 +5477,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
     "bpe_encode": q_bpe_encode,
+    "multiprobe_recall": q_multiprobe_recall,
     "paragraph_dedup": q_paragraph_dedup,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -5511,6 +5604,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_encode": SQL_BPE_ENCODE,
+    "multiprobe_recall": SQL_MULTIPROBE_RECALL,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_recall": SQL_ANN_RECALL,
     "ivf_recall": SQL_IVF_RECALL,
@@ -5634,7 +5728,9 @@ GATE_PRIORITY: list[str] = [
     # Jaccard stays certified via minhash_exact_pairs' verify side).
     "bpe_encode",
     "neardup_clusters",
-    "neardup_dedup_keep",
+    # neardup_dedup_keep rotated out for multiprobe_recall (r3-green;
+    # the CC family keeps neardup_clusters as its gate row).
+    "multiprobe_recall",
     "corpus_prep",
     "balanced_classes",
     # -- this session's new queries (never driver-verified): displaced

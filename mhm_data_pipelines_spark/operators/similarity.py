@@ -185,6 +185,55 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): the query probes its own
+    bucket AND every bucket at Hamming distance 1 (one hyperplane sign
+    flipped) — ``bits + 1`` probes recover most of the recall lost to
+    near-boundary sign flips WITHOUT rebuilding the index or adding
+    hash tables. The probe set is a pure expression (bucket XOR each
+    power of two); the QUERY side explodes ``bits + 1``×, the corpus
+    still moves once through the same equi-join as :func:`lsh_topk` —
+    probe fan-out lands on the (always-small) query side, never the
+    corpus."""
+    cb = lsh_bucket_ids(corpus, dim, bits, seed, vec_col).select(
+        id_col, "lsh_bucket", normalize(vec_col).alias("cv")
+    )
+    qb = lsh_bucket_ids(queries, dim, bits, seed, vec_col).select(
+        F.col(query_id_col), "lsh_bucket", normalize(vec_col).alias("qv")
+    )
+    probes = F.array(
+        F.col("lsh_bucket"),
+        *[
+            F.col("lsh_bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(bits)
+        ],
+    )
+    qp = qb.select(
+        query_id_col, "qv", F.explode(probes).alias("lsh_bucket")
+    )
+    scored = cb.join(qp, "lsh_bucket").select(
+        query_id_col, id_col, dot("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def _normalized_lit(vec: list[float]) -> list[float]:
     import math
 

@@ -55,6 +55,10 @@ SINGLE_ROW_BROADCAST_OK = {
                           # broadcast(5 query rows) — the exact-verify
                           # path is a bounded cross by design; the
                           # approximate side under test is an equi-join
+    "multiprobe_recall",  # same shape as ann_recall: exact ground-truth
+                          # side is corpus × broadcast(5 query rows);
+                          # the multiprobe side under test is an
+                          # equi-join on the exploded probe buckets
     "ivf_recall",         # same shape as ann_recall: exact ground-truth
                           # side is corpus × broadcast(5 query rows);
                           # the IVF side under test is an equi-join on

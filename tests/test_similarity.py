@@ -379,3 +379,48 @@ def test_ivf_pq_index_and_topk(corpus, corpus_np):
             )
         ]
         assert got_ids == want_ids
+
+
+def test_lsh_multiprobe_superset_and_recall(corpus, corpus_np):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = corpus.filter(F.col("vec_id") >= 5)
+
+    single = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(c, q, dim=DIM, k=200, bits=4).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in lsh_multiprobe_topk(
+            c, q, dim=DIM, k=200, bits=4
+        ).collect()
+    }
+    # With k large enough to keep every candidate, the multiprobe
+    # candidate set strictly contains the single-probe one.
+    assert single <= multi
+    assert len(multi) > len(single)
+
+    # Recall@10 vs exact numpy ranking never decreases per query.
+    V = corpus_np / np.linalg.norm(corpus_np, axis=1, keepdims=True)
+    mp10 = {
+        (r.query_id, r.vec_id)
+        for r in lsh_multiprobe_topk(
+            c, q, dim=DIM, k=10, bits=4
+        ).collect()
+    }
+    sp10 = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(c, q, dim=DIM, k=10, bits=4).collect()
+    }
+    for qid in range(5):
+        sims = V[5:] @ V[qid]
+        ids = np.arange(5, N)
+        order = sorted(zip(-sims, ids))[:10]
+        exact = {(qid, int(i)) for _, i in order}
+        assert len(exact & mp10) >= len(exact & sp10)
