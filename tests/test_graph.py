@@ -1,0 +1,95 @@
+"""PageRank: hand-computed values on a known graph + invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.graph import pagerank
+
+
+def _ranks(df) -> dict:
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def _reference_pagerank(edges, iterations, damping, weights=None):
+    """Driver-side mirror of the documented recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    w = {e: 1.0 for e in edges}
+    if weights:
+        w = dict(weights)
+    out_w: dict = {}
+    for (s, _), wt in w.items():
+        out_w[s] = out_w.get(s, 0.0) + wt
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        nxt = {v: (1.0 - damping) / n for v in nodes}
+        for (s, d), wt in w.items():
+            nxt[d] += damping * rank[s] * wt / out_w[s]
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_unweighted(spark):
+    # Classic 4-node graph with a dangling node (d has no out-edges).
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = _ranks(pagerank(df, iterations=5, damping=0.85))
+    want = _reference_pagerank(edges, 5, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # Dangling mass leaks: total < 1 but > (1-d) floor.
+    assert 0.15 < sum(got.values()) < 1.0
+
+
+def test_pagerank_weighted_and_self_loop(spark):
+    edges = {("a", "b"): 3.0, ("a", "a"): 1.0, ("b", "a"): 2.0}
+    df = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in edges.items()], ["src", "dst", "w"]
+    )
+    got = _ranks(pagerank(df, weight="w", iterations=4, damping=0.85))
+    want = _reference_pagerank(list(edges), 4, 0.85, weights=edges)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # No dangling nodes -> mass conserved.
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_star_center_dominates(spark):
+    # Everything points at the hub; the hub must out-rank every leaf.
+    edges = [(f"leaf{i}", "hub") for i in range(6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = _ranks(pagerank(df, iterations=3))
+    hub = got.pop("hub")
+    assert all(hub > v for v in got.values())
+    # Leaves are symmetric -> identical ranks.
+    assert len({round(v, 15) for v in got.values()}) == 1
+
+
+def test_pagerank_validation(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iterations=2).count() == 0
+
+
+def test_pagerank_plan_is_bounded(spark):
+    """localCheckpoint per round: the final plan must not nest one
+    join-depth per iteration (lineage truncation, as in connected
+    components)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank(df, iterations=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # The checkpointed frame scans appear instead of 8 nested joins.
+    assert plan.count("Join") <= 2
+    assert out.count() == 3
