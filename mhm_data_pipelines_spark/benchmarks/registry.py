@@ -5480,6 +5480,30 @@ SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
 """
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Record linkage: all customer-name pairs within Levenshtein
+    distance 1, via deletion-neighborhood candidate blocking (FastSS) —
+    exact recall (see operators/fuzzy.py), so the brute-force oracle
+    reproduces it value-for-value."""
+    from mhm_data_pipelines_spark.operators.fuzzy import edit_distance_join
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_distance_join(
+        cust, text_col="c_name", id_col="c_custkey", k=1
+    ).orderBy("id_a", "id_b")
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -5604,6 +5628,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_pairs": q_bpe_pairs,
     "minhash_incremental": q_minhash_incremental,
     "event_pagerank": q_event_pagerank,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -5732,6 +5757,7 @@ ORACLES: dict[str, str] = {
     "bpe_pairs": SQL_BPE_PAIRS,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "event_pagerank": SQL_EVENT_PAGERANK,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
