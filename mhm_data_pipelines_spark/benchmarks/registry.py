@@ -5504,6 +5504,95 @@ ORDER BY id_a, id_b
 """
 
 
+def q_knn_graph(spark, sf_dir):
+    """k-NN graph (top-5 cosine neighbors for EVERY vector) with
+    EXHAUSTIVE probing — the full IVF-graph machinery (single-list
+    assignment, probe explode, co-partitioned list join, per-query
+    window) provably equal to brute force, so DuckDB's independent
+    brute-force self-join is a full value oracle. Selective-probe
+    recall is covered in tests/test_similarity.py."""
+    from mhm_data_pipelines_spark.operators.similarity import knn_graph
+
+    df = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["label"], list(r["centroid"]))
+        for r in label_centroids(df).collect()
+    ]
+    out = knn_graph(df, cents, k=5, nprobe=len(cents))
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "qid", F.desc("cosine"), "nid"
+    )
+
+
+SQL_KNN_GRAPH = """
+SELECT a.vec_id AS qid, b.vec_id AS nid,
+       round(list_cosine_similarity(
+         CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])) DESC,
+           b.vec_id
+) <= 5
+ORDER BY 1, 3 DESC, 2
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Keyed snapshot diff: 'old' drops event_id % 7 == 0, 'new' drops
+    % 11 == 0 and doubles value where % 13 == 0 — added/removed/changed
+    with the changed-column list, unchanged keys filtered in-plan."""
+    from mhm_data_pipelines_spark.operators.diff import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 7 != 0)
+    new = ev.filter(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 13 == 0, F.col("value") * 2
+        ).otherwise(F.col("value")),
+    )
+    out = snapshot_diff(old, new, keys=["event_id"])
+    return out.orderBy("event_id")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT * FROM events WHERE event_id % 7 <> 0
+), new AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN value * 2 ELSE value END AS value,
+         props
+  FROM events WHERE event_id % 11 <> 0
+), j AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         o.event_id IS NOT NULL AS in_old,
+         n.event_id IS NOT NULL AS in_new,
+         list_sort(list_filter(
+           [CASE WHEN o.ts IS DISTINCT FROM n.ts THEN 'ts' END,
+            CASE WHEN o.user_id IS DISTINCT FROM n.user_id
+                 THEN 'user_id' END,
+            CASE WHEN o.event_type IS DISTINCT FROM n.event_type
+                 THEN 'event_type' END,
+            CASE WHEN o.value IS DISTINCT FROM n.value THEN 'value' END,
+            CASE WHEN o.props IS DISTINCT FROM n.props THEN 'props' END],
+           x -> x IS NOT NULL)) AS diffs
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT event_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN in_old AND in_new
+            THEN array_to_string(diffs, ',') ELSE '' END AS changed_cols
+FROM j
+WHERE (NOT in_old) OR (NOT in_new) OR len(diffs) > 0
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -5629,6 +5718,8 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_incremental": q_minhash_incremental,
     "event_pagerank": q_event_pagerank,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "knn_graph": q_knn_graph,
+    "snapshot_diff": q_snapshot_diff,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -5758,6 +5849,8 @@ ORACLES: dict[str, str] = {
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "event_pagerank": SQL_EVENT_PAGERANK,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "knn_graph": SQL_KNN_GRAPH,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,

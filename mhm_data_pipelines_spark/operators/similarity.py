@@ -971,3 +971,71 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH: top-k cosine neighbors for EVERY
+    vector (the all-queries twin of :func:`ivf_topk`) — the substrate
+    for SemDeDup-style clustering, kNN classification, and
+    graph-centrality corpus selection (``operators.graph.pagerank``
+    over the resulting edges).
+
+    Unlike :func:`ivf_topk`, the query side IS the corpus, so nothing
+    broadcasts: data vectors assign to their single nearest list
+    (zero-shuffle literal-quantizer projection, see
+    :func:`_centroid_sim_structs`), query probes explode to their
+    ``nprobe`` nearest lists, and the candidate join is a
+    CO-PARTITIONED equi-join on ``list_id`` — both sides shuffle once
+    on the list key, pair fan-out is bounded by list sizes (quantizer
+    balance), never |corpus|². Per-query top-k is a window over the
+    candidate set partitioned by the query id.
+
+    Each (query, data) pair arises at most once — the data side lives
+    in exactly one list — so no distinct is needed. ``nprobe =
+    len(centroids)`` makes the graph EXACT (every list probed);
+    smaller ``nprobe`` trades recall for a proportionally smaller
+    join, same as IVF search. Self-edges are excluded.
+    """
+    base = df.select(F.col(id_col), normalize(vec_col).alias("v"))
+    data = base.withColumn(
+        "list_id",
+        F.greatest(*_centroid_sim_structs(centroids, F.col("v")))["list_id"],
+    )
+    probes = F.transform(
+        F.slice(
+            F.sort_array(
+                F.array(*_centroid_sim_structs(centroids, F.col("v"))),
+                asc=False,
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["list_id"],
+    )
+    q = base.select(
+        F.col(id_col).alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(probes).alias("list_id"),
+    )
+    scored = (
+        data.join(q, "list_id")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            F.col("qid"),
+            F.col(id_col).alias("nid"),
+            dot("qv", "v").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -424,3 +424,51 @@ def test_lsh_multiprobe_superset_and_recall(corpus, corpus_np):
         order = sorted(zip(-sims, ids))[:10]
         exact = {(qid, int(i)) for _, i in order}
         assert len(exact & mp10) >= len(exact & sp10)
+
+
+def test_knn_graph_exhaustive_matches_numpy(corpus, corpus_np):
+    """nprobe = all lists ⇒ exact kNN graph for every vector."""
+    from mhm_data_pipelines_spark.operators.similarity import knn_graph
+
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(corpus).collect()
+    ]
+    k = 5
+    got = knn_graph(corpus, cents, k=k, nprobe=len(cents)).collect()
+    by_q = {}
+    for r in got:
+        assert r.qid != r.nid
+        by_q.setdefault(r.qid, []).append((r.cosine, r.nid))
+    norms = np.linalg.norm(corpus_np, axis=1)
+    unit = corpus_np / norms[:, None]
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    for qid in range(N):
+        # Tie-deterministic: (-cosine, nid) ordering in both worlds.
+        want = sorted(
+            ((-sims[qid, j], j) for j in range(N) if j != qid)
+        )[:k]
+        want_ids = [j for _, j in want]
+        got_ids = [nid for _, nid in sorted(
+            by_q[qid], key=lambda t: (-t[0], t[1])
+        )]
+        assert got_ids == want_ids, f"qid {qid}"
+        assert len(by_q[qid]) == k
+
+
+def test_knn_graph_selective_probe_subset(corpus):
+    """nprobe=1 candidates are a subset of the exhaustive graph's
+    candidate space and still exclude self-edges."""
+    from mhm_data_pipelines_spark.operators.similarity import knn_graph
+
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(corpus).collect()
+    ]
+    got = knn_graph(corpus, cents, k=5, nprobe=1).collect()
+    assert all(r.qid != r.nid for r in got)
+    # Every query still gets up to k neighbors from its own list.
+    per_q = {}
+    for r in got:
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+    assert all(c <= 5 for c in per_q.values())
+    assert len(per_q) == N  # own list always probed -> nobody is empty
