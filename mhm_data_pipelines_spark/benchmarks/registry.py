@@ -5518,7 +5518,7 @@ def q_knn_graph(spark, sf_dir):
         (r["label"], list(r["centroid"]))
         for r in label_centroids(df).collect()
     ]
-    out = knn_graph(df, cents, k=5, nprobe=len(cents))
+    out = knn_graph(df, cents, k=5, nprobe=len(cents), blas=True)
     return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
         "qid", F.desc("cosine"), "nid"
     )
@@ -5590,6 +5590,58 @@ SELECT event_id,
 FROM j
 WHERE (NOT in_old) OR (NOT in_new) OR len(diffs) > 0
 ORDER BY event_id
+"""
+
+
+def q_sentence_dedup(spark, sf_dir):
+    """Corpus-level sentence dedup (first occurrence wins) — one
+    granularity finer than paragraph_dedup; RE2-compatible sentence
+    segmentation so DuckDB reproduces the extraction literally."""
+    from mhm_data_pipelines_spark.operators.dedup import dedup_sentences
+
+    df = _t(spark, sf_dir, "documents")
+    out = dedup_sentences(df)
+    return out.select(
+        "doc_id",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("text_dedup").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_SENTENCE_DEDUP = r"""
+WITH p0 AS (
+  SELECT doc_id, i AS pos, parts[i] AS sent
+  FROM (SELECT doc_id,
+               regexp_extract_all(text, '[^.!?]+[.!?]?') AS parts
+        FROM documents),
+       LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+), p AS (
+  SELECT doc_id, pos, sent FROM p0 WHERE trim(sent) <> ''
+), k AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(sent), '\s+', ' ', 'g')))
+           ORDER BY doc_id, pos
+         ) AS rn
+  FROM p
+), kept AS (
+  SELECT doc_id, pos, sent FROM k WHERE rn = 1
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(trim(sent), ' ' ORDER BY pos)) AS clean_fp
+  FROM kept GROUP BY 1
+), tot AS (
+  SELECT doc_id, count(*) AS n_sents FROM p GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t.n_sents, 0) AS n_sents,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_fp, md5('')) AS clean_fp
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -5720,6 +5772,7 @@ QUERIES: dict[str, QuerySpec] = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "knn_graph": q_knn_graph,
     "snapshot_diff": q_snapshot_diff,
+    "sentence_dedup": q_sentence_dedup,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -5851,6 +5904,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "knn_graph": SQL_KNN_GRAPH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "sentence_dedup": SQL_SENTENCE_DEDUP,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -6026,4 +6080,9 @@ BENCH_QUERIES: list[str] = [
     "dsir_weights",
     "quality_classifier",
     "bpe_encode",
+    # round-4 late additions
+    "event_pagerank",
+    "fuzzy_pairs",
+    "knn_graph",
+    "snapshot_diff",
 ]

@@ -691,11 +691,59 @@ def dedup_paragraphs(
     """
     import re
 
+    return _dedup_units(
+        df,
+        id_col,
+        F.split(F.col(text_col), re.escape(sep)),
+        join_sep=sep,
+        total_col="n_paras",
+    )
+
+
+def dedup_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level SENTENCE dedup, first-occurrence-wins — the same
+    rule as :func:`dedup_paragraphs` one granularity finer (boilerplate
+    disclaimer SENTENCES recur across documents whose paragraphs
+    differ). Returns (id, n_sents, n_kept, text_dedup).
+
+    Sentences are extracted with ``regexp_extract_all('[^.!?]+[.!?]?')``
+    — segments up to and including one terminator. The pattern is
+    deliberately RE2-compatible (no lookbehind), so external engines
+    can reproduce the segmentation literally. Reassembly joins
+    surviving sentences with a single space: original inter-sentence
+    whitespace is NOT preserved (documented semantic — the output
+    feeds tokenizers, which normalize whitespace anyway).
+    """
+    units = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^.!?]+[.!?]?"), 0
+    )
+    return _dedup_units(
+        df, id_col, units, join_sep=" ", total_col="n_sents"
+    )
+
+
+def _dedup_units(
+    df: DataFrame,
+    id_col: str,
+    units: Column,
+    join_sep: str,
+    total_col: str,
+) -> DataFrame:
+    """Shared first-occurrence-wins unit dedup (paragraphs, sentences):
+    explode ``units`` (an array<string> Column) to (id, pos, unit),
+    pick the global first occurrence per normalized-unit fingerprint
+    with ONE min-struct hash aggregate (no window sort), join winners
+    back on the fingerprint (same key → exchange reuse), reassemble
+    per doc in original order with a hash aggregate. Unit text
+    shuffles once for the reassembly — inherent to reconstructing
+    documents."""
     paras = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.split(F.col(text_col), re.escape(sep))
-        ).alias("pos", "para"),
+        F.posexplode(units).alias("pos", "para"),
     ).filter(F.trim("para") != "")
     keyed = paras.withColumn("_fp", fingerprint("para"))
     first = keyed.groupBy("_fp").agg(
@@ -716,19 +764,19 @@ def dedup_paragraphs(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
+                lambda s: F.trim(s["para"]) if join_sep == " " else s["para"],
             ),
-            sep,
+            join_sep,
         ).alias("text_dedup"),
     )
-    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias(total_col))
     return (
         df.select(id_col)
         .join(totals, id_col, "left")
         .join(reassembled, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce(total_col, F.lit(0)).alias(total_col),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )

@@ -980,6 +980,7 @@ def knn_graph(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blas: bool = False,
 ) -> DataFrame:
     """k-nearest-neighbor GRAPH: top-k cosine neighbors for EVERY
     vector (the all-queries twin of :func:`ivf_topk`) — the substrate
@@ -1002,6 +1003,18 @@ def knn_graph(
     len(centroids)`` makes the graph EXACT (every list probed);
     smaller ``nprobe`` trades recall for a proportionally smaller
     join, same as IVF search. Self-edges are excluded.
+
+    ``blas=True`` replaces the row-join + expression-fold scoring with
+    one cogrouped Arrow stage per list: data and probe frames cogroup
+    on ``list_id`` and each group computes a single numpy
+    ``probes @ data.T`` matrix product with a per-list partial top-k,
+    so only ``|queries| × nprobe × k`` candidate rows (not the full
+    pair fan-out) reach the final window. Same shuffle shape, ~25×
+    less work per candidate at dim=64 (interpreted higher-order folds
+    vs BLAS); float sums may differ in the last ULP from the
+    expression path — round before hash-comparing across engines.
+    Each cogroup holds one list in memory: balance the quantizer (or
+    sub-bucket hot lists) so a list fits an executor.
     """
     base = df.select(F.col(id_col), normalize(vec_col).alias("v"))
     data = base.withColumn(
@@ -1024,15 +1037,67 @@ def knn_graph(
         F.col("v").alias("qv"),
         F.explode(probes).alias("list_id"),
     )
-    scored = (
-        data.join(q, "list_id")
-        .filter(F.col(id_col) != F.col("qid"))
-        .select(
-            F.col("qid"),
-            F.col(id_col).alias("nid"),
-            dot("qv", "v").alias("cosine"),
+    if blas:
+        import numpy as np
+        import pandas as pd
+
+        def score_list(left: "pd.DataFrame", right: "pd.DataFrame"):
+            if left.empty or right.empty:
+                return pd.DataFrame(
+                    {"qid": [], "nid": [], "cosine": []}
+                ).astype({"qid": "int64", "nid": "int64",
+                          "cosine": "float64"})
+            dmat = np.stack(left["v"].to_numpy()).astype(np.float64)
+            qmat = np.stack(right["qv"].to_numpy()).astype(np.float64)
+            sims = qmat @ dmat.T  # |probes| × |list|
+            dids = left[id_col].to_numpy()
+            qids = right["qid"].to_numpy()
+            # Self-mask in place (a query never neighbors itself).
+            sims[dids[None, :] == qids[:, None]] = -np.inf
+            nd = sims.shape[1]
+            # Vectorized preselect: argpartition the whole matrix to a
+            # small per-row candidate set, then tie-sort only that set
+            # with the window's (-sim, id) rule. The +8 slack protects
+            # the boundary against equal-cosine ties (exact only if
+            # >8 candidates tie AT the k-th value — impossible short
+            # of >8 duplicated vectors, which belong to dedup anyway).
+            take = min(k + 8, nd)
+            pre = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_c = [], [], []
+            for row in range(sims.shape[0]):
+                cand = pre[row]
+                cand_sims = sims[row, cand]
+                keep = cand_sims > -np.inf
+                cand = cand[keep]
+                cand_sims = cand_sims[keep]
+                if cand.size == 0:
+                    continue
+                kk = min(k, cand.size)
+                order = np.lexsort((dids[cand], -cand_sims))[:kk]
+                out_q.extend([qids[row]] * kk)
+                out_n.extend(dids[cand[order]].tolist())
+                out_c.extend(cand_sims[order].tolist())
+            return pd.DataFrame(
+                {"qid": out_q, "nid": out_n, "cosine": out_c}
+            )
+
+        scored = (
+            data.groupBy("list_id")
+            .cogroup(q.groupBy("list_id"))
+            .applyInPandas(
+                score_list, schema="qid long, nid long, cosine double"
+            )
         )
-    )
+    else:
+        scored = (
+            data.join(q, "list_id")
+            .filter(F.col(id_col) != F.col("qid"))
+            .select(
+                F.col("qid"),
+                F.col(id_col).alias("nid"),
+                dot("qv", "v").alias("cosine"),
+            )
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

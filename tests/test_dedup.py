@@ -365,3 +365,25 @@ def test_dedup_spans_keep_first(spark):
     assert out[2].clean_text == "w other words here"
     assert out[2].n_removed_tokens == 8 and out[2].n_tokens == 12
     assert out[3].n_removed_tokens == 0
+
+
+def test_dedup_sentences_first_occurrence_wins(spark):
+    from mhm_data_pipelines_spark.operators.dedup import dedup_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha beta. Shared boilerplate! Gamma?"),
+            (2, "Shared boilerplate! Delta epsilon."),
+            (3, "Alpha beta. Shared boilerplate!"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_sentences(df).collect()}
+    assert out[1]["n_sents"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text_dedup"] == "Alpha beta. Shared boilerplate! Gamma?"
+    # Doc 2 loses the boilerplate sentence (doc 1 had it first).
+    assert out[2]["n_sents"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "Delta epsilon."
+    # Doc 3 is entirely boilerplate -> empty.
+    assert out[3]["n_sents"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["text_dedup"] == ""

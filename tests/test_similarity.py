@@ -472,3 +472,20 @@ def test_knn_graph_selective_probe_subset(corpus):
         per_q[r.qid] = per_q.get(r.qid, 0) + 1
     assert all(c <= 5 for c in per_q.values())
     assert len(per_q) == N  # own list always probed -> nobody is empty
+
+
+def test_knn_graph_blas_matches_expression_path(corpus):
+    from mhm_data_pipelines_spark.operators.similarity import knn_graph
+
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(corpus).collect()
+    ]
+    expr = knn_graph(corpus, cents, k=5, nprobe=len(cents)).collect()
+    blas = knn_graph(
+        corpus, cents, k=5, nprobe=len(cents), blas=True
+    ).collect()
+    g = {(r.qid, r.nid): r.cosine for r in blas}
+    w = {(r.qid, r.nid): r.cosine for r in expr}
+    assert set(g) == set(w)
+    for key in w:
+        assert g[key] == pytest.approx(w[key])
