@@ -5645,6 +5645,69 @@ ORDER BY d.doc_id
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    100 documents drawn proportionally to n_chars, md5-keyed uniforms
+    so DuckDB replays the identical draw value-for-value."""
+    from mhm_data_pipelines_spark.operators.sampling import weighted_sample
+
+    df = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        df, n=100, weight_col="n_chars", key="doc_id",
+        seed=42, hash_family="md5",
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 15))
+              AS BIGINT) + 1) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0
+  ORDER BY es_key DESC, doc_id
+  LIMIT 100
+)
+ORDER BY doc_id
+"""
+
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-cosine decontamination: vectors 0-19 play the eval
+    benchmark; every training vector reports its max cosine against
+    them plus the >= 0.9 contamination verdict. Eval side broadcast,
+    training side never shuffled (one max partial-agg)."""
+    from mhm_data_pipelines_spark.operators.decontam import (
+        embedding_decontaminate,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    ev = df.filter(F.col("vec_id") < 20)
+    tr = df.filter(F.col("vec_id") >= 20)
+    out = embedding_decontaminate(tr, ev, threshold=0.9)
+    return out.select(
+        "vec_id",
+        F.round("max_eval_cosine", 4).alias("max_eval_cosine"),
+        "contaminated",
+    ).orderBy("vec_id")
+
+
+SQL_SEMANTIC_DECONTAM = """
+SELECT t.vec_id,
+       round(max(list_cosine_similarity(
+         CAST(t.embedding AS DOUBLE[]),
+         CAST(e.embedding AS DOUBLE[]))), 4) AS max_eval_cosine,
+       max(list_cosine_similarity(
+         CAST(t.embedding AS DOUBLE[]),
+         CAST(e.embedding AS DOUBLE[]))) >= 0.9 AS contaminated
+FROM embeddings t, embeddings e
+WHERE t.vec_id >= 20 AND e.vec_id < 20
+GROUP BY t.vec_id
+ORDER BY t.vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -5773,6 +5836,8 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_graph": q_knn_graph,
     "snapshot_diff": q_snapshot_diff,
     "sentence_dedup": q_sentence_dedup,
+    "weighted_sample": q_weighted_sample,
+    "semantic_decontam": q_semantic_decontam,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -5905,6 +5970,8 @@ ORACLES: dict[str, str] = {
     "knn_graph": SQL_KNN_GRAPH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "sentence_dedup": SQL_SENTENCE_DEDUP,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "semantic_decontam": SQL_SEMANTIC_DECONTAM,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,

@@ -90,3 +90,44 @@ def decontaminate(
             "contaminated", F.col("n_shared_ngrams") >= F.lit(min_shared)
         )
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC decontamination: flag training items whose embedding is
+    near-identical to any eval item — catches paraphrased/reformatted
+    leakage that verbatim n-gram overlap (:func:`ngram_overlap`)
+    misses (the Phi/FineWeb-style complement to exact decontamination).
+
+    Returns (id, max_eval_cosine, contaminated) for EVERY training row
+    (no-overlap rows carry their true max cosine, not a null).
+
+    Scale shape: eval benchmarks are curated and small, so the eval
+    side BROADCASTS into a map-side nested-loop scored per training
+    partition; the verdict is one partial-agg max per training row —
+    the training corpus is never shuffled. For an eval side too big to
+    broadcast, block both sides first (``similarity.lsh_bucket_ids``
+    or IVF lists) and reuse the same max-agg on the bucketed join —
+    same verdict, bounded pair space.
+    """
+    from mhm_data_pipelines_spark.functions.vectors import dot, normalize
+
+    t = train.select(F.col(id_col), normalize(vec_col).alias("_tv"))
+    e = eval_df.select(normalize(vec_col).alias("_ev"))
+    scored = t.crossJoin(F.broadcast(e)).select(
+        F.col(id_col), dot("_tv", "_ev").alias("_cos")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("_cos").alias("max_eval_cosine"))
+        .select(
+            id_col,
+            "max_eval_cosine",
+            (F.col("max_eval_cosine") >= threshold).alias("contaminated"),
+        )
+    )

@@ -273,3 +273,60 @@ def temperature_mix(
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key: str,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): every row draws a deterministic uniform
+    ``u ∈ (0, 1]`` from a content hash of ``key`` and ranks by
+    ``u^(1/w)`` — the ``n`` largest form an exact weighted sample, as
+    if rows were drawn one-by-one with probability proportional to
+    ``weight_col`` and removed. The log form ``ln(u)/w`` is used (same
+    ordering, no underflow for tiny weights).
+
+    Deterministic for the same reasons as :func:`deterministic_sample`
+    (pure projection of the key hash — stable across partitionings,
+    re-runs, engines with ``hash_family="md5"``). Rows with NULL,
+    zero, or negative weight are excluded (zero-weight rows have
+    selection probability zero; negative weights are undefined).
+
+    Scale shape: the rank key is a projection; the global top-n is a
+    sort-limit, which Spark executes as per-partition TakeOrdered(n) +
+    a driver merge of bounded candidate sets — no full global sort, no
+    shuffle of the losers. ``n`` must fit in memory ONCE (it is the
+    sample you are keeping); for quota-per-group sampling at larger
+    sizes use :func:`stratified_sample`'s window shape instead.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    c = F.col(key)
+    if hash_family == "xxhash64":
+        h = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(1 << 60))
+    elif hash_family == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    # u in (0, 1]: (h + 1) / 2^60; ln(u)/w is maximized.
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    es_key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_es_key", es_key)
+        .orderBy(F.desc("_es_key"), c)
+        .limit(n)
+        .drop("_es_key")
+    )

@@ -277,3 +277,57 @@ def test_running_total_decimal_ordering_key(spark):
     ).collect()
     got = {r.id: r.running_total for r in out}
     assert got == {i: i for i in range(1, 9)}
+
+
+def test_weighted_sample_statistical_bias(spark):
+    """Heavy-weight rows must be selected far more often: with weights
+    100 vs 1 at a 50% sampling rate, the heavy group should be nearly
+    exhausted while the light group stays clearly below it."""
+    from mhm_data_pipelines_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 200 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = weighted_sample(df, n=200, weight_col="w", key="id").collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["id"] < 200)
+    assert heavy > 180  # P[this failing by chance] is astronomically small
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from mhm_data_pipelines_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    a = {r["id"] for r in weighted_sample(df, 50, "w", "id").collect()}
+    b = {
+        r["id"]
+        for r in weighted_sample(df.repartition(13), 50, "w", "id").collect()
+    }
+    assert a == b
+    # Different seed -> (almost surely) different sample.
+    c = {
+        r["id"]
+        for r in weighted_sample(df, 50, "w", "id", seed=7).collect()
+    }
+    assert a != c
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from mhm_data_pipelines_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id int, w double",
+    )
+    got = {r["id"] for r in weighted_sample(df, 10, "w", "id").collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_n_validation(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "w"])
+    with _pytest.raises(ValueError):
+        weighted_sample(df, 0, "w", "id")

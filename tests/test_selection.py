@@ -95,3 +95,34 @@ def test_classifier_score_seeded_weights_deterministic(spark):
     a = {r.doc_id: r.prob for r in classifier_score(raw, w).collect()}
     b = {r.doc_id: r.prob for r in classifier_score(raw, w).collect()}
     assert a == b and len(a) == 4
+
+
+def test_embedding_decontaminate(spark):
+    """A training vector equal to an eval vector must flag; orthogonal
+    vectors must not; every training row appears with a real cosine."""
+    from mhm_data_pipelines_spark.operators.decontam import (
+        embedding_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),   # parallel to eval 0 -> cos 1
+            (11, [0.0, 0.0, 5.0]),   # orthogonal to both -> cos 0
+            (12, [1.0, 1.0, 0.0]),   # 45 deg -> cos ~0.707
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in embedding_decontaminate(tr, ev, threshold=0.95).collect()
+    }
+    assert len(got) == 3
+    assert got[10]["contaminated"] and got[10]["max_eval_cosine"] == 1.0
+    assert not got[11]["contaminated"]
+    assert got[11]["max_eval_cosine"] == 0.0
+    assert not got[12]["contaminated"]
+    assert abs(got[12]["max_eval_cosine"] - 0.7071067811865475) < 1e-12
