@@ -6023,25 +6023,35 @@ GATE_PRIORITY: list[str] = [
     "doc_winnowing",
     "winnow_overlap",
     "doc_fingerprints",
+    # -- this session's new queries (never driver-verified): displaced
+    #    seven r3-green untouched keys (pii_redaction, doc_lm_score,
+    #    tiered_rollup, dedup_exact_keep, embedding_topk,
+    #    embedding_centroids, balanced_classes — all still hash-checked
+    #    by test_oracle_parity.py every CI run).
+    "event_pagerank",
+    "fuzzy_pairs",
+    "knn_graph",
+    "snapshot_diff",
+    "sentence_dedup",
+    "weighted_sample",
+    "semantic_decontam",
     # -- single-green r3 keys kept warm (rotated subset; the 9 dropped
-    #    this round are all untouched expression-only queries with green
-    #    r3 rows: analytic_windows, rolling_1h, grouping_sets,
-    #    users_intersect, users_except, doc_token_stats,
+    #    in the earlier r4 rotation are all untouched expression-only
+    #    queries with green r3 rows: analytic_windows, rolling_1h,
+    #    grouping_sets, users_intersect, users_except, doc_token_stats,
     #    embedding_quantize, approx_sketch_bounds, lang_id).
-    "pii_redaction",
     "decontamination",
     "llm_dataset_build",
     "zorder_layout",
     "tfidf_top_terms",
-    "doc_lm_score",
     # vocab_stats rotated out for ivfpq_topk and top_terms_per_source
     # for dsir_weights (both r3-green expression-only, still
     # hash-checked by test_oracle_parity.py).
     "dsir_weights",
-    "tiered_rollup",
-    "dedup_exact_keep",
     # dup_groups rotated out for quality_classifier (r3-green; the
-    # exact-dedup family keeps dedup_exact_keep as its gate row).
+    # exact-dedup family's gate row is now sentence_dedup /
+    # paragraph_dedup — dedup_exact_keep and tiered_rollup displaced
+    # this session for the new-query block above).
     "quality_classifier",
     # unigram_jaccard_pairs rotated out for bpe_encode (r3-green; exact
     # Jaccard stays certified via minhash_exact_pairs' verify side).
@@ -6051,7 +6061,6 @@ GATE_PRIORITY: list[str] = [
     # the CC family keeps neardup_clusters as its gate row).
     "multiprobe_recall",
     "corpus_prep",
-    "balanced_classes",
     # -- this session's new queries (never driver-verified): displaced
     #    binary_metadata / frame_samples / multimodal_features (r3-green,
     #    definitions unchanged, still covered by test_oracle_parity.py).
@@ -6061,9 +6070,10 @@ GATE_PRIORITY: list[str] = [
     "pq_topk",
     "ivfpq_topk",
     # ivf_topk rotated out for span_dedup: ivf_recall certifies both the
-    # selective-probe AND (via its exact side) the exhaustive path.
-    "embedding_topk",
-    "embedding_centroids",
+    # selective-probe AND (via its exact side) the exhaustive path;
+    # embedding_topk / embedding_centroids displaced this session (the
+    # ANN family's gate rows are now knn_graph + ivf_recall +
+    # ivfpq_topk + multiprobe_recall).
     "embedding_neardup",
 ]
 # ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
@@ -6152,4 +6162,7 @@ BENCH_QUERIES: list[str] = [
     "fuzzy_pairs",
     "knn_graph",
     "snapshot_diff",
+    "sentence_dedup",
+    "weighted_sample",
+    "semantic_decontam",
 ]

@@ -210,6 +210,57 @@ NOTES = {
         "corpus x queries; residual-ADC scoring is m lookups + adds; "
         "only the top-k window and display sort exchange."
     ),
+    "event_pagerank": (
+        "PageRank: transition edges from one window lag; each round is "
+        "edges-join-ranks on the src key + one dst-keyed hash "
+        "aggregate, lineage cut per round by localCheckpoint - the "
+        "final plan reads the round-3 checkpoint, not a 3-deep "
+        "recursive join."
+    ),
+    "fuzzy_pairs": (
+        "edit-distance join: deletion variants are a pure-expression "
+        "Generate (2-column ReadSchema); the candidate join is an "
+        "equi-join on the variant string (AQE broadcasts at this sf, "
+        "co-partitioned SMJ at scale) with the length filter folded "
+        "into the join condition; texts re-attach AFTER the pair "
+        "distinct so the variant shuffle stays (id,len,var)-narrow; "
+        "exact levenshtein rides the re-attach join condition."
+    ),
+    "knn_graph": (
+        "kNN graph: centroid assignment and probe lists are literal-"
+        "quantizer projections; data and probe frames COGROUP on "
+        "list_id into one Arrow FlatMapCoGroupsInPandas (numpy matmul "
+        "+ per-list partial top-k) - only q x nprobe x k candidate "
+        "rows reach the final per-query window; no broadcast, no "
+        "corpus-sized pair fan-out."
+    ),
+    "snapshot_diff": (
+        "snapshot diff: ONE co-partitioned full-outer SortMergeJoin "
+        "on the key; presence flags + per-column null-safe compares "
+        "are projections; unchanged keys are dropped by the filter "
+        "directly on the join output, so only the change set reaches "
+        "the display sort."
+    ),
+    "sentence_dedup": (
+        "sentence dedup: RE2-portable regexp_extract_all + posexplode "
+        "(2-column ReadSchema); first-occurrence winner is one "
+        "min-struct hash aggregate on the fingerprint (no window "
+        "sort); winners rejoin on the same key (exchange reuse) and "
+        "reassembly is a per-doc hash aggregate."
+    ),
+    "weighted_sample": (
+        "weighted sampling: the Efraimidis-Spirakis key is a pure "
+        "projection (md5-derived uniform, ln/w); the global top-n is "
+        "TakeOrderedAndProject - per-partition heaps + driver merge, "
+        "no global sort Exchange, 3-column ReadSchema with the "
+        "weight-positivity filter pushed to the scan."
+    ),
+    "semantic_decontam": (
+        "semantic decontamination: eval vectors ride one "
+        "BroadcastExchange into a nested-loop scored per training "
+        "partition; the verdict is a map-side-combined max aggregate "
+        "per training row - the training corpus is never shuffled."
+    ),
 }
 
 

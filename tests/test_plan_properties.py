@@ -72,6 +72,10 @@ SINGLE_ROW_BROADCAST_OK = {
                           # per-candidate work is m array lookups, and
                           # a bucketed IVF×PQ composition replaces the
                           # cross at larger query counts
+    "semantic_decontam",  # training × broadcast(curated eval set) —
+                          # bounded cross by design (eval benchmarks
+                          # are small); LSH/IVF blocking replaces the
+                          # cross for eval sets too big to broadcast
 }
 
 
@@ -179,6 +183,26 @@ PLAN_BUDGETS: dict[str, dict] = {
     # Gopher rules: one projection; the only Exchange is the display
     # orderBy.
     "gopher_quality": {"max_shuffles": 1},
+    # round-4 late additions. fuzzy_pairs: variant-pair distinct agg +
+    # display sort (the variant candidate join and both text re-attach
+    # joins ride broadcasts at test sf; budget holds for SMJ too with
+    # the extra join shuffles counted below). snapshot_diff: the two
+    # snapshot sides hash-shuffle into ONE full-outer SMJ + display
+    # sort. weighted_sample: TakeOrdered — the display sort is the only
+    # Exchange. semantic_decontam: broadcast eval cross + one max agg.
+    # sentence_dedup: explode + winner agg + rejoin + reassembly agg +
+    # totals agg + two id joins + display sort. knn_graph: assignment/
+    # probe projections + cogroup (two hash Exchanges) + top-k window +
+    # display sort; centroid literals come from a separate collect.
+    "fuzzy_pairs": {"max_shuffles": 2},
+    "snapshot_diff": {"max_shuffles": 3},
+    "weighted_sample": {"max_shuffles": 1},
+    "semantic_decontam": {
+        "max_shuffles": 2,
+        "require": ["BroadcastNestedLoopJoin"],
+    },
+    "sentence_dedup": {"max_shuffles": 7},
+    "knn_graph": {"max_shuffles": 4},
 }
 
 
