@@ -5708,6 +5708,107 @@ ORDER BY t.vec_id
 """
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL ingestion verified end-to-end: documents serialize to
+    line-JSON (plus two injected corrupt lines), land in a fresh temp
+    dir, and read back through the PERMISSIVE quarantine reader — the
+    per-source aggregate over the CLEAN side must equal the oracle's
+    aggregate over the original table, and exactly the two corrupt
+    lines must quarantine (never silently drop, never fail the job)."""
+    import tempfile
+
+    from mhm_data_pipelines_spark.sources.io import (
+        read_jsonl,
+        split_quarantine,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "source", "n_chars")).alias("value")
+    )
+    corrupt = spark.createDataFrame(
+        [("{broken json",), ("not json at all",)], "value string"
+    )
+    dest = tempfile.mkdtemp(prefix="mhm_jsonl_gate_") + "/dump"
+    lines.unionByName(corrupt).coalesce(4).write.mode("overwrite").text(dest)
+    raw = read_jsonl(
+        spark, dest, schema="doc_id long, source string, n_chars long"
+    )
+    clean, bad = split_quarantine(raw)
+    n_bad = bad.agg(F.count("*").alias("n_quarantined"))
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(n_bad)
+        .orderBy("source")
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(2 AS BIGINT) AS n_quarantined
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_hll_user_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-DAY HLL sketches of distinct users
+    union into per-ISO-WEEK estimates WITHOUT re-scanning raw events;
+    the oracle pins the exact weekly distinct count and the invariant
+    that the sketch estimate lands within 10% (3-sigma at lgK=12 is
+    ~4.9%, so the bound has real margin yet still proves the union
+    path works — same invariant-oracle style as approx_sketch_bounds).
+    The estimate itself is engine-specific (DataSketches vs DuckDB
+    HLL) and deliberately not value-compared."""
+    from mhm_data_pipelines_spark.operators.sketches import (
+        estimate,
+        rollup_sketches,
+        sketch_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = sketch_distinct(
+        ev,
+        [F.date_trunc("day", "ts").alias("day")],
+        key="user_id",
+    )
+    weekly = rollup_sketches(
+        daily,
+        [iso_week_key("day").alias("iso_week")],
+    )
+    est = estimate(weekly)
+    exact = ev.groupBy(
+        iso_week_key("ts").alias("iso_week")
+    ).agg(F.count_distinct("user_id").alias("n_exact"))
+    return (
+        est.join(exact, "iso_week")
+        .select(
+            "iso_week",
+            "n_exact",
+            (
+                F.abs(F.col("sketch_estimate") - F.col("n_exact"))
+                <= 0.10 * F.col("n_exact")
+            ).alias("within_10pct"),
+        )
+        .orderBy("iso_week")
+    )
+
+
+SQL_HLL_USER_ROLLUP = """
+SELECT printf('%d-W%02d', isoyear(ts), weekofyear(ts)) AS iso_week,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS within_10pct
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -5838,6 +5939,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sentence_dedup": q_sentence_dedup,
     "weighted_sample": q_weighted_sample,
     "semantic_decontam": q_semantic_decontam,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "hll_user_rollup": q_hll_user_rollup,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -5972,6 +6075,8 @@ ORACLES: dict[str, str] = {
     "sentence_dedup": SQL_SENTENCE_DEDUP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "semantic_decontam": SQL_SEMANTIC_DECONTAM,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "hll_user_rollup": SQL_HLL_USER_ROLLUP,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -6035,6 +6140,11 @@ GATE_PRIORITY: list[str] = [
     "sentence_dedup",
     "weighted_sample",
     "semantic_decontam",
+    # jsonl_roundtrip + hll_user_rollup displace zorder_layout and
+    # tfidf_top_terms (both green, definitions unchanged, still
+    # hash-checked by test_oracle_parity.py).
+    "jsonl_roundtrip",
+    "hll_user_rollup",
     # -- single-green r3 keys kept warm (rotated subset; the 9 dropped
     #    in the earlier r4 rotation are all untouched expression-only
     #    queries with green r3 rows: analytic_windows, rolling_1h,
@@ -6042,8 +6152,6 @@ GATE_PRIORITY: list[str] = [
     #    embedding_quantize, approx_sketch_bounds, lang_id).
     "decontamination",
     "llm_dataset_build",
-    "zorder_layout",
-    "tfidf_top_terms",
     # vocab_stats rotated out for ivfpq_topk and top_terms_per_source
     # for dsir_weights (both r3-green expression-only, still
     # hash-checked by test_oracle_parity.py).

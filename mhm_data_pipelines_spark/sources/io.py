@@ -76,3 +76,64 @@ def write_per_group_and_combined(
     write_table(df, f"{out_dir}/per_{group_col}", fmt=fmt, mode=mode,
                 partition_by=[group_col])
     write_table(df, f"{out_dir}/all_{group_col}s", fmt=fmt, mode=mode)
+
+
+def read_jsonl(
+    spark,
+    path: str,
+    schema=None,
+    quarantine_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL (one JSON document per line) ingestion with corrupt-record
+    QUARANTINE — the dump format most raw text corpora arrive in.
+
+    With ``schema`` (a StructType or DDL string — ALWAYS pass one in
+    production: schema inference is an extra full scan of 100 TB), the
+    reader runs PERMISSIVE: malformed lines land whole in
+    ``quarantine_col`` with every data column null, so one pass splits
+    the feed into clean rows (``quarantine_col IS NULL``) and a
+    quarantine stream to persist for triage — corrupt data is NEVER
+    silently dropped (vs DROPMALFORMED) and never kills the job (vs
+    FAILFAST). Gzipped inputs decode automatically by extension; note
+    .gz is not splittable — one task per file, so shard uploads.
+
+    Returns the raw frame INCLUDING the quarantine column; use
+    :func:`split_quarantine` for the (clean, quarantined) pair.
+    """
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(schema)
+        schema = schema.add(quarantine_col, "string")
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", quarantine_col
+    ).json(path)
+
+
+def split_quarantine(
+    df: DataFrame, quarantine_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the quarantine column, quarantined raw
+    lines) from a :func:`read_jsonl` frame.
+
+    Spark refuses queries whose referenced columns are ONLY the
+    internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    quarantine side trips this, and Spark's documented remedy is to
+    materialize the raw frame first, so this helper ``persist()``s it
+    (both outputs share the one scan; call ``unpersist()`` on the
+    RETURNED frames' source when done). At 100 TB don't hold the raw
+    feed in memory: land it to parquet once
+    (``write_table(df, staging)``) and split the re-read — same two
+    frames, storage-backed."""
+    from pyspark.sql import functions as F
+
+    df = df.persist()
+    clean = df.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
+    bad = df.filter(F.col(quarantine_col).isNotNull()).select(
+        F.col(quarantine_col).alias("raw_line")
+    )
+    return clean, bad

@@ -32,6 +32,8 @@ EXECUTES_ON_BUILD = {
     "staging_mirror",  # runs the distributed copy + status count on build
     "heatmap_render",  # renders + collects the bounded pivot on build
     "stream_neardup",  # drains a two-batch streaming query on build
+    "jsonl_roundtrip",  # writes the line-JSON dump + persists the raw
+                        # read on build (quarantine split)
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
@@ -203,6 +205,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     },
     "sentence_dedup": {"max_shuffles": 7},
     "knn_graph": {"max_shuffles": 4},
+    # daily sketch agg + weekly union agg + exact weekly distinct (two
+    # phases) + the estimate/exact join + display sort — raw events
+    # scan twice (sketch path + exact verification path), never more.
+    "hll_user_rollup": {"max_shuffles": 6},
 }
 
 
