@@ -261,6 +261,18 @@ NOTES = {
         "partition; the verdict is a map-side-combined max aggregate "
         "per training row - the training corpus is never shuffled."
     ),
+    "hll_user_rollup": (
+        "mergeable sketches: daily hll_sketch_agg then weekly "
+        "hll_union_agg - the coarser tier consumes sketches, not raw "
+        "rows; the exact verification side is the only second scan, "
+        "and the estimate/exact join is metadata-sized."
+    ),
+    "jsonl_roundtrip": (
+        "JSONL quarantine: one PERMISSIVE scan persisted once feeds "
+        "both the clean aggregate and the corrupt-line count; the "
+        "1-row quarantine count broadcasts onto the per-source "
+        "aggregate."
+    ),
 }
 
 
