@@ -5809,6 +5809,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_variant_extract(spark, sf_dir):
+    """Spark-4 VARIANT semi-structured path: props parses ONCE into the
+    binary variant encoding (the open-ended schema-on-read answer when
+    from_json's fixed schema can't be known up front), then typed path
+    extraction (variant_get) and missing-path tolerance
+    (try_variant_get -> NULL, never an error) stay pure projections.
+    The oracle replays the same paths with DuckDB's JSON extraction."""
+    df = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        df.filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.absent", "string").alias("absent"),
+        )
+        .withColumn("k_doubled", F.col("k") * 2)
+        .orderBy("event_id")
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(NULL AS VARCHAR) AS absent,
+       CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -5941,6 +5973,7 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_decontam": q_semantic_decontam,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "hll_user_rollup": q_hll_user_rollup,
+    "variant_extract": q_variant_extract,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -6077,6 +6110,7 @@ ORACLES: dict[str, str] = {
     "semantic_decontam": SQL_SEMANTIC_DECONTAM,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "hll_user_rollup": SQL_HLL_USER_ROLLUP,
+    "variant_extract": SQL_VARIANT_EXTRACT,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
