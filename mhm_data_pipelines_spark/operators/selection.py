@@ -209,6 +209,8 @@ def train_quality_classifier(
                 [(i, float(x)) for i, x in enumerate(w)],
                 "b long, w double",
             )
+            # docs (one row per document) feeds BOTH gradient jobs this
+            # round — persist so the logit pass runs once, not twice.
             docs = (
                 feats.join(F.broadcast(wdf), "b")
                 .groupBy("_k")
@@ -223,6 +225,7 @@ def train_quality_classifier(
                         - F.col("y")
                     ).alias("err"),
                 )
+                .persist()
             )
             grad_rows = (
                 feats.join(docs, "_k")
@@ -230,13 +233,11 @@ def train_quality_classifier(
                 .agg(F.sum("err").alias("g"))
                 .collect()  # ≤ buckets rows — bounded by construction
             )
-            gbias = (
-                feats.select("_k")
-                .distinct()
-                .join(docs, "_k")
-                .agg(F.sum("err"))
-                .collect()[0][0]
-            )
+            # Bias gradient = Σ err over documents; docs already holds
+            # one row per document, so this is a bare aggregate (the
+            # earlier distinct+join re-derived what docs already is).
+            gbias = docs.agg(F.sum("err")).collect()[0][0]
+            docs.unpersist()
             for r in grad_rows:
                 w[r["b"]] -= lr * r["g"] / n_docs
             bias -= lr * float(gbias) / n_docs
