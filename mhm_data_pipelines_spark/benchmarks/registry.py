@@ -6307,4 +6307,5 @@ BENCH_QUERIES: list[str] = [
     "sentence_dedup",
     "weighted_sample",
     "semantic_decontam",
+    "variant_extract",
 ]
