@@ -5841,6 +5841,165 @@ ORDER BY event_id
 """
 
 
+def q_neardup_pagerank(spark, sf_dir):
+    """Similarity-weighted PageRank over the REAL MinHash near-dup
+    graph — the centrality-based keep rule (retain the most central
+    member of a boilerplate cluster rather than the min-id one).
+    Composed full-value oracle: the DuckDB twin rebuilds the identical
+    md5 signature pairs (SQL_MINHASH_NEARDUP's CTE chain) and unrolls
+    the same 3 PageRank steps. Edge weights are est_jaccard = eq/32 —
+    exact binary fractions, so shares divide identically cross-engine."""
+    from mhm_data_pipelines_spark.operators.graph import pagerank
+
+    pairs = minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_EST_T,
+        hash_family="md5",
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.col("est_jaccard").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("dst"),
+            F.col("est_jaccard").alias("w"),
+        )
+    )
+    ranks = pagerank(edges, "src", "dst", weight="w",
+                     iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
+SQL_NEARDUP_PAGERANK = f"""
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT doc_id, substr(t, i, 5) AS sh
+  FROM norm, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+           % {MINHASH_MD5_P} AS h1,
+         CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
+           % {MINHASH_MD5_P - 1} + 1 AS h2
+  FROM g
+), sigs AS (
+  SELECT doc_id, u.i,
+         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+  FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
+  GROUP BY doc_id, u.i
+), agree AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
+  FROM sigs a JOIN sigs b ON a.i = b.i AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b, eq / {_MINHASH_N}.0 AS w
+  FROM agree WHERE eq >= {int(_MINHASH_EST_T * _MINHASH_N)}
+), e AS (
+  SELECT id_a AS src, id_b AS dst, w FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, w FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), outw AS (
+  SELECT src, sum(w) AS out_w FROM e GROUP BY src
+), shares AS (
+  SELECT e.src, e.dst, e.w / outw.out_w AS share
+  FROM e JOIN outw ON outw.src = e.src
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+), {_pr_step_sql("r0", "r1")}, {_pr_step_sql("r1", "r2")},
+{_pr_step_sql("r2", "r3")}
+SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r3 ORDER BY doc_id
+"""
+
+
+def q_stream_sketch_rollup(spark, sf_dir):
+    """Streaming sketch maintenance, value-verified end-to-end: events
+    arrive as TWO micro-batches (event_id parity split) through
+    ``streaming.ingest.sketch_stream``; the drained per-day sketch
+    table merges into weekly estimates that must satisfy the SAME
+    exact-count + 10%-bound oracle as the batch hll_user_rollup — the
+    streaming-maintained sketches are interchangeable with batch-built
+    ones (sketch union is associative across arrival order)."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from mhm_data_pipelines_spark.operators.sketches import (
+        estimate,
+        rollup_sketches,
+    )
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        read_sketch_table,
+        sketch_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="mhm_stream_sk_")
+    src = f"{root}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    old = _time.time() - 3600
+    for d, _, files in _os.walk(f"{src}/b0"):
+        for fn in files:
+            _os.utime(_os.path.join(d, fn), (old, old))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    writer = sketch_stream(
+        stream,
+        sketch_path=f"{root}/sketches",
+        checkpoint=f"{root}/ck",
+        bucket_cols=("day",),
+        key="user_id",
+    )
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_sketch_rollup: availableNow drain exceeded 300 s"
+        )
+    daily = read_sketch_table(spark, f"{root}/sketches", ("day",))
+    weekly = rollup_sketches(daily, [iso_week_key("day").alias("iso_week")])
+    est = estimate(weekly)
+    exact = ev.groupBy(iso_week_key("ts").alias("iso_week")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "iso_week")
+        .select(
+            "iso_week",
+            "n_exact",
+            (
+                F.abs(F.col("sketch_estimate") - F.col("n_exact"))
+                <= 0.10 * F.col("n_exact")
+            ).alias("within_10pct"),
+        )
+        .orderBy("iso_week")
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -5974,6 +6133,8 @@ QUERIES: dict[str, QuerySpec] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "hll_user_rollup": q_hll_user_rollup,
     "variant_extract": q_variant_extract,
+    "neardup_pagerank": q_neardup_pagerank,
+    "stream_sketch_rollup": q_stream_sketch_rollup,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -6111,6 +6272,10 @@ ORACLES: dict[str, str] = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "hll_user_rollup": SQL_HLL_USER_ROLLUP,
     "variant_extract": SQL_VARIANT_EXTRACT,
+    "neardup_pagerank": SQL_NEARDUP_PAGERANK,
+    # stream_sketch_rollup reuses the batch oracle verbatim: streaming-
+    # maintained sketches must satisfy the same exact + bound checks.
+    "stream_sketch_rollup": SQL_HLL_USER_ROLLUP,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,

@@ -156,3 +156,53 @@ def merge_partial_overview(partials: DataFrame) -> DataFrame:
         )
         .orderBy(*keys)
     )
+
+
+def sketch_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    bucket_cols: tuple[str, ...],
+    key: str,
+) -> DataStreamWriter:
+    """foreachBatch maintenance of a mergeable DISTINCT-COUNT sketch
+    table (``operators.sketches``): each micro-batch writes its own
+    per-bucket HLL sketches; readers merge across batches with one
+    ``hll_union_agg`` (:func:`read_sketch_table`). Distinct counting
+    over a stream WITHOUT keeping member sets in the state store —
+    per-batch state is one KB-sized sketch per touched bucket, and the
+    merge is exact sketch semantics, not approximate bookkeeping.
+
+    Idempotent the same way as ``stateful.neardup_stream``: each batch
+    owns its ``batch_id=N`` partition directory with overwrite
+    semantics, so a retried epoch replaces its partial output instead
+    of double-counting it.
+    """
+    from mhm_data_pipelines_spark.operators.sketches import sketch_distinct
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            sketch_distinct(batch, list(bucket_cols), key)
+            .write.mode("overwrite")
+            .parquet(f"{sketch_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )
+
+
+def read_sketch_table(
+    spark, sketch_path: str, bucket_cols: tuple[str, ...]
+) -> DataFrame:
+    """Current per-bucket sketches from a :func:`sketch_stream` table:
+    one union-merge across the per-batch partitions. The result feeds
+    :func:`~mhm_data_pipelines_spark.operators.sketches.rollup_sketches`
+    / ``estimate`` exactly like a batch-built sketch table."""
+    from mhm_data_pipelines_spark.operators.sketches import rollup_sketches
+
+    return rollup_sketches(
+        spark.read.parquet(sketch_path), list(bucket_cols)
+    )

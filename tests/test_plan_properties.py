@@ -34,6 +34,7 @@ EXECUTES_ON_BUILD = {
     "stream_neardup",  # drains a two-batch streaming query on build
     "jsonl_roundtrip",  # writes the line-JSON dump + persists the raw
                         # read on build (quarantine split)
+    "stream_sketch_rollup",  # drains a two-batch sketch stream on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join

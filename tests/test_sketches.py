@@ -53,3 +53,32 @@ def test_sketch_is_small_and_mergeable_across_frames(spark):
     (r,) = sk.limit(1).collect()
     assert isinstance(r["sketch"], (bytes, bytearray))
     assert len(r["sketch"]) < 64 * 1024  # KBs regardless of cardinality
+
+
+def test_stream_sketch_table_merges_across_batches(spark, tmp_path):
+    """Per-batch sketch partitions (sketch_stream layout) must merge to
+    the true distinct count even when batches overlap members, and a
+    re-written batch partition (idempotent retry) must not double-count."""
+    from mhm_data_pipelines_spark.streaming.ingest import read_sketch_table
+
+    root = str(tmp_path / "sk")
+    b0 = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(100)], ["day", "user"]
+    )
+    # batch 1 overlaps half of batch 0's users.
+    b1 = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(50, 150)], ["day", "user"]
+    )
+    for bid, b in ((0, b0), (1, b1)):
+        sketch_distinct(b, ["day"], key="user").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/batch_id={bid}")
+    merged = estimate(read_sketch_table(spark, root, ("day",)))
+    (row,) = merged.collect()
+    assert abs(row["sketch_estimate"] - 150) <= 15  # union, not 200
+    # Retry of batch 1 overwrites its partition; count unchanged.
+    sketch_distinct(b1, ["day"], key="user").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batch_id=1")
+    (row2,) = estimate(read_sketch_table(spark, root, ("day",))).collect()
+    assert row2["sketch_estimate"] == row["sketch_estimate"]
