@@ -6344,12 +6344,20 @@ GATE_PRIORITY: list[str] = [
     # hash-checked by test_oracle_parity.py).
     "jsonl_roundtrip",
     "hll_user_rollup",
+    # variant_extract + neardup_pagerank + stream_sketch_rollup
+    # displace decontamination, corpus_prep and embedding_neardup
+    # (all r3-green, definitions unchanged; the decontam family keeps
+    # semantic_decontam as its fresh gate row, the composed-pipeline
+    # family keeps llm_dataset_build, the embedding family keeps
+    # knn_graph).
+    "variant_extract",
+    "neardup_pagerank",
+    "stream_sketch_rollup",
     # -- single-green r3 keys kept warm (rotated subset; the 9 dropped
     #    in the earlier r4 rotation are all untouched expression-only
     #    queries with green r3 rows: analytic_windows, rolling_1h,
     #    grouping_sets, users_intersect, users_except, doc_token_stats,
     #    embedding_quantize, approx_sketch_bounds, lang_id).
-    "decontamination",
     "llm_dataset_build",
     # vocab_stats rotated out for ivfpq_topk and top_terms_per_source
     # for dsir_weights (both r3-green expression-only, still
@@ -6367,7 +6375,6 @@ GATE_PRIORITY: list[str] = [
     # neardup_dedup_keep rotated out for multiprobe_recall (r3-green;
     # the CC family keeps neardup_clusters as its gate row).
     "multiprobe_recall",
-    "corpus_prep",
     # -- this session's new queries (never driver-verified): displaced
     #    binary_metadata / frame_samples / multimodal_features (r3-green,
     #    definitions unchanged, still covered by test_oracle_parity.py).
@@ -6381,7 +6388,6 @@ GATE_PRIORITY: list[str] = [
     # embedding_topk / embedding_centroids displaced this session (the
     # ANN family's gate rows are now knn_graph + ivf_recall +
     # ivfpq_topk + multiprobe_recall).
-    "embedding_neardup",
 ]
 # ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
 # doc_quality, doc_repetition, source_mix, chunk_documents and
