@@ -5440,9 +5440,14 @@ def q_event_pagerank(spark, sf_dir):
 # One PageRank step as SQL (see operators/graph.py semantics note:
 # dangling mass leaks; contribution = rank * w / out_w).
 def _pr_step_sql(prev: str, out: str) -> str:
+    # (1-d) must be the IEEE-double subtraction Spark performs, not
+    # DuckDB's exact DECIMAL 0.15 — the two differ by 1 ulp, which
+    # after division by n and 3 iterations can flip a 6-decimal
+    # rounding boundary. CASTs force double arithmetic.
     return f"""{out} AS (
   SELECT nodes.node,
-         0.15 / (SELECT n FROM nn)
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           / (SELECT n FROM nn)
          + 0.85 * coalesce(s.in_rank, 0) AS rank
   FROM nodes LEFT JOIN (
     SELECT shares.dst AS node, sum({prev}.rank * shares.share) AS in_rank

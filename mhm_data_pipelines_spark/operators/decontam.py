@@ -105,7 +105,11 @@ def embedding_decontaminate(
     misses (the Phi/FineWeb-style complement to exact decontamination).
 
     Returns (id, max_eval_cosine, contaminated) for EVERY training row
-    (no-overlap rows carry their true max cosine, not a null).
+    — including when the eval side is EMPTY (max_eval_cosine NULL,
+    contaminated false: nothing to leak from), so verdict consumers can
+    inner-join safely. A NULL or zero-norm training embedding yields a
+    NULL max cosine and contaminated false (cosine is undefined there —
+    filter such rows upstream if they should hard-fail).
 
     Scale shape: eval benchmarks are curated and small, so the eval
     side BROADCASTS into a map-side nested-loop scored per training
@@ -122,12 +126,20 @@ def embedding_decontaminate(
     scored = t.crossJoin(F.broadcast(e)).select(
         F.col(id_col), dot("_tv", "_ev").alias("_cos")
     )
+    verdicts = scored.groupBy(id_col).agg(
+        F.max("_cos").alias("max_eval_cosine")
+    )
+    # Left-join back onto the training ids: an empty eval side (or a
+    # NULL embedding) must still yield a row per training item with a
+    # false verdict, not silently vanish from the output.
     return (
-        scored.groupBy(id_col)
-        .agg(F.max("_cos").alias("max_eval_cosine"))
+        train.select(id_col)
+        .join(verdicts, id_col, "left")
         .select(
             id_col,
             "max_eval_cosine",
-            (F.col("max_eval_cosine") >= threshold).alias("contaminated"),
+            F.coalesce(
+                F.col("max_eval_cosine") >= threshold, F.lit(False)
+            ).alias("contaminated"),
         )
     )

@@ -722,7 +722,8 @@ def dedup_sentences(
         F.col(text_col), F.lit(r"[^.!?]+[.!?]?"), 0
     )
     return _dedup_units(
-        df, id_col, units, join_sep=" ", total_col="n_sents"
+        df, id_col, units, join_sep=" ", total_col="n_sents",
+        trim_units=True,
     )
 
 
@@ -732,6 +733,7 @@ def _dedup_units(
     units: Column,
     join_sep: str,
     total_col: str,
+    trim_units: bool = False,
 ) -> DataFrame:
     """Shared first-occurrence-wins unit dedup (paragraphs, sentences):
     explode ``units`` (an array<string> Column) to (id, pos, unit),
@@ -740,7 +742,10 @@ def _dedup_units(
     back on the fingerprint (same key → exchange reuse), reassemble
     per doc in original order with a hash aggregate. Unit text
     shuffles once for the reassembly — inherent to reconstructing
-    documents."""
+    documents. ``trim_units``: trim each surviving unit before the
+    join (sentence extraction keeps leading whitespace; paragraph
+    split must preserve text verbatim) — an explicit caller choice,
+    not inferred from the separator."""
     paras = df.select(
         F.col(id_col),
         F.posexplode(units).alias("pos", "para"),
@@ -764,7 +769,7 @@ def _dedup_units(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: F.trim(s["para"]) if join_sep == " " else s["para"],
+                lambda s: F.trim(s["para"]) if trim_units else s["para"],
             ),
             join_sep,
         ).alias("text_dedup"),

@@ -1043,10 +1043,9 @@ def knn_graph(
 
         def score_list(left: "pd.DataFrame", right: "pd.DataFrame"):
             if left.empty or right.empty:
-                return pd.DataFrame(
-                    {"qid": [], "nid": [], "cosine": []}
-                ).astype({"qid": "int64", "nid": "int64",
-                          "cosine": "float64"})
+                # Empty object columns coerce to any declared Arrow
+                # type (the id dtype follows id_col, not a hardcode).
+                return pd.DataFrame({"qid": [], "nid": [], "cosine": []})
             dmat = np.stack(left["v"].to_numpy()).astype(np.float64)
             qmat = np.stack(right["qv"].to_numpy()).astype(np.float64)
             sims = qmat @ dmat.T  # |probes| × |list|
@@ -1081,11 +1080,13 @@ def knn_graph(
                 {"qid": out_q, "nid": out_n, "cosine": out_c}
             )
 
+        id_type = df.schema[id_col].dataType.simpleString()
         scored = (
             data.groupBy("list_id")
             .cogroup(q.groupBy("list_id"))
             .applyInPandas(
-                score_list, schema="qid long, nid long, cosine double"
+                score_list,
+                schema=f"qid {id_type}, nid {id_type}, cosine double",
             )
         )
     else:

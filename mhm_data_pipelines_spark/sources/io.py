@@ -102,11 +102,18 @@ def read_jsonl(
     """
     reader = spark.read
     if schema is not None:
-        if isinstance(schema, str):
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StringType, StructField, StructType
 
+        if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
-        schema = schema.add(quarantine_col, "string")
+        # Fresh StructType: StructType.add MUTATES in place, so reusing
+        # the caller's schema object across two read_jsonl calls would
+        # accumulate duplicate quarantine columns (and corrupt the
+        # caller's constant).
+        schema = StructType(
+            list(schema.fields)
+            + [StructField(quarantine_col, StringType(), True)]
+        )
         reader = reader.schema(schema)
     return reader.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", quarantine_col
@@ -123,15 +130,16 @@ def split_quarantine(
     internal corrupt-record column
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
     quarantine side trips this, and Spark's documented remedy is to
-    materialize the raw frame first, so this helper ``persist()``s it
-    (both outputs share the one scan; call ``unpersist()`` on the
-    RETURNED frames' source when done). At 100 TB don't hold the raw
-    feed in memory: land it to parquet once
+    materialize the raw frame first, so this helper ``persist()``s the
+    frame YOU PASS IN (persist returns self) — both outputs share the
+    one scan, and you release the cache by calling ``unpersist()`` on
+    that same frame once both outputs are consumed. At 100 TB don't
+    hold the raw feed in memory: land it to parquet once
     (``write_table(df, staging)``) and split the re-read — same two
     frames, storage-backed."""
     from pyspark.sql import functions as F
 
-    df = df.persist()
+    df.persist()
     clean = df.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
     bad = df.filter(F.col(quarantine_col).isNotNull()).select(
         F.col(quarantine_col).alias("raw_line")

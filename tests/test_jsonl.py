@@ -59,3 +59,28 @@ def test_read_jsonl_all_clean(spark, tmp_path):
     )
     assert clean.count() == 1
     assert bad.count() == 0
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _write(tmp_path, name="mut.jsonl")
+    shared = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    a = read_jsonl(spark, path, schema=shared)
+    b = read_jsonl(spark, path, schema=shared)  # same object, again
+    assert len(shared.fields) == 3  # caller's schema untouched
+    assert a.columns == b.columns
+    assert a.columns.count("_corrupt_record") == 1
+    clean, bad = split_quarantine(b)
+    assert clean.count() == 3 and bad.count() == 2

@@ -126,3 +126,23 @@ def test_embedding_decontaminate(spark):
     assert got[11]["max_eval_cosine"] == 0.0
     assert not got[12]["contaminated"]
     assert abs(got[12]["max_eval_cosine"] - 0.7071067811865475) < 1e-12
+
+
+def test_embedding_decontaminate_empty_eval(spark):
+    """Empty eval side: every training row still appears, verdict
+    false, cosine NULL (nothing to leak from)."""
+    from mhm_data_pipelines_spark.operators.decontam import (
+        embedding_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in embedding_decontaminate(tr, ev).collect()}
+    assert set(got) == {1, 2}
+    assert all(not r["contaminated"] for r in got.values())
+    assert all(r["max_eval_cosine"] is None for r in got.values())

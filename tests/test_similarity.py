@@ -489,3 +489,24 @@ def test_knn_graph_blas_matches_expression_path(corpus):
     assert set(g) == set(w)
     for key in w:
         assert g[key] == pytest.approx(w[key])
+
+
+def test_knn_graph_blas_string_ids(spark):
+    """The blas path must honor the id column's type (it once
+    hardcoded long), matching the expression path's contract."""
+    from mhm_data_pipelines_spark.operators.similarity import knn_graph
+
+    rows = [(f"doc-{i}", [float(i % 3), 1.0, float(i % 2)], i % 2)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label int"
+    )
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(df).collect()
+    ]
+    expr = knn_graph(df, cents, k=3, nprobe=len(cents)).collect()
+    blas = knn_graph(df, cents, k=3, nprobe=len(cents), blas=True).collect()
+    g = {(r.qid, r.nid) for r in blas}
+    w = {(r.qid, r.nid) for r in expr}
+    assert g == w
+    assert all(isinstance(r.qid, str) for r in blas)
