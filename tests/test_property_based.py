@@ -130,3 +130,113 @@ def test_duplicate_ngram_spans_matches_bruteforce(sp, docs, k):
                     run += 1
                 want.add((a, b, i + 1, j + 1, run))
     assert got == want
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_words = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@given(
+    texts=st.lists(_words, min_size=1, max_size=15),
+    k=st.sampled_from([1, 2]),
+)
+@_settings
+def test_edit_distance_join_matches_bruteforce(sp, texts, k):
+    """Deletion-neighborhood blocking must be EXACT — a tiny alphabet
+    maximizes collisions, short strings hit the empty/boundary paths."""
+    from mhm_data_pipelines_spark.operators.fuzzy import edit_distance_join
+
+    rows = list(enumerate(texts))
+    df = sp.createDataFrame(rows, "id int, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "name", "id", k=k).collect()
+    }
+    want = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            d = _lev_ref(ta, tb)
+            if d <= k:
+                want.add((ia, ib, d))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.integers(0, 5),
+            st.integers(1, 4),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.sampled_from([1, 3]),
+)
+@_settings
+def test_pagerank_matches_reference_recurrence(sp, edges, iters):
+    from mhm_data_pipelines_spark.operators.graph import pagerank
+
+    # Collapse duplicate (src,dst) by summing weights — the operator
+    # treats each edge row independently, the reference dict can't.
+    agg: dict = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    df = sp.createDataFrame(
+        [(s, d, float(w)) for (s, d), w in agg.items()],
+        "src int, dst int, w double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", iterations=iters).collect()
+    }
+    nodes = sorted({s for s, _ in agg} | {d for _, d in agg})
+    n = len(nodes)
+    out_w: dict = {}
+    for (s, _), w in agg.items():
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: 0.15 / n for v in nodes}
+        for (s, d), w in agg.items():
+            nxt[d] += 0.85 * rank[s] * w / out_w[s]
+        rank = nxt
+    assert set(got) == set(rank)
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
+@given(
+    n_rows=st.integers(10, 60),
+    n=st.integers(1, 20),
+    parts=st.sampled_from([1, 5, 13]),
+)
+@_settings
+def test_weighted_sample_partitioning_invariant(sp, n_rows, n, parts):
+    """The selected ID SET must not depend on physical layout."""
+    from mhm_data_pipelines_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 5)) for i in range(n_rows)]
+    df = sp.createDataFrame(rows, "id int, w double")
+    base = {
+        r["id"] for r in weighted_sample(df, n, "w", "id").collect()
+    }
+    repart = {
+        r["id"]
+        for r in weighted_sample(
+            df.repartition(parts), n, "w", "id"
+        ).collect()
+    }
+    assert base == repart
+    assert len(base) == min(n, n_rows)
