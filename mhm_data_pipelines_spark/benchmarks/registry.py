@@ -6005,6 +6005,75 @@ def q_stream_sketch_rollup(spark, sf_dir):
     )
 
 
+def q_doc_entropy(spark, sf_dir):
+    """Character-entropy quality signal (compressibility proxy: low
+    entropy = repetitive/boilerplate): explode → one (id,char) hash
+    agg → per-doc -p·log2(p), using the algebraic form
+    log2(n) - Σc·log2(c)/n so both engines sum the SAME term sequence
+    shape. Rounded to 4 for cross-engine float parity."""
+    from mhm_data_pipelines_spark.functions.text import doc_char_entropy
+
+    df = _t(spark, sf_dir, "documents")
+    out = doc_char_entropy(df)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_ent").cast("long").alias("n_chars_ent"),
+        F.round("entropy", 4).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents,
+       LATERAL unnest(generate_series(1, len(text))) AS u(i)
+), counts AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars_ent,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+FROM counts GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression ratio per document (the Dolma-family
+    industrial compressibility filter; ratio ≈ 1 ⇒ incompressible,
+    low ratio ⇒ boilerplate). Arrow-batched mapInPandas — Python is
+    genuinely required (no zlib in SQL engines), so this is a
+    ROWS-ONLY gate entry; value-level behavior is pinned by unit
+    tests (known strings) and the entropy twin above."""
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_compressed": comp,
+                    "ratio": (comp / n.clip(lower=1)).round(4),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_bytes long, n_compressed long, ratio double"
+        ),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -6140,6 +6209,8 @@ QUERIES: dict[str, QuerySpec] = {
     "variant_extract": q_variant_extract,
     "neardup_pagerank": q_neardup_pagerank,
     "stream_sketch_rollup": q_stream_sketch_rollup,
+    "doc_entropy": q_doc_entropy,
+    "compression_ratio": q_compression_ratio,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -6281,6 +6352,9 @@ ORACLES: dict[str, str] = {
     # stream_sketch_rollup reuses the batch oracle verbatim: streaming-
     # maintained sketches must satisfy the same exact + bound checks.
     "stream_sketch_rollup": SQL_HLL_USER_ROLLUP,
+    "doc_entropy": SQL_DOC_ENTROPY,
+    # compression_ratio: deliberately NO oracle (zlib has no SQL twin)
+    # — rows-only driver check; values pinned by unit tests.
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,

@@ -708,3 +708,64 @@ def train_bpe(
             new_vocab[key] = new_vocab.get(key, 0) + wc
         vocab = new_vocab
     return merges
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    expression-only compressibility proxy (low entropy ⇒ repetitive /
+    boilerplate text; a standard cheap quality filter next to the
+    Gopher rules). Empty text ⇒ 0.0.
+
+    Pure Column pipeline: split to characters, per-char counts via
+    aggregate over the distinct set — no explode, no shuffle; one
+    projection per document."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    n = F.size(chars).cast("double")
+    distinct = F.array_distinct(chars)
+    # Σ -p·log2(p) over the distinct characters of the document.
+    ent = F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        - (
+            F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n
+        )
+        * F.log2(
+            F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n
+        ),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def doc_char_entropy(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document character entropy as a FRAME op — the scale shape
+    for real documents: explode to characters, one (id, char) hash
+    aggregate, one per-id aggregate of -p·log2(p). Work is linear in
+    corpus characters (the :func:`char_entropy` expression is
+    O(distinct·len) per row — fine for short fields, quadratic-ish for
+    documents). Returns (id, n_chars_ent, entropy)."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars_ent"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            "n_chars_ent",
+            # Σ -(c/n)log2(c/n) = log2(n) - (Σ c·log2 c)/n
+            (
+                F.log2("n_chars_ent")
+                - F.col("_clogc") / F.col("n_chars_ent")
+            ).alias("entropy"),
+        )
+    )

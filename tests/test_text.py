@@ -502,3 +502,73 @@ def test_train_bpe_empty_corpus(spark):
 
     df = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
     assert train_bpe(df, n_merges=3) == []
+
+
+def test_char_entropy_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abcd",), ("",)], ["t"]
+    )
+    got = [
+        r["e"]
+        for r in df.select(F.round(char_entropy("t"), 10).alias("e"))
+        .collect()
+    ]
+    assert got == [0.0, 1.0, 2.0, 0.0]
+
+
+def test_doc_char_entropy_matches_expression(spark):
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.functions.text import (
+        char_entropy,
+        doc_char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "zzzzz"), (3, "the quick brown fox")],
+        ["doc_id", "text"],
+    )
+    frame = {
+        r["doc_id"]: r["entropy"] for r in doc_char_entropy(df).collect()
+    }
+    expr = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", char_entropy("text").alias("e")
+        ).collect()
+    }
+    for k in expr:
+        assert abs(frame[k] - expr[k]) < 1e-9
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    """Boilerplate compresses far better than high-entropy text."""
+    from mhm_data_pipelines_spark.benchmarks.registry import QUERIES
+
+    import string
+    import random as _random
+
+    rng = _random.Random(0)
+    rand_text = "".join(
+        rng.choice(string.ascii_letters + " ") for _ in range(2000)
+    )
+    rep_text = "spam and eggs. " * 133
+    df = spark.createDataFrame(
+        [(1, rep_text), (2, rand_text)], ["doc_id", "text"]
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["doc_id"]: r for r in QUERIES["compression_ratio"](
+            spark, d
+        ).collect()
+    }
+    assert out[1]["ratio"] < 0.1 < out[2]["ratio"]
+    assert out[1]["n_bytes"] == len(rep_text)
+    assert out[2]["n_compressed"] < out[2]["n_bytes"] * 1.1
