@@ -6074,6 +6074,64 @@ def q_compression_ratio(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio path, value-verified end-to-end through the binary
+    container: per doc a deterministic PCM16 square wave (amplitude,
+    half-period, length all closed forms of doc_id) is written as WAV
+    BYTES, then decoded back (RIFF chunk walk, multimodal.decode_wav)
+    and featurized inside Arrow mapInPandas. Square-wave features have
+    exact closed forms — rms = peak = amplitude, zero crossings =
+    (n-1) // half_period — so the oracle needs no audio code at all:
+    any drift in the writer, parser, or feature math breaks the match."""
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        audio_feature_extractor,
+        encode_wav,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mhm_data_pipelines_spark.operators.multimodal import (
+            encode_wav as _enc,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for did in pdf["doc_id"]:
+                a = (1 + did % 9) * 1000
+                h = 2 + did % 5
+                n = 400 + did % 50
+                i = np.arange(n)
+                x = np.where((i // h) % 2 == 0, a, -a).astype("<i2")
+                rows["doc_id"].append(did)
+                rows["payload"].append(_enc(x, 16_000))
+            yield pd.DataFrame(rows)
+
+    assets = df.mapInPandas(synth, schema="doc_id long, payload binary")
+    out = audio_feature_extractor(assets, "payload", "doc_id")
+    return out.select(
+        "doc_id", "decoded", "n_samples", "sample_rate",
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+        "zero_crossings",
+    ).orderBy("doc_id")
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id,
+       TRUE AS decoded,
+       400 + doc_id % 50 AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST((1 + doc_id % 9) * 1000 AS DOUBLE) AS rms,
+       CAST((1 + doc_id % 9) * 1000 AS DOUBLE) AS peak,
+       (400 + doc_id % 50 - 1) // (2 + doc_id % 5) AS zero_crossings
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
@@ -6211,6 +6269,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_sketch_rollup": q_stream_sketch_rollup,
     "doc_entropy": q_doc_entropy,
     "compression_ratio": q_compression_ratio,
+    "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
@@ -6353,6 +6412,7 @@ ORACLES: dict[str, str] = {
     # maintained sketches must satisfy the same exact + bound checks.
     "stream_sketch_rollup": SQL_HLL_USER_ROLLUP,
     "doc_entropy": SQL_DOC_ENTROPY,
+    "audio_features": SQL_AUDIO_FEATURES,
     # compression_ratio: deliberately NO oracle (zlib has no SQL twin)
     # — rows-only driver check; values pinned by unit tests.
     "stream_neardup": SQL_MINHASH_INCREMENTAL,

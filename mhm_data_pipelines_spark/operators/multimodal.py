@@ -208,3 +208,115 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------- audio
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000
+) -> bytes:
+    """Minimal RIFF/WAVE writer for PCM16 mono — the audio twin of
+    :func:`encode_ppm` (a real, lib-free container so the decode path
+    can be exercised end-to-end without soundfile/librosa)."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL PCM16 WAV decode, pure numpy/struct (RIFF chunk walk — no
+    audio library): returns (int16 sample array, sample_rate). Raises
+    ``NotImplementedError`` for compressed/non-PCM16 audio — the same
+    contract as :func:`decode_image` for unsupported formats (callers
+    quarantine, they don't guess)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    arr = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        arr = arr.reshape(-1, n_channels)
+    return arr, sample_rate
+
+
+def audio_feature_extractor(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Per-clip audio features over opaque WAV binaries — REAL decode
+    (:func:`decode_wav`) inside Arrow-batched ``mapInPandas``; returns
+    (id, decoded, n_samples, sample_rate, rms, peak, zero_crossings).
+    Undecodable payloads quarantine as ``decoded=false`` zero rows
+    (never dropped, never job-fatal — the image-path convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "decoded": [], "n_samples": [],
+                "sample_rate": [], "rms": [], "peak": [],
+                "zero_crossings": [],
+            }
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr, sr = decode_wav(bytes(payload))
+                    mono = arr if arr.ndim == 1 else arr.mean(axis=1)
+                    x = mono.astype(np.float64)
+                    n = x.size
+                    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                    peak = float(np.max(np.abs(x))) if n else 0.0
+                    zc = (
+                        int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                        if n > 1 else 0
+                    )
+                    out[id_col].append(aid)
+                    out["decoded"].append(True)
+                    out["n_samples"].append(n)
+                    out["sample_rate"].append(sr)
+                    out["rms"].append(rms)
+                    out["peak"].append(peak)
+                    out["zero_crossings"].append(zc)
+                except NotImplementedError:
+                    out[id_col].append(aid)
+                    out["decoded"].append(False)
+                    out["n_samples"].append(0)
+                    out["sample_rate"].append(0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+                    out["zero_crossings"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, decoded boolean, n_samples long,"
+            " sample_rate long, rms double, peak double,"
+            " zero_crossings long"
+        ),
+    )

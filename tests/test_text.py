@@ -572,3 +572,56 @@ def test_compression_ratio_orders_repetitive_below_random(spark):
     assert out[1]["ratio"] < 0.1 < out[2]["ratio"]
     assert out[1]["n_bytes"] == len(rep_text)
     assert out[2]["n_compressed"] < out[2]["n_bytes"] * 1.1
+
+
+def test_wav_roundtrip_and_quarantine(spark):
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        audio_feature_extractor,
+        decode_wav,
+        encode_wav,
+    )
+
+    # Sine at 440 Hz / 16 kHz: rms = A/sqrt(2), zcr = 2 crossings per
+    # period (within one of the count over a non-integer period span).
+    sr, f, amp, n = 16_000, 440, 10_000, 16_000
+    t = np.arange(n)
+    x = (amp * np.sin(2 * np.pi * f * t / sr)).astype("<i2")
+    payload = encode_wav(x, sr)
+    arr, got_sr = decode_wav(payload)
+    assert got_sr == sr and arr.dtype == np.dtype("<i2")
+    assert np.array_equal(arr, x)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not audio"))],
+        "asset_id long, payload binary",
+    )
+    got = {
+        r["asset_id"]: r
+        for r in audio_feature_extractor(df).collect()
+    }
+    assert got[1]["decoded"] and got[1]["n_samples"] == n
+    assert abs(got[1]["rms"] - amp / np.sqrt(2)) / amp < 0.01
+    assert abs(got[1]["zero_crossings"] - 2 * f) <= 2
+    # Undecodable -> quarantined zero row, never dropped.
+    assert not got[2]["decoded"] and got[2]["n_samples"] == 0
+
+
+def test_decode_wav_rejects_non_pcm16(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.multimodal import decode_wav
+
+    # 8-bit PCM header: must raise NotImplementedError, not misparse.
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36, b"WAVE", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8,
+        b"data", 0,
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_wav(hdr)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"\x00\x01\x02")
