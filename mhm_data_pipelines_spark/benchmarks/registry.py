@@ -6618,4 +6618,7 @@ BENCH_QUERIES: list[str] = [
     "weighted_sample",
     "semantic_decontam",
     "variant_extract",
+    "doc_entropy",
+    "compression_ratio",
+    "audio_features",
 ]

@@ -273,6 +273,20 @@ NOTES = {
         "1-row quarantine count broadcasts onto the per-source "
         "aggregate."
     ),
+    "doc_entropy": (
+        "entropy: explode to characters then TWO hash aggregates "
+        "((id,char) counts -> per-id algebraic entropy) - linear in "
+        "corpus characters, map-side combined, 2-column ReadSchema."
+    ),
+    "audio_features": (
+        "audio: synth and decode+featurize are two chained zero-"
+        "shuffle ArrowEvalPython/MapInPandas stages over a 1-column "
+        "ReadSchema; only the display sort exchanges."
+    ),
+    "compression_ratio": (
+        "zlib ratio: one zero-shuffle MapInPandas stage (Python "
+        "genuinely required); only the display sort exchanges."
+    ),
 }
 
 

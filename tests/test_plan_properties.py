@@ -200,8 +200,11 @@ PLAN_BUDGETS: dict[str, dict] = {
     "fuzzy_pairs": {"max_shuffles": 2},
     "snapshot_diff": {"max_shuffles": 3},
     "weighted_sample": {"max_shuffles": 1},
+    # was 2; +1 when the every-training-row contract fix (review r4)
+    # added the ids⋈verdicts left join so empty-eval still yields one
+    # false-verdict row per training item.
     "semantic_decontam": {
-        "max_shuffles": 2,
+        "max_shuffles": 3,
         "require": ["BroadcastNestedLoopJoin"],
     },
     "sentence_dedup": {"max_shuffles": 7},
