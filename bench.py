@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mhm_data_pipelines_spark.benchmarks.registry import (  # noqa: E402
     BENCH_QUERIES,
     QUERIES,
+    release_query_resources,
 )
 from mhm_data_pipelines_spark.session import get_spark  # noqa: E402
 
@@ -77,12 +78,10 @@ def main() -> None:
         t1 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t1, 3)
-        # The LSH pipelines persist their signature frames and nothing
-        # unpersists them once the result is counted — without this,
-        # dozens of leaked cached relations accumulate over the run and
-        # later queries measure under memory pressure they would never
-        # see in isolation.
-        spark.catalog.clearCache()
+        # Deterministic, scoped release of builder-owned resources
+        # (persisted index frames, mkdtemp sink/stream scratch) — the
+        # r4 blanket clearCache() hid which queries leaked (ADVICE r4).
+        release_query_resources()
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
             f" ({n} rows)",

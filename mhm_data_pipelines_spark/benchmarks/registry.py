@@ -89,6 +89,55 @@ def load_table_cache_clear() -> None:
     _TABLE_CACHE.clear()
 
 
+#: Resources created by query BUILDERS that outlive the build (persisted
+#: frames playing the role of a stored table, mkdtemp scratch roots for
+#: sink/stream gates). Builders register them here; harnesses call
+#: :func:`release_query_resources` once the returned DataFrame is fully
+#: consumed. This replaces the old blanket ``spark.catalog.clearCache()``
+#: in bench.py (ADVICE r4: the leaks spanned ever more queries) with a
+#: deterministic, scoped release. atexit cleans any scratch left behind
+#: by harnesses that never call it (e.g. the driver's one-shot gate).
+_LIVE_FRAMES: list[DataFrame] = []
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    """Register a builder-persisted frame for later release."""
+    _LIVE_FRAMES.append(df)
+    return df
+
+
+def _scratch(prefix: str) -> str:
+    """mkdtemp that release_query_resources / atexit will delete."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_ROOTS.append(d)
+    return d
+
+
+def release_query_resources() -> None:
+    """Unpersist tracked frames and delete scratch dirs. Call only
+    AFTER the DataFrames returned by the query builders are fully
+    consumed — their lazy plans read from these resources."""
+    import shutil
+
+    for df in _LIVE_FRAMES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LIVE_FRAMES.clear()
+    for d in _SCRATCH_ROOTS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_ROOTS.clear()
+
+
+import atexit
+
+atexit.register(release_query_resources)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. ``events.ts`` has shipped as both
     TIMESTAMP(NANOS) — which Spark reads as LongType nanos under the
@@ -3984,7 +4033,9 @@ def q_minhash_exact_pairs(spark, sf_dir):
     a candidate flood at sf0.1+ (measured 177 s; the banded+est
     q_minhash_neardup is the bench headline)."""
     df = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(df, num_hashes=32).persist()
+    # Gate-only persist (32 1-row bands reuse the signatures twice);
+    # tracked so release_query_resources() frees it post-consumption.
+    sigs = _track(minhash_signatures(df, num_hashes=32).persist())
     cands = minhash_lsh_candidates(sigs, bands=32, num_hashes=32)
     grams = df.select(
         "doc_id", char_ngrams("text", 5, distinct=True).alias("g")
@@ -4869,11 +4920,9 @@ def q_staging_mirror(spark, sf_dir):
     (``SELECT * FROM region`` against the ORIGINAL) proves the staged
     bytes are a working, lossless copy. Bounded: one small table, fresh
     dest per run (skip-if-exists never masks the copy)."""
-    import tempfile
-
     from mhm_data_pipelines_spark.sources.staging import stage_objects
 
-    dest = tempfile.mkdtemp(prefix="mhm_stage_gate_")
+    dest = _scratch("mhm_stage_gate_")
     status = stage_objects(
         spark, sf_dir, dest, include=["region.parquet"]
     )
@@ -4901,8 +4950,6 @@ def q_heatmap_render(spark, sf_dir):
     ramp, half-up rounding — bit-reproducible IEEE-double math), so a
     hash match certifies the whole sink: pivot → normalize → colormap
     → raster → bytes on disk."""
-    import tempfile
-
     import numpy as np
 
     from mhm_data_pipelines_spark.operators.heatmap import render_heatmap
@@ -4910,7 +4957,7 @@ def q_heatmap_render(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("participant_id"), "ts"
     )
-    out = tempfile.mktemp(suffix=".ppm", prefix="mhm_heatmap_gate_")
+    out = _scratch("mhm_heatmap_gate_") + "/heat.ppm"
     ids, dates = render_heatmap(ev, out)
     with open(out, "rb") as f:
         data = f.read()
@@ -5119,6 +5166,7 @@ def q_minhash_incremental(spark, sf_dir):
         num_hashes=_MINHASH_N,
         hash_family="md5",
     ).persist()
+    _track(index_sigs)
     out = minhash_match_index(
         new,
         index_sigs,
@@ -5175,12 +5223,10 @@ def q_stream_neardup(spark, sf_dir):
     SQL_MINHASH_INCREMENTAL verbatim as a full value oracle (the
     index-seeding batch emits no matches: the index is empty when it
     arrives)."""
-    import tempfile
-
     from mhm_data_pipelines_spark.streaming.stateful import neardup_stream
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="mhm_stream_nd_")
+    root = _scratch("mhm_stream_nd_")
     src = f"{root}/src"
     # Two files, written in arrival order (FileStreamSource processes
     # oldest-first; maxFilesPerTrigger=1 → one file per micro-batch).
@@ -5720,8 +5766,6 @@ def q_jsonl_roundtrip(spark, sf_dir):
     per-source aggregate over the CLEAN side must equal the oracle's
     aggregate over the original table, and exactly the two corrupt
     lines must quarantine (never silently drop, never fail the job)."""
-    import tempfile
-
     from mhm_data_pipelines_spark.sources.io import (
         read_jsonl,
         split_quarantine,
@@ -5736,12 +5780,13 @@ def q_jsonl_roundtrip(spark, sf_dir):
     corrupt = spark.createDataFrame(
         [("{broken json",), ("not json at all",)], "value string"
     )
-    dest = tempfile.mkdtemp(prefix="mhm_jsonl_gate_") + "/dump"
+    dest = _scratch("mhm_jsonl_gate_") + "/dump"
     lines.unionByName(corrupt).coalesce(4).write.mode("overwrite").text(dest)
     raw = read_jsonl(
         spark, dest, schema="doc_id long, source string, n_chars long"
     )
     clean, bad = split_quarantine(raw)
+    _track(raw)  # split_quarantine persists the frame it is passed
     n_bad = bad.agg(F.count("*").alias("n_quarantined"))
     return (
         clean.groupBy("source")
@@ -5938,7 +5983,6 @@ def q_stream_sketch_rollup(spark, sf_dir):
     streaming-maintained sketches are interchangeable with batch-built
     ones (sketch union is associative across arrival order)."""
     import os as _os
-    import tempfile
     import time as _time
 
     from mhm_data_pipelines_spark.operators.sketches import (
@@ -5953,7 +5997,7 @@ def q_stream_sketch_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
-    root = tempfile.mkdtemp(prefix="mhm_stream_sk_")
+    root = _scratch("mhm_stream_sk_")
     src = f"{root}/src"
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
         f"{src}/b0"

@@ -720,7 +720,11 @@ def char_entropy(text: Column | str) -> Column:
     aggregate over the distinct set — no explode, no shuffle; one
     projection per document."""
     c = F.col(text) if isinstance(text, str) else text
-    chars = F.split(c, "")
+    # split('', '') yields [''] — one phantom empty-string element —
+    # which would make an empty document look like a 1-char doc with
+    # entropy 0 (ADVICE r4). Filter it so n = 0 for empty text and the
+    # explicit n > 0 guard below takes over.
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
     n = F.size(chars).cast("double")
     distinct = F.array_distinct(chars)
     # Σ -p·log2(p) over the distinct characters of the document.
@@ -748,10 +752,15 @@ def doc_char_entropy(
     aggregate, one per-id aggregate of -p·log2(p). Work is linear in
     corpus characters (the :func:`char_entropy` expression is
     O(distinct·len) per row — fine for short fields, quadratic-ish for
-    documents). Returns (id, n_chars_ent, entropy)."""
+    documents). Returns (id, n_chars_ent, entropy).
+
+    Empty-document contract: NO output row (matching the SQL twin,
+    where generate_series(1, 0) emits nothing). split('', '') yields
+    [''] — a phantom empty-string char that would otherwise turn every
+    empty doc into a wrong (n=1, entropy=0) row (ADVICE r4)."""
     chars = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
-    )
+    ).filter(F.col("ch") != "")
     counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
     return (
         counts.groupBy(id_col)

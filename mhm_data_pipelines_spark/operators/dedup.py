@@ -328,10 +328,22 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = 10_000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → verification by estimated Jaccard (signature agreement rate)
     ≥ threshold. Returns (id_a, id_b, est_jaccard).
+
+    ``signatures``: precomputed :func:`minhash_signatures` output
+    (same num_hashes / shingle_size / hash_family). Pass a persisted
+    or parquet-backed frame when the signature pipeline is expensive
+    enough to materialize — lifecycle is then the CALLER's. By default
+    the pipeline stays fully lazy: the signature subplan appears three
+    times in the plan (banding + both verification sides), which is
+    cheaper than cache materialization at the scales measured
+    (sf0.1 warm: 1.25 s lazy vs 1.43 s with an internal persist on the
+    simhash twin) and leaves nothing cached behind — the r4 internal
+    ``persist()`` leaked a cached relation per call (ADVICE r4).
 
     ``max_bucket_size`` (default 10k) caps quadratic hot-bucket fan-out
     — see :func:`minhash_lsh_candidates`. Star pairs from capped buckets
@@ -346,13 +358,12 @@ def minhash_near_duplicates(
     keeping 2-row bands (bucket collision rate ~J², scale-sane; 1-row
     bands are complete at ≥0.5 but collide at rate J — measured 40×
     slower at sf0.1)."""
-    # The signature pipeline feeds three consumers (banding + both sides
-    # of the verification join); without materialization Spark recomputes
-    # the full shingle/hash work per consumer. On a cluster this would be
-    # a checkpoint to storage; in-process, persist() is the same cut.
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size, hash_family
-    ).persist()
+    if signatures is not None:
+        sigs = signatures
+    else:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size, hash_family
+        )
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes=num_hashes,
         max_bucket_size=max_bucket_size,
@@ -422,9 +433,13 @@ def minhash_match_index(
     if new_signatures is not None:
         sigs_new = new_signatures
     else:
+        # Lazy by default (the batch-side signature subplan repeats in
+        # banding + prune keys + verification — cheap for a daily batch;
+        # the r4 internal persist leaked a cached relation per call).
+        # Callers with an expensive batch pass ``new_signatures``.
         sigs_new = minhash_signatures(
             new_df, text_col, id_col, num_hashes, shingle_size, hash_family
-        ).persist()
+        )
     banded_new = _band_signatures(sigs_new, id_col, bands, num_hashes)
     banded_idx = _band_signatures(
         index_signatures, id_col, bands, num_hashes
@@ -571,6 +586,7 @@ def simhash_near_duplicates(
     bits: int = 64,
     token_hash: str = "xxhash64",
     max_bucket_size: int | None = 10_000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs within SimHash Hamming distance ≤ ``max_hamming`` —
     EXACT (full recall) below the bucket cap, not a heuristic: the
@@ -595,14 +611,23 @@ def simhash_near_duplicates(
     exact ``hamming <= k`` filter, so precision is unchanged; recall for
     over-cap buckets is via the representative (connected-components
     downstream recovers the full cluster).
+
+    ``signatures``: precomputed :func:`simhash` output (same ``bits`` /
+    ``token_hash``) — caller-owned lifecycle, same contract as
+    :func:`minhash_near_duplicates`.
     """
-    # Signatures feed both self-join sides (and the capped side's
-    # window) — persist so the token-vote pipeline runs once (same
-    # materialization rationale as minhash_near_duplicates; a cluster
-    # deployment would checkpoint).
-    sigs = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
-    if max_bucket_size is not None:
-        sigs = sigs.persist()
+    # Lazy by default: the token-vote subplan repeats on both self-join
+    # sides, which measured FASTER than an internal persist at sf0.1
+    # (1.25 s vs 1.43 s warm) and leaves no cached relation behind
+    # (the r4 persist leaked one per call — ADVICE r4). Callers with an
+    # expensive upstream pass ``signatures`` (persisted/parquet-backed,
+    # caller-owned lifecycle).
+    if signatures is not None:
+        sigs = signatures
+    else:
+        sigs = simhash(
+            df, text_col, id_col, bits=bits, token_hash=token_hash
+        )
     nb = max_hamming + 1
     base_w, extra = divmod(bits, nb)
     if base_w == 0:

@@ -1056,10 +1056,13 @@ def knn_graph(
             nd = sims.shape[1]
             # Vectorized preselect: argpartition the whole matrix to a
             # small per-row candidate set, then tie-sort only that set
-            # with the window's (-sim, id) rule. The +8 slack protects
-            # the boundary against equal-cosine ties (exact only if
-            # >8 candidates tie AT the k-th value — impossible short
-            # of >8 duplicated vectors, which belong to dedup anyway).
+            # with the window's (-sim, id) rule. The +8 slack usually
+            # absorbs equal-cosine ties at the k-th value; when a tie
+            # group extends BEYOND the preselected set (>8 duplicated
+            # vectors — plausible in a dedup-oriented corpus), the
+            # boundary check below widens that row to every candidate
+            # ≥ the boundary value, so the (cosine desc, id asc) order
+            # stays exactly the non-blas/window path's (ADVICE r4).
             take = min(k + 8, nd)
             pre = np.argpartition(-sims, take - 1, axis=1)[:, :take]
             out_q, out_n, out_c = [], [], []
@@ -1072,6 +1075,17 @@ def knn_graph(
                 if cand.size == 0:
                     continue
                 kk = min(k, cand.size)
+                # Boundary value = k-th largest of the preselect; if any
+                # non-preselected candidate also reaches it, the tie
+                # group crosses the preselect boundary — widen to every
+                # candidate ≥ bval (one O(n) scan, tie rows only).
+                bval = np.partition(cand_sims, -kk)[-kk]
+                row_sims = sims[row]
+                if np.count_nonzero(row_sims >= bval) > np.count_nonzero(
+                    cand_sims >= bval
+                ):
+                    cand = np.flatnonzero(row_sims >= bval)
+                    cand_sims = row_sims[cand]
                 order = np.lexsort((dids[cand], -cand_sims))[:kk]
                 out_q.extend([qids[row]] * kk)
                 out_n.extend(dids[cand[order]].tolist())

@@ -139,7 +139,17 @@ def split_quarantine(
     frames, storage-backed."""
     from pyspark.sql import functions as F
 
-    df.persist()
+    # A schemaless read_jsonl over a fully-clean file never infers the
+    # corrupt-record column (Spark only adds it when malformed lines
+    # exist) — synthesize an all-null one so the split still works and
+    # the quarantine side is simply empty (ADVICE r4). No persist in
+    # this branch: the QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction
+    # doesn't apply to a plain literal column, and the caller could not
+    # release a cache on a frame it never saw.
+    if quarantine_col not in df.columns:
+        df = df.withColumn(quarantine_col, F.lit(None).cast("string"))
+    else:
+        df.persist()
     clean = df.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
     bad = df.filter(F.col(quarantine_col).isNotNull()).select(
         F.col(quarantine_col).alias("raw_line")

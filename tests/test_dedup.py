@@ -387,3 +387,25 @@ def test_dedup_sentences_first_occurrence_wins(spark):
     # Doc 3 is entirely boilerplate -> empty.
     assert out[3]["n_sents"] == 2 and out[3]["n_kept"] == 0
     assert out[3]["text_dedup"] == ""
+
+
+def test_lsh_pipelines_leave_no_cache_behind(spark):
+    """minhash/simhash near-dup are persist-free since r5 (the r4
+    internal persist leaked one cached relation per call — ADVICE r4):
+    repeated calls must not grow the set of persisted RDDs."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared boilerplate text number {i % 3}")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        minhash_near_duplicates(docs).count()
+        simhash_near_duplicates(docs).count()
+    assert jsc.getPersistentRDDs().size() == before

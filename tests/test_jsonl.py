@@ -84,3 +84,18 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     assert a.columns.count("_corrupt_record") == 1
     clean, bad = split_quarantine(b)
     assert clean.count() == 3 and bad.count() == 2
+
+
+def test_split_quarantine_schemaless_clean_read(spark, tmp_path):
+    """A schemaless read over a fully-clean file never infers the
+    corrupt-record column — split_quarantine must synthesize it (and
+    return an empty quarantine side) instead of raising
+    AnalysisException on the missing column (ADVICE r4)."""
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"doc_id": 1, "n": 2}\n{"doc_id": 3, "n": 4}\n')
+    raw = read_jsonl(spark, str(p))  # schema=None → inference
+    assert "_corrupt_record" not in raw.columns
+    clean, bad = split_quarantine(raw)
+    assert clean.count() == 2
+    assert bad.count() == 0
+    assert "_corrupt_record" not in clean.columns

@@ -13,6 +13,7 @@ import re
 
 import pytest
 
+from mhm_data_pipelines_spark.benchmarks import registry
 from mhm_data_pipelines_spark.benchmarks.registry import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -96,10 +97,12 @@ def test_no_cartesian_or_unexpected_nested_loop(spark, name):
 
 
 def _plan(spark, name: str) -> str:
-    # Cached subtrees left by earlier tests (the LSH operators persist
-    # their signature frames) get substituted as InMemoryTableScan and
-    # change Exchange counts — fingerprint the UNCACHED plan.
-    spark.catalog.clearCache()
+    # Release builder-owned resources from earlier fingerprints (e.g.
+    # q_minhash_incremental's tracked index persist) so a leftover cache
+    # is never substituted as InMemoryTableScan into THIS query's plan
+    # and Exchange counts stay deterministic. (The LSH operators
+    # themselves are persist-free since r5 — ADVICE r4.)
+    registry.release_query_resources()
     return (
         QUERIES[name](spark, SF)
         ._jdf.queryExecution()

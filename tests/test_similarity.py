@@ -510,3 +510,23 @@ def test_knn_graph_blas_string_ids(spark):
     w = {(r.qid, r.nid) for r in expr}
     assert g == w
     assert all(isinstance(r.qid, str) for r in blas)
+
+
+def test_knn_graph_blas_boundary_ties_beyond_slack(spark):
+    """>8 candidates tying exactly AT the k-th cosine (duplicated
+    vectors) must not let the argpartition preselect pick arbitrary
+    ids — the boundary-tie widen keeps the (cosine desc, id asc)
+    order identical to the expression path (ADVICE r4)."""
+    from mhm_data_pipelines_spark.operators.similarity import knn_graph
+
+    # ids 0-1: the "near" pair; ids 2-19: 18 identical vectors that all
+    # tie at every boundary. k=3 → tie group (18) >> slack (+8).
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0])] + [
+        (i, [0.0, 1.0, 0.0]) for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    expr = knn_graph(df, cents, k=3, nprobe=2).collect()
+    blas = knn_graph(df, cents, k=3, nprobe=2, blas=True).collect()
+    key = lambda r: (r.qid, r.nid)
+    assert sorted(map(key, blas)) == sorted(map(key, expr))

@@ -625,3 +625,18 @@ def test_decode_wav_rejects_non_pcm16(spark):
         decode_wav(hdr)
     with _pytest.raises(NotImplementedError):
         decode_wav(b"\x00\x01\x02")
+
+
+def test_doc_char_entropy_empty_doc_emits_no_row(spark):
+    """split('', '') yields [''] — the phantom element must not turn an
+    empty doc into a (n=1, entropy=0) row; the contract (matching the
+    SQL twin's generate_series(1, 0)) is NO row (ADVICE r4)."""
+    from mhm_data_pipelines_spark.functions.text import doc_char_entropy
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in doc_char_entropy(df).collect()}
+    assert set(rows) == {2}
+    assert rows[2]["n_chars_ent"] == 2
+    assert rows[2]["entropy"] == pytest.approx(1.0)
