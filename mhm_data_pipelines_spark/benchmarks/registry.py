@@ -6086,36 +6086,98 @@ ORDER BY doc_id
 def q_compression_ratio(spark, sf_dir):
     """zlib compression ratio per document (the Dolma-family
     industrial compressibility filter; ratio ≈ 1 ⇒ incompressible,
-    low ratio ⇒ boilerplate). Arrow-batched mapInPandas — Python is
-    genuinely required (no zlib in SQL engines), so this is a
-    ROWS-ONLY gate entry; value-level behavior is pinned by unit
-    tests (known strings) and the entropy twin above."""
+    low ratio ⇒ boilerplate), upgraded from rows-only to a FULL value
+    oracle (VERDICT r4 #2) in the invariant style of
+    q_approx_sketch_bounds:
+
+    * three PINNED literal docs (ids −3/−2/−1: repetitive, natural,
+      hex-noise) ride through the SAME distributed mapInPandas zlib
+      path as the corpus, and the oracle asserts their exact
+      (n_bytes, n_compressed, ratio) — computed once at import time
+      with the identical zlib — so any drift in the encoder, level,
+      column wiring, or batch plumbing breaks the hash;
+    * every CORPUS doc emits exact n_bytes (SQL: octet_length) plus an
+      ``ok`` invariant the oracle pins to true: n_compressed within
+      zlib's documented compressBound (n + n>>12 + n>>14 + n>>25 + 13)
+      AND strictly shrinking for docs ≥ 200 bytes (this corpus'
+      non-shrinking docs top out at 65 bytes — 3× margin, measured at
+      sf0.001/0.01/0.1). Corpus n_compressed/ratio are sentineled to
+      −1: zlib has no SQL twin, so their exact values are certified
+      via the pinned rows + the invariant, not per-doc equality."""
+    from mhm_data_pipelines_spark.functions.text import compression_stats
+
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def run(batches):
-        import zlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
-            n = raw.str.len()
-            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n,
-                    "n_compressed": comp,
-                    "ratio": (comp / n.clip(lower=1)).round(4),
-                }
-            )
-
-    return df.mapInPandas(
-        run,
-        schema=(
-            "doc_id long, n_bytes long, n_compressed long, ratio double"
-        ),
+    pins = spark.createDataFrame(
+        sorted(_ZLIB_PINS.items()), "doc_id long, text string"
+    )
+    stats = compression_stats(df.unionByName(pins))
+    bound = (
+        F.col("n_bytes")
+        + F.shiftright("n_bytes", 12)
+        + F.shiftright("n_bytes", 14)
+        + F.shiftright("n_bytes", 25)
+        + F.lit(13)
+    )
+    ok = (F.col("n_compressed") <= bound) & (
+        (F.col("n_bytes") < 200)
+        | (F.col("n_compressed") < F.col("n_bytes"))
+    )
+    pinned = F.col("doc_id") < 0
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        F.when(pinned, F.col("n_compressed"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("n_compressed"),
+        F.when(pinned, F.col("ratio")).otherwise(F.lit(-1.0)).alias("ratio"),
+        ok.alias("ok"),
     ).orderBy("doc_id")
+
+
+#: Pinned inputs for the compression oracle — module-level constants so
+#: the Spark path and the import-time zlib literals in
+#: SQL_COMPRESSION_RATIO are built from the SAME bytes. Deterministic
+#: pure-Python (no randomness, no clock).
+import hashlib as _hashlib
+
+_ZLIB_PINS: dict[int, str] = {
+    -3: "spam and eggs. " * 200,  # repetitive → ratio ≪ 1
+    -2: "The quick brown fox jumps over the lazy dog. " * 40,
+    -1: "".join(  # hex noise → highest ratio of the three
+        _hashlib.sha256(str(i).encode()).hexdigest() for i in range(8)
+    ),
+}
+
+
+def _zlib_pin_rows() -> str:
+    import zlib as _zlib
+
+    rows = []
+    for did, text in sorted(_ZLIB_PINS.items()):
+        b = text.encode("utf-8")
+        n, c = len(b), len(_zlib.compress(b, 6))
+        rows.append(
+            f"({did}, {n}, {c}, {round(c / max(n, 1), 4)}, true)"
+        )
+    return ",\n       ".join(rows)
+
+
+SQL_COMPRESSION_RATIO = f"""
+SELECT * FROM (
+  SELECT * FROM (VALUES
+       {_zlib_pin_rows()})
+    AS pins(doc_id, n_bytes, n_compressed, ratio, ok)
+  UNION ALL
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(-1 AS BIGINT) AS n_compressed,
+         -1.0 AS ratio,
+         true AS ok
+  FROM documents
+)
+ORDER BY doc_id
+"""
 
 
 def q_audio_features(spark, sf_dir):
@@ -6457,8 +6519,10 @@ ORACLES: dict[str, str] = {
     "stream_sketch_rollup": SQL_HLL_USER_ROLLUP,
     "doc_entropy": SQL_DOC_ENTROPY,
     "audio_features": SQL_AUDIO_FEATURES,
-    # compression_ratio: deliberately NO oracle (zlib has no SQL twin)
-    # — rows-only driver check; values pinned by unit tests.
+    # compression_ratio: invariant-style full oracle (r5) — pinned
+    # literal rows carry exact zlib values; corpus rows carry exact
+    # n_bytes + a compressBound/shrink invariant pinned to true.
+    "compression_ratio": SQL_COMPRESSION_RATIO,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,

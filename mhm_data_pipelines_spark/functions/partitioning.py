@@ -21,8 +21,13 @@ def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> Data
     a round-robin shuffle of the raw rows, paid once, so the expensive
     map stage that follows uses every core. No-op when the input is
     already at least that wide (the at-scale case)."""
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < target
+    except Exception:
+        # Spark Connect: no SparkContext / RDD introspection. Skip the
+        # widening (AQE + maxPartitionBytes govern scan width there);
+        # callers that must widen pass an explicit repartition.
+        return df
+    return df.repartition(target) if narrow else df

@@ -778,3 +778,48 @@ def doc_char_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def compression_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """Per-document zlib compression stats — the Dolma-family
+    compressibility quality filter (ratio ≈ 1 ⇒ incompressible noise,
+    low ratio ⇒ repetitive boilerplate). Returns
+    (id, n_bytes, n_compressed, ratio) with ratio rounded to 4.
+
+    Python is genuinely required (no zlib in SQL engines), so this is
+    an Arrow-batched ``mapInPandas`` — one pass, no shuffle; work is
+    linear in corpus bytes and embarrassingly parallel, so the shape
+    holds at 100 TB (compression is ~100 MB/s/core; plan partition
+    sizes accordingly)."""
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n,
+                    "n_compressed": comp,
+                    "ratio": (comp / n.clip(lower=1)).round(4),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, n_bytes long, "
+            "n_compressed long, ratio double"
+        ),
+    )

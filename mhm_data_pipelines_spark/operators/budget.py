@@ -61,9 +61,17 @@ def _split_sort_order(spark, order_by: list) -> list[tuple[Column, bool]]:
         if isinstance(c, str):
             out.append((F.col(c), True))
             continue
+        # Spark Connect column: unwrap its SortOrder expression node
+        # (duck-typed — no connect import needed; `_expr` only exists
+        # on Connect Columns). (col, asc) tuples remain the documented
+        # portable spelling; this keeps bare F.desc(...) working there.
+        cexpr = getattr(c, "_expr", None)
+        if cexpr is not None and type(cexpr).__name__ == "SortOrder":
+            out.append((type(c)(cexpr._child), bool(cexpr._ascending)))
+            continue
         try:
             node = c._jc.node()
-        except AttributeError as exc:  # Spark Connect: no _jc
+        except AttributeError as exc:  # neither classic nor unwrappable
             raise TypeError(
                 "Cannot unwrap a SortOrder Column without JVM access "
                 "(Spark Connect). Pass (column, ascending) pairs in "
@@ -213,7 +221,9 @@ def running_total(
     sort_cols = [
         (e if asc else e.desc()) for e, asc in pairs
     ]
-    parts = num_partitions or spark.sparkContext.defaultParallelism
+    from mhm_data_pipelines_spark.session import default_parallelism
+
+    parts = num_partitions or default_parallelism(spark)
     boundaries = _sample_boundaries(
         df, pairs, parts, boundary_samples_per_partition
     )

@@ -113,6 +113,13 @@ def _swap_partitions(
     output — not rebuilt from values — so Spark's partition-value path
     escaping is honored verbatim. Separated from the write as the
     crash-injection seam for tests."""
+    from mhm_data_pipelines_spark.session import supports_jvm_access
+
+    if not supports_jvm_access(spark):
+        raise RuntimeError(
+            "partition swap needs Hadoop-FS atomic renames (py4j) — "
+            "genuinely JVM-bound; run the upsert on a classic session."
+        )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(base_path).getFileSystem(spark._jsc.hadoopConfiguration())

@@ -118,3 +118,23 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def supports_jvm_access(spark: SparkSession) -> bool:
+    """True on classic PySpark (py4j gateway available). Spark Connect
+    sessions have no ``_jvm``/``_jsc`` — the genuinely JVM-bound ops
+    (Hadoop-FS atomic renames in ``operators.upsert`` /
+    ``streaming.stateful.compact_index``, ``localCheckpoint`` loops)
+    check this and raise a clear error instead of an AttributeError."""
+    return getattr(spark, "_jvm", None) is not None
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """Cluster default parallelism via public-ish APIs: classic
+    sessions report ``sparkContext.defaultParallelism``; Spark Connect
+    has no SparkContext, so fall back to the session's shuffle
+    partition count (the same knob cluster deployments tune)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -77,8 +77,18 @@ def bucketed_join(
 def assert_no_shuffle(df: DataFrame) -> str:
     """Raise if the physical plan contains a shuffle Exchange (broadcast
     exchanges are fine — they're the cheap side). Returns the plan text
-    for logging/PLANS.md evidence."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    for logging/PLANS.md evidence.
+
+    Plan text comes from the public ``df.explain()`` (stdout-captured)
+    so this works on classic AND Spark Connect sessions — the previous
+    ``_jdf.queryExecution()`` path was py4j-only."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
     for line in plan.splitlines():
         stripped = line.strip().lstrip("+-:* ")
         if stripped.startswith("Exchange"):

@@ -150,7 +150,9 @@ def stage_objects(
         F.concat(F.lit(dest_dir + "/"), rel).alias("dest_path"),
         "src_bytes",
     )
-    n = num_tasks or spark.sparkContext.defaultParallelism
+    from mhm_data_pipelines_spark.session import default_parallelism
+
+    n = num_tasks or default_parallelism(spark)
     plan = plan.repartition(n, "src_path")
 
     def copy_partition(batches):

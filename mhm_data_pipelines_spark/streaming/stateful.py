@@ -341,6 +341,13 @@ def compact_signature_index(
     tmp = f"{index_path}__compact_tmp_{_uuid.uuid4().hex}"
     df.coalesce(target_files).write.parquet(f"{tmp}/batch_id=-1")
 
+    from mhm_data_pipelines_spark.session import supports_jvm_access
+
+    if not supports_jvm_access(spark):
+        raise RuntimeError(
+            "index compaction needs Hadoop-FS atomic renames (py4j) — "
+            "genuinely JVM-bound; run compaction on a classic session."
+        )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(index_path).getFileSystem(

@@ -93,3 +93,28 @@ def test_merge_and_overview(spark, flat_lake, tmp_path, capsys):
     assert run(spark, flat_lake, "overview") == 0
     got = capsys.readouterr().out
     assert "participant_id" in got and "row_count" in got
+
+
+def test_bench_stdout_line_bounded_for_any_query_count():
+    """The final bench stdout line must fit the harness's ~2 KB tail
+    capture for ANY number of bench queries (BENCH_r03 was lost to an
+    oversized line; the r4 full-map line grew per added query)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    warm = {
+        f"some_quite_long_query_name_{i:03d}": 0.123 + i * 0.017
+        for i in range(200)
+    }
+    line = bench.build_stdout_record(123.456, warm, 0.1)
+    assert len(line.encode()) <= bench.STDOUT_BYTE_BUDGET
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total_wall"
+    assert rec["n_queries"] == 200
+    assert 3 <= len(rec["queries"]) <= 10
+    # slowest-first content: the max warm time must be present
+    assert max(rec["queries"].values()) == round(max(warm.values()), 2)
+    assert rec["warm_total"] == round(sum(warm.values()), 3)

@@ -547,7 +547,7 @@ def test_doc_char_entropy_matches_expression(spark):
 
 def test_compression_ratio_orders_repetitive_below_random(spark):
     """Boilerplate compresses far better than high-entropy text."""
-    from mhm_data_pipelines_spark.benchmarks.registry import QUERIES
+    from mhm_data_pipelines_spark.functions.text import compression_stats
 
     import string
     import random as _random
@@ -560,18 +560,41 @@ def test_compression_ratio_orders_repetitive_below_random(spark):
     df = spark.createDataFrame(
         [(1, rep_text), (2, rand_text)], ["doc_id", "text"]
     )
-    import tempfile
-
-    d = tempfile.mkdtemp()
-    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
-    out = {
-        r["doc_id"]: r for r in QUERIES["compression_ratio"](
-            spark, d
-        ).collect()
-    }
+    out = {r["doc_id"]: r for r in compression_stats(df).collect()}
     assert out[1]["ratio"] < 0.1 < out[2]["ratio"]
     assert out[1]["n_bytes"] == len(rep_text)
     assert out[2]["n_compressed"] < out[2]["n_bytes"] * 1.1
+
+
+def test_compression_gate_pins_and_invariants(spark, tmp_path):
+    """The gate query's pinned rows carry exact zlib values and every
+    corpus row satisfies the compressBound/shrink invariant."""
+    import zlib
+
+    from mhm_data_pipelines_spark.benchmarks.registry import (
+        QUERIES,
+        _ZLIB_PINS,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "word salad " * 40), (2, "xy")], ["doc_id", "text"]
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in QUERIES["compression_ratio"](
+        spark, d
+    ).collect()}
+    assert set(rows) == {-3, -2, -1, 1, 2}
+    for did, text in _ZLIB_PINS.items():
+        b = text.encode()
+        assert rows[did]["n_bytes"] == len(b)
+        assert rows[did]["n_compressed"] == len(zlib.compress(b, 6))
+    # pin ordering: repetitive < natural < hex noise
+    assert (
+        rows[-3]["ratio"] < rows[-2]["ratio"] < rows[-1]["ratio"]
+    )
+    assert all(rows[i]["ok"] for i in rows)
+    assert rows[1]["n_compressed"] == -1  # corpus rows sentineled
 
 
 def test_wav_roundtrip_and_quarantine(spark):
