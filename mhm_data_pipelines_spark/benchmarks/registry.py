@@ -6240,6 +6240,199 @@ FROM documents ORDER BY doc_id
 
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# r5: URL/domain filtering + per-source quantile selection
+# --------------------------------------------------------------------------
+
+#: URL-synthesis constants shared by the Spark query and the DuckDB
+#: oracle — the corpus has no URL column, so both engines derive the
+#: SAME deterministic URL per doc from md5(doc_id) (the repo's md5
+#: hash-family convention). One base is a known-bad domain so the
+#: blocklist path is exercised; the multi-label TLDs exercise
+#: public-suffix longest-match.
+_URL_BASES = (
+    "spamsite", "example", "dataforge", "webjournal",
+    "newsfeed", "archive", "research", "portal",
+)
+_URL_TLDS = ("com", "org", "net", "co.uk", "com.au", "io", "de", "info")
+_URL_SUBS = ("", "www.", "cdn.")
+_URL_BLOCKLIST = tuple(f"spamsite.{t}" for t in _URL_TLDS)
+_URL_CAP = 3
+
+
+def _synth_url_col():
+    h = F.md5(F.col("doc_id").cast("string"))
+    b1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    b2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    b3 = F.conv(F.substring(h, 31, 2), 16, 10).cast("long")
+    pick = lambda vals, b: F.element_at(  # noqa: E731
+        F.array(*[F.lit(v) for v in vals]),
+        (b % len(vals)).cast("int") + 1,
+    )
+    return F.concat(
+        F.lit("https://"),
+        pick(_URL_SUBS, b3),
+        pick(_URL_BASES, b1),
+        F.lit("."),
+        pick(_URL_TLDS, b2),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """Web-corpus URL gate (CCNet/RefinedWeb front stage): synthesize a
+    deterministic URL per doc (md5 convention — no URL column in the
+    corpus), then run the FULL operator chain from ``operators.urls``:
+    host parse → eTLD+1 via longest public-suffix match → blocklist
+    broadcast join → per-domain cap 3 by md5-rank. Emits every doc with
+    its host/domain/blocked/kept flags; the oracle rebuilds the chain
+    in SQL (RE2-safe regexes, same md5 rank), so the hash certifies
+    parsing, suffix logic, blocklist and cap together."""
+    from mhm_data_pipelines_spark.operators.urls import url_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    with_url = docs.withColumn("url", _synth_url_col())
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "domain string"
+    )
+    out = url_filter(
+        with_url,
+        blocklist=blocklist,
+        per_domain_cap=_URL_CAP,
+    )
+    return out.select(
+        "doc_id", "host", "reg_domain", "blocked", "kept"
+    ).orderBy("doc_id")
+
+
+def _sql_url_synth() -> str:
+    def pick(vals, b):
+        lst = "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+        return f"({lst})[{b} % {len(vals)} + 1]"
+
+    return f"""
+  SELECT doc_id,
+         'https://' || {pick(_URL_SUBS, "b3")}
+           || {pick(_URL_BASES, "b1")} || '.'
+           || {pick(_URL_TLDS, "b2")}
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         b1
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS b1,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15) AS BIGINT) AS b2,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) AS BIGINT) AS b3
+    FROM documents
+  )"""
+
+
+def _sql_reg_domain_case(host: str) -> str:
+    from mhm_data_pipelines_spark.operators.urls import DEFAULT_SUFFIXES
+    import re as _re
+
+    arms = []
+    for sfx in sorted(DEFAULT_SUFFIXES, key=len, reverse=True):
+        esc = _re.escape(sfx)  # 'com.au' -> 'com\\.au' (single backslash)
+        arms.append(
+            f"WHEN regexp_matches({host}, '\\.{esc}$') "
+            f"THEN regexp_extract({host}, '([^.]+\\.{esc})$', 1)"
+        )
+    joined = "\n         ".join(arms)
+    return (
+        f"CASE {joined} "
+        f"ELSE regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) END"
+    )
+
+
+SQL_URL_FILTER = f"""
+WITH urls AS ({_sql_url_synth()}
+), parsed AS (
+  SELECT doc_id, b1,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM urls
+), grouped AS (
+  SELECT doc_id, b1, host,
+         {_sql_reg_domain_case("host")} AS reg_domain
+  FROM parsed
+), flagged AS (
+  SELECT doc_id, host, reg_domain, b1,
+         reg_domain IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)}) AS blocked
+  FROM grouped
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY reg_domain, blocked ORDER BY b1, doc_id
+  ) AS rn
+  FROM flagged
+)
+SELECT doc_id, host, reg_domain, blocked,
+       (NOT blocked) AND rn <= {_URL_CAP} AS kept
+FROM ranked ORDER BY doc_id
+"""
+
+
+def q_quantile_select(spark, sf_dir):
+    """DataComp-style per-source quantile gate: keep the top 30% of
+    documents per source by a continuous quality score (stopword ratio
+    − punctuation ratio + capped length term — each component already
+    oracle-certified in doc_quality), via
+    ``selection.quantile_threshold_select``: one hash aggregate for the
+    exact per-source percentile, broadcast of the scalar thresholds
+    back, ≥-threshold keep (tie groups at the cut keep in full — no
+    row_number nondeterminism). Emits every doc with score/threshold/
+    kept so the oracle checks the cut placement, not just counts."""
+    from mhm_data_pipelines_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        tokens,
+    )
+    from mhm_data_pipelines_spark.operators.selection import (
+        quantile_threshold_select,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    score = F.round(
+        stopword_ratio("text")
+        - punct_ratio("text")
+        + F.least(F.size(tokens("text")), F.lit(1000)) / 1000.0,
+        6,
+    )
+    scored = df.select("doc_id", "source", score.alias("score"))
+    out = quantile_threshold_select(scored, "score", "source", 0.3)
+    return out.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round("threshold", 4).alias("threshold"),
+        "kept",
+    ).orderBy("doc_id")
+
+
+SQL_QUANTILE_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         round(
+           (CASE WHEN len({_SQL_TOKENS}) > 0
+             THEN len(list_filter({_SQL_TOKENS},
+                      x -> list_contains({_SQL_STOPLIST}, lower(x))))
+                  * 1.0 / len({_SQL_TOKENS}) ELSE 0.0 END)
+           - (CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  * 1.0 / length(text) ELSE 0.0 END)
+           + least(len({_SQL_TOKENS}), 1000) / 1000.0,
+         6) AS score
+  FROM documents
+), th AS (
+  SELECT source, quantile_cont(score, 0.7) AS threshold FROM t GROUP BY source
+)
+SELECT t.doc_id, t.source, t.score,
+       round(th.threshold, 4) AS threshold,
+       t.score >= th.threshold AS kept
+FROM t JOIN th USING (source)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -6375,6 +6568,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_sketch_rollup": q_stream_sketch_rollup,
     "doc_entropy": q_doc_entropy,
     "compression_ratio": q_compression_ratio,
+    "url_filter": q_url_filter,
+    "quantile_select": q_quantile_select,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -6523,6 +6718,8 @@ ORACLES: dict[str, str] = {
     # literal rows carry exact zlib values; corpus rows carry exact
     # n_bytes + a compressBound/shrink invariant pinned to true.
     "compression_ratio": SQL_COMPRESSION_RATIO,
+    "url_filter": SQL_URL_FILTER,
+    "quantile_select": SQL_QUANTILE_SELECT,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -6539,117 +6736,80 @@ ORACLES: dict[str, str] = {
 #: full set is still hash-checked every CI run by test_oracle_parity.py.
 GATE_PRIORITY: list[str] = [
     # -- canaries: long-green core keys kept PERMANENTLY in the window so
-    #    a regression in the rotated-out majority still has a tripwire
-    #    (VERDICT r3 next-step #7). Do not rotate these out.
+    #    a regression in the rotated-out majority still has a tripwire.
+    #    Do not rotate these out.
     "tpch_q1",
     "overview_stats",
     "summary_assembly",
-    # -- never-driver-verified (landed after the r3 rotation) + one
-    #    re-certification (stateful_sessions_stream's reader was
-    #    refactored after its r2 green row) + this round's new query.
+    # -- round 5 rotation, per the documented policy (canaries first,
+    #    then never-driver-verified keys, then definitions touched since
+    #    their last green row, then single-green keeps; multi-round-green
+    #    unchanged keys rotate out first and stay covered by
+    #    tests/test_oracle_parity.py every CI run).
+    #
+    # never-driver-verified: the r4 stragglers (landed after the final
+    # r4 rotation — VERDICT r4 next-step #1) + this round's new ops.
+    "doc_entropy",
+    "compression_ratio",  # upgraded rows-only -> full invariant oracle
+    "audio_features",
+    "url_filter",
+    "quantile_select",
+    # re-verify: definitions touched in round 5 (LSH persist removal,
+    # builder resource tracking/_scratch, split_quarantine guard,
+    # kNN boundary-tie widen, budget sort-order/parallelism
+    # portability, staging default_parallelism).
+    "minhash_neardup",
+    "minhash_exact_pairs",
+    "minhash_incremental",
+    "simhash_neardup",
+    "stream_neardup",
+    "jsonl_roundtrip",
+    "stream_sketch_rollup",
+    "staging_mirror",
+    "heatmap_render",
+    "knn_graph",
+    "token_budget_select",
+    # single-green keeps: every remaining key whose ONLY driver-green
+    # row is r4 (warm tripwires; 31 slots). Rotated out this round:
+    # stateful_sessions_stream (green r2+r4), llm_dataset_build
+    # (r3+r4), doc_winnowing, winnow_overlap and doc_fingerprints
+    # (r4-green, definitions unchanged since) — all still hash-checked
+    # by test_oracle_parity.py every CI run.
     "ann_recall",
     "ivf_recall",
     "c4_filter_stats",
     "paragraph_dedup",
     "semantic_dedup",
-    "stateful_sessions_stream",
-    "staging_mirror",
-    "heatmap_render",
     "temperature_mix",
     "bm25_topk",
     "bpe_pairs",
-    "minhash_incremental",
-    "stream_neardup",
     "heavy_hitters",
     "profile_table",
     "doc_bigram_lm",
-    # -- re-verify: definitions touched in round 4 (budget rewrite,
-    #    minhash hot-bucket amortization, kgram short-text guard,
-    #    winnow hot-bucket dedup/recall fix).
-    "token_budget_select",
-    "minhash_neardup",
-    "minhash_exact_pairs",
-    "simhash_groups",
-    "simhash_neardup",
-    "doc_winnowing",
-    "winnow_overlap",
-    "doc_fingerprints",
-    # -- this session's new queries (never driver-verified): displaced
-    #    seven r3-green untouched keys (pii_redaction, doc_lm_score,
-    #    tiered_rollup, dedup_exact_keep, embedding_topk,
-    #    embedding_centroids, balanced_classes — all still hash-checked
-    #    by test_oracle_parity.py every CI run).
-    "event_pagerank",
-    "fuzzy_pairs",
-    "knn_graph",
-    "snapshot_diff",
-    "sentence_dedup",
-    "weighted_sample",
-    "semantic_decontam",
-    # jsonl_roundtrip + hll_user_rollup displace zorder_layout and
-    # tfidf_top_terms (both green, definitions unchanged, still
-    # hash-checked by test_oracle_parity.py).
-    "jsonl_roundtrip",
-    "hll_user_rollup",
-    # variant_extract + neardup_pagerank + stream_sketch_rollup
-    # displace decontamination, corpus_prep and embedding_neardup
-    # (all r3-green, definitions unchanged; the decontam family keeps
-    # semantic_decontam as its fresh gate row, the composed-pipeline
-    # family keeps llm_dataset_build, the embedding family keeps
-    # knn_graph).
-    "variant_extract",
-    "neardup_pagerank",
-    "stream_sketch_rollup",
-    # -- single-green r3 keys kept warm (rotated subset; the 9 dropped
-    #    in the earlier r4 rotation are all untouched expression-only
-    #    queries with green r3 rows: analytic_windows, rolling_1h,
-    #    grouping_sets, users_intersect, users_except, doc_token_stats,
-    #    embedding_quantize, approx_sketch_bounds, lang_id).
-    "llm_dataset_build",
-    # vocab_stats rotated out for ivfpq_topk and top_terms_per_source
-    # for dsir_weights (both r3-green expression-only, still
-    # hash-checked by test_oracle_parity.py).
-    "dsir_weights",
-    # dup_groups rotated out for quality_classifier (r3-green; the
-    # exact-dedup family's gate row is now sentence_dedup /
-    # paragraph_dedup — dedup_exact_keep and tiered_rollup displaced
-    # this session for the new-query block above).
-    "quality_classifier",
-    # unigram_jaccard_pairs rotated out for bpe_encode (r3-green; exact
-    # Jaccard stays certified via minhash_exact_pairs' verify side).
-    "bpe_encode",
-    "neardup_clusters",
-    # neardup_dedup_keep rotated out for multiprobe_recall (r3-green;
-    # the CC family keeps neardup_clusters as its gate row).
-    "multiprobe_recall",
-    # -- this session's new queries (never driver-verified): displaced
-    #    binary_metadata / frame_samples / multimodal_features (r3-green,
-    #    definitions unchanged, still covered by test_oracle_parity.py).
     "gopher_quality",
     "dup_spans",
     "span_dedup",
     "pq_topk",
     "ivfpq_topk",
-    # ivf_topk rotated out for span_dedup: ivf_recall certifies both the
-    # selective-probe AND (via its exact side) the exhaustive path;
-    # embedding_topk / embedding_centroids displaced this session (the
-    # ANN family's gate rows are now knn_graph + ivf_recall +
-    # ivfpq_topk + multiprobe_recall).
+    "dsir_weights",
+    "quality_classifier",
+    "bpe_encode",
+    "neardup_clusters",
+    "multiprobe_recall",
+    "event_pagerank",
+    "fuzzy_pairs",
+    "snapshot_diff",
+    "sentence_dedup",
+    "weighted_sample",
+    "semantic_decontam",
+    "variant_extract",
+    "neardup_pagerank",
+    "hll_user_rollup",
+    "simhash_groups",
 ]
-# ^ rotation note: lsh_topk, corpus_composition, asof_join, range_join,
-# doc_quality, doc_repetition, source_mix, chunk_documents and
-# pack_documents (all r3-green, definitions unchanged) rotated out to
-# make room for the round-4 keys (staging_mirror, heatmap_render,
-# temperature_mix, bm25_topk, bpe_pairs, minhash_incremental,
-# stream_neardup, heavy_hitters, profile_table, doc_bigram_lm —
-# stratified_counts also rotated out for the last); they stay
-# hash-checked by tests/test_oracle_parity.py.
-# ^ 50 slots = the driver-verified window. Rotation policy (round 4):
-# 3 permanent canaries first, then keys with no driver row yet or with
-# definitions changed since their last green row, then single-green
-# keys; multi-round-green unchanged keys rotate out first (they remain
-# covered by the repo-local full-registry oracle suite,
-# tests/test_oracle_parity.py).
+# ^ 50 slots = the driver-verified window (the external harness
+# compares exactly the FIRST 50 entries of __spark_entry__.queries()
+# against their DuckDB oracles each round).
 
 
 def gate_ordered_queries() -> dict[str, QuerySpec]:
@@ -6729,4 +6889,7 @@ BENCH_QUERIES: list[str] = [
     "doc_entropy",
     "compression_ratio",
     "audio_features",
+    # round-5 additions
+    "url_filter",
+    "quantile_select",
 ]

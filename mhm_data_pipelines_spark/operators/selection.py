@@ -244,3 +244,33 @@ def train_quality_classifier(
         return w, bias
     finally:
         feats.unpersist()
+
+
+def quantile_threshold_select(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float,
+) -> DataFrame:
+    """DataComp-style per-group quantile selection: within each
+    ``group_col`` value (source, language, crawl snapshot), keep the
+    top ``keep_frac`` of rows by ``score_col`` — i.e. rows whose score
+    is ≥ the group's exact interpolated ``percentile(score,
+    1 - keep_frac)``. Adds ``threshold`` (the group's cut) and ``kept``;
+    rows are flagged, not dropped.
+
+    Scale shape: ONE hash aggregate computes every group's threshold
+    (exact ``percentile`` — groups are few; swap ``percentile_approx``
+    when group cardinality is huge), then a BROADCAST join carries the
+    per-group scalar back — no window over the full corpus, no global
+    sort. The ≥-threshold rule is deterministic under ties (a tie
+    group at the cut is kept in full), unlike a row-number top-N."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    q = 1.0 - keep_frac
+    thresholds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({score_col}, {q!r})").alias("threshold")
+    )
+    return df.join(F.broadcast(thresholds), group_col).withColumn(
+        "kept", F.col(score_col) >= F.col("threshold")
+    )
