@@ -32,9 +32,18 @@ def _build_parser() -> argparse.ArgumentParser:
         prog="mhm-spark",
         description="PySpark-native MHM data-pipeline commands",
     )
-    p.add_argument("--root", required=True, help="lake root path")
     p.add_argument(
-        "--layout", default="flat", choices=["raw", "merged", "flat"]
+        "--config",
+        default=None,
+        help=(
+            "INI config file (reference config/config.ini parity): "
+            "[lake] root/layout/cache, or the reference's "
+            "[AWS] s3_bucket_path as the root. Explicit flags win."
+        ),
+    )
+    p.add_argument("--root", default=None, help="lake root path")
+    p.add_argument(
+        "--layout", default=None, choices=["raw", "merged", "flat"]
     )
     p.add_argument("--cache", default=None, help="catalog cache parquet path")
     p.add_argument(
@@ -88,8 +97,38 @@ def _show(df, limit: int) -> None:
     df.show(limit, truncate=False)
 
 
+def _apply_config(args) -> None:
+    """Resolve --config INI values into unset args (reference
+    ``summary.py:334-341`` parity: the reference reads
+    ``config/config.ini`` ``[AWS] s3_bucket_path`` as its bucket root).
+    Explicit command-line flags always win; ``--layout`` defaults to
+    ``flat`` after the merge."""
+    if args.config:
+        import configparser
+
+        cfg = configparser.ConfigParser()
+        if not cfg.read(args.config):
+            raise SystemExit(f"--config: cannot read {args.config}")
+        lake = cfg["lake"] if cfg.has_section("lake") else {}
+        if args.root is None:
+            args.root = lake.get("root") or (
+                cfg["AWS"].get("s3_bucket_path")
+                if cfg.has_section("AWS")
+                else None
+            )
+        if args.layout is None:
+            args.layout = lake.get("layout")
+        if args.cache is None:
+            args.cache = lake.get("cache")
+    if args.root is None:
+        raise SystemExit("--root is required (flag or --config file)")
+    if args.layout is None:
+        args.layout = "flat"
+
+
 def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    _apply_config(args)
     if spark is None:
         from mhm_data_pipelines_spark.session import get_spark
 

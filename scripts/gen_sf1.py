@@ -1,0 +1,152 @@
+"""Synthesize an sf1-scale probe dataset (10× sf0.1) for the heavy
+bench queries — VERDICT r4 next-step #5 (validate hot-bucket caps /
+AQE one order of magnitude up).
+
+NOT driver data: the official testdata stops at sf0.1, so this
+generator builds statistically-similar tables (same schemas, same
+word-frequency profile sampled from the sf0.1 corpus, deterministic
+seed) under a scratch dir. Results go to BENCH_local-style records and
+PLANS.md — never the driver tail.
+
+Usage: python scripts/gen_sf1.py [dest_dir]   (default /tmp/mhm_sf1)
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import re
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+N_DOCS = 50_000
+N_VECS = 20_000
+N_EVENTS = 1_000_000
+
+
+def main() -> None:
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mhm_sf1"
+    os.makedirs(dest, exist_ok=True)
+    rng = np.random.default_rng(20260814)
+    con = duckdb.connect()
+
+    # ---- documents: word-salad with the sf0.1 corpus' own unigram
+    # distribution and doc-length profile (so shingle/token densities
+    # match what the operators see on the real fixture).
+    rows = con.sql(
+        f"SELECT text, lang, source FROM '{SRC}/documents.parquet'"
+    ).fetchall()
+    freq: collections.Counter[str] = collections.Counter()
+    lengths = []
+    langs, sources = set(), set()
+    for text, lang, source in rows:
+        toks = re.findall(r"\S+", text or "")
+        freq.update(toks)
+        lengths.append(len(toks))
+        langs.add(lang)
+        sources.add(source)
+    vocab, counts = zip(*freq.most_common(20_000))
+    probs = np.asarray(counts, dtype=np.float64)
+    probs /= probs.sum()
+    vocab = np.asarray(vocab, dtype=object)
+    lengths = np.asarray(lengths)
+    langs = sorted(langs)
+    sources = sorted(sources)
+
+    doc_len = rng.choice(lengths, size=N_DOCS)
+    texts = []
+    for n in doc_len:
+        toks = vocab[rng.choice(len(vocab), size=int(n), p=probs)]
+        texts.append(" ".join(toks.tolist()))
+    # ~2% exact dups + ~3% near-dups (one token mutated) so the dedup
+    # pipelines have real work, at realistic (non-pathological) rates.
+    idx = rng.permutation(N_DOCS)
+    for i in idx[: N_DOCS // 50]:
+        texts[i] = texts[(i + 1) % N_DOCS]
+    for i in idx[N_DOCS // 50 : N_DOCS // 20]:
+        base = texts[(i + 7) % N_DOCS].split(" ")
+        if len(base) > 3:
+            base[len(base) // 2] = "mutated"
+        texts[i] = " ".join(base)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [langs[i] for i in rng.integers(0, len(langs), N_DOCS)]
+            ),
+            "source": pa.array(
+                [sources[i] for i in rng.integers(0, len(sources), N_DOCS)]
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{dest}/documents.parquet")
+    print(f"documents: {N_DOCS}")
+
+    # ---- embeddings: same dim + label cardinality as sf0.1, unit-ish
+    # gaussian mixture so IVF/PQ lists have realistic structure.
+    dim, n_labels = con.sql(
+        f"SELECT any_value(len(embedding)), count(DISTINCT label) "
+        f"FROM '{SRC}/embeddings.parquet'"
+    ).fetchone()
+    centers = rng.normal(size=(n_labels, dim))
+    labels = rng.integers(0, n_labels, N_VECS)
+    vecs = centers[labels] + 0.3 * rng.normal(size=(N_VECS, dim))
+    vecs = vecs.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{dest}/embeddings.parquet")
+    print(f"embeddings: {N_VECS} dim={dim}")
+
+    # ---- events: 10× rows, same schema/type/user cardinality profile.
+    n_users, types = con.sql(
+        f"SELECT count(DISTINCT user_id), list(DISTINCT event_type) "
+        f"FROM '{SRC}/events.parquet'"
+    ).fetchone()
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 90 * 86_400_000_000, N_EVENTS).astype(
+        "timedelta64[us]"
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(N_EVENTS), pa.int64()),
+            "ts": pa.array(np.sort(ts)),
+            "user_id": pa.array(
+                rng.integers(0, n_users * 10, N_EVENTS), pa.int64()
+            ),
+            "event_type": pa.array(
+                [types[i] for i in rng.integers(0, len(types), N_EVENTS)]
+            ),
+            "value": pa.array(rng.normal(50, 20, N_EVENTS)),
+            "props": pa.array(["{}"] * N_EVENTS),
+        }
+    )
+    pq.write_table(tbl, f"{dest}/events.parquet")
+    print(f"events: {N_EVENTS}")
+    # The small TPC-H dims aren't needed by the heavy-query probe; link
+    # them anyway so registry.load_table works for any query.
+    for t in (
+        "region nation customer supplier part orders lineitem".split()
+    ):
+        src = f"{SRC}/{t}.parquet"
+        dst = f"{dest}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    print(f"done -> {dest}")
+
+
+if __name__ == "__main__":
+    main()

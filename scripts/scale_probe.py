@@ -1,0 +1,58 @@
+"""sf0.1 -> sf1 scale probe for the heaviest bench queries (VERDICT r4
+next-step #5): one warm timing per query per scale; flags super-linear
+(>12x on 10x data) steps. Results -> SCALE_PROBE.json (repo root)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mhm_data_pipelines_spark.benchmarks.registry import (  # noqa: E402
+    QUERIES,
+    load_table_cache_clear,
+    release_query_resources,
+)
+from mhm_data_pipelines_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "minhash_neardup", "fuzzy_pairs", "knn_graph", "simhash_neardup",
+    "dup_spans", "winnow_overlap", "ivfpq_topk", "event_pagerank",
+    "quality_classifier", "token_budget_select",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-probe", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for sf_dir, tag in (("/root/testdata/sf0.1", "sf0.1"),
+                        ("/tmp/mhm_sf1", "sf1")):
+        load_table_cache_clear()
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        for name in HEAVY:
+            # cold (plan+codegen) then warm; record warm
+            QUERIES[name](spark, sf_dir).count()
+            release_query_resources()
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            release_query_resources()
+            out.setdefault(name, {})[tag] = {"sec": dt, "rows": n}
+            print(f"# {tag} {name}: {dt}s ({n} rows)", flush=True)
+    for name, r in out.items():
+        ratio = r["sf1"]["sec"] / max(r["sf0.1"]["sec"], 1e-9)
+        r["ratio_10x_data"] = round(ratio, 2)
+        r["superlinear"] = ratio > 12
+    with open("/root/repo/SCALE_PROBE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v["ratio_10x_data"] for k, v in out.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,31 @@ def test_bench_stdout_line_bounded_for_any_query_count():
     # slowest-first content: the max warm time must be present
     assert max(rec["queries"].values()) == round(max(warm.values()), 2)
     assert rec["warm_total"] == round(sum(warm.values()), 3)
+
+
+def test_cli_config_ini_parity(spark, tmp_path, capsys):
+    """Reference config/config.ini parity (mdp summary.py:334-341):
+    the lake root resolves from an INI file — both the engine's [lake]
+    section and the reference's [AWS] s3_bucket_path — with explicit
+    flags winning."""
+    from mhm_data_pipelines_spark.cli import main
+
+    # engine-native section
+    ini = tmp_path / "config.ini"
+    ini.write_text("[lake]\nroot = /nonexistent-lake\nlayout = flat\n")
+    rc = main(
+        ["--config", str(ini), "list_commands"], spark=spark
+    )
+    assert rc in (0, None) or rc == 0
+    # reference AWS section spelling
+    ini2 = tmp_path / "ref.ini"
+    ini2.write_text("[AWS]\ns3_bucket_path = /ref-root\n")
+    rc = main(["--config", str(ini2), "list_commands"], spark=spark)
+    assert rc == 0
+    # no root anywhere -> clear error
+    ini3 = tmp_path / "empty.ini"
+    ini3.write_text("[lake]\n")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--config", str(ini3), "list_commands"], spark=spark)
