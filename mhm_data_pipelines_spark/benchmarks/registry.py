@@ -2362,15 +2362,23 @@ GROUP BY 1 ORDER BY 1
 
 def q_winnow_overlap(spark, sf_dir):
     """Substring-overlap candidate pairs: docs sharing ≥ 40 winnowing
-    fingerprints — catches embedded/reordered copies that whole-doc and
-    shingle-set dedup miss. The synthetic corpus's shared vocabulary
-    puts the pairwise noise floor at p99 ≈ 26 shared fingerprints;
-    40 isolates genuinely overlapping documents (cap above test bucket
-    sizes, so the DuckDB twin is the exact pairwise join)."""
+    fingerprints AFTER dropping fingerprints present in > 128 docs
+    (MOSS's over-common rule — r5 scale fix: common-substring
+    fingerprints appear in a fixed FRACTION of docs, so without the df
+    cap the pair join grows quadratically with the corpus — measured
+    95M candidate pairs at 5k docs → 9.4B at 50k; with df ≤ 128 it is
+    10× less at 5k and ~300× less at 50k, scaling near-linearly).
+    The synthetic corpus's shared vocabulary puts the pairwise noise
+    floor at p99 ≈ 26 shared fingerprints; 40 isolates genuinely
+    overlapping documents. Star cap stays above gate-scale bucket
+    sizes, so the DuckDB twin (same df filter in SQL) is the exact
+    pairwise join."""
     from mhm_data_pipelines_spark.operators.dedup import winnow_overlap_pairs
 
     df = _t(spark, sf_dir, "documents")
-    out = winnow_overlap_pairs(df, k=8, window=4, min_shared=40)
+    out = winnow_overlap_pairs(
+        df, k=8, window=4, min_shared=40, max_doc_freq=128
+    )
     return out.orderBy("id_a", "id_b")
 
 
@@ -2389,9 +2397,13 @@ WITH t AS (
   FROM seq, LATERAL unnest(generate_series(1, len(hs) - 3)) AS v(j)
 ), dfp AS (
   SELECT DISTINCT doc_id, mh FROM wins
+), keepfp AS (
+  SELECT mh FROM dfp GROUP BY mh HAVING count(*) <= 128
+), cold AS (
+  SELECT dfp.doc_id, dfp.mh FROM dfp JOIN keepfp USING (mh)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-FROM dfp a JOIN dfp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+FROM cold a JOIN cold b ON a.mh = b.mh AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 40
 ORDER BY 1, 2
 """
@@ -6805,7 +6817,11 @@ GATE_PRIORITY: list[str] = [
     "variant_extract",
     "neardup_pagerank",
     "hll_user_rollup",
-    "simhash_groups",
+    # winnow_overlap re-enters (definition changed this round: df-cap
+    # scale fix), displacing simhash_groups (single-green r4, but its
+    # family keeps simhash_neardup as a fresh re-gated row; still
+    # hash-checked by test_oracle_parity.py).
+    "winnow_overlap",
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()

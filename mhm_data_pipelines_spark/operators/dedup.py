@@ -821,6 +821,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_bucket_size: int | None = 10_000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Substring-overlap candidate pairs via shared winnowing
     fingerprints (:func:`~mhm_data_pipelines_spark.functions.text.
@@ -842,7 +843,25 @@ def winnow_overlap_pairs(
     it is then reachable only transitively through the hot bucket's
     star representative (run connected components downstream for
     cluster-complete recall). Pairs appearing both ways collapse to
-    one row with the cold count kept."""
+    one row with the cold count kept.
+
+    ``max_doc_freq`` — THE knob that makes this op survive corpus
+    growth (r5 scale probe): winnowing's min-of-window selection is
+    biased toward globally-small hash values, so fingerprints of
+    common substrings land in a fixed FRACTION of documents — bucket
+    sizes grow linearly with the corpus and the pair join grows
+    QUADRATICALLY (measured 95M candidate pairs at 5k docs → 9.4B at
+    50k on the same text distribution; the 10k star cap bounds only
+    the extreme head). Fingerprints in more than ``max_doc_freq`` docs
+    are DROPPED (MOSS's own over-common-fingerprint rule), not
+    star-edged: sharing one vocabulary-noise substring is NOT cluster
+    evidence, so a star edge would fuse unrelated docs downstream.
+    With df ≤ cap the pair mass is bounded by n_fps·cap²/2 — measured
+    30M pairs at 50k docs with cap 128 vs 9.4B uncapped. Mass-copied
+    substrings whose fingerprints exceed the cap are span-dedup's job
+    (``duplicated_spans``/``excise_spans``), not pairwise overlap's.
+    The df aggregate reuses the fingerprint shuffle partitioning and
+    broadcasts only the (bounded) hot key set."""
     from mhm_data_pipelines_spark.functions.text import winnow_fingerprints
 
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
@@ -856,6 +875,23 @@ def winnow_overlap_pairs(
     ex = fp.select(
         F.col(id_col), F.explode_outer("fingerprints").alias("fp")
     ).filter(F.col("fp").isNotNull())
+    if max_doc_freq is not None or max_bucket_size is not None:
+        # The exploded fingerprint frame feeds the df-filter and/or
+        # cap count/anti/semi subtrees plus both self-join sides; the
+        # lazy localCheckpoint materializes the expensive winnowing
+        # pipeline once (ADVICE r3: the r3 code re-executed it ~3×).
+        ex = ex.localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        # (doc, fp) rows are distinct (winnow_fingerprints dedups per
+        # doc), so count(*) per fp IS document frequency. Hot keys are
+        # bounded by total_memberships/max_doc_freq — broadcastable.
+        noisy = (
+            ex.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("fp")
+        )
+        ex = ex.join(F.broadcast(noisy), "fp", "left_anti")
     if max_bucket_size is None:
         a = ex.alias("a")
         b = ex.alias("b")
@@ -872,12 +908,6 @@ def winnow_overlap_pairs(
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
         )
-    # The exploded fingerprint frame feeds the cap's count/anti/semi
-    # subtrees and both self-join sides; the lazy localCheckpoint
-    # materializes the expensive winnowing pipeline once (ADVICE r3:
-    # the r3 code re-executed it ~3× — once for the eager detection
-    # collect and once per self-join side).
-    ex = ex.localCheckpoint(eager=False)
     cold, star = _split_hot_buckets(ex, ["fp"], id_col, max_bucket_size)
     a = cold.alias("a")
     b = cold.alias("b")

@@ -16,6 +16,18 @@ from mhm_data_pipelines_spark.benchmarks.registry import QUERIES  # noqa: E402
 from mhm_data_pipelines_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "url_filter": (
+        "URL gate: parse/suffix-group/blocklist are pure projections "
+        "(one codegen span), blocklist joins as BroadcastHashJoin, the "
+        "per-domain cap is ONE hash Exchange (the window) - the only "
+        "corpus-wide shuffle."
+    ),
+    "quantile_select": (
+        "per-source quantile cut: one hash-aggregate computes every "
+        "threshold, scalar thresholds broadcast back - no corpus-wide "
+        "window or sort."
+    ),
+
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "
         "reads 4 of 10 columns, customer broadcast."
@@ -320,6 +332,27 @@ def main() -> None:
         out.append(
             f"\n## {name}\n\n{note}\n\n```\n" + "\n".join(lines[:60]) + "\n```\n"
         )
+
+    probe = os.path.join(os.path.dirname(__file__), "..", "SCALE_PROBE.json")
+    if os.path.exists(probe):
+        import json
+
+        rec = json.load(open(probe))
+        out.append(
+            "\n## Scale probe (sf0.1 -> sf1, 10x data; "
+            "scripts/gen_sf1.py + scripts/scale_probe.py)\n\n"
+            "Warm wall-time per heavy query, one order of magnitude up. "
+            "A ratio <= ~10 on 10x data means the plan scales linearly "
+            "or better; >12 would flag a super-linear step "
+            "(hot-bucket caps / AQE not holding).\n\n"
+            "| query | sf0.1 s | sf1 s | ratio | rows sf1 |\n"
+            "|---|---|---|---|---|"
+        )
+        for name, r in rec.items():
+            out.append(
+                f"| {name} | {r['sf0.1']['sec']} | {r['sf1']['sec']} "
+                f"| {r['ratio_10x_data']}x | {r['sf1']['rows']} |"
+            )
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))

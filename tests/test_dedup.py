@@ -409,3 +409,35 @@ def test_lsh_pipelines_leave_no_cache_behind(spark):
         minhash_near_duplicates(docs).count()
         simhash_near_duplicates(docs).count()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_winnow_overlap_max_doc_freq_drops_noise(spark):
+    """MOSS over-common rule (r5 scale fix): fingerprints present in
+    more than max_doc_freq docs carry no pair evidence. A substring
+    shared by ALL docs must produce no pairs under a low df cap, while
+    a substring shared by exactly two docs still does."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    common = "this boilerplate banner appears everywhere in the corpus"
+    rare = "zq8xv unique shared passage kxw93 found only twice here"
+    rows = [(i, f"{common} filler {i} " * 3) for i in range(8)] + [
+        (100, f"{common} {rare} alpha"),
+        (101, f"beta {rare} {common}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # df cap 4 < 10 docs sharing the banner -> banner evidence dropped;
+    # the rare passage (df=2) still pairs 100-101.
+    out = winnow_overlap_pairs(
+        df, k=8, window=4, min_shared=2, max_doc_freq=4
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert (100, 101) in got
+    # no pair among the banner-only docs
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # without the df cap the banner floods pairs among all 8
+    flood = winnow_overlap_pairs(
+        df, k=8, window=4, min_shared=2, max_doc_freq=None
+    ).count()
+    assert flood > len(got)
