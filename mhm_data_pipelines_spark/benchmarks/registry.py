@@ -6445,6 +6445,315 @@ ORDER BY t.doc_id
 """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 (tf-weighted)
+    and token-set Jaccard (coverage-weighted) top-20 lists for the
+    same fixed query — the standard sparse+sparse hybrid combiner
+    (RRF consumes ranks only, so no score calibration). Scale shape:
+    both input rankings end in a TakeOrdered, so ranking windows and
+    the fusion aggregate run on 2×20 rows, never the corpus."""
+    from mhm_data_pipelines_spark.operators.retrieval import (
+        bm25_topk,
+        jaccard_topk,
+        rrf_fuse,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(df, _BM25_QUERY, k=20, k1=_BM25_K1, b=_BM25_B)
+    jc = jaccard_topk(df, _BM25_QUERY, k=20)
+    out = rrf_fuse([bm, jc], topk=10)
+    return out.select(
+        "doc_id",
+        "rrf_score",
+        F.col("n_lists").cast("long").alias("n_lists"),
+    )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    terms = sorted({t.lower() for t in _BM25_QUERY.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    arr = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk, len({_SQL_TOKENS}) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+), t AS (
+  SELECT doc_id, unnest(tk) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM t WHERE term IN ({in_list}) GROUP BY 1, 2
+), df_ AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0!r}) /
+           (tf + {k1!r} * (1.0 - {b!r} + ({b!r} * dl) / avgdl)) AS pt
+  FROM tf
+  JOIN df_ USING (term)
+  JOIN toks USING (doc_id), stats
+), bm AS (
+  SELECT doc_id, round(sum(pt), 4) AS score
+  FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+), bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM bm
+), jt AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(tk), {arr})) AS inter,
+         len(list_distinct(tk)) AS nd
+  FROM toks
+), jd AS (
+  SELECT doc_id,
+         round(inter * 1.0 / (nd + {len(terms)} - inter), 6) AS score
+  FROM jt WHERE inter > 0 ORDER BY score DESC, doc_id LIMIT 20
+), jdr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM jd
+), u AS (
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM jdr
+)
+SELECT doc_id, round(sum(c), 8) AS rrf_score, count(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+SQL_HYBRID_RRF = _hybrid_rrf_oracle_sql()
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    terciles of the unigram-LM mean token log-probability (high
+    log-prob = low perplexity = head; CCNet trains on the head band).
+    The score pipeline is doc_lm_score's (already oracle-certified);
+    the band assignment is quantile_bucket_assign — one threshold
+    aggregate + broadcast join + row-local CASE, no ntile window, so
+    boundary ties band identically in every engine."""
+    from mhm_data_pipelines_spark.operators.selection import (
+        quantile_bucket_assign,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        "lang",
+        F.explode(F.transform(tokens("text"), F.lower)).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("_total"))
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("_total"))), 4
+            ).alias("avg_logp")
+        )
+    )
+    out = quantile_bucket_assign(scored, "avg_logp", "lang")
+    return out.select("doc_id", "lang", "avg_logp", "bucket").orderBy(
+        "doc_id"
+    )
+
+
+SQL_PPL_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+sc AS (
+  SELECT doc_id, lang, round(avg(ln(c / t)), 4) AS avg_logp
+  FROM toks JOIN freq USING (term), total
+  GROUP BY doc_id, lang
+),
+th AS (
+  SELECT lang,
+         quantile_cont(avg_logp, {1.0 / 3!r}) AS q0,
+         quantile_cont(avg_logp, {2.0 / 3!r}) AS q1
+  FROM sc GROUP BY lang
+)
+SELECT doc_id, lang, avg_logp,
+       CASE WHEN avg_logp <= q0 THEN 'tail'
+            WHEN avg_logp <= q1 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sc JOIN th USING (lang)
+ORDER BY doc_id
+"""
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed PCA's moment pass, surfaced as the verifiable
+    artifact: the population covariance of the embedding matrix in
+    long upper-triangle form (i ≤ j). One mapInPandas pass emits a
+    d²-sized partial per Arrow batch (the corpus never shuffles),
+    partials combine in one hash aggregate — the exact pattern that
+    holds at 100 TB because only n_batches × O(d²) doubles move.
+    fit_pca/project (eigensolve + projection) build on this table and
+    are pinned by unit tests; the eigensolve is driver-side numpy on
+    d×d and has no SQL twin."""
+    from mhm_data_pipelines_spark.operators.pca import covariance_long
+
+    out = covariance_long(
+        _t(spark, sf_dir, "embeddings"), dim=64, round_to=6
+    )
+    return out.select("i", "j", "cov").orderBy("i", "j")
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id, CAST(g.i AS INTEGER) - 1 AS i, v[g.i] AS x
+  FROM e, LATERAL unnest(generate_series(1, 64)) g(i)
+)
+SELECT a.i AS i, b.i AS j,
+       round(sum(a.x * b.x) / count(*)
+             - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 6) + 0.0 AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_sft_stats(spark, sf_dir):
+    """SFT conversation prep: documents become deterministic JSON chat
+    transcripts (first-half tokens as the user turn, second half as
+    the assistant turn, +2 extra turns for even ids; every 17th id
+    swaps roles → roles_ok false; every 23rd id gets corrupted JSON →
+    parse_ok false), then conversation_stats validates structure and
+    counts per-role tokens and render_chat flattens the training
+    string. Everything row-local — from_json + higher-order array
+    exprs, zero shuffles except the display sort."""
+    from mhm_data_pipelines_spark.operators.conversations import (
+        conversation_stats,
+        render_chat,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    h = (n / 2).cast("int")
+
+    def turn(role, content):
+        return F.struct(
+            role.alias("role"), content.alias("content")
+        )
+
+    c1 = F.array_join(F.slice(toks, 1, h), " ")
+    c2 = F.array_join(F.slice(toks, h + 1, n - h), " ")
+    c3 = F.array_join(F.slice(toks, 1, F.least(n, F.lit(5))), " ")
+    first_role = F.when(
+        F.col("doc_id") % 17 == 0, F.lit("assistant")
+    ).otherwise(F.lit("user"))
+    base = F.array(turn(first_role, c1), turn(F.lit("assistant"), c2))
+    extra = F.array(
+        turn(F.lit("user"), c3), turn(F.lit("assistant"), F.lit("ok"))
+    )
+    arr = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(base, extra)
+    ).otherwise(base)
+    js = F.to_json(arr)
+    js = F.when(
+        F.col("doc_id") % 23 == 0, F.concat(F.lit("corrupt{"), js)
+    ).otherwise(js)
+    conv_df = df.select("doc_id", js.alias("conversation"))
+    out = conversation_stats(conv_df)
+    out = render_chat(out)
+    return out.select(
+        "doc_id",
+        "parse_ok",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "roles_ok",
+        "alternation_ok",
+        "turns_nonempty",
+        F.col("n_user_tokens").cast("long").alias("n_user_tokens"),
+        F.col("n_assistant_tokens").cast("long").alias(
+            "n_assistant_tokens"
+        ),
+        "valid",
+        F.md5("text_rendered").alias("rendered_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_SFT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks,
+         -- // (floor div) matches Spark's double->int truncation cast;
+         -- a plain / CAST would ROUND in DuckDB and split odd docs
+         -- one token differently.
+         CAST(len({_SQL_TOKENS}) // 2 AS INTEGER) AS h,
+         len({_SQL_TOKENS}) AS n
+  FROM documents
+), conv AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS corrupt,
+         CASE WHEN doc_id % 2 = 0 THEN
+           [struct_pack(role := CASE WHEN doc_id % 17 = 0
+                                 THEN 'assistant' ELSE 'user' END,
+                        content := array_to_string(toks[1:h], ' ')),
+            struct_pack(role := 'assistant',
+                        content := array_to_string(toks[h+1:n], ' ')),
+            struct_pack(role := 'user',
+                        content := array_to_string(toks[1:least(n, 5)], ' ')),
+            struct_pack(role := 'assistant', content := 'ok')]
+         ELSE
+           [struct_pack(role := CASE WHEN doc_id % 17 = 0
+                                 THEN 'assistant' ELSE 'user' END,
+                        content := array_to_string(toks[1:h], ' ')),
+            struct_pack(role := 'assistant',
+                        content := array_to_string(toks[h+1:n], ' '))]
+         END AS c
+  FROM base
+), stats AS (
+  SELECT doc_id, corrupt, c,
+         len(c) AS n_turns,
+         list_transform(c, x -> x.role) AS rs,
+         len(list_filter(generate_series(2, len(c)),
+                         i -> c[i].role = c[i-1].role)) > 0 AS repeats,
+         CAST(list_sum(list_transform(
+           list_filter(c, x -> x.role = 'user'),
+           x -> len(list_filter(string_split_regex(trim(x.content), '\\s+'),
+                                t -> t <> '')))) AS BIGINT) AS u_toks,
+         CAST(list_sum(list_transform(
+           list_filter(c, x -> x.role = 'assistant'),
+           x -> len(list_filter(string_split_regex(trim(x.content), '\\s+'),
+                                t -> t <> '')))) AS BIGINT) AS a_toks
+  FROM conv
+)
+SELECT doc_id,
+       NOT corrupt AS parse_ok,
+       CASE WHEN corrupt THEN 0 ELSE n_turns END AS n_turns,
+       NOT corrupt AND rs[1] = 'user' AS roles_ok,
+       NOT corrupt AND NOT repeats AS alternation_ok,
+       NOT corrupt AND len(list_filter(c,
+         x -> len(list_filter(string_split_regex(trim(x.content), '\\s+'),
+                              t -> t <> '')) = 0)) = 0 AS turns_nonempty,
+       CASE WHEN corrupt THEN 0 ELSE coalesce(u_toks, 0) END AS n_user_tokens,
+       CASE WHEN corrupt THEN 0 ELSE coalesce(a_toks, 0) END
+         AS n_assistant_tokens,
+       NOT corrupt AND n_turns >= 2 AND rs[1] = 'user' AND NOT repeats
+         AND len(list_filter(c,
+           x -> len(list_filter(string_split_regex(trim(x.content), '\\s+'),
+                                t -> t <> '')) = 0)) = 0
+         AS valid,
+       CASE WHEN corrupt THEN NULL
+            ELSE md5(array_to_string(
+              list_transform(c, x -> x.role || ': ' || x.content),
+              chr(10)))
+       END AS rendered_fp
+FROM stats
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -6582,6 +6891,10 @@ QUERIES: dict[str, QuerySpec] = {
     "compression_ratio": q_compression_ratio,
     "url_filter": q_url_filter,
     "quantile_select": q_quantile_select,
+    "hybrid_rrf": q_hybrid_rrf,
+    "ppl_buckets": q_ppl_buckets,
+    "embedding_covariance": q_embedding_covariance,
+    "sft_stats": q_sft_stats,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -6732,6 +7045,10 @@ ORACLES: dict[str, str] = {
     "compression_ratio": SQL_COMPRESSION_RATIO,
     "url_filter": SQL_URL_FILTER,
     "quantile_select": SQL_QUANTILE_SELECT,
+    "hybrid_rrf": SQL_HYBRID_RRF,
+    "ppl_buckets": SQL_PPL_BUCKETS,
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+    "sft_stats": SQL_SFT_STATS,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -6766,6 +7083,10 @@ GATE_PRIORITY: list[str] = [
     "audio_features",
     "url_filter",
     "quantile_select",
+    "hybrid_rrf",
+    "ppl_buckets",
+    "embedding_covariance",
+    "sft_stats",
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
     # kNN boundary-tie widen, budget sort-order/parallelism
@@ -6810,13 +7131,16 @@ GATE_PRIORITY: list[str] = [
     "multiprobe_recall",
     "event_pagerank",
     "fuzzy_pairs",
-    "snapshot_diff",
     "sentence_dedup",
     "weighted_sample",
     "semantic_decontam",
-    "variant_extract",
-    "neardup_pagerank",
-    "hll_user_rollup",
+    # snapshot_diff, variant_extract, hll_user_rollup and
+    # neardup_pagerank (single-green
+    # r4, definitions unchanged) rotate out to make room for this
+    # round's four new never-driver-verified keys above; the HLL
+    # family keeps stream_sketch_rollup and the PageRank family keeps
+    # event_pagerank in the window, and all four stay hash-checked by
+    # test_oracle_parity.py every CI run.
     # winnow_overlap re-enters (definition changed this round: df-cap
     # scale fix), displacing simhash_groups (single-green r4, but its
     # family keeps simhash_neardup as a fresh re-gated row; still
@@ -6908,4 +7232,8 @@ BENCH_QUERIES: list[str] = [
     # round-5 additions
     "url_filter",
     "quantile_select",
+    "hybrid_rrf",
+    "ppl_buckets",
+    "embedding_covariance",
+    "sft_stats",
 ]

@@ -1,0 +1,153 @@
+"""SFT / chat-data preparation: parse JSON conversations, validate
+turn structure, count per-role tokens, render chat templates.
+
+No reference counterpart (north-star LLM-pipeline extension):
+instruction-tuning corpora arrive as JSONL rows holding a
+``[{role, content}, ...]`` array, and the standard prep stages are
+(1) schema-checked parsing, (2) structural validation (roles known,
+user/assistant alternation, non-empty turns), (3) per-role token
+accounting for loss masking / budget math, (4) flattening through a
+chat template into the single training string.
+
+Scale shape: EVERYTHING here is a row-local expression — ``from_json``
++ higher-order array functions (transform/filter/exists/aggregate) stay
+inside whole-stage codegen, so the operators add zero shuffles and no
+Python. A malformed JSON row parses to NULL and is flagged, never
+dropped silently and never job-fatal (same quarantine philosophy as
+``sources.io.split_quarantine``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "CONV_SCHEMA",
+    "parse_conversations",
+    "conversation_stats",
+    "render_chat",
+]
+
+#: Spark-side schema for one conversation.
+CONV_SCHEMA = "array<struct<role:string,content:string>>"
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _n_tokens(content: Column) -> Column:
+    """Whitespace token count of one turn (0 for empty/blank)."""
+    return F.size(
+        F.filter(
+            F.split(F.trim(content), _TOKEN_SPLIT), lambda t: t != ""
+        )
+    )
+
+
+def parse_conversations(
+    df: DataFrame, json_col: str = "conversation", out_col: str = "conv"
+) -> DataFrame:
+    """Parse the JSON turn array into ``out_col`` (typed) plus a
+    ``parse_ok`` flag. ``from_json`` yields NULL on malformed input —
+    flagged here so a quarantine split is one filter away."""
+    parsed = F.from_json(F.col(json_col), CONV_SCHEMA)
+    return df.withColumn(out_col, parsed).withColumn(
+        "parse_ok", parsed.isNotNull()
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    json_col: str = "conversation",
+    roles: tuple[str, str] = ("user", "assistant"),
+) -> DataFrame:
+    """Structural validation + token accounting, all row-local:
+
+    * ``n_turns`` — turn count (0 for unparseable rows);
+    * ``roles_ok`` — every role ∈ ``roles`` and the first turn is
+      ``roles[0]`` (user-first convention);
+    * ``alternation_ok`` — no two consecutive turns share a role;
+    * ``turns_nonempty`` — every content has ≥1 token;
+    * ``n_user_tokens`` / ``n_assistant_tokens`` — whitespace tokens
+      per role (the loss-mask denominator/numerator);
+    * ``valid`` — conjunction of the above (and parseability).
+
+    The consecutive-role check compares the role array against itself
+    shifted by one (``zip_with`` of two slices) — no explode, no
+    window, no shuffle.
+    """
+    user, assistant = roles
+    out = parse_conversations(df, json_col)
+    conv = F.col("conv")
+    rs = F.transform(conv, lambda t: t["role"])
+    n = F.size(conv)
+    repeats = F.exists(
+        F.zip_with(
+            F.slice(rs, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(rs, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: a == b,
+        ),
+        lambda x: x,
+    )
+    role_tokens = {
+        r: F.aggregate(
+            F.filter(conv, lambda t: t["role"] == r),
+            F.lit(0),
+            lambda acc, t: acc + _n_tokens(t["content"]),
+        )
+        for r in (user, assistant)
+    }
+    roles_ok = F.forall(
+        rs, lambda r: r.isin([user, assistant])
+    ) & (F.element_at(rs, 1) == user)
+    turns_nonempty = F.forall(conv, lambda t: _n_tokens(t["content"]) > 0)
+    out = (
+        # size(NULL) is -1 under spark.sql.legacy.sizeOfNull — branch on
+        # the null conversation itself, never on size()'s null-behavior.
+        out.withColumn(
+            "n_turns", F.when(conv.isNull(), F.lit(0)).otherwise(n)
+        )
+        .withColumn("roles_ok", F.coalesce(roles_ok, F.lit(False)))
+        .withColumn(
+            "alternation_ok", F.coalesce(~repeats, F.lit(False))
+        )
+        .withColumn(
+            "turns_nonempty", F.coalesce(turns_nonempty, F.lit(False))
+        )
+        .withColumn(
+            "n_user_tokens", F.coalesce(role_tokens[user], F.lit(0))
+        )
+        .withColumn(
+            "n_assistant_tokens",
+            F.coalesce(role_tokens[assistant], F.lit(0)),
+        )
+    )
+    return out.withColumn(
+        "valid",
+        F.col("parse_ok")
+        & (F.col("n_turns") >= 2)
+        & F.col("roles_ok")
+        & F.col("alternation_ok")
+        & F.col("turns_nonempty"),
+    ).drop("conv")
+
+
+def render_chat(
+    df: DataFrame,
+    json_col: str = "conversation",
+    out_col: str = "text_rendered",
+    turn_sep: str = "\n",
+) -> DataFrame:
+    """Flatten a conversation into the single training string with the
+    minimal engine-portable template ``"<role>: <content>"`` joined by
+    ``turn_sep`` (tokenizer-specific templates are a rendering detail
+    on top of this same flatten). NULL (unparseable) renders NULL."""
+    conv = F.from_json(F.col(json_col), CONV_SCHEMA)
+    rendered = F.array_join(
+        F.transform(
+            conv,
+            lambda t: F.concat(t["role"], F.lit(": "), t["content"]),
+        ),
+        turn_sep,
+    )
+    return df.withColumn(out_col, rendered)

@@ -28,12 +28,12 @@ tie-breaks when hash-exact parity matters (same convention as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "jaccard_topk", "rrf_fuse"]
 
 
 def _query_terms(query: str | list[str]) -> list[str]:
@@ -129,3 +129,94 @@ def bm25_topk(
         df, query, id_col, text_col, k1, b, round_scores, share_scan
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def jaccard_topk(
+    df: DataFrame,
+    query: str | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Top-``k`` documents by query↔document token-SET Jaccard — the
+    set-overlap lexical ranking that complements BM25's tf-weighted one
+    (BM25 rewards repeated terms; Jaccard rewards coverage relative to
+    document vocabulary size). Returns ``(id_col, score,
+    n_terms_matched)``; docs sharing no term are absent.
+
+    Scale shape: ZERO shuffles before the top-k. The query term set is
+    a literal array, the per-doc intersection is
+    ``array_intersect(array_distinct(tokens), lit(terms))`` — a pure
+    row-local expression inside whole-stage codegen — and the final
+    top-k is a TakeOrdered (per-partition top-k, k-row driver merge).
+    No explode, no join: the corpus is scanned once, projected to
+    (id, two ints), and only k rows leave the executors."""
+    terms = _query_terms(query)
+    toks = F.array_distinct(F.transform(tokens(text_col), F.lower))
+    inter = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+    )
+    union = F.size(toks) + F.lit(len(terms)) - inter
+    out = (
+        df.select(
+            F.col(id_col),
+            (inter.cast("double") / union).alias("score"),
+            inter.alias("n_terms_matched"),
+        )
+        .filter(F.col("n_terms_matched") > 0)
+    )
+    if round_scores is not None:
+        out = out.withColumn("score", F.round("score", round_scores))
+    return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topk: int | None = None,
+    round_scores: int | None = 8,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N ranked lists — the standard hybrid-retrieval combiner (sparse
+    BM25 + a second ranking fused without score calibration, since RRF
+    consumes only ranks):
+
+        rrf(d) = Σ_lists 1 / (k_const + rank_list(d))
+
+    Each input frame needs ``(id_col, score)``; ranks are assigned
+    within each list as ``row_number`` over (score desc, id asc) — the
+    repo-wide deterministic tie rule. Returns ``(id_col, rrf_score,
+    n_lists)`` ordered by (rrf_score desc, id asc).
+
+    Scale shape: inputs are top-k lists (k rows each — bm25_topk /
+    jaccard_topk end in a TakeOrdered), so the single-partition
+    ``row_number`` window and the fusion hash-aggregate run on N·k
+    rows total, not the corpus. Fusing full corpus-sized rankings
+    would instead want rank-by-aggregation; this operator's contract
+    is list fusion, matching its retrieval use."""
+    if not rankings:
+        raise ValueError("rankings is empty")
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    contribs = [
+        r.select(id_col, "score")
+        .withColumn(
+            "_contrib", F.lit(1.0) / (k_const + F.row_number().over(w))
+        )
+        .select(id_col, "_contrib")
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    out = allc.groupBy(id_col).agg(
+        F.sum("_contrib").alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    if round_scores is not None:
+        out = out.withColumn(
+            "rrf_score", F.round("rrf_score", round_scores)
+        )
+    out = out.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return out.limit(topk) if topk is not None else out

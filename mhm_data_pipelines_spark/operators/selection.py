@@ -274,3 +274,49 @@ def quantile_threshold_select(
     return df.join(F.broadcast(thresholds), group_col).withColumn(
         "kept", F.col(score_col) >= F.col("threshold")
     )
+
+
+def quantile_bucket_assign(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    quantiles: list[float] = (1.0 / 3, 2.0 / 3),
+    labels: list[str] = ("head", "middle", "tail"),
+    descending: bool = True,
+) -> DataFrame:
+    """CCNet-style per-group quantile bucketing: split each
+    ``group_col`` population into ``len(labels)`` bands by exact
+    interpolated percentiles of ``score_col`` (CCNet buckets each language
+    into head/middle/tail by LM perplexity and trains on the head).
+    ``descending=True`` puts the HIGHEST scores in ``labels[0]``
+    (pass the mean log-prob directly: high log-prob = low perplexity
+    = head). Adds a ``bucket`` column; rows are labeled, not dropped.
+
+    Scale shape — identical to :func:`quantile_threshold_select` and
+    deliberately NOT an ``ntile`` window: one hash aggregate computes
+    the (few-groups × few-quantiles) threshold table, a broadcast join
+    carries the scalars back, and the band test is a row-local CASE —
+    no per-group global sort anywhere. Ties at a boundary land in the
+    same band in every engine (value comparison, not row numbering),
+    which is what makes the assignment hash-reproducible."""
+    if len(quantiles) + 1 != len(labels):
+        raise ValueError("need len(labels) == len(quantiles) + 1")
+    if sorted(quantiles) != list(quantiles):
+        raise ValueError("quantiles must be ascending")
+    aggs = [
+        F.expr(f"percentile({score_col}, {q!r})").alias(f"_q{i}")
+        for i, q in enumerate(quantiles)
+    ]
+    thresholds = df.groupBy(group_col).agg(*aggs)
+    out = df.join(F.broadcast(thresholds), group_col)
+    # Band i (ascending) = score <= q_i; descending flips the labels so
+    # labels[0] takes the top band. Boundary rule: `<=` on the lower
+    # thresholds, consistent in SQL as score <= q_i.
+    ordered = list(labels[::-1]) if descending else list(labels)
+    expr = F.lit(ordered[-1])
+    for i in range(len(quantiles) - 1, -1, -1):
+        expr = F.when(
+            F.col(score_col) <= F.col(f"_q{i}"), F.lit(ordered[i])
+        ).otherwise(expr)
+    out = out.withColumn("bucket", expr)
+    return out.drop(*[f"_q{i}" for i in range(len(quantiles))])

@@ -27,6 +27,29 @@ NOTES = {
         "threshold, scalar thresholds broadcast back - no corpus-wide "
         "window or sort."
     ),
+    "hybrid_rrf": (
+        "RRF fusion: the corpus appears only inside the two top-k "
+        "inputs (bm25's term-filtered aggs + jaccard's zero-shuffle "
+        "TakeOrdered); rank windows and the fusion aggregate run on "
+        "2x20 rows."
+    ),
+    "ppl_buckets": (
+        "CCNet buckets: doc_lm_score's explode/agg subtree + ONE "
+        "lang-threshold hash-aggregate whose scalars broadcast back; "
+        "band assignment is a row-local CASE - deliberately no ntile "
+        "window, so no per-language global sort."
+    ),
+    "embedding_covariance": (
+        "PCA moment pass: ZERO parquet scans in the combine plan - the "
+        "lazily-checkpointed MapInPandas partials (one (n,s,g) row per "
+        "Arrow batch) feed the g/s/n aggregates; every join after is "
+        "metadata-sized broadcast."
+    ),
+    "sft_stats": (
+        "SFT prep: conversation build, from_json parse, validation and "
+        "per-role token math are ONE row-local Project (codegen) - the "
+        "display sort is the only Exchange."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "
@@ -344,14 +367,25 @@ def main() -> None:
             "Warm wall-time per heavy query, one order of magnitude up. "
             "A ratio <= ~10 on 10x data means the plan scales linearly "
             "or better; >12 would flag a super-linear step "
-            "(hot-bucket caps / AQE not holding).\n\n"
-            "| query | sf0.1 s | sf1 s | ratio | rows sf1 |\n"
-            "|---|---|---|---|---|"
+            "(hot-bucket caps / AQE not holding). Both scales "
+            "deliberately run at 32 shuffle partitions; a flagged query "
+            "is re-probed at 128 (the sp128 column) because a cluster "
+            "scales shuffle parallelism with the data - a ratio that "
+            "collapses at sp128 is partition starvation, not "
+            "super-linear work (observed once for minhash_neardup: "
+            "32.5s -> 14.1s, i.e. 5.5x on 10x data).\n\n"
+            "| query | sf0.1 s | sf1 s | ratio | sf1@sp128 | rows sf1 |\n"
+            "|---|---|---|---|---|---|"
         )
         for name, r in rec.items():
+            sp128 = (
+                f"{r['sf1_sp128']['sec']}s ({r['ratio_10x_data_sp128']}x)"
+                if "sf1_sp128" in r
+                else "-"
+            )
             out.append(
                 f"| {name} | {r['sf0.1']['sec']} | {r['sf1']['sec']} "
-                f"| {r['ratio_10x_data']}x | {r['sf1']['rows']} |"
+                f"| {r['ratio_10x_data']}x | {sp128} | {r['sf1']['rows']} |"
             )
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:

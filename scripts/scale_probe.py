@@ -48,6 +48,31 @@ def main() -> None:
         ratio = r["sf1"]["sec"] / max(r["sf0.1"]["sec"], 1e-9)
         r["ratio_10x_data"] = round(ratio, 2)
         r["superlinear"] = ratio > 12
+    flagged = [n for n, r in out.items() if r["superlinear"]]
+    if flagged:
+        # A cluster scales shuffle parallelism with the data (or AQE
+        # re-plans it); the fixed 32 partitions above deliberately do
+        # not. Re-probe flagged queries at 4x partitions to separate
+        # genuine super-linear work from partition starvation.
+        spark.stop()
+        spark = get_spark(app_name="scale-probe-sp128",
+                          master="local[32]", shuffle_partitions=128)
+        spark.sparkContext.setLogLevel("ERROR")
+        load_table_cache_clear()
+        for name in flagged:
+            QUERIES[name](spark, "/tmp/mhm_sf1").count()
+            release_query_resources()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, "/tmp/mhm_sf1").count()
+            dt = round(time.perf_counter() - t0, 3)
+            release_query_resources()
+            r = out[name]
+            r["sf1_sp128"] = {"sec": dt}
+            r["ratio_10x_data_sp128"] = round(
+                dt / max(r["sf0.1"]["sec"], 1e-9), 2
+            )
+            r["superlinear"] = r["ratio_10x_data_sp128"] > 12
+            print(f"# sf1@sp128 {name}: {dt}s", flush=True)
     with open("/root/repo/SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v["ratio_10x_data"] for k, v in out.items()}))

@@ -68,6 +68,9 @@ SINGLE_ROW_BROADCAST_OK = {
                           # the IVF side under test is an equi-join on
                           # list_id
     "bm25_topk",          # crossJoin(broadcast(N docs + avgdl)) — 1 row
+    "hybrid_rrf",         # contains bm25_topk's 1-row stats cross
+    "ppl_buckets",        # crossJoin(broadcast(corpus token total)) — 1 row
+    "embedding_covariance",  # crossJoin(broadcast(vector count n)) — 1 row
     "dsir_weights",       # crossJoin(broadcast(total feature counts))
                           # — two 1-row scalar sides
     "pq_topk",            # ADC scoring: encoded corpus ×
@@ -216,6 +219,21 @@ PLAN_BUDGETS: dict[str, dict] = {
     # phases) + the estimate/exact join + display sort — raw events
     # scan twice (sketch path + exact verification path), never more.
     "hll_user_rollup": {"max_shuffles": 6},
+    # round-5 additions. hybrid_rrf: bm25's tf/docfreq/dl aggs + the two
+    # 20-row rank windows + fusion agg — the corpus-sized side rides
+    # bm25's budget; jaccard is scan + TakeOrdered (no Exchange).
+    # ppl_buckets: doc_lm_score's exploded-token subtree is planned per
+    # consumer (freq ×2, scored join) like doc_lm_score itself + the
+    # lang-threshold agg + display sort. embedding_covariance: the
+    # moment partials localCheckpoint (one corpus scan), then g/s/n
+    # combine aggs + metadata-sized joins + display sort — the plan
+    # must show ZERO parquet scans (partials reused, never re-scanned).
+    "hybrid_rrf": {"max_shuffles": 5, "require": ["BroadcastHashJoin"]},
+    "ppl_buckets": {"max_shuffles": 10, "require": ["BroadcastHashJoin"]},
+    "embedding_covariance": {"max_shuffles": 5},
+    # sft_stats is from_json + higher-order array exprs, all row-local:
+    # the display sort is the ONLY Exchange.
+    "sft_stats": {"max_shuffles": 1},
 }
 
 

@@ -1,5 +1,6 @@
 """BM25 retrieval: hand-computed scores on a tiny corpus, top-k
-determinism, input validation."""
+determinism, input validation. Jaccard ranking and RRF fusion:
+hand-computed fusion on the same corpus."""
 
 from __future__ import annotations
 
@@ -10,6 +11,8 @@ import pytest
 from mhm_data_pipelines_spark.operators.retrieval import (
     bm25_scores,
     bm25_topk,
+    jaccard_topk,
+    rrf_fuse,
 )
 
 DOCS = [
@@ -76,6 +79,60 @@ def test_bm25_unmatched_docs_absent_and_case_folded(spark, corpus):
 def test_bm25_empty_query_raises(spark, corpus):
     with pytest.raises(ValueError):
         bm25_scores(corpus, "   ")
+
+
+def test_jaccard_topk_hand_computed(spark, corpus):
+    # query set {spark, data}; per-doc distinct tokens from DOCS.
+    rows = jaccard_topk(corpus, "spark data", k=10).collect()
+    got = {r.doc_id: (r.score, r.n_terms_matched) for r in rows}
+    expect = {}
+    for d, t in DOCS:
+        toks = set(t.lower().split())
+        inter = len(toks & {"spark", "data"})
+        if inter:
+            expect[d] = (
+                round(inter / (len(toks) + 2 - inter), 6),
+                inter,
+            )
+    assert got == expect
+    # ordering: score desc, id asc
+    scores = [(r.score, r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda x: (-x[0], x[1]))
+
+
+def test_jaccard_topk_respects_k(spark, corpus):
+    assert jaccard_topk(corpus, "spark data", k=1).count() == 1
+
+
+def test_rrf_fuse_hand_computed(spark, corpus):
+    a = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 9.0), (4, 5.0)], "doc_id long, score double"
+    )
+    rows = rrf_fuse([a, b], k_const=60).collect()
+    got = {r.doc_id: (r.rrf_score, r.n_lists) for r in rows}
+    want = {
+        1: (round(1 / 61, 8), 1),
+        2: (round(1 / 62 + 1 / 61, 8), 2),
+        3: (round(1 / 63, 8), 1),
+        4: (round(1 / 62, 8), 1),
+    }
+    assert got == want
+    # order: rrf desc, id asc; doc 2 fused from both lists wins
+    assert [r.doc_id for r in rows][0] == 2
+
+
+def test_rrf_fuse_tie_rule_and_topk(spark):
+    # identical scores: rank by id asc within a list
+    a = spark.createDataFrame(
+        [(7, 1.0), (5, 1.0)], "doc_id long, score double"
+    )
+    rows = rrf_fuse([a], topk=1).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 5
+    with pytest.raises(ValueError):
+        rrf_fuse([])
 
 
 def test_bm25_share_scan_same_results(spark, corpus):

@@ -146,3 +146,71 @@ def test_embedding_decontaminate_empty_eval(spark):
     assert set(got) == {1, 2}
     assert all(not r["contaminated"] for r in got.values())
     assert all(r["max_eval_cosine"] is None for r in got.values())
+
+
+def test_quantile_bucket_assign_terciles(spark):
+    from mhm_data_pipelines_spark.operators.selection import (
+        quantile_bucket_assign,
+    )
+
+    # group g: scores 1..9 -> q0 = percentile(1/3) interp, q1 = p(2/3).
+    rows = [(i, "g", float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = quantile_bucket_assign(df, "score", "grp")
+    got = {r.id: r.bucket for r in out.collect()}
+    # exact percentile on 1..9: q0 = 1 + 8/3 = 3.667, q1 = 1 + 16/3 = 6.333
+    # descending=True: top band (score > q1) = head.
+    want = {
+        1: "tail", 2: "tail", 3: "tail",
+        4: "middle", 5: "middle", 6: "middle",
+        7: "head", 8: "head", 9: "head",
+    }
+    assert got == want
+
+
+def test_quantile_bucket_assign_boundary_ties_same_band(spark):
+    from mhm_data_pipelines_spark.operators.selection import (
+        quantile_bucket_assign,
+    )
+
+    # 6 equal scores: every threshold equals the value; `<=` puts ALL
+    # rows in the first (ascending) band -> with descending labels all
+    # land in 'tail', never split by row order.
+    rows = [(i, "g", 5.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = quantile_bucket_assign(df, "score", "grp")
+    assert {r.bucket for r in out.collect()} == {"tail"}
+
+
+def test_quantile_bucket_assign_per_group_independent(spark):
+    from mhm_data_pipelines_spark.operators.selection import (
+        quantile_bucket_assign,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(3)] + [
+        (10 + i, "b", float(100 + i)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = quantile_bucket_assign(df, "score", "grp")
+    got = {r.id: r.bucket for r in out.collect()}
+    # each group terciles over its OWN range: one row per band
+    assert got == {
+        0: "tail", 1: "middle", 2: "head",
+        10: "tail", 11: "middle", 12: "head",
+    }
+
+
+def test_quantile_bucket_assign_validation(spark):
+    import pytest
+
+    from mhm_data_pipelines_spark.operators.selection import (
+        quantile_bucket_assign,
+    )
+
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, score double")
+    with pytest.raises(ValueError):
+        quantile_bucket_assign(df, "score", "grp", quantiles=[0.5], labels=["a"])
+    with pytest.raises(ValueError):
+        quantile_bucket_assign(
+            df, "score", "grp", quantiles=[0.7, 0.3], labels=["a", "b", "c"]
+        )
