@@ -6754,6 +6754,63 @@ ORDER BY doc_id
 """
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode canonicalization gate: every document gets a suffix in
+    fully-COMPOSED form (even ids: café naïve as single codepoints) or
+    fully-DECOMPOSED form (odd ids: e/i + combining accents); after
+    NFC canonicalization both spell identical bytes, so `changed` is
+    exactly the decomposed half and the normalized fingerprint unifies
+    the two spellings. The NFC hop is one Arrow-vectorized pandas_udf
+    with an ASCII fast path; everything else is codegen expressions —
+    zero shuffles except the display sort."""
+    from mhm_data_pipelines_spark.functions.unicode import (
+        canonicalize_text,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    # Explicit escapes, never literal glyphs: tooling that NFC-
+    # normalizes source files would silently merge the branches.
+    composed = " caf\u00e9 na\u00efve"
+    decomposed = " cafe\u0301 nai\u0308ve"
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(composed)
+    ).otherwise(F.lit(decomposed))
+    raw = F.concat(F.col("text"), suffix)
+    norm = canonicalize_text(raw)
+    return df.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != raw).alias("changed"),
+        F.md5(norm).alias("norm_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_UNICODE_NORMALIZE = """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+           THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+           ELSE ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         END AS raw
+  FROM documents
+), n AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(raw), '[[:cntrl:]]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS norm
+  FROM t
+)
+SELECT doc_id,
+       length(raw) AS n_chars_raw,
+       length(norm) AS n_chars_norm,
+       norm <> raw AS changed,
+       md5(norm) AS norm_fp
+FROM n
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -6895,6 +6952,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ppl_buckets": q_ppl_buckets,
     "embedding_covariance": q_embedding_covariance,
     "sft_stats": q_sft_stats,
+    "unicode_normalize": q_unicode_normalize,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7049,6 +7107,7 @@ ORACLES: dict[str, str] = {
     "ppl_buckets": SQL_PPL_BUCKETS,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "sft_stats": SQL_SFT_STATS,
+    "unicode_normalize": SQL_UNICODE_NORMALIZE,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7087,6 +7146,7 @@ GATE_PRIORITY: list[str] = [
     "ppl_buckets",
     "embedding_covariance",
     "sft_stats",
+    "unicode_normalize",
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
     # kNN boundary-tie widen, budget sort-order/parallelism
@@ -7131,15 +7191,15 @@ GATE_PRIORITY: list[str] = [
     "multiprobe_recall",
     "event_pagerank",
     "fuzzy_pairs",
-    "sentence_dedup",
     "weighted_sample",
     "semantic_decontam",
-    # snapshot_diff, variant_extract, hll_user_rollup and
-    # neardup_pagerank (single-green
+    # snapshot_diff, variant_extract, hll_user_rollup, neardup_pagerank
+    # and sentence_dedup (single-green
     # r4, definitions unchanged) rotate out to make room for this
-    # round's four new never-driver-verified keys above; the HLL
-    # family keeps stream_sketch_rollup and the PageRank family keeps
-    # event_pagerank in the window, and all four stay hash-checked by
+    # round's five new never-driver-verified keys above; the HLL
+    # family keeps stream_sketch_rollup, the PageRank family keeps
+    # event_pagerank and the unit-dedup family keeps paragraph_dedup
+    # in the window, and all five stay hash-checked by
     # test_oracle_parity.py every CI run.
     # winnow_overlap re-enters (definition changed this round: df-cap
     # scale fix), displacing simhash_groups (single-green r4, but its
@@ -7236,4 +7296,5 @@ BENCH_QUERIES: list[str] = [
     "ppl_buckets",
     "embedding_covariance",
     "sft_stats",
+    "unicode_normalize",
 ]

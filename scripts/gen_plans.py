@@ -50,6 +50,12 @@ NOTES = {
         "per-role token math are ONE row-local Project (codegen) - the "
         "display sort is the only Exchange."
     ),
+    "unicode_normalize": (
+        "NFC canonicalization: one ArrowEvalPython hop (vectorized "
+        "unicodedata, ASCII fast path) inside a row-local projection; "
+        "cleanup regexes stay codegen; display sort is the only "
+        "Exchange."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

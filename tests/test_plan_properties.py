@@ -234,6 +234,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # sft_stats is from_json + higher-order array exprs, all row-local:
     # the display sort is the ONLY Exchange.
     "sft_stats": {"max_shuffles": 1},
+    # unicode_normalize: one ArrowEvalPython (NFC) inside a row-local
+    # projection; the display sort is the ONLY Exchange.
+    "unicode_normalize": {"max_shuffles": 1},
 }
 
 
