@@ -6811,6 +6811,58 @@ ORDER BY doc_id
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct 3-gram vocabulary
+    overlap (count + Jaccard) for every source pair — the whole-corpus
+    diagnostic that catches one source duplicating another before any
+    pair-level dedup runs. One gram explode feeds both hash aggregates
+    (per-gram source set, bounded by n_sources; per-source totals);
+    the pair space explodes from the per-gram set — never a corpus
+    self-join."""
+    from mhm_data_pipelines_spark.operators.decontam import (
+        source_ngram_overlap,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    out = source_ngram_overlap(df, n=3)
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    ).orderBy("group_a", "group_b")
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), g0 AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+  FROM toks
+), g AS (
+  SELECT DISTINCT source, gram FROM g0
+), totals AS (
+  SELECT source, count(*) AS n FROM g GROUP BY source
+), pairs AS (
+  SELECT x.source AS a, y.source AS b, count(*) AS n_common
+  FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT p.a AS group_a, p.b AS group_b,
+       p.n_common, ta.n AS n_a, tb.n AS n_b,
+       round(p.n_common * 1.0 / (ta.n + tb.n - p.n_common), 6) AS jaccard
+FROM pairs p
+JOIN totals ta ON p.a = ta.source
+JOIN totals tb ON p.b = tb.source
+ORDER BY group_a, group_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -6953,6 +7005,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_covariance": q_embedding_covariance,
     "sft_stats": q_sft_stats,
     "unicode_normalize": q_unicode_normalize,
+    "source_overlap": q_source_overlap,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7108,6 +7161,7 @@ ORACLES: dict[str, str] = {
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "sft_stats": SQL_SFT_STATS,
     "unicode_normalize": SQL_UNICODE_NORMALIZE,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7147,6 +7201,7 @@ GATE_PRIORITY: list[str] = [
     "embedding_covariance",
     "sft_stats",
     "unicode_normalize",
+    "source_overlap",
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
     # kNN boundary-tie widen, budget sort-order/parallelism
@@ -7191,16 +7246,15 @@ GATE_PRIORITY: list[str] = [
     "multiprobe_recall",
     "event_pagerank",
     "fuzzy_pairs",
-    "weighted_sample",
     "semantic_decontam",
-    # snapshot_diff, variant_extract, hll_user_rollup, neardup_pagerank
-    # and sentence_dedup (single-green
+    # snapshot_diff, variant_extract, hll_user_rollup, neardup_pagerank,
+    # sentence_dedup and weighted_sample (single-green
     # r4, definitions unchanged) rotate out to make room for this
-    # round's five new never-driver-verified keys above; the HLL
-    # family keeps stream_sketch_rollup, the PageRank family keeps
-    # event_pagerank and the unit-dedup family keeps paragraph_dedup
-    # in the window, and all five stay hash-checked by
-    # test_oracle_parity.py every CI run.
+    # round's six new never-driver-verified keys above; the HLL family
+    # keeps stream_sketch_rollup, the PageRank family keeps
+    # event_pagerank, the unit-dedup family keeps paragraph_dedup and
+    # the sampling family keeps temperature_mix in the window, and all
+    # six stay hash-checked by test_oracle_parity.py every CI run.
     # winnow_overlap re-enters (definition changed this round: df-cap
     # scale fix), displacing simhash_groups (single-green r4, but its
     # family keeps simhash_neardup as a fresh re-gated row; still
@@ -7297,4 +7351,5 @@ BENCH_QUERIES: list[str] = [
     "embedding_covariance",
     "sft_stats",
     "unicode_normalize",
+    "source_overlap",
 ]

@@ -143,3 +143,68 @@ def embedding_decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of
+    ``group_col`` values, how many distinct word ``n``-grams they
+    share and the Jaccard of their n-gram vocabularies — the corpus
+    diagnostic that surfaces a crawl snapshot duplicating another
+    source (or an eval dump leaked into a training source) BEFORE
+    pair-level dedup spends anything on it. Returns
+    ``(group_a, group_b, n_common, n_a, n_b, jaccard)`` for
+    ``group_a < group_b``.
+
+    Scale shape: grams explode once and meet in ONE hash aggregate per
+    direction — per-gram ``collect_set(group)`` (bounded by the number
+    of groups, NOT the corpus) and per-group distinct-gram counts. The
+    pair space then explodes from the per-gram group set, i.e.
+    ``O(k²)`` per gram where k ≤ n_groups — never a corpus self-join.
+    Contract: ``group_col`` is a modest-cardinality partition key
+    (sources, crawl snapshots, languages — tens, not millions); for
+    per-domain granularity, roll domains up to registrable suffix
+    groups first (``operators.urls.registrable_domain``).
+    """
+    toks = F.transform(tokens(text_col), F.lower)
+    grams = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(ngrams_of_tokens(toks, n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.collect_set("_g").alias("_gs")
+    )
+    totals = (
+        grams.distinct()
+        .groupBy("_g")
+        .agg(F.count("*").alias("_n_grams"))
+    )
+    pairs = (
+        per_gram.select(F.explode("_gs").alias("a"), F.col("_gs"))
+        .select("a", F.explode("_gs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ta = totals.selectExpr("_g as a", "_n_grams as n_a")
+    tb = totals.selectExpr("_g as b", "_n_grams as n_b")
+    return (
+        pairs.join(F.broadcast(ta), "a")
+        .join(F.broadcast(tb), "b")
+        .select(
+            F.col("a").alias("group_a"),
+            F.col("b").alias("group_b"),
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -56,6 +56,12 @@ NOTES = {
         "cleanup regexes stay codegen; display sort is the only "
         "Exchange."
     ),
+    "source_overlap": (
+        "cross-source gram overlap: per-gram collect_set agg (bounded "
+        "by n_sources) + per-source distinct totals; the pair space "
+        "explodes from the per-gram set and totals join back as "
+        "BroadcastHashJoin - no corpus self-join anywhere."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -237,6 +237,11 @@ PLAN_BUDGETS: dict[str, dict] = {
     # unicode_normalize: one ArrowEvalPython (NFC) inside a row-local
     # projection; the display sort is the ONLY Exchange.
     "unicode_normalize": {"max_shuffles": 1},
+    # source_overlap: the gram explode feeds the per-gram set agg and
+    # the per-source totals agg (subtree planned per consumer like
+    # ppl_buckets); pair explode + pair agg + two broadcast totals
+    # joins + display sort.
+    "source_overlap": {"max_shuffles": 7, "require": ["BroadcastHashJoin"]},
 }
 
 

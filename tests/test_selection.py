@@ -214,3 +214,43 @@ def test_quantile_bucket_assign_validation(spark):
         quantile_bucket_assign(
             df, "score", "grp", quantiles=[0.7, 0.3], labels=["a", "b", "c"]
         )
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    from mhm_data_pipelines_spark.operators.decontam import (
+        source_ngram_overlap,
+    )
+
+    # 3-gram vocabularies: A = {a b c, b c d}, B = {a b c, b c x},
+    # C shares nothing. A∩B = {a b c} -> jaccard 1/3.
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),
+            (2, "B", "a b c x"),
+            (3, "C", "q r s t"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_ngram_overlap(df).collect()
+    got = {
+        (r.group_a, r.group_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in rows
+    }
+    assert got == {("A", "B"): (1, 2, 2, round(1 / 3, 6))}
+
+
+def test_source_ngram_overlap_duplicate_grams_count_once(spark):
+    from mhm_data_pipelines_spark.operators.decontam import (
+        source_ngram_overlap,
+    )
+
+    # the shared gram appears in MANY docs of both sources; vocabulary
+    # overlap still counts it once per pair.
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", "x y z") for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    rows = source_ngram_overlap(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_common, r.n_a, r.n_b, r.jaccard) == (1, 1, 1, 1.0)
