@@ -6863,6 +6863,37 @@ ORDER BY group_a, group_b
 """
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase match ("the data" as adjacent tokens in
+    order) — the retrieval primitive BM25/Jaccard term scoring cannot
+    express. Counts every matching start position with row-local array
+    expressions (no lookahead regex, so engines without lookahead
+    replay it exactly); the display sort is the only Exchange."""
+    from mhm_data_pipelines_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), "the data"
+    )
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, greatest(len(tk) - 1, 0)),
+                         i -> tk[i:i+1] = ['the', 'data']))
+           AS n_occurrences
+  FROM t
+)
+SELECT doc_id, n_occurrences FROM c
+WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7006,6 +7037,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sft_stats": q_sft_stats,
     "unicode_normalize": q_unicode_normalize,
     "source_overlap": q_source_overlap,
+    "phrase_search": q_phrase_search,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7162,6 +7194,7 @@ ORACLES: dict[str, str] = {
     "sft_stats": SQL_SFT_STATS,
     "unicode_normalize": SQL_UNICODE_NORMALIZE,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7202,6 +7235,8 @@ GATE_PRIORITY: list[str] = [
     "sft_stats",
     "unicode_normalize",
     "source_overlap",
+    "phrase_search",
+    # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
     # kNN boundary-tie widen, budget sort-order/parallelism
@@ -7241,7 +7276,8 @@ GATE_PRIORITY: list[str] = [
     "ivfpq_topk",
     "dsir_weights",
     "quality_classifier",
-    "bpe_encode",
+    # bpe_encode rotates out for phrase_search (the BPE family keeps
+    # bpe_pairs in the window).
     "neardup_clusters",
     "multiprobe_recall",
     "event_pagerank",
@@ -7352,4 +7388,5 @@ BENCH_QUERIES: list[str] = [
     "sft_stats",
     "unicode_normalize",
     "source_overlap",
+    "phrase_search",
 ]

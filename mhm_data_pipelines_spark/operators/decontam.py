@@ -150,6 +150,7 @@ def source_ngram_overlap(
     group_col: str = "source",
     text_col: str = "text",
     n: int = 3,
+    share_scan: bool = True,
 ) -> DataFrame:
     """Cross-source contamination matrix: for every pair of
     ``group_col`` values, how many distinct word ``n``-grams they
@@ -170,23 +171,44 @@ def source_ngram_overlap(
     per-domain granularity, roll domains up to registrable suffix
     groups first (``operators.urls.registrable_domain``).
     """
-    toks = F.transform(tokens(text_col), F.lower)
-    grams = df.select(
+    # Tokenize in its OWN projection before the explode (the same
+    # Generate-boundary staging as _exploded_ngrams): HOFs are
+    # interpreted with no CSE, so an inlined token array re-evaluates
+    # once per slice reference inside the n-gram transform — O(len²)
+    # per document.
+    tokd = spread_small_input(df).select(
         F.col(group_col).alias("_g"),
-        F.explode(ngrams_of_tokens(toks, n)).alias("gram"),
+        F.transform(tokens(text_col), F.lower).alias("_toks"),
     )
+    grams = tokd.select(
+        "_g", F.explode(ngrams_of_tokens("_toks", n)).alias("gram")
+    ).distinct()
+    if share_scan:
+        # Both consumers (per-gram set, per-group totals) read the
+        # distinct (group, gram) relation; without materialization the
+        # corpus explode runs once per consumer. Same opt-in trade as
+        # bm25_scores/covariance_long; pass False on Spark Connect.
+        grams = grams.localCheckpoint(eager=False)
     per_gram = grams.groupBy("gram").agg(
-        F.collect_set("_g").alias("_gs")
+        F.sort_array(F.collect_set("_g")).alias("_gs")
     )
-    totals = (
-        grams.distinct()
-        .groupBy("_g")
-        .agg(F.count("*").alias("_n_grams"))
+    totals = grams.groupBy("_g").agg(F.count("*").alias("_n_grams"))
+    # Ordered pairs built expression-side from the sorted set — emits
+    # exactly k(k-1)/2 rows per gram instead of exploding k² and
+    # filtering half away.
+    arr = F.col("_gs")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        per_gram.select(F.explode("_gs").alias("a"), F.col("_gs"))
-        .select("a", F.explode("_gs").alias("b"))
-        .filter(F.col("a") < F.col("b"))
+        per_gram.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
     )

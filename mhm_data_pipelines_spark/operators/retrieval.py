@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "jaccard_topk", "rrf_fuse"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "jaccard_topk",
+    "phrase_search",
+    "rrf_fuse",
+]
 
 
 def _query_terms(query: str | list[str]) -> list[str]:
@@ -169,6 +175,59 @@ def jaccard_topk(
     if round_scores is not None:
         out = out.withColumn("score", F.round("score", round_scores))
     return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Exact PHRASE match — the positional query BM25/Jaccard term
+    rankings cannot express (["data", "model"] adjacent and in order).
+    Returns ``(id_col, n_occurrences)`` for documents containing the
+    phrase at least once, ordered by (occurrences desc, id asc);
+    ``k`` optionally caps via TakeOrdered.
+
+    Matching is token-exact, not substring ("data model" never matches
+    inside "metadata modeling"): ``n_occurrences`` counts every token
+    POSITION where the next ``len(phrase)`` tokens equal the phrase —
+    a self-overlapping phrase ("a a" in "a a a") counts each start
+    (2), the regex-lookahead semantic, chosen because it is exactly
+    replayable in engines without lookahead support. Row-local
+    array expressions only; the sort is the single Exchange
+    (TakeOrdered when ``k`` is set).
+
+    The caller should stage the token array in its own projection when
+    composing (see ``decontam._exploded_ngrams`` on interpreted-HOF
+    re-evaluation); this function does so internally via one select."""
+    terms = [t.lower() for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase has no terms")
+    m = len(terms)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), F.lower).alias("_tk"),
+    )
+    tk = F.col("_tk")
+    # sequence(1, 0) would generate DESCENDING [1, 0] — guard short
+    # docs with an explicit empty (same convention as ngrams_of_tokens).
+    starts = F.when(
+        F.size(tk) >= m, F.sequence(F.lit(1), F.size(tk) - m + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    lit_phrase = F.array(*[F.lit(t) for t in terms])
+    n_occ = F.size(
+        F.filter(starts, lambda i: F.slice(tk, i, m) == lit_phrase)
+    )
+    out = (
+        staged.select(
+            F.col(id_col), n_occ.cast("long").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.desc("n_occurrences"), F.col(id_col))
+    )
+    return out.limit(k) if k is not None else out
 
 
 def rrf_fuse(

@@ -58,9 +58,15 @@ NOTES = {
     ),
     "source_overlap": (
         "cross-source gram overlap: per-gram collect_set agg (bounded "
-        "by n_sources) + per-source distinct totals; the pair space "
-        "explodes from the per-gram set and totals join back as "
+        "by n_sources) + per-source distinct totals reading ONE "
+        "lazily-checkpointed distinct (group, gram) relation; the pair "
+        "space explodes from the per-gram set and totals join back as "
         "BroadcastHashJoin - no corpus self-join anywhere."
+    ),
+    "phrase_search": (
+        "positional phrase match: token-position count is a row-local "
+        "filter over a sequence - no explode, no join; the result "
+        "sort is the only Exchange."
     ),
 
     "tpch_q3": (

@@ -242,6 +242,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # ppl_buckets); pair explode + pair agg + two broadcast totals
     # joins + display sort.
     "source_overlap": {"max_shuffles": 7, "require": ["BroadcastHashJoin"]},
+    # phrase_search: row-local array position count; the result sort is
+    # the ONLY Exchange.
+    "phrase_search": {"max_shuffles": 1},
 }
 
 

@@ -147,3 +147,44 @@ def test_bm25_share_scan_same_results(spark, corpus):
         ).collect()
     }
     assert base == shared
+
+
+def test_phrase_search_counts_positions(spark):
+    from mhm_data_pipelines_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the data model beats the data lake"),
+            (2, "metadata modeling is not the-data"),
+            (3, "THE DATA THE DATA the data"),
+            (4, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(df, "the data").collect()
+    }
+    # doc 2: substring/hyphen forms must NOT match (token-exact)
+    assert got == {1: 2, 3: 3}
+    # self-overlapping phrase counts every start position
+    got2 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(df, "a a").collect()
+    }
+    assert got2 == {4: 2}
+
+
+def test_phrase_search_order_k_and_validation(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y x y"), (3, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    rows = phrase_search(df, "x y", k=2).collect()
+    assert [(r.doc_id, r.n_occurrences) for r in rows] == [(3, 3), (2, 2)]
+    with _pytest.raises(ValueError):
+        phrase_search(df, "   ")
