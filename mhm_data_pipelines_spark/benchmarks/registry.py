@@ -6894,6 +6894,46 @@ ORDER BY n_occurrences DESC, doc_id
 """
 
 
+def q_skew_report(spark, sf_dir):
+    """Join-key skew pre-flight over events (user_id, event_type):
+    top-5 heaviest keys per column with corpus share and mean-ratio —
+    the diagnostic that picks salting/AQE skew handling before a big
+    join runs. One count aggregate + TakeOrdered + broadcast scalar
+    stats per column."""
+    from mhm_data_pipelines_spark.operators.skew import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"], top_k=5
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH c_e AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY 1
+), s_e AS (SELECT avg(n_rows) AS m, sum(n_rows) AS t FROM c_e),
+t_e AS (
+  SELECT 'event_type' AS col_name, key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+         round(n_rows / t, 6) AS share,
+         round(n_rows / m, 6) AS mean_ratio
+  FROM (SELECT * FROM c_e ORDER BY n_rows DESC, key LIMIT 5), s_e
+), c_u AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY 1
+), s_u AS (SELECT avg(n_rows) AS m, sum(n_rows) AS t FROM c_u),
+t_u AS (
+  SELECT 'user_id' AS col_name, key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+         round(n_rows / t, 6) AS share,
+         round(n_rows / m, 6) AS mean_ratio
+  FROM (SELECT * FROM c_u ORDER BY n_rows DESC, key LIMIT 5), s_u
+)
+SELECT * FROM t_e UNION ALL SELECT * FROM t_u
+ORDER BY col_name, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7038,6 +7078,7 @@ QUERIES: dict[str, QuerySpec] = {
     "unicode_normalize": q_unicode_normalize,
     "source_overlap": q_source_overlap,
     "phrase_search": q_phrase_search,
+    "skew_report": q_skew_report,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7195,6 +7236,7 @@ ORACLES: dict[str, str] = {
     "unicode_normalize": SQL_UNICODE_NORMALIZE,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "skew_report": SQL_SKEW_REPORT,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7236,6 +7278,7 @@ GATE_PRIORITY: list[str] = [
     "unicode_normalize",
     "source_overlap",
     "phrase_search",
+    "skew_report",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7272,7 +7315,8 @@ GATE_PRIORITY: list[str] = [
     "gopher_quality",
     "dup_spans",
     "span_dedup",
-    "pq_topk",
+    # pq_topk rotates out for skew_report (the PQ family keeps
+    # ivfpq_topk in the window).
     "ivfpq_topk",
     "dsir_weights",
     "quality_classifier",
@@ -7389,4 +7433,5 @@ BENCH_QUERIES: list[str] = [
     "unicode_normalize",
     "source_overlap",
     "phrase_search",
+    "skew_report",
 ]

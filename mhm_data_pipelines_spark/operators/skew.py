@@ -18,7 +18,7 @@ and are rejected explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: alias -> (partial aggregate over rows, final merge over partials)
@@ -93,3 +93,56 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return left.join(right, [*on, "__salt"]).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Pre-flight skew diagnostic for join/aggregation keys: for each
+    candidate key column, the ``top_k`` heaviest keys with their row
+    counts, corpus share, and mean-ratio (count ÷ mean rows-per-key) —
+    the readout that decides whether a 100 TB join needs
+    :func:`salted_join` / AQE skew handling BEFORE it runs, instead of
+    discovering the straggler in the stage timeline. Returns
+    ``(col_name, key, n_rows, rank, share, mean_ratio)`` with keys
+    cast to string so heterogeneous columns union into one report.
+
+    Scale shape per column: ONE hash aggregate (count per key), a
+    TakeOrdered top-k, and a single-row stats aggregate (mean/total)
+    broadcast back — nothing scales with distinct-key count except the
+    hash aggregate itself. Columns are few (it's a report), so the
+    per-column plans union cheaply.
+    """
+    if not key_cols:
+        raise ValueError("key_cols is empty")
+    parts = []
+    for c in key_cols:
+        counts = (
+            df.select(F.col(c).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("n_rows"))
+        )
+        stats = counts.agg(
+            F.avg("n_rows").alias("_mean"),
+            F.sum("n_rows").alias("_tot"),
+        )
+        top = counts.orderBy(F.desc("n_rows"), "key").limit(top_k)
+        w = Window.orderBy(F.desc("n_rows"), "key")
+        parts.append(
+            top.crossJoin(F.broadcast(stats)).select(
+                F.lit(c).alias("col_name"),
+                "key",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.row_number().over(w).alias("rank"),
+                F.round(F.col("n_rows") / F.col("_tot"), 6).alias(
+                    "share"
+                ),
+                F.round(F.col("n_rows") / F.col("_mean"), 6).alias(
+                    "mean_ratio"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name", "rank")

@@ -68,6 +68,11 @@ NOTES = {
         "filter over a sequence - no explode, no join; the result "
         "sort is the only Exchange."
     ),
+    "skew_report": (
+        "skew pre-flight: per report column one count HashAggregate + "
+        "TakeOrdered top-k + a 1-row scalar stats broadcast; the rank "
+        "window runs on k rows."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

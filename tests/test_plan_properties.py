@@ -71,6 +71,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "hybrid_rrf",         # contains bm25_topk's 1-row stats cross
     "ppl_buckets",        # crossJoin(broadcast(corpus token total)) — 1 row
     "embedding_covariance",  # crossJoin(broadcast(vector count n)) — 1 row
+    "skew_report",        # crossJoin(broadcast(mean/total per column)) —
+                          # one 1-row scalar frame per report column
     "dsir_weights",       # crossJoin(broadcast(total feature counts))
                           # — two 1-row scalar sides
     "pq_topk",            # ADC scoring: encoded corpus ×
@@ -245,6 +247,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # phrase_search: row-local array position count; the result sort is
     # the ONLY Exchange.
     "phrase_search": {"max_shuffles": 1},
+    # skew_report: per column, one count agg + TakeOrdered + the 10-row
+    # rank window + scalar stats broadcast; two report columns union.
+    "skew_report": {"max_shuffles": 8},
 }
 
 

@@ -69,3 +69,40 @@ def test_salted_join_equals_plain(spark, skewed):
     gc = got.groupBy("k", "label").count().collect()
     wc = want.groupBy("k", "label").count().collect()
     assert sorted(map(tuple, gc)) == sorted(map(tuple, wc))
+
+
+def test_skew_report_hand_computed(spark):
+    from mhm_data_pipelines_spark.operators.skew import skew_report
+
+    # key 'a' x4, 'b' x2, 'c' x1, 'd' x1 -> mean 2, total 8
+    rows = [(i, k) for i, k in enumerate("aaaabbcd")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = skew_report(df, ["k"], top_k=3).collect()
+    assert [(r.col_name, r.key, r.n_rows, r.rank) for r in got] == [
+        ("k", "a", 4, 1),
+        ("k", "b", 2, 2),
+        ("k", "c", 1, 3),  # tie with 'd' broken by key asc
+    ]
+    by_key = {r.key: r for r in got}
+    assert by_key["a"].share == 0.5
+    assert by_key["a"].mean_ratio == 2.0
+    assert by_key["b"].rank == 2
+
+
+def test_skew_report_multi_column_and_validation(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 10), (3, "y", 20)],
+        "id long, a string, b int",
+    )
+    got = skew_report(df, ["a", "b"], top_k=5).collect()
+    # int keys cast to string; per-column report sections
+    assert {(r.col_name, r.key) for r in got} == {
+        ("a", "x"), ("a", "y"), ("b", "10"), ("b", "20"),
+    }
+    assert [r.col_name for r in got] == sorted(r.col_name for r in got)
+    with _pytest.raises(ValueError):
+        skew_report(df, [])
