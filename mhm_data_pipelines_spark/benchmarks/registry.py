@@ -6934,6 +6934,68 @@ ORDER BY col_name, rank
 """
 
 
+def q_profile_drift(spark, sf_dir):
+    """Snapshot-to-snapshot drift report over the same old/new event
+    snapshots as snapshot_diff (old drops id%7, new drops id%11 and
+    doubles value on id%13): per-column row/null/distinct movements +
+    min/max/top-k changed flags. Two profile passes joined on the
+    column name — the join is ≤ n_columns rows."""
+    from mhm_data_pipelines_spark.operators.profile import profile_drift
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 7 != 0)
+    new = ev.filter(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 13 == 0, F.col("value") * 2
+        ).otherwise(F.col("value")),
+    )
+    return profile_drift(
+        old, new, columns=["event_type", "user_id", "value"]
+    )
+
+
+def _profile_drift_oracle_sql() -> str:
+    old_src = "(SELECT * FROM events WHERE event_id % 7 <> 0)"
+    new_src = (
+        "(SELECT * REPLACE (CASE WHEN event_id % 13 = 0 "
+        "THEN value * 2 ELSE value END AS value) "
+        "FROM events WHERE event_id % 11 <> 0)"
+    )
+
+    def prof(src: str, c: str) -> str:
+        return f"""(
+  SELECT (SELECT count(*) FROM {src} s) AS n_rows,
+         (SELECT count(*) FILTER (WHERE {c} IS NULL) FROM {src} s) AS n_nulls,
+         (SELECT count(DISTINCT {c}) FROM {src} s) AS n_distinct,
+         (SELECT CAST(min({c}) AS VARCHAR) FROM {src} s) AS min_value,
+         (SELECT CAST(max({c}) AS VARCHAR) FROM {src} s) AS max_value,
+         coalesce((SELECT string_agg(value || ':' || n, ', '
+                                     ORDER BY n DESC, value)
+          FROM (SELECT CAST({c} AS VARCHAR) AS value, count(*) AS n
+                FROM {src} s WHERE {c} IS NOT NULL
+                GROUP BY 1 ORDER BY n DESC, value LIMIT 3)), '')
+           AS top_values
+)"""
+
+    blocks = []
+    for c in ("event_type", "user_id", "value"):
+        blocks.append(f"""
+SELECT '{c}' AS col_name,
+  o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+  round(o.n_nulls * 1.0 / o.n_rows, 6) AS null_frac_old,
+  round(n.n_nulls * 1.0 / n.n_rows, 6) AS null_frac_new,
+  o.n_distinct AS n_distinct_old, n.n_distinct AS n_distinct_new,
+  o.min_value IS DISTINCT FROM n.min_value AS min_changed,
+  o.max_value IS DISTINCT FROM n.max_value AS max_changed,
+  o.top_values IS DISTINCT FROM n.top_values AS top_values_changed
+FROM {prof(old_src, c)} o, {prof(new_src, c)} n""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY col_name"
+
+
+SQL_PROFILE_DRIFT = _profile_drift_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7079,6 +7141,7 @@ QUERIES: dict[str, QuerySpec] = {
     "source_overlap": q_source_overlap,
     "phrase_search": q_phrase_search,
     "skew_report": q_skew_report,
+    "profile_drift": q_profile_drift,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7237,6 +7300,7 @@ ORACLES: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "phrase_search": SQL_PHRASE_SEARCH,
     "skew_report": SQL_SKEW_REPORT,
+    "profile_drift": SQL_PROFILE_DRIFT,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7279,6 +7343,7 @@ GATE_PRIORITY: list[str] = [
     "source_overlap",
     "phrase_search",
     "skew_report",
+    "profile_drift",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7309,7 +7374,8 @@ GATE_PRIORITY: list[str] = [
     "temperature_mix",
     "bm25_topk",
     "bpe_pairs",
-    "heavy_hitters",
+    # heavy_hitters rotates out for profile_drift (the sketch family
+    # keeps stream_sketch_rollup in the window).
     "profile_table",
     "doc_bigram_lm",
     "gopher_quality",
@@ -7434,4 +7500,5 @@ BENCH_QUERIES: list[str] = [
     "source_overlap",
     "phrase_search",
     "skew_report",
+    "profile_drift",
 ]

@@ -146,3 +146,65 @@ def profile_table(
             F.coalesce("top_values", F.lit("")).alias("top_values"),
         )
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+    top_k: int = 3,
+) -> DataFrame:
+    """Data-drift report between two snapshots of a table: profiles
+    both sides with :func:`profile_table` and emits, per column, the
+    row/null/distinct movements plus changed-flags for min, max, and
+    the top-``top_k`` frequent-value string — the monitoring readout a
+    pipeline publishes when a new crawl/export lands, catching schema
+    abuse (null floods, cardinality explosions, range shifts) before
+    training jobs consume the data. Returns ``(col_name, n_rows_old,
+    n_rows_new, null_frac_old, null_frac_new, n_distinct_old,
+    n_distinct_new, min_changed, max_changed, top_values_changed)``.
+
+    Changed-flags compare each engine's OWN string rendering of the
+    two sides (null-safe), so a genuine change is detected identically
+    everywhere while engine-specific number formatting cancels out.
+    Scale shape: two profile passes (each one aggregate scan + one
+    top-k explode pass) joined on the column name — a ≤ n_columns-row
+    join; nothing new scales with the table.
+    """
+    fields = [
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "top_values",
+    ]
+    po = profile_table(old, columns, top_k).select(
+        "column", *[F.col(f).alias(f"{f}_old") for f in fields]
+    )
+    pn = profile_table(new, columns, top_k).select(
+        "column", *[F.col(f).alias(f"{f}_new") for f in fields]
+    )
+    j = po.join(pn, "column")
+    return j.select(
+        F.col("column").alias("col_name"),
+        F.col("n_rows_old").cast("long").alias("n_rows_old"),
+        F.col("n_rows_new").cast("long").alias("n_rows_new"),
+        F.round(F.col("n_nulls_old") / F.col("n_rows_old"), 6).alias(
+            "null_frac_old"
+        ),
+        F.round(F.col("n_nulls_new") / F.col("n_rows_new"), 6).alias(
+            "null_frac_new"
+        ),
+        F.col("n_distinct_old").cast("long").alias("n_distinct_old"),
+        F.col("n_distinct_new").cast("long").alias("n_distinct_new"),
+        (~F.col("min_value_old").eqNullSafe(F.col("min_value_new"))).alias(
+            "min_changed"
+        ),
+        (~F.col("max_value_old").eqNullSafe(F.col("max_value_new"))).alias(
+            "max_changed"
+        ),
+        (
+            ~F.col("top_values_old").eqNullSafe(F.col("top_values_new"))
+        ).alias("top_values_changed"),
+    ).orderBy("col_name")

@@ -199,29 +199,36 @@ def phrase_search(
     array expressions only; the sort is the single Exchange
     (TakeOrdered when ``k`` is set).
 
-    The caller should stage the token array in its own projection when
-    composing (see ``decontam._exploded_ngrams`` on interpreted-HOF
-    re-evaluation); this function does so internally via one select."""
+    Implementation note: the match vector is built by zipping m
+    SHIFTED SLICES of the token array (position i matches iff
+    slice_j[i] == term_j for all j), NOT by slicing per candidate
+    position inside a lambda — higher-order functions are interpreted
+    with no CSE, so a token-array reference inside the lambda
+    re-evaluates the tokenize once per position, O(len²) per document
+    (measured 8× on this exact query at sf0.1). Here the token
+    expression is referenced exactly m times per row."""
     terms = [t.lower() for t in phrase.split() if t]
     if not terms:
         raise ValueError("phrase has no terms")
     m = len(terms)
-    staged = df.select(
-        F.col(id_col),
-        F.transform(tokens(text_col), F.lower).alias("_tk"),
+    tk = F.transform(tokens(text_col), F.lower)
+    win = F.greatest(F.size(tk) - m + 1, F.lit(0))
+    matches = F.transform(
+        F.slice(tk, 1, win), lambda x: x == terms[0]
     )
-    tk = F.col("_tk")
-    # sequence(1, 0) would generate DESCENDING [1, 0] — guard short
-    # docs with an explicit empty (same convention as ngrams_of_tokens).
-    starts = F.when(
-        F.size(tk) >= m, F.sequence(F.lit(1), F.size(tk) - m + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    lit_phrase = F.array(*[F.lit(t) for t in terms])
-    n_occ = F.size(
-        F.filter(starts, lambda i: F.slice(tk, i, m) == lit_phrase)
-    )
+    def _and_eq(term):
+        # closure factory, NOT a default-arg lambda: PySpark reads the
+        # lambda's arity to bind zip_with's two variables, and a
+        # third (defaulted) parameter breaks the binding.
+        return lambda acc, x: acc & (x == term)
+
+    for j in range(1, m):
+        matches = F.zip_with(
+            matches, F.slice(tk, j + 1, win), _and_eq(terms[j])
+        )
+    n_occ = F.size(F.filter(matches, lambda b: b))
     out = (
-        staged.select(
+        df.select(
             F.col(id_col), n_occ.cast("long").alias("n_occurrences")
         )
         .filter(F.col("n_occurrences") > 0)

@@ -73,6 +73,11 @@ NOTES = {
         "TakeOrdered top-k + a 1-row scalar stats broadcast; the rank "
         "window runs on k rows."
     ),
+    "profile_drift": (
+        "drift report: each snapshot profiles in one aggregate scan + "
+        "one top-k explode pass; the old/new join is on the column "
+        "name - at most n_columns rows move."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

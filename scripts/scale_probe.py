@@ -22,6 +22,9 @@ HEAVY = [
     "minhash_neardup", "fuzzy_pairs", "knn_graph", "simhash_neardup",
     "dup_spans", "winnow_overlap", "ivfpq_topk", "event_pagerank",
     "quality_classifier", "token_budget_select",
+    # round-5 additions with corpus-scaling cost profiles
+    "source_overlap", "ppl_buckets", "sft_stats", "hybrid_rrf",
+    "embedding_covariance",
 ]
 
 

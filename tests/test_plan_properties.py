@@ -250,6 +250,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # skew_report: per column, one count agg + TakeOrdered + the 10-row
     # rank window + scalar stats broadcast; two report columns union.
     "skew_report": {"max_shuffles": 8},
+    # profile_drift: two profile passes (each: long-form agg + top-k
+    # explode agg + n_columns-row join) + the column-name join + sort.
+    "profile_drift": {"max_shuffles": 8},
 }
 
 

@@ -71,3 +71,44 @@ def test_profile_exotic_column_names(spark):
 def test_profile_empty_columns_rejected(spark, frame):
     with pytest.raises(ValueError, match="empty columns"):
         profile_table(frame, columns=[])
+
+
+def test_profile_drift_flags_changes(spark):
+    from mhm_data_pipelines_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0), (4, None, 4.0)],
+        "id long, k string, v double",
+    )
+    new = spark.createDataFrame(
+        # k: more nulls + new top value; v: max doubled; id: one fewer
+        [(1, None, 1.0), (2, None, 2.0), (3, "c", 8.0)],
+        "id long, k string, v double",
+    )
+    rows = profile_drift(old, new, columns=["k", "v"]).collect()
+    got = {r.col_name: r for r in rows}
+    assert [r.col_name for r in rows] == ["k", "v"]
+    k = got["k"]
+    assert (k.n_rows_old, k.n_rows_new) == (4, 3)
+    assert k.null_frac_old == 0.25
+    assert k.null_frac_new == round(2 / 3, 6)
+    assert (k.n_distinct_old, k.n_distinct_new) == (2, 1)
+    assert k.min_changed and k.max_changed and k.top_values_changed
+    v = got["v"]
+    assert not v.min_changed
+    assert v.max_changed
+    assert (v.null_frac_old, v.null_frac_new) == (0.0, 0.0)
+
+
+def test_profile_drift_no_change_is_all_false(spark):
+    from mhm_data_pipelines_spark.operators.profile import profile_drift
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, k string"
+    )
+    rows = profile_drift(df, df).collect()
+    assert all(
+        not (r.min_changed or r.max_changed or r.top_values_changed)
+        for r in rows
+    )
+    assert {r.col_name for r in rows} == {"id", "k"}
