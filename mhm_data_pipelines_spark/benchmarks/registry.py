@@ -6996,6 +6996,111 @@ FROM {prof(old_src, c)} o, {prof(new_src, c)} n""")
 SQL_PROFILE_DRIFT = _profile_drift_oracle_sql()
 
 
+def q_preference_pairs(spark, sf_dir):
+    """RLHF/DPO preference-pair prep: events stand in for scored
+    completions (prompt = user, completion = event, score = value).
+    Best-vs-worst is ONE struct-min/max hash aggregation (map-side
+    combinable, deterministic tie rule) — no window, no self-join."""
+    from mhm_data_pipelines_spark.operators.preferences import (
+        preference_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("completion_id"),
+        F.col("value").alias("score"),
+    )
+    out = preference_pairs(scored, margin=100.0)
+    return out.select(
+        "prompt_id",
+        "chosen_id",
+        "rejected_id",
+        F.round("chosen_score", 6).alias("chosen_score"),
+        F.round("rejected_score", 6).alias("rejected_score"),
+        F.round("score_margin", 6).alias("score_margin"),
+    ).orderBy("prompt_id")
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH s AS (
+  SELECT user_id AS prompt_id, event_id AS completion_id,
+         CAST(value AS DOUBLE) AS score
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score DESC, completion_id DESC) AS rk_top,
+    row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score ASC, completion_id ASC) AS rk_bot
+  FROM s
+)
+SELECT t.prompt_id, t.completion_id AS chosen_id,
+       b.completion_id AS rejected_id,
+       round(t.score, 6) AS chosen_score,
+       round(b.score, 6) AS rejected_score,
+       round(t.score - b.score, 6) AS score_margin
+FROM r t JOIN r b ON t.prompt_id = b.prompt_id
+WHERE t.rk_top = 1 AND b.rk_bot = 1 AND t.score - b.score > 100.0
+ORDER BY t.prompt_id
+"""
+
+
+def q_preference_all_pairs(spark, sf_dir):
+    """Full Bradley–Terry pair expansion, margin-floored and capped at
+    3 pairs per prompt (largest margins first, deterministic ties) —
+    the prompt-blocked self-join whose fan-out is bounded by the
+    completions-per-prompt contract, restricted here to one event type."""
+    from mhm_data_pipelines_spark.operators.preferences import (
+        preference_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("completion_id"),
+        F.col("value").alias("score"),
+    )
+    out = preference_pairs(
+        scored, margin=400.0, mode="all_pairs", max_pairs_per_prompt=3
+    )
+    return out.select(
+        "prompt_id",
+        "chosen_id",
+        "rejected_id",
+        F.round("chosen_score", 6).alias("chosen_score"),
+        F.round("rejected_score", 6).alias("rejected_score"),
+        F.round("score_margin", 6).alias("score_margin"),
+    ).orderBy("prompt_id", "chosen_id", "rejected_id")
+
+
+SQL_PREFERENCE_ALL_PAIRS = """
+WITH s AS (
+  SELECT user_id AS prompt_id, event_id AS completion_id,
+         CAST(value AS DOUBLE) AS score
+  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+), p AS (
+  SELECT a.prompt_id, a.completion_id AS chosen_id,
+         b.completion_id AS rejected_id,
+         a.score AS chosen_score, b.score AS rejected_score,
+         a.score - b.score AS score_margin
+  FROM s a JOIN s b ON a.prompt_id = b.prompt_id
+  WHERE a.score - b.score > 400.0
+), k AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY prompt_id
+    ORDER BY score_margin DESC, chosen_id, rejected_id) AS rk
+  FROM p
+)
+SELECT prompt_id, chosen_id, rejected_id,
+       round(chosen_score, 6) AS chosen_score,
+       round(rejected_score, 6) AS rejected_score,
+       round(score_margin, 6) AS score_margin
+FROM k WHERE rk <= 3
+ORDER BY prompt_id, chosen_id, rejected_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7142,6 +7247,8 @@ QUERIES: dict[str, QuerySpec] = {
     "phrase_search": q_phrase_search,
     "skew_report": q_skew_report,
     "profile_drift": q_profile_drift,
+    "preference_pairs": q_preference_pairs,
+    "preference_all_pairs": q_preference_all_pairs,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7301,6 +7408,8 @@ ORACLES: dict[str, str] = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "skew_report": SQL_SKEW_REPORT,
     "profile_drift": SQL_PROFILE_DRIFT,
+    "preference_pairs": SQL_PREFERENCE_PAIRS,
+    "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7344,6 +7453,8 @@ GATE_PRIORITY: list[str] = [
     "phrase_search",
     "skew_report",
     "profile_drift",
+    "preference_pairs",
+    "preference_all_pairs",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7501,4 +7612,5 @@ BENCH_QUERIES: list[str] = [
     "phrase_search",
     "skew_report",
     "profile_drift",
+    "preference_pairs",
 ]

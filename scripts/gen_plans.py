@@ -78,6 +78,17 @@ NOTES = {
         "one top-k explode pass; the old/new join is on the column "
         "name - at most n_columns rows move."
     ),
+    "preference_pairs": (
+        "RLHF best-vs-worst pair: ONE struct-min/max hash aggregation "
+        "(map-side combinable, deterministic tie rule) - no window, "
+        "no self-join; the display sort is the second Exchange."
+    ),
+    "preference_all_pairs": (
+        "Bradley-Terry expansion: prompt-keyed self-join (fan-out "
+        "bounded by completions-per-prompt), margin filter folded "
+        "into the join output, per-prompt cap window on selected "
+        "pairs only."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -253,6 +253,12 @@ PLAN_BUDGETS: dict[str, dict] = {
     # profile_drift: two profile passes (each: long-form agg + top-k
     # explode agg + n_columns-row join) + the column-name join + sort.
     "profile_drift": {"max_shuffles": 8},
+    # preference_pairs: ONE struct-min/max hash agg (partial + final)
+    # + display sort — best/worst never needs a window or self-join.
+    "preference_pairs": {"max_shuffles": 2},
+    # preference_all_pairs: prompt-keyed self-join (both sides shuffle
+    # or AQE-broadcast) + the per-prompt cap window + display sort.
+    "preference_all_pairs": {"max_shuffles": 4},
 }
 
 
