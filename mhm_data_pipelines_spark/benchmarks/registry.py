@@ -7101,6 +7101,51 @@ ORDER BY prompt_id, chosen_id, rejected_id
 """
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier report (prototypicality pruning): per
+    label, each vector's L2 distance to the label centroid and its
+    within-label z-score. Centroids = one (label, pos, val) shuffle;
+    centroid + stats tables broadcast back (n_labels rows each)."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    out = embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), group_col="label", z_threshold=2.0
+    )
+    return out.select(
+        "vec_id",
+        F.col("group").alias("grp"),
+        F.round("dist", 4).alias("dist"),
+        F.round("z_score", 4).alias("z_score"),
+        "is_outlier",
+    ).orderBy("vec_id")
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, r.pos AS pos,
+           avg(CAST(embedding[r.pos] AS DOUBLE)) AS m
+    FROM embeddings CROSS JOIN range(1, 65) r(pos)
+    GROUP BY label, r.pos)
+  GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label AS grp,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS dist
+  FROM embeddings e JOIN cent c ON e.label = c.label
+), s AS (
+  SELECT grp, avg(dist) AS mu, stddev_pop(dist) AS sd FROM d GROUP BY grp
+)
+SELECT d.vec_id, d.grp, round(d.dist, 4) AS dist,
+       round(CASE WHEN s.sd > 0 THEN (d.dist - s.mu) / s.sd
+                  ELSE 0.0 END, 4) AS z_score,
+       (CASE WHEN s.sd > 0 THEN (d.dist - s.mu) / s.sd
+             ELSE 0.0 END) > 2.0 AS is_outlier
+FROM d JOIN s USING (grp) ORDER BY d.vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7249,6 +7294,7 @@ QUERIES: dict[str, QuerySpec] = {
     "profile_drift": q_profile_drift,
     "preference_pairs": q_preference_pairs,
     "preference_all_pairs": q_preference_all_pairs,
+    "embedding_outliers": q_embedding_outliers,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7410,6 +7456,7 @@ ORACLES: dict[str, str] = {
     "profile_drift": SQL_PROFILE_DRIFT,
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7455,6 +7502,7 @@ GATE_PRIORITY: list[str] = [
     "profile_drift",
     "preference_pairs",
     "preference_all_pairs",
+    "embedding_outliers",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,

@@ -1119,3 +1119,74 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str | None = None,
+    z_threshold: float = 2.0,
+    share_scan: bool = True,
+) -> DataFrame:
+    """Centroid-distance outlier report — the semantic-filtering
+    complement of SemDeDup: SemDeDup removes points too CLOSE to their
+    cluster center (redundancy), this flags points too FAR (noise, OCR
+    garbage, mislabeled modality) for exclusion or manual review, as in
+    prototypicality-based pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws").
+
+    Per group (``group_col``; the whole corpus when None): the mean
+    vector via :func:`label_centroids`, each row's L2 distance to its
+    group centroid, and the within-group z-score of that distance.
+    Returns ``(id_col, group, dist, z_score, is_outlier)`` where
+    ``is_outlier = z_score > z_threshold``; a zero-variance group
+    (all points equidistant) z-scores to 0.0, never NaN.
+
+    Scale shape: centroids are ONE (group, pos, val) shuffle; both the
+    centroid table (n_groups rows) and the distance-stats table
+    (n_groups rows) join back by broadcast — the corpus never
+    self-joins. The narrow (id, group, dist) projection has two
+    consumers (stats agg, final join) and Spark plans subtrees per
+    consumer, so ``share_scan=True`` (default) lazily
+    ``localCheckpoint``\\ s it — ONE corpus scan instead of two. Pass
+    ``False`` on Spark Connect (no localCheckpoint), where results are
+    identical but the corpus scans twice (same trade-off as
+    ``pca.embedding_covariance``).
+    """
+    g = group_col
+    if g is None:
+        df = df.withColumn("_g", F.lit(0))
+        g = "_g"
+    cents = label_centroids(df, vec_col=vec_col, label_col=g)
+    dsq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = (
+        df.join(F.broadcast(cents), on=g)
+        .withColumn("dist", F.sqrt(dsq))
+        .select(id_col, F.col(g).alias("group"), "dist")
+    )
+    if share_scan:
+        dists = dists.localCheckpoint(eager=False)
+    stats = dists.groupBy("group").agg(
+        F.avg("dist").alias("_mu"),
+        F.stddev_pop("dist").alias("_sd"),
+    )
+    out = dists.join(F.broadcast(stats), on="group").select(
+        id_col,
+        "group",
+        "dist",
+        F.when(F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd"))
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )
+    return out.withColumn(
+        "is_outlier", F.col("z_score") > F.lit(z_threshold)
+    )

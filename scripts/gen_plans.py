@@ -89,6 +89,11 @@ NOTES = {
         "into the join output, per-prompt cap window on selected "
         "pairs only."
     ),
+    "embedding_outliers": (
+        "prototypicality pruning: centroids are one (label,pos,val) "
+        "shuffle; centroid and distance-stats tables (n_labels rows) "
+        "broadcast back - the corpus never self-joins."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -259,6 +259,13 @@ PLAN_BUDGETS: dict[str, dict] = {
     # preference_all_pairs: prompt-keyed self-join (both sides shuffle
     # or AQE-broadcast) + the per-prompt cap window + display sort.
     "preference_all_pairs": {"max_shuffles": 4},
+    # embedding_outliers: centroid (label,pos,val) agg -> array
+    # reassembly agg + distance-stats agg; centroid and stats join
+    # back by broadcast; display sort. Corpus scans stay narrow.
+    "embedding_outliers": {
+        "max_shuffles": 5,
+        "require": ["BroadcastHashJoin"],
+    },
 }
 
 
