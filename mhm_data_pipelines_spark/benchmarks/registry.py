@@ -7146,6 +7146,65 @@ FROM d JOIN s USING (grp) ORDER BY d.vec_id
 """
 
 
+def q_line_boilerplate(spark, sf_dir):
+    """CCNet-style corpus-frequency line removal. The corpus is
+    single-line word soup, so the gate plants deterministic boilerplate
+    (newsletter line on doc_id%3, rights line on doc_id%7) among
+    per-doc text slices, then checks the frequent-line set is excised
+    from every document and the rebuilds are byte-exact."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        remove_frequent_lines,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    planted = df.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to our newsletter"),
+            ).otherwise(F.substring("text", 41, 40)),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("all rights reserved"),
+            ).otherwise(F.substring("text", 81, 40)),
+        ).alias("text"),
+    )
+    return remove_frequent_lines(planted, min_df=50).orderBy("doc_id")
+
+
+SQL_LINE_BOILERPLATE = """
+WITH docs AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      substring(text, 1, 40),
+      CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+           ELSE substring(text, 41, 40) END,
+      CASE WHEN doc_id % 7 = 0 THEN 'all rights reserved'
+           ELSE substring(text, 81, 40) END) AS text
+  FROM documents
+), ex AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS ln, trim(ls[u.i]) AS key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs) t,
+       LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+), freq AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS dfc
+    FROM ex WHERE key <> '' GROUP BY key)
+  WHERE dfc >= 50
+)
+SELECT e.doc_id,
+  count(*) AS n_lines,
+  count(*) FILTER (WHERE f.key IS NOT NULL) AS n_removed,
+  coalesce(string_agg(CASE WHEN f.key IS NULL THEN e.ln END,
+                      chr(10) ORDER BY e.pos), '') AS clean_text
+FROM ex e LEFT JOIN freq f ON e.key = f.key
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7295,6 +7354,7 @@ QUERIES: dict[str, QuerySpec] = {
     "preference_pairs": q_preference_pairs,
     "preference_all_pairs": q_preference_all_pairs,
     "embedding_outliers": q_embedding_outliers,
+    "line_boilerplate": q_line_boilerplate,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7457,6 +7517,7 @@ ORACLES: dict[str, str] = {
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "line_boilerplate": SQL_LINE_BOILERPLATE,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7503,6 +7564,7 @@ GATE_PRIORITY: list[str] = [
     "preference_pairs",
     "preference_all_pairs",
     "embedding_outliers",
+    "line_boilerplate",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,

@@ -1185,3 +1185,97 @@ def dedup_spans_keep_first(
         F.size(toks).alias("n_tokens"),
         (F.size(toks) - F.size(kept)).alias("n_removed_tokens"),
     )
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate line inventory (the CCNet/
+    RefinedWeb "remove lines duplicated across many pages" rule's
+    first half): every trimmed non-blank line occurring in at least
+    ``min_df`` DISTINCT documents, with its document frequency.
+    Returns ``(line, df)`` — the inspection/report surface of
+    :func:`remove_frequent_lines`.
+
+    Scale shape: explode → per-(line, doc) distinct → one count agg;
+    the result is the (small) boilerplate vocabulary, never the corpus.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), sep)).alias("_ln"),
+    ).select(F.col(id_col), F.trim("_ln").alias("line"))
+    return (
+        lines.filter(F.col("line") != "")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate line REMOVAL (CCNet §4.1 /
+    RefinedWeb line-wise dedup): drop every line whose trimmed form
+    appears in ≥ ``min_df`` distinct documents (nav bars, cookie
+    banners, footers — content a per-document rule like
+    ``functions.text.c4_line_stats`` cannot see), then reassemble each
+    document from its surviving lines in original order. Unlike
+    :func:`dedup_paragraphs` (first-occurrence-wins), a frequent line
+    is dropped from EVERY document — boilerplate has no canonical
+    first owner. Blank lines are structure, not boilerplate: they
+    never count toward frequency and are always kept.
+
+    Returns ``(id, n_lines, n_removed, clean_text)``; a document whose
+    every line was boilerplate comes back as the empty string, ready
+    for a length filter.
+
+    Scale shape: one explode → distinct → count agg builds the (small)
+    frequent-line set; a left join on the trimmed-line key marks drops
+    (AQE broadcasts the set when it is small — no assumption that it
+    is); reassembly is one per-doc hash aggregate of (pos, line)
+    structs. Line text shuffles once for reassembly — inherent to
+    rebuilding documents.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln"),
+    ).withColumn("_key", F.trim("ln"))
+    freq = (
+        ex.filter(F.col("_key") != "")
+        .select(id_col, "_key")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .withColumn("_drop", F.lit(True))
+    )
+    marked = ex.join(freq.select("_key", "_drop"), on="_key", how="left")
+    kept_struct = F.when(
+        F.col("_drop").isNull(), F.struct("pos", "ln")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("_drop").alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform("_kept", lambda s: s["ln"]), sep
+            ).alias("clean_text"),
+        )
+    )

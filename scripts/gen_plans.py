@@ -94,6 +94,11 @@ NOTES = {
         "shuffle; centroid and distance-stats tables (n_labels rows) "
         "broadcast back - the corpus never self-joins."
     ),
+    "line_boilerplate": (
+        "CCNet line removal: explode -> distinct -> df agg builds the "
+        "small frequent-line set; left join marks drops (AQE "
+        "broadcasts when small); one per-doc reassembly agg."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

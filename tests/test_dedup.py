@@ -441,3 +441,53 @@ def test_winnow_overlap_max_doc_freq_drops_noise(spark):
         df, k=8, window=4, min_shared=2, max_doc_freq=None
     ).count()
     assert flood > len(got)
+
+
+def test_remove_frequent_lines(spark):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        frequent_lines,
+        remove_frequent_lines,
+    )
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique one\n{boiler}\ncontent a"),
+        (2, f"{boiler}\nunique two"),
+        (3, f"content b\n  {boiler}  "),   # whitespace-variant still drops
+        (4, "all unique\n\nwith blank"),   # blank line survives
+        (5, boiler),                       # fully-boilerplate doc -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inv = frequent_lines(df, min_df=3).collect()
+    assert [(r.line, r.df) for r in inv] == [(boiler, 4)]
+
+    got = {
+        r.doc_id: r
+        for r in remove_frequent_lines(df, min_df=3).collect()
+    }
+    assert got[1].clean_text == "unique one\ncontent a"
+    assert (got[1].n_lines, got[1].n_removed) == (3, 1)
+    assert got[2].clean_text == "unique two"
+    assert got[3].clean_text == "content b"
+    # blank line is structure: kept verbatim, never counted as frequent
+    assert got[4].clean_text == "all unique\n\nwith blank"
+    assert got[4].n_removed == 0
+    assert got[5].clean_text == ""
+    assert (got[5].n_lines, got[5].n_removed) == (1, 1)
+
+
+def test_remove_frequent_lines_df_counts_documents_not_occurrences(spark):
+    from mhm_data_pipelines_spark.operators.dedup import (
+        remove_frequent_lines,
+    )
+
+    # the same line 5x in ONE doc is repetition, not corpus boilerplate
+    df = spark.createDataFrame(
+        [(1, "spam\nspam\nspam\nspam\nspam"), (2, "other")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in remove_frequent_lines(df, min_df=2).collect()
+    }
+    assert got[1].n_removed == 0
+    assert got[1].clean_text == "spam\nspam\nspam\nspam\nspam"

@@ -266,6 +266,10 @@ PLAN_BUDGETS: dict[str, dict] = {
         "max_shuffles": 5,
         "require": ["BroadcastHashJoin"],
     },
+    # line_boilerplate: line explode feeds the (line, doc) distinct +
+    # df agg (2) and re-plans for the join side (subtree per consumer);
+    # frequent-set join + per-doc reassembly agg + display sort.
+    "line_boilerplate": {"max_shuffles": 6},
 }
 
 
