@@ -7205,6 +7205,36 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 
 
+def q_content_manifest(spark, sf_dir):
+    """Reproducibility manifest over orders' exactly-rendering columns
+    (BIGINT + VARCHAR; doubles/timestamps excluded — their string
+    renderings are engine-specific): 64 buckets of count + bit_xor
+    signature + min/max hash. One projection + ONE hash agg."""
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return content_manifest(df, n_buckets=64).orderBy("bucket")
+
+
+SQL_CONTENT_MANIFEST = """
+WITH h AS (
+  SELECT md5(concat_ws(chr(31),
+         coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+         coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+         coalesce(o_orderstatus, chr(0) || 'NULL'),
+         coalesce(o_orderpriority, chr(0) || 'NULL'))) AS rh
+  FROM orders
+), x AS (
+  SELECT rh, CAST(('0x' || substr(rh, 1, 15)) AS BIGINT) AS h60 FROM h
+)
+SELECT CAST(h60 % 64 AS INTEGER) AS bucket, count(*) AS n_rows,
+       bit_xor(h60) AS xor_sig, min(rh) AS min_hash, max(rh) AS max_hash
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7355,6 +7385,7 @@ QUERIES: dict[str, QuerySpec] = {
     "preference_all_pairs": q_preference_all_pairs,
     "embedding_outliers": q_embedding_outliers,
     "line_boilerplate": q_line_boilerplate,
+    "content_manifest": q_content_manifest,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7518,6 +7549,7 @@ ORACLES: dict[str, str] = {
     "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "line_boilerplate": SQL_LINE_BOILERPLATE,
+    "content_manifest": SQL_CONTENT_MANIFEST,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7565,6 +7597,7 @@ GATE_PRIORITY: list[str] = [
     "preference_all_pairs",
     "embedding_outliers",
     "line_boilerplate",
+    "content_manifest",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,

@@ -90,3 +90,56 @@ def snapshot_diff(
             .alias("changed_cols"),
         )
     )
+
+
+def content_manifest(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Order-independent content manifest — the reproducibility audit
+    for a dataset build: re-running the same pipeline on the same
+    inputs must reproduce the same manifest, and two sites exchanging
+    only ``n_buckets`` rows can locate WHERE replicas diverge (the
+    first differing bucket narrows the search 64×) without shipping
+    data. Layout-invariant by construction: repartitioning, shuffles,
+    or file order never change it, only row content does.
+
+    Each row renders canonically (``\\x1f``-joined string casts with an
+    explicit NULL marker — NULL ≠ empty string), hashes to md5, and
+    lands in ``pmod(hash60, n_buckets)``. Per bucket:
+    ``n_rows``, ``xor_sig`` (bit_xor of the 60-bit hash — commutative,
+    so partition order cannot matter), and ``min_hash`` / ``max_hash``
+    hex spot-checks. Caveat of XOR: an even number of copies of the
+    SAME row cancels out of ``xor_sig`` — ``n_rows`` still catches it,
+    which is why both columns exist.
+
+    Scale shape: one narrow projection + ONE hash aggregation to
+    ``n_buckets`` rows; nothing else moves.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("content_manifest needs at least one column")
+    rendered = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ],
+    )
+    row_hash = F.md5(rendered)
+    hash60 = F.conv(F.substring(row_hash, 1, 15), 16, 10).cast("long")
+    return (
+        df.select(
+            row_hash.alias("_h"),
+            hash60.alias("_h60"),
+            F.pmod(hash60, F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor("_h60").alias("xor_sig"),
+            F.min("_h").alias("min_hash"),
+            F.max("_h").alias("max_hash"),
+        )
+    )

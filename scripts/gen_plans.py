@@ -99,6 +99,11 @@ NOTES = {
         "small frequent-line set; left join marks drops (AQE "
         "broadcasts when small); one per-doc reassembly agg."
     ),
+    "content_manifest": (
+        "reproducibility manifest: narrow projection + ONE hash agg "
+        "to n_buckets rows; bit_xor signature is commutative so "
+        "partition order cannot matter."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -74,3 +74,61 @@ def test_empty_keys_rejected(spark):
 def test_identical_snapshots_empty_diff(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
     assert snapshot_diff(df, df, keys=["id"]).count() == 0
+
+
+def test_content_manifest_layout_invariant(spark):
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    )
+    a = content_manifest(df, n_buckets=8).orderBy("bucket").collect()
+    b = (
+        content_manifest(df.repartition(7, "v"), n_buckets=8)
+        .orderBy("bucket")
+        .collect()
+    )
+    assert a == b
+    assert sum(r.n_rows for r in a) == 200
+
+
+def test_content_manifest_detects_content_change(spark):
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "c")], "id long, v string")
+    m1 = {r.bucket: r for r in content_manifest(df1, n_buckets=4).collect()}
+    m2 = {r.bucket: r for r in content_manifest(df2, n_buckets=4).collect()}
+    assert m1 != m2
+
+
+def test_content_manifest_null_vs_empty_string(spark):
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    df1 = spark.createDataFrame([(1, None)], "id long, v string")
+    df2 = spark.createDataFrame([(1, "")], "id long, v string")
+    m1 = content_manifest(df1, n_buckets=1).collect()
+    m2 = content_manifest(df2, n_buckets=1).collect()
+    assert m1[0].xor_sig != m2[0].xor_sig
+
+
+def test_content_manifest_duplicate_rows_caught_by_count(spark):
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    one = spark.createDataFrame([(1, "a")], "id long, v string")
+    three = spark.createDataFrame([(1, "a")] * 3, "id long, v string")
+    m1 = content_manifest(one, n_buckets=1).collect()[0]
+    m3 = content_manifest(three, n_buckets=1).collect()[0]
+    # xor of an odd count equals the single hash; n_rows disambiguates
+    assert m1.xor_sig == m3.xor_sig
+    assert (m1.n_rows, m3.n_rows) == (1, 3)
+
+
+def test_content_manifest_empty_columns_rejected(spark):
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    df = spark.createDataFrame([(1,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one column"):
+        content_manifest(df, columns=[])

@@ -270,6 +270,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # df agg (2) and re-plans for the join side (subtree per consumer);
     # frequent-set join + per-doc reassembly agg + display sort.
     "line_boilerplate": {"max_shuffles": 6},
+    # content_manifest: one narrow projection + ONE hash agg to
+    # n_buckets rows + display sort.
+    "content_manifest": {"max_shuffles": 2},
 }
 
 
