@@ -7235,6 +7235,51 @@ FROM x GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard negatives: per query vector (vec_id
+    < 5), the exact top-10 most-similar corpus vectors with a DIFFERENT
+    label. Query side broadcasts; label mismatch is in the join so
+    same-label pairs are never scored."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    out = hard_negatives(corpus, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "neg_label",
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, c.vec_id, c.label AS neg_label,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv)
+           AS cos_raw
+  FROM embeddings c JOIN q ON c.label <> q.qlabel
+  WHERE c.vec_id >= 5
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, neg_label, round(cos_raw, 4) AS cosine
+FROM r WHERE rk <= 10
+ORDER BY query_id, cos_raw DESC, vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7386,6 +7431,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_outliers": q_embedding_outliers,
     "line_boilerplate": q_line_boilerplate,
     "content_manifest": q_content_manifest,
+    "hard_negatives": q_hard_negatives,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7550,6 +7596,7 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "line_boilerplate": SQL_LINE_BOILERPLATE,
     "content_manifest": SQL_CONTENT_MANIFEST,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7598,6 +7645,7 @@ GATE_PRIORITY: list[str] = [
     "embedding_outliers",
     "line_boilerplate",
     "content_manifest",
+    "hard_negatives",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,

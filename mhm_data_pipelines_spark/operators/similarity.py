@@ -1190,3 +1190,56 @@ def embedding_outliers(
     return out.withColumn(
         "is_outlier", F.col("z_score") > F.lit(z_threshold)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training (DPR,
+    Karpukhin et al. 2020 §3.2): per query, the top-``k`` most-similar
+    corpus vectors with a DIFFERENT label — near-misses that teach the
+    boundary, where random negatives teach nothing. ``min_cosine`` sets
+    an optional semi-hard floor (drop negatives so distant they are
+    trivial). Returns ``(query_id, id, neg_label, cosine)``, ties
+    broken by id.
+
+    Scale shape: the query side broadcasts (training batches of
+    queries are small by contract); the label-mismatch condition is in
+    the join, so same-label pairs are never scored. Per-query ranking
+    is one window over the scored candidates. For query sets too large
+    to broadcast, compose :func:`knn_graph`'s cogrouped BLAS path and
+    anti-filter same-label edges afterwards instead.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("_qlabel"),
+        normalize(vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(label_col), normalize(vec_col).alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), on=F.col(label_col) != F.col("_qlabel")
+    ).select(
+        query_id_col,
+        id_col,
+        F.col(label_col).alias("neg_label"),
+        dot("qv", "cv").alias("cosine"),
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= F.lit(min_cosine))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

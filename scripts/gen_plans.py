@@ -104,6 +104,11 @@ NOTES = {
         "to n_buckets rows; bit_xor signature is commutative so "
         "partition order cannot matter."
     ),
+    "hard_negatives": (
+        "DPR hard negatives: query side broadcasts, label mismatch "
+        "in the join condition (same-label pairs never scored), one "
+        "per-query rank window."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -62,3 +62,56 @@ def test_threshold_monotone(spark, vecs):
     n_lo = lo.filter("is_outlier").count()
     n_hi = hi.filter("is_outlier").count()
     assert n_lo >= n_hi
+
+
+# --- hard-negative mining ---------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from mhm_data_pipelines_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (10, 0, [1.0, 0.0]),   # same label as query -> excluded
+            (11, 1, [0.9, 0.1]),   # close, different label -> hardest
+            (12, 1, [0.0, 1.0]),   # orthogonal, different label
+            (13, 2, [1.0, 0.05]),  # very close, different label
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "query_id long, label int, embedding array<float>"
+    )
+    got = hard_negatives(corpus, queries, k=2).collect()
+    ids = [r.vec_id for r in got]
+    assert 10 not in ids
+    assert ids == [13, 11]  # ranked by cosine desc
+    assert all(r.neg_label != 0 for r in got)
+
+
+def test_hard_negatives_min_cosine_floor(spark):
+    from mhm_data_pipelines_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [(11, 1, [0.9, 0.1]), (12, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "query_id long, label int, embedding array<float>"
+    )
+    got = hard_negatives(corpus, queries, k=5, min_cosine=0.5).collect()
+    assert [r.vec_id for r in got] == [11]
+
+
+def test_hard_negatives_tie_broken_by_id(spark):
+    from mhm_data_pipelines_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [(21, 1, [1.0, 0.0]), (20, 1, [1.0, 0.0]), (22, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "query_id long, label int, embedding array<float>"
+    )
+    got = hard_negatives(corpus, queries, k=2).collect()
+    assert [r.vec_id for r in got] == [20, 21]

@@ -85,6 +85,11 @@ SINGLE_ROW_BROADCAST_OK = {
                           # bounded cross by design (eval benchmarks
                           # are small); LSH/IVF blocking replaces the
                           # cross for eval sets too big to broadcast
+    "hard_negatives",     # corpus × broadcast(5 query rows) with the
+                          # label-mismatch predicate in the join —
+                          # bounded broadcast cross by design; compose
+                          # knn_graph for query sets too big to
+                          # broadcast
 }
 
 
@@ -273,6 +278,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # content_manifest: one narrow projection + ONE hash agg to
     # n_buckets rows + display sort.
     "content_manifest": {"max_shuffles": 2},
+    # hard_negatives: broadcast query join (map-only) + per-query rank
+    # window + display sort.
+    "hard_negatives": {"max_shuffles": 2},
 }
 
 
