@@ -7280,6 +7280,66 @@ ORDER BY query_id, cos_raw DESC, vec_id
 """
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit. The corpus has no exact dups,
+    so the gate plants copies (doc_id%17, shifted ids) then splits by
+    a 60-bit md5 bucket of the id — most copies land on the other side
+    of a split boundary and must be reported; same-split dups must
+    not."""
+    from mhm_data_pipelines_spark.operators.decontam import split_leakage
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = df.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    union = df.unionByName(copies)
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bkt < 8, "train").when(bkt < 9, "val").otherwise("test")
+    )
+    tagged = union.withColumn("split", split)
+    return split_leakage(tagged).orderBy("fingerprint")
+
+
+SQL_SPLIT_LEAKAGE = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+), tagged AS (
+  SELECT text,
+    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT text,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                               1, 15)) AS BIGINT) % 10 AS b
+        FROM u)
+), fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
+         split
+  FROM tagged
+)
+SELECT fingerprint, count(DISTINCT split) AS n_splits,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+       count(*) AS n_docs
+FROM fp GROUP BY fingerprint
+HAVING count(DISTINCT split) > 1
+ORDER BY fingerprint
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7432,6 +7492,7 @@ QUERIES: dict[str, QuerySpec] = {
     "line_boilerplate": q_line_boilerplate,
     "content_manifest": q_content_manifest,
     "hard_negatives": q_hard_negatives,
+    "split_leakage": q_split_leakage,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7597,6 +7658,7 @@ ORACLES: dict[str, str] = {
     "line_boilerplate": SQL_LINE_BOILERPLATE,
     "content_manifest": SQL_CONTENT_MANIFEST,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7646,6 +7708,7 @@ GATE_PRIORITY: list[str] = [
     "line_boilerplate",
     "content_manifest",
     "hard_negatives",
+    "split_leakage",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,

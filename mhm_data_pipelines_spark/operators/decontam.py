@@ -230,3 +230,46 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split leakage audit — the pre-training sanity check that a
+    train/val/test assignment did not place the SAME content (after
+    :func:`functions.text.fingerprint` normalization: lowercase,
+    collapsed whitespace) on both sides of a split boundary. Exact-dup
+    leakage is the loud failure mode of row-level random splits over a
+    corpus with duplicates — dedup-then-split or split-by-fingerprint
+    prevents it; this reports it. Near-dup leakage is the quieter
+    cousin — audit that with :func:`decontaminate` (n-grams) or
+    :func:`embedding_decontaminate` between the split sides.
+
+    Returns one row per leaking fingerprint: ``(fingerprint, n_splits,
+    splits, n_docs)`` with ``splits`` a sorted comma-joined list.
+    Fingerprints confined to one split are dropped in-plan.
+
+    Scale shape: ONE hash aggregation on the fingerprint (partial
+    aggs combine map-side); output is the leak set only.
+    """
+    from mhm_data_pipelines_spark.functions.text import fingerprint
+
+    return (
+        df.select(
+            fingerprint(text_col).alias("fingerprint"),
+            F.col(split_col),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.countDistinct(split_col).cast("long").alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set(split_col)), ","
+            ).alias("splits"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

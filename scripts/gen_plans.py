@@ -109,6 +109,11 @@ NOTES = {
         "in the join condition (same-label pairs never scored), one "
         "per-query rank window."
     ),
+    "split_leakage": (
+        "cross-split audit: ONE fingerprint hash agg over the tagged "
+        "union; output is the leak set only - confined fingerprints "
+        "drop in-plan."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -281,6 +281,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # hard_negatives: broadcast query join (map-only) + per-query rank
     # window + display sort.
     "hard_negatives": {"max_shuffles": 2},
+    # split_leakage: union + ONE fingerprint hash agg (countDistinct
+    # expands to two phases) + display sort.
+    "split_leakage": {"max_shuffles": 3},
 }
 
 

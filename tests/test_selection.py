@@ -254,3 +254,24 @@ def test_source_ngram_overlap_duplicate_grams_count_once(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_common, r.n_a, r.n_b, r.jaccard) == (1, 1, 1, 1.0)
+
+
+def test_split_leakage_reports_cross_split_fingerprints(spark):
+    from mhm_data_pipelines_spark.operators.decontam import split_leakage
+
+    rows = [
+        (1, "train", "The Quick   brown fox"),
+        (2, "test", "the quick brown fox"),    # normalizes equal -> leak
+        (3, "train", "unique to train"),
+        (4, "val", "shared three ways"),
+        (5, "test", "Shared Three Ways"),
+        (6, "train", "shared  three ways"),
+        (7, "train", "dup inside one split"),
+        (8, "train", "dup inside one split"),  # same split: NOT a leak
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = sorted(
+        (r.splits, r.n_splits, r.n_docs)
+        for r in split_leakage(df).collect()
+    )
+    assert got == [("test,train", 2, 2), ("test,train,val", 3, 3)]
