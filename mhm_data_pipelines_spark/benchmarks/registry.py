@@ -7340,6 +7340,47 @@ ORDER BY fingerprint
 """
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Banded curriculum over documents with token count as the
+    difficulty proxy: exact-quantile quartile bands + deterministic
+    md5 within-band shuffle key. Cutpoints are one scalar broadcast;
+    banding is row-local — no window, no global sort."""
+    from mhm_data_pipelines_spark.functions.text import token_count
+    from mhm_data_pipelines_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("double").alias("difficulty")
+    )
+    out = curriculum_order(df, "difficulty", n_bands=4)
+    return out.select(
+        "doc_id",
+        F.col("difficulty").cast("long").alias("difficulty"),
+        "band",
+        "order_key",
+    ).orderBy("band", "order_key")
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS DOUBLE) AS difficulty
+  FROM documents
+), c AS (
+  SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS cuts FROM t
+)
+SELECT t.doc_id, CAST(t.difficulty AS BIGINT) AS difficulty,
+       CAST((CASE WHEN t.difficulty > cuts[1] THEN 1 ELSE 0 END +
+             CASE WHEN t.difficulty > cuts[2] THEN 1 ELSE 0 END +
+             CASE WHEN t.difficulty > cuts[3] THEN 1 ELSE 0 END)
+            AS INTEGER) AS band,
+       md5(CAST(t.doc_id AS VARCHAR) || ':42') AS order_key
+FROM t, c
+ORDER BY band, order_key
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7493,6 +7534,7 @@ QUERIES: dict[str, QuerySpec] = {
     "content_manifest": q_content_manifest,
     "hard_negatives": q_hard_negatives,
     "split_leakage": q_split_leakage,
+    "curriculum_order": q_curriculum_order,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7659,6 +7701,7 @@ ORACLES: dict[str, str] = {
     "content_manifest": SQL_CONTENT_MANIFEST,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "split_leakage": SQL_SPLIT_LEAKAGE,
+    "curriculum_order": SQL_CURRICULUM_ORDER,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7709,6 +7752,7 @@ GATE_PRIORITY: list[str] = [
     "content_manifest",
     "hard_negatives",
     "split_leakage",
+    "curriculum_order",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,

@@ -330,3 +330,60 @@ def weighted_sample(
         .limit(n)
         .drop("_es_key")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded curriculum ordering (Bengio et al. 2009 easy→hard
+    schedules, as practiced for LLM data: coarse difficulty phases, not
+    a brittle total order): exact-quantile band assignment by
+    ``score_col`` (band 0 = easiest ``1/n_bands`` of the data) plus a
+    deterministic within-band shuffle key (60 hex chars of
+    md5(``id:seed``)) so each phase is internally order-free. The
+    training order IS ``(band, order_key)``; write with
+    ``repartitionByRange("band", "order_key")`` +
+    ``sortWithinPartitions`` — a range exchange, never a global
+    single-partition window (this operator emits no positions for
+    exactly that reason: a global row_number cannot scale, a sort key
+    can).
+
+    Rows with NULL score are dropped (difficulty unknown ⇒ cannot be
+    scheduled; filter or impute upstream). Band edges: a row equal to a
+    cutpoint belongs to the LOWER band (``score > cut`` counting), and
+    cutpoints use linear interpolation (Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont``), reproducible across engines.
+
+    Scale shape: cutpoints are ONE aggregate row broadcast back
+    (scalar cross join); banding + the shuffle key are then row-local
+    expressions — no window, no self-join, no global sort here.
+    """
+    if n_bands < 2:
+        raise ValueError("n_bands must be >= 2")
+    s = F.col(score_col).cast("double")
+    probs = ", ".join(str(i / n_bands) for i in range(1, n_bands))
+    cuts = df.filter(s.isNotNull()).agg(
+        F.expr(f"percentile({score_col}, array({probs}))").alias("_cuts")
+    )
+    band = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, cut: acc + F.when(s > cut, 1).otherwise(0),
+    )
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    return (
+        df.filter(s.isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "*",
+            band.cast("int").alias("band"),
+            key.alias("order_key"),
+        )
+        .drop("_cuts")
+    )

@@ -114,6 +114,11 @@ NOTES = {
         "union; output is the leak set only - confined fingerprints "
         "drop in-plan."
     ),
+    "curriculum_order": (
+        "banded curriculum: exact-quantile cutpoints are one scalar "
+        "broadcast; banding and the md5 shuffle key are row-local - "
+        "the order is a sort KEY, never a global row_number."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

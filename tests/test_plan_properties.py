@@ -85,6 +85,7 @@ SINGLE_ROW_BROADCAST_OK = {
                           # bounded cross by design (eval benchmarks
                           # are small); LSH/IVF blocking replaces the
                           # cross for eval sets too big to broadcast
+    "curriculum_order",   # crossJoin(broadcast(cutpoint array)) — 1 row
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
@@ -284,6 +285,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # split_leakage: union + ONE fingerprint hash agg (countDistinct
     # expands to two phases) + display sort.
     "split_leakage": {"max_shuffles": 3},
+    # curriculum_order: cutpoint scalar agg broadcast back + row-local
+    # banding/key + display sort.
+    "curriculum_order": {"max_shuffles": 2},
 }
 
 

@@ -331,3 +331,61 @@ def test_weighted_sample_n_validation(spark):
     df = spark.createDataFrame([(1, 1.0)], ["id", "w"])
     with _pytest.raises(ValueError):
         weighted_sample(df, 0, "w", "id")
+
+
+def test_curriculum_order_bands_and_determinism(spark):
+    from mhm_data_pipelines_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, difficulty double"
+    )
+    got = curriculum_order(df, "difficulty", n_bands=4).collect()
+    by_band = {}
+    for r in got:
+        by_band.setdefault(r.band, []).append(r.difficulty)
+    # quartile bands of 0..99: 25 rows each, easy band holds low scores
+    assert {b: len(v) for b, v in by_band.items()} == {
+        0: 25, 1: 25, 2: 25, 3: 25
+    }
+    assert max(by_band[0]) < min(by_band[1])
+    assert max(by_band[2]) < min(by_band[3])
+    # order_key deterministic across invocations
+    again = curriculum_order(df, "difficulty", n_bands=4).collect()
+    assert {(r.doc_id, r.order_key) for r in got} == {
+        (r.doc_id, r.order_key) for r in again
+    }
+    # a different seed reshuffles within bands
+    other = curriculum_order(df, "difficulty", n_bands=4, seed=7).collect()
+    assert {(r.doc_id, r.order_key) for r in got} != {
+        (r.doc_id, r.order_key) for r in other
+    }
+
+
+def test_curriculum_order_null_scores_dropped_and_validation(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "doc_id long, difficulty double"
+    )
+    got = curriculum_order(df, "difficulty", n_bands=2).collect()
+    assert sorted(r.doc_id for r in got) == [1, 3]
+    with _pytest.raises(ValueError, match="n_bands"):
+        curriculum_order(df, "difficulty", n_bands=1)
+
+
+def test_curriculum_cutpoint_ties_go_to_lower_band(spark):
+    from mhm_data_pipelines_spark.operators.sampling import curriculum_order
+
+    # scores 1,1,2,2 with n_bands=2: median is 1.5; exact-integer
+    # scores never straddle ambiguously. With 1,2,2,2 median is 2.0 and
+    # the rows AT the cut must land in band 0.
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0), (4, 2.0)],
+        "doc_id long, difficulty double",
+    )
+    got = {r.doc_id: r.band for r in curriculum_order(
+        df, "difficulty", n_bands=2
+    ).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
