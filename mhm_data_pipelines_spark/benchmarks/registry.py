@@ -7729,6 +7729,15 @@ GATE_PRIORITY: list[str] = [
     #    unchanged keys rotate out first and stay covered by
     #    tests/test_oracle_parity.py every CI run).
     #
+    # Rotated out this round (r5, all green with definitions
+    # unchanged, still hash-checked every CI run by
+    # test_oracle_parity.py): ann_recall + multiprobe_recall (the
+    # recall-cert family keeps ivf_recall), c4_filter_stats (keeps
+    # gopher_quality), paragraph_dedup (keeps span/sentence dedup),
+    # semantic_dedup (keeps semantic_decontam), temperature_mix
+    # (sampling keeps curriculum_order), dsir_weights (keeps
+    # quality_classifier), profile_table (exercised transitively by
+    # profile_drift's two profile passes).
     # never-driver-verified: the r4 stragglers (landed after the final
     # r4 rotation — VERDICT r4 next-step #1) + this round's new ops.
     "doc_entropy",
@@ -7775,17 +7784,11 @@ GATE_PRIORITY: list[str] = [
     # (r3+r4), doc_winnowing, winnow_overlap and doc_fingerprints
     # (r4-green, definitions unchanged since) — all still hash-checked
     # by test_oracle_parity.py every CI run.
-    "ann_recall",
     "ivf_recall",
-    "c4_filter_stats",
-    "paragraph_dedup",
-    "semantic_dedup",
-    "temperature_mix",
     "bm25_topk",
     "bpe_pairs",
     # heavy_hitters rotates out for profile_drift (the sketch family
     # keeps stream_sketch_rollup in the window).
-    "profile_table",
     "doc_bigram_lm",
     "gopher_quality",
     "dup_spans",
@@ -7793,12 +7796,10 @@ GATE_PRIORITY: list[str] = [
     # pq_topk rotates out for skew_report (the PQ family keeps
     # ivfpq_topk in the window).
     "ivfpq_topk",
-    "dsir_weights",
     "quality_classifier",
     # bpe_encode rotates out for phrase_search (the BPE family keeps
     # bpe_pairs in the window).
     "neardup_clusters",
-    "multiprobe_recall",
     "event_pagerank",
     "fuzzy_pairs",
     "semantic_decontam",
