@@ -7381,6 +7381,50 @@ ORDER BY band, order_key
 """
 
 
+def q_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing report over document token counts
+    (edges 32/64/96 straddle the corpus 10–99 token range): padded-
+    batch efficiency per bucket. Row-local bucket assignment + ONE
+    hash agg to 4 rows."""
+    from mhm_data_pipelines_spark.functions.text import token_count
+    from mhm_data_pipelines_spark.operators.packing import (
+        length_bucket_stats,
+    )
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return length_bucket_stats(df, "n_tokens", [32, 64, 96]).orderBy(
+        "bucket"
+    )
+
+
+SQL_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS n FROM documents
+), b AS (
+  SELECT n,
+    CAST((CASE WHEN n > 32 THEN 1 ELSE 0 END +
+          CASE WHEN n > 64 THEN 1 ELSE 0 END +
+          CASE WHEN n > 96 THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+  FROM t WHERE n IS NOT NULL AND n >= 0
+), agg AS (
+  SELECT bucket, count(*) AS n_seqs,
+         CAST(sum(n) AS BIGINT) AS sum_len, max(n) AS max_len
+  FROM b GROUP BY bucket
+)
+SELECT bucket,
+       CAST(CASE bucket WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 96
+            ELSE max_len END AS BIGINT) AS cap,
+       n_seqs, sum_len, max_len,
+       round(sum_len * 1.0 / (n_seqs *
+             greatest(CASE bucket WHEN 0 THEN 32 WHEN 1 THEN 64
+                      WHEN 2 THEN 96 ELSE max_len END, 1)), 6)
+         AS pad_efficiency
+FROM agg ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7535,6 +7579,7 @@ QUERIES: dict[str, QuerySpec] = {
     "hard_negatives": q_hard_negatives,
     "split_leakage": q_split_leakage,
     "curriculum_order": q_curriculum_order,
+    "length_buckets": q_length_buckets,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7702,6 +7747,7 @@ ORACLES: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "curriculum_order": SQL_CURRICULUM_ORDER,
+    "length_buckets": SQL_LENGTH_BUCKETS,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7762,6 +7808,7 @@ GATE_PRIORITY: list[str] = [
     "hard_negatives",
     "split_leakage",
     "curriculum_order",
+    "length_buckets",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7792,7 +7839,8 @@ GATE_PRIORITY: list[str] = [
     "doc_bigram_lm",
     "gopher_quality",
     "dup_spans",
-    "span_dedup",
+    # span_dedup rotates out for length_buckets (the span family
+    # keeps dup_spans in the window).
     # pq_topk rotates out for skew_report (the PQ family keeps
     # ivfpq_topk in the window).
     "ivfpq_topk",
@@ -7881,7 +7929,8 @@ BENCH_QUERIES: list[str] = [
     "profile_table",
     "gopher_quality",
     "dup_spans",
-    "span_dedup",
+    # span_dedup rotates out for length_buckets (the span family
+    # keeps dup_spans in the window).
     "pq_topk",
     "ivfpq_topk",
     "dsir_weights",

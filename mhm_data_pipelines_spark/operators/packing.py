@@ -103,3 +103,67 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    length_col: str,
+    bucket_edges: Sequence[int],
+) -> DataFrame:
+    """Sequence-length bucketing report — the batch-efficiency planner
+    for padded (non-packed) training: group sequences into length
+    buckets, pad each bucket to its cap, and measure what fraction of
+    the padded tensor is real tokens. The readout that justifies a
+    bucket config (or packing instead): ``pad_efficiency`` near 1.0 ⇒
+    little waste; a long tail in the overflow bucket ⇒ add an edge or
+    truncate.
+
+    ``bucket_edges`` are inclusive upper caps, strictly increasing
+    (e.g. ``[128, 512, 2048]`` ⇒ buckets ≤128, ≤512, ≤2048, and an
+    overflow bucket padded to its own observed max). Returns one row
+    per non-empty bucket: ``(bucket, cap, n_seqs, sum_len, max_len,
+    pad_efficiency)`` where ``pad_efficiency = sum_len / (n_seqs ×
+    pad_to)`` and ``pad_to`` is the cap (overflow: observed max).
+    NULL / negative lengths are rejected rows — counted nowhere, they
+    signal an upstream bug better by absence.
+
+    Scale shape: bucket assignment is a row-local expression over the
+    (small, literal) edge list; the report is ONE hash aggregation to
+    ``len(bucket_edges)+1`` rows.
+    """
+    edges = list(bucket_edges)
+    if not edges or any(
+        b <= a for a, b in zip(edges, edges[1:])
+    ) or edges[0] <= 0:
+        raise ValueError("bucket_edges must be positive and increasing")
+    ln = F.col(length_col).cast("long")
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(ln > e, 1).otherwise(0)
+    caps = F.array(*[F.lit(e).cast("long") for e in edges])
+    agg = (
+        df.filter(ln.isNotNull() & (ln >= 0))
+        .select(bucket.cast("int").alias("bucket"), ln.alias("_len"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("_len").alias("sum_len"),
+            F.max("_len").alias("max_len"),
+        )
+    )
+    cap = F.when(
+        F.col("bucket") < len(edges),
+        F.element_at(caps, F.col("bucket") + 1),
+    ).otherwise(F.col("max_len"))
+    return agg.select(
+        "bucket",
+        cap.alias("cap"),
+        "n_seqs",
+        "sum_len",
+        "max_len",
+        F.round(
+            F.col("sum_len")
+            / (F.col("n_seqs") * F.greatest(cap, F.lit(1))),
+            6,
+        ).alias("pad_efficiency"),
+    )

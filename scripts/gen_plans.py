@@ -119,6 +119,10 @@ NOTES = {
         "broadcast; banding and the md5 shuffle key are row-local - "
         "the order is a sort KEY, never a global row_number."
     ),
+    "length_buckets": (
+        "padded-batch efficiency: row-local bucket assignment over a "
+        "literal edge list + ONE hash agg to n_edges+1 rows."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -83,3 +83,47 @@ def test_chunk_documents_coverage_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_length_bucket_stats(spark):
+    from mhm_data_pipelines_spark.operators.packing import (
+        length_bucket_stats,
+    )
+
+    rows = [(i, n) for i, n in enumerate([10, 100, 128, 129, 500, 3000, 4000])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.bucket: r
+        for r in length_bucket_stats(
+            df, "n_tokens", [128, 512, 2048]
+        ).collect()
+    }
+    # bucket 0: <=128 -> 10, 100, 128 ; cap 128
+    b0 = got[0]
+    assert (b0.cap, b0.n_seqs, b0.sum_len, b0.max_len) == (128, 3, 238, 128)
+    assert b0.pad_efficiency == round(238 / (3 * 128), 6)
+    # bucket 1: 129, 500 ; cap 512
+    assert (got[1].n_seqs, got[1].cap) == (2, 512)
+    # bucket 2 empty -> absent; overflow bucket pads to observed max
+    assert 2 not in got
+    b3 = got[3]
+    assert (b3.cap, b3.n_seqs, b3.max_len) == (4000, 2, 4000)
+    assert b3.pad_efficiency == round(7000 / (2 * 4000), 6)
+
+
+def test_length_bucket_stats_validation_and_nulls(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.packing import (
+        length_bucket_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -1)], "doc_id long, n_tokens long"
+    )
+    got = length_bucket_stats(df, "n_tokens", [10]).collect()
+    # NULL and negative lengths are rejected rows
+    assert len(got) == 1 and got[0].n_seqs == 1
+    for bad in ([], [0, 10], [10, 10], [512, 128]):
+        with _pytest.raises(ValueError, match="bucket_edges"):
+            length_bucket_stats(df, "n_tokens", bad)

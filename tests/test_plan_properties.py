@@ -288,6 +288,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # curriculum_order: cutpoint scalar agg broadcast back + row-local
     # banding/key + display sort.
     "curriculum_order": {"max_shuffles": 2},
+    # length_buckets: row-local bucket assign + ONE hash agg to 4 rows
+    # + display sort.
+    "length_buckets": {"max_shuffles": 2},
 }
 
 
