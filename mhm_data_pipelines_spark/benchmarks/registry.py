@@ -7425,6 +7425,46 @@ FROM agg ORDER BY bucket
 """
 
 
+def q_source_divergence(spark, sf_dir):
+    """Domain-shift monitor: KL(source ‖ corpus) over lowercased
+    unigram distributions, no smoothing needed (corpus support is a
+    superset). One token explode -> (source, term) agg; corpus stats
+    re-aggregate the partials; totals broadcast back."""
+    from mhm_data_pipelines_spark.operators.decontam import (
+        source_divergence,
+    )
+
+    out = source_divergence(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("group").alias("grp"),
+        "n_tokens",
+        "n_terms",
+        "kl_vs_corpus",
+    ).orderBy("grp")
+
+
+SQL_SOURCE_DIVERGENCE = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({_SQL_TOKENS_LOWER}) AS term
+  FROM documents
+), gt AS (
+  SELECT grp, term, count(*) AS c_gt FROM tok GROUP BY grp, term
+), ct AS (
+  SELECT term, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY term
+), g_tot AS (
+  SELECT grp, CAST(sum(c_gt) AS BIGINT) AS n_g FROM gt GROUP BY grp
+), tot AS (
+  SELECT CAST(sum(c_gt) AS BIGINT) AS n_all FROM gt
+)
+SELECT gt.grp, max(g_tot.n_g) AS n_tokens, count(*) AS n_terms,
+       round(sum((gt.c_gt * 1.0 / g_tot.n_g) *
+                 ln((gt.c_gt * 1.0 / g_tot.n_g) /
+                    (ct.c_t * 1.0 / tot.n_all))), 6) AS kl_vs_corpus
+FROM gt JOIN ct USING (term) JOIN g_tot USING (grp) CROSS JOIN tot
+GROUP BY gt.grp ORDER BY gt.grp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7580,6 +7620,7 @@ QUERIES: dict[str, QuerySpec] = {
     "split_leakage": q_split_leakage,
     "curriculum_order": q_curriculum_order,
     "length_buckets": q_length_buckets,
+    "source_divergence": q_source_divergence,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7748,6 +7789,7 @@ ORACLES: dict[str, str] = {
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "length_buckets": SQL_LENGTH_BUCKETS,
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7809,6 +7851,7 @@ GATE_PRIORITY: list[str] = [
     "split_leakage",
     "curriculum_order",
     "length_buckets",
+    "source_divergence",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7832,7 +7875,8 @@ GATE_PRIORITY: list[str] = [
     # (r4-green, definitions unchanged since) — all still hash-checked
     # by test_oracle_parity.py every CI run.
     "ivf_recall",
-    "bm25_topk",
+    # bm25_topk rotates out for source_divergence (hybrid_rrf in the
+    # window contains the full bm25 scoring path).
     "bpe_pairs",
     # heavy_hitters rotates out for profile_drift (the sketch family
     # keeps stream_sketch_rollup in the window).
@@ -7922,7 +7966,8 @@ BENCH_QUERIES: list[str] = [
     "embedding_centroids",
     # round-4 headliners
     "minhash_incremental",
-    "bm25_topk",
+    # bm25_topk rotates out for source_divergence (hybrid_rrf in the
+    # window contains the full bm25 scoring path).
     "temperature_mix",
     "bpe_pairs",
     "heavy_hitters",

@@ -273,3 +273,57 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary divergence from the corpus — the
+    domain-shift monitor a mixing pipeline reads before reweighting
+    (cf. DSIR's importance weights in ``operators.selection``, which
+    act on the same unigram statistics; this is the diagnostic, that
+    is the intervention): KL(P_source ‖ P_corpus) over lowercased
+    unigram distributions. KL needs no smoothing here because the
+    corpus distribution is a superset of every source's support
+    (Q(t) > 0 wherever P(t) > 0 by construction).
+
+    Returns ``(group, n_tokens, n_terms, kl_vs_corpus)`` — nats,
+    rounded to 6. High KL ⇒ the source speaks its own dialect
+    (code vs prose, another language, spam); near 0 ⇒
+    corpus-representative.
+
+    Scale shape: one token explode feeds a (group, term) count agg;
+    corpus term counts derive from THOSE partials (re-aggregated, not
+    re-scanned); group totals (n_groups rows) and the corpus total
+    (1 row) broadcast back; the KL sum is one final per-group agg.
+    Never a pairwise-source comparison — that is
+    :func:`source_ngram_overlap`'s job.
+    """
+    from mhm_data_pipelines_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    gt = tok.groupBy("group", "term").agg(F.count("*").alias("c_gt"))
+    gt = gt.localCheckpoint(eager=False)  # shared by 3 consumers below
+    ct = gt.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    g_tot = gt.groupBy("group").agg(F.sum("c_gt").alias("n_g"))
+    corpus_tot = gt.agg(F.sum("c_gt").alias("n_all"))
+    p_over_q = (F.col("c_gt") / F.col("n_g")) / (
+        F.col("c_t") / F.col("n_all")
+    )
+    contrib = (F.col("c_gt") / F.col("n_g")) * F.log(p_over_q)
+    return (
+        gt.join(ct, "term")
+        .join(F.broadcast(g_tot), "group")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("group")
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(contrib), 6).alias("kl_vs_corpus"),
+        )
+    )

@@ -123,6 +123,11 @@ NOTES = {
         "padded-batch efficiency: row-local bucket assignment over a "
         "literal edge list + ONE hash agg to n_edges+1 rows."
     ),
+    "source_divergence": (
+        "KL(source||corpus): one explode feeds the (group,term) agg "
+        "(localCheckpointed, 3 consumers); corpus stats re-aggregate "
+        "partials - never re-scan; totals broadcast back."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

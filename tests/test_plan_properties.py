@@ -86,6 +86,7 @@ SINGLE_ROW_BROADCAST_OK = {
                           # are small); LSH/IVF blocking replaces the
                           # cross for eval sets too big to broadcast
     "curriculum_order",   # crossJoin(broadcast(cutpoint array)) — 1 row
+    "source_divergence",  # crossJoin(broadcast(corpus token total)) — 1 row
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
@@ -291,6 +292,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # length_buckets: row-local bucket assign + ONE hash agg to 4 rows
     # + display sort.
     "length_buckets": {"max_shuffles": 2},
+    # source_divergence: explode + (group,term) agg (localCheckpointed,
+    # shared by ct/g_tot/tot consumers) + term-count agg + totals aggs
+    # + the term join + final per-group agg + display sort.
+    "source_divergence": {"max_shuffles": 8},
 }
 
 

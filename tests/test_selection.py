@@ -275,3 +275,39 @@ def test_split_leakage_reports_cross_split_fingerprints(spark):
         for r in split_leakage(df).collect()
     )
     assert got == [("test,train", 2, 2), ("test,train,val", 3, 3)]
+
+
+def test_source_divergence_hand_computed(spark):
+    import math
+
+    from mhm_data_pipelines_spark.operators.decontam import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "x X y"), (2, "B", "y z")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.group: r for r in source_divergence(df).collect()}
+    # corpus: x2 y2 z1 (N=5); A: x 2/3, y 1/3; B: y 1/2, z 1/2
+    kl_a = (2 / 3) * math.log((2 / 3) / (2 / 5)) + (1 / 3) * math.log(
+        (1 / 3) / (2 / 5)
+    )
+    kl_b = 0.5 * math.log(0.5 / (2 / 5)) + 0.5 * math.log(0.5 / (1 / 5))
+    assert got["A"].kl_vs_corpus == round(kl_a, 6)
+    assert got["B"].kl_vs_corpus == round(kl_b, 6)
+    assert (got["A"].n_tokens, got["A"].n_terms) == (3, 2)
+    assert (got["B"].n_tokens, got["B"].n_terms) == (2, 2)
+
+
+def test_source_divergence_identical_sources_zero(spark):
+    from mhm_data_pipelines_spark.operators.decontam import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "a b c"), (2, "B", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    got = source_divergence(df).collect()
+    assert all(r.kl_vs_corpus == 0.0 for r in got)
