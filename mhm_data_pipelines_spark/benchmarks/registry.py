@@ -6999,8 +6999,9 @@ SQL_PROFILE_DRIFT = _profile_drift_oracle_sql()
 def q_preference_pairs(spark, sf_dir):
     """RLHF/DPO preference-pair prep: events stand in for scored
     completions (prompt = user, completion = event, score = value).
-    Best-vs-worst is ONE struct-min/max hash aggregation (map-side
-    combinable, deterministic tie rule) — no window, no self-join."""
+    Best-vs-worst is ONE struct-min/max aggregation with a map-side
+    partial (SortAggregate — struct buffers are not hash-supported),
+    deterministic tie rule — no window, no self-join."""
     from mhm_data_pipelines_spark.operators.preferences import (
         preference_pairs,
     )
@@ -7465,6 +7466,68 @@ GROUP BY gt.grp ORDER BY gt.grp
 """
 
 
+def q_script_profile(spark, sf_dir):
+    """Writing-script composition per document. The corpus is ASCII,
+    so the gate plants Cyrillic (doc_id%3) and CJK (doc_id%5) tails
+    and checks the literal-codepoint-range counters and the dominance
+    tag — literal ranges, not named regex classes (Java and RE2 draw
+    \\p{...} boundaries differently)."""
+    from mhm_data_pipelines_spark.functions.unicode import script_profile
+
+    df = _t(spark, sf_dir, "documents")
+    planted = df.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" 你好世界")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    s = planted.select("doc_id", script_profile("text").alias("s"))
+    return s.select(
+        "doc_id",
+        "s.n_chars",
+        "s.n_latin",
+        "s.n_cyrillic",
+        "s.n_cjk",
+        "s.n_digit",
+        "s.n_space",
+        "s.n_other",
+        "s.dominant",
+    ).orderBy("doc_id")
+
+
+SQL_SCRIPT_PROFILE = """
+WITH docs AS (
+  SELECT doc_id,
+    substring(text, 1, 30) ||
+    CASE WHEN doc_id % 3 = 0 THEN ' привет мир' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' 你好世界' ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, length(text) AS n_chars,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin,
+    len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS n_cyrillic,
+    len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '\\s')) AS n_space
+  FROM docs
+)
+SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit, n_space,
+  n_chars - n_latin - n_cyrillic - n_cjk - n_digit - n_space AS n_other,
+  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin > 0
+         THEN 'latin'
+       WHEN n_cyrillic >= n_cjk AND n_cyrillic > 0 THEN 'cyrillic'
+       WHEN n_cjk > 0 THEN 'cjk'
+       ELSE 'other' END AS dominant
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7621,6 +7684,7 @@ QUERIES: dict[str, QuerySpec] = {
     "curriculum_order": q_curriculum_order,
     "length_buckets": q_length_buckets,
     "source_divergence": q_source_divergence,
+    "script_profile": q_script_profile,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7790,6 +7854,7 @@ ORACLES: dict[str, str] = {
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "length_buckets": SQL_LENGTH_BUCKETS,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
+    "script_profile": SQL_SCRIPT_PROFILE,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7852,6 +7917,7 @@ GATE_PRIORITY: list[str] = [
     "curriculum_order",
     "length_buckets",
     "source_divergence",
+    "script_profile",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7880,7 +7946,8 @@ GATE_PRIORITY: list[str] = [
     "bpe_pairs",
     # heavy_hitters rotates out for profile_drift (the sketch family
     # keeps stream_sketch_rollup in the window).
-    "doc_bigram_lm",
+    # doc_bigram_lm rotates out for script_profile (the LM-score
+    # family keeps ppl_buckets, which contains doc_lm_score).
     "gopher_quality",
     "dup_spans",
     # span_dedup rotates out for length_buckets (the span family
@@ -8006,4 +8073,8 @@ BENCH_QUERIES: list[str] = [
     "skew_report",
     "profile_drift",
     "preference_pairs",
+    "line_boilerplate",
+    "hard_negatives",
+    "source_divergence",
+    "curriculum_order",
 ]

@@ -67,3 +67,48 @@ def canonicalize_text(
     if strip_controls:
         c = F.regexp_replace(c, r"\p{Cntrl}", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def script_profile(text: Column | str) -> Column:
+    """Per-document writing-script composition as one struct column —
+    the multilingual routing signal read before language-specific
+    stages (tokenizer choice, lang-id trust, CJK-aware dedup): counts
+    of Latin letters, Cyrillic, CJK unified ideographs, digits,
+    whitespace, and everything else, plus the dominant-script tag.
+
+    Counting uses LITERAL codepoint ranges (``[A-Za-z]``,
+    ``[\\u0400-\\u04FF]``, ``[\\u4E00-\\u9FFF]``) rather than named
+    regex script classes — Java (``\\p{IsCyrillic}``) and RE2
+    (``\\p{Cyrillic}``) draw class boundaries differently, literal
+    ranges are engine-exact. Pure Column expressions
+    (``regexp_count``); no explode, no Python.
+
+    ``dominant`` ties break latin > cyrillic > cjk > other (web-corpus
+    prior); a document of only digits/whitespace is ``'other'``.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text) if isinstance(text, str) else text
+    n_latin = F.regexp_count(c, F.lit(r"[A-Za-z]"))
+    n_cyr = F.regexp_count(c, F.lit("[Ѐ-ӿ]"))
+    n_cjk = F.regexp_count(c, F.lit("[一-鿿]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
+    n_space = F.regexp_count(c, F.lit(r"\s"))
+    n_total = F.length(c)
+    n_other = n_total - n_latin - n_cyr - n_cjk - n_digit - n_space
+    dominant = (
+        F.when((n_latin >= n_cyr) & (n_latin >= n_cjk) & (n_latin > 0), "latin")
+        .when((n_cyr >= n_cjk) & (n_cyr > 0), "cyrillic")
+        .when(n_cjk > 0, "cjk")
+        .otherwise("other")
+    )
+    return F.struct(
+        n_total.cast("long").alias("n_chars"),
+        n_latin.cast("long").alias("n_latin"),
+        n_cyr.cast("long").alias("n_cyrillic"),
+        n_cjk.cast("long").alias("n_cjk"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        n_other.cast("long").alias("n_other"),
+        dominant.alias("dominant"),
+    )

@@ -14,10 +14,12 @@ standard and both are here:
   full Bradley–Terry expansion used when K completions per prompt are
   cheap.
 
-Scale shape: best-vs-worst is ONE hash aggregation — ``min``/``max``
+Scale shape: best-vs-worst is ONE aggregation — ``min``/``max``
 over a ``struct(score, completion_id)`` gives lexicographic argmin/
 argmax with a deterministic tie rule and keeps map-side partial
-aggregation (no window, no self-join). All-pairs is a self-equi-join
+aggregation (Spark plans it as SortAggregate: struct buffers are
+not hash-supported; the partial still combines before the
+exchange). No window, no self-join. All-pairs is a self-equi-join
 on the prompt key — fan-out is bounded by the completions-per-prompt
 contract (documented; a prompt with m completions emits ≤ m(m-1)
 pairs), and the optional cap ranks within the prompt only. Texts

@@ -79,9 +79,9 @@ NOTES = {
         "name - at most n_columns rows move."
     ),
     "preference_pairs": (
-        "RLHF best-vs-worst pair: ONE struct-min/max hash aggregation "
-        "(map-side combinable, deterministic tie rule) - no window, "
-        "no self-join; the display sort is the second Exchange."
+        "RLHF best-vs-worst pair: ONE struct-min/max aggregation with "
+        "a partial agg before the exchange (SortAggregate: struct "
+        "buffers are not hash-supported) - no window, no self-join."
     ),
     "preference_all_pairs": (
         "Bradley-Terry expansion: prompt-keyed self-join (fan-out "
@@ -127,6 +127,11 @@ NOTES = {
         "KL(source||corpus): one explode feeds the (group,term) agg "
         "(localCheckpointed, 3 consumers); corpus stats re-aggregate "
         "partials - never re-scan; totals broadcast back."
+    ),
+    "script_profile": (
+        "script composition: literal-codepoint-range regexp_count in "
+        "one row-local projection; the display sort is the only "
+        "Exchange."
     ),
 
     "tpch_q3": (

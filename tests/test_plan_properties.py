@@ -260,8 +260,8 @@ PLAN_BUDGETS: dict[str, dict] = {
     # profile_drift: two profile passes (each: long-form agg + top-k
     # explode agg + n_columns-row join) + the column-name join + sort.
     "profile_drift": {"max_shuffles": 8},
-    # preference_pairs: ONE struct-min/max hash agg (partial + final)
-    # + display sort — best/worst never needs a window or self-join.
+    # preference_pairs: ONE struct-min/max agg (partial + final
+    # SortAggregate) + display sort — never a window or self-join.
     "preference_pairs": {"max_shuffles": 2},
     # preference_all_pairs: prompt-keyed self-join (both sides shuffle
     # or AQE-broadcast) + the per-prompt cap window + display sort.
@@ -296,6 +296,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # shared by ct/g_tot/tot consumers) + term-count agg + totals aggs
     # + the term join + final per-group agg + display sort.
     "source_divergence": {"max_shuffles": 8},
+    # script_profile: row-local regexp_count projection; the display
+    # sort is the ONLY Exchange.
+    "script_profile": {"max_shuffles": 1},
 }
 
 

@@ -74,3 +74,44 @@ def test_canonicalize_plan_is_shuffle_free(spark, strings):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_script_profile_counts(spark):
+    from mhm_data_pipelines_spark.functions.unicode import script_profile
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Hello мир 123"),          # 5 latin, 3 cyrillic, 3 digit, 2 ws
+        (2, "你好 world"),              # 2 cjk, 5 latin, 1 ws
+        (3, "1234 !!"),                # digits + other -> dominant other
+        (4, ""),                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in df.select("doc_id", script_profile("text").alias("s")).collect()
+    }
+    assert got[1] == {
+        "n_chars": 13, "n_latin": 5, "n_cyrillic": 3, "n_cjk": 0,
+        "n_digit": 3, "n_space": 2, "n_other": 0, "dominant": "latin",
+    }
+    assert (got[2]["n_cjk"], got[2]["n_latin"], got[2]["dominant"]) == (2, 5, "latin")
+    assert got[3]["dominant"] == "other"
+    assert got[3]["n_other"] == 2
+    assert got[4] == {
+        "n_chars": 0, "n_latin": 0, "n_cyrillic": 0, "n_cjk": 0,
+        "n_digit": 0, "n_space": 0, "n_other": 0, "dominant": "other",
+    }
+
+
+def test_script_profile_dominance_tiebreak(spark):
+    from mhm_data_pipelines_spark.functions.unicode import script_profile
+
+    rows = [(1, "aб"), (2, "б一"), (3, "一a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s.dominant
+        for r in df.select("doc_id", script_profile("text").alias("s")).collect()
+    }
+    # ties break latin > cyrillic > cjk
+    assert got == {1: "latin", 2: "cyrillic", 3: "latin"}
