@@ -329,21 +329,28 @@ def minhash_near_duplicates(
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = 10_000,
     signatures: DataFrame | None = None,
+    share_scan: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → verification by estimated Jaccard (signature agreement rate)
     ≥ threshold. Returns (id_a, id_b, est_jaccard).
 
     ``signatures``: precomputed :func:`minhash_signatures` output
-    (same num_hashes / shingle_size / hash_family). Pass a persisted
-    or parquet-backed frame when the signature pipeline is expensive
-    enough to materialize — lifecycle is then the CALLER's. By default
-    the pipeline stays fully lazy: the signature subplan appears three
-    times in the plan (banding + both verification sides), which is
-    cheaper than cache materialization at the scales measured
-    (sf0.1 warm: 1.25 s lazy vs 1.43 s with an internal persist on the
-    simhash twin) and leaves nothing cached behind — the r4 internal
-    ``persist()`` leaked a cached relation per call (ADVICE r4).
+    (same num_hashes / shingle_size / hash_family). The signature
+    subplan has THREE consumers (banding + both verification sides),
+    and which strategy wins is scale-dependent, so all three are
+    exposed: (a) default fully-lazy — FASTEST at the measured scales
+    (sf0.1 warm interleaved A/B: 1.54–1.59 s lazy vs 1.69–1.94 s
+    checkpointed; recomputing cheap shingle/hash beats block
+    write+read) and leaves nothing behind; (b) ``share_scan=True`` —
+    lazy ``localCheckpoint``, ONE corpus scan instead of three, the
+    right call when the corpus scan dominates (blocks release on GC
+    of the returned frame — never a catalog entry, unlike the r4
+    internal ``persist()`` ADVICE flagged); (c) pass ``signatures``
+    yourself (persisted or parquet-backed) to own the lifecycle and
+    reuse across several downstream ops — the 100 TB pattern, where
+    signatures are written once and every dedup/incremental/streaming
+    stage reads them.
 
     ``max_bucket_size`` (default 10k) caps quadratic hot-bucket fan-out
     — see :func:`minhash_lsh_candidates`. Star pairs from capped buckets
@@ -364,6 +371,8 @@ def minhash_near_duplicates(
         sigs = minhash_signatures(
             df, text_col, id_col, num_hashes, shingle_size, hash_family
         )
+        if share_scan:
+            sigs = sigs.localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes=num_hashes,
         max_bucket_size=max_bucket_size,

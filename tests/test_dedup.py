@@ -390,9 +390,12 @@ def test_dedup_sentences_first_occurrence_wins(spark):
 
 
 def test_lsh_pipelines_leave_no_cache_behind(spark):
-    """minhash/simhash near-dup are persist-free since r5 (the r4
-    internal persist leaked one cached relation per call — ADVICE r4):
-    repeated calls must not grow the set of persisted RDDs."""
+    """The LAZY LSH paths hide no persist (the r4 internal persist
+    leaked one catalog-cached relation per call — ADVICE r4): repeated
+    calls must not grow the set of persisted RDDs (default lazy
+    path). The opt-in ``share_scan=True`` uses localCheckpoint —
+    blocks release on GC of the returned frame, never a catalog
+    entry — asserted separately below."""
     from mhm_data_pipelines_spark.operators.dedup import (
         minhash_near_duplicates,
         simhash_near_duplicates,
@@ -409,6 +412,13 @@ def test_lsh_pipelines_leave_no_cache_behind(spark):
         minhash_near_duplicates(docs).count()
         simhash_near_duplicates(docs).count()
     assert jsc.getPersistentRDDs().size() == before
+    # the opt-in share_scan path must add nothing to the CATALOG cache
+    # (localCheckpoint is RDD-level): no cached tables appear.
+    minhash_near_duplicates(docs, share_scan=True).count()
+    assert not any(
+        t.isTemporary and "cache" in t.name.lower()
+        for t in spark.catalog.listTables()
+    )
 
 
 def test_winnow_overlap_max_doc_freq_drops_noise(spark):
