@@ -25,6 +25,9 @@ HEAVY = [
     # round-5 additions with corpus-scaling cost profiles
     "source_overlap", "ppl_buckets", "sft_stats", "hybrid_rrf",
     "embedding_covariance",
+    # round-5 second batch: line/fingerprint/KL corpus passes
+    "line_boilerplate", "split_leakage", "source_divergence",
+    "script_profile", "preference_all_pairs",
 ]
 
 
