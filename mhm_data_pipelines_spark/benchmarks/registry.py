@@ -7528,6 +7528,62 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_stream_manifest(spark, sf_dir):
+    """Streaming manifest maintenance, value-verified end-to-end:
+    orders arrive as TWO micro-batches (orderkey parity split) through
+    ``streaming.ingest.manifest_stream``; the merged per-batch
+    partials must be BYTE-EQUAL to the batch manifest of the same rows
+    (XOR/sum/min/max are associative + commutative, so arrival order
+    provably cannot matter) — same oracle as content_manifest."""
+    import time as _time
+
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        manifest_stream,
+        read_manifest_table,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    od = _t(spark, sf_dir, "orders").select(*cols)
+    root = _scratch("mhm_stream_mf_")
+    src = f"{root}/src"
+    od.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    od.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    import os as _os
+
+    old = _time.time() - 3600
+    for d, _, files in _os.walk(f"{src}/b0"):
+        for fn in files:
+            _os.utime(_os.path.join(d, fn), (old, old))
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = manifest_stream(
+        stream,
+        manifest_path=f"{root}/manifest",
+        checkpoint=f"{root}/ck",
+        columns=cols,
+        n_buckets=64,
+    )
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_manifest: availableNow drain exceeded 300 s"
+        )
+    return read_manifest_table(spark, f"{root}/manifest").orderBy("bucket")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7685,6 +7741,7 @@ QUERIES: dict[str, QuerySpec] = {
     "length_buckets": q_length_buckets,
     "source_divergence": q_source_divergence,
     "script_profile": q_script_profile,
+    "stream_manifest": q_stream_manifest,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7855,6 +7912,7 @@ ORACLES: dict[str, str] = {
     "length_buckets": SQL_LENGTH_BUCKETS,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "script_profile": SQL_SCRIPT_PROFILE,
+    "stream_manifest": SQL_CONTENT_MANIFEST,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7918,6 +7976,7 @@ GATE_PRIORITY: list[str] = [
     "length_buckets",
     "source_divergence",
     "script_profile",
+    "stream_manifest",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -7959,7 +8018,8 @@ GATE_PRIORITY: list[str] = [
     # bpe_encode rotates out for phrase_search (the BPE family keeps
     # bpe_pairs in the window).
     "neardup_clusters",
-    "event_pagerank",
+    # event_pagerank rotates out for stream_manifest (the graph
+    # family keeps neardup_clusters in the window).
     "fuzzy_pairs",
     "semantic_decontam",
     # snapshot_diff, variant_extract, hll_user_rollup, neardup_pagerank,
@@ -8049,7 +8109,8 @@ BENCH_QUERIES: list[str] = [
     "quality_classifier",
     "bpe_encode",
     # round-4 late additions
-    "event_pagerank",
+    # event_pagerank rotates out for stream_manifest (the graph
+    # family keeps neardup_clusters in the window).
     "fuzzy_pairs",
     "knn_graph",
     "snapshot_diff",

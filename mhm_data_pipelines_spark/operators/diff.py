@@ -143,3 +143,22 @@ def content_manifest(
             F.max("_h").alias("max_hash"),
         )
     )
+
+
+def merge_manifests(partials: DataFrame) -> DataFrame:
+    """Merge per-batch :func:`content_manifest` partials into the
+    manifest of the union — EXACT, not approximate: counts add, XOR of
+    XORs is the XOR of the union (associative + commutative), min/max
+    compose. This is what makes the manifest incrementally
+    maintainable by a stream or a per-partition build: arrival order
+    and batch boundaries provably cannot change the result. One hash
+    aggregation over (n_batches × n_buckets) tiny rows."""
+    return (
+        partials.groupBy("bucket")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.bit_xor("xor_sig").alias("xor_sig"),
+            F.min("min_hash").alias("min_hash"),
+            F.max("max_hash").alias("max_hash"),
+        )
+    )

@@ -206,3 +206,46 @@ def read_sketch_table(
     return rollup_sketches(
         spark.read.parquet(sketch_path), list(bucket_cols)
     )
+
+
+def manifest_stream(
+    stream: DataFrame,
+    manifest_path: str,
+    checkpoint: str,
+    columns: list[str],
+    n_buckets: int = 64,
+) -> DataStreamWriter:
+    """foreachBatch maintenance of a content manifest
+    (``operators.diff.content_manifest``) over a stream: each
+    micro-batch writes its per-bucket partial (count, commutative XOR
+    signature, min/max hash) to its own ``batch_id=N`` partition with
+    overwrite semantics — a retried epoch replaces its partial, so the
+    maintenance is checkpoint-idempotent like :func:`sketch_stream`.
+    Readers merge with :func:`read_manifest_table`; because XOR/sum/
+    min/max are associative and commutative, the streamed manifest is
+    BYTE-EQUAL to the batch manifest of the same rows, whatever the
+    arrival order — the reproducibility audit works mid-ingest.
+    """
+    from mhm_data_pipelines_spark.operators.diff import content_manifest
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            content_manifest(batch, columns, n_buckets)
+            .write.mode("overwrite")
+            .parquet(f"{manifest_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )
+
+
+def read_manifest_table(spark, manifest_path: str) -> DataFrame:
+    """Current manifest from a :func:`manifest_stream` table: one
+    merge across the per-batch partials (exact — see
+    ``operators.diff.merge_manifests``)."""
+    from mhm_data_pipelines_spark.operators.diff import merge_manifests
+
+    return merge_manifests(spark.read.parquet(manifest_path))

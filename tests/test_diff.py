@@ -132,3 +132,25 @@ def test_content_manifest_empty_columns_rejected(spark):
 
     with _pytest.raises(ValueError, match="at least one column"):
         content_manifest(df, columns=[])
+
+
+def test_merge_manifests_equals_batch_manifest(spark):
+    from mhm_data_pipelines_spark.operators.diff import (
+        content_manifest,
+        merge_manifests,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}") for i in range(300)], "id long, v string"
+    )
+    whole = content_manifest(df, n_buckets=8).orderBy("bucket").collect()
+    parts = [
+        content_manifest(df.filter(f"id % 3 = {k}"), n_buckets=8)
+        for k in range(3)
+    ]
+    merged = (
+        merge_manifests(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+        .orderBy("bucket")
+        .collect()
+    )
+    assert merged == whole

@@ -36,6 +36,7 @@ EXECUTES_ON_BUILD = {
     "jsonl_roundtrip",  # writes the line-JSON dump + persists the raw
                         # read on build (quarantine split)
     "stream_sketch_rollup",  # drains a two-batch sketch stream on build
+    "stream_manifest",  # drains a two-batch manifest stream on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
