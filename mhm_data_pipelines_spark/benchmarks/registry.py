@@ -7584,6 +7584,44 @@ def q_stream_manifest(spark, sf_dir):
     return read_manifest_table(spark, f"{root}/manifest").orderBy("bucket")
 
 
+def q_shard_plan(spark, sf_dir):
+    """Size-balanced shard planning over documents by byte size
+    (n_chars), 16 KB target: per-shard doc counts and totals, via the
+    two-phase distributed prefix sum — no single-task global window."""
+    from mhm_data_pipelines_spark.operators.layout import plan_shards
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = plan_shards(df, "n_chars", shard_size=16384)
+    return (
+        out.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+SQL_SHARD_PLAN = """
+WITH rt AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         CAST(floor((cum - n_chars) / 16384.0) AS INTEGER) AS shard_id
+  FROM rt
+)
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7742,6 +7780,7 @@ QUERIES: dict[str, QuerySpec] = {
     "source_divergence": q_source_divergence,
     "script_profile": q_script_profile,
     "stream_manifest": q_stream_manifest,
+    "shard_plan": q_shard_plan,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7913,6 +7952,7 @@ ORACLES: dict[str, str] = {
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "script_profile": SQL_SCRIPT_PROFILE,
     "stream_manifest": SQL_CONTENT_MANIFEST,
+    "shard_plan": SQL_SHARD_PLAN,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -7977,6 +8017,7 @@ GATE_PRIORITY: list[str] = [
     "source_divergence",
     "script_profile",
     "stream_manifest",
+    "shard_plan",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8007,7 +8048,8 @@ GATE_PRIORITY: list[str] = [
     # keeps stream_sketch_rollup in the window).
     # doc_bigram_lm rotates out for script_profile (the LM-score
     # family keeps ppl_buckets, which contains doc_lm_score).
-    "gopher_quality",
+    # gopher_quality rotates out for shard_plan (the quality-rule
+    # family keeps quantile_select + ppl_buckets in the window).
     "dup_spans",
     # span_dedup rotates out for length_buckets (the span family
     # keeps dup_spans in the window).

@@ -126,3 +126,39 @@ def write_zordered(
     keyed.sortWithinPartitions("zkey").drop("zkey").write.format(
         format
     ).mode("overwrite").save(path)
+
+
+def plan_shards(
+    df: DataFrame,
+    size_col: str,
+    shard_size: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Size-balanced output sharding: assign each row the shard in
+    which its cumulative size STARTS, over a deterministic total order
+    — the write-planning step that turns "dump the corpus" into
+    equal-weight shards for trainer consumption (a shard overflows by
+    at most one straddling row, same convention as
+    ``packing.pack_documents`` bins). Returns the input plus
+    ``shard_id`` and the inclusive ``cum_size``.
+
+    The cumulative sum is ``budget.running_total``'s two-phase
+    distributed prefix sum (literal range boundaries + per-bucket
+    offsets) — NO single-task global window, so the plan is the same
+    shape at 500 rows and 5 billion. ``order_by`` defaults to the id
+    column and must be a total order with non-null keys (see
+    ``running_total``).
+    """
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    order = order_by if order_by is not None else [F.col(id_col)]
+    rt = running_total(df, order, size_col, out_col="cum_size")
+    return rt.withColumn(
+        "shard_id",
+        F.floor(
+            (F.col("cum_size") - F.col(size_col)) / F.lit(shard_size)
+        ).cast("int"),
+    )

@@ -133,6 +133,10 @@ NOTES = {
         "one row-local projection; the display sort is the only "
         "Exchange."
     ),
+    "shard_plan": (
+        "size-balanced sharding: running_total's literal-boundary "
+        "prefix sum (no single-task global window) + one report agg."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

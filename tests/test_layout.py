@@ -127,3 +127,49 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path, col):
 def test_zorder_key_too_wide_raises():
     with pytest.raises(ValueError):
         zorder_key([F.lit(1)] * 8, 8)
+
+
+def test_plan_shards_balanced_and_deterministic(spark):
+    from mhm_data_pipelines_spark.operators.layout import plan_shards
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_bytes long"
+    )
+    got = plan_shards(df, "n_bytes", shard_size=250).collect()
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard_id, []).append(r.doc_id)
+    # 100 rows x 10 bytes / 250 = exactly 4 shards of 25 rows
+    assert {k: len(v) for k, v in sorted(by_shard.items())} == {
+        0: 25, 1: 25, 2: 25, 3: 25
+    }
+    # deterministic order: doc 0..24 -> shard 0, etc.
+    assert sorted(by_shard[0]) == list(range(25))
+    # repeat run identical
+    again = plan_shards(df, "n_bytes", shard_size=250).collect()
+    assert {(r.doc_id, r.shard_id) for r in got} == {
+        (r.doc_id, r.shard_id) for r in again
+    }
+
+
+def test_plan_shards_straddler_starts_in_prior_shard(spark):
+    from mhm_data_pipelines_spark.operators.layout import plan_shards
+
+    df = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 6)], "doc_id long, n_bytes long"
+    )
+    got = {r.doc_id: r.shard_id for r in plan_shards(
+        df, "n_bytes", shard_size=10
+    ).collect()}
+    # cum: 6, 12, 18 -> starts at 0, 6, 12 -> shards 0, 0, 1
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_plan_shards_validation(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.layout import plan_shards
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_bytes long")
+    with _pytest.raises(ValueError, match="shard_size"):
+        plan_shards(df, "n_bytes", shard_size=0)

@@ -300,6 +300,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # script_profile: row-local regexp_count projection; the display
     # sort is the ONLY Exchange.
     "script_profile": {"max_shuffles": 1},
+    # shard_plan: running_total's two-phase prefix sum (pid window
+    # Exchange + metadata-sized offsets subtree) + the report agg +
+    # display sort; boundary sampling adds its own sampled exchanges.
+    "shard_plan": {"max_shuffles": 8},
 }
 
 
