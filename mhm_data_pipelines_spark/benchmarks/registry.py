@@ -7622,6 +7622,48 @@ FROM s GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def q_impute_values(spark, sf_dir):
+    """Group-median NULL imputation. Events have no NULLs, so the gate
+    plants them (event_id%13) and checks the per-event-type exact
+    median fill + missingness flags; the all-null contract is covered
+    by unit tests."""
+    from mhm_data_pipelines_spark.operators.repair import impute_nulls
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = impute_nulls(
+        ev, {"value": "median"}, group_col="event_type", flag=True
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "value_imputed",
+    ).orderBy("event_id")
+
+
+SQL_IMPUTE_VALUES = """
+WITH planted AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM planted GROUP BY event_type
+)
+SELECT p.event_id, p.event_type,
+       round(coalesce(p.value, m.m), 6) AS value,
+       (p.value IS NULL AND m.m IS NOT NULL) AS value_imputed
+FROM planted p LEFT JOIN med m USING (event_type)
+ORDER BY p.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7781,6 +7823,7 @@ QUERIES: dict[str, QuerySpec] = {
     "script_profile": q_script_profile,
     "stream_manifest": q_stream_manifest,
     "shard_plan": q_shard_plan,
+    "impute_values": q_impute_values,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7953,6 +7996,7 @@ ORACLES: dict[str, str] = {
     "script_profile": SQL_SCRIPT_PROFILE,
     "stream_manifest": SQL_CONTENT_MANIFEST,
     "shard_plan": SQL_SHARD_PLAN,
+    "impute_values": SQL_IMPUTE_VALUES,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8018,6 +8062,7 @@ GATE_PRIORITY: list[str] = [
     "script_profile",
     "stream_manifest",
     "shard_plan",
+    "impute_values",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8050,7 +8095,8 @@ GATE_PRIORITY: list[str] = [
     # family keeps ppl_buckets, which contains doc_lm_score).
     # gopher_quality rotates out for shard_plan (the quality-rule
     # family keeps quantile_select + ppl_buckets in the window).
-    "dup_spans",
+    # dup_spans rotates out for impute_values (span family r4-green,
+    # definitions unchanged, CI-hash-checked every run).
     # span_dedup rotates out for length_buckets (the span family
     # keeps dup_spans in the window).
     # pq_topk rotates out for skew_report (the PQ family keeps

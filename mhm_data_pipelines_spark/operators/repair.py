@@ -1,0 +1,120 @@
+"""Data repair: principled NULL imputation before training-feature
+export.
+
+No reference counterpart (north-star LLM-pipeline extension): the
+reference drops incomplete rows (pandas ``dropna`` scattered through
+its summary scripts); at corpus scale, dropping a row because ONE
+feature is missing wastes the rest of it, and imputing from the
+row's GROUP (device type, source, site) beats a global constant
+because missingness correlates with the grouping.
+
+Scale shape: fill statistics are ONE aggregation to ``n_groups`` rows
+(exact interpolated median via ``percentile`` — reproducible in any
+engine — or mean, or deterministic mode), broadcast back and
+``coalesce``\\ d in a row-local projection. The corpus is scanned
+twice (stats + fill) and never shuffled; pass a precomputed ``stats``
+frame to scan once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["impute_stats", "impute_nulls"]
+
+_STRATEGIES = ("median", "mean", "mode")
+
+
+def impute_stats(
+    df: DataFrame,
+    strategies: dict[str, str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group fill values for each ``column -> strategy`` pair:
+    ``median`` (exact linear-interpolated — Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``), ``mean``, or ``mode`` (most frequent
+    non-null value; ties break to the SMALLEST value, deterministic in
+    any engine). Returns one row per group with a ``_fill_<col>``
+    column per input. ``group_col=None`` computes global fills
+    (single row)."""
+    bad = {c: s for c, s in strategies.items() if s not in _STRATEGIES}
+    if bad or not strategies:
+        raise ValueError(
+            f"strategies must be non-empty with values in {_STRATEGIES}; "
+            f"got {bad or strategies}"
+        )
+    g = group_col
+    if g is None:
+        df = df.withColumn("_g", F.lit(0))
+        g = "_g"
+    aggs = []
+    mode_cols = []
+    for c, s in strategies.items():
+        if s == "median":
+            aggs.append(
+                F.expr(f"percentile({c}, 0.5)").alias(f"_fill_{c}")
+            )
+        elif s == "mean":
+            aggs.append(F.avg(c).alias(f"_fill_{c}"))
+        else:
+            mode_cols.append(c)
+    out = None
+    if aggs:
+        out = df.groupBy(F.col(g).alias("_grp")).agg(*aggs)
+    for c in mode_cols:
+        # mode: count per (group, value), then min(struct(-cnt, value))
+        # = largest count, ties to smallest value.
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(g).alias("_grp"), F.col(c))
+            .agg(F.count("*").alias("_n"))
+        )
+        mode = counts.groupBy("_grp").agg(
+            F.min(F.struct((-F.col("_n")).alias("neg"), F.col(c).alias("v")))[
+                "v"
+            ].alias(f"_fill_{c}")
+        )
+        out = mode if out is None else out.join(mode, "_grp", "full_outer")
+    return out
+
+
+def impute_nulls(
+    df: DataFrame,
+    strategies: dict[str, str],
+    group_col: str | None = None,
+    stats: DataFrame | None = None,
+    flag: bool = False,
+) -> DataFrame:
+    """Fill NULLs in each strategy column from its group's statistic
+    (:func:`impute_stats`; pass ``stats`` to reuse a precomputed
+    frame and scan the corpus once). Numeric columns keep their input
+    type (the fill is cast back). ``flag=True`` adds a boolean
+    ``<col>_imputed`` marker per column — training pipelines often
+    want missingness itself as a feature. A group whose statistic is
+    NULL (all-null group) leaves its rows NULL — imputation never
+    invents data."""
+    g = group_col
+    if g is None:
+        df = df.withColumn("_g", F.lit(0))
+        g = "_g"
+    st = stats if stats is not None else impute_stats(
+        df, strategies, group_col=g
+    )
+    joined = df.join(
+        F.broadcast(st), on=F.col(g) == F.col("_grp"), how="left"
+    )
+    for c in strategies:
+        fill = F.col(f"_fill_{c}")
+        typ = dict(df.dtypes)[c]
+        if flag:
+            joined = joined.withColumn(
+                f"{c}_imputed", F.col(c).isNull() & fill.isNotNull()
+            )
+        joined = joined.withColumn(
+            c, F.coalesce(F.col(c), fill.cast(typ))
+        )
+    drop = ["_grp"] + [f"_fill_{c}" for c in strategies]
+    if group_col is None:
+        drop.append("_g")
+    return joined.drop(*drop)

@@ -137,6 +137,11 @@ NOTES = {
         "size-balanced sharding: running_total's literal-boundary "
         "prefix sum (no single-task global window) + one report agg."
     ),
+    "impute_values": (
+        "group-median imputation: ONE stats agg to n_groups rows "
+        "broadcast back; the coalesce fill is row-local - the corpus "
+        "never shuffles."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -304,6 +304,12 @@ PLAN_BUDGETS: dict[str, dict] = {
     # Exchange + metadata-sized offsets subtree) + the report agg +
     # display sort; boundary sampling adds its own sampled exchanges.
     "shard_plan": {"max_shuffles": 8},
+    # impute_values: the median stats agg (sort-based percentile: two
+    # phases) broadcast back + display sort; the fill is row-local.
+    "impute_values": {
+        "max_shuffles": 3,
+        "require": ["BroadcastHashJoin"],
+    },
 }
 
 

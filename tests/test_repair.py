@@ -1,0 +1,69 @@
+"""NULL imputation (operators.repair)."""
+
+import pytest
+
+from mhm_data_pipelines_spark.operators.repair import (
+    impute_nulls,
+    impute_stats,
+)
+
+ROWS = [
+    # group a: values 1, 2, 3, NULL -> median 2.0, mean 2.0
+    (1, "a", 1.0, "x"),
+    (2, "a", 2.0, "x"),
+    (3, "a", 3.0, "y"),
+    (4, "a", None, None),
+    # group b: single value + null; mode tie in cat ("p" vs "q" 1x each)
+    (5, "b", 10.0, "q"),
+    (6, "b", None, "p"),
+    # group c: ALL null -> stays null
+    (7, "c", None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        ROWS, "id long, grp string, v double, cat string"
+    )
+
+
+def test_impute_median_and_mode_per_group(spark, frame):
+    out = impute_nulls(
+        frame,
+        {"v": "median", "cat": "mode"},
+        group_col="grp",
+        flag=True,
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got[4].v == 2.0 and got[4].v_imputed
+    assert not got[1].v_imputed
+    # mode of group a cats: x (2) beats y
+    assert got[4].cat == "x"
+    # group b: median of single value
+    assert got[6].v == 10.0
+    # mode tie in group b ("p", "q" once each) -> smallest value "p"
+    assert got[4].cat_imputed and got[6].cat == "p"
+    # all-null group stays null, flag false
+    assert got[7].v is None and not got[7].v_imputed
+
+
+def test_impute_global_mean_preserves_type(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "id long, n int"
+    )
+    out = {r.id: r for r in impute_nulls(df, {"n": "mean"}).collect()}
+    assert out[2].n == 15  # cast back to int
+    assert dict(impute_nulls(df, {"n": "mean"}).dtypes)["n"] == "int"
+
+
+def test_impute_stats_shape_and_validation(spark, frame):
+    st = {r._grp: r for r in impute_stats(
+        frame, {"v": "median", "cat": "mode"}, group_col="grp"
+    ).collect()}
+    assert st["a"]._fill_v == 2.0 and st["a"]._fill_cat == "x"
+    assert st["c"]._fill_v is None
+    with pytest.raises(ValueError, match="strategies"):
+        impute_stats(frame, {"v": "nope"})
+    with pytest.raises(ValueError, match="strategies"):
+        impute_stats(frame, {})
