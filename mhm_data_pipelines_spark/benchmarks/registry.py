@@ -7664,6 +7664,75 @@ ORDER BY p.event_id
 """
 
 
+def q_wordlist_screen(spark, sf_dir):
+    """Token-level blocklist screening over documents ('table',
+    'spark', 'slow' occur in the synthetic vocabulary): per-doc hit
+    counts + verdict, one row-local projection."""
+    from mhm_data_pipelines_spark.functions.text import wordlist_hits
+
+    df = _t(spark, sf_dir, "documents")
+    s = df.select(
+        "doc_id", wordlist_hits("text", ("table", "spark", "slow")).alias("s")
+    )
+    return s.select(
+        "doc_id", "s.n_hits", "s.n_distinct_hits", "s.hit_any"
+    ).orderBy("doc_id")
+
+
+SQL_WORDLIST_SCREEN = """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> ''),
+      x -> regexp_replace(regexp_replace(x, '^[^0-9a-z]+', ''),
+                          '[^0-9a-z]+$', '')) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    list_filter(toks, x -> list_contains(['table','spark','slow'], x))
+      AS matched
+  FROM t
+)
+SELECT doc_id, CAST(len(matched) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(matched)) AS BIGINT) AS n_distinct_hits,
+       len(matched) > 0 AS hit_any
+FROM m ORDER BY doc_id
+"""
+
+
+def q_mix_solver(spark, sf_dir):
+    """Target-composition keep-rate solver over document sources:
+    src0/src1 request more than they have (capped, reported), src2
+    downsamples to 0.8, unlisted sources drop. One count agg to
+    n_sources rows."""
+    from mhm_data_pipelines_spark.operators.sampling import mix_rates
+
+    df = _t(spark, sf_dir, "documents")
+    out = mix_rates(
+        df, "source", {"src0": 0.3, "src1": 0.2, "src2": 0.1}, total=200
+    )
+    return out.orderBy("group")
+
+
+SQL_MIX_SOLVER = """
+WITH c AS (
+  SELECT source AS grp, count(*) AS n_rows FROM documents GROUP BY source
+), s AS (
+  SELECT grp, n_rows,
+    CASE grp WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+             WHEN 'src2' THEN 0.1 ELSE 0.0 END AS target_share
+  FROM c
+)
+SELECT grp AS "group", n_rows, target_share,
+       round(least(1.0, target_share * 200 / n_rows), 6) AS rate,
+       round(n_rows * least(1.0, target_share * 200 / n_rows), 2)
+         AS expected_rows,
+       target_share * 200 > n_rows AS capped
+FROM s ORDER BY grp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7824,6 +7893,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_manifest": q_stream_manifest,
     "shard_plan": q_shard_plan,
     "impute_values": q_impute_values,
+    "wordlist_screen": q_wordlist_screen,
+    "mix_solver": q_mix_solver,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -7997,6 +8068,8 @@ ORACLES: dict[str, str] = {
     "stream_manifest": SQL_CONTENT_MANIFEST,
     "shard_plan": SQL_SHARD_PLAN,
     "impute_values": SQL_IMPUTE_VALUES,
+    "wordlist_screen": SQL_WORDLIST_SCREEN,
+    "mix_solver": SQL_MIX_SOLVER,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8063,6 +8136,8 @@ GATE_PRIORITY: list[str] = [
     "stream_manifest",
     "shard_plan",
     "impute_values",
+    "wordlist_screen",
+    "mix_solver",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8101,8 +8176,10 @@ GATE_PRIORITY: list[str] = [
     # keeps dup_spans in the window).
     # pq_topk rotates out for skew_report (the PQ family keeps
     # ivfpq_topk in the window).
-    "ivfpq_topk",
-    "quality_classifier",
+    # ivfpq_topk rotates out for wordlist_screen (ivf_recall keeps
+    # the IVF family gated; the PQ composition is r4-green, unchanged).
+    # quality_classifier rotates out for mix_solver (exercised
+    # transitively by quantile_select's classifier-score composition).
     # bpe_encode rotates out for phrase_search (the BPE family keeps
     # bpe_pairs in the window).
     "neardup_clusters",

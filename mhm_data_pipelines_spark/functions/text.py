@@ -823,3 +823,37 @@ def compression_stats(
             "n_compressed long, ratio double"
         ),
     )
+
+
+def wordlist_hits(
+    text: Column | str,
+    words: tuple[str, ...] | list[str],
+) -> Column:
+    """Token-level blocklist screening (the Dolma/C4 "bad word list"
+    rule — word-boundary matching, NOT substring: 'assess' must not
+    trip 'ass') as one struct: ``n_hits`` (total matched occurrences),
+    ``n_distinct_hits`` (distinct listed words present), ``hit_any``.
+    Matching is case-insensitive against whitespace tokens stripped of
+    leading/trailing punctuation, so 'Word!' matches 'word'.
+
+    The list embeds as a LITERAL array — the right call for curated
+    lists (tens to low thousands of entries; they ride the plan, no
+    join). For open-ended vocabularies use the explode + broadcast
+    semi-join shape of ``operators.decontam.decontaminate`` instead.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lst = F.array(*[F.lit(w.lower()) for w in words])
+    toks = F.transform(
+        tokens(F.lower(c)),
+        lambda t: F.regexp_replace(
+            t, r"^[^0-9a-z]+|[^0-9a-z]+$", ""
+        ),
+    )
+    matched = F.filter(toks, lambda t: F.array_contains(lst, t))
+    n_hits = F.size(matched)
+    n_distinct = F.size(F.array_distinct(matched))
+    return F.struct(
+        n_hits.cast("long").alias("n_hits"),
+        n_distinct.cast("long").alias("n_distinct_hits"),
+        (n_hits > 0).alias("hit_any"),
+    )

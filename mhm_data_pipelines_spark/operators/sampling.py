@@ -387,3 +387,96 @@ def curriculum_order(
         )
         .drop("_cuts")
     )
+
+
+def mix_rates(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    total: int,
+) -> DataFrame:
+    """Solve per-source KEEP RATES for an exact target composition —
+    the step between "we want 30% web / 20% code / ..." and an actual
+    downsampling pass: ``rate_g = min(1, share_g × total / n_g)``.
+    A source too small for its requested share caps at rate 1
+    (``capped`` = true) and the ACHIEVED mix diverges from the request
+    — reported, not hidden, because silently renormalizing would
+    up-weight other sources the user never asked to boost (rerun with
+    a smaller ``total`` or updated shares to rebalance; cf.
+    :func:`temperature_mix`, which derives shares from a temperature
+    instead of taking them as given).
+
+    Returns ``(group, n_rows, target_share, rate, expected_rows,
+    capped)``; groups present in the data but absent from
+    ``target_shares`` get share 0 (dropped), and requested groups
+    missing from the data are absent from the output (nothing to
+    sample). One count aggregation to n_groups rows; apply the rates
+    with :func:`apply_mix`.
+    """
+    if total <= 0:
+        raise ValueError("total must be positive")
+    for g, s in target_shares.items():
+        if s < 0:
+            raise ValueError(f"negative share for {g!r}")
+    share = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(float(s)))
+            for g, s in target_shares.items()
+        ],
+        F.lit(0.0),
+    ) if target_shares else F.lit(0.0)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    rate = F.least(
+        F.lit(1.0), F.col("target_share") * total / F.col("n_rows")
+    )
+    return (
+        counts.withColumn("target_share", share)
+        .withColumn("rate", rate)
+        .select(
+            F.col(group_col).alias("group"),
+            "n_rows",
+            "target_share",
+            F.round("rate", 6).alias("rate"),
+            F.round(F.col("n_rows") * rate, 2).alias("expected_rows"),
+            (F.col("target_share") * total > F.col("n_rows")).alias(
+                "capped"
+            ),
+        )
+    )
+
+
+def apply_mix(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Apply :func:`mix_rates` output: keep a row iff its
+    deterministic md5 unit-interval draw (``md5(key:seed)`` — same
+    hash family as :func:`deterministic_sample`, reproducible in any
+    engine and under any partitioning) falls below its group's rate.
+    The rates table (n_groups rows) joins by broadcast; no shuffle of
+    the corpus."""
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**15)
+    )
+    r = rates.select(
+        F.col("group").alias(group_col), F.col("rate").alias("_rate")
+    )
+    return (
+        df.join(F.broadcast(r), group_col)
+        .filter(draw < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -142,6 +142,15 @@ NOTES = {
         "broadcast back; the coalesce fill is row-local - the corpus "
         "never shuffles."
     ),
+    "wordlist_screen": (
+        "blocklist screening: literal-array word-boundary matching in "
+        "one row-local projection; display sort is the only Exchange."
+    ),
+    "mix_solver": (
+        "target-mix keep rates: ONE count agg to n_sources rows; the "
+        "closed form min(1, share*total/n) caps small sources and "
+        "reports the divergence instead of renormalizing."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

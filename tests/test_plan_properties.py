@@ -310,6 +310,11 @@ PLAN_BUDGETS: dict[str, dict] = {
         "max_shuffles": 3,
         "require": ["BroadcastHashJoin"],
     },
+    # wordlist_screen: row-local literal-array matching; display sort
+    # is the ONLY Exchange.
+    "wordlist_screen": {"max_shuffles": 1},
+    # mix_solver: ONE count agg to n_groups rows + display sort.
+    "mix_solver": {"max_shuffles": 2},
 }
 
 

@@ -389,3 +389,59 @@ def test_curriculum_cutpoint_ties_go_to_lower_band(spark):
         df, "difficulty", n_bands=2
     ).collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_mix_rates_closed_form_and_cap(spark):
+    from mhm_data_pipelines_spark.operators.sampling import mix_rates
+
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(100 + i, "small") for i in range(10)]
+        + [(200 + i, "unlisted") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.group: r for r in mix_rates(
+        df, "source", {"big": 0.5, "small": 0.5, "ghost": 1.0}, total=40
+    ).collect()}
+    # big: 0.5*40/100 = 0.2 ; small wants 20 of 10 -> capped at 1.0
+    assert got["big"].rate == 0.2 and not got["big"].capped
+    assert got["big"].expected_rows == 20.0
+    assert got["small"].rate == 1.0 and got["small"].capped
+    assert got["small"].expected_rows == 10.0
+    # unlisted source -> share 0, dropped; ghost absent from data
+    assert got["unlisted"].rate == 0.0
+    assert "ghost" not in got
+
+
+def test_apply_mix_deterministic_and_proportional(spark):
+    from mhm_data_pipelines_spark.operators.sampling import (
+        apply_mix,
+        mix_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    rates = mix_rates(df, "source", {"a": 0.25, "b": 0.75}, total=1000)
+    kept = apply_mix(df, rates, "source", "doc_id")
+    n_a = kept.filter("source = 'a'").count()
+    n_b = kept.filter("source = 'b'").count()
+    # expected 250 / 750 within sampling tolerance
+    assert abs(n_a - 250) < 60 and abs(n_b - 750) < 60
+    again = apply_mix(df, rates, "source", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mix_rates_validation(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.sampling import mix_rates
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="total"):
+        mix_rates(df, "source", {"a": 1.0}, total=0)
+    with _pytest.raises(ValueError, match="negative"):
+        mix_rates(df, "source", {"a": -0.1}, total=10)

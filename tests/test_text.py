@@ -663,3 +663,23 @@ def test_doc_char_entropy_empty_doc_emits_no_row(spark):
     assert set(rows) == {2}
     assert rows[2]["n_chars_ent"] == 2
     assert rows[2]["entropy"] == pytest.approx(1.0)
+
+
+def test_wordlist_hits_word_boundary_and_punct(spark):
+    from mhm_data_pipelines_spark.functions.text import wordlist_hits
+
+    rows = [
+        (1, "the Spam! spam and assess"),   # 'spam' x2; 'assess' != 'ass'
+        (2, "clean text only"),
+        (3, "SPAM, (ham)"),                 # punctuation-stripped matches
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in df.select(
+            "doc_id", wordlist_hits("text", ("spam", "ham", "ass")).alias("s")
+        ).collect()
+    }
+    assert got[1] == {"n_hits": 2, "n_distinct_hits": 1, "hit_any": True}
+    assert got[2] == {"n_hits": 0, "n_distinct_hits": 0, "hit_any": False}
+    assert got[3] == {"n_hits": 2, "n_distinct_hits": 2, "hit_any": True}
