@@ -7733,6 +7733,80 @@ FROM s ORDER BY grp
 """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel within 3 days of the first
+    view: per-step reached-user counts. One equi-join + min-agg per
+    step, all on the user key (exchange reuse), no windows."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        funnel_progress,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    prog = funnel_progress(
+        ev, ["view", "click", "purchase"], within="3 days"
+    )
+    return prog.agg(
+        F.count("t_1").alias("n_step1"),
+        F.count("t_2").alias("n_step2"),
+        F.count("t_3").alias("n_step3"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT s1.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3 DAY
+  GROUP BY s1.user_id
+), s3 AS (
+  SELECT s2.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+         min(e.ts) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY
+  GROUP BY s2.user_id
+)
+SELECT count(t1) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3
+FROM s3
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly retention triangle over events: cohort = first-seen
+    week, offset = weeks since, n_active = distinct users. Three hash
+    aggs + one co-partitioned user join."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"), period="week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset",
+        "n_active",
+    ).orderBy("cohort_week", "offset")
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(floor(date_diff('day', f.cohort, a.p) / 7) AS INTEGER)
+         AS offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7895,6 +7969,8 @@ QUERIES: dict[str, QuerySpec] = {
     "impute_values": q_impute_values,
     "wordlist_screen": q_wordlist_screen,
     "mix_solver": q_mix_solver,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -8070,6 +8146,8 @@ ORACLES: dict[str, str] = {
     "impute_values": SQL_IMPUTE_VALUES,
     "wordlist_screen": SQL_WORDLIST_SCREEN,
     "mix_solver": SQL_MIX_SOLVER,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8138,6 +8216,8 @@ GATE_PRIORITY: list[str] = [
     "impute_values",
     "wordlist_screen",
     "mix_solver",
+    "event_funnel",
+    "cohort_retention",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8182,7 +8262,8 @@ GATE_PRIORITY: list[str] = [
     # transitively by quantile_select's classifier-score composition).
     # bpe_encode rotates out for phrase_search (the BPE family keeps
     # bpe_pairs in the window).
-    "neardup_clusters",
+    # neardup_clusters rotates out for event_funnel (r4-green,
+    # unchanged; CC also exercised via semantic_dedup, CI-checked).
     # event_pagerank rotates out for stream_manifest (the graph
     # family keeps neardup_clusters in the window).
     "fuzzy_pairs",
@@ -8199,7 +8280,9 @@ GATE_PRIORITY: list[str] = [
     # scale fix), displacing simhash_groups (single-green r4, but its
     # family keeps simhash_neardup as a fresh re-gated row; still
     # hash-checked by test_oracle_parity.py).
-    "winnow_overlap",
+    # winnow_overlap rotates out for cohort_retention (re-gated and
+    # green in the r4-era local suite after the df-cap fix; still
+    # hash-checked by test_oracle_parity.py every CI run).
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()

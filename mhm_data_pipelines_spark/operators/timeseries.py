@@ -96,3 +96,98 @@ def rolling_zscore(
         (n == window) & (std > 0), (F.col(value) - mean) / std
     )
     return df.withColumn("z", z)
+
+
+def funnel_progress(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel progress per user (the product-analytics
+    windowFunnel): for each user who performed ``steps[0]``, the
+    earliest time of each subsequent step that happens STRICTLY AFTER
+    the previous step's matched time — reaching step k requires an
+    ordered chain, not mere presence of every event type. ``within``
+    (an INTERVAL literal, e.g. ``'7 days'``) bounds the whole chain
+    relative to the first step. Returns ``(user, t_1..t_n)`` with NULL
+    from the first unreached step onward.
+
+    Scale shape: one equi-join + min-aggregate per funnel step, all on
+    the user key — Spark reuses the exchange across stages (same key),
+    so the corpus shuffles once per step and never more; no windows,
+    no per-user event collection.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    u, ts, tc = user_col, ts_col, type_col
+    out = (
+        df.filter(F.col(tc) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("t_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(tc) == s).select(
+            F.col(u).alias("_u"), F.col(ts).alias("_ts")
+        )
+        cond = (F.col(u) == F.col("_u")) & (
+            F.col("_ts") > F.col(f"t_{i-1}")
+        )
+        if within is not None:
+            cond = cond & (
+                F.col("_ts") <= F.col("t_1") + F.expr(f"INTERVAL {within}")
+            )
+        prior = [u] + [f"t_{j}" for j in range(1, i)]
+        out = (
+            out.join(ev, on=cond, how="left")
+            .groupBy(*prior)
+            .agg(F.min("_ts").alias(f"t_{i}"))
+        )
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST-seen
+    period, counted as active in each later period offset — the
+    engagement readout behind every "week-N retention" chart. Returns
+    ``(cohort, offset, n_active)`` where offset 0 is the cohort's own
+    period (n_active = cohort size).
+
+    Scale shape: first-seen period is one min-aggregate per user; the
+    (user, active-period) pairs are one distinct; their equi-join on
+    the user key feeds the final (cohort, offset) count — three hash
+    aggregations and one co-partitioned join, no windows.
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError(f"unsupported period: {period!r}")
+    p = F.date_trunc(period, F.col(ts_col))
+    first = df.groupBy(user_col).agg(
+        F.min(p).alias("cohort")
+    )
+    active = df.select(F.col(user_col), p.alias("_p")).distinct()
+    diff = {
+        "day": F.datediff(F.col("_p"), F.col("cohort")),
+        "week": F.floor(
+            F.datediff(F.col("_p"), F.col("cohort")) / 7
+        ),
+        "month": F.months_between(F.col("_p"), F.col("cohort")).cast(
+            "int"
+        ),
+    }[period]
+    return (
+        active.join(first, user_col)
+        .select(
+            F.col("cohort"),
+            diff.cast("int").alias("offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(user_col).cast("long").alias("n_active"))
+    )

@@ -151,6 +151,15 @@ NOTES = {
         "closed form min(1, share*total/n) caps small sources and "
         "reports the divergence instead of renormalizing."
     ),
+    "event_funnel": (
+        "ordered funnel: one equi-join + min-agg per step, all on the "
+        "user key (exchange reuse) - no windows, no per-user event "
+        "collection."
+    ),
+    "cohort_retention": (
+        "retention triangle: first-seen agg + distinct activity + one "
+        "co-partitioned user join + (cohort, offset) count-distinct."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

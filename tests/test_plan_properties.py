@@ -315,6 +315,12 @@ PLAN_BUDGETS: dict[str, dict] = {
     "wordlist_screen": {"max_shuffles": 1},
     # mix_solver: ONE count agg to n_groups rows + display sort.
     "mix_solver": {"max_shuffles": 2},
+    # event_funnel: one user-keyed agg per step (3) + the step joins
+    # reuse the user exchange; final 1-row summary agg (2 phases).
+    "event_funnel": {"max_shuffles": 8},
+    # cohort_retention: first-seen agg + distinct + user join +
+    # (cohort, offset) count-distinct (2 phases) + display sort.
+    "cohort_retention": {"max_shuffles": 7},
 }
 
 

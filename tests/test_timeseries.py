@@ -59,3 +59,89 @@ def test_rolling_zscore_zero_std_null(spark):
     df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
     got = rolling_zscore(df, window=7).collect()
     assert all(r.z is None for r in got)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_funnel_progress_requires_order(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        funnel_progress,
+    )
+
+    rows = [
+        # user 1: clean view -> click -> buy
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "buy", "2024-01-01 12:00:00"),
+        # user 2: click BEFORE view -> chain stops after view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # user 3: view only
+        (3, "view", "2024-01-01 10:00:00"),
+        # user 4: never viewed -> absent
+        (4, "click", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, _ts(s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {r.user_id: r for r in funnel_progress(
+        df, ["view", "click", "buy"]
+    ).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].t_2 is not None and got[1].t_3 is not None
+    assert got[2].t_2 is None and got[2].t_3 is None
+    assert got[3].t_2 is None
+
+
+def test_funnel_progress_within_horizon(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        funnel_progress,
+    )
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-09 10:00:00"),  # 8 days later
+    ]
+    df = spark.createDataFrame(
+        [(u, t, _ts(s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    loose = funnel_progress(df, ["view", "click"]).collect()[0]
+    tight = funnel_progress(
+        df, ["view", "click"], within="7 days"
+    ).collect()[0]
+    assert loose.t_2 is not None and tight.t_2 is None
+
+
+def test_retention_cohorts_triangle(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # cohort week of 2024-01-01: users 1, 2
+        (1, "2024-01-02 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        # user 1 returns in week +1 and +2; user 2 only +2
+        (1, "2024-01-09 10:00:00"),
+        (1, "2024-01-16 10:00:00"),
+        (2, "2024-01-17 10:00:00"),
+        # cohort of 2024-01-08: user 3
+        (3, "2024-01-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, _ts(s)) for u, s in rows], "user_id long, ts timestamp"
+    )
+    got = {
+        (str(r.cohort)[:10], r.offset): r.n_active
+        for r in retention_cohorts(df, period="week").collect()
+    }
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 2)] == 2
+    assert got[("2024-01-08", 0)] == 1
