@@ -7807,6 +7807,66 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_conversation_windows(spark, sf_dir):
+    """Long-context SFT windowing: documents become alternating-role
+    transcripts of 8-token turns; windows of ≤20 tokens must break
+    greedily at turn boundaries. The DuckDB twin replays the greedy
+    fold as a recursive CTE over (doc, turn-index) — the sequential
+    rule itself is verified, not just the counts."""
+    from mhm_data_pipelines_spark.operators.conversations import (
+        window_conversations,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    n_turns = F.ceil(n / F.lit(8)).cast("int")
+    conv = F.transform(
+        F.sequence(F.lit(1), n_turns),
+        lambda i: F.struct(
+            F.when(i % 2 == 1, "user").otherwise("assistant").alias(
+                "role"
+            ),
+            F.array_join(
+                F.slice(toks, (i - 1) * 8 + 1, 8), " "
+            ).alias("content"),
+        ),
+    )
+    convs = df.filter(n > 0).select(
+        "doc_id", F.to_json(conv).alias("conversation")
+    )
+    out = window_conversations(convs, max_tokens=20)
+    return out.select(
+        "doc_id", "window_idx", "n_turns", "n_tokens"
+    ).orderBy("doc_id", "window_idx")
+
+
+SQL_CONVERSATION_WINDOWS = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS tn FROM documents
+  WHERE len({_SQL_TOKENS}) > 0
+), turns AS (
+  SELECT doc_id, u.i AS idx,
+         least(8, tn - (u.i - 1) * 8) AS n
+  FROM t, LATERAL unnest(
+    generate_series(1, CAST(ceil(tn / 8.0) AS BIGINT))) AS u(i)
+), rec AS (
+  SELECT doc_id, idx, n, 0 AS widx, n AS cum
+  FROM turns WHERE idx = 1
+  UNION ALL
+  SELECT tu.doc_id, tu.idx, tu.n,
+    CASE WHEN r.cum + tu.n > 20 THEN r.widx + 1 ELSE r.widx END,
+    CASE WHEN r.cum + tu.n > 20 THEN tu.n ELSE r.cum + tu.n END
+  FROM rec r JOIN turns tu
+    ON tu.doc_id = r.doc_id AND tu.idx = r.idx + 1
+)
+SELECT doc_id, widx AS window_idx,
+       count(*) AS n_turns, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM rec GROUP BY doc_id, widx
+ORDER BY doc_id, window_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -7971,6 +8031,7 @@ QUERIES: dict[str, QuerySpec] = {
     "mix_solver": q_mix_solver,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
+    "conversation_windows": q_conversation_windows,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -8148,6 +8209,7 @@ ORACLES: dict[str, str] = {
     "mix_solver": SQL_MIX_SOLVER,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "conversation_windows": SQL_CONVERSATION_WINDOWS,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8218,6 +8280,7 @@ GATE_PRIORITY: list[str] = [
     "mix_solver",
     "event_funnel",
     "cohort_retention",
+    "conversation_windows",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8267,7 +8330,10 @@ GATE_PRIORITY: list[str] = [
     # event_pagerank rotates out for stream_manifest (the graph
     # family keeps neardup_clusters in the window).
     "fuzzy_pairs",
-    "semantic_decontam",
+    # semantic_decontam rotates out for conversation_windows
+    # (r4-green, unchanged; the embedding-decontam path shares its
+    # verified blocked-join machinery with decontamination, which
+    # stays CI-hash-checked).
     # snapshot_diff, variant_extract, hll_user_rollup, neardup_pagerank,
     # sentence_dedup and weighted_sample (single-green
     # r4, definitions unchanged) rotate out to make room for this

@@ -151,3 +151,100 @@ def render_chat(
         turn_sep,
     )
     return df.withColumn(out_col, rendered)
+
+
+def window_conversations(
+    df: DataFrame,
+    json_col: str = "conversation",
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long conversations into training windows at TURN
+    boundaries — the long-context SFT prep step: a transcript over the
+    context budget becomes several windows, each a run of consecutive
+    whole turns whose whitespace-token total fits ``max_tokens``
+    (greedy: a turn that would overflow a non-empty window starts the
+    next one; a single turn bigger than the budget gets a window to
+    itself — truncation is the trainer's call, splitting mid-turn is
+    never correct).
+
+    Returns one row per window: ``(id, window_idx, n_turns, n_tokens,
+    window)`` with ``window`` the turn sub-array. Unparseable rows are
+    dropped (flag them upstream via :func:`parse_conversations`).
+
+    Scale shape: the greedy assignment is a row-local ``aggregate``
+    fold over the turn array (conversations are bounded-length by
+    contract — this is an array op, not a corpus shuffle); the only
+    Exchange after the explode is whatever the caller does next.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    parsed = parse_conversations(df, json_col).filter(F.col("parse_ok"))
+    counts = F.transform(F.col("conv"), lambda t: _n_tokens(t["content"]))
+    # Fold: acc = struct(widx, cum, assigns[]); a turn that would
+    # overflow a non-empty window opens the next.
+    init = F.struct(
+        F.lit(0).alias("widx"),
+        F.lit(0).alias("cum"),
+        F.array().cast("array<int>").alias("assigns"),
+    )
+    fold = F.aggregate(
+        counts,
+        init,
+        lambda acc, n: F.struct(
+            F.when(
+                (acc["cum"] > 0) & (acc["cum"] + n > max_tokens),
+                acc["widx"] + 1,
+            )
+            .otherwise(acc["widx"])
+            .alias("widx"),
+            F.when(
+                (acc["cum"] > 0) & (acc["cum"] + n > max_tokens), n
+            )
+            .otherwise(acc["cum"] + n)
+            .alias("cum"),
+            F.concat(
+                acc["assigns"],
+                F.array(
+                    F.when(
+                        (acc["cum"] > 0) & (acc["cum"] + n > max_tokens),
+                        acc["widx"] + 1,
+                    ).otherwise(acc["widx"])
+                ),
+            ).alias("assigns"),
+        ),
+        lambda acc: acc["assigns"],
+    )
+    staged = parsed.select(
+        F.col(id_col),
+        F.arrays_zip(
+            F.col("conv").alias("turn"),
+            counts.alias("n"),
+            fold.alias("widx"),
+        ).alias("_z"),
+    )
+    ex = staged.select(
+        F.col(id_col), F.posexplode("_z").alias("pos", "e")
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.col("e.turn").alias("turn"),
+        F.col("e.n").alias("n"),
+        F.col("e.widx").alias("widx"),
+    )
+    return (
+        ex.groupBy(id_col, "widx")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            # array_sort on (pos, turn) structs keeps turn order —
+            # collect_list alone is partition-order-dependent.
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "turn"))
+                ),
+                lambda s: s["turn"],
+            ).alias("window"),
+        )
+        .withColumnRenamed("widx", "window_idx")
+    )

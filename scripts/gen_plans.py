@@ -160,6 +160,11 @@ NOTES = {
         "retention triangle: first-seen agg + distinct activity + one "
         "co-partitioned user join + (cohort, offset) count-distinct."
     ),
+    "conversation_windows": (
+        "SFT windowing: the greedy turn-boundary assignment is a "
+        "row-local aggregate fold over the turn array; explode + one "
+        "per-(doc,window) reassembly agg."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -85,3 +85,47 @@ def test_stats_plan_is_shuffle_free(spark, convs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_window_conversations_greedy_turn_boundaries(spark):
+    import json
+
+    from mhm_data_pipelines_spark.operators.conversations import (
+        window_conversations,
+    )
+
+    conv = [
+        {"role": "user", "content": "a b c"},          # 3 tokens
+        {"role": "assistant", "content": "d e"},       # 2
+        {"role": "user", "content": "f g h i"},        # 4 -> new window
+        {"role": "assistant", "content": "j"},         # 1
+        {"role": "user", "content": " ".join("x" * 1 for _ in range(9))},  # 9 > max -> own window
+    ]
+    df = spark.createDataFrame(
+        [(1, json.dumps(conv))], "doc_id long, conversation string"
+    )
+    got = sorted(
+        window_conversations(df, max_tokens=6).collect(),
+        key=lambda r: r.window_idx,
+    )
+    assert [(r.window_idx, r.n_turns, r.n_tokens) for r in got] == [
+        (0, 2, 5), (1, 2, 5), (2, 1, 9)
+    ]
+    # turn order preserved inside each window
+    assert [t["content"] for t in got[0].window] == ["a b c", "d e"]
+    assert [t["content"] for t in got[1].window] == ["f g h i", "j"]
+
+
+def test_window_conversations_drops_unparseable_and_validates(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.conversations import (
+        window_conversations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "not json")], "doc_id long, conversation string"
+    )
+    assert window_conversations(df, max_tokens=10).count() == 0
+    with _pytest.raises(ValueError, match="max_tokens"):
+        window_conversations(df, max_tokens=0)

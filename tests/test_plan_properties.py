@@ -321,6 +321,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # cohort_retention: first-seen agg + distinct + user join +
     # (cohort, offset) count-distinct (2 phases) + display sort.
     "cohort_retention": {"max_shuffles": 7},
+    # conversation_windows: row-local fold + explode + per-(doc,window)
+    # reassembly agg + display sort.
+    "conversation_windows": {"max_shuffles": 3},
 }
 
 
