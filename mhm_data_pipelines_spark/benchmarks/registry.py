@@ -7867,6 +7867,45 @@ ORDER BY doc_id, window_idx
 """
 
 
+def q_join_preflight(spark, sf_dir):
+    """Exact orders⋈lineitem output-size pre-flight from per-key count
+    aggregates — tiny rows through the key shuffle, the join never
+    materializes."""
+    from mhm_data_pipelines_spark.operators.skew import (
+        join_size_preflight,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return join_size_preflight(orders, li, ["orderkey"])
+
+
+SQL_JOIN_PREFLIGHT = """
+WITH lc AS (
+  SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1
+), rc AS (
+  SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1
+), p AS (
+  SELECT lc.k, cl * cr AS pr FROM lc JOIN rc USING (k)
+), tops AS (
+  SELECT CAST(sum(pr) AS BIGINT) AS top_sum
+  FROM (SELECT pr FROM p ORDER BY pr DESC, k LIMIT 10)
+)
+SELECT coalesce(CAST(sum(p.pr) AS BIGINT), 0) AS n_out_rows,
+       count(*) AS n_matched_keys,
+       (SELECT count(*) FROM orders) AS n_left_rows,
+       (SELECT count(*) FROM lineitem) AS n_right_rows,
+       coalesce(CAST(max(p.pr) AS BIGINT), 0) AS max_key_fanout,
+       round(coalesce((SELECT top_sum FROM tops) * 1.0 / sum(p.pr),
+                      0.0), 6) AS top_fanout_share
+FROM p
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8032,6 +8071,7 @@ QUERIES: dict[str, QuerySpec] = {
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
+    "join_preflight": q_join_preflight,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -8210,6 +8250,7 @@ ORACLES: dict[str, str] = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
+    "join_preflight": SQL_JOIN_PREFLIGHT,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8281,6 +8322,7 @@ GATE_PRIORITY: list[str] = [
     "event_funnel",
     "cohort_retention",
     "conversation_windows",
+    "join_preflight",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8306,7 +8348,8 @@ GATE_PRIORITY: list[str] = [
     "ivf_recall",
     # bm25_topk rotates out for source_divergence (hybrid_rrf in the
     # window contains the full bm25 scoring path).
-    "bpe_pairs",
+    # bpe_pairs rotates out for join_preflight (r4-green, unchanged;
+    # BPE stays CI-hash-checked incl. the bpe_encode composition).
     # heavy_hitters rotates out for profile_drift (the sketch family
     # keeps stream_sketch_rollup in the window).
     # doc_bigram_lm rotates out for script_profile (the LM-score

@@ -146,3 +146,63 @@ def skew_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name", "rank")
+
+
+def join_size_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Exact inner-join OUTPUT size without materializing the join:
+    |A ⋈ B| = Σ_key cl(k)·cr(k), computed from per-key count
+    aggregates — tiny rows through the same key shuffle the real join
+    would pay, so the answer costs a fraction of the join it
+    describes. The decide-before-you-run companion to
+    :func:`skew_report`: that flags hot keys per side, this prices the
+    fan-out they multiply into (the classic surprise: two modest
+    inputs whose hot keys align into a billion-row output).
+
+    Returns ONE summary row: ``(n_out_rows, n_matched_keys,
+    n_left_rows, n_right_rows, max_key_fanout, top_fanout_share)`` —
+    ``max_key_fanout`` the largest single-key product and
+    ``top_fanout_share`` the fraction of output owed to the
+    ``top_k`` hottest keys (≈1.0 ⇒ salting or a skew hint pays off).
+    """
+    lc = left.groupBy(*on).agg(F.count("*").alias("_cl"))
+    rc = right.groupBy(*on).agg(F.count("*").alias("_cr"))
+    prod = lc.join(rc, on).select(
+        (F.col("_cl").cast("long") * F.col("_cr")).alias("_p")
+    )
+    top = prod.orderBy(F.desc("_p")).limit(top_k).agg(
+        F.sum("_p").alias("_top_sum")
+    )
+    totals = prod.agg(
+        F.sum("_p").alias("n_out_rows"),
+        F.count("*").alias("n_matched_keys"),
+        F.max("_p").alias("max_key_fanout"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(top))
+        .crossJoin(
+            F.broadcast(left.agg(F.count("*").alias("n_left_rows")))
+        )
+        .crossJoin(
+            F.broadcast(right.agg(F.count("*").alias("n_right_rows")))
+        )
+        .select(
+            F.coalesce("n_out_rows", F.lit(0)).alias("n_out_rows"),
+            "n_matched_keys",
+            "n_left_rows",
+            "n_right_rows",
+            F.coalesce("max_key_fanout", F.lit(0)).alias(
+                "max_key_fanout"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("_top_sum") / F.col("n_out_rows"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_fanout_share"),
+        )
+    )

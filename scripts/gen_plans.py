@@ -165,6 +165,11 @@ NOTES = {
         "row-local aggregate fold over the turn array; explode + one "
         "per-(doc,window) reassembly agg."
     ),
+    "join_preflight": (
+        "exact join-output pricing: per-key count aggs + a counts "
+        "join (tiny rows through the key shuffle) - the join itself "
+        "never materializes."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -88,6 +88,7 @@ SINGLE_ROW_BROADCAST_OK = {
                           # cross for eval sets too big to broadcast
     "curriculum_order",   # crossJoin(broadcast(cutpoint array)) — 1 row
     "source_divergence",  # crossJoin(broadcast(corpus token total)) — 1 row
+    "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
@@ -324,6 +325,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # conversation_windows: row-local fold + explode + per-(doc,window)
     # reassembly agg + display sort.
     "conversation_windows": {"max_shuffles": 3},
+    # join_preflight: two per-key count aggs + the counts join + the
+    # TakeOrdered top-k + 1-row summary aggs (broadcast crosses).
+    "join_preflight": {"max_shuffles": 7},
 }
 
 

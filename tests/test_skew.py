@@ -106,3 +106,39 @@ def test_skew_report_multi_column_and_validation(spark):
     assert [r.col_name for r in got] == sorted(r.col_name for r in got)
     with _pytest.raises(ValueError):
         skew_report(df, [])
+
+
+def test_join_size_preflight_exact(spark):
+    from mhm_data_pipelines_spark.operators.skew import (
+        join_size_preflight,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 2 + [(3, "c")],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x")] * 4 + [(2, "y")] + [(9, "z")],
+        "k long, w string",
+    )
+    got = join_size_preflight(left, right, ["k"]).collect()[0]
+    # key 1: 3*4=12, key 2: 2*1=2; key 3/9 unmatched
+    assert got.n_out_rows == 14
+    assert got.n_matched_keys == 2
+    assert (got.n_left_rows, got.n_right_rows) == (6, 6)
+    assert got.max_key_fanout == 12
+    assert got.top_fanout_share == 1.0
+    # ground truth: the real join
+    assert left.join(right, "k").count() == 14
+
+
+def test_join_size_preflight_disjoint_keys(spark):
+    from mhm_data_pipelines_spark.operators.skew import (
+        join_size_preflight,
+    )
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(2, "b")], "k long, w string")
+    got = join_size_preflight(a, b, ["k"]).collect()[0]
+    assert got.n_out_rows == 0 and got.n_matched_keys == 0
+    assert got.max_key_fanout == 0
