@@ -7906,6 +7906,74 @@ FROM p
 """
 
 
+def q_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC candles per event type: ONE hash agg with map-side
+    partials, deterministic tie rules (open smaller / close larger)."""
+    from mhm_data_pipelines_spark.operators.rollup_ts import ohlc_rollup
+
+    out = ohlc_rollup(
+        _t(spark, sf_dir, "events"), ["event_type"], bucket="hour"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:00").alias("bucket"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    ).orderBy("event_type", "bucket")
+
+
+SQL_OHLC_HOURLY = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bt, ts, value,
+    first_value(value) OVER (PARTITION BY event_type,
+      date_trunc('hour', ts) ORDER BY ts, value) AS open_v,
+    first_value(value) OVER (PARTITION BY event_type,
+      date_trunc('hour', ts) ORDER BY ts DESC, value DESC) AS close_v
+  FROM events
+)
+SELECT event_type, strftime(bt, '%Y-%m-%d %H:00') AS bucket,
+       min(open_v) AS "open", max(value) AS high, min(value) AS low,
+       min(close_v) AS "close", count(*) AS n
+FROM b GROUP BY event_type, bt
+ORDER BY event_type, bucket
+"""
+
+
+def q_time_weighted(spark, sf_dir):
+    """Duration-weighted mean value per user (LOCF): one lead window
+    per key + one hash agg; single-event users are NULL by contract."""
+    from mhm_data_pipelines_spark.operators.rollup_ts import (
+        time_weighted_avg,
+    )
+
+    out = time_weighted_avg(_t(spark, sf_dir, "events"), ["user_id"])
+    return out.select(
+        "user_id",
+        F.round("twa", 6).alias("twa"),
+        "n_obs",
+        F.round("span_seconds", 6).alias("span_seconds"),
+    ).orderBy("user_id")
+
+
+SQL_TIME_WEIGHTED = """
+WITH d AS (
+  SELECT user_id, value,
+    date_diff('microsecond', ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      AS dur_us
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * dur_us) / sum(dur_us), 6) AS twa,
+       count(*) AS n_obs,
+       round(sum(dur_us) / 1000000.0, 6) AS span_seconds
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8072,6 +8140,8 @@ QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
     "join_preflight": q_join_preflight,
+    "ohlc_hourly": q_ohlc_hourly,
+    "time_weighted": q_time_weighted,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -8251,6 +8321,8 @@ ORACLES: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
     "join_preflight": SQL_JOIN_PREFLIGHT,
+    "ohlc_hourly": SQL_OHLC_HOURLY,
+    "time_weighted": SQL_TIME_WEIGHTED,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8323,6 +8395,8 @@ GATE_PRIORITY: list[str] = [
     "cohort_retention",
     "conversation_windows",
     "join_preflight",
+    "ohlc_hourly",
+    "time_weighted",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8335,8 +8409,11 @@ GATE_PRIORITY: list[str] = [
     "stream_neardup",
     "jsonl_roundtrip",
     "stream_sketch_rollup",
-    "staging_mirror",
-    "heatmap_render",
+    # staging_mirror rotates out for ohlc_hourly (r4-green; the r5
+    # default_parallelism touch is covered by its targeted tests +
+    # the CI oracle suite).
+    # heatmap_render rotates out for time_weighted (r4-green with a
+    # pixel-level oracle, definition unchanged, CI-checked).
     "knn_graph",
     "token_budget_select",
     # single-green keeps: every remaining key whose ONLY driver-green

@@ -15,7 +15,7 @@ sum/count at read time). The tests prove tier-derived == direct-from-raw.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Mergeable partial columns produced at every tier.
@@ -91,3 +91,71 @@ def rollup_tiers(
         )
         out[res] = prev
     return out
+
+
+def ohlc_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick rollup per key and time
+    bucket — the financial-style continuous aggregate every metrics
+    store grows eventually. Open/close are the values at the earliest/
+    latest timestamp in the bucket; timestamp ties break
+    deterministically by the lexicographic struct ordering — open
+    takes the SMALLER value, close the LARGER (a bare ``min_by``/
+    ``max_by`` is tie-arbitrary in any engine). ONE hash aggregation with map-side partials; no
+    window, no sort.
+
+    Returns ``(*key_cols, bucket_ts, open, high, low, close, n)``.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    pair = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+    return (
+        df.groupBy(*key_cols, b)
+        .agg(
+            F.min(pair)["v"].alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(pair)["v"].alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Duration-weighted mean per key (TimescaleDB ``time_weight``
+    semantics, last-observation-carried-forward): each observation's
+    value holds until the NEXT observation of the same key, so a
+    sensor that reports rarely does not get equal vote with one that
+    chatters. The final observation of a key carries no interval and
+    contributes no weight (a key with one event has no defined TWA →
+    NULL, never a division blow-up).
+
+    Scale shape: one ``lead`` window per key (the same shuffle a
+    groupBy would pay) + one hash aggregation.
+
+    Returns ``(*key_cols, twa, n_obs, span_seconds)``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    nxt = F.lead(ts_col).over(w)
+    dur = F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
+    staged = df.withColumn("_dur_us", dur)
+    return (
+        staged.groupBy(*key_cols)
+        .agg(
+            (
+                F.sum(F.col(value_col) * F.col("_dur_us"))
+                / F.sum("_dur_us")
+            ).alias("twa"),
+            F.count("*").alias("n_obs"),
+            (F.sum("_dur_us") / 1_000_000.0).alias("span_seconds"),
+        )
+    )

@@ -170,6 +170,14 @@ NOTES = {
         "join (tiny rows through the key shuffle) - the join itself "
         "never materializes."
     ),
+    "ohlc_hourly": (
+        "candlestick rollup: ONE hash agg with map-side partials and "
+        "deterministic struct tie rules - no window, no sort."
+    ),
+    "time_weighted": (
+        "LOCF duration weighting: one lead window per key (the same "
+        "shuffle a groupBy costs) + one hash agg."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -328,6 +328,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # join_preflight: two per-key count aggs + the counts join + the
     # TakeOrdered top-k + 1-row summary aggs (broadcast crosses).
     "join_preflight": {"max_shuffles": 7},
+    # ohlc_hourly: ONE hash agg (partial + final) + display sort.
+    "ohlc_hourly": {"max_shuffles": 2},
+    # time_weighted: one per-key lead window + one hash agg + sort.
+    "time_weighted": {"max_shuffles": 3},
 }
 
 
