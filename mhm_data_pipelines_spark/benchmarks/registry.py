@@ -7974,6 +7974,78 @@ FROM d GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_hist_quantile_rollup(spark, sf_dir):
+    """Mergeable-quantile rollup (the quantile twin of
+    hll_user_rollup): daily fixed-bin value histograms merge into
+    weekly p50 estimates, and each estimate is checked within one bin
+    width of the exact weekly median — the bound the sketch trades for
+    mergeability, verified not assumed."""
+    from mhm_data_pipelines_spark.operators.sketches import (
+        histogram_partials,
+        histogram_quantile,
+        merge_histograms,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    lo, hi, bins = 0.0, 500.0, 50
+    daily = histogram_partials(ev, ["day"], "value", lo, hi, bins)
+    weekly = merge_histograms(
+        daily.withColumn("iso_week", iso_week_key("day")), ["iso_week"]
+    )
+    est = histogram_quantile(weekly, ["iso_week"], 0.5, lo, hi, bins)
+    exact = ev.groupBy(iso_week_key("ts").alias("iso_week")).agg(
+        F.expr("percentile(value, 0.5)").alias("_exact")
+    )
+    width = (hi - lo) / bins
+    return (
+        est.join(exact, "iso_week")
+        .select(
+            "iso_week",
+            "n",
+            F.round("est", 6).alias("est_p50"),
+            (F.abs(F.col("est") - F.col("_exact")) <= width).alias(
+                "within_one_bin"
+            ),
+        )
+        .orderBy("iso_week")
+    )
+
+
+SQL_HIST_QUANTILE_ROLLUP = """
+WITH ev AS (
+  SELECT ts, value,
+         strftime(date_trunc('day', ts), '%G-W%V') AS iso_week
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT iso_week,
+         least(49, greatest(0,
+           CAST(floor(value / 10.0) AS INTEGER))) AS bin,
+         count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+), c AS (
+  SELECT iso_week, bin, cnt,
+         sum(cnt) OVER (PARTITION BY iso_week ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY iso_week) AS n
+  FROM h
+), est AS (
+  SELECT iso_week, CAST(max(n) AS BIGINT) AS n,
+         (min(bin) + 1) * 10.0 AS est
+  FROM c WHERE cum >= 0.5 * n GROUP BY iso_week
+), ex AS (
+  SELECT strftime(date_trunc('day', ts), '%G-W%V') AS iso_week,
+         quantile_cont(value, 0.5) AS exact_q
+  FROM events GROUP BY 1
+)
+SELECT e.iso_week, e.n, round(e.est, 6) AS est_p50,
+       abs(e.est - x.exact_q) <= 10.0 AS within_one_bin
+FROM est e JOIN ex x USING (iso_week)
+ORDER BY e.iso_week
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8142,6 +8214,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_preflight": q_join_preflight,
     "ohlc_hourly": q_ohlc_hourly,
     "time_weighted": q_time_weighted,
+    "hist_quantile_rollup": q_hist_quantile_rollup,
     "audio_features": q_audio_features,
     "stream_neardup": q_stream_neardup,
     "heavy_hitters": q_heavy_hitters,
@@ -8323,6 +8396,7 @@ ORACLES: dict[str, str] = {
     "join_preflight": SQL_JOIN_PREFLIGHT,
     "ohlc_hourly": SQL_OHLC_HOURLY,
     "time_weighted": SQL_TIME_WEIGHTED,
+    "hist_quantile_rollup": SQL_HIST_QUANTILE_ROLLUP,
     "stream_neardup": SQL_MINHASH_INCREMENTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
@@ -8397,13 +8471,16 @@ GATE_PRIORITY: list[str] = [
     "join_preflight",
     "ohlc_hourly",
     "time_weighted",
+    "hist_quantile_rollup",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
     # kNN boundary-tie widen, budget sort-order/parallelism
     # portability, staging default_parallelism).
     "minhash_neardup",
-    "minhash_exact_pairs",
+    # minhash_exact_pairs rotates out for hist_quantile_rollup (the
+    # minhash family keeps three re-gated reps: minhash_neardup,
+    # minhash_incremental, stream_neardup).
     "minhash_incremental",
     "simhash_neardup",
     "stream_neardup",

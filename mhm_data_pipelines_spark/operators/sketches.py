@@ -59,3 +59,92 @@ def estimate(df: DataFrame, sketch_col: str = "sketch") -> DataFrame:
     return df.withColumn(
         sketch_col + "_estimate", F.hll_sketch_estimate(sketch_col)
     ).drop(sketch_col)
+
+
+def histogram_partials(
+    df: DataFrame,
+    bucket_cols: list,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin histogram PARTIALS per bucket — the mergeable-quantile
+    counterpart of :func:`sketch_distinct`: persist one ≤``n_bins``-row
+    histogram per fine bucket, answer any coarser quantile question by
+    SUMMING bins (:func:`merge_histograms`), never re-scanning raw
+    data. Bin edges are LITERALS (``lo``/``hi`` from domain knowledge
+    or a prior 1-row min/max agg), so partials built on different days
+    / sites / engines are bin-compatible by construction — the
+    property that makes them mergeable. Values at/below ``lo`` clamp
+    to bin 0, at/above ``hi`` to bin ``n_bins-1`` (no silent drop).
+
+    Returns ``(*bucket_cols, bin, cnt)``; estimate error after any
+    merge is bounded by one bin width — checked, not assumed, in the
+    gate query.
+    """
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*bucket_cols, b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_histograms(
+    partials: DataFrame, bucket_cols: list
+) -> DataFrame:
+    """Merge histogram partials to a coarser bucketing: bins ADD —
+    exact, order-insensitive (counts are counts). One hash agg over
+    ≤ n_fine_buckets × n_bins tiny rows."""
+    return partials.groupBy(*bucket_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    bucket_cols: list,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimate from a merged histogram: the upper edge of
+    the first bin where the cumulative count reaches ``q × n``.
+    Guaranteed within one bin width of the exact quantile — the
+    trade the sketch makes for mergeability. The cumulative window
+    runs over ≤ ``n_bins`` rows per bucket (never the data).
+
+    Returns ``(*bucket_cols, n, est)``.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*bucket_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*bucket_cols)
+    cum = F.sum("cnt").over(w)
+    n = F.sum("cnt").over(wn)
+    hit = hist.select(
+        *bucket_cols,
+        "bin",
+        n.alias("n"),
+        (cum >= F.lit(q) * n).alias("_reached"),
+    ).filter("_reached")
+    return hit.groupBy(*bucket_cols).agg(
+        F.max("n").alias("n"),
+        (F.lit(lo) + (F.min("bin") + 1) * F.lit(width)).alias("est"),
+    )

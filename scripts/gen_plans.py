@@ -178,6 +178,11 @@ NOTES = {
         "LOCF duration weighting: one lead window per key (the same "
         "shuffle a groupBy costs) + one hash agg."
     ),
+    "hist_quantile_rollup": (
+        "mergeable quantiles: daily fixed-bin partials sum into "
+        "weekly histograms (bins ADD - exact merge); the cum window "
+        "runs over <= n_bins rows per bucket, never the data."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

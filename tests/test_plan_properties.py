@@ -332,6 +332,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     "ohlc_hourly": {"max_shuffles": 2},
     # time_weighted: one per-key lead window + one hash agg + sort.
     "time_weighted": {"max_shuffles": 3},
+    # hist_quantile_rollup: daily partial agg -> weekly merge agg ->
+    # n_bins-row cum window + estimate agg + the exact-median
+    # verification subtree (percentile agg) + join + display sort.
+    "hist_quantile_rollup": {"max_shuffles": 8},
 }
 
 

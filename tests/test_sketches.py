@@ -82,3 +82,55 @@ def test_stream_sketch_table_merges_across_batches(spark, tmp_path):
     ).parquet(f"{root}/batch_id=1")
     (row2,) = estimate(read_sketch_table(spark, root, ("day",))).collect()
     assert row2["sketch_estimate"] == row["sketch_estimate"]
+
+
+def test_histogram_partials_merge_equals_whole(spark):
+    from mhm_data_pipelines_spark.operators.sketches import (
+        histogram_partials,
+        merge_histograms,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i % 100)) for i in range(1000)],
+        "day int, value double",
+    )
+    whole = histogram_partials(
+        df.withColumn("w", F.lit(0)), ["w"], "value", 0.0, 100.0, 10
+    ).orderBy("bin").collect()
+    daily = histogram_partials(df, ["day"], "value", 0.0, 100.0, 10)
+    merged = merge_histograms(
+        daily.withColumn("w", F.lit(0)), ["w"]
+    ).orderBy("bin").collect()
+    assert [(r.bin, r.cnt) for r in merged] == [
+        (r.bin, r.cnt) for r in whole
+    ]
+
+
+def test_histogram_quantile_within_one_bin(spark):
+    from mhm_data_pipelines_spark.operators.sketches import (
+        histogram_partials,
+        histogram_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, float(v)) for v in range(1, 101)], "g int, value double"
+    )
+    hist = histogram_partials(df, ["g"], "value", 0.0, 100.0, 20)
+    got = histogram_quantile(hist, ["g"], 0.5, 0.0, 100.0, 20).collect()[0]
+    exact = 50.5  # interpolated median of 1..100
+    assert got.n == 100
+    assert abs(got.est - exact) <= 5.0  # one bin width
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from mhm_data_pipelines_spark.operators.sketches import (
+        histogram_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(0, -5.0), (0, 500.0), (0, 50.0)], "g int, value double"
+    )
+    got = {r.bin: r.cnt for r in histogram_partials(
+        df, ["g"], "value", 0.0, 100.0, 10
+    ).collect()}
+    assert got == {0: 1, 9: 1, 5: 1}
