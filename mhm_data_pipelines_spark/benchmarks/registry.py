@@ -4122,6 +4122,11 @@ def q_minhash_neardup(spark, sf_dir):
         bands=_MINHASH_BANDS,
         threshold=_MINHASH_EST_T,
         hash_family="md5",
+        # md5-per-shingle signatures are expensive enough that the
+        # one-scan localCheckpoint beats re-deriving them for all
+        # three consumers (measured at sf0.1: ~1.8-2.0 s vs
+        # 1.8-2.4 s+tail lazy) — the documented share_scan condition.
+        share_scan=True,
     )
     return out.select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
@@ -8649,4 +8654,11 @@ BENCH_QUERIES: list[str] = [
     "hard_negatives",
     "source_divergence",
     "curriculum_order",
+    "conversation_windows",
+    "event_funnel",
+    "cohort_retention",
+    "join_preflight",
+    "hist_quantile_rollup",
+    "ohlc_hourly",
+    "time_weighted",
 ]

@@ -61,7 +61,7 @@ def test_rolling_zscore_zero_std_null(spark):
     assert all(r.z is None for r in got)
 
 
-def _ts(s):
+def _iso(s):
     import datetime
 
     return datetime.datetime.fromisoformat(s)
@@ -86,7 +86,7 @@ def test_funnel_progress_requires_order(spark):
         (4, "click", "2024-01-01 10:00:00"),
     ]
     df = spark.createDataFrame(
-        [(u, t, _ts(s)) for u, t, s in rows],
+        [(u, t, _iso(s)) for u, t, s in rows],
         "user_id long, event_type string, ts timestamp",
     )
     got = {r.user_id: r for r in funnel_progress(
@@ -108,7 +108,7 @@ def test_funnel_progress_within_horizon(spark):
         (1, "click", "2024-01-09 10:00:00"),  # 8 days later
     ]
     df = spark.createDataFrame(
-        [(u, t, _ts(s)) for u, t, s in rows],
+        [(u, t, _iso(s)) for u, t, s in rows],
         "user_id long, event_type string, ts timestamp",
     )
     loose = funnel_progress(df, ["view", "click"]).collect()[0]
@@ -135,7 +135,7 @@ def test_retention_cohorts_triangle(spark):
         (3, "2024-01-10 10:00:00"),
     ]
     df = spark.createDataFrame(
-        [(u, _ts(s)) for u, s in rows], "user_id long, ts timestamp"
+        [(u, _iso(s)) for u, s in rows], "user_id long, ts timestamp"
     )
     got = {
         (str(r.cohort)[:10], r.offset): r.n_active
