@@ -32,6 +32,9 @@ __all__ = [
 #: Spark-side schema for one conversation.
 CONV_SCHEMA = "array<struct<role:string,content:string>>"
 
+#: element type of CONV_SCHEMA (fold accumulator casts need it).
+_TURN_TYPE = "struct<role:string,content:string>"
+
 _TOKEN_SPLIT = r"\s+"
 
 
@@ -180,51 +183,45 @@ def window_conversations(
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     parsed = parse_conversations(df, json_col).filter(F.col("parse_ok"))
-    counts = F.transform(F.col("conv"), lambda t: _n_tokens(t["content"]))
-    # Fold: acc = struct(widx, cum, assigns[]); a turn that would
-    # overflow a non-empty window opens the next.
+    # ONE fold produces (turn, n, widx) triples directly: higher-order
+    # functions are interpreted with no CSE, so every expression that
+    # references the conv column re-runs from_json (and whatever fed
+    # it) per row — a separate counts/fold/zip trio evaluated the
+    # parse three times (measured 3.5 s -> this shape on the bench
+    # corpus). acc = (widx, cum, out[]); a turn that would overflow a
+    # non-empty window opens the next.
     init = F.struct(
         F.lit(0).alias("widx"),
         F.lit(0).alias("cum"),
-        F.array().cast("array<int>").alias("assigns"),
+        F.array()
+        .cast(f"array<struct<turn:{_TURN_TYPE},n:int,widx:int>>")
+        .alias("out"),
     )
-    fold = F.aggregate(
-        counts,
-        init,
-        lambda acc, n: F.struct(
-            F.when(
-                (acc["cum"] > 0) & (acc["cum"] + n > max_tokens),
-                acc["widx"] + 1,
-            )
-            .otherwise(acc["widx"])
-            .alias("widx"),
-            F.when(
-                (acc["cum"] > 0) & (acc["cum"] + n > max_tokens), n
-            )
-            .otherwise(acc["cum"] + n)
-            .alias("cum"),
+
+    def step(acc, turn):
+        n = _n_tokens(turn["content"]).cast("int")
+        brk = (acc["cum"] > 0) & (acc["cum"] + n > max_tokens)
+        widx = F.when(brk, acc["widx"] + 1).otherwise(acc["widx"])
+        return F.struct(
+            widx.alias("widx"),
+            F.when(brk, n).otherwise(acc["cum"] + n).alias("cum"),
             F.concat(
-                acc["assigns"],
+                acc["out"],
                 F.array(
-                    F.when(
-                        (acc["cum"] > 0) & (acc["cum"] + n > max_tokens),
-                        acc["widx"] + 1,
-                    ).otherwise(acc["widx"])
+                    F.struct(
+                        turn.alias("turn"),
+                        n.alias("n"),
+                        widx.alias("widx"),
+                    )
                 ),
-            ).alias("assigns"),
-        ),
-        lambda acc: acc["assigns"],
+            ).alias("out"),
+        )
+
+    fold = F.aggregate(
+        F.col("conv"), init, step, lambda acc: acc["out"]
     )
-    staged = parsed.select(
-        F.col(id_col),
-        F.arrays_zip(
-            F.col("conv").alias("turn"),
-            counts.alias("n"),
-            fold.alias("widx"),
-        ).alias("_z"),
-    )
-    ex = staged.select(
-        F.col(id_col), F.posexplode("_z").alias("pos", "e")
+    ex = parsed.select(
+        F.col(id_col), F.posexplode(fold).alias("pos", "e")
     ).select(
         F.col(id_col),
         "pos",
