@@ -8051,6 +8051,53 @@ ORDER BY e.iso_week
 """
 
 
+def q_mix_apply(spark, sf_dir):
+    """mix_solver's rates APPLIED: deterministic md5 unit-interval
+    draws against broadcast per-source rates; the kept set is exact
+    and engine-reproducible, summarized per source."""
+    from mhm_data_pipelines_spark.operators.sampling import (
+        apply_mix,
+        mix_rates,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    rates = mix_rates(
+        df, "source", {"src0": 0.3, "src1": 0.2, "src2": 0.1}, total=200
+    )
+    kept = apply_mix(df, rates, "source", "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MIX_APPLY = """
+WITH c AS (
+  SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+), r AS (
+  SELECT source,
+    least(1.0, CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+               WHEN 'src2' THEN 0.1 ELSE 0.0 END * 200 / n_rows)
+      AS rate
+  FROM c
+), kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN r USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'),
+                             1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < r.rate
+)
+SELECT source, count(*) AS n_kept,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8213,6 +8260,7 @@ QUERIES: dict[str, QuerySpec] = {
     "impute_values": q_impute_values,
     "wordlist_screen": q_wordlist_screen,
     "mix_solver": q_mix_solver,
+    "mix_apply": q_mix_apply,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -8395,6 +8443,7 @@ ORACLES: dict[str, str] = {
     "impute_values": SQL_IMPUTE_VALUES,
     "wordlist_screen": SQL_WORDLIST_SCREEN,
     "mix_solver": SQL_MIX_SOLVER,
+    "mix_apply": SQL_MIX_APPLY,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,

@@ -316,6 +316,12 @@ PLAN_BUDGETS: dict[str, dict] = {
     "wordlist_screen": {"max_shuffles": 1},
     # mix_solver: ONE count agg to n_groups rows + display sort.
     "mix_solver": {"max_shuffles": 2},
+    # mix_apply: the rates subtree's count agg + the broadcast rates
+    # join (row-local draw filter) + summary agg + display sort.
+    "mix_apply": {
+        "max_shuffles": 4,
+        "require": ["BroadcastHashJoin"],
+    },
     # event_funnel: one user-keyed agg per step (3) + the step joins
     # reuse the user exchange; final 1-row summary agg (2 phases).
     "event_funnel": {"max_shuffles": 8},
