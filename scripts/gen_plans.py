@@ -183,6 +183,10 @@ NOTES = {
         "weekly histograms (bins ADD - exact merge); the cum window "
         "runs over <= n_bins rows per bucket, never the data."
     ),
+    "mix_apply": (
+        "deterministic downsample: the md5 unit draw filters row-"
+        "locally against broadcast rates; one summary agg."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "
