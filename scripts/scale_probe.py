@@ -28,6 +28,10 @@ HEAVY = [
     # round-5 second batch: line/fingerprint/KL corpus passes
     "line_boilerplate", "split_leakage", "source_divergence",
     "script_profile", "preference_all_pairs",
+    # round-5 third batch: fold/funnel/rollup/manifest passes
+    "conversation_windows", "event_funnel", "cohort_retention",
+    "join_preflight", "hist_quantile_rollup", "ohlc_hourly",
+    "time_weighted", "content_manifest",
 ]
 
 
