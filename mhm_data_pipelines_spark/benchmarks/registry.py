@@ -7256,12 +7256,18 @@ def q_hard_negatives(spark, sf_dir):
     )
     corpus = df.filter(F.col("vec_id") >= 5)
     out = hard_negatives(corpus, queries, k=10)
-    return out.select(
-        "query_id",
-        "vec_id",
-        "neg_label",
-        F.round("cosine", 4).alias("cosine"),
-    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+    # order on the RAW cosine before rounding for display — sorting
+    # the rounded value would diverge from the oracle's raw-cosine
+    # order whenever two distinct cosines round to the same 4 decimals.
+    return (
+        out.orderBy("query_id", F.desc("cosine"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "neg_label",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
 
 
 SQL_HARD_NEGATIVES = """
@@ -7717,7 +7723,7 @@ def q_mix_solver(spark, sf_dir):
     out = mix_rates(
         df, "source", {"src0": 0.3, "src1": 0.2, "src2": 0.1}, total=200
     )
-    return out.orderBy("group")
+    return out.withColumn("rate", F.round("rate", 6)).orderBy("group")
 
 
 SQL_MIX_SOLVER = """

@@ -842,6 +842,9 @@ def wordlist_hits(
     semi-join shape of ``operators.decontam.decontaminate`` instead.
     """
     c = F.col(text) if isinstance(text, str) else text
+    # NULL text screens as zero hits (size(NULL) is -1 under the
+    # default sizeOfNull config — it must never reach the counters).
+    c = F.coalesce(c, F.lit(""))
     lst = F.array(*[F.lit(w.lower()) for w in words])
     toks = F.transform(
         tokens(F.lower(c)),

@@ -27,6 +27,7 @@ __all__ = [
     "parse_conversations",
     "conversation_stats",
     "render_chat",
+    "window_conversations",
 ]
 
 #: Spark-side schema for one conversation.
@@ -39,12 +40,16 @@ _TOKEN_SPLIT = r"\s+"
 
 
 def _n_tokens(content: Column) -> Column:
-    """Whitespace token count of one turn (0 for empty/blank)."""
-    return F.size(
+    """Whitespace token count of one turn — 0 for empty, blank, or
+    NULL content (``size(NULL)`` is -1 under the default
+    ``spark.sql.legacy.sizeOfNull``, which would silently corrupt any
+    sum or greedy budget fold consuming this count)."""
+    n = F.size(
         F.filter(
             F.split(F.trim(content), _TOKEN_SPLIT), lambda t: t != ""
         )
     )
+    return F.when(content.isNull(), F.lit(0)).otherwise(n)
 
 
 def parse_conversations(

@@ -236,7 +236,6 @@ def split_leakage(
     df: DataFrame,
     split_col: str = "split",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cross-split leakage audit — the pre-training sanity check that a
     train/val/test assignment did not place the SAME content (after
@@ -261,7 +260,6 @@ def split_leakage(
         df.select(
             fingerprint(text_col).alias("fingerprint"),
             F.col(split_col),
-            F.col(id_col),
         )
         .groupBy("fingerprint")
         .agg(

@@ -23,6 +23,29 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+def md5_unit_draw(key, seed: int = 42):
+    """Deterministic unit-interval draw in [0, 1): 60 bits of
+    md5("<key>:<seed>") over 2^60 — bit-identical in any engine with
+    md5 (the same constant, 16^15 = 2^60, appears in every DuckDB
+    oracle twin). THE one place this construction lives; keep new
+    samplers on it rather than hand-rolling the substring/conv dance
+    again (it already exists specialized in ``_bucket`` for integer
+    buckets and in ``weighted_sample`` for the (0, 1] log-draw)."""
+    c = key if not isinstance(key, str) else F.col(key)
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**15)
+    )
+
+
 def _bucket(
     key: Column | str, seed: int, hash_family: str = "xxhash64"
 ) -> Column:
@@ -436,7 +459,11 @@ def mix_rates(
             F.col(group_col).alias("group"),
             "n_rows",
             "target_share",
-            F.round("rate", 6).alias("rate"),
+            # EXACT rate — :func:`apply_mix` filters against this, and
+            # rounding here would make the applied rate diverge from
+            # the solver's solution (and from any oracle computing the
+            # unrounded closed form). Round at display time.
+            F.col("rate"),
             F.round(F.col("n_rows") * rate, 2).alias("expected_rows"),
             (F.col("target_share") * total > F.col("n_rows")).alias(
                 "capped"
@@ -458,20 +485,7 @@ def apply_mix(
     engine and under any partitioning) falls below its group's rate.
     The rates table (n_groups rows) joins by broadcast; no shuffle of
     the corpus."""
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / float(16**15)
-    )
+    draw = md5_unit_draw(key_col, seed)
     r = rates.select(
         F.col("group").alias(group_col), F.col("rate").alias("_rate")
     )

@@ -129,3 +129,28 @@ def test_window_conversations_drops_unparseable_and_validates(spark):
     assert window_conversations(df, max_tokens=10).count() == 0
     with _pytest.raises(ValueError, match="max_tokens"):
         window_conversations(df, max_tokens=0)
+
+
+def test_window_conversations_null_content_counts_zero(spark):
+    import json
+
+    from mhm_data_pipelines_spark.operators.conversations import (
+        window_conversations,
+    )
+
+    # a parseable turn MISSING content must count 0 tokens, never the
+    # size(NULL) = -1 that would corrupt the greedy budget fold
+    conv = [
+        {"role": "user", "content": "a b c"},
+        {"role": "assistant"},
+        {"role": "user", "content": "d e f"},
+    ]
+    df = spark.createDataFrame(
+        [(1, json.dumps(conv))], "doc_id long, conversation string"
+    )
+    got = sorted(
+        window_conversations(df, max_tokens=5).collect(),
+        key=lambda r: r.window_idx,
+    )
+    # tokens: 3, 0, 3 -> windows [3+0], [3]
+    assert [(r.n_turns, r.n_tokens) for r in got] == [(2, 3), (1, 3)]

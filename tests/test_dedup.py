@@ -412,13 +412,15 @@ def test_lsh_pipelines_leave_no_cache_behind(spark):
         minhash_near_duplicates(docs).count()
         simhash_near_duplicates(docs).count()
     assert jsc.getPersistentRDDs().size() == before
-    # the opt-in share_scan path must add nothing to the CATALOG cache
-    # (localCheckpoint is RDD-level): no cached tables appear.
-    minhash_near_duplicates(docs, share_scan=True).count()
-    assert not any(
-        t.isTemporary and "cache" in t.name.lower()
-        for t in spark.catalog.listTables()
-    )
+    # the opt-in share_scan path MUST materialize (localCheckpoint
+    # registers a persistent RDD while the frame is referenced — a
+    # silent no-op regression would fail this); release is via GC of
+    # the returned frame, a contract documented on the operator, not
+    # assertable deterministically (ContextCleaner is async).
+    kept = minhash_near_duplicates(docs, share_scan=True)
+    kept.count()
+    assert jsc.getPersistentRDDs().size() > before
+    del kept
 
 
 def test_winnow_overlap_max_doc_freq_drops_noise(spark):

@@ -683,3 +683,13 @@ def test_wordlist_hits_word_boundary_and_punct(spark):
     assert got[1] == {"n_hits": 2, "n_distinct_hits": 1, "hit_any": True}
     assert got[2] == {"n_hits": 0, "n_distinct_hits": 0, "hit_any": False}
     assert got[3] == {"n_hits": 2, "n_distinct_hits": 2, "hit_any": True}
+
+
+def test_wordlist_hits_null_text_is_zero(spark):
+    from mhm_data_pipelines_spark.functions.text import wordlist_hits
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    got = df.select(wordlist_hits("text", ("spam",)).alias("s")).collect()[0]
+    assert got.s.asDict() == {
+        "n_hits": 0, "n_distinct_hits": 0, "hit_any": False
+    }
