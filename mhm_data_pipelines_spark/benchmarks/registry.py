@@ -8104,6 +8104,180 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Censoring-aware churn curve: one per-user hash agg builds
+    (duration, event) spans, cohorted by the user's first event type;
+    the product-limit estimator then runs entirely on the small
+    per-(cohort, duration) table (two windows, codegen only)."""
+    from mhm_data_pipelines_spark.operators.survival import (
+        activity_spans,
+        kaplan_meier,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    spans = activity_spans(ev, churn_horizon_days=14)
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("cohort")
+    )
+    subjects = spans.join(cohorts, "user_id").select(
+        "cohort", "duration", "event"
+    )
+    out = kaplan_meier(subjects, group_cols=["cohort"])
+    return out.select(
+        "cohort",
+        F.col("t").cast("long").alias("t"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("cohort", "t")
+
+
+SQL_KAPLAN_MEIER = """
+WITH cutoff AS (
+  SELECT max(ts)::DATE AS cd FROM events
+), first_ev AS (
+  SELECT user_id, event_type AS cohort
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1
+), pu AS (
+  SELECT e.user_id, f.cohort,
+         date_diff('day', min(e.ts)::DATE, max(e.ts)::DATE) AS duration,
+         CASE WHEN max(e.ts)::DATE < (SELECT cd - 14 FROM cutoff)
+              THEN 1 ELSE 0 END AS event
+  FROM events e JOIN first_ev f USING (user_id)
+  GROUP BY e.user_id, f.cohort
+), per_t AS (
+  SELECT cohort, duration AS t,
+         CAST(sum(event) AS BIGINT) AS n_events,
+         CAST(sum(1 - event) AS BIGINT) AS n_censored,
+         count(*) AS n_here
+  FROM pu GROUP BY cohort, duration
+), r AS (
+  SELECT *, CAST(sum(n_here) OVER (
+      PARTITION BY cohort ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_at_risk
+  FROM per_t
+), f AS (
+  SELECT *, 1.0 - n_events * 1.0 / n_at_risk AS factor FROM r
+), s AS (
+  SELECT *,
+    max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w AS dead,
+    sum(CASE WHEN factor > 0 THEN ln(factor) END) OVER w AS lsum
+  FROM f
+  WINDOW w AS (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort, t, n_at_risk, n_events, n_censored,
+       round(CASE WHEN dead = 1 THEN 0.0
+                  ELSE exp(coalesce(lsum, 0.0)) END, 6) AS survival
+FROM s ORDER BY cohort, t
+"""
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA over the event stream: one keyed shuffle groups
+    each user's rows into an Arrow batch; the recursion
+    y=(1-a)y+ax is bitwise-replayable, so the oracle is an exact
+    WITH RECURSIVE twin, not an approximation."""
+    from mhm_data_pipelines_spark.operators.timeseries import ewma
+
+    out = ewma(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        order_id="event_id",
+        alpha=0.25,
+    )
+    # no rounding: the recursion is bitwise-identical across engines
+    # (verified at sf0.01), and round() itself is the only operation the
+    # engines disagree on at half-way decimals.
+    return out.select("user_id", "rn", "value", "ewma").orderBy(
+        "user_id", "rn"
+    )
+
+
+SQL_EWMA_SMOOTH = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, value, value AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.value,
+         0.75 * r.ewma + 0.25 * o.value
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, rn, value, ewma
+FROM r ORDER BY user_id, rn
+"""
+
+
+def q_cusum_detect(spark, sf_dir):
+    """Two-sided CUSUM change alarms per user: per-key z-scores from
+    one hash agg, restart-on-alarm recursion per key in Arrow batches;
+    summary row per user so the output is key-bounded."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        cusum_summary,
+    )
+
+    out = cusum_summary(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        order_id="event_id",
+        k=0.5,
+        h=3.0,
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        "n_alarms_hi",
+        "n_alarms_lo",
+        F.round("max_s_hi", 6).alias("max_s_hi"),
+        F.round("max_s_lo", 6).alias("max_s_lo"),
+    ).orderBy("user_id")
+
+
+SQL_CUSUM_DETECT = """
+WITH RECURSIVE st AS (
+  SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY user_id
+), o AS (
+  SELECT e.user_id,
+         CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd
+              ELSE 0.0 END AS z,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN st USING (user_id)
+), r AS (
+  SELECT user_id, rn,
+         greatest(0.0, z - 0.5) AS sp,
+         greatest(0.0, -z - 0.5) AS sn
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn,
+         greatest(0.0, (CASE WHEN r.sp > 3.0 THEN 0.0 ELSE r.sp END)
+                       + o.z - 0.5),
+         greatest(0.0, (CASE WHEN r.sn > 3.0 THEN 0.0 ELSE r.sn END)
+                       - o.z - 0.5)
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, count(*) AS n_obs,
+       CAST(sum(CASE WHEN sp > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms_hi,
+       CAST(sum(CASE WHEN sn > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms_lo,
+       round(max(sp), 6) AS max_s_hi,
+       round(max(sn), 6) AS max_s_lo
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8267,6 +8441,9 @@ QUERIES: dict[str, QuerySpec] = {
     "wordlist_screen": q_wordlist_screen,
     "mix_solver": q_mix_solver,
     "mix_apply": q_mix_apply,
+    "kaplan_meier": q_kaplan_meier,
+    "ewma_smooth": q_ewma_smooth,
+    "cusum_detect": q_cusum_detect,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -8450,6 +8627,9 @@ ORACLES: dict[str, str] = {
     "wordlist_screen": SQL_WORDLIST_SCREEN,
     "mix_solver": SQL_MIX_SOLVER,
     "mix_apply": SQL_MIX_APPLY,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "ewma_smooth": SQL_EWMA_SMOOTH,
+    "cusum_detect": SQL_CUSUM_DETECT,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,

@@ -191,3 +191,121 @@ def retention_cohorts(
         .groupBy("cohort", "offset")
         .agg(F.count_distinct(user_col).cast("long").alias("n_active"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str | None = None,
+    value: str = "value",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``y_1 = x_1; y_t = (1-alpha)*y_{t-1} + alpha*x_t`` — the standard
+    recursive (adjust=False) form, written with exactly that operation
+    order so any engine replaying the recursion reproduces it bitwise.
+
+    The recursion is inherently sequential WITHIN a key, so the key is
+    the unit of parallelism: one shuffle groups each key's rows into a
+    single Arrow batch (``applyInPandas``), and independent keys smooth
+    concurrently across executors. Use a high-cardinality key
+    (user/series id); a 5-value key would serialize the corpus. Rows
+    come back with ``rn`` (1-based order index) and ``ewma``.
+    """
+    import pandas as pd
+
+    order_cols = [ts] + ([order_id] if order_id else [])
+    schema = (
+        f"{key} {dict(df.dtypes)[key]}, rn long, "
+        f"{value} double, ewma double"
+    )
+    beta = 1.0 - alpha
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value].to_numpy(dtype="float64")
+        ys = xs.copy()
+        for i in range(1, len(ys)):
+            ys[i] = beta * ys[i - 1] + alpha * xs[i]
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                "rn": range(1, len(ys) + 1),
+                value: xs,
+                "ewma": ys,
+            }
+        )
+
+    return df.select(key, *order_cols, value).groupBy(key).applyInPandas(
+        smooth, schema=schema
+    )
+
+
+def cusum_summary(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str | None = None,
+    value: str = "value",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key with restart-on-alarm:
+    standardize each observation against its KEY's mean/stddev_pop
+    (one hash agg, joined back — never pandas-side, so the z-scores are
+    engine-reproducible), then run
+    ``s+ = max(0, carry + z - k)`` / ``s- = max(0, carry - z - k)``
+    where an alarm (s > h) resets the carry to 0. Returns one summary
+    row per key: n_obs, alarm counts and the max excursion each side.
+
+    Scale shape: two keyed shuffles (stats agg + group-for-recursion);
+    the sequential part is per key, parallel across keys, Arrow-batched.
+    """
+    import pandas as pd
+
+    order_cols = [ts] + ([order_id] if order_id else [])
+    stats = df.groupBy(key).agg(
+        F.avg(value).alias("_mu"),
+        F.stddev_pop(value).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col(value) - F.col("_mu")) / F.col("_sd")
+    ).otherwise(0.0)
+    prepped = (
+        df.join(stats, key)
+        .select(key, *order_cols, z.alias("_z"))
+    )
+    schema = (
+        f"{key} {dict(df.dtypes)[key]}, n_obs long, "
+        "n_alarms_hi long, n_alarms_lo long, "
+        "max_s_hi double, max_s_lo double"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        zs = pdf["_z"].to_numpy(dtype="float64")
+        sp = sn = 0.0
+        hi = lo = 0
+        max_sp = max_sn = 0.0
+        for zv in zs:
+            sp = max(0.0, (0.0 if sp > h else sp) + zv - k)
+            sn = max(0.0, (0.0 if sn > h else sn) - zv - k)
+            if sp > h:
+                hi += 1
+            if sn > h:
+                lo += 1
+            max_sp = max(max_sp, sp)
+            max_sn = max(max_sn, sn)
+        return pd.DataFrame(
+            {
+                key: pdf[key].iloc[:1],
+                "n_obs": [len(zs)],
+                "n_alarms_hi": [hi],
+                "n_alarms_lo": [lo],
+                "max_s_hi": [max_sp],
+                "max_s_lo": [max_sn],
+            }
+        )
+
+    return prepped.groupBy(key).applyInPandas(scan, schema=schema)

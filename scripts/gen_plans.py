@@ -187,6 +187,21 @@ NOTES = {
         "deterministic downsample: the md5 unit draw filters row-"
         "locally against broadcast rates; one summary agg."
     ),
+    "kaplan_meier": (
+        "product-limit survival: one per-user spans agg is the only "
+        "full-data shuffle; risk-set + cumulative-hazard windows run "
+        "over the small per-(cohort, duration) table."
+    ),
+    "ewma_smooth": (
+        "recursive smoothing: one keyed group-for-recursion exchange; "
+        "the y=(1-a)y+ax scan is sequential per key, parallel across "
+        "keys, Arrow-batched - and bitwise-replayable by the oracle."
+    ),
+    "cusum_detect": (
+        "change alarms: per-key z-stats agg (engine-reproducible, "
+        "never pandas-side) + one group-for-recursion exchange; "
+        "restart-on-alarm scan emits one summary row per key."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -89,6 +89,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "curriculum_order",   # crossJoin(broadcast(cutpoint array)) — 1 row
     "source_divergence",  # crossJoin(broadcast(corpus token total)) — 1 row
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
+    "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
+                          # 1 row (activity_spans' censoring boundary)
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
@@ -342,6 +344,16 @@ PLAN_BUDGETS: dict[str, dict] = {
     # n_bins-row cum window + estimate agg + the exact-median
     # verification subtree (percentile agg) + join + display sort.
     "hist_quantile_rollup": {"max_shuffles": 8},
+    # kaplan_meier: per-user spans agg + cohort agg + spans-cohort join
+    # + per-(cohort,t) agg + the two cohort-partitioned windows share
+    # one exchange + display sort; the cutoff is a 1-row broadcast.
+    "kaplan_meier": {"max_shuffles": 6},
+    # ewma_smooth: ONE user-keyed group-for-recursion exchange + the
+    # display sort; the recursion itself is in-partition Arrow batches.
+    "ewma_smooth": {"max_shuffles": 2},
+    # cusum_detect: per-user stats agg + (AQE-broadcast) stats join,
+    # group-for-recursion exchange + display sort.
+    "cusum_detect": {"max_shuffles": 3},
 }
 
 

@@ -1,0 +1,75 @@
+"""Kaplan-Meier: hand-computed product-limit values, censoring rules,
+the everyone-fails zero tail, and the activity-span builder contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from mhm_data_pipelines_spark.operators.survival import (
+    activity_spans,
+    kaplan_meier,
+)
+
+
+@pytest.fixture(scope="module")
+def subjects(spark):
+    # (duration, event): classic textbook set — deaths at 1 and 3 (x2),
+    # censors at 2 and 5.
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+    return spark.createDataFrame(rows, "duration int, event int")
+
+
+def test_km_hand_values(spark, subjects):
+    got = {r.t: r for r in kaplan_meier(subjects).collect()}
+    assert sorted(got) == [1, 2, 3, 5]
+    assert (got[1].n_at_risk, got[1].n_events) == (5, 1)
+    assert got[1].survival == pytest.approx(0.8)
+    # censoring does not move the curve
+    assert (got[2].n_events, got[2].n_censored) == (0, 1)
+    assert got[2].survival == pytest.approx(0.8)
+    # two deaths out of 3 at risk: 0.8 * (1/3)
+    assert (got[3].n_at_risk, got[3].n_events) == (3, 2)
+    assert got[3].survival == pytest.approx(0.8 / 3)
+    assert got[5].survival == pytest.approx(0.8 / 3)
+
+
+def test_km_everyone_fails_hits_exact_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "duration int, event int"
+    )
+    got = {r.t: r.survival for r in kaplan_meier(df).collect()}
+    assert got[1] == pytest.approx(2 / 3)
+    assert got[2] == 0.0  # exact zero, not exp(-inf) NaN
+
+
+def test_km_grouped_curves_independent(spark):
+    rows = [("a", 1, 1), ("a", 2, 0), ("b", 1, 0), ("b", 4, 1)]
+    df = spark.createDataFrame(rows, "cohort string, duration int, event int")
+    got = {
+        (r.cohort, r.t): r
+        for r in kaplan_meier(df, group_cols=["cohort"]).collect()
+    }
+    assert got[("a", 1)].n_at_risk == 2
+    assert got[("a", 1)].survival == pytest.approx(0.5)
+    # cohort b: censor first, then a death with risk set 1 -> S drops to 0
+    assert got[("b", 1)].survival == pytest.approx(1.0)
+    assert got[("b", 4)].survival == 0.0
+
+
+def test_activity_spans_censoring_boundary(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12)
+    rows = [
+        # user 1: last seen day 2, cutoff day 31 -> gap 29 > 14 -> churned
+        (1, t0), (1, t0 + dt.timedelta(days=2)),
+        # user 2: last seen day 20 -> gap 11 <= 14 -> censored
+        (2, t0 + dt.timedelta(days=10)), (2, t0 + dt.timedelta(days=20)),
+        # user 3 defines the cutoff; single-event span 0, censored
+        (3, t0 + dt.timedelta(days=31)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: r for r in activity_spans(df).collect()}
+    assert (got[1].duration, got[1].event) == (2, 1)
+    assert (got[2].duration, got[2].event) == (10, 0)
+    assert (got[3].duration, got[3].event, got[3].n_events) == (0, 0, 1)
