@@ -8278,6 +8278,86 @@ FROM r GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered set-similarity self-join, GLOBAL
+    (no metadata blocking): candidates come from rare-token prefixes
+    under a corpus-frequency order, verified exactly. The brute-force
+    oracle proves the filter lossless — identical pair set."""
+    from mhm_data_pipelines_spark.operators.setjoin import (
+        prefix_jaccard_pairs,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    out = prefix_jaccard_pairs(toks, "doc_id", "toks", threshold_pct=80)
+    return out.select(
+        "id_a", "id_b", "inter_len", "union_len", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+SQL_PREFIX_JACCARD = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct({_SQL_TOKENS_LOWER}) AS toks,
+         len(list_distinct({_SQL_TOKENS_LOWER})) AS n
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_len,
+         CAST(a.n + b.n - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+           AS union_len
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE a.n > 0 AND b.n > 0
+)
+SELECT id_a, id_b, inter_len, union_len,
+       round(inter_len * 1.0 / union_len, 4) AS jaccard
+FROM p
+WHERE 100 * inter_len >= 80 * union_len
+ORDER BY id_a, id_b
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directed token-set containment join (quote/subset detection):
+    probe-prefix × full-index candidate join, exact verify. Brute-force
+    oracle proves the asymmetric prefix filter lossless."""
+    from mhm_data_pipelines_spark.operators.setjoin import (
+        containment_pairs,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    out = containment_pairs(toks, "doc_id", "toks", threshold_pct=90)
+    return out.select(
+        "id_a", "id_b", "inter_len", "len_a", "containment"
+    ).orderBy("id_a", "id_b")
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct({_SQL_TOKENS_LOWER}) AS toks,
+         len(list_distinct({_SQL_TOKENS_LOWER})) AS n
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_len,
+         CAST(a.n AS BIGINT) AS len_a
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+  WHERE a.n > 0
+)
+SELECT id_a, id_b, inter_len, len_a,
+       round(inter_len * 1.0 / len_a, 4) AS containment
+FROM p
+WHERE 100 * inter_len >= 90 * len_a
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8444,6 +8524,8 @@ QUERIES: dict[str, QuerySpec] = {
     "kaplan_meier": q_kaplan_meier,
     "ewma_smooth": q_ewma_smooth,
     "cusum_detect": q_cusum_detect,
+    "prefix_jaccard": q_prefix_jaccard,
+    "containment_pairs": q_containment_pairs,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -8630,6 +8712,8 @@ ORACLES: dict[str, str] = {
     "kaplan_meier": SQL_KAPLAN_MEIER,
     "ewma_smooth": SQL_EWMA_SMOOTH,
     "cusum_detect": SQL_CUSUM_DETECT,
+    "prefix_jaccard": SQL_PREFIX_JACCARD,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -8712,6 +8796,11 @@ GATE_PRIORITY: list[str] = [
     "ohlc_hourly",
     "time_weighted",
     "hist_quantile_rollup",
+    "kaplan_meier",
+    "ewma_smooth",
+    "cusum_detect",
+    "prefix_jaccard",
+    "containment_pairs",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8721,11 +8810,24 @@ GATE_PRIORITY: list[str] = [
     # minhash_exact_pairs rotates out for hist_quantile_rollup (the
     # minhash family keeps three re-gated reps: minhash_neardup,
     # minhash_incremental, stream_neardup).
-    "minhash_incremental",
+    # minhash_incremental rotates out for prefix_jaccard — its r5
+    # touch (persist-lifecycle removal in dedup.py) stays re-gated by
+    # minhash_neardup + simhash_neardup in the window, the unpersist
+    # contract is asserted directly in test_dedup.py, and the
+    # incremental path stays hash-checked by test_oracle_parity.py
+    # every CI run.
     "simhash_neardup",
-    "stream_neardup",
+    # stream_neardup rotates out for kaplan_meier — the r5-touched LSH
+    # persist-lifecycle path it re-gated for is the same dedup.py code
+    # exercised by the two minhash reps that stay in the window; still
+    # hash-checked by test_oracle_parity.py every CI run.
     "jsonl_roundtrip",
-    "stream_sketch_rollup",
+    # stream_sketch_rollup rotates out for containment_pairs — its r5
+    # touch (_scratch/resource-tracked tmpdirs) stays re-gated by
+    # jsonl_roundtrip and the new stream_manifest key (both in-window
+    # _scratch users); the sketch family keeps hist_quantile_rollup
+    # (mergeable-partial rollup) in the window and the HLL tier stays
+    # hash-checked by test_oracle_parity.py every CI run.
     # staging_mirror rotates out for ohlc_hourly (r4-green; the r5
     # default_parallelism touch is covered by its targeted tests +
     # the CI oracle suite).
@@ -8739,7 +8841,9 @@ GATE_PRIORITY: list[str] = [
     # (r3+r4), doc_winnowing, winnow_overlap and doc_fingerprints
     # (r4-green, definitions unchanged since) — all still hash-checked
     # by test_oracle_parity.py every CI run.
-    "ivf_recall",
+    # ivf_recall rotates out for ewma_smooth (single-green r4,
+    # definition unchanged; the IVF recall-certification path stays
+    # hash-checked by test_oracle_parity.py every CI run).
     # bm25_topk rotates out for source_divergence (hybrid_rrf in the
     # window contains the full bm25 scoring path).
     # bpe_pairs rotates out for join_preflight (r4-green, unchanged;
@@ -8766,7 +8870,9 @@ GATE_PRIORITY: list[str] = [
     # unchanged; CC also exercised via semantic_dedup, CI-checked).
     # event_pagerank rotates out for stream_manifest (the graph
     # family keeps neardup_clusters in the window).
-    "fuzzy_pairs",
+    # fuzzy_pairs rotates out for cusum_detect (single-green r4,
+    # definition unchanged since its green row; still hash-checked by
+    # test_oracle_parity.py every CI run).
     # semantic_decontam rotates out for conversation_windows
     # (r4-green, unchanged; the embedding-decontam path shares its
     # verified blocked-join machinery with decontamination, which

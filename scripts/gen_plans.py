@@ -202,6 +202,18 @@ NOTES = {
         "never pandas-side) + one group-for-recursion exchange; "
         "restart-on-alarm scan emits one summary row per key."
     ),
+    "prefix_jaccard": (
+        "PPJoin prefix filter: candidates equi-join on rare-token "
+        "prefixes under a global df-asc order (length filter folded "
+        "into the join condition), verify join touches candidates "
+        "only - never a cartesian, lossless vs brute force."
+    ),
+    "containment_pairs": (
+        "directed containment: asymmetric prefix filter - probe side "
+        "explodes only its prefix, index side full postings; the "
+        "equi-join runs rare-probe-token x posting, verify join is "
+        "candidate-sized."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

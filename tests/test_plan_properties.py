@@ -354,6 +354,14 @@ PLAN_BUDGETS: dict[str, dict] = {
     # cusum_detect: per-user stats agg + (AQE-broadcast) stats join,
     # group-for-recursion exchange + display sort.
     "cusum_detect": {"max_shuffles": 3},
+    # prefix_jaccard: token-freq agg + freq join + per-id order agg +
+    # the prefix-token self-join (both sides) + candidate distinct +
+    # two verify joins (the `ordered` subtree is planned per consumer)
+    # + display sort. NEVER a cross — candidates key on prefix tokens.
+    "prefix_jaccard": {"max_shuffles": 9},
+    # containment_pairs: same skeleton with an asymmetric
+    # probe-prefix × full-index equi-join.
+    "containment_pairs": {"max_shuffles": 9},
 }
 
 
