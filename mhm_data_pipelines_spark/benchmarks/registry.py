@@ -8358,6 +8358,192 @@ ORDER BY id_a, id_b
 """
 
 
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths for event types: consecutive event pairs
+    per user (ordered by ts, event_id) are pairwise comparisons won by
+    the higher-valued event. Two hash aggregates reduce the comparison
+    stream to O(K)/O(K^2) tables; 8 MM iterations run on those only,
+    ratings quantized to 9dp per round so the unrolled oracle matches
+    value-for-value (operators/ranking.py)."""
+    from mhm_data_pipelines_spark.operators.ranking import bradley_terry
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lag("value").over(w).alias("prev_v"),
+    ).filter(
+        F.col("prev_t").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("prev_v").isNotNull()
+        & (F.col("value") != F.col("prev_v"))
+        & (F.col("event_type") != F.col("prev_t"))
+    )
+    up = F.col("value") > F.col("prev_v")
+    cmp = d.select(
+        F.when(up, F.col("event_type")).otherwise(F.col("prev_t")).alias(
+            "winner"
+        ),
+        F.when(up, F.col("prev_t")).otherwise(F.col("event_type")).alias(
+            "loser"
+        ),
+    )
+    out = bradley_terry(cmp, iterations=8)
+    return out.select(
+        "item", F.round("rating", 6).alias("rating")
+    ).orderBy("item")
+
+
+def _bt_oracle_sql(iterations: int = 8) -> str:
+    """Unrolled MM recurrence (same per-iteration 9dp quantization as
+    operators/ranking.py) — one chained CTE per iteration."""
+    parts = ["""
+WITH cmp AS (
+  SELECT CASE WHEN value > prev_v THEN event_type ELSE prev_t END AS winner,
+         CASE WHEN value > prev_v THEN prev_t ELSE event_type END AS loser
+  FROM (
+    SELECT event_type, value,
+           lag(event_type) OVER w AS prev_t,
+           lag(value) OVER w AS prev_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  WHERE prev_t IS NOT NULL AND value IS NOT NULL AND prev_v IS NOT NULL
+    AND value <> prev_v AND event_type <> prev_t
+), wins AS (
+  SELECT winner AS item, count(*) AS w FROM cmp GROUP BY 1
+), und AS (
+  SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+         count(*) AS n
+  FROM cmp GROUP BY 1, 2
+), directed AS MATERIALIZED (
+  SELECT i AS item, j AS other, n FROM und
+  UNION ALL
+  SELECT j AS item, i AS other, n FROM und
+), it0 AS MATERIALIZED (
+  SELECT DISTINCT item, 1.0 AS p FROM directed
+)"""]
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, so a chained
+    # recurrence would otherwise expand 2^iterations base scans.
+    for k in range(1, iterations + 1):
+        parts.append(f""", raw{k} AS MATERIALIZED (
+  SELECT d.item, coalesce(w.w, 0) / sum(d.n / (a.p + b.p)) AS r
+  FROM directed d
+  JOIN it{k - 1} a ON a.item = d.item
+  JOIN it{k - 1} b ON b.item = d.other
+  LEFT JOIN wins w ON w.item = d.item
+  GROUP BY d.item, w.w
+), it{k} AS MATERIALIZED (
+  SELECT item, round(r / (SELECT avg(r) FROM raw{k}), 9) AS p FROM raw{k}
+)""")
+    parts.append(
+        f"""
+SELECT item, round(p, 6) AS rating FROM it{iterations} ORDER BY item
+"""
+    )
+    return "".join(parts)
+
+
+SQL_BRADLEY_TERRY = _bt_oracle_sql(8)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the event-type transition graph —
+    degree-orientation wedge join (O(m^1.5) candidates, never the naive
+    sum-of-deg^2 self-join); the oracle is the brute-force 3-way join
+    on the canonical a<b edge list, proving the orientation lossless
+    (operators/graph.py triangle_count)."""
+    from mhm_data_pipelines_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    out = triangle_count(edges)
+    return out.select("node", "triangles").orderBy("node")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM tr WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT a AS node FROM und UNION SELECT b AS node FROM und
+), pn AS (
+  SELECT node, count(*) AS c FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+)
+SELECT nodes.node AS node, CAST(coalesce(pn.c, 0) AS BIGINT) AS triangles
+FROM nodes LEFT JOIN pn ON pn.node = nodes.node
+ORDER BY node
+"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus collocation mining: top-50 adjacent-bigram NPMI (phrase
+    -vocabulary curation). One explode feeds both hash aggregates;
+    adjacency bounds the pair stream linearly; scalar totals broadcast;
+    rank on round(npmi, 6) with word tie-breaks
+    (operators/retrieval.py pmi_collocations)."""
+    from mhm_data_pipelines_spark.operators.retrieval import (
+        pmi_collocations,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    return pmi_collocations(df, min_count=3, topk=50)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(tk) AS w FROM toks
+  ) GROUP BY w
+), tot AS (
+  SELECT CAST(sum(len(tk)) AS DOUBLE) AS n_tokens,
+         CAST(sum(greatest(len(tk) - 1, 0)) AS DOUBLE) AS n_bigrams
+  FROM toks
+), bc AS (
+  SELECT w1, w2, count(*) AS c_ab FROM (
+    SELECT tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    WHERE len(tk) >= 2
+  ) GROUP BY w1, w2
+  HAVING count(*) >= 3
+)
+SELECT bc.w1, bc.w2, CAST(bc.c_ab AS BIGINT) AS c_ab,
+       round(ln((bc.c_ab / t.n_bigrams)
+                / ((a.c / t.n_tokens) * (b.c / t.n_tokens))), 6) AS pmi,
+       round(ln((bc.c_ab / t.n_bigrams)
+                / ((a.c / t.n_tokens) * (b.c / t.n_tokens)))
+             / -ln(bc.c_ab / t.n_bigrams), 6) AS npmi
+FROM bc
+JOIN uni a ON a.w = bc.w1
+JOIN uni b ON b.w = bc.w2
+CROSS JOIN tot t
+ORDER BY npmi DESC, w1, w2 LIMIT 50
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8526,6 +8712,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cusum_detect": q_cusum_detect,
     "prefix_jaccard": q_prefix_jaccard,
     "containment_pairs": q_containment_pairs,
+    "bradley_terry": q_bradley_terry,
+    "triangle_count": q_triangle_count,
+    "pmi_collocations": q_pmi_collocations,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -8714,6 +8903,9 @@ ORACLES: dict[str, str] = {
     "cusum_detect": SQL_CUSUM_DETECT,
     "prefix_jaccard": SQL_PREFIX_JACCARD,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "bradley_terry": SQL_BRADLEY_TERRY,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -8801,6 +8993,9 @@ GATE_PRIORITY: list[str] = [
     "cusum_detect",
     "prefix_jaccard",
     "containment_pairs",
+    "bradley_terry",
+    "triangle_count",
+    "pmi_collocations",
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
@@ -8816,12 +9011,20 @@ GATE_PRIORITY: list[str] = [
     # contract is asserted directly in test_dedup.py, and the
     # incremental path stays hash-checked by test_oracle_parity.py
     # every CI run.
-    "simhash_neardup",
+    # simhash_neardup rotates out for bradley_terry — its r5 touch is
+    # the same persist-lifecycle removal re-gated by minhash_neardup
+    # (which stays), the unpersist contract is asserted directly in
+    # test_dedup.py for both hash families, and the query stays
+    # hash-checked by test_oracle_parity.py every CI run.
     # stream_neardup rotates out for kaplan_meier — the r5-touched LSH
     # persist-lifecycle path it re-gated for is the same dedup.py code
     # exercised by the two minhash reps that stay in the window; still
     # hash-checked by test_oracle_parity.py every CI run.
-    "jsonl_roundtrip",
+    # jsonl_roundtrip rotates out for triangle_count — its r5 touch
+    # (split_quarantine missing-column guard) has targeted unit tests
+    # in test_jsonl.py, the _scratch/resource-tracked path stays gated
+    # by stream_manifest (in-window), and the query stays hash-checked
+    # by test_oracle_parity.py every CI run.
     # stream_sketch_rollup rotates out for containment_pairs — its r5
     # touch (_scratch/resource-tracked tmpdirs) stays re-gated by
     # jsonl_roundtrip and the new stream_manifest key (both in-window
@@ -8834,7 +9037,11 @@ GATE_PRIORITY: list[str] = [
     # heatmap_render rotates out for time_weighted (r4-green with a
     # pixel-level oracle, definition unchanged, CI-checked).
     "knn_graph",
-    "token_budget_select",
+    # token_budget_select rotates out for pmi_collocations — its r5
+    # touch (portable (col, asc) sort-order API + parallelism fallback)
+    # is pinned by targeted unit tests (test_packing.py) and the
+    # two-phase prefix-sum query stays hash-checked by
+    # test_oracle_parity.py every CI run.
     # single-green keeps: every remaining key whose ONLY driver-green
     # row is r4 (warm tripwires; 31 slots). Rotated out this round:
     # stateful_sessions_stream (green r2+r4), llm_dataset_build
@@ -9002,4 +9209,12 @@ BENCH_QUERIES: list[str] = [
     "hist_quantile_rollup",
     "ohlc_hourly",
     "time_weighted",
+    # prefix_jaccard / containment_pairs are NOT benched: the synthetic
+    # corpus is pathologically self-similar (at sf0.1 the TRUE >=80%-
+    # Jaccard pair set is ~3M pairs, ~24% of all doc pairs), so a
+    # headline timing would measure output materialization, not the
+    # prefix filter. They stay in the sf0.01 correctness gate.
+    "bradley_terry",
+    "triangle_count",
+    "pmi_collocations",
 ]

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from mhm_data_pipelines_spark.functions.text import tokens
 
 __all__ = [
+    "pmi_collocations",
     "bm25_scores",
     "bm25_topk",
     "jaccard_topk",
@@ -285,4 +286,90 @@ def rrf_fuse(
             "rrf_score", F.round("rrf_score", round_scores)
         )
     out = out.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return out.limit(topk) if topk is not None else out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    topk: int = 50,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent-bigram PMI/NPMI.
+
+    The classic vocabulary-curation statistic (Church & Hanks 1990;
+    Mikolov et al. 2013 use the same score to decide which bigrams
+    become single phrase tokens): a bigram whose observed rate beats
+    the independence assumption gets
+
+        ``pmi  = ln( (c_ab / B) / ((c_a / N) * (c_b / N)) )``
+        ``npmi = pmi / -ln(c_ab / B)``
+
+    with ``N`` total tokens, ``B`` total adjacent bigrams, ``c_a`` the
+    unigram count and ``c_ab`` the bigram count. NPMI normalizes to
+    [-1, 1] so a threshold transfers across corpus sizes.
+
+    Scale shape: one explode of the token stream feeds BOTH hash
+    aggregates (unigrams + adjacent bigrams — never all token pairs:
+    adjacency bounds the pair stream to the corpus length); ``N``/``B``
+    are single-row aggregates broadcast back; unigram counts re-attach
+    to the (much smaller, ``min_count``-filtered) bigram table by two
+    AQE-sized joins; the final top-k is a bounded sort, not a global
+    materialization.
+
+    Determinism: rank and emit on ``round(npmi, round_scores)`` with
+    (w1, w2) tie-breaks — ``ln`` is not correctly rounded across
+    engines, so raw doubles never decide order.
+
+    Returns ``(w1, w2, c_ab, pmi, npmi)``, npmi desc.
+    """
+    tk = docs.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), F.lower).alias("tk")
+    )
+    uni = tk.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    big = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("n_tokens")
+    ).crossJoin(
+        F.broadcast(
+            tk.select(
+                F.greatest(F.size("tk") - 1, F.lit(0)).alias("nb")
+            ).agg(F.sum("nb").cast("double").alias("n_bigrams"))
+        )
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_ab = F.col("c_ab") / F.col("n_bigrams")
+    pmi = F.log(
+        p_ab / ((F.col("c_a") / F.col("n_tokens")) * (F.col("c_b") / F.col("n_tokens")))
+    )
+    npmi = F.round(pmi / -F.log(p_ab), round_scores)
+    out = scored.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.round(pmi, round_scores).alias("pmi"),
+        npmi.alias("npmi"),
+    ).orderBy(F.desc("npmi"), "w1", "w2")
     return out.limit(topk) if topk is not None else out

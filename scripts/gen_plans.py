@@ -214,6 +214,24 @@ NOTES = {
         "equi-join runs rare-probe-token x posting, verify join is "
         "candidate-sized."
     ),
+    "bradley_terry": (
+        "Bradley-Terry MM: two hash aggregates reduce the comparison "
+        "stream to O(K)/O(K^2) once; each iteration is a broadcast-"
+        "sized join + hash agg on the reduced tables, ratings "
+        "quantized 9dp/round so the unrolled oracle matches exactly."
+    ),
+    "triangle_count": (
+        "triangles: degree-orientation wedge join (max out-degree "
+        "O(sqrt m), O(m^1.5) candidates - never sum-of-deg^2); "
+        "oriented list lazily checkpointed and consumed three times; "
+        "closure is an equi-join probe, counts one explode + agg."
+    ),
+    "pmi_collocations": (
+        "collocations: one token explode feeds unigram AND adjacent-"
+        "bigram hash aggs (adjacency keeps the pair stream linear); "
+        "scalar N/B totals broadcast; rank on round(npmi,6) with word "
+        "tie-breaks, bounded top-k."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

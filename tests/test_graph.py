@@ -93,3 +93,47 @@ def test_pagerank_plan_is_bounded(spark):
     # The checkpointed frame scans appear instead of 8 nested joins.
     assert plan.count("Join") <= 2
     assert out.count() == 3
+
+
+# ---------------------------------------------------------------- triangles
+from mhm_data_pipelines_spark.operators.graph import triangle_count
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = triangle_count(df).orderBy("node").collect()
+    return {r["node"]: r["triangles"] for r in out}
+
+
+def test_triangle_single(spark):
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_dedups_reversed_parallel_and_self_edges(spark):
+    got = _tri(
+        spark,
+        [
+            ("a", "b"), ("b", "a"), ("a", "b"),  # parallel + reversed
+            ("b", "c"), ("c", "a"),
+            ("a", "a"),                            # self-loop dropped
+        ],
+    )
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_k4_and_isolated_path_node(spark):
+    # K4 has 4 triangles; every node participates in C(3,2)=3.
+    k4 = [("1", "2"), ("1", "3"), ("1", "4"),
+          ("2", "3"), ("2", "4"), ("3", "4")]
+    got = _tri(spark, k4 + [("4", "5")])  # pendant node: 0 triangles
+    assert got == {"1": 3, "2": 3, "3": 3, "4": 3, "5": 0}
+
+
+def test_triangle_two_shared_edge(spark):
+    # Two triangles sharing edge (a,b): a,b in 2 each; c,d in 1.
+    got = _tri(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
+    )
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}

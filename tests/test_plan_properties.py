@@ -88,6 +88,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # cross for eval sets too big to broadcast
     "curriculum_order",   # crossJoin(broadcast(cutpoint array)) — 1 row
     "source_divergence",  # crossJoin(broadcast(corpus token total)) — 1 row
+    "pmi_collocations",   # crossJoin(broadcast(N tokens + B bigrams))
+                          # — 1-row scalar totals
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
@@ -362,6 +364,17 @@ PLAN_BUDGETS: dict[str, dict] = {
     # containment_pairs: same skeleton with an asymmetric
     # probe-prefix × full-index equi-join.
     "containment_pairs": {"max_shuffles": 9},
+    # bradley_terry: iterations run at BUILD over checkpointed K-row
+    # tables (pagerank discipline) — the returned plan is the final
+    # ratings scan + display sort.
+    "bradley_terry": {"max_shuffles": 2},
+    # triangle_count: window-lag edge derivation + distinct + degree
+    # agg feed two lazily-checkpointed frames; the remaining plan is
+    # wedge join + closure probe + explode agg + zero-fill join + sort.
+    "triangle_count": {"max_shuffles": 8},
+    # pmi_collocations: one explode feeding unigram + bigram hash aggs,
+    # two count re-attach joins, scalar totals broadcast, bounded top-k.
+    "pmi_collocations": {"max_shuffles": 7},
 }
 
 

@@ -1,0 +1,88 @@
+"""Bradley-Terry MM fitting — hand-replayed recurrences and invariants."""
+
+import math
+
+import pytest
+
+from mhm_data_pipelines_spark.operators.ranking import bradley_terry
+
+
+def _fit_reference(comparisons, iterations, quantize=9):
+    """Pure-python replay of the documented recurrence (same
+    quantization points), used to pin the Spark values exactly."""
+    cmp = [(w, l) for w, l in comparisons if w != l]
+    items = sorted({x for p in cmp for x in p})
+    wins = {i: 0 for i in items}
+    for w, _ in cmp:
+        wins[w] += 1
+    n = {}
+    for w, l in cmp:
+        key = (min(w, l), max(w, l))
+        n[key] = n.get(key, 0) + 1
+    p = {i: 1.0 for i in items}
+    for _ in range(iterations):
+        raw = {}
+        for i in items:
+            denom = sum(
+                c / (p[i] + p[j if i == a else a])
+                for (a, j), c in n.items()
+                if i in (a, j)
+            )
+            raw[i] = wins[i] / denom
+        mean = sum(raw.values()) / len(items)
+        p = {i: round(raw[i] / mean, quantize) for i in items}
+    return p
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = bradley_terry(df, **kw).orderBy("item").collect()
+    return {r["item"]: r["rating"] for r in out}
+
+
+def test_matches_python_replay(spark):
+    rows = (
+        [("a", "b")] * 3
+        + [("b", "a")] * 1
+        + [("a", "c")] * 2
+        + [("c", "a")] * 2
+        + [("b", "c")] * 4
+        + [("c", "b")] * 1
+    )
+    got = _run(spark, rows, iterations=8)
+    want = _fit_reference(rows, iterations=8)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_dominance_order(spark):
+    # a beats b more than b beats a, and b likewise dominates c:
+    # fitted strengths must come out strictly ordered.
+    rows = [("a", "b")] * 5 + [("b", "a")] + [("b", "c")] * 5 + [("c", "b")]
+    got = _run(spark, rows, iterations=8)
+    assert got["a"] > got["b"] > got["c"]
+
+
+def test_mean_one_normalization(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = _run(spark, rows, iterations=4)
+    assert sum(got.values()) / len(got) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_symmetric_comparisons_equal_ratings(spark):
+    # Perfectly balanced record -> every item at the mean (rating 1).
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+            ("a", "c"), ("c", "a")]
+    got = _run(spark, rows, iterations=6)
+    for v in got.values():
+        assert v == pytest.approx(1.0, abs=1e-9)
+
+
+def test_never_winner_hits_zero_and_self_pairs_dropped(spark):
+    rows = [("a", "c"), ("b", "c"), ("a", "b"), ("b", "a"), ("c", "c")]
+    got = _run(spark, rows, iterations=5)
+    assert got["c"] == 0.0
+    assert set(got) == {"a", "b", "c"}
+    # winners of everything stay finite (normalized), not inf
+    assert all(math.isfinite(v) for v in got.values())

@@ -188,3 +188,56 @@ def test_phrase_search_order_k_and_validation(spark):
     assert [(r.doc_id, r.n_occurrences) for r in rows] == [(3, 3), (2, 2)]
     with _pytest.raises(ValueError):
         phrase_search(df, "   ")
+
+
+# ------------------------------------------------------------ collocations
+import math
+
+from mhm_data_pipelines_spark.operators.retrieval import pmi_collocations
+
+
+def test_pmi_hand_computed(spark):
+    # Corpus: "new york" twice, "new day" once -> tokens:
+    # new x3, york x2, day x1; N=6. Bigrams: (new,york) x2, (new,day) x1
+    # within docs; B = 3.
+    docs = spark.createDataFrame(
+        [(1, "new york"), (2, "new york"), (3, "new day")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=1, topk=10).collect()
+    rows = {(r["w1"], r["w2"]): r for r in out}
+    assert set(rows) == {("new", "york"), ("new", "day")}
+    n, b = 6.0, 3.0
+    pmi_ny = math.log((2 / b) / ((3 / n) * (2 / n)))
+    npmi_ny = pmi_ny / -math.log(2 / b)
+    assert rows[("new", "york")]["c_ab"] == 2
+    assert rows[("new", "york")]["pmi"] == round(pmi_ny, 6)
+    assert rows[("new", "york")]["npmi"] == round(npmi_ny, 6)
+    pmi_nd = math.log((1 / b) / ((3 / n) * (1 / n)))
+    assert rows[("new", "day")]["pmi"] == round(pmi_nd, 6)
+
+
+def test_pmi_min_count_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b x y x y")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=2, topk=10).collect()
+    # only bigrams with c_ab >= 2 survive
+    assert all(r["c_ab"] >= 2 for r in out)
+    # ordering: npmi desc, then w1, w2 asc
+    keys = [(-r["npmi"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_pmi_collocation_beats_independent_pair(spark):
+    # "foo bar" always co-occurs; "c d" occurs once among unrelated
+    # tokens -> the true collocation must outrank it on npmi.
+    docs = spark.createDataFrame(
+        [(1, "foo bar c q"), (2, "foo bar r s"), (3, "c d t u")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=1, topk=100).collect()
+    by_pair = {(r["w1"], r["w2"]): r["npmi"] for r in out}
+    assert by_pair[("foo", "bar")] > by_pair[("c", "d")]
+    assert all(math.isfinite(r["npmi"]) for r in out)
