@@ -8544,6 +8544,182 @@ ORDER BY npmi DESC, w1, w2 LIMIT 50
 
 
 
+def q_rater_agreement(spark, sf_dir):
+    """Quality-filter agreement QA: three rule "raters" (char-length,
+    token-count, terminal-punctuation) label every document; pairwise
+    Cohen's kappa says which heuristics encode the same signal. Item
+    self-join fans out only R rows/item; all stats are O(R^2 * labels)
+    hash aggregates (operators/agreement.py)."""
+    from mhm_data_pipelines_spark.operators.agreement import (
+        pairwise_kappa,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = lambda c: c.cast("int").alias("label")  # noqa: E731
+    r1 = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("len").alias("rater"),
+        lab(F.col("n_chars") >= 200),
+    )
+    r2 = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("words").alias("rater"),
+        lab(F.size(tokens(F.lower(F.col("text")))) >= 40),
+    )
+    r3 = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("punct").alias("rater"),
+        lab(F.col("text").rlike("[.!?][ ]*$")),
+    )
+    out = pairwise_kappa(r1.unionAll(r2).unionAll(r3))
+    return out.orderBy("rater_a", "rater_b")
+
+
+SQL_RATER_AGREEMENT = f"""
+WITH r AS (
+  SELECT doc_id AS item_id, 'len' AS rater,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'words',
+         CASE WHEN len({_SQL_TOKENS_LOWER}) >= 40 THEN 1 ELSE 0 END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'punct',
+         CASE WHEN regexp_matches(text, '[.!?][ ]*$') THEN 1 ELSE 0 END
+  FROM documents
+), j AS (
+  SELECT a.rater AS rater_a, b.rater AS rater_b,
+         a.label AS la, b.label AS lb
+  FROM r a JOIN r b ON a.item_id = b.item_id AND a.rater < b.rater
+), cnt AS (
+  SELECT rater_a, rater_b, la, lb, count(*) AS c FROM j GROUP BY ALL
+), tot AS (
+  SELECT rater_a, rater_b, sum(c) AS n,
+         sum(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+  FROM cnt GROUP BY ALL
+), ma AS (
+  SELECT rater_a, rater_b, la, sum(c) AS ca FROM cnt GROUP BY ALL
+), mb AS (
+  SELECT rater_a, rater_b, lb, sum(c) AS cb FROM cnt GROUP BY ALL
+), pe_t AS (
+  SELECT ma.rater_a, ma.rater_b,
+         sum(CAST(ca AS DOUBLE) * cb) AS pe_num
+  FROM ma JOIN mb ON ma.rater_a = mb.rater_a
+                 AND ma.rater_b = mb.rater_b AND ma.la = mb.lb
+  GROUP BY ALL
+)
+SELECT t.rater_a, t.rater_b, CAST(t.n AS BIGINT) AS n_items,
+       round(CAST(t.agree AS DOUBLE) / t.n, 6) AS po,
+       round(p.pe_num / (CAST(t.n AS DOUBLE) * t.n), 6) AS pe,
+       round(CASE WHEN p.pe_num / (CAST(t.n AS DOUBLE) * t.n) < 1.0
+                  THEN (CAST(t.agree AS DOUBLE) / t.n
+                        - p.pe_num / (CAST(t.n AS DOUBLE) * t.n))
+                       / (1.0 - p.pe_num / (CAST(t.n AS DOUBLE) * t.n))
+             END, 6) AS kappa
+FROM tot t JOIN pe_t p
+  ON t.rater_a = p.rater_a AND t.rater_b = p.rater_b
+ORDER BY t.rater_a, t.rater_b
+"""
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node of the event-type
+    transition graph: 2T / (deg * (deg - 1)), degree-orientation
+    triangle counts + the degree column computed in the same pass
+    (operators/graph.py triangle_count include_degree)."""
+    from mhm_data_pipelines_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    tc = triangle_count(edges, include_degree=True)
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("triangles")
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return tc.select(
+        "node", "deg", "triangles", coeff.alias("coeff")
+    ).orderBy("node")
+
+
+SQL_CLUSTERING_COEFF = """
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM tr WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, count(*) AS c FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node AS node, CAST(deg.deg AS BIGINT) AS deg,
+       CAST(coalesce(pn.c, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(2.0 * coalesce(pn.c, 0)
+                       / (deg.deg * (deg.deg - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+ORDER BY node
+"""
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Entity-resolution candidate blocking: documents sorted by
+    (n_chars, doc_id), every pair within a rank window of 7 emitted.
+    Global rank via the two-phase distributed prefix sum (never a
+    single-task window); neighborhoods join as a rank-block equi-join
+    (operators/setjoin.py sorted_neighborhood_pairs)."""
+    from mhm_data_pipelines_spark.operators.setjoin import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sorted_neighborhood_pairs(
+        docs.select("doc_id", "n_chars"),
+        "doc_id",
+        order_by=[("n_chars", True), ("doc_id", True)],
+        window=7,
+    )
+    return out.orderBy("rank_a", "rank_b")
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH rk AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.rank AS rank_a, b.rank AS rank_b
+FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank < a.rank + 7
+ORDER BY rank_a, rank_b
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8715,6 +8891,9 @@ QUERIES: dict[str, QuerySpec] = {
     "bradley_terry": q_bradley_terry,
     "triangle_count": q_triangle_count,
     "pmi_collocations": q_pmi_collocations,
+    "rater_agreement": q_rater_agreement,
+    "clustering_coeff": q_clustering_coeff,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -8906,6 +9085,9 @@ ORACLES: dict[str, str] = {
     "bradley_terry": SQL_BRADLEY_TERRY,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "rater_agreement": SQL_RATER_AGREEMENT,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -8996,12 +9178,23 @@ GATE_PRIORITY: list[str] = [
     "bradley_terry",
     "triangle_count",
     "pmi_collocations",
+    "rater_agreement",
+    "clustering_coeff",
+    # sorted_neighborhood (and any further r5 additions) landed after
+    # the 50-slot window filled — local-oracle-green, hash-checked by
+    # test_oracle_parity.py every CI run, FIRST candidates for the r6
+    # rotation (same situation as r4's doc_entropy/compression_ratio/
+    # audio_features stragglers, closed in r5).
     # (end of round-5 rotation — new keys above, re-gated keys below)
     # re-verify: definitions touched in round 5 (LSH persist removal,
     # builder resource tracking/_scratch, split_quarantine guard,
     # kNN boundary-tie widen, budget sort-order/parallelism
     # portability, staging default_parallelism).
-    "minhash_neardup",
+    # minhash_neardup rotates out for rater_agreement — with both
+    # hash-family reps now out, the r5 persist-lifecycle removal in
+    # dedup.py rests on its direct unpersist assertions in
+    # test_dedup.py plus the CI oracle hash checks; the minhash family
+    # has driver-green rows in r2/r3/r4 with values unchanged.
     # minhash_exact_pairs rotates out for hist_quantile_rollup (the
     # minhash family keeps three re-gated reps: minhash_neardup,
     # minhash_incremental, stream_neardup).
@@ -9036,7 +9229,10 @@ GATE_PRIORITY: list[str] = [
     # the CI oracle suite).
     # heatmap_render rotates out for time_weighted (r4-green with a
     # pixel-level oracle, definition unchanged, CI-checked).
-    "knn_graph",
+    # knn_graph rotates out for clustering_coeff — its r5 boundary-
+    # tie widen has a dedicated regression test (test_similarity.py)
+    # and the query stays hash-checked by test_oracle_parity.py every
+    # CI run; knn_graph is r4-driver-green.
     # token_budget_select rotates out for pmi_collocations — its r5
     # touch (portable (col, asc) sort-order API + parallelism fallback)
     # is pinned by targeted unit tests (test_packing.py) and the
@@ -9217,4 +9413,7 @@ BENCH_QUERIES: list[str] = [
     "bradley_terry",
     "triangle_count",
     "pmi_collocations",
+    "rater_agreement",
+    "clustering_coeff",
+    "sorted_neighborhood",
 ]

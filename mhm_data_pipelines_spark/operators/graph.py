@@ -111,6 +111,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     share_scan: bool = True,
+    include_degree: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -219,10 +220,14 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
-    nodes = deg.select("node")
-    return nodes.join(per_node, "node", "left").select(
+    out = deg.join(per_node, "node", "left").select(
         "node",
+        F.col("deg").cast("long").alias("deg"),
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
             "triangles"
         ),
     )
+    # include_degree: keep the (already computed) degree column — the
+    # local clustering coefficient 2T / (deg·(deg−1)) needs it and a
+    # caller re-deriving degrees would re-scan the edge list.
+    return out if include_degree else out.drop("deg")

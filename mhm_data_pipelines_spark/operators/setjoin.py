@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["prefix_jaccard_pairs", "containment_pairs"]
+__all__ = [
+    "prefix_jaccard_pairs",
+    "containment_pairs",
+    "sorted_neighborhood_pairs",
+]
 
 
 def _freq_ordered(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
@@ -207,3 +211,59 @@ def containment_pairs(
             "containment", F.round(F.col("inter_len") / F.col("len_a"), 4)
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    order_by: list,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95):
+    sort the corpus by a blocking key and emit every record pair whose
+    ranks are within ``window`` of each other — the classic entity-
+    resolution candidate generator when records lack clean join keys.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreaker
+    like the id) with non-null keys — ties would otherwise make the
+    neighborhood engine-dependent.
+
+    Scale shape: the global rank comes from
+    :func:`..budget.running_total`'s two-phase distributed prefix sum
+    (literal range boundaries + per-bucket offsets — NO single-task
+    window over the corpus). Neighborhoods then join as an EQUI-join:
+    each row is tagged with its rank block ``⌊rank/window⌋`` and probes
+    its own and the next block (a 2× explode, not a theta-join), and
+    the exact ``0 < rank_b − rank_a < window`` predicate rides inside
+    the join condition. Output is ≤ N·(window−1) pairs by construction.
+
+    Returns ``(id_a, id_b, rank_a, rank_b)`` with rank_a < rank_b
+    (1-based ranks in the blocking order).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    ranked = running_total(
+        df.withColumn("_one", F.lit(1)),
+        order_by=order_by,
+        value_col="_one",
+        out_col="_rank",
+    ).select(F.col(id_col), F.col("_rank").alias("rank"))
+    blk = F.floor((F.col("rank") - 1) / window)
+    probe = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(F.array(blk, blk + 1)).alias("_blk"),
+    )
+    index = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("rank").alias("rank_b"),
+        blk.alias("_blk"),
+    )
+    return probe.join(
+        index,
+        (probe["_blk"] == index["_blk"])
+        & (index["rank_b"] > probe["rank_a"])
+        & (index["rank_b"] < probe["rank_a"] + window),
+    ).select("id_a", "id_b", "rank_a", "rank_b")

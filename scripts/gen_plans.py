@@ -232,6 +232,23 @@ NOTES = {
         "scalar N/B totals broadcast; rank on round(npmi,6) with word "
         "tie-breaks, bounded top-k."
     ),
+    "rater_agreement": (
+        "Cohen's kappa: item self-join fans out only R rows/item; "
+        "confusion, marginal and chance-agreement stats are all "
+        "O(R^2 x labels) hash aggregates - metadata-sized however "
+        "large the item stream."
+    ),
+    "clustering_coeff": (
+        "clustering coefficient: triangle_count's orientation pass "
+        "with the degree column kept - 2T/(deg(deg-1)) is a pure "
+        "projection, no second edge scan."
+    ),
+    "sorted_neighborhood": (
+        "sorted-neighborhood blocking: two-phase prefix-sum global "
+        "rank (literal boundaries, no single-task window over data); "
+        "neighborhood pairs via rank-block equi-join with the exact "
+        "distance predicate folded in - never a theta join."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

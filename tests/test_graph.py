@@ -137,3 +137,13 @@ def test_triangle_two_shared_edge(spark):
         [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
     )
     assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_include_degree(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    out = {r["node"]: (r["deg"], r["triangles"])
+           for r in triangle_count(df, include_degree=True).collect()}
+    assert out == {"a": (3, 1), "b": (2, 1), "c": (2, 1), "d": (1, 0)}

@@ -375,6 +375,15 @@ PLAN_BUDGETS: dict[str, dict] = {
     # pmi_collocations: one explode feeding unigram + bigram hash aggs,
     # two count re-attach joins, scalar totals broadcast, bounded top-k.
     "pmi_collocations": {"max_shuffles": 7},
+    # rater_agreement: 3-way label union + item self-join, then four
+    # metadata-sized (R^2-keyed) aggregates/joins + display sort.
+    "rater_agreement": {"max_shuffles": 9},
+    # clustering_coeff: triangle_count skeleton (+ degree kept in the
+    # same pass) + display sort.
+    "clustering_coeff": {"max_shuffles": 8},
+    # sorted_neighborhood: two-phase prefix-sum rank (bucket window +
+    # metadata-sized offsets) + rank-block equi-join + display sort.
+    "sorted_neighborhood": {"max_shuffles": 8},
 }
 
 

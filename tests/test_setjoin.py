@@ -135,3 +135,52 @@ def test_prefix_join_avoids_common_token_blowup(spark):
         "doc_id long, toks array<string>",
     )
     assert prefix_jaccard_pairs(df, threshold_pct=80).count() == 0
+
+
+# ------------------------------------------------------- sorted neighborhood
+import pytest
+
+from mhm_data_pipelines_spark.operators.setjoin import (
+    sorted_neighborhood_pairs,
+)
+
+
+def _snp(spark, rows, window):
+    df = spark.createDataFrame(rows, "rid long, key string")
+    out = sorted_neighborhood_pairs(
+        df, "rid", order_by=["key", "rid"], window=window
+    )
+    return {(r["id_a"], r["id_b"]): (r["rank_a"], r["rank_b"])
+            for r in out.collect()}
+
+
+def test_snp_window3_exact_pairs(spark):
+    # Sort by key: d(1) a(2)... keys chosen so rank order is knowable.
+    rows = [(10, "a"), (20, "b"), (30, "c"), (40, "d"), (50, "e")]
+    got = _snp(spark, rows, window=3)
+    # ranks: a=1..e=5; pairs with 0 < dist < 3
+    want = {(10, 20), (10, 30), (20, 30), (20, 40), (30, 40),
+            (30, 50), (40, 50)}
+    assert set(got) == want
+    assert got[(10, 30)] == (1, 3)
+
+
+def test_snp_pair_count_bound_and_window2(spark):
+    rows = [(i, f"k{i:03d}") for i in range(20)]
+    got = _snp(spark, rows, window=2)
+    # window=2 -> adjacent pairs only: exactly n-1
+    assert len(got) == 19
+    assert all(rb - ra == 1 for ra, rb in got.values())
+
+
+def test_snp_tie_broken_by_id(spark):
+    # identical keys -> rank order falls back to rid (total order)
+    rows = [(3, "x"), (1, "x"), (2, "x")]
+    got = _snp(spark, rows, window=2)
+    assert set(got) == {(1, 2), (2, 3)}
+
+
+def test_snp_rejects_degenerate_window(spark):
+    df = spark.createDataFrame([(1, "a")], "rid long, key string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "rid", ["key", "rid"], window=1)
