@@ -32,19 +32,30 @@ HEAVY = [
     "conversation_windows", "event_funnel", "cohort_retention",
     "join_preflight", "hist_quantile_rollup", "ohlc_hourly",
     "time_weighted", "content_manifest",
+    # round-5 fourth batch: sequential/ranking/graph/blocking passes
+    "kaplan_meier", "ewma_smooth", "cusum_detect", "bradley_terry",
+    "triangle_count", "pmi_collocations", "rater_agreement",
+    "clustering_coeff", "sorted_neighborhood",
 ]
 
 
 def main() -> None:
+    # argv names = probe only those, merging into the existing
+    # SCALE_PROBE.json (incremental per-batch probes).
+    names = sys.argv[1:]
+    heavy = [n for n in HEAVY if n in names] if names else HEAVY
     spark = get_spark(app_name="scale-probe", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
+    if names and os.path.exists("/root/repo/SCALE_PROBE.json"):
+        with open("/root/repo/SCALE_PROBE.json") as f:
+            out = json.load(f)
     for sf_dir, tag in (("/root/testdata/sf0.1", "sf0.1"),
                         ("/tmp/mhm_sf1", "sf1")):
         load_table_cache_clear()
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
-        for name in HEAVY:
+        for name in heavy:
             # cold (plan+codegen) then warm; record warm
             QUERIES[name](spark, sf_dir).count()
             release_query_resources()
@@ -54,11 +65,12 @@ def main() -> None:
             release_query_resources()
             out.setdefault(name, {})[tag] = {"sec": dt, "rows": n}
             print(f"# {tag} {name}: {dt}s ({n} rows)", flush=True)
-    for name, r in out.items():
+    for name in heavy:  # don't clobber sp128-corrected flags of
+        r = out[name]   # previously probed entries on a merge run
         ratio = r["sf1"]["sec"] / max(r["sf0.1"]["sec"], 1e-9)
         r["ratio_10x_data"] = round(ratio, 2)
         r["superlinear"] = ratio > 12
-    flagged = [n for n, r in out.items() if r["superlinear"]]
+    flagged = [n for n in heavy if out[n]["superlinear"]]
     if flagged:
         # A cluster scales shuffle parallelism with the data (or AQE
         # re-plans it); the fixed 32 partitions above deliberately do
