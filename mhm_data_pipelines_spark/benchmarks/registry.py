@@ -8720,6 +8720,180 @@ ORDER BY rank_a, rank_b
 
 
 
+def q_score_correlation(spark, sf_dir):
+    """Tie-aware Spearman rho between two per-doc quality signals
+    (token count vs mean token length): fractional ranks from the
+    two-phase distributed prefix sum over per-VALUE counts — the raw
+    rows are never globally sorted; rho is one hash aggregate of
+    exact (integer-or-half) sums (operators/correlation.py)."""
+    from mhm_data_pipelines_spark.operators.correlation import (
+        spearman_rho,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.lower(F.col("text"))))
+    base = docs.filter(nt > 0).select(
+        nt.alias("x"),
+        (F.col("n_chars").cast("double") / nt).alias("y"),
+    )
+    return spearman_rho(base, "x", "y")
+
+
+SQL_SCORE_CORRELATION = f"""
+WITH v AS (
+  SELECT len({_SQL_TOKENS_LOWER}) AS x,
+         CAST(n_chars AS DOUBLE) / len({_SQL_TOKENS_LOWER}) AS y
+  FROM documents WHERE len({_SQL_TOKENS_LOWER}) > 0
+), r AS (
+  SELECT
+    rank() OVER (ORDER BY x)
+      + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+    rank() OVER (ORDER BY y)
+      + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+  FROM v
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS rho
+FROM s
+"""
+
+
+def q_ranking_overlap(spark, sf_dir):
+    """Rank-biased overlap between two per-source document rankings
+    (by char length vs by token count): each co-ranked item reduces to
+    ONE weighted row via the literal tail-weight table — RBO@10 is an
+    equi-join + a hash aggregate, no per-depth re-scan
+    (operators/correlation.py rbo)."""
+    from mhm_data_pipelines_spark.operators.correlation import rbo
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.lower(F.col("text"))))
+    d = docs.select("source", "doc_id", "n_chars", nt.alias("nt"))
+    wa = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.desc("nt"), F.col("doc_id")
+    )
+    ra = d.select(
+        F.col("source").alias("query_id"),
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wa).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    rb = d.select(
+        F.col("source").alias("query_id"),
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(wb).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    return rbo(ra, rb, p=0.9, depth=10).orderBy("query_id")
+
+
+def _rbo_weights(p: float = 0.9, depth: int = 10) -> list[float]:
+    """Literal tail weights (1-p)*sum_{k=m..d} p^(k-1)/k — the SAME
+    python evaluation the operator embeds, so repr() round-trips the
+    exact doubles into the oracle SQL."""
+    tail = [p ** (k - 1) / k for k in range(1, depth + 1)]
+    return [(1.0 - p) * sum(tail[m - 1:]) for m in range(1, depth + 1)]
+
+
+SQL_RANKING_OVERLAP = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         len({_SQL_TOKENS_LOWER}) AS nt
+  FROM documents
+), ra AS (
+  SELECT source AS query_id, doc_id AS item_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM d QUALIFY r <= 10
+), rb AS (
+  SELECT source AS query_id, doc_id AS item_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY nt DESC, doc_id) AS r
+  FROM d QUALIFY r <= 10
+), w(m, wt) AS (
+  VALUES {", ".join(f"({m}, {w!r})" for m, w in
+                    enumerate(_rbo_weights(0.9, 10), start=1))}
+), j AS (
+  SELECT a.query_id, greatest(a.r, b.r) AS m
+  FROM ra a JOIN rb b
+    ON a.query_id = b.query_id AND a.item_id = b.item_id
+), q AS (
+  SELECT DISTINCT query_id FROM ra
+)
+SELECT q.query_id,
+       round(coalesce(sum(w.wt), 0.0), 6) AS rbo
+FROM q
+LEFT JOIN j ON j.query_id = q.query_id
+LEFT JOIN w ON w.m = j.m
+GROUP BY q.query_id ORDER BY q.query_id
+"""
+
+
+def q_mmr_diverse(spark, sf_dir):
+    """MMR diverse top-8 (query = embedding of vec_id 0): k map-only
+    corpus passes with literal query/selected vectors — no join, no
+    shuffle, TakeOrdered(1) argmax per round; scores quantized to 7dp
+    before every argmax so the unrolled greedy oracle matches
+    value-for-value (operators/similarity.py mmr_select)."""
+    from mhm_data_pipelines_spark.operators.similarity import mmr_select
+
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = mmr_select(
+        df.filter(F.col("vec_id") != 0), list(qvec), k=8, lam=0.7
+    )
+    return out.select(
+        "vec_id", "pick_order", F.round("score", 6).alias("score")
+    ).orderBy("pick_order")
+
+
+def _mmr_oracle_sql(k: int = 8, lam: float = 0.7, qz: int = 7) -> str:
+    """Unrolled greedy MMR (same per-round quantization as
+    operators/similarity.py mmr_select)."""
+    olam = 1.0 - lam
+    parts = [f"""
+WITH rel AS MATERIALIZED (
+  SELECT b.vec_id AS id, CAST(b.embedding AS DOUBLE[]) AS v,
+         round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)), {qz}) AS rel
+  FROM embeddings b WHERE b.vec_id <> 0
+), pick1 AS MATERIALIZED (
+  SELECT id, v, 1 AS pick_order, rel AS score
+  FROM rel WHERE isfinite(rel) ORDER BY rel DESC, id LIMIT 1
+), picked1 AS (SELECT * FROM pick1)"""]
+    for j in range(2, k + 1):
+        parts.append(f""", pick{j} AS MATERIALIZED (
+  SELECT r.id, r.v, {j} AS pick_order,
+         round({lam!r} * r.rel - {olam!r}
+               * (SELECT max(list_cosine_similarity(r.v, p.v))
+                  FROM picked{j - 1} p), {qz}) AS score
+  FROM rel r
+  WHERE isfinite(r.rel)
+    AND r.id NOT IN (SELECT id FROM picked{j - 1})
+  ORDER BY score DESC, id LIMIT 1
+), picked{j} AS (
+  SELECT * FROM picked{j - 1} UNION ALL SELECT * FROM pick{j}
+)""")
+    parts.append(f"""
+SELECT id AS vec_id, pick_order, round(score, 6) AS score
+FROM picked{k} ORDER BY pick_order
+""")
+    return "".join(parts)
+
+
+SQL_MMR_DIVERSE = _mmr_oracle_sql(8, 0.7, 7)
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -8894,6 +9068,9 @@ QUERIES: dict[str, QuerySpec] = {
     "rater_agreement": q_rater_agreement,
     "clustering_coeff": q_clustering_coeff,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "score_correlation": q_score_correlation,
+    "ranking_overlap": q_ranking_overlap,
+    "mmr_diverse": q_mmr_diverse,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9088,6 +9265,9 @@ ORACLES: dict[str, str] = {
     "rater_agreement": SQL_RATER_AGREEMENT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "score_correlation": SQL_SCORE_CORRELATION,
+    "ranking_overlap": SQL_RANKING_OVERLAP,
+    "mmr_diverse": SQL_MMR_DIVERSE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -9416,4 +9596,7 @@ BENCH_QUERIES: list[str] = [
     "rater_agreement",
     "clustering_coeff",
     "sorted_neighborhood",
+    "score_correlation",
+    "ranking_overlap",
+    "mmr_diverse",
 ]

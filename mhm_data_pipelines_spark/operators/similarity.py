@@ -1243,3 +1243,88 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int = 7,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` items maximizing
+
+        ``lam * cos(v, q)  -  (1 - lam) * max_{s in selected} cos(v, s)``
+
+    — the standard diversity-aware sampler for eval-set construction
+    and "relevant but not redundant" few-shot pools.
+
+    Scale shape: greedy MMR is inherently ``k`` sequential rounds, but
+    each round is ONE map-only corpus pass — the query vector and the
+    (at most k) already-selected vectors ride into the plan as literal
+    arrays, so the per-row work is k+1 codegen'd cosine folds with NO
+    join and NO shuffle; the per-round argmax is a TakeOrdered(1).
+    Driver traffic is bounded by contract: k rows total (the picks),
+    each carrying one embedding. Relevance is computed once and the
+    frame lazily localCheckpoint'ed so round j does not replay rounds
+    1..j-1's filters over the raw scan lineage.
+
+    Cross-engine determinism: relevance and every round's score are
+    QUANTIZED to ``quantize`` decimals before the argmax, ties broken
+    by id asc — the unrolled SQL oracle replays the identical greedy
+    recursion value-for-value.
+
+    Returns ``(id_col, pick_order, score)`` — pick_order 1..k; score
+    is the quantized MMR objective at selection time (round 1: pure
+    relevance). Zero-norm vectors never qualify (NULL cosine).
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0,1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rel = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine(F.col(vec_col), q), quantize).alias("_rel"),
+        )
+        .filter(F.col("_rel").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    olam = 1.0 - lam
+    picks: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    remaining = rel
+    for rnd in range(1, k + 1):
+        if not sel_vecs:
+            score = F.col("_rel")
+        else:
+            sims = [
+                cosine(F.col("_v"), F.array(*[F.lit(float(x)) for x in sv]))
+                for sv in sel_vecs
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.round(
+                F.lit(lam) * F.col("_rel") - F.lit(olam) * maxsim, quantize
+            )
+        top = (
+            remaining.select("_id", "_v", score.alias("_score"))
+            .orderBy(F.desc("_score"), F.col("_id"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per round, k rounds
+        )
+        if not top:
+            break
+        row = top[0]
+        picks.append((row["_id"], rnd, float(row["_score"])))
+        sel_vecs.append([float(x) for x in row["_v"]])
+        remaining = remaining.filter(F.col("_id") != F.lit(row["_id"]))
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        picks, schema=f"{id_col} long, pick_order int, score double"
+    )
+    return out

@@ -249,6 +249,23 @@ NOTES = {
         "neighborhood pairs via rank-block equi-join with the exact "
         "distance predicate folded in - never a theta join."
     ),
+    "score_correlation": (
+        "Spearman rho: fractional ranks from per-VALUE counts + the "
+        "distributed prefix sum (raw rows never globally sorted); "
+        "exact integer-or-half sums -> order-independent correlation "
+        "in one hash aggregate."
+    ),
+    "ranking_overlap": (
+        "RBO@10: each co-ranked item contributes via a d-entry "
+        "LITERAL tail-weight map, so the statistic is one (query, "
+        "item) equi-join + hash agg - no per-depth re-scan."
+    ),
+    "mmr_diverse": (
+        "greedy MMR: k map-only corpus passes with literal query + "
+        "selected vectors (codegen cosine folds, no join/shuffle); "
+        "argmax is TakeOrdered(1); driver traffic = k pick rows by "
+        "contract."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -37,6 +37,7 @@ EXECUTES_ON_BUILD = {
                         # read on build (quarantine split)
     "stream_sketch_rollup",  # drains a two-batch sketch stream on build
     "stream_manifest",  # drains a two-batch manifest stream on build
+    "mmr_diverse",  # k greedy argmax rounds (bounded collects) on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
@@ -384,6 +385,13 @@ PLAN_BUDGETS: dict[str, dict] = {
     # sorted_neighborhood: two-phase prefix-sum rank (bucket window +
     # metadata-sized offsets) + rank-block equi-join + display sort.
     "sorted_neighborhood": {"max_shuffles": 8},
+    # score_correlation: TWO fractional-rank derivations (per-value
+    # agg + prefix-sum bucket window + metadata offsets each) + two
+    # rank re-attach joins + the single-row correlation aggregate.
+    "score_correlation": {"max_shuffles": 12},
+    # ranking_overlap: two per-source rank windows + the (query,item)
+    # pair join + per-query agg + zero-fill join + display sort.
+    "ranking_overlap": {"max_shuffles": 8},
 }
 
 

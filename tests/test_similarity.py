@@ -530,3 +530,63 @@ def test_knn_graph_blas_boundary_ties_beyond_slack(spark):
     blas = knn_graph(df, cents, k=3, nprobe=2, blas=True).collect()
     key = lambda r: (r.qid, r.nid)
     assert sorted(map(key, blas)) == sorted(map(key, expr))
+
+
+# ----------------------------------------------------------------- MMR
+from mhm_data_pipelines_spark.operators.similarity import mmr_select
+
+
+def _mmr_corpus(spark):
+    # 3-D: ids 1 and 2 are near-duplicates, 3 orthogonal-ish to them,
+    # 4 irrelevant. Query sits BETWEEN axes 1 and 2 so the redundancy
+    # penalty is not collinear with relevance (a query equal to the
+    # first pick makes sim == rel for every vector and MMR degenerates).
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.0447, 0.0]),  # near-dup of 1, slightly closer to q
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+_MMR_Q = [0.7071, 0.7071, 0.0]
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    df = _mmr_corpus(spark)
+    out = mmr_select(df, _MMR_Q, k=4, lam=0.5).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["pick_order"])]
+    # pick1: id 2 (highest rel). pick2: id 3 (diverse) beats the
+    # near-dup id 1. pick3: even the IRRELEVANT id 4 (score 0) beats
+    # the near-dup (negative score). pick4: id 1 last.
+    assert order == [2, 3, 4, 1]
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    df = _mmr_corpus(spark)
+    out = mmr_select(df, _MMR_Q, k=4, lam=1.0).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["pick_order"])]
+    # plain cosine order: 2 (.738) then rel-tie 1 vs 3 (.7071 each,
+    # id asc) then 4
+    assert order == [2, 1, 3, 4]
+
+
+def test_mmr_first_score_is_relevance_and_k_bounded(spark):
+    df = _mmr_corpus(spark)
+    out = {r["pick_order"]: r for r in mmr_select(df, _MMR_Q, k=10, lam=0.7).collect()}
+    assert len(out) == 4  # corpus exhausted before k
+    import math
+    want = (0.999 * 0.7071 + 0.0447 * 0.7071) / (
+        math.sqrt(0.999**2 + 0.0447**2) * math.sqrt(2 * 0.7071**2)
+    )
+    assert out[1]["score"] == pytest.approx(round(want, 7), abs=1e-7)
+
+
+def test_mmr_validates(spark):
+    df = _mmr_corpus(spark)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mmr_select(df, [1.0, 0.0], k=0)
+    with _pt.raises(ValueError):
+        mmr_select(df, [1.0, 0.0], lam=0.0)
