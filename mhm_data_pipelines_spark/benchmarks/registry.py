@@ -8894,6 +8894,122 @@ SQL_MMR_DIVERSE = _mmr_oracle_sql(8, 0.7, 7)
 
 
 
+def q_grouped_folds(spark, sf_dir):
+    """Leakage-safe k-fold CV assignment: folds hash the document TEXT
+    (content fingerprint), so exact duplicates always share a fold —
+    pure projection, engine-portable md5 arithmetic
+    (operators/sampling.py grouped_kfold)."""
+    from mhm_data_pipelines_spark.operators.sampling import grouped_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    out = grouped_kfold(docs, "text", k=5, seed=42, hash_family="md5")
+    return (
+        out.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_groups"),
+        )
+        .orderBy("fold")
+    )
+
+
+SQL_GROUPED_FOLDS = """
+WITH f AS (
+  SELECT text,
+         CAST(CAST(('0x' || substr(md5(text || ':42'), 1, 15)) AS BIGINT)
+              % 1000000 % 5 AS INTEGER) AS fold
+  FROM documents
+)
+SELECT fold, count(*) AS n_docs, count(DISTINCT text) AS n_groups
+FROM f GROUP BY fold ORDER BY fold
+"""
+
+
+def q_calibration_report(spark, sf_dir):
+    """Reliability diagram + per-bin ECE terms for a deterministic
+    [0,1] quality score (token-count ramp) against a length label:
+    one hash aggregate into 10 bins + a broadcast single-row total
+    (operators/selection.py calibration_curve)."""
+    from mhm_data_pipelines_spark.operators.selection import (
+        calibration_curve,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.lower(F.col("text"))))
+    scored = docs.select(
+        F.least(F.lit(1.0), nt / F.lit(400.0)).alias("score"),
+        (F.col("n_chars") >= 500).cast("int").alias("label"),
+    )
+    return calibration_curve(scored, "score", "label", bins=10).orderBy(
+        "bin"
+    )
+
+
+SQL_CALIBRATION_REPORT = f"""
+WITH s AS (
+  SELECT least(1.0, len({_SQL_TOKENS_LOWER}) / 400.0) AS score,
+         CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS label
+  FROM documents
+), b AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+         count(*) AS n, sum(score) AS ss, sum(label) AS pos
+  FROM s GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM b
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(ss / n, 6) AS conf,
+       round(CAST(pos AS DOUBLE) / n, 6) AS acc,
+       round(n / t.total
+             * abs(CAST(pos AS DOUBLE) / n - ss / n), 6) AS ece_term
+FROM b CROSS JOIN t ORDER BY bin
+"""
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Per-event-type robust outlier report: modified z-score on
+    exact median/MAD (heavy-tail-proof, unlike skew_report's
+    mean/stddev flags) — two exact-percentile aggregates + AQE-sized
+    stat joins (operators/repair.py robust_outlier_stats)."""
+    from mhm_data_pipelines_spark.operators.repair import (
+        robust_outlier_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_outlier_stats(ev, "value", ["event_type"])
+    return out.orderBy("event_type")
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS m
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, b.x, m.m, abs(b.x - m.m) AS d
+  FROM base b JOIN med m USING (event_type)
+), st AS (
+  SELECT event_type, count(*) AS n, any_value(m) AS m,
+         quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY event_type
+), fl AS (
+  SELECT d.event_type, count(*) AS nout
+  FROM dev d JOIN st ON st.event_type = d.event_type
+  WHERE st.mad > 0 AND 0.6745 * d.d / st.mad > 3.5
+  GROUP BY d.event_type
+)
+SELECT st.event_type, CAST(st.n AS BIGINT) AS n,
+       round(st.m, 6) AS median, round(st.mad, 6) AS mad,
+       CASE WHEN st.mad > 0
+            THEN CAST(coalesce(fl.nout, 0) AS BIGINT) END AS n_outliers
+FROM st LEFT JOIN fl ON fl.event_type = st.event_type
+ORDER BY st.event_type
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9071,6 +9187,9 @@ QUERIES: dict[str, QuerySpec] = {
     "score_correlation": q_score_correlation,
     "ranking_overlap": q_ranking_overlap,
     "mmr_diverse": q_mmr_diverse,
+    "grouped_folds": q_grouped_folds,
+    "calibration_report": q_calibration_report,
+    "robust_outliers": q_robust_outliers,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9268,6 +9387,9 @@ ORACLES: dict[str, str] = {
     "score_correlation": SQL_SCORE_CORRELATION,
     "ranking_overlap": SQL_RANKING_OVERLAP,
     "mmr_diverse": SQL_MMR_DIVERSE,
+    "grouped_folds": SQL_GROUPED_FOLDS,
+    "calibration_report": SQL_CALIBRATION_REPORT,
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -9599,4 +9721,7 @@ BENCH_QUERIES: list[str] = [
     "score_correlation",
     "ranking_overlap",
     "mmr_diverse",
+    "grouped_folds",
+    "calibration_report",
+    "robust_outliers",
 ]

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["impute_stats", "impute_nulls"]
+__all__ = ["impute_stats", "impute_nulls", "robust_outlier_stats"]
 
 _STRATEGIES = ("median", "mean", "mode")
 
@@ -118,3 +118,71 @@ def impute_nulls(
     if group_col is None:
         drop.append("_g")
     return joined.drop(*drop)
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    cutoff: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group robust outlier report via the modified z-score
+    (Iglewicz & Hoaglin 1993): ``z = 0.6745·(x − median) / MAD`` with
+    ``MAD = median(|x − median|)`` — location/scale estimates a heavy
+    -tailed or already-polluted column can't drag around, unlike the
+    mean/stddev z-score in `skew_report`.
+
+    Two exact-percentile passes: (1) per-group median (one hash
+    aggregate — Spark's exact interpolated ``percentile``, the same
+    definition as DuckDB/ANSI ``quantile_cont``), (2) join the median
+    back (AQE-sized: one row per group) and aggregate MAD + the flag
+    count in the same pass. Groups with ``MAD = 0`` (over half the
+    values identical) report NULL outliers — the statistic is
+    undefined there, never a division blow-up.
+
+    Returns ``(group_cols…, n, median, mad, n_outliers)``.
+    """
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        *group_cols, v.cast("double").alias("_x")
+    )
+    med = base.groupBy(*group_cols).agg(
+        F.percentile("_x", F.lit(0.5)).alias("_med")
+    )
+    joined = base.join(med, group_cols)
+    dev = F.abs(F.col("_x") - F.col("_med"))
+    stats = joined.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.first("_med").alias("_med"),
+        F.percentile(dev, F.lit(0.5)).alias("_mad"),
+        # flags need MAD, which this same aggregate is computing — so
+        # collect the deviations' flag inputs as a second pass below.
+    )
+    flagged = (
+        joined.join(
+            stats.select(*group_cols, "_mad"), group_cols
+        )
+        .filter(
+            (F.col("_mad") > 0)
+            & (
+                F.lit(0.6745) * dev / F.col("_mad")
+                > F.lit(cutoff)
+            )
+        )
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("_nout"))
+    )
+    return (
+        stats.join(flagged, group_cols, "left")
+        .select(
+            *group_cols,
+            F.col("n").cast("long").alias("n"),
+            F.round("_med", round_to).alias("median"),
+            F.round("_mad", round_to).alias("mad"),
+            F.when(
+                F.col("_mad") > 0,
+                F.coalesce(F.col("_nout"), F.lit(0)),
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -494,3 +494,30 @@ def apply_mix(
         .filter(draw < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def grouped_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: int = 42,
+    fold_col: str = "fold",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: the fold id in ``[0, k)`` hashes
+    the GROUP key, so every row of a group (near-dup cluster rep,
+    exact-content fingerprint, source site…) lands in the same fold —
+    cross-validation folds that don't leak duplicated content across
+    the train/eval boundary, the standard failure mode `split_leakage`
+    audits after the fact.
+
+    Pure projection (same scale contract as :func:`split_column`): no
+    shuffle, pushdown-friendly, reproducible bit-for-bit outside Spark
+    with ``hash_family="md5"`` — downstream readers re-derive folds
+    from content alone. The ``% k`` of a uniform [0, 1e6) bucket keeps
+    the documented ≤1e-4 relative fold-size bias (1e6 mod k leftover).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    b = _bucket(group_col, seed, hash_family)
+    return df.withColumn(fold_col, F.pmod(b, F.lit(k)).cast("int"))

@@ -320,3 +320,58 @@ def quantile_bucket_assign(
         ).otherwise(expr)
     out = out.withColumn("bucket", expr)
     return out.drop(*[f"_q{i}" for i in range(len(quantiles))])
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram for a [0,1]-scored classifier against
+    boolean labels — the standard audit before a quality-classifier
+    threshold is trusted (Guo et al., ICML'17): per score bin,
+    confidence (mean score) vs accuracy (positive fraction), plus each
+    bin's Expected-Calibration-Error term ``(n_b/N)·|acc_b − conf_b|``
+    (the ECE is the sum of the emitted terms).
+
+    Binning is ``min(floor(score·bins), bins−1)`` — right edge of the
+    last bin inclusive; rows with NULL score/label are dropped; scores
+    outside [0,1] are an input-contract violation (raise upstream).
+
+    Scale shape: ONE hash aggregate over the corpus into ``bins``
+    groups + a single-row total broadcast back — nothing else moves.
+
+    Returns ``(bin, n, conf, acc, ece_term)`` — at most ``bins`` rows.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s, l = F.col(score_col), F.col(label_col)
+    base = df.filter(s.isNotNull() & l.isNotNull()).select(
+        F.least(
+            F.floor(s * bins), F.lit(bins - 1)
+        ).cast("int").alias("bin"),
+        s.cast("double").alias("_s"),
+        l.cast("int").alias("_l"),
+    )
+    agg = base.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_l").alias("_pos"),
+    )
+    total = agg.agg(F.sum("n").cast("double").alias("_N"))
+    conf = F.col("_ss") / F.col("n")
+    acc = F.col("_pos").cast("double") / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(total))  # single-row corpus total
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(conf, round_to).alias("conf"),
+            F.round(acc, round_to).alias("acc"),
+            F.round(
+                F.col("n") / F.col("_N") * F.abs(acc - conf), round_to
+            ).alias("ece_term"),
+        )
+    )

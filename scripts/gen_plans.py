@@ -266,6 +266,21 @@ NOTES = {
         "argmax is TakeOrdered(1); driver traffic = k pick rows by "
         "contract."
     ),
+    "grouped_folds": (
+        "leakage-safe k-fold: fold id is a pure md5 projection of the "
+        "group key (exact dups co-fold by construction); one count-"
+        "distinct aggregate reports fold balance."
+    ),
+    "calibration_report": (
+        "reliability diagram: ONE 10-bin hash aggregate over the "
+        "corpus + broadcast single-row total; ECE terms are "
+        "projections."
+    ),
+    "robust_outliers": (
+        "modified z-score: exact per-group median then MAD (two "
+        "percentile aggregates), stats rejoin AQE-sized; flags "
+        "counted in-plan, MAD=0 groups emit NULL not a blow-up."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -91,6 +91,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "source_divergence",  # crossJoin(broadcast(corpus token total)) — 1 row
     "pmi_collocations",   # crossJoin(broadcast(N tokens + B bigrams))
                           # — 1-row scalar totals
+    "calibration_report", # crossJoin(broadcast(corpus total)) — 1 row
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
@@ -392,6 +393,15 @@ PLAN_BUDGETS: dict[str, dict] = {
     # ranking_overlap: two per-source rank windows + the (query,item)
     # pair join + per-query agg + zero-fill join + display sort.
     "ranking_overlap": {"max_shuffles": 8},
+    # grouped_folds: pure-projection fold tag + one distinct-count
+    # aggregate + display sort.
+    "grouped_folds": {"max_shuffles": 4},
+    # calibration_report: one 10-bin hash agg + broadcast 1-row total
+    # + display sort.
+    "calibration_report": {"max_shuffles": 5},
+    # robust_outliers: median agg + stats/MAD agg + flag-count agg
+    # with two AQE-sized stat joins + display sort.
+    "robust_outliers": {"max_shuffles": 8},
 }
 
 

@@ -67,3 +67,37 @@ def test_impute_stats_shape_and_validation(spark, frame):
         impute_stats(frame, {"v": "nope"})
     with pytest.raises(ValueError, match="strategies"):
         impute_stats(frame, {})
+
+
+# --------------------------------------------------------- robust outliers
+from mhm_data_pipelines_spark.operators.repair import robust_outlier_stats
+
+
+def test_robust_outliers_hand_computed(spark):
+    # group a: values 1..9 plus outlier 100. median 5.5, deviations
+    # |x-5.5|: .5,1.5,2.5,3.5,4.5 x2 (symmetric) + 94.5 -> MAD = 2.5
+    # modified z of 100: .6745*94.5/2.5 = 25.5 -> outlier; z of 9:
+    # .6745*3.5/2.5 = .944 -> not.
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = robust_outlier_stats(df, "x", ["grp"]).collect()[0]
+    assert out["n"] == 10
+    assert out["median"] == 5.5
+    assert out["mad"] == 2.5  # devs sorted: .5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5 -> (2.5+2.5)/2
+    assert out["n_outliers"] == 1
+
+
+def test_robust_outliers_zero_mad_null(spark):
+    rows = [("a", 5.0)] * 6 + [("a", 99.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = robust_outlier_stats(df, "x", ["grp"]).collect()[0]
+    assert out["mad"] == 0.0 and out["n_outliers"] is None
+
+
+def test_robust_outliers_per_group_and_null_values(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+            ("b", 10.0), ("b", 10.0), ("b", 10.0), ("b", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {r["grp"]: r for r in robust_outlier_stats(df, "x", ["grp"]).collect()}
+    assert out["a"]["n"] == 3 and out["a"]["n_outliers"] == 0
+    assert out["b"]["n_outliers"] is None  # MAD 0 (3 of 4 identical)

@@ -445,3 +445,32 @@ def test_mix_rates_validation(spark):
         mix_rates(df, "source", {"a": 1.0}, total=0)
     with _pytest.raises(ValueError, match="negative"):
         mix_rates(df, "source", {"a": -0.1}, total=10)
+
+
+# ---------------------------------------------------------- grouped k-fold
+from mhm_data_pipelines_spark.operators.sampling import grouped_kfold
+
+
+def test_grouped_kfold_group_integrity_and_range(spark):
+    rows = [(i, f"g{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, grp string")
+    out = grouped_kfold(df, "grp", k=3).collect()
+    folds = {}
+    for r in out:
+        assert 0 <= r["fold"] < 3
+        folds.setdefault(r["grp"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in folds.values())  # no group spans folds
+
+
+def test_grouped_kfold_deterministic_and_seed_sensitive(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(50)], "rid long, grp string"
+    )
+    a = {r["grp"]: r["fold"] for r in grouped_kfold(df, "grp", k=5).collect()}
+    b = {r["grp"]: r["fold"] for r in grouped_kfold(df, "grp", k=5).collect()}
+    c = {r["grp"]: r["fold"] for r in grouped_kfold(df, "grp", k=5, seed=7).collect()}
+    assert a == b
+    assert a != c
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        grouped_kfold(df, "grp", k=1)

@@ -311,3 +311,36 @@ def test_source_divergence_identical_sources_zero(spark):
     )
     got = source_divergence(df).collect()
     assert all(r.kl_vs_corpus == 0.0 for r in got)
+
+
+# ------------------------------------------------------------- calibration
+from mhm_data_pipelines_spark.operators.selection import calibration_curve
+
+
+def test_calibration_hand_computed(spark):
+    # bin 0.9x: scores .95,.95 labels 1,0 -> conf .95, acc .5
+    # bin 0.0x: score .05 label 0 -> conf .05, acc 0
+    rows = [(0.95, 1), (0.95, 0), (0.05, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(out) == {0, 9}
+    assert out[9]["conf"] == 0.95 and out[9]["acc"] == 0.5
+    assert out[9]["ece_term"] == round(2 / 3 * abs(0.5 - 0.95), 6)
+    assert out[0]["ece_term"] == round(1 / 3 * abs(0.0 - 0.05), 6)
+
+
+def test_calibration_right_edge_and_nulls(spark):
+    rows = [(1.0, 1), (0.999, 1), (None, 1), (0.5, None)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(out) == {9}  # score 1.0 folds into the last bin
+    assert out[9]["n"] == 2
+
+
+def test_calibration_perfectly_calibrated_zero_ece(spark):
+    # in each bin, acc == conf exactly
+    rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+            (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = calibration_curve(df, "score", "label", bins=4).collect()
+    assert all(r["ece_term"] == 0.0 for r in out)
