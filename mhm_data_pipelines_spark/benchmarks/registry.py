@@ -9010,6 +9010,142 @@ ORDER BY st.event_type
 
 
 
+def q_novelty_scores(spark, sf_dir):
+    """Per-doc trigram novelty vs a reference slice (source 'src0'):
+    1 - shared/total distinct trigrams — the memorization-risk score.
+    Both sides share the explode stage; the reference collapses to a
+    distinct n-gram SET before the match join
+    (operators/decontam.py novelty_scores)."""
+    from mhm_data_pipelines_spark.operators.decontam import (
+        novelty_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    rest = docs.filter(F.col("source") != "src0")
+    return novelty_scores(rest, ref, n=3).orderBy("doc_id")
+
+
+SQL_NOVELTY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS ng
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+), ref AS (
+  SELECT DISTINCT ng FROM g WHERE source = 'src0'
+), tg AS (
+  SELECT doc_id, ng FROM g WHERE source <> 'src0'
+), tot AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM tg GROUP BY doc_id
+), m AS (
+  SELECT tg.doc_id, count(*) AS n_matched
+  FROM tg JOIN ref USING (ng) GROUP BY tg.doc_id
+)
+SELECT tot.doc_id, CAST(tot.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       round(1.0 - coalesce(m.n_matched, 0) * 1.0 / tot.n_ngrams, 6)
+         AS novelty
+FROM tot LEFT JOIN m ON m.doc_id = tot.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+def q_embargo_split(spark, sf_dir):
+    """Purged time split over events: newest 20% by ts are TEST, train
+    ends 7 days earlier, the gap is EMBARGO — cutoff is one exact-
+    quantile scalar broadcast back, the label a pure projection
+    (operators/sampling.py temporal_embargo_split)."""
+    from mhm_data_pipelines_spark.operators.sampling import (
+        temporal_embargo_split,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_embargo_split(ev, "ts", 0.2, "7 days")
+    return (
+        out.filter(F.col("split").isNotNull())
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.date_format(
+                F.min(F.col("ts").cast("timestamp")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("first_ts"),
+            F.date_format(
+                F.max(F.col("ts").cast("timestamp")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_EMBARGO_SPLIT = """
+WITH c AS (
+  SELECT quantile_cont(epoch_us(CAST(ts AS TIMESTAMP)), 0.8) AS cut
+  FROM events WHERE ts IS NOT NULL
+), s AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= c.cut THEN 'test'
+              WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   < c.cut - 604800000000 THEN 'train'
+              ELSE 'embargo' END AS split
+  FROM events CROSS JOIN c
+  WHERE ts IS NOT NULL
+)
+SELECT split, count(*) AS n,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit audit of lineitem extendedprice cents
+    (positive BIGINT-like amounts): digit from the integer's decimal
+    string (no log10-of-double boundary hazard), one 9-group hash agg
+    + broadcast total (operators/profile.py benford_report)."""
+    from mhm_data_pipelines_spark.operators.profile import benford_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return benford_report(cents, "cents")
+
+
+SQL_BENFORD_DIGITS = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM v WHERE cents IS NOT NULL AND cents > 0
+), counts AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), digits AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+), full_d AS (
+  SELECT digits.digit, coalesce(counts.n, 0) AS n
+  FROM digits LEFT JOIN counts ON counts.digit = digits.digit
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM full_d
+), e(digit, p) AS (
+  VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)
+)
+SELECT f.digit, CAST(f.n AS BIGINT) AS n,
+       round(f.n / t.total, 6) AS observed_p,
+       round(e.p, 6) AS expected_p,
+       round(pow(f.n - t.total * e.p, 2) / (t.total * e.p), 6)
+         AS chi2_term
+FROM full_d f CROSS JOIN t JOIN e ON e.digit = f.digit
+ORDER BY f.digit
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9190,6 +9326,9 @@ QUERIES: dict[str, QuerySpec] = {
     "grouped_folds": q_grouped_folds,
     "calibration_report": q_calibration_report,
     "robust_outliers": q_robust_outliers,
+    "novelty_scores": q_novelty_scores,
+    "embargo_split": q_embargo_split,
+    "benford_digits": q_benford_digits,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9390,6 +9529,9 @@ ORACLES: dict[str, str] = {
     "grouped_folds": SQL_GROUPED_FOLDS,
     "calibration_report": SQL_CALIBRATION_REPORT,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "novelty_scores": SQL_NOVELTY_SCORES,
+    "embargo_split": SQL_EMBARGO_SPLIT,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -9724,4 +9866,7 @@ BENCH_QUERIES: list[str] = [
     "grouped_folds",
     "calibration_report",
     "robust_outliers",
+    "novelty_scores",
+    "embargo_split",
+    "benford_digits",
 ]

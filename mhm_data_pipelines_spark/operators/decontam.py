@@ -325,3 +325,51 @@ def source_divergence(
             F.round(F.sum(contrib), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus:
+    ``novelty = 1 − |ngrams(doc) ∩ ngrams(reference)| / |ngrams(doc)|``
+    — the memorization/near-copy risk score for new data against what
+    a model has already seen (the per-doc, score-valued complement of
+    :func:`decontaminate`'s keep/drop verdict).
+
+    Scale shape: both sides explode once through the shared
+    ``_exploded_ngrams`` stage (distinct n-grams per doc by
+    construction); the reference collapses to a DISTINCT n-gram SET
+    (its doc structure is irrelevant), so the match join is
+    doc-ngrams × ref-set — AQE broadcasts the set when it fits,
+    co-partitioned SMJ otherwise; totals and matches are two hash
+    aggregates. Docs with fewer than ``n`` tokens have no n-grams and
+    are ABSENT from the output (novelty of nothing is undefined).
+
+    Returns ``(id_col, n_ngrams, n_matched, novelty)``.
+    """
+    tg = _exploded_ngrams(df, id_col, text_col, n)
+    ref = _exploded_ngrams(reference, id_col, text_col, n).select(
+        "ng"
+    ).distinct()
+    totals = tg.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    matched = (
+        tg.join(ref, "ng")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias(
+            "n_matched"
+        ),
+        F.round(
+            1.0
+            - F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_ngrams"),
+            6,
+        ).alias("novelty"),
+    )

@@ -208,3 +208,58 @@ def profile_drift(
             ~F.col("top_values_old").eqNullSafe(F.col("top_values_new"))
         ).alias("top_values_changed"),
     ).orderBy("col_name")
+
+
+def benford_report(
+    df: DataFrame,
+    int_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-digit (Benford) audit of a positive integer column —
+    the classic fabricated-/synthetic-data smell test: naturally
+    occurring multi-scale counts follow ``P(d) = log10(1 + 1/d)``;
+    uniform or hand-made values don't. Emits the observed digit
+    distribution against the Benford expectation with per-digit
+    chi-square terms (Σ = the test statistic).
+
+    First digits come from the INTEGER's decimal string — exact in
+    every engine, no log10-of-double boundary hazards at powers of
+    ten. Non-positive values are excluded (no leading significant
+    digit). One hash aggregate into ≤9 groups + a broadcast single-row
+    total; digits never observed still emit a row (expected > 0, so
+    they contribute ``n·p_d`` to the statistic).
+
+    Returns ``(digit, n, observed_p, expected_p, chi2_term)``.
+    """
+    import math
+
+    d = F.substring(F.col(int_col).cast("long").cast("string"), 1, 1)
+    base = df.filter(
+        F.col(int_col).isNotNull() & (F.col(int_col) > 0)
+    ).select(d.cast("int").alias("digit"))
+    counts = base.groupBy("digit").agg(F.count("*").alias("n"))
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    total = full.agg(F.sum("n").cast("double").alias("_N"))
+    exp_map = F.create_map(
+        *[x for dd in range(1, 10)
+          for x in (F.lit(dd), F.lit(math.log10(1.0 + 1.0 / dd)))]
+    )
+    p = exp_map[F.col("digit")]
+    obs = F.col("n") / F.col("_N")
+    chi2 = (F.col("n") - F.col("_N") * p) ** 2 / (F.col("_N") * p)
+    return (
+        full.crossJoin(F.broadcast(total))  # single-row corpus total
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, round_to).alias("observed_p"),
+            F.round(p, round_to).alias("expected_p"),
+            F.round(chi2, round_to).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -521,3 +521,65 @@ def grouped_kfold(
         raise ValueError(f"k must be >= 2, got {k}")
     b = _bucket(group_col, seed, hash_family)
     return df.withColumn(fold_col, F.pmod(b, F.lit(k)).cast("int"))
+
+
+def temporal_embargo_split(
+    df: DataFrame,
+    ts_col: str,
+    test_frac: float = 0.2,
+    embargo: str = "7 days",
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with a purge gap (the finance
+    "purged/embargoed" CV split, López de Prado 2018): the newest
+    ``test_frac`` of rows by timestamp are TEST, training stops
+    ``embargo`` BEFORE the test cutoff, and rows inside the gap are
+    labeled ``'embargo'`` — they leak near-boundary temporal
+    correlations into both sides if kept. The time-series twin of
+    hash-based :func:`split_column` (random splits leak future into
+    past for forecasting-style tasks).
+
+    The cutoff is the exact interpolated ``(1 - test_frac)`` quantile
+    of the epoch-microsecond timestamp (one single-row aggregate,
+    broadcast back as a scalar — no sort of the data); the split label
+    is then a pure projection. NULL timestamps label NULL.
+
+    Returns ``df`` + ``split_col`` in {'train','embargo','test',NULL}.
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(f"test_frac must be in (0,1), got {test_frac}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cut = df.filter(F.col(ts_col).isNotNull()).agg(
+        F.percentile(us, F.lit(1.0 - test_frac)).alias("_cut")
+    )
+    gap_us = F.lit(int(_parse_interval_us(embargo)))
+    return (
+        df.crossJoin(F.broadcast(cut))  # single-row scalar cutoff
+        .withColumn(
+            split_col,
+            F.when(F.col(ts_col).isNull(), F.lit(None).cast("string"))
+            .when(us >= F.col("_cut"), F.lit("test"))
+            .when(us < F.col("_cut") - gap_us, F.lit("train"))
+            .otherwise(F.lit("embargo")),
+        )
+        .drop("_cut")
+    )
+
+
+def _parse_interval_us(interval: str) -> int:
+    """'<n> days|hours|minutes|seconds' → microseconds (engine-neutral:
+    the embargo must mean the same instant span in the SQL oracle)."""
+    qty, unit = interval.split()
+    mult = {
+        "seconds": 1_000_000,
+        "second": 1_000_000,
+        "minutes": 60_000_000,
+        "minute": 60_000_000,
+        "hours": 3_600_000_000,
+        "hour": 3_600_000_000,
+        "days": 86_400_000_000,
+        "day": 86_400_000_000,
+    }
+    if unit not in mult:
+        raise ValueError(f"unsupported embargo unit: {unit!r}")
+    return int(qty) * mult[unit]

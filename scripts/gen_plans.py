@@ -281,6 +281,23 @@ NOTES = {
         "percentile aggregates), stats rejoin AQE-sized; flags "
         "counted in-plan, MAD=0 groups emit NULL not a blow-up."
     ),
+    "novelty_scores": (
+        "n-gram novelty: one shared explode stage; the reference "
+        "collapses to a distinct n-gram SET before the match join "
+        "(AQE broadcast when it fits); totals/matches are two hash "
+        "aggs."
+    ),
+    "embargo_split": (
+        "purged time split: ONE exact-quantile scalar broadcast back; "
+        "the train/embargo/test label is a pure projection - no sort "
+        "of the data."
+    ),
+    "benford_digits": (
+        "Benford audit: first digit from the INTEGER decimal string "
+        "(no log10 boundary hazard), one 9-group agg + broadcast "
+        "total; unseen digits zero-filled so the chi-square is "
+        "complete."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -92,6 +92,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "pmi_collocations",   # crossJoin(broadcast(N tokens + B bigrams))
                           # — 1-row scalar totals
     "calibration_report", # crossJoin(broadcast(corpus total)) — 1 row
+    "embargo_split",      # crossJoin(broadcast(quantile cutoff)) — 1 row
+    "benford_digits",     # crossJoin(broadcast(digit total)) — 1 row
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
@@ -402,6 +404,14 @@ PLAN_BUDGETS: dict[str, dict] = {
     # robust_outliers: median agg + stats/MAD agg + flag-count agg
     # with two AQE-sized stat joins + display sort.
     "robust_outliers": {"max_shuffles": 8},
+    # novelty_scores: shared explode stage feeds ref-set distinct +
+    # per-doc totals/matched aggs + left join + display sort.
+    "novelty_scores": {"max_shuffles": 6},
+    # embargo_split: quantile scalar broadcast + 3-group agg + sort.
+    "embargo_split": {"max_shuffles": 4},
+    # benford_digits: one 9-group agg + zero-fill digit join +
+    # broadcast total + display sort.
+    "benford_digits": {"max_shuffles": 5},
 }
 
 

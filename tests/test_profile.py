@@ -112,3 +112,34 @@ def test_profile_drift_no_change_is_all_false(spark):
         for r in rows
     )
     assert {r.col_name for r in rows} == {"id", "k"}
+
+
+# ----------------------------------------------------------------- Benford
+import math
+
+from mhm_data_pipelines_spark.operators.profile import benford_report
+
+
+def test_benford_hand_computed(spark):
+    # digits: 1 x3 (1, 12, 199), 2 x1 (25), 9 x1 (9000); zeros/negatives
+    # and NULL excluded.
+    rows = [(1,), (12,), (199,), (25,), (9000,), (0,), (-5,), (None,)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r["digit"]: r for r in benford_report(df, "v").collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert out[1]["n"] == 3 and out[2]["n"] == 1 and out[9]["n"] == 1
+    assert out[3]["n"] == 0  # unseen digit still emitted
+    assert out[1]["observed_p"] == 0.6
+    assert out[1]["expected_p"] == round(math.log10(2), 6)
+    n, N, p = 3, 5.0, math.log10(2)
+    assert out[1]["chi2_term"] == round((n - N * p) ** 2 / (N * p), 6)
+
+
+def test_benford_conforming_sample_low_chi2(spark):
+    # A perfectly Benford-shaped sample has chi2 ~ 0 per digit.
+    rows = []
+    for d in range(1, 10):
+        rows += [(d * 1000,)] * round(math.log10(1 + 1 / d) * 1000)
+    df = spark.createDataFrame(rows, "v long")
+    out = benford_report(df, "v").collect()
+    assert all(r["chi2_term"] < 0.05 for r in out)

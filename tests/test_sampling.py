@@ -474,3 +474,44 @@ def test_grouped_kfold_deterministic_and_seed_sensitive(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         grouped_kfold(df, "grp", k=1)
+
+
+# ---------------------------------------------------- temporal embargo split
+from mhm_data_pipelines_spark.operators.sampling import (
+    temporal_embargo_split,
+)
+
+
+def test_embargo_split_hand_computed(spark):
+    # 10 daily rows 2024-01-01..10; test_frac .2 -> cutoff at the exact
+    # .8 quantile of epoch-us; embargo 2 days carves the gap below it.
+    rows = [(i, f"2024-01-{i + 1:02d} 00:00:00") for i in range(10)]
+    df = spark.createDataFrame(rows, "rid long, ts string").select(
+        "rid", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["rid"]: r["split"]
+           for r in temporal_embargo_split(df, "ts", 0.2, "2 days").collect()}
+    # quantile .8 of 10 points interpolates between the 8th and 9th
+    # (0-idx 7.2): cutoff inside Jan 8..9 -> test = {9,10}? exact:
+    # positions 1..10, q = 1 + .8*9 = 8.2 -> between Jan 8 and Jan 9.
+    # cutoff = Jan 8 04:48 (position 8.2); gap floor = Jan 6 04:48.
+    assert [out[i] for i in range(10)] == [
+        "train", "train", "train", "train", "train",
+        "train",               # Jan 6 00:00 < Jan 6 04:48 gap floor
+        "embargo", "embargo",  # Jan 7-8: inside the 2-day gap
+        "test", "test",        # Jan 9-10 >= cutoff
+    ]
+
+
+def test_embargo_split_nulls_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None)], "rid long, ts string"
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["rid"]: r["split"]
+           for r in temporal_embargo_split(df, "ts", 0.5, "1 hours").collect()}
+    assert out[2] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temporal_embargo_split(df, "ts", 1.5)
+    with _pt.raises(ValueError):
+        temporal_embargo_split(df, "ts", 0.5, "2 fortnights")

@@ -344,3 +344,28 @@ def test_calibration_perfectly_calibrated_zero_ece(spark):
     df = spark.createDataFrame(rows, "score double, label int")
     out = calibration_curve(df, "score", "label", bins=4).collect()
     assert all(r["ece_term"] == 0.0 for r in out)
+
+
+# ------------------------------------------------------------- novelty
+from mhm_data_pipelines_spark.operators.decontam import novelty_scores
+
+
+def test_novelty_hand_computed(spark):
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),        # all 3 trigrams shared
+            (2, "a totally different sentence here"), # none shared
+            (3, "the quick brown cat sat down"),      # 1 of 4 shared
+            (4, "too short"),                          # < n tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in novelty_scores(docs, ref, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 0.0 and out[1]["n_matched"] == 3
+    assert out[2]["novelty"] == 1.0 and out[2]["n_matched"] == 0
+    assert out[3]["n_ngrams"] == 4 and out[3]["n_matched"] == 1
+    assert out[3]["novelty"] == 0.75
