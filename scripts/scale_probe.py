@@ -36,6 +36,10 @@ HEAVY = [
     "kaplan_meier", "ewma_smooth", "cusum_detect", "bradley_terry",
     "triangle_count", "pmi_collocations", "rater_agreement",
     "clustering_coeff", "sorted_neighborhood",
+    # round-5 fifth/sixth batches: rank-stat/eval/audit passes
+    "score_correlation", "ranking_overlap", "mmr_diverse",
+    "grouped_folds", "calibration_report", "robust_outliers",
+    "novelty_scores", "embargo_split", "benford_digits",
 ]
 
 
