@@ -9146,6 +9146,129 @@ ORDER BY f.digit
 
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS between two sources' doc-length
+    distributions — the distribution-drift gate for a data refresh.
+    Per-value counts + distributed prefix sums; no global row sort
+    (operators/stats_tests.py ks_test)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import ks_test
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_test(docs, "n_chars", "source", "src0", "src1")
+
+
+SQL_KS_DRIFT = """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib
+  FROM documents
+  WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')
+), pv AS (
+  SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM base GROUP BY v
+), c AS (
+  SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+            sum(cb) OVER (ORDER BY v) AS cum_b
+  FROM pv
+), t AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb
+  FROM pv
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       round(max(abs(c.cum_a / t.na - c.cum_b / t.nb)), 6) AS d_stat,
+       round(max(abs(c.cum_a / t.na - c.cum_b / t.nb))
+             * sqrt(t.na * t.nb / (t.na + t.nb)), 6) AS ks_lambda
+FROM c CROSS JOIN t GROUP BY t.na, t.nb
+"""
+
+
+def q_mwu_shift(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U: are 'purchase' event values
+    stochastically larger than 'click' values? Fractional ranks from
+    the shared prefix-sum machinery; every sum integers-or-halves
+    (operators/stats_tests.py mann_whitney_u)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        mann_whitney_u,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "click")
+
+
+SQL_MWU_SHIFT = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+), pv AS (
+  SELECT v, count(*) AS t, sum(ia) AS ca FROM base GROUP BY v
+), r AS (
+  SELECT v, t, ca,
+         sum(t) OVER (ORDER BY v) - t / 2.0 + 0.5 AS rk
+  FROM pv
+), s AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na,
+         CAST(sum(t - ca) AS DOUBLE) AS nb,
+         sum(ca * rk) AS ra,
+         sum(CAST(t AS DOUBLE) * t * t - t) AS ties
+  FROM r
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ra - na * (na + 1) / 2, 6) AS u_a,
+       round(na * nb - (ra - na * (na + 1) / 2), 6) AS u_b,
+       round(CASE WHEN na * nb / 12.0
+                       * ((na + nb + 1)
+                          - ties / ((na + nb) * (na + nb - 1))) > 0
+             THEN (ra - na * (na + 1) / 2 - na * nb / 2)
+                  / sqrt(na * nb / 12.0
+                         * ((na + nb + 1)
+                            - ties / ((na + nb) * (na + nb - 1))))
+             END, 6) AS z
+FROM s
+"""
+
+
+def q_chi2_assoc(spark, sf_dir):
+    """Chi-square independence of source x language — "do sources
+    differ in language mix?" — via the empty-cell-free identity
+    chi2 = N*(sum o^2/(row*col)) - N: one contingency aggregate +
+    margin joins (operators/stats_tests.py chi2_independence)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        chi2_independence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi2_independence(docs, "source", "lang")
+
+
+SQL_CHI2_ASSOC = """
+WITH cells AS (
+  SELECT source AS x, lang AS y, count(*) AS o
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+), rows_m AS (
+  SELECT x, sum(o) AS rx FROM cells GROUP BY x
+), cols_m AS (
+  SELECT y, sum(o) AS cy FROM cells GROUP BY y
+), tot AS (
+  SELECT CAST(sum(o) AS DOUBLE) AS n,
+         count(DISTINCT x) AS r, count(DISTINCT y) AS c
+  FROM cells
+), s AS (
+  SELECT sum(CAST(cells.o AS DOUBLE) * cells.o
+             / (CAST(rows_m.rx AS DOUBLE) * cols_m.cy)) AS s
+  FROM cells JOIN rows_m USING (x) JOIN cols_m USING (y)
+)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST((tot.r - 1) * (tot.c - 1) AS BIGINT) AS dof,
+       round(tot.n * s.s - tot.n, 6) AS chi2
+FROM s CROSS JOIN tot
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9329,6 +9452,9 @@ QUERIES: dict[str, QuerySpec] = {
     "novelty_scores": q_novelty_scores,
     "embargo_split": q_embargo_split,
     "benford_digits": q_benford_digits,
+    "ks_drift": q_ks_drift,
+    "mwu_shift": q_mwu_shift,
+    "chi2_assoc": q_chi2_assoc,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9532,6 +9658,9 @@ ORACLES: dict[str, str] = {
     "novelty_scores": SQL_NOVELTY_SCORES,
     "embargo_split": SQL_EMBARGO_SPLIT,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "ks_drift": SQL_KS_DRIFT,
+    "mwu_shift": SQL_MWU_SHIFT,
+    "chi2_assoc": SQL_CHI2_ASSOC,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -9869,4 +9998,7 @@ BENCH_QUERIES: list[str] = [
     "novelty_scores",
     "embargo_split",
     "benford_digits",
+    "ks_drift",
+    "mwu_shift",
+    "chi2_assoc",
 ]

@@ -298,6 +298,21 @@ NOTES = {
         "total; unseen digits zero-filled so the chi-square is "
         "complete."
     ),
+    "ks_drift": (
+        "two-sample KS: per-value count table + TWO distributed "
+        "prefix-sum cumulatives; D evaluated only at distinct values "
+        "(ECDFs change nowhere else); raw rows never globally sorted."
+    ),
+    "mwu_shift": (
+        "Mann-Whitney: tie-averaged ranks from ONE prefix-sum pass "
+        "over per-value counts; U and the tie-corrected z come out of "
+        "a single aggregate of integers-or-halves - exact doubles."
+    ),
+    "chi2_assoc": (
+        "chi-square: empty-cell-free identity N*(sum o^2/(row*col))-N "
+        "- one contingency hash agg + margin joins, no r x c grid "
+        "materialization."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -94,6 +94,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "calibration_report", # crossJoin(broadcast(corpus total)) — 1 row
     "embargo_split",      # crossJoin(broadcast(quantile cutoff)) — 1 row
     "benford_digits",     # crossJoin(broadcast(digit total)) — 1 row
+    "ks_drift",           # crossJoin(broadcast(sample sizes)) — 1 row
+    "chi2_assoc",         # crossJoin(broadcast(N/r/c totals)) — 1 row
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
@@ -412,6 +414,13 @@ PLAN_BUDGETS: dict[str, dict] = {
     # benford_digits: one 9-group agg + zero-fill digit join +
     # broadcast total + display sort.
     "benford_digits": {"max_shuffles": 5},
+    # ks_drift: per-value agg + TWO prefix-sum cumulatives (bucket
+    # window + metadata offsets each) + the value join + 1-row agg.
+    "ks_drift": {"max_shuffles": 14},
+    # mwu_shift: per-value agg + one prefix-sum cumulative + 1-row agg.
+    "mwu_shift": {"max_shuffles": 7},
+    # chi2_assoc: contingency agg + two margin aggs/joins + 1-row agg.
+    "chi2_assoc": {"max_shuffles": 10},
 }
 
 

@@ -1,0 +1,90 @@
+"""KS / Mann-Whitney / chi-square — hand-computed statistics."""
+
+import math
+
+import pytest
+
+from mhm_data_pipelines_spark.operators.stats_tests import (
+    chi2_independence,
+    ks_test,
+    mann_whitney_u,
+)
+
+
+def _df(spark, a_vals, b_vals):
+    rows = [(float(v), "a") for v in a_vals] + [(float(v), "b") for v in b_vals]
+    return spark.createDataFrame(rows, "v double, grp string")
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    df = _df(spark, [1, 2, 3], [1, 2, 3])
+    row = ks_test(df, "v", "grp", "a", "b").collect()[0]
+    assert row["d_stat"] == 0.0 and (row["n_a"], row["n_b"]) == (3, 3)
+    df = _df(spark, [1, 2], [10, 20])
+    row = ks_test(df, "v", "grp", "a", "b").collect()[0]
+    assert row["d_stat"] == 1.0
+    assert row["ks_lambda"] == pytest.approx(round(math.sqrt(4 / 4), 6))
+
+
+def test_ks_hand_computed(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6}: ECDF gap peaks at v=2:
+    # F_a(2)=.5, F_b(2)=0 -> D=.5
+    df = _df(spark, [1, 2, 3, 4], [3, 4, 5, 6])
+    row = ks_test(df, "v", "grp", "a", "b").collect()[0]
+    assert row["d_stat"] == 0.5
+
+
+def test_ks_ignores_other_groups_and_nulls(spark):
+    rows = [(1.0, "a"), (2.0, "b"), (None, "a"), (9.0, "c")]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    row = ks_test(df, "v", "grp", "a", "b").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (1, 1)
+
+
+def test_mwu_hand_computed_no_ties(spark):
+    # a = {1,2}, b = {3,4}: ranks 1,2 vs 3,4. R_a=3, U_a=3-3=0, U_b=4.
+    df = _df(spark, [1, 2], [3, 4])
+    row = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert (row["u_a"], row["u_b"]) == (0.0, 4.0)
+    # z = (0 - 2)/sqrt(4/12 * (5 - 0)) = -2/sqrt(5/3)
+    assert row["z"] == pytest.approx(round(-2 / math.sqrt(5 / 3), 6))
+
+
+def test_mwu_ties_averaged_and_corrected(spark):
+    # a = {1,2}, b = {2,3}: sorted 1,2,2,3 -> ranks 1, 2.5, 2.5, 4
+    # R_a = 3.5, U_a = 3.5-3 = .5, U_b = 3.5; tie group t=2 ->
+    # T = (8-2)/(4*3) = .5; var = 4/12*(5-.5) = 1.5
+    df = _df(spark, [1, 2], [2, 3])
+    row = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert (row["u_a"], row["u_b"]) == (0.5, 3.5)
+    assert row["z"] == pytest.approx(round((0.5 - 2) / math.sqrt(1.5), 6))
+
+
+def test_mwu_all_tied_null_z(spark):
+    df = _df(spark, [5, 5], [5, 5])
+    row = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert row["u_a"] == row["u_b"] == 2.0
+    assert row["z"] is None
+
+
+def test_chi2_independent_is_zero(spark):
+    # perfectly proportional table -> chi2 = 0
+    rows = []
+    for x, y, n in [("r1", "c1", 10), ("r1", "c2", 20),
+                    ("r2", "c1", 20), ("r2", "c2", 40)]:
+        rows += [(x, y)] * n
+    df = spark.createDataFrame(rows, "x string, y string")
+    row = chi2_independence(df, "x", "y").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert row["dof"] == 1 and row["n"] == 90
+
+
+def test_chi2_hand_computed_with_empty_cell(spark):
+    # 2x2 with an EMPTY cell: o = [[5,0],[5,10]]; N=20,
+    # rows (5,15), cols (10,10); e = [[2.5,2.5],[7.5,7.5]]
+    # chi2 = 2.5 + 2.5 + (5-7.5)^2/7.5 + (10-7.5)^2/7.5 = 6.6667
+    rows = [("r1", "c1")] * 5 + [("r2", "c1")] * 5 + [("r2", "c2")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    row = chi2_independence(df, "x", "y").collect()[0]
+    assert row["chi2"] == pytest.approx(round(20 / 3, 6), abs=1e-6)
+    assert row["dof"] == 1
