@@ -9269,6 +9269,114 @@ FROM s CROSS JOIN tot
 
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source verified end-to-end: documents land as
+    zstd ORC PARTITIONED BY source (sources/io.py write_table), read
+    back through the partition-discovering reader; the per-source
+    aggregate must equal the oracle's aggregate over the original
+    table — partition-column re-materialization and value fidelity in
+    one check."""
+    from mhm_data_pipelines_spark.sources.io import write_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dest = _scratch("mhm_orc_gate_") + "/docs"
+    write_table(docs, dest, fmt="orc", partition_by=["source"])
+    back = spark.read.orc(dest)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_stream_dim_join(spark, sf_dir):
+    """Stream-static enrichment verified end-to-end: events arrive as
+    TWO micro-batches, each joins the broadcast customer dimension
+    inside foreachBatch and writes mergeable (n, sum) partials to its
+    own batch_id partition (checkpoint-idempotent); the merged
+    per-market-segment totals must equal the batch join + aggregate
+    of the same rows (streaming/ingest.py enrich_stream)."""
+    import os as _os
+    import time as _time
+
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        enrich_stream,
+        read_enriched_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    root = _scratch("mhm_stream_dj_")
+    src = f"{root}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    old = _time.time() - 3600
+    for d, _, files in _os.walk(f"{src}/b0"):
+        for fn in files:
+            _os.utime(_os.path.join(d, fn), (old, old))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = enrich_stream(
+        stream,
+        dim,
+        on=["user_id"],
+        group_cols=["c_mktsegment"],
+        value_col="value",
+        out_path=f"{root}/enriched",
+        checkpoint=f"{root}/ck",
+    )
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_dim_join: availableNow drain exceeded 300 s"
+        )
+    merged = read_enriched_table(
+        spark, f"{root}/enriched", ["c_mktsegment"]
+    )
+    return merged.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.round("s", 4).alias("sum_value"),
+    ).orderBy("c_mktsegment")
+
+
+SQL_STREAM_DIM_JOIN = """
+SELECT c.c_mktsegment, count(*) AS n,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9455,6 +9563,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ks_drift": q_ks_drift,
     "mwu_shift": q_mwu_shift,
     "chi2_assoc": q_chi2_assoc,
+    "orc_roundtrip": q_orc_roundtrip,
+    "stream_dim_join": q_stream_dim_join,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9661,6 +9771,8 @@ ORACLES: dict[str, str] = {
     "ks_drift": SQL_KS_DRIFT,
     "mwu_shift": SQL_MWU_SHIFT,
     "chi2_assoc": SQL_CHI2_ASSOC,
+    "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "stream_dim_join": SQL_STREAM_DIM_JOIN,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -10001,4 +10113,6 @@ BENCH_QUERIES: list[str] = [
     "ks_drift",
     "mwu_shift",
     "chi2_assoc",
+    "orc_roundtrip",
+    "stream_dim_join",
 ]

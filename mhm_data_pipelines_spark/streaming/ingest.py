@@ -249,3 +249,59 @@ def read_manifest_table(spark, manifest_path: str) -> DataFrame:
     from mhm_data_pipelines_spark.operators.diff import merge_manifests
 
     return merge_manifests(spark.read.parquet(manifest_path))
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    group_cols: list[str],
+    value_col: str,
+    out_path: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Stream-static dimension enrichment with mergeable per-batch
+    aggregate partials: each micro-batch joins the (broadcast) static
+    dimension and writes its per-group ``(n, sum)`` partial to its own
+    ``batch_id=N`` partition with overwrite semantics — a retried
+    epoch replaces its partial, so the maintenance is checkpoint-
+    idempotent like :func:`sketch_stream`. Count/sum are associative
+    and commutative, so :func:`read_enriched_table`'s merge equals the
+    batch join + aggregate of the same rows regardless of arrival
+    order or micro-batch boundaries.
+
+    The dim is joined INSIDE foreachBatch (not as a stream-static plan
+    node), so a dim refresh between epochs is picked up — the
+    "slowly-changing dimension, latest snapshot per batch" semantics
+    production enrichment jobs want.
+    """
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.join(F.broadcast(dim), on)
+            .groupBy(*group_cols)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(value_col).alias("s"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )
+
+
+def read_enriched_table(
+    spark, out_path: str, group_cols: list[str]
+) -> DataFrame:
+    """Merged view of an :func:`enrich_stream` table: one sum-merge
+    across per-batch partials."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy(*group_cols)
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )

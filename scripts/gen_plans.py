@@ -313,6 +313,17 @@ NOTES = {
         "- one contingency hash agg + margin joins, no r x c grid "
         "materialization."
     ),
+    "orc_roundtrip": (
+        "ORC sink/source: zstd ORC partitioned by source, read back "
+        "through partition discovery - partition-column re-"
+        "materialization + value fidelity in one aggregate check."
+    ),
+    "stream_dim_join": (
+        "stream-static enrichment: broadcast dim joined INSIDE "
+        "foreachBatch (dim refresh picked up per epoch); mergeable "
+        "(n,sum) partials per batch_id partition, checkpoint-"
+        "idempotent; merged totals equal the batch join."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -38,6 +38,8 @@ EXECUTES_ON_BUILD = {
     "stream_sketch_rollup",  # drains a two-batch sketch stream on build
     "stream_manifest",  # drains a two-batch manifest stream on build
     "mmr_diverse",  # k greedy argmax rounds (bounded collects) on build
+    "orc_roundtrip",     # writes the partitioned ORC dump on build
+    "stream_dim_join",   # drains a two-batch enrichment stream on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
