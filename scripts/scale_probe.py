@@ -40,6 +40,9 @@ HEAVY = [
     "score_correlation", "ranking_overlap", "mmr_diverse",
     "grouped_folds", "calibration_report", "robust_outliers",
     "novelty_scores", "embargo_split", "benford_digits",
+    # round-5 seventh batch: statistical tests + io/streaming passes
+    "ks_drift", "mwu_shift", "chi2_assoc", "orc_roundtrip",
+    "stream_dim_join",
 ]
 
 
