@@ -9377,6 +9377,109 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 
 
 
+def q_embedding_whitening(spark, sf_dir):
+    """ZCA whitening fitted on the distributed moment pass (d x d
+    eigensolve driver-side, the only collect), applied per Arrow batch
+    with the closure matrix; VERIFIED by the invariant oracle pattern
+    (approx_sketch_bounds style): the whitened covariance must be the
+    identity within tolerance on every upper-triangle cell — Spark
+    emits the bound-check booleans, the oracle the expected grid of
+    TRUE (operators/pca.py fit_whitening/whiten)."""
+    from mhm_data_pipelines_spark.operators.pca import (
+        covariance_long,
+        fit_whitening,
+        whiten,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    mean, w = fit_whitening(df, dim=64, eps=1e-6)
+    white = whiten(df, mean, w, out_col="white")
+    cov = covariance_long(white, dim=64, vec_col="white")
+    target = F.when(F.col("i") == F.col("j"), 1.0).otherwise(0.0)
+    return cov.select(
+        "i",
+        "j",
+        (F.abs(F.col("cov") - target) <= 0.05).alias("identity_ok"),
+    ).orderBy("i", "j")
+
+
+SQL_EMBEDDING_WHITENING = """
+SELECT i.i, j.j, TRUE AS identity_ok
+FROM (SELECT unnest(generate_series(0, 63)) AS i) i
+CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+WHERE i.i <= j.j
+ORDER BY i.i, j.j
+"""
+
+
+def q_source_concentration(spark, sf_dir):
+    """Corpus concentration over sources, char-weighted: HHI + Gini of
+    the source shares — the "one crawl dominating the mix" audit. One
+    hash aggregate reduces the corpus to a groups-sized table; the
+    Gini rank window runs over that metadata-sized table only
+    (operators/profile.py concentration_report)."""
+    from mhm_data_pipelines_spark.operators.profile import (
+        concentration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return concentration_report(docs, "source", "n_chars")
+
+
+SQL_SOURCE_CONCENTRATION = """
+WITH g AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS x
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), r AS (
+  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM g
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS t,
+         sum(i * x) AS ix, sum(x * x) AS xx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_groups, round(t, 6) AS total,
+       round(xx / (t * t), 6) AS hhi,
+       round(2.0 * ix / (n * t) - (n + 1) / n, 6) AS gini
+FROM s
+"""
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by tf * ln(N/df). One
+    explode feeds TF and DF aggregates; ranking is a window
+    PARTITIONED BY doc (never a global sort); rank on round(score, 6)
+    with term tie-breaks (operators/retrieval.py doc_keywords)."""
+    from mhm_data_pipelines_spark.operators.retrieval import doc_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_keywords(docs, topk=3).orderBy("doc_id", "rank")
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(nd.n_docs / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9565,6 +9668,9 @@ QUERIES: dict[str, QuerySpec] = {
     "chi2_assoc": q_chi2_assoc,
     "orc_roundtrip": q_orc_roundtrip,
     "stream_dim_join": q_stream_dim_join,
+    "embedding_whitening": q_embedding_whitening,
+    "source_concentration": q_source_concentration,
+    "doc_keywords": q_doc_keywords,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9773,6 +9879,9 @@ ORACLES: dict[str, str] = {
     "chi2_assoc": SQL_CHI2_ASSOC,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "stream_dim_join": SQL_STREAM_DIM_JOIN,
+    "embedding_whitening": SQL_EMBEDDING_WHITENING,
+    "source_concentration": SQL_SOURCE_CONCENTRATION,
+    "doc_keywords": SQL_DOC_KEYWORDS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -10115,4 +10224,7 @@ BENCH_QUERIES: list[str] = [
     "chi2_assoc",
     "orc_roundtrip",
     "stream_dim_join",
+    "embedding_whitening",
+    "source_concentration",
+    "doc_keywords",
 ]

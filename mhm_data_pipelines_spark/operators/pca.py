@@ -227,3 +227,43 @@ def project(
         + [f"{out_col} array<double>"]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def fit_whitening(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    eps: float = 1e-6,
+):
+    """Fit a ZCA whitening transform: ``W = U diag(1/√(λ+eps)) Uᵀ``
+    over the corpus covariance — embeddings decorrelate and unit-scale
+    before clustering/SemDeDup/OPQ (whitened cosine ≈ Mahalanobis).
+    Same scale contract as :func:`fit_pca`: one distributed moment
+    pass, the eigensolve sees only the d×d driver-side matrix.
+
+    ``eps`` regularizes near-null directions (λ ≈ 0 would explode
+    1/√λ); the whitened covariance's diagonal is λ/(λ+eps) — callers
+    verifying "≈ identity" must tolerate that shrinkage on tiny
+    eigenvalues. Returns ``(mean, W)`` numpy arrays, W symmetric d×d.
+    """
+    import numpy as np
+
+    mean, comps, evals = fit_pca(df, vec_col, dim, n_components=dim)
+    # comps rows are ALL d eigenvectors (sign-normalized); rebuild the
+    # symmetric whitener from them.
+    scale = 1.0 / np.sqrt(np.maximum(evals, 0.0) + eps)
+    w = comps.T @ np.diag(scale) @ comps
+    return mean, w
+
+
+def whiten(
+    df: DataFrame,
+    mean,
+    w,
+    vec_col: str = "embedding",
+    out_col: str = "white",
+) -> DataFrame:
+    """Apply a fitted whitener: ``(x − mean) @ Wᵀ`` per Arrow batch —
+    W is symmetric so this is the ZCA transform; same zero-shuffle
+    closure-matrix shape as :func:`project`."""
+    return project(df, mean, w, vec_col=vec_col, out_col=out_col)

@@ -263,3 +263,60 @@ def benford_report(
         )
         .orderBy("digit")
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Concentration of a corpus over groups (sources, domains,
+    languages) — the "is one source dominating the mix?" audit:
+
+    * ``hhi`` — Herfindahl-Hirschman index ``Σ s_i²`` of the group
+      shares (1/n_groups = perfectly even, 1 = single source);
+    * ``gini`` — Gini coefficient of the group weights (0 = even,
+      →1 = concentrated), via the sorted-share formula
+      ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n``.
+
+    Scale shape: ONE hash aggregate reduces the corpus to a
+    groups-sized table; the rank window for the Gini runs over that
+    metadata-sized table only (n_groups rows — domains/languages/
+    sources, never corpus rows). Returns one row
+    ``(n_groups, total, hhi, gini)``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    groups = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(w).alias("x"))
+    )
+    # metadata-sized single-partition window: one row per GROUP.
+    rk = F.row_number().over(
+        Window.orderBy(F.col("x"), F.col(group_col))
+    )
+    ranked = groups.select("x", rk.alias("i"))
+    agg = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum(F.col("x") * F.col("x")).alias("xx"),
+    )
+    gini = (
+        2.0 * F.col("ix") / (F.col("n") * F.col("t"))
+        - (F.col("n") + 1) / F.col("n")
+    )
+    hhi = F.col("xx") / (F.col("t") * F.col("t"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_groups"),
+        F.round("t", round_to).alias("total"),
+        F.round(hhi, round_to).alias("hhi"),
+        F.round(gini, round_to).alias("gini"),
+    )

@@ -373,3 +373,57 @@ def pmi_collocations(
         npmi.alias("npmi"),
     ).orderBy(F.desc("npmi"), "w1", "w2")
     return out.limit(topk) if topk is not None else out
+
+
+def doc_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 3,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by TF-IDF
+    (``tf · ln(N/df)``) — the summarize-by-salient-terms primitive for
+    corpus browsing and cluster labeling (the per-DOC twin of
+    ``functions.text.tfidf_top_terms``'s corpus view).
+
+    One tokenize+explode feeds both the per-(doc, term) TF aggregate
+    and the document-frequency aggregate (df re-attaches by term —
+    AQE-sized); ranking is a window PARTITIONED BY document (scales
+    with docs-per-partition, never a global sort). Rank on
+    ``round(score, round_scores)`` with term tie-break — ``ln`` is not
+    correctly rounded cross-engine, raw doubles never decide order.
+
+    Returns ``(id_col, rank, term, score)``, rank 1..topk per doc.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))  # single-row corpus size
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+                round_scores,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(id_col, "rank", "term", "score")
+    )

@@ -324,6 +324,22 @@ NOTES = {
         "(n,sum) partials per batch_id partition, checkpoint-"
         "idempotent; merged totals equal the batch join."
     ),
+    "embedding_whitening": (
+        "ZCA whitening: distributed moment pass, d x d eigensolve "
+        "driver-side (the only collect), closure-matrix transform per "
+        "Arrow batch; invariant oracle - whitened covariance must be "
+        "identity within tolerance on every cell."
+    ),
+    "source_concentration": (
+        "HHI + Gini: ONE hash agg reduces the corpus to a groups-"
+        "sized table; the Gini rank window runs over group rows only "
+        "- never corpus rows."
+    ),
+    "doc_keywords": (
+        "per-doc tf-idf keywords: one explode feeds TF and DF aggs, "
+        "df re-attaches AQE-sized, ranking windows PARTITION BY doc; "
+        "rank on round(score,6) with term tie-breaks."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -96,3 +96,41 @@ def test_moments_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="dim"):
         embedding_moments(df, dim=3).collect()
+
+
+# ------------------------------------------------------------- whitening
+import numpy as np
+
+from mhm_data_pipelines_spark.operators.pca import fit_whitening, whiten
+
+
+def test_whitening_decorrelates(spark):
+    rng = np.random.default_rng(7)
+    # strongly correlated 4-D gaussian
+    a = rng.normal(size=(400, 2))
+    x = np.hstack([a, a @ np.array([[2.0, 1.0], [0.5, -1.0]])])
+    x += rng.normal(scale=0.1, size=x.shape)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, w = fit_whitening(df, dim=4, eps=1e-9)
+    assert w.shape == (4, 4)
+    assert np.allclose(w, w.T)  # ZCA whitener is symmetric
+    out = whiten(df, mean, w, out_col="white").collect()
+    y = np.stack([np.array(r["white"]) for r in out])
+    cov = np.cov(y, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=0.05)
+
+
+def test_whitening_eps_shrinks_null_directions(spark):
+    # a constant dimension (zero variance) must NOT blow up
+    rows = [(i, [float(i % 7), 3.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, w = fit_whitening(df, dim=2, eps=1e-4)
+    assert np.all(np.isfinite(w))
+    y = np.stack(
+        [np.array(r["white"]) for r in whiten(df, mean, w).collect()]
+    )
+    # the constant dimension stays ~0 after centering+whitening
+    assert np.allclose(y[:, 1], 0.0, atol=1e-6)

@@ -40,6 +40,7 @@ EXECUTES_ON_BUILD = {
     "mmr_diverse",  # k greedy argmax rounds (bounded collects) on build
     "orc_roundtrip",     # writes the partitioned ORC dump on build
     "stream_dim_join",   # drains a two-batch enrichment stream on build
+    "embedding_whitening",  # fits the whitener (bounded collects) on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
@@ -98,6 +99,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "benford_digits",     # crossJoin(broadcast(digit total)) — 1 row
     "ks_drift",           # crossJoin(broadcast(sample sizes)) — 1 row
     "chi2_assoc",         # crossJoin(broadcast(N/r/c totals)) — 1 row
+    "doc_keywords",       # crossJoin(broadcast(n_docs)) — 1 row
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
@@ -423,6 +425,12 @@ PLAN_BUDGETS: dict[str, dict] = {
     "mwu_shift": {"max_shuffles": 7},
     # chi2_assoc: contingency agg + two margin aggs/joins + 1-row agg.
     "chi2_assoc": {"max_shuffles": 10},
+    # source_concentration: one groups agg + the metadata-sized Gini
+    # rank window (single partition over GROUP rows) + 1-row agg.
+    "source_concentration": {"max_shuffles": 3},
+    # doc_keywords: explode + TF agg + DF agg + re-attach join +
+    # per-doc rank window + display sort.
+    "doc_keywords": {"max_shuffles": 8},
 }
 
 

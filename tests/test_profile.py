@@ -143,3 +143,29 @@ def test_benford_conforming_sample_low_chi2(spark):
     df = spark.createDataFrame(rows, "v long")
     out = benford_report(df, "v").collect()
     assert all(r["chi2_term"] < 0.05 for r in out)
+
+
+# ------------------------------------------------------------ concentration
+from mhm_data_pipelines_spark.operators.profile import concentration_report
+
+
+def test_concentration_even_vs_single(spark):
+    even = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(40)], "src string"
+    )
+    row = concentration_report(even, "src").collect()[0]
+    assert row["n_groups"] == 4
+    assert row["hhi"] == 0.25 and row["gini"] == 0.0
+    single = spark.createDataFrame([("only",)] * 9, "src string")
+    row = concentration_report(single, "src").collect()[0]
+    assert row["hhi"] == 1.0 and row["gini"] == 0.0  # one group: even
+
+
+def test_concentration_hand_computed_weighted(spark):
+    # weights 1, 3 over two groups: shares .25/.75 -> hhi = .625;
+    # sorted x = (1,3): G = 2*(1*1+2*3)/(2*4) - 3/2 = 14/8 - 1.5 = .25
+    rows = [("a", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "src string, w double")
+    row = concentration_report(df, "src", "w").collect()[0]
+    assert row["hhi"] == 0.625
+    assert row["gini"] == 0.25

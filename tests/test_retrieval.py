@@ -241,3 +241,40 @@ def test_pmi_collocation_beats_independent_pair(spark):
     by_pair = {(r["w1"], r["w2"]): r["npmi"] for r in out}
     assert by_pair[("foo", "bar")] > by_pair[("c", "d")]
     assert all(math.isfinite(r["npmi"]) for r in out)
+
+
+# ---------------------------------------------------------------- keywords
+from mhm_data_pipelines_spark.operators.retrieval import doc_keywords
+
+
+def test_doc_keywords_hand_computed(spark):
+    # 3 docs; 'zebra' only in doc 1 (idf ln3), 'the' in all (idf 0).
+    docs = spark.createDataFrame(
+        [
+            (1, "the zebra zebra runs"),
+            (2, "the cat sits"),
+            (3, "the dog runs"),
+        ],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(docs, topk=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    import math
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "zebra"
+    assert top1[2] == round(2 * math.log(3), 6)
+    # 'the' scores 0 everywhere -> never outranks positive-idf terms
+    assert all(t != "the" or s == 0.0 for _, t, s in sum(by_doc.values(), []))
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_doc_keywords_tie_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "bb aa"), (2, "cc dd")], "doc_id long, text string"
+    )
+    out = [(r["rank"], r["term"]) for r in doc_keywords(docs, topk=2).collect()
+           if r["doc_id"] == 1]
+    # equal scores -> term asc
+    assert sorted(out) == [(1, "aa"), (2, "bb")]
