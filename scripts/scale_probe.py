@@ -43,6 +43,8 @@ HEAVY = [
     # round-5 seventh batch: statistical tests + io/streaming passes
     "ks_drift", "mwu_shift", "chi2_assoc", "orc_roundtrip",
     "stream_dim_join",
+    # round-5 eighth batch: whitening/concentration/keywords passes
+    "embedding_whitening", "source_concentration", "doc_keywords",
 ]
 
 
