@@ -9480,6 +9480,99 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 
 
 
+def q_mutual_knn(spark, sf_dir):
+    """Reciprocal best-match pairs: (a, b) kept only when each is the
+    other's cosine top-1 — threshold-free positives for contrastive
+    mining / duplicate confirmation. Top-1 via the exhaustive-probe
+    IVF graph (provably exact); mutuality is one self-join of the
+    N-row top-1 table (operators/similarity.py mutual_nearest_pairs)."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        label_centroids,
+        mutual_nearest_pairs,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["label"], list(r["centroid"]))
+        for r in label_centroids(df).collect()
+    ]
+    out = mutual_nearest_pairs(df, cents)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+SQL_MUTUAL_KNN = """
+WITH p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    DESC, b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), t AS (
+  SELECT qid, nid, cos FROM p WHERE rk = 1
+)
+SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b,
+       round(any_value(cos), 4) AS cosine
+FROM t GROUP BY 1, 2 HAVING count(*) = 2
+ORDER BY id_a, id_b
+"""
+
+
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules over lineitem (parts
+    co-purchased per order): one DISTINCT + basket-capped self-join
+    emits C(m,2) pairs per order, marginals re-attach AQE-sized;
+    support and lift in exact integer-derived doubles
+    (operators/baskets.py association_rules). Top-100 by lift."""
+    from mhm_data_pipelines_spark.operators.baskets import (
+        association_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("n_pair"), "item_a", "item_b"
+    ).limit(100)
+
+
+SQL_BASKET_RULES = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), ok AS (
+  SELECT b FROM base GROUP BY b HAVING count(*) <= 64
+), sized AS (
+  SELECT base.b, base.it FROM base JOIN ok USING (b)
+), pairs AS (
+  SELECT x.it AS item_a, y.it AS item_b, count(*) AS n_pair
+  FROM sized x JOIN sized y ON x.b = y.b AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), marg AS (
+  SELECT it, count(*) AS n_item FROM sized GROUP BY it
+), nb AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_baskets FROM ok
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       ma.n_item AS n_a, mb.n_item AS n_b,
+       round(p.n_pair / nb.n_baskets, 6) AS support,
+       round(nb.n_baskets * p.n_pair
+             / (CAST(ma.n_item AS DOUBLE) * mb.n_item), 6) AS lift
+FROM pairs p
+JOIN marg ma ON ma.it = p.item_a
+JOIN marg mb ON mb.it = p.item_b
+CROSS JOIN nb
+ORDER BY lift DESC, n_pair DESC, item_a, item_b LIMIT 100
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9671,6 +9764,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_whitening": q_embedding_whitening,
     "source_concentration": q_source_concentration,
     "doc_keywords": q_doc_keywords,
+    "mutual_knn": q_mutual_knn,
+    "basket_rules": q_basket_rules,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9882,6 +9977,8 @@ ORACLES: dict[str, str] = {
     "embedding_whitening": SQL_EMBEDDING_WHITENING,
     "source_concentration": SQL_SOURCE_CONCENTRATION,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "mutual_knn": SQL_MUTUAL_KNN,
+    "basket_rules": SQL_BASKET_RULES,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -10227,4 +10324,6 @@ BENCH_QUERIES: list[str] = [
     "embedding_whitening",
     "source_concentration",
     "doc_keywords",
+    "mutual_knn",
+    "basket_rules",
 ]

@@ -1,0 +1,153 @@
+"""Market-basket co-occurrence and association rules over
+``(basket, item)`` rows.
+
+No reference counterpart (north-star extension): co-occurrence
+projection of a bipartite relation is the universal "what goes
+together" primitive — parts per order, tags per document, tools per
+session — and the support/confidence/lift rules on top of it are the
+standard screen for real association vs popularity artifacts
+(Agrawal & Srikant, VLDB'94 — the counting stage of Apriori at
+pair depth).
+
+Scale shape:
+
+* Baskets dedupe to DISTINCT (basket, item) first (multiplicity is
+  presence, not weight), then the pair stream is ONE self-equi-join
+  on the basket key with ``item_a < item_b`` folded into the join
+  condition — a basket with m items emits exactly C(m,2) pairs, so
+  the blow-up is bounded by ``max_basket_size``: larger baskets are
+  DROPPED (documented — a 10k-item "basket" is a data defect, and its
+  ~5·10⁷ pairs would dominate the stage; the cap is the same
+  hot-key discipline as the LSH bucket caps in ``dedup``).
+* Item marginals and the basket total are hash aggregates; rules
+  attach them with AQE-sized joins.
+
+``lift = N·n_ij / (n_i·n_j)`` — integer counts everywhere, so both
+engines compute bit-identical doubles in the final divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["item_pair_counts", "association_rules"]
+
+
+def item_pair_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int = 64,
+) -> DataFrame:
+    """Unordered item-pair co-occurrence counts:
+    ``(item_a, item_b, n_pair)`` with item_a < item_b, counted over
+    DISTINCT per-basket item sets. Baskets larger than
+    ``max_basket_size`` are dropped (quadratic-defect guard — see
+    module doc). NULL baskets/items are ignored.
+    """
+    base = df.filter(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
+    ).distinct()
+    sized = base.join(
+        base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
+            F.col("_sz") <= max_basket_size
+        ).select("b"),
+        "b",
+    )
+    a = sized.select("b", F.col("it").alias("item_a"))
+    bb = sized.select("b", F.col("it").alias("item_b"))
+    return (
+        a.join(
+            bb,
+            (a["b"] == bb["b"]) & (a["item_a"] < bb["item_b"]),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int = 64,
+    round_to: int = 6,
+    share_scan: bool = True,
+) -> DataFrame:
+    """Pair-depth association statistics:
+    ``(item_a, item_b, n_pair, n_a, n_b, support, lift)`` where
+    ``support = n_pair/N`` (N = qualifying baskets), ``lift =
+    N·n_pair/(n_a·n_b)`` — lift > 1 means co-occurrence beyond what
+    the items' popularity predicts. Marginals ``n_a``/``n_b`` count
+    baskets containing each item (over the same capped basket set, so
+    support/lift stay internally consistent). Pairs below
+    ``min_pair_count`` are pruned before the marginal joins.
+    """
+    base = df.filter(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
+    ).distinct()
+    ok = base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
+        F.col("_sz") <= max_basket_size
+    ).select("b")
+    sized = base.join(ok, "b")
+    if share_scan:
+        # FOUR consumers (both pair sides, marginals, basket total) —
+        # lazily materialize once instead of re-deriving the distinct
+        # + cap join per consumer (same trade as pca.covariance_long;
+        # pass False on Spark Connect).
+        sized = sized.localCheckpoint(eager=False)
+    pairs = (
+        sized.alias("x")
+        .join(
+            sized.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.it") < F.col("y.it")),
+        )
+        .select(
+            F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b")
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    marg = sized.groupBy("it").agg(F.count("*").alias("n_item"))
+    n_baskets = sized.agg(
+        F.count_distinct("b").cast("double").alias("n_baskets")
+    )
+    lift = (
+        F.col("n_baskets")
+        * F.col("n_pair")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        pairs.join(
+            marg.select(
+                F.col("it").alias("item_a"), F.col("n_item").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            marg.select(
+                F.col("it").alias("item_b"), F.col("n_item").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))  # single-row basket total
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_pair") / F.col("n_baskets"), round_to
+            ).alias("support"),
+            F.round(lift, round_to).alias("lift"),
+        )
+    )

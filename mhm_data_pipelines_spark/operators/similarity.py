@@ -1328,3 +1328,46 @@ def mmr_select(
         picks, schema=f"{id_col} long, pick_order int, score double"
     )
     return out
+
+
+def mutual_nearest_pairs(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int | None = None,
+    blas: bool = True,
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b) with a < b where b is a's
+    cosine top-1 AND a is b's — the reciprocal-best-match criterion
+    used for translation pair mining (Artetxe & Schwenk 2019 margin
+    precursor), duplicate confirmation, and contrastive positives
+    that are safe to trust without a threshold.
+
+    Built on :func:`knn_graph` at k=1 (exhaustive probing when
+    ``nprobe`` covers all lists makes the top-1 provably exact); the
+    mutuality check is one self-equi-join of the N-row top-1 table on
+    the canonical (min, max) pair key — nothing quadratic anywhere.
+
+    Returns ``(id_a, id_b, cosine)``.
+    """
+    top1 = knn_graph(
+        corpus,
+        centroids,
+        k=1,
+        nprobe=nprobe if nprobe is not None else len(centroids),
+        vec_col=vec_col,
+        id_col=id_col,
+        blas=blas,
+    )
+    e = top1.select(
+        F.least("qid", "nid").alias("id_a"),
+        F.greatest("qid", "nid").alias("id_b"),
+        F.col("cosine"),
+    )
+    return (
+        e.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"), F.first("cosine").alias("cosine"))
+        .filter(F.col("_n") == 2)  # both directions chose each other
+        .select("id_a", "id_b", "cosine")
+    )

@@ -340,6 +340,17 @@ NOTES = {
         "df re-attaches AQE-sized, ranking windows PARTITION BY doc; "
         "rank on round(score,6) with term tie-breaks."
     ),
+    "mutual_knn": (
+        "reciprocal best match: exhaustive-probe IVF top-1 (provably "
+        "exact) + ONE canonical-pair self-agg keeping count=2 groups "
+        "- mutuality without a second corpus pass."
+    ),
+    "basket_rules": (
+        "association rules: DISTINCT + basket-size cap bound the "
+        "self-join to C(m,2)/basket; the capped frame is lazily "
+        "checkpointed for its four consumers; lift from exact integer "
+        "counts."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -45,6 +45,7 @@ HEAVY = [
     "stream_dim_join",
     # round-5 eighth batch: whitening/concentration/keywords passes
     "embedding_whitening", "source_concentration", "doc_keywords",
+    "mutual_knn", "basket_rules",
 ]
 
 

@@ -100,6 +100,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "ks_drift",           # crossJoin(broadcast(sample sizes)) — 1 row
     "chi2_assoc",         # crossJoin(broadcast(N/r/c totals)) — 1 row
     "doc_keywords",       # crossJoin(broadcast(n_docs)) — 1 row
+    "basket_rules",       # crossJoin(broadcast(basket total)) — 1 row
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
@@ -431,6 +432,12 @@ PLAN_BUDGETS: dict[str, dict] = {
     # doc_keywords: explode + TF agg + DF agg + re-attach join +
     # per-doc rank window + display sort.
     "doc_keywords": {"max_shuffles": 8},
+    # mutual_knn: exhaustive-probe top-1 cogroup + the canonical-pair
+    # mutuality agg + display sort.
+    "mutual_knn": {"max_shuffles": 6},
+    # basket_rules: distinct + cap-join feed a lazily-checkpointed
+    # frame; pair self-join + pair agg + marginal joins + bounded sort.
+    "basket_rules": {"max_shuffles": 6},
 }
 
 

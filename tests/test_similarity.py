@@ -590,3 +590,32 @@ def test_mmr_validates(spark):
         mmr_select(df, [1.0, 0.0], k=0)
     with _pt.raises(ValueError):
         mmr_select(df, [1.0, 0.0], lam=0.0)
+
+
+# ---------------------------------------------------------- mutual top-1
+from mhm_data_pipelines_spark.operators.similarity import (
+    label_centroids,
+    mutual_nearest_pairs,
+)
+
+
+def test_mutual_nearest_pairs_hand(spark):
+    # 1<->2 mutual near-dups; 3's top-1 is 4 but 4's top-1 is 3 too
+    # (mutual); 5 points at 1 but 1 points at 2 -> not mutual.
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.999, 0.045]),
+        (3, 1, [0.0, 1.0]),
+        (4, 1, [0.045, 0.999]),
+        (5, 0, [0.9, 0.436]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    cents = [
+        (r["label"], list(r["centroid"]))
+        for r in label_centroids(df).collect()
+    ]
+    got = {(r["id_a"], r["id_b"])
+           for r in mutual_nearest_pairs(df, cents).collect()}
+    assert got == {(1, 2), (3, 4)}
