@@ -293,11 +293,13 @@ def concentration_report(
         if weight_col
         else F.lit(1.0)
     )
-    groups = (
-        df.filter(F.col(group_col).isNotNull())
-        .groupBy(group_col)
-        .agg(F.sum(w).alias("x"))
-    )
+    base = df.filter(F.col(group_col).isNotNull())
+    if weight_col:
+        # NULL weights are non-observations, not zeros — and a group
+        # whose weights are ALL NULL would otherwise put a NULL share
+        # into the rank/sums and NULL the whole report.
+        base = base.filter(F.col(weight_col).isNotNull())
+    groups = base.groupBy(group_col).agg(F.sum(w).alias("x"))
     # metadata-sized single-partition window: one row per GROUP.
     rk = F.row_number().over(
         Window.orderBy(F.col("x"), F.col(group_col))

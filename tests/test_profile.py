@@ -169,3 +169,13 @@ def test_concentration_hand_computed_weighted(spark):
     row = concentration_report(df, "src", "w").collect()[0]
     assert row["hhi"] == 0.625
     assert row["gini"] == 0.25
+
+
+def test_concentration_null_weights_dropped(spark):
+    rows = [("a", 1.0), ("b", 3.0), ("b", None), ("c", None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "src string, w double")
+    row = concentration_report(df, "src", "w").collect()[0]
+    # group c (all-NULL weights) and the NULL group vanish; values
+    # match the 2-group hand case.
+    assert row["n_groups"] == 2
+    assert row["hhi"] == 0.625 and row["gini"] == 0.25
