@@ -4143,13 +4143,13 @@ WITH norm AS (
 ), hashed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
-           % {MINHASH_MD5_P} AS h1,
+           % 2147483647 AS h1,
          CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
            % {MINHASH_MD5_P - 1} + 1 AS h2
   FROM g
 ), sigs AS (
   SELECT doc_id, u.i,
-         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+         min((h1 + u.i * h2) % 2147483647) AS mh
   FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
   GROUP BY doc_id, u.i
 ), agree AS (
@@ -5208,13 +5208,13 @@ WITH norm AS (
 ), hashed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
-           % {MINHASH_MD5_P} AS h1,
+           % 2147483647 AS h1,
          CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
            % {MINHASH_MD5_P - 1} + 1 AS h2
   FROM g
 ), sigs AS (
   SELECT doc_id, u.i,
-         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+         min((h1 + u.i * h2) % 2147483647) AS mh
   FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
   GROUP BY doc_id, u.i
 ), agree AS (
@@ -5953,13 +5953,13 @@ WITH norm AS (
 ), hashed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
-           % {MINHASH_MD5_P} AS h1,
+           % 2147483647 AS h1,
          CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
            % {MINHASH_MD5_P - 1} + 1 AS h2
   FROM g
 ), sigs AS (
   SELECT doc_id, u.i,
-         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+         min((h1 + u.i * h2) % 2147483647) AS mh
   FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
   GROUP BY doc_id, u.i
 ), agree AS (
@@ -9573,6 +9573,145 @@ ORDER BY lift DESC, n_pair DESC, item_a, item_b LIMIT 100
 
 
 
+def q_minhash_pr_curve(spark, sf_dir):
+    """Self-evaluation of the MinHash pipeline: exact precision/recall
+    of signature-agreement selection vs TRUE char-5-gram Jaccard at
+    integer agreement thresholds m/32 for m in {26, 28, 30} — every
+    threshold is above the banding-completeness bound (eq >= 25 is
+    provably found), and the truth side is the EXACT prefix-filtered
+    Jaccard self-join, so both sides are complete and the PR numbers
+    are exact, not sampled. All threshold comparisons are integer
+    arithmetic (32*inter >= m*union; eq >= m) — no float boundaries."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from mhm_data_pipelines_spark.operators.setjoin import (
+        prefix_jaccard_pairs,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    est = minhash_near_duplicates(
+        df,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_EST_T,
+        hash_family="md5",
+        share_scan=True,
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("est_jaccard") * _MINHASH_N).cast("int").alias("eq"),
+    )
+    sets = df.select(
+        "doc_id", char_ngrams("text", 5, distinct=True).alias("toks")
+    )
+    tru = prefix_jaccard_pairs(sets, "doc_id", "toks", threshold_pct=81)
+    both = est.join(
+        tru.select("id_a", "id_b", "inter_len", "union_len"),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    m = F.explode(F.array(F.lit(26), F.lit(28), F.lit(30))).alias("m")
+    per = both.select("eq", "inter_len", "union_len", m)
+    pred = F.col("eq").isNotNull() & (F.col("eq") >= F.col("m"))
+    act = F.col("inter_len").isNotNull() & (
+        F.lit(_MINHASH_N) * F.col("inter_len")
+        >= F.col("m") * F.col("union_len")
+    )
+    agg = per.groupBy("m").agg(
+        F.sum(pred.cast("long")).alias("n_pred"),
+        F.sum(act.cast("long")).alias("n_true"),
+        F.sum((pred & act).cast("long")).alias("n_both"),
+    )
+    return agg.select(
+        F.round(F.col("m") / F.lit(float(_MINHASH_N)), 4).alias(
+            "threshold"
+        ),
+        "n_pred",
+        "n_true",
+        "n_both",
+        F.round(
+            F.when(
+                F.col("n_pred") > 0, F.col("n_both") / F.col("n_pred")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                F.col("n_true") > 0, F.col("n_both") / F.col("n_true")
+            ),
+            6,
+        ).alias("recall"),
+    ).orderBy("threshold")
+
+
+SQL_MINHASH_PR_CURVE = f"""
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT doc_id, substr(t, i, 5) AS sh
+  FROM norm, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+           % {MINHASH_MD5_P} AS h1,
+         CAST(('0x' || substr(md5(sh), 16, 15)) AS BIGINT)
+           % {MINHASH_MD5_P - 1} + 1 AS h2
+  FROM g
+), sigs AS (
+  SELECT doc_id, u.i,
+         min((h1 + u.i * h2) % {MINHASH_MD5_P}) AS mh
+  FROM hashed, LATERAL unnest(generate_series(0, {_MINHASH_N - 1})) AS u(i)
+  GROUP BY doc_id, u.i
+), est AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
+  FROM sigs a JOIN sigs b ON a.i = b.i AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING eq >= 25
+), sets AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(t) - 4), i -> substr(t, i, 5)
+         )) AS s
+  FROM norm WHERE len(t) >= 5
+), tru AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE 100 * len(list_intersect(a.s, b.s))
+        >= 81 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+), fo AS (
+  SELECT coalesce(e.id_a, t.id_a) AS id_a,
+         coalesce(e.id_b, t.id_b) AS id_b, e.eq, t.i, t.u
+  FROM est e FULL OUTER JOIN tru t
+    ON e.id_a = t.id_a AND e.id_b = t.id_b
+), th(m) AS (VALUES (26), (28), (30)), flags AS (
+  SELECT th.m,
+         (fo.eq IS NOT NULL AND fo.eq >= th.m) AS pred,
+         (fo.i IS NOT NULL AND {_MINHASH_N} * fo.i >= th.m * fo.u) AS act
+  FROM fo CROSS JOIN th
+), agg AS (
+  SELECT m, sum(CASE WHEN pred THEN 1 ELSE 0 END) AS n_pred,
+         sum(CASE WHEN act THEN 1 ELSE 0 END) AS n_true,
+         sum(CASE WHEN pred AND act THEN 1 ELSE 0 END) AS n_both
+  FROM flags GROUP BY m
+)
+SELECT round(m / {_MINHASH_N}.0, 4) AS threshold,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_both AS BIGINT) AS n_both,
+       round(CASE WHEN n_pred > 0
+                  THEN CAST(n_both AS DOUBLE) / n_pred END, 6)
+         AS precision,
+       round(CASE WHEN n_true > 0
+                  THEN CAST(n_both AS DOUBLE) / n_true END, 6)
+         AS recall
+FROM agg ORDER BY threshold
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9766,6 +9905,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_keywords": q_doc_keywords,
     "mutual_knn": q_mutual_knn,
     "basket_rules": q_basket_rules,
+    "minhash_pr_curve": q_minhash_pr_curve,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -9979,6 +10119,7 @@ ORACLES: dict[str, str] = {
     "doc_keywords": SQL_DOC_KEYWORDS,
     "mutual_knn": SQL_MUTUAL_KNN,
     "basket_rules": SQL_BASKET_RULES,
+    "minhash_pr_curve": SQL_MINHASH_PR_CURVE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -10296,7 +10437,8 @@ BENCH_QUERIES: list[str] = [
     "hist_quantile_rollup",
     "ohlc_hourly",
     "time_weighted",
-    # prefix_jaccard / containment_pairs are NOT benched: the synthetic
+    # prefix_jaccard / containment_pairs / minhash_pr_curve are NOT
+    # benched: the synthetic
     # corpus is pathologically self-similar (at sf0.1 the TRUE >=80%-
     # Jaccard pair set is ~3M pairs, ~24% of all doc pairs), so a
     # headline timing would measure output materialization, not the

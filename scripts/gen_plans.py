@@ -351,6 +351,12 @@ NOTES = {
         "checkpointed for its four consumers; lift from exact integer "
         "counts."
     ),
+    "minhash_pr_curve": (
+        "pipeline self-evaluation: banded-LSH estimate pairs vs the "
+        "EXACT prefix-filtered Jaccard truth, both complete above the "
+        "banding bound; PR at integer agreement thresholds - no "
+        "float boundaries, no sampling."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -438,6 +438,9 @@ PLAN_BUDGETS: dict[str, dict] = {
     # basket_rules: distinct + cap-join feed a lazily-checkpointed
     # frame; pair self-join + pair agg + marginal joins + bounded sort.
     "basket_rules": {"max_shuffles": 6},
+    # minhash_pr_curve: the full banded-LSH est pipeline + the exact
+    # prefix-filtered truth join + full-outer flag join + 3-row agg.
+    "minhash_pr_curve": {"max_shuffles": 14},
 }
 
 
