@@ -9712,6 +9712,83 @@ FROM agg ORDER BY threshold
 
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 history build: each per-user change becomes a
+    validity interval (valid_to = next change, open row flagged
+    current) — one lead window PARTITIONED BY the dimension key, never
+    a global sort (operators/upsert.py scd2_history)."""
+    from mhm_data_pipelines_spark.operators.upsert import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    out = scd2_history(ev, ["user_id"], "event_id")
+    return out.select(
+        "user_id", "event_id", "event_type", "valid_to", "is_current"
+    ).orderBy("user_id", "event_id")
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_id, event_type,
+       lead(event_id) OVER (PARTITION BY user_id
+                            ORDER BY event_id) AS valid_to,
+       lead(event_id) OVER (PARTITION BY user_id
+                            ORDER BY event_id) IS NULL AS is_current
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def q_subject_erasure(spark, sf_dir):
+    """Right-to-erasure end-to-end: events land as a parquet table
+    partitioned by event_type, five subjects are physically erased via
+    the partition-scoped anti-join rewrite (only touched partitions
+    move, partition-atomic rename protocol), and the audit record plus
+    the post-erasure counts must match the oracle's set arithmetic
+    (operators/upsert.py erase_subjects)."""
+    from mhm_data_pipelines_spark.operators.upsert import erase_subjects
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dest = _scratch("mhm_erase_gate_") + "/tbl"
+    ev.write.partitionBy("event_type").parquet(dest)
+    subjects = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "user_id long"
+    )
+    res = erase_subjects(dest, subjects, "user_id", "event_type")
+    back = spark.read.parquet(dest)
+    return back.agg(
+        F.count("*").alias("rows_left"),
+        F.sum(
+            F.col("user_id").isin([1, 2, 3, 4, 5]).cast("long")
+        ).alias("subject_rows_left"),
+    ).select(
+        F.lit(res["partitions_rewritten"]).cast("long").alias(
+            "partitions_rewritten"
+        ),
+        F.lit(res["rows_erased"]).cast("long").alias("rows_erased"),
+        F.col("rows_left").cast("long"),
+        F.coalesce(F.col("subject_rows_left"), F.lit(0))
+        .cast("long")
+        .alias("subject_rows_left"),
+    )
+
+
+SQL_SUBJECT_ERASURE = """
+SELECT
+  CAST((SELECT count(DISTINCT event_type) FROM events
+        WHERE user_id IN (1, 2, 3, 4, 5)) AS BIGINT)
+    AS partitions_rewritten,
+  CAST((SELECT count(*) FROM events
+        WHERE user_id IN (1, 2, 3, 4, 5)) AS BIGINT) AS rows_erased,
+  CAST((SELECT count(*) FROM events) AS BIGINT)
+    - CAST((SELECT count(*) FROM events
+            WHERE user_id IN (1, 2, 3, 4, 5)) AS BIGINT) AS rows_left,
+  CAST(0 AS BIGINT) AS subject_rows_left
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9906,6 +9983,8 @@ QUERIES: dict[str, QuerySpec] = {
     "mutual_knn": q_mutual_knn,
     "basket_rules": q_basket_rules,
     "minhash_pr_curve": q_minhash_pr_curve,
+    "scd2_intervals": q_scd2_intervals,
+    "subject_erasure": q_subject_erasure,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -10120,6 +10199,8 @@ ORACLES: dict[str, str] = {
     "mutual_knn": SQL_MUTUAL_KNN,
     "basket_rules": SQL_BASKET_RULES,
     "minhash_pr_curve": SQL_MINHASH_PR_CURVE,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "subject_erasure": SQL_SUBJECT_ERASURE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -10468,4 +10549,6 @@ BENCH_QUERIES: list[str] = [
     "doc_keywords",
     "mutual_knn",
     "basket_rules",
+    "scd2_intervals",
+    "subject_erasure",
 ]

@@ -136,3 +136,102 @@ def _swap_partitions(
         if not fs.rename(status.getPath(), dst):
             raise IOError(f"upsert swap: could not publish {name}")
     fs.delete(hpath(tmp_path), True)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    version: str,
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history from a change stream:
+    each ``(keys, version)`` change row becomes a validity interval —
+    ``valid_to`` = the NEXT change's version for the same key (NULL on
+    the open, current row) plus an ``is_current`` flag. The standard
+    warehouse shape for "what did this dimension row say at time T?"
+    (a point-in-time lookup is then one BETWEEN predicate, or an
+    as-of join via ``operators.temporal``).
+
+    Exact duplicates per (keys, version) are an upstream contract
+    violation (two versions of the truth at one instant); resolve with
+    :func:`latest_wins` first. Scale shape: one window per key
+    (``lead`` over the version order) — partitioned by the dimension
+    key, so it scales with rows-per-key, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(version)
+    nxt = F.lead(version).over(w)
+    return changes.withColumn(end_col, nxt).withColumn(
+        current_col, F.col(end_col).isNull()
+    )
+
+
+def erase_subjects(
+    base_path: str,
+    subjects: DataFrame,
+    key: str,
+    partition_col: str,
+) -> dict:
+    """Right-to-erasure (GDPR art. 17) over a partitioned parquet
+    table: physically rewrite ONLY the partitions containing the
+    subjects' rows, dropping every row whose ``key`` appears in
+    ``subjects`` — an anti-join, not an overwrite of the table.
+
+    Scale shape: the subject list broadcasts into (1) a semi-join that
+    discovers touched partitions (partition-pruned to nothing if the
+    subjects don't exist) and (2) the anti-join inside each rewritten
+    partition; untouched partitions are never read past their
+    footer/stats. The rewrite rides the same partition-atomic rename
+    protocol as :func:`write_upsert_partitioned` (see its crash-window
+    notes). Returns ``{"partitions_rewritten": n, "rows_erased": n}``
+    — the audit record an erasure job must emit.
+    """
+    spark = subjects.sparkSession
+    subj = subjects.select(key).distinct()
+    table = spark.read.parquet(base_path)
+    touched = [
+        r[0]
+        for r in table.join(F.broadcast(subj), key, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()  # bounded: one row per touched partition
+    ]
+    if not touched:
+        return {"partitions_rewritten": 0, "rows_erased": 0}
+    scoped = spark.read.parquet(base_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    before = scoped.count()
+    kept = scoped.join(F.broadcast(subj), key, "left_anti")
+    tmp_path = f"{base_path}__erase_tmp_{uuid.uuid4().hex}"
+    kept.write.partitionBy(partition_col).parquet(tmp_path)
+    # Partitions that lost ALL rows produce no output dir from the
+    # write above — publish an explicit empty dir so the swap retires
+    # the old data (erasure must not silently keep a partition).
+    from mhm_data_pipelines_spark.session import supports_jvm_access
+
+    if supports_jvm_access(spark):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(tmp_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        present = {
+            s.getPath().getName()
+            for s in fs.listStatus(hpath(tmp_path))
+            if s.isDirectory()
+        }
+        for r in kept.sparkSession.createDataFrame(
+            [(t,) for t in touched], f"{partition_col} string"
+        ).collect():  # bounded: touched-partition list
+            name = f"{partition_col}={r[0]}"
+            if name not in present:
+                fs.mkdirs(hpath(f"{tmp_path}/{name}"))
+    after = kept.count()
+    _swap_partitions(spark, base_path, tmp_path, partition_col)
+    return {
+        "partitions_rewritten": len(touched),
+        "rows_erased": int(before - after),
+    }

@@ -357,6 +357,17 @@ NOTES = {
         "banding bound; PR at integer agreement thresholds - no "
         "float boundaries, no sampling."
     ),
+    "scd2_intervals": (
+        "SCD Type-2: one lead window PARTITIONED BY the dimension key "
+        "turns the change stream into validity intervals + a current "
+        "flag - scales with rows-per-key, never a global sort."
+    ),
+    "subject_erasure": (
+        "right-to-erasure: broadcast subject semi-join discovers "
+        "touched partitions, anti-join rewrite moves ONLY those "
+        "(partition-atomic renames); audit record verified against "
+        "set arithmetic."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -41,6 +41,7 @@ EXECUTES_ON_BUILD = {
     "orc_roundtrip",     # writes the partitioned ORC dump on build
     "stream_dim_join",   # drains a two-batch enrichment stream on build
     "embedding_whitening",  # fits the whitener (bounded collects) on build
+    "subject_erasure",   # writes + erasure-rewrites the table on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
@@ -441,6 +442,8 @@ PLAN_BUDGETS: dict[str, dict] = {
     # minhash_pr_curve: the full banded-LSH est pipeline + the exact
     # prefix-filtered truth join + full-outer flag join + 3-row agg.
     "minhash_pr_curve": {"max_shuffles": 14},
+    # scd2_intervals: one lead window per dimension key + display sort.
+    "scd2_intervals": {"max_shuffles": 3},
 }
 
 

@@ -143,3 +143,59 @@ def test_partitioned_rewrite_restores_overwrite_mode(spark, tmp_path):
         assert got == {1: (2, "one-v2")}
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+# ----------------------------------------------------------------- SCD2
+from mhm_data_pipelines_spark.operators.upsert import (
+    erase_subjects,
+    scd2_history,
+)
+
+
+def test_scd2_intervals_and_current_flag(spark):
+    rows = [
+        ("k1", 1, "a"), ("k1", 3, "b"), ("k1", 7, "c"),
+        ("k2", 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, v int, payload string")
+    out = {(r["k"], r["v"]): (r["valid_to"], r["is_current"])
+           for r in scd2_history(df, ["k"], "v").collect()}
+    assert out == {
+        ("k1", 1): (3, False),
+        ("k1", 3): (7, False),
+        ("k1", 7): (None, True),
+        ("k2", 2): (None, True),
+    }
+
+
+def test_erase_subjects_rewrites_only_touched(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    rows = [(u, f"p{u % 3}", float(u)) for u in range(30)]
+    df = spark.createDataFrame(rows, "user_id long, part string, v double")
+    df.write.partitionBy("part").parquet(base)
+    subjects = spark.createDataFrame([(3,), (6,), (999,)], "user_id long")
+    # users 3 and 6 both live in part p0; 999 doesn't exist
+    res = erase_subjects(base, subjects, "user_id", "part")
+    assert res == {"partitions_rewritten": 1, "rows_erased": 2}
+    back = spark.read.parquet(base)
+    ids = {r["user_id"] for r in back.collect()}
+    assert 3 not in ids and 6 not in ids and len(ids) == 28
+    # untouched partitions intact
+    assert back.filter(F.col("part") == "p1").count() == 10
+
+
+def test_erase_subjects_noop_and_full_partition(spark, tmp_path):
+    base = str(tmp_path / "tbl2")
+    rows = [(1, "a", 1.0), (2, "b", 2.0)]
+    spark.createDataFrame(rows, "user_id long, part string, v double")\
+        .write.partitionBy("part").parquet(base)
+    # no matching subjects -> zero work
+    none = spark.createDataFrame([(42,)], "user_id long")
+    assert erase_subjects(base, none, "user_id", "part") == {
+        "partitions_rewritten": 0, "rows_erased": 0}
+    # erasing the only row of a partition leaves that partition EMPTY
+    one = spark.createDataFrame([(1,)], "user_id long")
+    res = erase_subjects(base, one, "user_id", "part")
+    assert res == {"partitions_rewritten": 1, "rows_erased": 1}
+    back = spark.read.parquet(base)
+    assert {r["user_id"] for r in back.collect()} == {2}
