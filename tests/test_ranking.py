@@ -86,3 +86,25 @@ def test_never_winner_hits_zero_and_self_pairs_dropped(spark):
     assert set(got) == {"a", "b", "c"}
     # winners of everything stay finite (normalized), not inf
     assert all(math.isfinite(v) for v in got.values())
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    rows = (
+        [("a", "b")] * 4 + [("b", "a")] * 2 + [("b", "c")] * 3
+        + [("c", "d")] * 2 + [("d", "a")]
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    fast = {r["item"]: r["rating"]
+            for r in bradley_terry(df, iterations=6).collect()}
+    slow = {r["item"]: r["rating"]
+            for r in bradley_terry(df, iterations=6,
+                                   driver_max_pairs=0).collect()}
+    assert fast == slow
+
+
+def test_integer_items_supported(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 1)], "winner int, loser int"
+    )
+    out = bradley_terry(df, iterations=4).collect()
+    assert {r["item"] for r in out} == {1, 2, 3}
