@@ -9789,6 +9789,53 @@ SELECT
 
 
 
+def q_ab_ztest(spark, sf_dir):
+    """A/B readout: pooled two-proportion z between 'purchase' and
+    'click' conversion (value > 100) — one two-group hash aggregate,
+    every division over integer counts
+    (operators/stats_tests.py two_proportion_ztest)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        two_proportion_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "conv", (F.col("value") > 100).cast("int")
+    )
+    return two_proportion_ztest(
+        ev, "event_type", "purchase", "click", "conv"
+    )
+
+
+SQL_AB_ZTEST = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS s
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+), a AS (
+  SELECT CAST(sum(ia) AS DOUBLE) AS na,
+         CAST(sum(1 - ia) AS DOUBLE) AS nb,
+         CAST(sum(ia * s) AS DOUBLE) AS sa,
+         CAST(sum((1 - ia) * s) AS DOUBLE) AS sb
+  FROM base
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(sa / na, 6) AS p_a, round(sb / nb, 6) AS p_b,
+       round(CASE WHEN sb / nb > 0
+                  THEN (sa / na) / (sb / nb) END, 6) AS risk_ratio,
+       round(CASE WHEN (sa + sb) / (na + nb)
+                       * (1.0 - (sa + sb) / (na + nb))
+                       * (1.0 / na + 1.0 / nb) > 0
+                  THEN (sa / na - sb / nb)
+                       / sqrt((sa + sb) / (na + nb)
+                              * (1.0 - (sa + sb) / (na + nb))
+                              * (1.0 / na + 1.0 / nb))
+             END, 6) AS z
+FROM a
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -9985,6 +10032,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_pr_curve": q_minhash_pr_curve,
     "scd2_intervals": q_scd2_intervals,
     "subject_erasure": q_subject_erasure,
+    "ab_ztest": q_ab_ztest,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "conversation_windows": q_conversation_windows,
@@ -10201,6 +10249,7 @@ ORACLES: dict[str, str] = {
     "minhash_pr_curve": SQL_MINHASH_PR_CURVE,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "subject_erasure": SQL_SUBJECT_ERASURE,
+    "ab_ztest": SQL_AB_ZTEST,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "conversation_windows": SQL_CONVERSATION_WINDOWS,
@@ -10551,4 +10600,5 @@ BENCH_QUERIES: list[str] = [
     "basket_rules",
     "scd2_intervals",
     "subject_erasure",
+    "ab_ztest",
 ]

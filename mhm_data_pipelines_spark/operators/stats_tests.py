@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ks_test", "mann_whitney_u", "chi2_independence"]
+__all__ = [
+    "ks_test",
+    "mann_whitney_u",
+    "chi2_independence",
+    "two_proportion_ztest",
+]
 
 
 def ks_test(
@@ -223,4 +228,57 @@ def chi2_independence(
                 "chi2"
             ),
         )
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): did variant A convert at a
+    different rate than variant B? — the A/B-readout companion to the
+    distributional tests above.
+
+        ``z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))``
+
+    with ``p̂`` the pooled success rate. ``success_col`` is boolean (or
+    0/1); NULL successes are dropped (an unresolved outcome is not a
+    failure). Returns one row ``(n_a, n_b, p_a, p_b, risk_ratio, z)``
+    — risk_ratio = p_a/p_b (NULL when p_b = 0); z NULL when the pooled
+    variance is zero (all successes or all failures).
+
+    One hash aggregate into two groups; every input to the final
+    divisions is an integer count — bit-identical doubles everywhere.
+    """
+    g = F.col(group_col)
+    base = df.filter(
+        F.col(success_col).isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        F.when(g == F.lit(group_a), 1).otherwise(0).alias("ia"),
+        F.col(success_col).cast("int").alias("s"),
+    )
+    agg = base.agg(
+        F.sum("ia").cast("double").alias("n_a"),
+        F.sum(1 - F.col("ia")).cast("double").alias("n_b"),
+        F.sum(F.col("ia") * F.col("s")).cast("double").alias("s_a"),
+        F.sum((1 - F.col("ia")) * F.col("s")).cast("double").alias("s_b"),
+    )
+    p_a = F.col("s_a") / F.col("n_a")
+    p_b = F.col("s_b") / F.col("n_b")
+    pooled = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pooled * (1.0 - pooled) * (
+        1.0 / F.col("n_a") + 1.0 / F.col("n_b")
+    )
+    z = F.when(var > 0, (p_a - p_b) / F.sqrt(var))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p_a, round_to).alias("p_a"),
+        F.round(p_b, round_to).alias("p_b"),
+        F.round(F.when(p_b > 0, p_a / p_b), round_to).alias("risk_ratio"),
+        F.round(z, round_to).alias("z"),
     )

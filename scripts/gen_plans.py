@@ -370,6 +370,11 @@ NOTES = {
         "(partition-atomic renames); audit record verified against "
         "set arithmetic."
     ),
+    "ab_ztest": (
+        "A/B z-test: ONE two-group hash aggregate; pooled-variance z, "
+        "risk ratio and rates all divide integer counts - bit-"
+        "identical doubles, degenerate variance -> NULL."
+    ),
 
     "tpch_q3": (
         "3-way join: every filter lands in PushedFilters, lineitem scan "

@@ -444,6 +444,8 @@ PLAN_BUDGETS: dict[str, dict] = {
     "minhash_pr_curve": {"max_shuffles": 14},
     # scd2_intervals: one lead window per dimension key + display sort.
     "scd2_intervals": {"max_shuffles": 3},
+    # ab_ztest: one two-group hash aggregate (single-row result).
+    "ab_ztest": {"max_shuffles": 2},
 }
 
 

@@ -88,3 +88,30 @@ def test_chi2_hand_computed_with_empty_cell(spark):
     row = chi2_independence(df, "x", "y").collect()[0]
     assert row["chi2"] == pytest.approx(round(20 / 3, 6), abs=1e-6)
     assert row["dof"] == 1
+
+
+def test_two_proportion_hand_computed(spark):
+    # A: 30/100 convert; B: 20/100. pooled p = .25.
+    rows = ([("a", 1)] * 30 + [("a", 0)] * 70
+            + [("b", 1)] * 20 + [("b", 0)] * 80)
+    df = spark.createDataFrame(rows, "grp string, conv int")
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        two_proportion_ztest,
+    )
+    r = two_proportion_ztest(df, "grp", "a", "b", "conv").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (100, 100)
+    assert (r["p_a"], r["p_b"]) == (0.3, 0.2)
+    assert r["risk_ratio"] == 1.5
+    want = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert r["z"] == pytest.approx(round(want, 6))
+
+
+def test_two_proportion_degenerate_null_z(spark):
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        two_proportion_ztest,
+    )
+    rows = [("a", 0)] * 5 + [("b", 0)] * 5 + [("a", None)]
+    df = spark.createDataFrame(rows, "grp string, conv int")
+    r = two_proportion_ztest(df, "grp", "a", "b", "conv").collect()[0]
+    assert r["z"] is None and r["risk_ratio"] is None
+    assert r["n_a"] == 5  # NULL outcome dropped
