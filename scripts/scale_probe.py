@@ -46,7 +46,7 @@ HEAVY = [
     # round-5 eighth batch: whitening/concentration/keywords passes
     "embedding_whitening", "source_concentration", "doc_keywords",
     "mutual_knn", "basket_rules",
-    "scd2_intervals", "subject_erasure",
+    "scd2_intervals", "subject_erasure", "ab_ztest",
 ]
 
 
