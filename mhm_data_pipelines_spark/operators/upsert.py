@@ -58,17 +58,97 @@ def merge_upsert(
     )
 
 
+def _require_jvm(spark) -> None:
+    from mhm_data_pipelines_spark.session import supports_jvm_access
+
+    if not supports_jvm_access(spark):
+        raise RuntimeError(
+            "partitioned rewrite needs Hadoop-FS atomic renames and "
+            "Spark's partition-path escaping (py4j) — genuinely "
+            "JVM-bound; run on a classic session."
+        )
+
+
+def _isin_with_null(col: str, values) -> F.Column:
+    """``col IN values`` that also matches NULL when ``values`` contains
+    None — plain ``isin`` evaluates NULL-vs-NULL to NULL and silently
+    drops those rows, which for a partition-rewrite means silently
+    skipping the ``__HIVE_DEFAULT_PARTITION__`` directory."""
+    non_null = [v for v in values if v is not None]
+    cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        cond = cond | F.col(col).isNull()
+    return cond
+
+
+def _partition_value_str(value) -> str | None:
+    """Render a collected Python partition value the way Spark's writer
+    renders it into the directory name (``Cast`` to string semantics):
+    booleans lowercase, dates ISO, everything else ``str``."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return str(value).lower()
+    return str(value)
+
+
+def _partition_dir_names(spark, partition_col: str, values) -> list[str]:
+    """Map partition VALUES to the exact directory names Spark's writer
+    produces, using Spark's own escaping (``ExternalCatalogUtils``):
+    special chars become ``%XX`` and NULL/empty becomes
+    ``__HIVE_DEFAULT_PARTITION__``. Building names with a raw f-string
+    instead would publish a bogus unescaped dir and leave the real one
+    (with the data that was supposed to be retired) alive."""
+    utils = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    )
+    return [
+        utils.getPartitionPathString(partition_col, _partition_value_str(v))
+        for v in values
+    ]
+
+
+def _ensure_partition_dirs(spark, tmp_path: str, dir_names) -> None:
+    """Create an explicit EMPTY dir under ``tmp_path`` for every expected
+    partition dir the merged write produced no output for (all rows of
+    that partition were deleted or moved away), so the swap still retires
+    the stale on-disk data instead of silently keeping it."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(tmp_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    present = {
+        s.getPath().getName()
+        for s in fs.listStatus(hpath(tmp_path))
+        if s.isDirectory()
+    }
+    for name in dir_names:
+        if name not in present:
+            fs.mkdirs(hpath(f"{tmp_path}/{name}"))
+
+
 def write_upsert_partitioned(
     base_path: str,
     updates: DataFrame,
     keys: Sequence[str],
     version: str,
     partition_col: str,
+    static_partitions: bool = False,
 ) -> None:
     """Apply updates to a partitioned parquet table rewriting ONLY the
-    touched partitions. The read is partition-pruned to the update set's
+    touched partitions. The read is partition-pruned to the touched
     partition values, so cost scales with the update footprint, not the
     table.
+
+    "Touched" covers BOTH sides of a partition move: the partitions the
+    updates land in AND the partitions where the updated keys currently
+    live (discovered by a broadcast semi-join on the merge keys, column-
+    pruned to ``keys + partition_col``). Without the second set, an
+    update that changes a key's ``partition_col`` would leave the stale
+    base row alive in the old partition — two rows for one merge key,
+    which Delta MERGE would never produce. Pass ``static_partitions=
+    True`` only when the caller guarantees ``partition_col`` is
+    immutable per key; that skips the discovery scan (one footer+2-col
+    pass over the table) and prunes purely on the update values.
 
     Commit protocol (plain parquet has none, so this builds the minimal
     one): the merged partitions are fully written to a sibling temp dir
@@ -79,28 +159,48 @@ def write_upsert_partitioned(
     * crash during the merge/write → base table untouched; an orphaned
       ``<base>__upsert_tmp_*`` dir remains (safe to delete — Spark never
       lists sibling paths).
-    * crash mid-swap → each touched partition is either the complete old
-      or the complete new version (directory rename is atomic on
-      HDFS/POSIX); never a torn partition. Partitions swapped so far
-      show the merge, the rest don't — partition-atomic, not
-      table-atomic. Retired originals remain under the temp dir for
-      manual recovery.
+    * crash mid-swap → no torn partitions (directory rename is atomic on
+      HDFS/POSIX), but THREE per-partition states are possible:
+      partitions swapped so far show the complete new version, the rest
+      show the complete old version, and the one partition between its
+      two renames (retire → publish) is ABSENT from the table until the
+      publish rename lands. Its old data is recoverable from the temp
+      dir's ``_retired_<name>`` entry and the new data from the temp
+      dir's ``<name>`` entry; re-running the upsert converges.
+      Partition-atomic, not table-atomic.
 
     On object stores without atomic rename (plain S3), rename degrades
     to copy+delete per partition — correct but with a wider window;
     genuinely table-atomic MERGE there needs a transactional format
     (Delta/Iceberg) or an S3-committer-style manifest."""
     spark = updates.sparkSession
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    base = (
-        spark.read.parquet(base_path)
-        .filter(F.col(partition_col).isin(touched))
-    )
+    _require_jvm(spark)
+    touched = {
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    }
+    table = spark.read.parquet(base_path)
+    if not static_partitions:
+        key_cols = list(keys)
+        upd_keys = updates.select(*key_cols).distinct()
+        touched |= {
+            r[0]
+            for r in table.join(F.broadcast(upd_keys), key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()  # bounded: one row per touched partition
+        }
+    touched = sorted(touched, key=lambda v: (v is None, str(v)))
+    base = table.filter(_isin_with_null(partition_col, touched))
     merged = merge_upsert(base, updates, keys, version)
     # Sibling path (never inside base_path: a reader listing the table
     # mid-upsert must not see half-written files).
     tmp_path = f"{base_path}__upsert_tmp_{uuid.uuid4().hex}"
     merged.write.partitionBy(partition_col).parquet(tmp_path)
+    # A partition whose only rows moved away produces no output dir —
+    # publish an explicit empty dir so the swap retires the stale data.
+    _ensure_partition_dirs(
+        spark, tmp_path, _partition_dir_names(spark, partition_col, touched)
+    )
     _swap_partitions(spark, base_path, tmp_path, partition_col)
 
 
@@ -189,46 +289,39 @@ def erase_subjects(
     — the audit record an erasure job must emit.
     """
     spark = subjects.sparkSession
+    _require_jvm(spark)
     subj = subjects.select(key).distinct()
     table = spark.read.parquet(base_path)
-    touched = [
-        r[0]
-        for r in table.join(F.broadcast(subj), key, "left_semi")
-        .select(partition_col)
-        .distinct()
-        .collect()  # bounded: one row per touched partition
-    ]
+    touched = sorted(
+        {
+            r[0]
+            for r in table.join(F.broadcast(subj), key, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()  # bounded: one row per touched partition
+        },
+        key=lambda v: (v is None, str(v)),
+    )
     if not touched:
         return {"partitions_rewritten": 0, "rows_erased": 0}
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and MUST
+    # be rewritten like any other — _isin_with_null matches them where a
+    # plain isin would silently skip the erasure.
     scoped = spark.read.parquet(base_path).filter(
-        F.col(partition_col).isin(touched)
+        _isin_with_null(partition_col, touched)
     )
     before = scoped.count()
     kept = scoped.join(F.broadcast(subj), key, "left_anti")
     tmp_path = f"{base_path}__erase_tmp_{uuid.uuid4().hex}"
     kept.write.partitionBy(partition_col).parquet(tmp_path)
-    # Partitions that lost ALL rows produce no output dir from the
-    # write above — publish an explicit empty dir so the swap retires
-    # the old data (erasure must not silently keep a partition).
-    from mhm_data_pipelines_spark.session import supports_jvm_access
-
-    if supports_jvm_access(spark):
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(tmp_path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        present = {
-            s.getPath().getName()
-            for s in fs.listStatus(hpath(tmp_path))
-            if s.isDirectory()
-        }
-        for r in kept.sparkSession.createDataFrame(
-            [(t,) for t in touched], f"{partition_col} string"
-        ).collect():  # bounded: touched-partition list
-            name = f"{partition_col}={r[0]}"
-            if name not in present:
-                fs.mkdirs(hpath(f"{tmp_path}/{name}"))
+    # Partitions that lost ALL rows produce no output dir from the write
+    # above — publish an explicit empty dir so the swap retires the old
+    # data (erasure must not silently keep a partition). Dir names use
+    # Spark's own partition-path escaping; a raw f-string would publish
+    # a bogus dir for values needing %XX escapes and the real dir — with
+    # the subject's data — would survive the "successful" erasure.
+    expected = _partition_dir_names(spark, partition_col, touched)
+    _ensure_partition_dirs(spark, tmp_path, expected)
     after = kept.count()
     _swap_partitions(spark, base_path, tmp_path, partition_col)
     return {

@@ -184,6 +184,74 @@ def test_erase_subjects_rewrites_only_touched(spark, tmp_path):
     assert back.filter(F.col("part") == "p1").count() == 10
 
 
+def test_upsert_retires_stale_row_on_partition_move(spark, tmp_path):
+    """An update that changes a key's partition_col must retire the
+    stale base row in the OLD partition — one row per merge key after
+    the merge, like Delta MERGE (ADVICE r5: upsert.py:94)."""
+    base_path = str(tmp_path / "tbl_move")
+    spark.createDataFrame(
+        [(1, 1, "one", "a"), (2, 1, "two", "a"), (3, 1, "three", "b")],
+        SCHEMA,
+    ).write.partitionBy("pt").parquet(base_path)
+    # key 3 moves from pt=b to pt=c; pt=b becomes empty
+    updates = spark.createDataFrame([(3, 2, "three-v2", "c")], SCHEMA)
+    write_upsert_partitioned(base_path, updates, ["k"], "v", "pt")
+    rows = spark.read.parquet(base_path).collect()
+    got = {r.k: (r.v, r.payload, r.pt) for r in rows}
+    assert got == {
+        1: (1, "one", "a"),
+        2: (1, "two", "a"),
+        3: (2, "three-v2", "c"),
+    }
+    assert len(rows) == 3  # no duplicate for the moved key
+
+
+def test_upsert_null_partition_value(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) must be
+    merged like any other partition, not silently skipped by isin."""
+    base_path = str(tmp_path / "tbl_null")
+    spark.createDataFrame(
+        [(1, 1, "one", None), (2, 1, "two", "a")], SCHEMA
+    ).write.partitionBy("pt").parquet(base_path)
+    updates = spark.createDataFrame([(1, 2, "one-v2", None)], SCHEMA)
+    write_upsert_partitioned(base_path, updates, ["k"], "v", "pt")
+    got = {r.k: (r.v, r.payload, r.pt) for r in spark.read.parquet(base_path).collect()}
+    assert got == {1: (2, "one-v2", None), 2: (1, "two", "a")}
+
+
+def test_erase_subjects_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values needing %XX path escaping, and NULL partition
+    values, must be fully rewritten — publishing a raw-f-string dir
+    would leave the subject's data alive (ADVICE r5: upsert.py:231)."""
+    import os
+
+    base = str(tmp_path / "tbl_esc")
+    rows = [
+        (1, "a:b/c%", 1.0),
+        (2, "a:b/c%", 2.0),
+        (3, None, 3.0),
+        (4, "plain", 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, part string, v double"
+    ).write.partitionBy("part").parquet(base)
+    # erase the ONLY escaped-partition subject 1+2 and the NULL-part 3:
+    # both partitions end up empty → explicit empty-dir publish path
+    subjects = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+    res = erase_subjects(base, subjects, "user_id", "part")
+    assert res == {"partitions_rewritten": 2, "rows_erased": 3}
+    back = spark.read.parquet(base)
+    assert {r["user_id"] for r in back.collect()} == {4}
+    dirs = {d for d in os.listdir(base) if d.startswith("part=")}
+    # the escaped dir was retired (now empty), no bogus unescaped twin
+    assert "part=a:b/c%" not in dirs
+    for d in dirs:
+        full = os.path.join(base, d)
+        files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+        if d != "part=plain":
+            assert files == [], f"stale data survived in {d}"
+
+
 def test_erase_subjects_noop_and_full_partition(spark, tmp_path):
     base = str(tmp_path / "tbl2")
     rows = [(1, "a", 1.0), (2, "b", 2.0)]
