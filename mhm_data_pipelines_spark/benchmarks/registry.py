@@ -7955,7 +7955,9 @@ ORDER BY event_type, bucket
 
 def q_time_weighted(spark, sf_dir):
     """Duration-weighted mean value per user (LOCF): one lead window
-    per key + one hash agg; single-event users are NULL by contract."""
+    per key + one hash agg; single-event users are NULL by contract;
+    NULL values drop BEFORE the window so the prior observation's
+    interval carries across the gap (true LOCF, ADVICE r5)."""
     from mhm_data_pipelines_spark.operators.rollup_ts import (
         time_weighted_avg,
     )
@@ -7975,7 +7977,7 @@ WITH d AS (
     date_diff('microsecond', ts,
               lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
       AS dur_us
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT user_id,
        round(sum(value * dur_us) / sum(dur_us), 6) AS twa,
@@ -8838,17 +8840,21 @@ GROUP BY q.query_id ORDER BY q.query_id
 
 
 def q_mmr_diverse(spark, sf_dir):
-    """MMR diverse top-8 (query = embedding of vec_id 0): k map-only
-    corpus passes with literal query/selected vectors — no join, no
-    shuffle, TakeOrdered(1) argmax per round; scores quantized to 7dp
-    before every argmax so the unrolled greedy oracle matches
-    value-for-value (operators/similarity.py mmr_select)."""
+    """MMR diverse top-8 (query = embedding of vec_id 0) on the POOLED
+    path: ONE distributed relevance pass -> TakeOrdered(4096) candidate
+    pool -> driver greedy with bit-identical left-fold cosines and
+    HALF_UP rounds (operators/similarity.py mmr_select). pool covers
+    the corpus at every gate/bench SF (<= 2000 vectors), so the result
+    equals exact MMR and the unrolled greedy oracle value-for-value; at
+    larger SFs this is rerank-top-4096 MMR, the production shape —
+    corpus passes drop from k to 1."""
     from mhm_data_pipelines_spark.operators.similarity import mmr_select
 
     df = _t(spark, sf_dir, "embeddings")
     qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = mmr_select(
-        df.filter(F.col("vec_id") != 0), list(qvec), k=8, lam=0.7
+        df.filter(F.col("vec_id") != 0), list(qvec), k=8, lam=0.7,
+        pool=4096,
     )
     return out.select(
         "vec_id", "pick_order", F.round("score", 6).alias("score")
@@ -9484,8 +9490,11 @@ def q_mutual_knn(spark, sf_dir):
     """Reciprocal best-match pairs: (a, b) kept only when each is the
     other's cosine top-1 — threshold-free positives for contrastive
     mining / duplicate confirmation. Top-1 via the exhaustive-probe
-    IVF graph (provably exact); mutuality is one self-join of the
-    N-row top-1 table (operators/similarity.py mutual_nearest_pairs)."""
+    IVF graph — EXPLICITLY exhaustive (nprobe = n_lists) because this
+    gate row certifies exactness against the brute-force SQL twin; the
+    production default is selective nprobe=8, whose recall the
+    mutual_knn_recall row certifies (operators/similarity.py
+    mutual_nearest_pairs)."""
     from mhm_data_pipelines_spark.operators.similarity import (
         label_centroids,
         mutual_nearest_pairs,
@@ -9496,7 +9505,7 @@ def q_mutual_knn(spark, sf_dir):
         (r["label"], list(r["centroid"]))
         for r in label_centroids(df).collect()
     ]
-    out = mutual_nearest_pairs(df, cents)
+    out = mutual_nearest_pairs(df, cents, nprobe=len(cents))
     return out.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")
@@ -9521,6 +9530,120 @@ SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b,
 FROM t GROUP BY 1, 2 HAVING count(*) = 2
 ORDER BY id_a, id_b
 """
+
+
+def q_mutual_knn_recall(spark, sf_dir):
+    """Recall certification for the SELECTIVE mutual-kNN default
+    (same pattern as ivf_recall): mutual pairs under nprobe=2 of 8
+    seeded data-independent lists vs the exhaustive-probe exact pairs,
+    one-row summary (n_exact, n_selective, n_common, recall). The
+    exhaustive graph is brute force in BLAS — this row is the evidence
+    that the production selective plan (work ~ n x list x nprobe, not
+    n^2) keeps the pairs that matter (operators/similarity.py
+    mutual_nearest_pairs; VERDICT r5 #3)."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_seeded_centroids()
+    sel = mutual_nearest_pairs(df, cents, nprobe=2).select("id_a", "id_b")
+    exact = mutual_nearest_pairs(df, cents, nprobe=len(cents)).select(
+        "id_a", "id_b"
+    )
+    j = exact.join(
+        sel.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count("*").alias("n_exact"),
+        F.count("_hit").alias("n_common"),
+        F.round(F.count("_hit") / F.count("*"), 4).alias("recall"),
+    )
+    n_sel = sel.agg(F.count("*").alias("n_selective"))
+    # 1-row x 1-row scalar join (SINGLE_ROW_BROADCAST_OK)
+    return j.crossJoin(n_sel).select(
+        "n_exact", "n_selective", "n_common", "recall"
+    )
+
+
+def _mutual_knn_recall_oracle_sql(
+    dim: int = 64, n_lists: int = 8, nprobe: int = 2, seed: int = 7
+) -> str:
+    """DuckDB twin of q_mutual_knn_recall: regenerates the seeded
+    centroid literals and replays knn_graph's plan float-for-float —
+    normalized-vector folds, greatest-struct assignment (ties to the
+    LARGER list_id), sort_array-desc probes, top-1 per query by
+    (cosine DESC, nid ASC), mutuality via the canonical pair key —
+    for both the nprobe-selective and the exhaustive graphs."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_lists):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([float(x) / n for x in v])
+
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    sim_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS list_id, ("
+        + " + ".join(
+            f"(e[{i + 1}] / nrm) * {c[i]!r}" for i in range(dim)
+        )
+        + ") AS sim FROM b"
+        for j, c in enumerate(cents)
+    )
+    cos = " + ".join(
+        f"(q.e[{i + 1}] / q.nrm) * (c.e[{i + 1}] / c.nrm)"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), sims AS (
+  {sim_selects}
+), asn AS (
+  SELECT vec_id, list_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) = 1
+), probes AS (
+  SELECT vec_id AS qid, list_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) <= {nprobe}
+), sel_top1 AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM probes p
+  JOIN asn a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+  JOIN b q ON q.vec_id = p.qid
+  JOIN b c ON c.vec_id = a.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY p.qid ORDER BY ({cos}) DESC, a.vec_id) = 1
+), sel_pairs AS (
+  SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b
+  FROM sel_top1 GROUP BY 1, 2 HAVING count(*) = 2
+), bf_top1 AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid
+  FROM b q JOIN b c ON q.vec_id <> c.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY ({cos}) DESC, c.vec_id) = 1
+), exact_pairs AS (
+  SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b
+  FROM bf_top1 GROUP BY 1, 2 HAVING count(*) = 2
+)
+SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+       (SELECT count(*) FROM sel_pairs) AS n_selective,
+       (SELECT count(*) FROM exact_pairs e
+        JOIN sel_pairs s ON e.id_a = s.id_a AND e.id_b = s.id_b)
+         AS n_common,
+       round((SELECT count(*) FROM exact_pairs e
+              JOIN sel_pairs s ON e.id_a = s.id_a AND e.id_b = s.id_b)
+             / CAST((SELECT count(*) FROM exact_pairs) AS DOUBLE), 4)
+         AS recall
+"""
+
+
+SQL_MUTUAL_KNN_RECALL = _mutual_knn_recall_oracle_sql()
 
 
 def q_basket_rules(spark, sf_dir):
@@ -10028,6 +10151,7 @@ QUERIES: dict[str, QuerySpec] = {
     "source_concentration": q_source_concentration,
     "doc_keywords": q_doc_keywords,
     "mutual_knn": q_mutual_knn,
+    "mutual_knn_recall": q_mutual_knn_recall,
     "basket_rules": q_basket_rules,
     "minhash_pr_curve": q_minhash_pr_curve,
     "scd2_intervals": q_scd2_intervals,
@@ -10245,6 +10369,7 @@ ORACLES: dict[str, str] = {
     "source_concentration": SQL_SOURCE_CONCENTRATION,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "mutual_knn": SQL_MUTUAL_KNN,
+    "mutual_knn_recall": SQL_MUTUAL_KNN_RECALL,
     "basket_rules": SQL_BASKET_RULES,
     "minhash_pr_curve": SQL_MINHASH_PR_CURVE,
     "scd2_intervals": SQL_SCD2_INTERVALS,

@@ -139,6 +139,13 @@ def time_weighted_avg(
     contributes no weight (a key with one event has no defined TWA →
     NULL, never a division blow-up).
 
+    NULL-valued observations are NOT observations under LOCF: they are
+    dropped BEFORE the lead window, so the prior value's interval
+    extends across the gap (true carry-forward). Including them would
+    add their interval to the denominator while contributing nothing
+    to the numerator — a silently deflated average (ADVICE r5).
+    ``n_obs`` therefore counts non-NULL observations.
+
     Scale shape: one ``lead`` window per key (the same shuffle a
     groupBy would pay) + one hash aggregation.
 
@@ -147,7 +154,9 @@ def time_weighted_avg(
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     nxt = F.lead(ts_col).over(w)
     dur = F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
-    staged = df.withColumn("_dur_us", dur)
+    staged = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_dur_us", dur
+    )
     return (
         staged.groupBy(*key_cols)
         .agg(

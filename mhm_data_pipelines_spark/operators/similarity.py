@@ -91,7 +91,8 @@ def brute_force_topk_pairs_blas(
     import numpy as np
     import pandas as pd
 
-    qids = [int(q[0]) for q in query_vecs]
+    qids = [q[0] for q in query_vecs]
+    qid_type = "string" if isinstance(qids[0], str) else "long"
     qmat = np.array([q[1] for q in query_vecs], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = math.inf  # zero queries match nothing
@@ -119,8 +120,12 @@ def brute_force_topk_pairs_blas(
                 )
             yield pd.concat(out, ignore_index=True)
 
+    # id types follow the inputs (ADVICE r5): corpus ids from the frame
+    # schema, query ids from the literal tuples — a string-keyed corpus
+    # must not be cast through long.
+    id_type = corpus.schema[id_col].dataType.simpleString()
     partial = corpus.select(id_col, vec_col).mapInPandas(
-        run, schema=f"query_id long, {id_col} long, cosine double"
+        run, schema=f"query_id {qid_type}, {id_col} {id_type}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -1245,6 +1250,88 @@ def hard_negatives(
     )
 
 
+def _round_half_up(x: float, q: int) -> float:
+    """Replicate Spark's ``F.round`` on doubles (BigDecimal HALF_UP over
+    the shortest decimal representation) so driver-side greedy rounds
+    land on the identical values the distributed path produces."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-q), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product — the exact IEEE add sequence of
+    ``functions.vectors.dot`` (F.aggregate over zip_with), so driver
+    cosines are bit-identical to the codegen'd expression path."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm(a: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _mmr_greedy_driver(
+    rows, lam: float, k: int, quantize: int
+) -> list[tuple]:
+    """Driver-side greedy MMR over an already-collected candidate pool:
+    bit-for-bit the same picks as the distributed per-round path, via
+    left-fold cosines (same IEEE sequence as the Column expressions)
+    and HALF_UP per-round quantization (same as F.round). Incremental
+    max-sim update — each round scores every live candidate against
+    only the NEWEST pick, so total work is O(|pool| * k * dim)."""
+    olam = 1.0 - lam
+    cands = [
+        (r["_id"], [float(x) for x in r["_v"]], float(r["_rel"]))
+        for r in rows
+    ]
+    norms = [_fold_norm(v) for _, v, _ in cands]
+    maxsim = [float("-inf")] * len(cands)
+    alive = [True] * len(cands)
+    picks: list[tuple] = []
+    for rnd in range(1, k + 1):
+        best = None
+        for i, (cid, _v, rel) in enumerate(cands):
+            if not alive[i]:
+                continue
+            if rnd == 1:
+                score = rel
+            else:
+                score = _round_half_up(
+                    lam * rel - olam * maxsim[i], quantize
+                )
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        if best is None:
+            break
+        _, bi, bscore = best
+        bid, bvec, _ = cands[bi]
+        picks.append((bid, rnd, float(bscore)))
+        alive[bi] = False
+        bnorm = norms[bi]
+        for i, (_cid, v, _rel) in enumerate(cands):
+            if not alive[i]:
+                continue
+            denom = norms[i] * bnorm
+            if denom > 0:
+                s = _fold_dot(v, bvec) / denom
+                if s > maxsim[i]:
+                    maxsim[i] = s
+    return picks
+
+
 def mmr_select(
     corpus: DataFrame,
     query_vec: list[float],
@@ -1253,6 +1340,7 @@ def mmr_select(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quantize: int = 7,
+    pool: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein,
     SIGIR'98): greedily pick ``k`` items maximizing
@@ -1262,15 +1350,24 @@ def mmr_select(
     — the standard diversity-aware sampler for eval-set construction
     and "relevant but not redundant" few-shot pools.
 
-    Scale shape: greedy MMR is inherently ``k`` sequential rounds, but
-    each round is ONE map-only corpus pass — the query vector and the
-    (at most k) already-selected vectors ride into the plan as literal
-    arrays, so the per-row work is k+1 codegen'd cosine folds with NO
-    join and NO shuffle; the per-round argmax is a TakeOrdered(1).
-    Driver traffic is bounded by contract: k rows total (the picks),
-    each carrying one embedding. Relevance is computed once and the
-    frame lazily localCheckpoint'ed so round j does not replay rounds
-    1..j-1's filters over the raw scan lineage.
+    Scale shape — TWO paths:
+
+    * ``pool=M`` (production): ONE distributed relevance pass, then a
+      ``TakeOrdered(M)`` candidate pool (rerank-top-M MMR, the standard
+      industrial shape) collected to the driver — bounded by contract:
+      M rows × dim doubles, keep M ≲ 100k — where the greedy loop runs
+      in-process with incremental max-sim updates (O(M·k·dim) scalar
+      work, zero further cluster jobs). Corpus passes: exactly 1.
+      When ``M ≥ |corpus|`` the result is bit-identical to the exact
+      path (left-fold cosines + HALF_UP rounds replicate the Column
+      arithmetic — asserted in tests); when M < |corpus| it is MMR over
+      the top-M relevance pool.
+    * ``pool=None`` (exact): ``k`` sequential rounds, each ONE map-only
+      corpus pass — query and selected vectors ride in as literal
+      arrays, per-row work is k+1 codegen'd cosine folds, NO join, NO
+      shuffle, TakeOrdered(1) argmax per round; driver traffic k rows.
+      Relevance is computed once and lazily localCheckpoint'ed so round
+      j does not replay rounds 1..j-1's filters over the scan lineage.
 
     Cross-engine determinism: relevance and every round's score are
     QUANTIZED to ``quantize`` decimals before the argmax, ties broken
@@ -1285,16 +1382,26 @@ def mmr_select(
         raise ValueError(f"lam must be in (0,1], got {lam}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pick_order int, score double"
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    rel = (
-        corpus.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            F.round(cosine(F.col(vec_col), q), quantize).alias("_rel"),
+    rel_expr = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.round(cosine(F.col(vec_col), q), quantize).alias("_rel"),
+    ).filter(F.col("_rel").isNotNull())
+    if pool is not None:
+        if pool < k:
+            raise ValueError(f"pool must be >= k, got {pool} < {k}")
+        rows = (
+            rel_expr.orderBy(F.desc("_rel"), F.col("_id"))
+            .limit(pool)
+            .collect()  # bounded by contract: pool rows × dim doubles
         )
-        .filter(F.col("_rel").isNotNull())
-        .localCheckpoint(eager=False)
-    )
+        picks = _mmr_greedy_driver(rows, lam, k, quantize)
+        return spark.createDataFrame(picks, schema=out_schema)
+    rel = rel_expr.localCheckpoint(eager=False)
     olam = 1.0 - lam
     picks: list[tuple] = []
     sel_vecs: list[list[float]] = []
@@ -1323,11 +1430,7 @@ def mmr_select(
         picks.append((row["_id"], rnd, float(row["_score"])))
         sel_vecs.append([float(x) for x in row["_v"]])
         remaining = remaining.filter(F.col("_id") != F.lit(row["_id"]))
-    spark = corpus.sparkSession
-    out = spark.createDataFrame(
-        picks, schema=f"{id_col} long, pick_order int, score double"
-    )
-    return out
+    return spark.createDataFrame(picks, schema=out_schema)
 
 
 def mutual_nearest_pairs(
@@ -1344,10 +1447,18 @@ def mutual_nearest_pairs(
     precursor), duplicate confirmation, and contrastive positives
     that are safe to trust without a threshold.
 
-    Built on :func:`knn_graph` at k=1 (exhaustive probing when
-    ``nprobe`` covers all lists makes the top-1 provably exact); the
-    mutuality check is one self-equi-join of the N-row top-1 table on
-    the canonical (min, max) pair key — nothing quadratic anywhere.
+    Built on :func:`knn_graph` at k=1; the mutuality check is one
+    self-equi-join of the N-row top-1 table on the canonical
+    (min, max) pair key — nothing quadratic anywhere.
+
+    ``nprobe`` defaults to ``min(8, len(centroids))`` — SELECTIVE
+    probing, the production plan: every vector scores against its 8
+    nearest lists only, so work scales with ``n x avg_list_size x
+    nprobe``, not ``n^2``. Pass ``nprobe=len(centroids)`` for the
+    provably-exact exhaustive graph (that IS brute force in BLAS —
+    only worth it for oracles and recall certification; the
+    ``mutual_knn_recall`` registry query measures what the selective
+    default gives up, the same pattern as ``ivf_recall``).
 
     Returns ``(id_a, id_b, cosine)``.
     """
@@ -1355,7 +1466,7 @@ def mutual_nearest_pairs(
         corpus,
         centroids,
         k=1,
-        nprobe=nprobe if nprobe is not None else len(centroids),
+        nprobe=nprobe if nprobe is not None else min(8, len(centroids)),
         vec_col=vec_col,
         id_col=id_col,
         blas=blas,

@@ -263,10 +263,11 @@ NOTES = {
         "item) equi-join + hash agg - no per-depth re-scan."
     ),
     "mmr_diverse": (
-        "greedy MMR: k map-only corpus passes with literal query + "
-        "selected vectors (codegen cosine folds, no join/shuffle); "
-        "argmax is TakeOrdered(1); driver traffic = k pick rows by "
-        "contract."
+        "pooled MMR: ONE distributed relevance pass -> TakeOrdered "
+        "candidate pool (4096) -> driver greedy with bit-identical "
+        "left-fold cosines + HALF_UP rounds; corpus passes = 1, "
+        "driver traffic = pool rows by contract (exact per-round "
+        "path remains behind pool=None)."
     ),
     "grouped_folds": (
         "leakage-safe k-fold: fold id is a pure md5 projection of the "
@@ -344,8 +345,16 @@ NOTES = {
     ),
     "mutual_knn": (
         "reciprocal best match: exhaustive-probe IVF top-1 (provably "
-        "exact) + ONE canonical-pair self-agg keeping count=2 groups "
-        "- mutuality without a second corpus pass."
+        "exact - the oracle row; production default is selective "
+        "nprobe=8, certified by mutual_knn_recall) + ONE canonical-"
+        "pair self-agg keeping count=2 groups - mutuality without a "
+        "second corpus pass."
+    ),
+    "mutual_knn_recall": (
+        "recall certification for the SELECTIVE mutual-kNN default: "
+        "nprobe=2-of-8 seeded lists vs the exhaustive graph; two "
+        "cogrouped top-1 passes + pair-recall join + 1-row summary - "
+        "the evidence the n x list x nprobe plan keeps the pairs."
     ),
     "basket_rules": (
         "association rules: DISTINCT + basket-size cap bound the "

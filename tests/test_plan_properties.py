@@ -105,6 +105,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "join_preflight",     # three crossJoin(broadcast(1-row summary aggs))
     "kaplan_meier",       # crossJoin(broadcast(global max-ts cutoff)) —
                           # 1 row (activity_spans' censoring boundary)
+    "mutual_knn_recall",  # crossJoin(broadcast(1-row selective-pair
+                          # count)) onto the 1-row recall summary
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
@@ -436,6 +438,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # mutual_knn: exhaustive-probe top-1 cogroup + the canonical-pair
     # mutuality agg + display sort.
     "mutual_knn": {"max_shuffles": 6},
+    # mutual_knn_recall: TWO top-1 graphs (selective + exhaustive ref)
+    # each a cogroup + mutuality agg, the pair-recall join, and two
+    # 1-row summary aggs joined scalar-style.
+    "mutual_knn_recall": {"max_shuffles": 14},
     # basket_rules: distinct + cap-join feed a lazily-checkpointed
     # frame; pair self-join + pair agg + marginal joins + bounded sort.
     "basket_rules": {"max_shuffles": 6},

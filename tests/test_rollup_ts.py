@@ -95,3 +95,32 @@ def test_time_weighted_avg_locf(spark):
     assert got[1].twa == (10.0 * 60 + 20.0 * 180) / 240
     assert got[1].span_seconds == 240.0
     assert got[2].twa is None and got[2].n_obs == 1
+
+
+def test_time_weighted_avg_null_values_carry_forward(spark):
+    """A NULL value is not an observation: the prior value's interval
+    extends across the gap (true LOCF), instead of the NULL interval
+    deflating the average by padding only the denominator (ADVICE r5)."""
+    import datetime
+
+    from mhm_data_pipelines_spark.operators.rollup_ts import (
+        time_weighted_avg,
+    )
+
+    t = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # 10 holds 10:00->10:03 (NULL at 10:01 ignored; carry across),
+        # 20 holds 10:03->10:04 -> twa = (10*180 + 20*60) / 240
+        (1, t("2024-01-01 10:00:00"), 10.0),
+        (1, t("2024-01-01 10:01:00"), None),
+        (1, t("2024-01-01 10:03:00"), 20.0),
+        (1, t("2024-01-01 10:04:00"), 99.0),  # final: no interval
+        # a key whose only rows are NULL-valued vanishes entirely
+        (2, t("2024-01-01 10:00:00"), None),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    got = {r.k: r for r in time_weighted_avg(df, ["k"]).collect()}
+    assert got[1].twa == (10.0 * 180 + 20.0 * 60) / 240
+    assert got[1].n_obs == 3  # non-NULL observations only
+    assert got[1].span_seconds == 240.0
+    assert 2 not in got

@@ -590,6 +590,81 @@ def test_mmr_validates(spark):
         mmr_select(df, [1.0, 0.0], k=0)
     with _pt.raises(ValueError):
         mmr_select(df, [1.0, 0.0], lam=0.0)
+    with _pt.raises(ValueError):
+        mmr_select(df, [1.0, 0.0], k=4, pool=2)  # pool < k
+
+
+def test_mmr_pooled_identical_to_exact_when_pool_covers_corpus(spark):
+    """The driver-greedy pooled path must be BIT-identical to the
+    per-round distributed path when pool >= |corpus| — same picks,
+    same pick_order, same quantized scores (left-fold cosines +
+    HALF_UP rounds replicate the Column arithmetic exactly)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(60)
+    ]
+    # plant near-duplicates so the redundancy penalty actually bites
+    rows += [
+        (100 + i, [x + rng.gauss(0.0, 0.01) for x in rows[i][1]])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [rng.gauss(0.0, 1.0) for _ in range(16)]
+    for lam in (0.5, 0.7):
+        exact = [
+            (r["vec_id"], r["pick_order"], r["score"])
+            for r in mmr_select(df, qv, k=10, lam=lam).collect()
+        ]
+        pooled = [
+            (r["vec_id"], r["pick_order"], r["score"])
+            for r in mmr_select(df, qv, k=10, lam=lam, pool=1000).collect()
+        ]
+        assert pooled == exact
+
+
+def test_mmr_pooled_restricts_to_top_pool_relevance(spark):
+    df = _mmr_corpus(spark)
+    # pool=2 keeps only the top-2 relevance candidates (ids 2, then
+    # the rel-tie 1 vs 3 broken by id asc -> 1); greedy over {2, 1}
+    out = mmr_select(df, _MMR_Q, k=2, lam=0.5, pool=2).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["pick_order"])]
+    assert order == [2, 1]
+
+
+def test_mmr_string_ids(spark):
+    """Schema follows the corpus id type (ADVICE r5) — string-keyed
+    corpora must not be cast through long."""
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("b", [0.999, 0.0447, 0.0]),
+        ("c", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    for pl in (None, 10):
+        out = mmr_select(
+            df, _MMR_Q, k=2, lam=0.5, vec_col="embedding",
+            id_col="doc_id", pool=pl,
+        )
+        assert dict(out.dtypes)["doc_id"] == "string"
+        got = [r["doc_id"] for r in out.orderBy("pick_order").collect()]
+        assert got == ["b", "c"]
+
+
+def test_blas_topk_pairs_string_ids(spark):
+    from mhm_data_pipelines_spark.operators.similarity import (
+        brute_force_topk_pairs_blas,
+    )
+
+    rows = [("x", [1.0, 0.0]), ("y", [0.0, 1.0]), ("z", [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    out = brute_force_topk_pairs_blas(
+        df, [(7, [1.0, 0.0])], k=2, id_col="doc_id"
+    )
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = [r["doc_id"] for r in out.orderBy(F.desc("cosine")).collect()]
+    assert got == ["x", "z"]
 
 
 # ---------------------------------------------------------- mutual top-1
@@ -619,3 +694,31 @@ def test_mutual_nearest_pairs_hand(spark):
     got = {(r["id_a"], r["id_b"])
            for r in mutual_nearest_pairs(df, cents).collect()}
     assert got == {(1, 2), (3, 4)}
+
+
+def test_mutual_nearest_pairs_selective_default(spark):
+    """Production default is SELECTIVE probing (min(8, n_lists)) —
+    with > 8 lists the default must not probe them all, and the
+    explicit exhaustive call remains the exact reference."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        (j, [rng.gauss(0.0, 1.0) for _ in range(8)]) for j in range(12)
+    ]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_nearest_pairs(df, cents, nprobe=12).collect()
+    }
+    sel = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_nearest_pairs(df, cents).collect()  # nprobe=8
+    }
+    assert exact  # the reference graph found mutual pairs
+    # selective recall on this easy random corpus should be high (most
+    # top-1s live within the 8 nearest of 12 lists)
+    assert len(exact & sel) / len(exact) >= 0.6
