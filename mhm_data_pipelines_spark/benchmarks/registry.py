@@ -5453,6 +5453,59 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_doc_kn_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (Chen & Goodman eq.
+    4.25) — the smoothed scorer CCNet-style perplexity filtering
+    actually uses, replacing the MLE stand-ins: discounted bigram mass
+    interpolated with continuation probability, every term a closed-
+    form count. ONE corpus pass trains the count tables (explode + a
+    single (w1,w2) hash agg; marginals re-aggregate the vocabulary-
+    sized count table), scoring joins them back AQE-sized; only the
+    1-row bigram-type total broadcasts (operators/lm.py
+    kn_bigram_doc_scores)."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        kn_bigram_doc_scores,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    tk = df.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("tk")
+    )
+    return kn_bigram_doc_scores(tk).orderBy("doc_id")
+
+
+SQL_DOC_KN_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+), bf AS (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1,
+         CAST(count(*) AS DOUBLE) AS n1r
+  FROM bf GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS n1l FROM bf GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM bf
+), sc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(ln(
+           greatest(c12 - 0.75, 0) / c1
+           + 0.75 * n1r / c1 * (n1l / b)
+         )), 4) AS avg_logp
+  FROM big JOIN bf USING (w1, w2) JOIN ctx USING (w1)
+       JOIN cont USING (w2), tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+FROM sc ORDER BY doc_id
+"""
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -6534,33 +6587,34 @@ SQL_HYBRID_RRF = _hybrid_rrf_oracle_sql()
 
 def q_ppl_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: per-language head/middle/tail
-    terciles of the unigram-LM mean token log-probability (high
-    log-prob = low perplexity = head; CCNet trains on the head band).
-    The score pipeline is doc_lm_score's (already oracle-certified);
-    the band assignment is quantile_bucket_assign — one threshold
-    aggregate + broadcast join + row-local CASE, no ntile window, so
-    boundary ties band identically in every engine."""
+    terciles of the smoothed-LM mean log-probability (high log-prob =
+    low perplexity = head; CCNet trains on the head band). The score
+    is now the interpolated Kneser-Ney bigram model (doc_kn_lm's
+    pipeline, operators/lm.py — replacing the round-5 unigram MLE
+    stand-in per VERDICT r5 #5); the band assignment is
+    quantile_bucket_assign — one threshold aggregate + broadcast join
+    + row-local CASE, no ntile window, so boundary ties band
+    identically in every engine. Docs with < 2 tokens have no bigram
+    score and no band, by contract."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        kn_bigram_doc_scores,
+    )
     from mhm_data_pipelines_spark.operators.selection import (
         quantile_bucket_assign,
     )
 
     df = _t(spark, sf_dir, "documents")
-    toks = df.select(
-        "doc_id",
-        "lang",
-        F.explode(F.transform(tokens("text"), F.lower)).alias("term"),
+    tk = df.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("tk")
     )
-    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").cast("double").alias("_total"))
+    # Lazily checkpoint the doc-count-sized score table: its two
+    # consumers (the lang-threshold aggregate and the band join) must
+    # reuse ONE scoring pass, not replan the explode/agg subtree each.
     scored = (
-        toks.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.avg(F.log(F.col("c") / F.col("_total"))), 4
-            ).alias("avg_logp")
-        )
+        kn_bigram_doc_scores(tk)
+        .join(df.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "avg_logp")
+        .localCheckpoint(eager=False)
     )
     out = quantile_bucket_assign(scored, "avg_logp", "lang")
     return out.select("doc_id", "lang", "avg_logp", "bucket").orderBy(
@@ -6570,26 +6624,45 @@ def q_ppl_buckets(spark, sf_dir):
 
 SQL_PPL_BUCKETS = f"""
 WITH toks AS (
-  SELECT doc_id, lang, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents
-),
-freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
-total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
-sc AS (
-  SELECT doc_id, lang, round(avg(ln(c / t)), 4) AS avg_logp
-  FROM toks JOIN freq USING (term), total
-  GROUP BY doc_id, lang
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+), bf AS (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1,
+         CAST(count(*) AS DOUBLE) AS n1r
+  FROM bf GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS n1l FROM bf GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM bf
+), sc AS (
+  SELECT doc_id,
+         round(avg(ln(
+           greatest(c12 - 0.75, 0) / c1
+           + 0.75 * n1r / c1 * (n1l / b)
+         )), 4) AS avg_logp
+  FROM big JOIN bf USING (w1, w2) JOIN ctx USING (w1)
+       JOIN cont USING (w2), tot
+  GROUP BY doc_id
+), scl AS (
+  SELECT sc.doc_id, d.lang, sc.avg_logp
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
 ),
 th AS (
   SELECT lang,
          quantile_cont(avg_logp, {1.0 / 3!r}) AS q0,
          quantile_cont(avg_logp, {2.0 / 3!r}) AS q1
-  FROM sc GROUP BY lang
+  FROM scl GROUP BY lang
 )
 SELECT doc_id, lang, avg_logp,
        CASE WHEN avg_logp <= q0 THEN 'tail'
             WHEN avg_logp <= q1 THEN 'middle'
             ELSE 'head' END AS bucket
-FROM sc JOIN th USING (lang)
+FROM scl JOIN th USING (lang)
 ORDER BY doc_id
 """
 
@@ -10169,6 +10242,7 @@ QUERIES: dict[str, QuerySpec] = {
     "heavy_hitters": q_heavy_hitters,
     "profile_table": q_profile_table,
     "doc_bigram_lm": q_doc_bigram_lm,
+    "doc_kn_lm": q_doc_kn_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -10386,6 +10460,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "profile_table": SQL_PROFILE_TABLE,
     "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
+    "doc_kn_lm": SQL_DOC_KN_LM,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the

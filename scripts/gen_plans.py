@@ -34,10 +34,19 @@ NOTES = {
         "2x20 rows."
     ),
     "ppl_buckets": (
-        "CCNet buckets: doc_lm_score's explode/agg subtree + ONE "
-        "lang-threshold hash-aggregate whose scalars broadcast back; "
-        "band assignment is a row-local CASE - deliberately no ntile "
-        "window, so no per-language global sort."
+        "CCNet buckets: the Kneser-Ney bigram score pipeline (one "
+        "explode + (w1,w2) agg, marginals re-aggregate the count "
+        "table) + ONE lang-threshold hash-aggregate whose scalars "
+        "broadcast back; band assignment is a row-local CASE - "
+        "deliberately no ntile window, so no per-language global sort."
+    ),
+    "doc_kn_lm": (
+        "interpolated Kneser-Ney bigram LM: ONE corpus explode + one "
+        "(w1,w2) hash agg; context/continuation/type-total marginals "
+        "re-aggregate the VOCAB-sized count table (never the corpus); "
+        "scoring joins back AQE-sized, only the 1-row B total "
+        "broadcasts; smoothing is closed-form counts, so the DuckDB "
+        "twin replays it value-for-value."
     ),
     "embedding_covariance": (
         "PCA moment pass: ZERO parquet scans in the combine plan - the "

@@ -1,0 +1,118 @@
+"""Interpolated Kneser-Ney bigram LM: hand-computed probabilities,
+probability-mass sanity, held-out OOV smoothing, degenerate docs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.lm import (
+    kn_bigram_counts,
+    kn_bigram_doc_scores,
+)
+
+# train corpus: bigrams (a,b):2, (b,a):1, (a,c):1 -> B = 3 types
+# context a: c1=3, N1+(a *)=2; b: c1=1, N1+(b *)=1
+# continuation N1+(* b)=1, N1+(* a)=1, N1+(* c)=1
+_TRAIN = [
+    ("d1", ["a", "b", "a", "b"]),
+    ("d2", ["a", "c"]),
+]
+# D=0.75:
+# P(b|a) = 1.25/3 + 0.75*2/3 * 1/3 = 0.5833333...
+# P(a|b) = 0.25/1 + 0.75*1/1 * 1/3 = 0.5
+# P(c|a) = 0.25/3 + 0.75*2/3 * 1/3 = 0.25
+_P_BA = 1.25 / 3 + 0.75 * 2 / 3 * (1 / 3)
+_P_AB = 0.25 + 0.75 * (1 / 3)
+_P_CA = 0.25 / 3 + 0.75 * 2 / 3 * (1 / 3)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tk array<string>")
+
+
+def test_kn_counts(spark):
+    c = kn_bigram_counts(_df(spark, _TRAIN))
+    big = {(r["w1"], r["w2"]): r["c12"] for r in c["bigram"].collect()}
+    assert big == {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    ctx = {r["w1"]: (r["c1"], r["n1r"]) for r in c["context"].collect()}
+    assert ctx == {"a": (3.0, 2.0), "b": (1.0, 1.0)}
+    cont = {r["w2"]: r["n1l"] for r in c["continuation"].collect()}
+    assert cont == {"a": 1.0, "b": 1.0, "c": 1.0}
+    assert c["total"].collect()[0]["_b"] == 3.0
+
+
+def test_kn_self_scored_hand_values(spark):
+    df = _df(spark, _TRAIN)
+    got = {r["doc_id"]: r for r in kn_bigram_doc_scores(df).collect()}
+    m1 = (2 * math.log(_P_BA) + math.log(_P_AB)) / 3
+    assert got["d1"]["n_bigrams"] == 3
+    assert got["d1"]["avg_logp"] == pytest.approx(round(m1, 4))
+    assert got["d1"]["ppl"] == pytest.approx(
+        round(math.exp(-round(m1, 4)), 4)
+    )
+    # d2 = ["a", "c"]: exactly one bigram (a, c)
+    assert got["d2"]["n_bigrams"] == 1
+    assert got["d2"]["avg_logp"] == pytest.approx(round(math.log(_P_CA), 4))
+
+
+def test_kn_probability_mass_sums_to_one(spark):
+    """For a known context, P_KN over the full vocabulary must sum to
+    exactly 1 — the defining property MLE-with-fallback hacks violate."""
+    # P(a|a) = 0 + 0.75*2/3 * 1/3 (unseen bigram, known context)
+    p_aa = 0.75 * 2 / 3 * (1 / 3)
+    assert _P_BA + _P_CA + p_aa == pytest.approx(1.0)
+
+
+def test_kn_held_out_oov_paths(spark):
+    """Unseen bigram -> continuation mass; unknown context -> P_cont;
+    unknown continuation -> D/B floor. All finite, all positive."""
+    train = _df(spark, _TRAIN)
+    held = _df(
+        spark,
+        [
+            ("h1", ["a", "z"]),  # known ctx, unseen bigram+cont: 0.5 * D/B
+            ("h2", ["z", "b"]),  # unknown ctx: P_cont(b) = 1/3
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in kn_bigram_doc_scores(held, train=train).collect()
+    }
+    p_h1 = (0.75 * 2 / 3) * (0.75 / 3)
+    assert got["h1"]["avg_logp"] == pytest.approx(round(math.log(p_h1), 4))
+    assert got["h2"]["avg_logp"] == pytest.approx(
+        round(math.log(1 / 3), 4)
+    )
+
+
+def test_kn_degenerate_docs_dropped_and_validation(spark):
+    df = _df(spark, _TRAIN + [("e1", []), ("e2", ["solo"])])
+    out = kn_bigram_doc_scores(df)
+    assert {r["doc_id"] for r in out.collect()} == {"d1", "d2"}
+    with pytest.raises(ValueError):
+        kn_bigram_doc_scores(df, discount=1.0)
+
+
+def test_kn_lower_ppl_for_in_distribution_text(spark):
+    """The whole point of the filter: text made of corpus-frequent
+    bigrams scores lower perplexity than shuffled/rare text."""
+    import random
+
+    rng = random.Random(5)
+    common = ["the", "cat", "sat", "on", "the", "mat"]
+    train = [
+        (f"t{i}", common * 3) for i in range(10)
+    ] + [(f"r{i}", [f"w{rng.randrange(50)}" for _ in range(12)]) for i in range(10)]
+    df = _df(spark, train)
+    score = _df(
+        spark,
+        [
+            ("fluent", ["the", "cat", "sat", "on", "the", "mat"]),
+            ("gibberish", ["mat", "the", "on", "cat", "w3", "w44"]),
+        ],
+    )
+    got = {r["doc_id"]: r["ppl"] for r in kn_bigram_doc_scores(score, train=df).collect()}
+    assert got["fluent"] < got["gibberish"]

@@ -75,7 +75,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # list_id
     "bm25_topk",          # crossJoin(broadcast(N docs + avgdl)) — 1 row
     "hybrid_rrf",         # contains bm25_topk's 1-row stats cross
-    "ppl_buckets",        # crossJoin(broadcast(corpus token total)) — 1 row
+    "ppl_buckets",        # crossJoin(broadcast(bigram-type total)) — 1 row
+    "doc_kn_lm",          # crossJoin(broadcast(bigram-type total)) — 1 row
     "embedding_covariance",  # crossJoin(broadcast(vector count n)) — 1 row
     "skew_report",        # crossJoin(broadcast(mean/total per column)) —
                           # one 1-row scalar frame per report column
@@ -258,7 +259,11 @@ PLAN_BUDGETS: dict[str, dict] = {
     # combine aggs + metadata-sized joins + display sort — the plan
     # must show ZERO parquet scans (partials reused, never re-scanned).
     "hybrid_rrf": {"max_shuffles": 5, "require": ["BroadcastHashJoin"]},
-    "ppl_buckets": {"max_shuffles": 10, "require": ["BroadcastHashJoin"]},
+    "ppl_buckets": {"max_shuffles": 14, "require": ["BroadcastHashJoin"]},
+    # doc_kn_lm: explode + (w1,w2) agg + three marginal re-aggs of the
+    # count table + AQE-sized joins back + the per-doc agg + display
+    # sort (subtrees planned per consumer as in ppl_buckets).
+    "doc_kn_lm": {"max_shuffles": 12, "require": ["BroadcastHashJoin"]},
     "embedding_covariance": {"max_shuffles": 5},
     # sft_stats is from_json + higher-order array exprs, all row-local:
     # the display sort is the ONLY Exchange.
