@@ -10478,185 +10478,96 @@ GATE_PRIORITY: list[str] = [
     "tpch_q1",
     "overview_stats",
     "summary_assembly",
-    # -- round 5 rotation, per the documented policy (canaries first,
+    # -- round 6 rotation, per the documented policy (canaries first,
     #    then never-driver-verified keys, then definitions touched since
     #    their last green row, then single-green keeps; multi-round-green
     #    unchanged keys rotate out first and stay covered by
     #    tests/test_oracle_parity.py every CI run).
     #
-    # Rotated out this round (r5, all green with definitions
-    # unchanged, still hash-checked every CI run by
-    # test_oracle_parity.py): ann_recall + multiprobe_recall (the
-    # recall-cert family keeps ivf_recall), c4_filter_stats (keeps
-    # gopher_quality), paragraph_dedup (keeps span/sentence dedup),
-    # semantic_dedup (keeps semantic_decontam), temperature_mix
-    # (sampling keeps curriculum_order), dsir_weights (keeps
-    # quality_classifier), profile_table (exercised transitively by
-    # profile_drift's two profile passes).
-    # never-driver-verified: the r4 stragglers (landed after the final
-    # r4 rotation — VERDICT r4 next-step #1) + this round's new ops.
-    "doc_entropy",
-    "compression_ratio",  # upgraded rows-only -> full invariant oracle
-    "audio_features",
-    "url_filter",
-    "quantile_select",
-    "hybrid_rrf",
-    "ppl_buckets",
-    "embedding_covariance",
-    "sft_stats",
-    "unicode_normalize",
-    "source_overlap",
-    "phrase_search",
-    "skew_report",
-    "profile_drift",
-    "preference_pairs",
-    "preference_all_pairs",
-    "embedding_outliers",
-    "line_boilerplate",
-    "content_manifest",
-    "hard_negatives",
-    "split_leakage",
-    "curriculum_order",
-    "length_buckets",
-    "source_divergence",
-    "script_profile",
-    "stream_manifest",
-    "shard_plan",
-    "impute_values",
-    "wordlist_screen",
-    "mix_solver",
-    "event_funnel",
-    "cohort_retention",
-    "conversation_windows",
-    "join_preflight",
-    "ohlc_hourly",
-    "time_weighted",
-    "hist_quantile_rollup",
-    "kaplan_meier",
-    "ewma_smooth",
-    "cusum_detect",
-    "prefix_jaccard",
-    "containment_pairs",
-    "bradley_terry",
-    "triangle_count",
-    "pmi_collocations",
-    "rater_agreement",
-    "clustering_coeff",
-    # sorted_neighborhood (and any further r5 additions) landed after
-    # the 50-slot window filled — local-oracle-green, hash-checked by
-    # test_oracle_parity.py every CI run, FIRST candidates for the r6
-    # rotation (same situation as r4's doc_entropy/compression_ratio/
-    # audio_features stragglers, closed in r5).
-    # (end of round-5 rotation — new keys above, re-gated keys below)
-    # re-verify: definitions touched in round 5 (LSH persist removal,
-    # builder resource tracking/_scratch, split_quarantine guard,
-    # kNN boundary-tie widen, budget sort-order/parallelism
-    # portability, staging default_parallelism).
-    # minhash_neardup rotates out for rater_agreement — with both
-    # hash-family reps now out, the r5 persist-lifecycle removal in
-    # dedup.py rests on its direct unpersist assertions in
-    # test_dedup.py plus the CI oracle hash checks; the minhash family
-    # has driver-green rows in r2/r3/r4 with values unchanged.
-    # minhash_exact_pairs rotates out for hist_quantile_rollup (the
-    # minhash family keeps three re-gated reps: minhash_neardup,
-    # minhash_incremental, stream_neardup).
-    # minhash_incremental rotates out for prefix_jaccard — its r5
-    # touch (persist-lifecycle removal in dedup.py) stays re-gated by
-    # minhash_neardup + simhash_neardup in the window, the unpersist
-    # contract is asserted directly in test_dedup.py, and the
-    # incremental path stays hash-checked by test_oracle_parity.py
-    # every CI run.
-    # simhash_neardup rotates out for bradley_terry — its r5 touch is
-    # the same persist-lifecycle removal re-gated by minhash_neardup
-    # (which stays), the unpersist contract is asserted directly in
-    # test_dedup.py for both hash families, and the query stays
-    # hash-checked by test_oracle_parity.py every CI run.
-    # stream_neardup rotates out for kaplan_meier — the r5-touched LSH
-    # persist-lifecycle path it re-gated for is the same dedup.py code
-    # exercised by the two minhash reps that stay in the window; still
-    # hash-checked by test_oracle_parity.py every CI run.
-    # jsonl_roundtrip rotates out for triangle_count — its r5 touch
-    # (split_quarantine missing-column guard) has targeted unit tests
-    # in test_jsonl.py, the _scratch/resource-tracked path stays gated
-    # by stream_manifest (in-window), and the query stays hash-checked
-    # by test_oracle_parity.py every CI run.
-    # stream_sketch_rollup rotates out for containment_pairs — its r5
-    # touch (_scratch/resource-tracked tmpdirs) stays re-gated by
-    # jsonl_roundtrip and the new stream_manifest key (both in-window
-    # _scratch users); the sketch family keeps hist_quantile_rollup
-    # (mergeable-partial rollup) in the window and the HLL tier stays
-    # hash-checked by test_oracle_parity.py every CI run.
-    # staging_mirror rotates out for ohlc_hourly (r4-green; the r5
-    # default_parallelism touch is covered by its targeted tests +
-    # the CI oracle suite).
-    # heatmap_render rotates out for time_weighted (r4-green with a
-    # pixel-level oracle, definition unchanged, CI-checked).
-    # knn_graph rotates out for clustering_coeff — its r5 boundary-
-    # tie widen has a dedicated regression test (test_similarity.py)
-    # and the query stays hash-checked by test_oracle_parity.py every
-    # CI run; knn_graph is r4-driver-green.
-    # token_budget_select rotates out for pmi_collocations — its r5
-    # touch (portable (col, asc) sort-order API + parallelism fallback)
-    # is pinned by targeted unit tests (test_packing.py) and the
-    # two-phase prefix-sum query stays hash-checked by
-    # test_oracle_parity.py every CI run.
-    # single-green keeps: every remaining key whose ONLY driver-green
-    # row is r4 (warm tripwires; 31 slots). Rotated out this round:
-    # stateful_sessions_stream (green r2+r4), llm_dataset_build
-    # (r3+r4), doc_winnowing, winnow_overlap and doc_fingerprints
-    # (r4-green, definitions unchanged since) — all still hash-checked
-    # by test_oracle_parity.py every CI run.
-    # ivf_recall rotates out for ewma_smooth (single-green r4,
-    # definition unchanged; the IVF recall-certification path stays
-    # hash-checked by test_oracle_parity.py every CI run).
-    # bm25_topk rotates out for source_divergence (hybrid_rrf in the
-    # window contains the full bm25 scoring path).
-    # bpe_pairs rotates out for join_preflight (r4-green, unchanged;
-    # BPE stays CI-hash-checked incl. the bpe_encode composition).
-    # heavy_hitters rotates out for profile_drift (the sketch family
-    # keeps stream_sketch_rollup in the window).
-    # doc_bigram_lm rotates out for script_profile (the LM-score
-    # family keeps ppl_buckets, which contains doc_lm_score).
-    # gopher_quality rotates out for shard_plan (the quality-rule
-    # family keeps quantile_select + ppl_buckets in the window).
-    # dup_spans rotates out for impute_values (span family r4-green,
-    # definitions unchanged, CI-hash-checked every run).
-    # span_dedup rotates out for length_buckets (the span family
-    # keeps dup_spans in the window).
-    # pq_topk rotates out for skew_report (the PQ family keeps
-    # ivfpq_topk in the window).
-    # ivfpq_topk rotates out for wordlist_screen (ivf_recall keeps
-    # the IVF family gated; the PQ composition is r4-green, unchanged).
-    # quality_classifier rotates out for mix_solver (exercised
-    # transitively by quantile_select's classifier-score composition).
-    # bpe_encode rotates out for phrase_search (the BPE family keeps
-    # bpe_pairs in the window).
-    # neardup_clusters rotates out for event_funnel (r4-green,
-    # unchanged; CC also exercised via semantic_dedup, CI-checked).
-    # event_pagerank rotates out for stream_manifest (the graph
-    # family keeps neardup_clusters in the window).
-    # fuzzy_pairs rotates out for cusum_detect (single-green r4,
-    # definition unchanged since its green row; still hash-checked by
-    # test_oracle_parity.py every CI run).
-    # semantic_decontam rotates out for conversation_windows
-    # (r4-green, unchanged; the embedding-decontam path shares its
-    # verified blocked-join machinery with decontamination, which
-    # stays CI-hash-checked).
-    # snapshot_diff, variant_extract, hll_user_rollup, neardup_pagerank,
-    # sentence_dedup and weighted_sample (single-green
-    # r4, definitions unchanged) rotate out to make room for this
-    # round's six new never-driver-verified keys above; the HLL family
-    # keeps stream_sketch_rollup, the PageRank family keeps
-    # event_pagerank, the unit-dedup family keeps paragraph_dedup and
-    # the sampling family keeps temperature_mix in the window, and all
-    # six stay hash-checked by test_oracle_parity.py every CI run.
-    # winnow_overlap re-enters (definition changed this round: df-cap
-    # scale fix), displacing simhash_groups (single-green r4, but its
-    # family keeps simhash_neardup as a fresh re-gated row; still
-    # hash-checked by test_oracle_parity.py).
-    # winnow_overlap rotates out for cohort_retention (re-gated and
-    # green in the r4-era local suite after the df-cap fix; still
-    # hash-checked by test_oracle_parity.py every CI run).
+    # never-driver-verified (VERDICT r5 "What's missing" #1): the 25
+    # r5 keys that landed after the 50-slot r5 window filled — all
+    # local-oracle-green since they landed, now driver-gated.
+    "mix_apply",
+    "sorted_neighborhood",
+    "score_correlation",
+    "ranking_overlap",
+    "mmr_diverse",           # also r6-touched: pooled driver path
+    "grouped_folds",
+    "calibration_report",
+    "robust_outliers",
+    "novelty_scores",
+    "embargo_split",
+    "benford_digits",
+    "ks_drift",
+    "mwu_shift",
+    "chi2_assoc",
+    "orc_roundtrip",
+    "stream_dim_join",
+    "embedding_whitening",
+    "source_concentration",
+    "doc_keywords",
+    "mutual_knn",            # also r6-touched: explicit exhaustive nprobe
+    "basket_rules",
+    "minhash_pr_curve",
+    "scd2_intervals",
+    "subject_erasure",       # also r6-touched: escaping/NULL/key-move fixes
+    "ab_ztest",
+    # new in round 6:
+    "mutual_knn_recall",     # selective-nprobe certification (VERDICT #3)
+    "doc_kn_lm",             # Kneser-Ney LM scorer (VERDICT #5)
+    # re-verify: definitions touched in round 6.
+    "ppl_buckets",           # input switched from unigram MLE to KN score
+    "time_weighted",         # NULL-value LOCF fix (ADVICE r5)
+    # single-green keeps (warm tripwires whose only driver-green row is
+    # r5), one per family where the family has no other in-window rep:
+    "audio_features",        # multimodal (decode/feature family)
+    "sft_stats",             # conversations/preferences
+    "unicode_normalize",     # Arrow NFC path
+    "profile_drift",         # profiling (contains two profile passes)
+    "content_manifest",      # manifest family
+    "line_boilerplate",      # CCNet line-removal
+    "impute_values",         # repair
+    "event_funnel",          # sequential-ts
+    "kaplan_meier",          # survival
+    "cusum_detect",          # change detection (ewma family twin out)
+    "bradley_terry",         # paired-comparison MM (driver/dist paths)
+    "triangle_count",        # graph (wedge machinery; coeff twin out)
+    "prefix_jaccard",        # set-similarity join (PPJoin)
+    "shard_plan",            # packing/layout prefix sums
+    "rater_agreement",       # agreement (kappa)
+    "join_preflight",        # join-planning ops
+    "hybrid_rrf",            # retrieval (contains full bm25 path)
+    "skew_report",           # skew ops
+    # Rotated out this round (all r5-driver-green with definitions
+    # unchanged since, all still hash-checked every CI run by
+    # test_oracle_parity.py; family rep noted):
+    #   doc_entropy, compression_ratio, url_filter, script_profile,
+    #     wordlist_screen, source_divergence, source_overlap (text-
+    #     quality family keeps ppl_buckets + doc_kn_lm + line_
+    #     boilerplate; concentration family keeps source_concentration)
+    #   quantile_select, curriculum_order (selection family keeps
+    #     calibration_report)
+    #   embedding_covariance (PCA family keeps embedding_whitening,
+    #     which consumes the covariance moment pass)
+    #   phrase_search, pmi_collocations (retrieval keeps hybrid_rrf +
+    #     doc_keywords)
+    #   preference_pairs, preference_all_pairs, conversation_windows
+    #     (conversations family keeps sft_stats)
+    #   embedding_outliers, hard_negatives (embedding-analysis family
+    #     keeps mmr_diverse + mutual_knn + mutual_knn_recall)
+    #   split_leakage (decontam family keeps novelty_scores)
+    #   length_buckets (packing family keeps shard_plan)
+    #   stream_manifest (manifest keeps content_manifest; streaming
+    #     keeps stream_dim_join)
+    #   mix_solver (mix family keeps mix_apply)
+    #   cohort_retention (sequential family keeps event_funnel)
+    #   ohlc_hourly, hist_quantile_rollup (rollup family keeps the
+    #     re-gated time_weighted)
+    #   ewma_smooth (smoothing family keeps cusum_detect)
+    #   containment_pairs (setjoin family keeps prefix_jaccard)
+    #   clustering_coeff (graph family keeps triangle_count)
+    # (end of round-6 rotation; the full r5 window text is in git
+    # history at tag-commit f2027c3 for the policy audit.)
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
