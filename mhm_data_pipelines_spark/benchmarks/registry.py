@@ -9719,6 +9719,87 @@ SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
 SQL_MUTUAL_KNN_RECALL = _mutual_knn_recall_oracle_sql()
 
 
+def q_mutual_knn_selective(spark, sf_dir):
+    """The PRODUCTION mutual-kNN plan: selective probing (nprobe=2 of
+    8 seeded lists) — the shape that runs at 100 TB, where work is
+    n x list_size x nprobe, never n^2. This key carries the bench +
+    sf1-probe evidence for the selective default (the exhaustive
+    mutual_knn row certifies exactness; mutual_knn_recall certifies
+    what selectivity gives up). Full-value oracle: the seeded
+    centroids regenerate in SQL, so the DuckDB twin replays the
+    probe-restricted top-1 graph float-for-float."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = mutual_nearest_pairs(df, _ivf_seeded_centroids(), nprobe=2)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def _mutual_knn_selective_oracle_sql(
+    dim: int = 64, n_lists: int = 8, nprobe: int = 2, seed: int = 7
+) -> str:
+    """DuckDB twin of q_mutual_knn_selective: the sel_pairs branch of
+    _mutual_knn_recall_oracle_sql, keeping the pair cosine."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_lists):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([float(x) / n for x in v])
+
+    sq = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    sim_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS list_id, ("
+        + " + ".join(
+            f"(e[{i + 1}] / nrm) * {c[i]!r}" for i in range(dim)
+        )
+        + ") AS sim FROM b"
+        for j, c in enumerate(cents)
+    )
+    cos = " + ".join(
+        f"(q.e[{i + 1}] / q.nrm) * (c.e[{i + 1}] / c.nrm)"
+        for i in range(dim)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, sqrt({sq}) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), sims AS (
+  {sim_selects}
+), asn AS (
+  SELECT vec_id, list_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) = 1
+), probes AS (
+  SELECT vec_id AS qid, list_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) <= {nprobe}
+), sel_top1 AS (
+  SELECT p.qid, a.vec_id AS nid, ({cos}) AS cos
+  FROM probes p
+  JOIN asn a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+  JOIN b q ON q.vec_id = p.qid
+  JOIN b c ON c.vec_id = a.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY p.qid ORDER BY ({cos}) DESC, a.vec_id) = 1
+)
+SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b,
+       round(any_value(cos), 4) AS cosine
+FROM sel_top1 GROUP BY 1, 2 HAVING count(*) = 2
+ORDER BY id_a, id_b
+"""
+
+
+SQL_MUTUAL_KNN_SELECTIVE = _mutual_knn_selective_oracle_sql()
+
+
 def q_basket_rules(spark, sf_dir):
     """Market-basket association rules over lineitem (parts
     co-purchased per order): one DISTINCT + basket-capped self-join
@@ -10225,6 +10306,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_keywords": q_doc_keywords,
     "mutual_knn": q_mutual_knn,
     "mutual_knn_recall": q_mutual_knn_recall,
+    "mutual_knn_selective": q_mutual_knn_selective,
     "basket_rules": q_basket_rules,
     "minhash_pr_curve": q_minhash_pr_curve,
     "scd2_intervals": q_scd2_intervals,
@@ -10444,6 +10526,7 @@ ORACLES: dict[str, str] = {
     "doc_keywords": SQL_DOC_KEYWORDS,
     "mutual_knn": SQL_MUTUAL_KNN,
     "mutual_knn_recall": SQL_MUTUAL_KNN_RECALL,
+    "mutual_knn_selective": SQL_MUTUAL_KNN_SELECTIVE,
     "basket_rules": SQL_BASKET_RULES,
     "minhash_pr_curve": SQL_MINHASH_PR_CURVE,
     "scd2_intervals": SQL_SCD2_INTERVALS,
@@ -10514,6 +10597,7 @@ GATE_PRIORITY: list[str] = [
     "ab_ztest",
     # new in round 6:
     "mutual_knn_recall",     # selective-nprobe certification (VERDICT #3)
+    "mutual_knn_selective",  # the production selective plan itself
     "doc_kn_lm",             # Kneser-Ney LM scorer (VERDICT #5)
     # re-verify: definitions touched in round 6.
     "ppl_buckets",           # input switched from unigram MLE to KN score
@@ -10536,8 +10620,10 @@ GATE_PRIORITY: list[str] = [
     "shard_plan",            # packing/layout prefix sums
     "rater_agreement",       # agreement (kappa)
     "join_preflight",        # join-planning ops
-    "hybrid_rrf",            # retrieval (contains full bm25 path)
     "skew_report",           # skew ops
+    # hybrid_rrf yields its keep slot to mutual_knn_selective —
+    # retrieval keeps doc_keywords in-window; the full bm25 path
+    # stays hash-checked every CI run by test_oracle_parity.py.
     # Rotated out this round (all r5-driver-green with definitions
     # unchanged since, all still hash-checked every CI run by
     # test_oracle_parity.py; family rep noted):
@@ -10712,4 +10798,131 @@ BENCH_QUERIES: list[str] = [
     "scd2_intervals",
     "subject_erasure",
     "ab_ztest",
+    # round-6 additions: close the perf-evidence gap (VERDICT r5 #2) —
+    # every registry key now has a BENCH entry, an sf1 probe (see
+    # scripts/scale_probe.py HEAVY), or a one-line rationale in
+    # PERF_EVIDENCE_EXCLUSIONS below; tests/test_perf_evidence.py
+    # asserts the three-way cover is total.
+    "mutual_knn_selective",
+    "doc_kn_lm",
+    "doc_bigram_lm",
+    "doc_lm_score",
+    "doc_token_stats",
+    "vocab_stats",
+    "lang_id",
+    "bm25_topk",
+    "ivf_topk",
+    "lsh_topk",
+    "hll_user_rollup",
+    "embedding_quantize",
+    "embedding_neardup",
+    "embedding_outliers",
+    "chunk_documents",
+    "zorder_layout",
+    "span_dedup",
+    "dup_groups",
+    "stratified_counts",
+    "value_histogram",
+    "event_gaps",
+    "impute_values",
+    "mix_solver",
+    "mix_apply",
+    "wordlist_screen",
+    "length_buckets",
+    "shard_plan",
 ]
+
+
+#: One-line rationale for every registry key deliberately carrying
+#: NEITHER a bench entry nor an sf1 scale probe (VERDICT r5 #2: no
+#: silent perf-evidence gaps). tests/test_perf_evidence.py asserts
+#: BENCH ∪ PROBE ∪ this table covers the whole registry exactly.
+PERF_EVIDENCE_EXCLUSIONS: dict[str, str] = {
+    # TPC-H family twins: the benched 11-query subset exercises the
+    # same scan/join/agg machinery at identical scale; twins add wall
+    # time without new plan shapes.
+    "tpch_q4": "TPC-H twin of benched q1-q21 subset (semi-join agg)",
+    "tpch_q7": "TPC-H twin (2-nation join chain; q5/q8 benched)",
+    "tpch_q9": "TPC-H twin (part-like join fan; q8 benched)",
+    "tpch_q11": "TPC-H twin (scalar-threshold agg; q22 shape)",
+    "tpch_q12": "TPC-H twin (shipmode case-agg; q1 shape)",
+    "tpch_q14": "TPC-H twin (promo ratio; q6 shape)",
+    "tpch_q15": "TPC-H twin (max-revenue view; q2 scalar shape)",
+    "tpch_q16": "TPC-H twin (anti-join distinct agg; q21 shape)",
+    "tpch_q19": "TPC-H twin (disjunctive pushdown; q6 shape)",
+    "tpch_q20": "TPC-H twin (nested semi-joins; q21 benched)",
+    "tpch_q22": "TPC-H twin (anti-join + scalar avg; q21 benched)",
+    # Catalog/overview family twins of benched reps (overview_stats,
+    # feature_stats, monthly_activity, availability_pivot): sub-second
+    # single-agg shapes.
+    "daily_availability": "sub-second twin of benched monthly_activity",
+    "iso_week_activity": "sub-second twin of benched monthly_activity",
+    "date_ranges": "sub-second min/max agg; overview_stats benched",
+    "device_split": "sub-second filter-agg; overview_stats benched",
+    "distinct_measurements": "sub-second distinct agg; benched family",
+    "lineitem_unpivot": "stack/unpivot projection; feature_stats benched",
+    "missing_data": "dims-grid anti-join; availability_pivot benched",
+    "rollup_counts": "ROLLUP twin of benched summary_assembly",
+    "cube_counts": "CUBE twin of benched summary_assembly",
+    "grouping_sets": "GROUPING SETS twin of benched summary_assembly",
+    "users_except": "set-op twin; users_intersect same scan pair",
+    "users_intersect": "set-op twin of benched missing-data family",
+    "value_percentiles": "scalar percentile agg; value_histogram benched",
+    "top_terms_per_source": "per-group top-k window; doc_keywords benched",
+    "corpus_composition": "one hash agg; stratified_counts benched",
+    "source_mix": "one hash agg; stratified_counts benched",
+    "split_assignment": "hash-projection twin of benched grouped_folds",
+    "balanced_classes": "scalar-min downsample; stratified_counts benched",
+    "salted_agg_parity": "parity check of salting; skew_report benched",
+    # Correctness-certification queries: they CONTAIN a deliberate
+    # brute-force reference side, so a timing measures the reference,
+    # not a production plan (the certified production plans are
+    # benched: ivf_topk, lsh_topk, mutual_knn_selective, minhash_*).
+    "ann_recall": "cert query; brute-force reference side dominates",
+    "ivf_recall": "cert query; brute-force reference side dominates",
+    "multiprobe_recall": "cert query; brute-force side dominates",
+    "mutual_knn_recall": "cert query; exhaustive reference dominates",
+    "minhash_pr_curve": "cert query; exact pair-truth side is output-"
+    "bound on the pathologically self-similar synthetic corpus",
+    "prefix_jaccard": "output-bound at sf0.1 (~24% of doc pairs are "
+    "true >=80%-Jaccard matches); timing measures materialization",
+    "containment_pairs": "output-bound, same corpus pathology as "
+    "prefix_jaccard",
+    "unigram_jaccard_pairs": "bounded all-pairs demo; production path "
+    "is prefix_jaccard (gated) / minhash_neardup (probed)",
+    # Streaming drains: wall time is micro-batch trigger + checkpoint
+    # latency, not operator throughput; the stateful operators' cost
+    # model is covered by their batch twins (benched/probed).
+    "stateful_sessions_stream": "stream drain; batch twin benched",
+    "stream_dedup": "stream drain; dedup_exact_keep benched",
+    "stream_interval_join": "stream drain; interval join twin benched",
+    "stream_neardup": "stream drain; minhash_incremental benched",
+    "stream_sketch_rollup": "stream drain; hll_user_rollup benched",
+    "stream_manifest": "stream drain; content_manifest probed",
+    # Sink/build pipelines: dominated by file-write fan-out of the
+    # local filesystem, not by plan quality.
+    "heatmap_render": "renders+writes a PNG on build; pivot benched "
+    "via availability_pivot family",
+    "jsonl_roundtrip": "write+read roundtrip; IO-bound by design",
+    "staging_mirror": "distributed file copy; IO-bound by design",
+    "llm_dataset_build": "composite of benched stages (dedup, quality, "
+    "pack)",
+    "corpus_prep": "composite of benched stages",
+    # (orc_roundtrip carries an sf1 probe — no exclusion needed.)
+    # Multimodal: decode is a deterministic STUB in this container
+    # (real codecs absent) — a timing would measure the fake.
+    "binary_metadata": "metadata projection over stub binaries",
+    "multimodal_features": "stub decode; timing measures the fake",
+    "frame_samples": "stub frame sampler; timing measures the fake",
+    # Iterative graph/CC drains (execute on build): scaling evidence
+    # comes from their building blocks' probes.
+    "neardup_clusters": "iterative CC drain; minhash_neardup probed",
+    "neardup_dedup_keep": "CC + keep-rule; minhash_neardup probed",
+    "neardup_pagerank": "pagerank over CC edges; event_pagerank probed",
+    "semantic_dedup": "iterative CC drain; knn_graph probed",
+    # Family twins with a probed/benched representative.
+    "minhash_exact_pairs": "exact-verify twin of probed minhash_neardup",
+    "simhash_groups": "twin of probed simhash_neardup",
+    "doc_fingerprints": "winnowing family; winnow_overlap probed",
+    "approx_sketch_bounds": "bound-verify twin of benched hll_user_rollup",
+}

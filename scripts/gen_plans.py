@@ -359,6 +359,12 @@ NOTES = {
         "pair self-agg keeping count=2 groups - mutuality without a "
         "second corpus pass."
     ),
+    "mutual_knn_selective": (
+        "the production mutual-kNN plan: nprobe=2-of-8 selective "
+        "probing (work ~ n x list x nprobe), cogrouped BLAS top-1 + "
+        "canonical-pair mutuality agg; recall certified by "
+        "mutual_knn_recall, exactness reference gated by mutual_knn."
+    ),
     "mutual_knn_recall": (
         "recall certification for the SELECTIVE mutual-kNN default: "
         "nprobe=2-of-8 seeded lists vs the exhaustive graph; two "

@@ -47,6 +47,10 @@ HEAVY = [
     "embedding_whitening", "source_concentration", "doc_keywords",
     "mutual_knn", "basket_rules",
     "scd2_intervals", "subject_erasure", "ab_ztest",
+    # round-6: the production selective mutual-kNN plan (the key whose
+    # sf1 ratio should fall from mutual_knn's exhaustive 9.16x toward
+    # linear) + the KN LM corpus pass.
+    "mutual_knn_selective", "doc_kn_lm",
 ]
 
 

@@ -443,6 +443,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # mutual_knn: exhaustive-probe top-1 cogroup + the canonical-pair
     # mutuality agg + display sort.
     "mutual_knn": {"max_shuffles": 6},
+    # mutual_knn_selective: selective-probe top-1 cogroup + the
+    # canonical-pair mutuality agg + display sort (mutual_knn's shape
+    # with the probe join restricted to nprobe lists).
+    "mutual_knn_selective": {"max_shuffles": 6},
     # mutual_knn_recall: TWO top-1 graphs (selective + exhaustive ref)
     # each a cogroup + mutuality agg, the pair-recall join, and two
     # 1-row summary aggs joined scalar-style.
