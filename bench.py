@@ -81,6 +81,20 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence the benign heartbeat-accumulator race: DAGScheduler logs
+    # a full ERROR stack trace ("Failed to update accumulator") when an
+    # executor heartbeat loses the race with task completion. It burned
+    # the harness's byte-limited stderr tail in BENCH_r05 (VERDICT r5
+    # nit #3). FATAL keeps genuinely fatal scheduler output visible;
+    # correctness is unaffected (the accumulators are metrics-only).
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # connect-mode / no py4j: keep default levels
 
     # Warm the JVM + file listing so per-query numbers measure the query,
     # not session startup: one trivial scan (codegen bootstrap) and one

@@ -73,6 +73,15 @@ def main() -> None:
         if len(base) > 3:
             base[len(base) // 2] = "mutated"
         texts[i] = " ".join(base)
+    # Degenerate rows (VERDICT r5 #7): empty / whitespace-only /
+    # single-token / pathological-repetition documents, so the probe
+    # corpus exercises the edge contracts the unit tests pin (the r4
+    # entropy bug was latent only because no fixture had empty docs).
+    # Replacements, not additions — N_DOCS stays stable for ratios.
+    texts[int(idx[-1])] = ""
+    texts[int(idx[-2])] = "   "
+    texts[int(idx[-3])] = "solo"
+    texts[int(idx[-4])] = "dup dup dup dup dup dup dup dup"
     tbl = pa.table(
         {
             "doc_id": pa.array(range(N_DOCS), pa.int64()),
@@ -99,6 +108,9 @@ def main() -> None:
     labels = rng.integers(0, n_labels, N_VECS)
     vecs = centers[labels] + 0.3 * rng.normal(size=(N_VECS, dim))
     vecs = vecs.astype(np.float32)
+    # Degenerate rows: zero-norm vectors must flow through the NULL-
+    # cosine contract (never divide-by-zero) at probe scale too.
+    vecs[-3:] = 0.0
     tbl = pa.table(
         {
             "vec_id": pa.array(range(N_VECS), pa.int64()),
@@ -120,17 +132,25 @@ def main() -> None:
     ts = t0 + rng.integers(0, 90 * 86_400_000_000, N_EVENTS).astype(
         "timedelta64[us]"
     )
+    user_ids = rng.integers(0, n_users * 10, N_EVENTS)
+    # Degenerate rows: single-event users (no defined TWA/gap/session
+    # successor) and NULL values (LOCF must carry across, never deflate
+    # the average — ADVICE r5 rollup_ts fix).
+    for j in range(5):
+        user_ids[j] = n_users * 10 + 1 + j  # ids used exactly once
+    values = rng.normal(50, 20, N_EVENTS).astype(object)
+    null_at = rng.choice(N_EVENTS, size=N_EVENTS // 1000, replace=False)
+    for j in null_at:
+        values[j] = None
     tbl = pa.table(
         {
             "event_id": pa.array(range(N_EVENTS), pa.int64()),
             "ts": pa.array(np.sort(ts)),
-            "user_id": pa.array(
-                rng.integers(0, n_users * 10, N_EVENTS), pa.int64()
-            ),
+            "user_id": pa.array(user_ids, pa.int64()),
             "event_type": pa.array(
                 [types[i] for i in rng.integers(0, len(types), N_EVENTS)]
             ),
-            "value": pa.array(rng.normal(50, 20, N_EVENTS)),
+            "value": pa.array(values.tolist(), pa.float64()),
             "props": pa.array(["{}"] * N_EVENTS),
         }
     )
