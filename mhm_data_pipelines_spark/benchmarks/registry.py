@@ -5506,6 +5506,79 @@ FROM sc ORDER BY doc_id
 """
 
 
+def q_doc_sb_lm(spark, sf_dir):
+    """Trigram Stupid-Backoff scoring (Brants 2007) on a HELD-OUT
+    split — train on even doc_ids, score the odd ones, so the full
+    backoff chain (trigram -> a*bigram -> a^2*unigram -> OOV floor)
+    exercises for real instead of degenerating to MLE. Three map-side
+    explode+agg passes over one tokenization build vocab-sized count
+    tables; scoring joins them back AQE-sized (the bigram table twice:
+    context + backoff); only the 1-row token total broadcasts
+    (operators/lm.py sb_trigram_doc_scores)."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        sb_trigram_doc_scores,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    tk = df.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("tk")
+    )
+    train = tk.filter(F.col("doc_id") % 2 == 0)
+    score = tk.filter(F.col("doc_id") % 2 == 1)
+    return sb_trigram_doc_scores(score, train=train).orderBy("doc_id")
+
+
+SQL_DOC_SB_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), tr AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 0
+), sdocs AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 1
+), tri AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         count(*) AS c123
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3 GROUP BY 1, 2, 3
+), big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c12
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2 GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni
+), stream AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+  FROM sdocs, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3
+), sc AS (
+  SELECT doc_id, count(*) AS n_trigrams,
+         round(avg(ln(
+           CASE WHEN tri.c123 IS NOT NULL THEN tri.c123 / ctx.c12
+                WHEN b23.c23 IS NOT NULL THEN 0.4 * b23.c23 / u2.c2
+                ELSE 0.4 * 0.4
+                     * coalesce(CAST(u3.c3 AS DOUBLE), 1.0) / tot.n
+           END)), 4) AS avg_logs
+  FROM stream
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN (SELECT w1 AS a1, w2 AS a2, c12 FROM big) ctx
+    ON stream.w1 = ctx.a1 AND stream.w2 = ctx.a2
+  LEFT JOIN (SELECT w1 AS b2, w2 AS b3, c12 AS c23 FROM big) b23
+    ON stream.w2 = b23.b2 AND stream.w3 = b23.b3
+  LEFT JOIN (SELECT w AS w2u, c1 AS c2 FROM uni) u2
+    ON stream.w2 = u2.w2u
+  LEFT JOIN (SELECT w AS w3u, c1 AS c3 FROM uni) u3
+    ON stream.w3 = u3.w3u,
+  tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams, avg_logs, round(exp(-avg_logs), 4) AS ppl
+FROM sc ORDER BY doc_id
+"""
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -10325,6 +10398,7 @@ QUERIES: dict[str, QuerySpec] = {
     "profile_table": q_profile_table,
     "doc_bigram_lm": q_doc_bigram_lm,
     "doc_kn_lm": q_doc_kn_lm,
+    "doc_sb_lm": q_doc_sb_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -10544,6 +10618,7 @@ ORACLES: dict[str, str] = {
     "profile_table": SQL_PROFILE_TABLE,
     "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
     "doc_kn_lm": SQL_DOC_KN_LM,
+    "doc_sb_lm": SQL_DOC_SB_LM,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -10599,6 +10674,7 @@ GATE_PRIORITY: list[str] = [
     "mutual_knn_recall",     # selective-nprobe certification (VERDICT #3)
     "mutual_knn_selective",  # the production selective plan itself
     "doc_kn_lm",             # Kneser-Ney LM scorer (VERDICT #5)
+    "doc_sb_lm",             # trigram Stupid-Backoff, held-out split
     # re-verify: definitions touched in round 6.
     "ppl_buckets",           # input switched from unigram MLE to KN score
     "time_weighted",         # NULL-value LOCF fix (ADVICE r5)
@@ -10619,8 +10695,10 @@ GATE_PRIORITY: list[str] = [
     "prefix_jaccard",        # set-similarity join (PPJoin)
     "shard_plan",            # packing/layout prefix sums
     "rater_agreement",       # agreement (kappa)
-    "join_preflight",        # join-planning ops
-    "skew_report",           # skew ops
+    "skew_report",           # skew/join ops (join_preflight's twin)
+    # join_preflight yields its keep slot to doc_sb_lm — the ops-
+    # hygiene family keeps skew_report in-window; join_preflight is
+    # r5-driver-green, unchanged, CI-hash-checked every run.
     # hybrid_rrf yields its keep slot to mutual_knn_selective —
     # retrieval keeps doc_keywords in-window; the full bm25 path
     # stays hash-checked every CI run by test_oracle_parity.py.
@@ -10805,6 +10883,7 @@ BENCH_QUERIES: list[str] = [
     # asserts the three-way cover is total.
     "mutual_knn_selective",
     "doc_kn_lm",
+    "doc_sb_lm",
     "doc_bigram_lm",
     "doc_lm_score",
     "doc_token_stats",

@@ -1,4 +1,5 @@
-"""Smoothed n-gram language-model scoring (interpolated Kneser-Ney).
+"""Smoothed n-gram language-model scoring: interpolated Kneser-Ney
+(bigram) and trigram Stupid Backoff.
 
 The CCNet pipeline (Wenzek et al. 2020) filters web text by perplexity
 under a smoothed 5-gram KenLM (Heafield 2011); the repo's earlier
@@ -36,18 +37,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bigrams(df: DataFrame, id_cols: list[str], tokens_col: str) -> DataFrame:
-    """Explode a token-array column to (id_cols..., w1, w2) bigram rows
-    (documents with < 2 tokens contribute none)."""
-    bg = F.expr(
-        f"transform(sequence(0, size({tokens_col}) - 2), "
-        f"i -> struct({tokens_col}[i] AS w1, {tokens_col}[i + 1] AS w2))"
+def _ngrams(
+    df: DataFrame, id_cols: list[str], tokens_col: str, n: int
+) -> DataFrame:
+    """Explode a token-array column to (id_cols..., w1..wn) n-gram rows
+    (documents with < n tokens contribute none). Map-side only."""
+    fields = ", ".join(
+        f"{tokens_col}[i + {j}] AS w{j + 1}" for j in range(n)
+    )
+    ng = F.expr(
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> struct({fields}))"
     )
     return (
-        df.filter(F.size(tokens_col) >= 2)
-        .select(*id_cols, F.explode(bg).alias("_bg"))
-        .select(*id_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        df.filter(F.size(tokens_col) >= n)
+        .select(*id_cols, F.explode(ng).alias("_ng"))
+        .select(
+            *id_cols,
+            *[F.col(f"_ng.w{j + 1}").alias(f"w{j + 1}") for j in range(n)],
+        )
     )
+
+
+def _bigrams(df: DataFrame, id_cols: list[str], tokens_col: str) -> DataFrame:
+    return _ngrams(df, id_cols, tokens_col, 2)
 
 
 def kn_bigram_counts(train: DataFrame, tokens_col: str = "tk") -> dict:
@@ -136,4 +149,114 @@ def kn_bigram_doc_scores(
         "n_bigrams",
         "avg_logp",
         F.round(F.exp(-F.col("avg_logp")), quantize).alias("ppl"),
+    )
+
+
+def sb_trigram_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tk",
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+    quantize: int = 4,
+) -> DataFrame:
+    """Per-document trigram Stupid-Backoff score (Brants et al. 2007,
+    "Large Language Models in Machine Translation"): the web-scale
+    scorer that skips discount bookkeeping entirely —
+
+        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)        if the trigram exists
+                      = a * S(w3 | w2)              else
+        S(w3 | w2)    = c(w2w3) / c(w2)             if the bigram exists
+                      = a * S(w3)                   else
+        S(w3)         = c(w3) / N, OOV floor 1 / N
+
+    with a = 0.4 as published. Not a probability (doesn't normalize)
+    — by design; at Google scale the ranking quality matched KN while
+    training stayed embarrassingly parallel, which is exactly the
+    100 TB argument. A trigram that occurred implies its context
+    bigram occurred (prefix containment), so each branch's denominator
+    is always defined.
+
+    ``train`` defaults to ``docs``; pass a disjoint split to exercise
+    the backoff chain for real (self-scoring always hits the trigram
+    branch). Returns ``(id_col, n_trigrams, avg_logs, ppl)`` —
+    ``avg_logs`` the mean natural-log score rounded to ``quantize``,
+    ``ppl`` = exp(-avg_logs) of the rounded mean (deterministic pair,
+    as in :func:`kn_bigram_doc_scores`). Docs with < 3 tokens are
+    absent by contract.
+
+    Scale shape: three map-side explode+agg passes over ONE cached
+    tokenization build the trigram/bigram/unigram count tables (each
+    vocab-sized); scoring joins them back AQE-sized (the bigram table
+    joins twice: context (w1,w2) and backoff (w2,w3)); only the 1-row
+    token total broadcasts. No Python in the row loop.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    tr = train if train is not None else docs
+    tri = _ngrams(tr, [], tokens_col, 3).groupBy("w1", "w2", "w3").agg(
+        F.count("*").alias("c123")
+    )
+    big = _ngrams(tr, [], tokens_col, 2).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    uni = (
+        tr.select(F.explode(tokens_col).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("_n"))
+    a = F.lit(float(alpha))
+    stream = _ngrams(docs, [id_col], tokens_col, 3)
+    ctx = big.select(
+        F.col("w1").alias("_c1"), F.col("w2").alias("_c2"),
+        F.col("c12").alias("c12_ctx"),
+    )
+    b23 = big.select(
+        F.col("w1").alias("_b2"), F.col("w2").alias("_b3"),
+        F.col("c12").alias("c23"),
+    )
+    u2 = uni.select(F.col("w").alias("_u2"), F.col("c1").alias("c2"))
+    u3 = uni.select(F.col("w").alias("_u3"), F.col("c1").alias("c3"))
+    s = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123") / F.col("c12_ctx"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            a * F.col("c23") / F.col("c2"),
+        )
+        .otherwise(
+            a * a * F.coalesce(F.col("c3").cast("double"), F.lit(1.0))
+            / F.col("_n")
+        )
+    )
+    scored = (
+        stream.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            ctx,
+            (F.col("w1") == F.col("_c1")) & (F.col("w2") == F.col("_c2")),
+            "left",
+        )
+        .join(
+            b23,
+            (F.col("w2") == F.col("_b2")) & (F.col("w3") == F.col("_b3")),
+            "left",
+        )
+        .join(u2, F.col("w2") == F.col("_u2"), "left")
+        .join(u3, F.col("w3") == F.col("_u3"), "left")
+        .crossJoin(F.broadcast(total))  # 1-row scalar
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_trigrams"), F.avg(F.log(s)).alias("_m"))
+    )
+    return scored.select(
+        id_col,
+        "n_trigrams",
+        F.round("_m", quantize).alias("avg_logs"),
+    ).select(
+        id_col,
+        "n_trigrams",
+        "avg_logs",
+        F.round(F.exp(-F.col("avg_logs")), quantize).alias("ppl"),
     )

@@ -40,6 +40,13 @@ NOTES = {
         "broadcast back; band assignment is a row-local CASE - "
         "deliberately no ntile window, so no per-language global sort."
     ),
+    "doc_sb_lm": (
+        "trigram Stupid Backoff on a held-out split: three map-side "
+        "explode+agg count passes (tri/big/uni, each vocab-sized) + "
+        "five AQE-sized joins onto the scored trigram stream (bigram "
+        "table twice: context + backoff); only the 1-row token total "
+        "broadcasts; no discount bookkeeping - the web-scale scorer."
+    ),
     "doc_kn_lm": (
         "interpolated Kneser-Ney bigram LM: ONE corpus explode + one "
         "(w1,w2) hash agg; context/continuation/type-total marginals "

@@ -96,6 +96,62 @@ def test_kn_degenerate_docs_dropped_and_validation(spark):
         kn_bigram_doc_scores(df, discount=1.0)
 
 
+def test_sb_trigram_branches_hand_values(spark):
+    """Every Stupid-Backoff branch with hand-computed scores.
+    train counts: tri (a,b,a):1 (b,a,b):1; big (a,b):2 (b,a):1 (a,c):1;
+    uni a:3 b:2 c:1; N=6."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        sb_trigram_doc_scores,
+    )
+
+    train = _df(spark, _TRAIN)
+    held = _df(
+        spark,
+        [
+            ("t1", ["b", "a", "b"]),   # trigram branch: 1 / c(b,a)=1
+            ("t2", ["a", "b", "a"]),   # trigram branch: 1 / c(a,b)=2
+            ("t3", ["x", "a", "b"]),   # bigram backoff: .4 * 2/3
+            ("t4", ["a", "b", "c"]),   # unigram backoff: .16 * 1/6
+            ("t5", ["x", "y", "z"]),   # OOV floor: .16 * 1/6
+            ("t6", ["a", "b"]),        # < 3 tokens: dropped
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sb_trigram_doc_scores(held, train=train).collect()
+    }
+    assert "t6" not in got
+    assert got["t1"]["avg_logs"] == pytest.approx(round(math.log(1.0), 4))
+    assert got["t2"]["avg_logs"] == pytest.approx(round(math.log(0.5), 4))
+    assert got["t3"]["avg_logs"] == pytest.approx(
+        round(math.log(0.4 * 2 / 3), 4)
+    )
+    assert got["t4"]["avg_logs"] == pytest.approx(
+        round(math.log(0.4 * 0.4 * 1 / 6), 4)
+    )
+    assert got["t5"]["avg_logs"] == pytest.approx(
+        round(math.log(0.4 * 0.4 * 1.0 / 6), 4)
+    )
+    assert got["t1"]["n_trigrams"] == 1
+    with pytest.raises(ValueError):
+        sb_trigram_doc_scores(held, train=train, alpha=1.0)
+
+
+def test_sb_self_scored_is_mle_trigram(spark):
+    """Self-scoring always hits the trigram branch (prefix
+    containment), so scores reduce to MLE trigram conditionals."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        sb_trigram_doc_scores,
+    )
+
+    df = _df(spark, [("d1", ["a", "b", "a", "b"])])
+    got = {r["doc_id"]: r for r in sb_trigram_doc_scores(df).collect()}
+    # trigrams (a,b,a): 1/c(a,b)=1/2... c(a,b)=2 within d1;
+    # (b,a,b): 1/c(b,a)=1/1
+    want = (math.log(0.5) + math.log(1.0)) / 2
+    assert got["d1"]["avg_logs"] == pytest.approx(round(want, 4))
+
+
 def test_kn_lower_ppl_for_in_distribution_text(spark):
     """The whole point of the filter: text made of corpus-frequent
     bigrams scores lower perplexity than shuffled/rare text."""
