@@ -28,7 +28,7 @@ from mhm_data_pipelines_spark.functions.text import (
     fingerprint,
     word_ngrams,
 )
-from mhm_data_pipelines_spark.functions.vectors import cosine, normalize
+from mhm_data_pipelines_spark.functions.vectors import dot, normalize
 
 
 def exact_duplicates(
@@ -997,7 +997,11 @@ def embedding_near_duplicates(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    # Both sides are L2-normalized above, so cosine == dot: ONE 64-term
+    # fold per pair instead of cosine()'s three (dot + two norms of
+    # already-unit vectors) — the per-pair hot path is 3x lighter.
+    # Zero vectors normalize to NULL, so NULL-cosine semantics hold.
+    sim = dot(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, cond)
         .select(
