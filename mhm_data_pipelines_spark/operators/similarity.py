@@ -91,7 +91,16 @@ def brute_force_topk_pairs_blas(
     import numpy as np
     import pandas as pd
 
+    if not query_vecs:
+        raise ValueError("query_vecs must be non-empty")
     qids = [q[0] for q in query_vecs]
+    # the inferred Spark type applies to EVERY query id — a mixed
+    # str/int list would silently coerce through the first element's
+    # type (ADVICE r6), so reject heterogeneous ids outright.
+    if len({type(q) is str for q in qids}) > 1:
+        raise ValueError(
+            "query ids must be homogeneously str or int, got mixed types"
+        )
     qid_type = "string" if isinstance(qids[0], str) else "long"
     qmat = np.array([q[1] for q in query_vecs], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -1021,7 +1030,15 @@ def knn_graph(
     Each cogroup holds one list in memory: balance the quantizer (or
     sub-bucket hot lists) so a list fits an executor.
     """
-    base = df.select(F.col(id_col), normalize(vec_col).alias("v"))
+    # Zero-norm vectors normalize to NULL (the NULL-cosine contract:
+    # no direction → cosine undefined → matches nothing). Drop them
+    # HERE: downstream they would produce NULL-cosine pseudo-edges on
+    # the expression path and crash the BLAS cogroup's np.stack with a
+    # shape mismatch (None among the arrays) — found by the sf1
+    # degenerate-row probe fixtures.
+    base = df.select(F.col(id_col), normalize(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     data = base.withColumn(
         "list_id",
         F.greatest(*_centroid_sim_structs(centroids, F.col("v")))["list_id"],
@@ -1459,6 +1476,13 @@ def mutual_nearest_pairs(
     only worth it for oracles and recall certification; the
     ``mutual_knn_recall`` registry query measures what the selective
     default gives up, the same pattern as ``ivf_recall``).
+
+    .. versionchanged:: round 6
+       The default ``nprobe`` changed from exhaustive (provably exact)
+       to ``min(8, len(centroids))`` — callers relying on the old
+       default now get APPROXIMATE pairs (recall certified by
+       ``mutual_knn_recall``). Pass ``nprobe=len(centroids)``
+       explicitly to restore the exact behavior.
 
     Returns ``(id_a, id_b, cosine)``.
     """

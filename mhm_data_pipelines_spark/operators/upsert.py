@@ -81,30 +81,40 @@ def _isin_with_null(col: str, values) -> F.Column:
     return cond
 
 
-def _partition_value_str(value) -> str | None:
-    """Render a collected Python partition value the way Spark's writer
-    renders it into the directory name (``Cast`` to string semantics):
-    booleans lowercase, dates ISO, everything else ``str``."""
-    if value is None:
-        return None
-    if isinstance(value, bool):
-        return str(value).lower()
-    return str(value)
+def _touched_partition_strings(df: DataFrame, partition_col: str) -> dict:
+    """Distinct partition values of ``df`` mapped to their writer-exact
+    string rendering, collected in ONE bounded pass (one row per
+    partition). The rendering comes from Spark's own
+    ``Cast(partition_col AS string)`` — NOT Python ``str()``, which
+    diverges from Cast for timestamps with trailing-zero fractional
+    seconds (``...123000`` vs Spark's ``...123``) and doubles in
+    scientific notation (``1e+20`` vs ``1.0E20``); a diverging name
+    would publish a wrongly-named empty dir and let the real partition
+    (with the data that was supposed to be retired) survive the swap."""
+    rows = (
+        df.select(
+            F.col(partition_col).alias("v"),
+            F.col(partition_col).cast("string").alias("s"),
+        )
+        .distinct()
+        .collect()  # bounded: one row per touched partition
+    )
+    return {r["v"]: r["s"] for r in rows}
 
 
-def _partition_dir_names(spark, partition_col: str, values) -> list[str]:
-    """Map partition VALUES to the exact directory names Spark's writer
-    produces, using Spark's own escaping (``ExternalCatalogUtils``):
-    special chars become ``%XX`` and NULL/empty becomes
-    ``__HIVE_DEFAULT_PARTITION__``. Building names with a raw f-string
-    instead would publish a bogus unescaped dir and leave the real one
-    (with the data that was supposed to be retired) alive."""
+def _partition_dir_names(spark, partition_col: str, rendered) -> list[str]:
+    """Map Cast-rendered partition value strings (from
+    :func:`_touched_partition_strings`) to the exact directory names
+    Spark's writer produces, using Spark's own escaping
+    (``ExternalCatalogUtils``): special chars become ``%XX`` and
+    NULL/empty becomes ``__HIVE_DEFAULT_PARTITION__``. Building names
+    with a raw f-string instead would publish a bogus unescaped dir and
+    leave the real one alive."""
     utils = (
         spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     )
     return [
-        utils.getPartitionPathString(partition_col, _partition_value_str(v))
-        for v in values
+        utils.getPartitionPathString(partition_col, s) for s in rendered
     ]
 
 
@@ -175,22 +185,19 @@ def write_upsert_partitioned(
     (Delta/Iceberg) or an S3-committer-style manifest."""
     spark = updates.sparkSession
     _require_jvm(spark)
-    touched = {
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    }
+    touched = _touched_partition_strings(updates, partition_col)
     table = spark.read.parquet(base_path)
     if not static_partitions:
         key_cols = list(keys)
         upd_keys = updates.select(*key_cols).distinct()
-        touched |= {
-            r[0]
-            for r in table.join(F.broadcast(upd_keys), key_cols, "left_semi")
-            .select(partition_col)
-            .distinct()
-            .collect()  # bounded: one row per touched partition
-        }
-    touched = sorted(touched, key=lambda v: (v is None, str(v)))
-    base = table.filter(_isin_with_null(partition_col, touched))
+        touched.update(
+            _touched_partition_strings(
+                table.join(F.broadcast(upd_keys), key_cols, "left_semi"),
+                partition_col,
+            )
+        )
+    vals = sorted(touched, key=lambda v: (v is None, str(v)))
+    base = table.filter(_isin_with_null(partition_col, vals))
     merged = merge_upsert(base, updates, keys, version)
     # Sibling path (never inside base_path: a reader listing the table
     # mid-upsert must not see half-written files).
@@ -199,7 +206,11 @@ def write_upsert_partitioned(
     # A partition whose only rows moved away produces no output dir —
     # publish an explicit empty dir so the swap retires the stale data.
     _ensure_partition_dirs(
-        spark, tmp_path, _partition_dir_names(spark, partition_col, touched)
+        spark,
+        tmp_path,
+        _partition_dir_names(
+            spark, partition_col, [touched[v] for v in vals]
+        ),
     )
     _swap_partitions(spark, base_path, tmp_path, partition_col)
 
@@ -292,23 +303,17 @@ def erase_subjects(
     _require_jvm(spark)
     subj = subjects.select(key).distinct()
     table = spark.read.parquet(base_path)
-    touched = sorted(
-        {
-            r[0]
-            for r in table.join(F.broadcast(subj), key, "left_semi")
-            .select(partition_col)
-            .distinct()
-            .collect()  # bounded: one row per touched partition
-        },
-        key=lambda v: (v is None, str(v)),
+    touched = _touched_partition_strings(
+        table.join(F.broadcast(subj), key, "left_semi"), partition_col
     )
     if not touched:
         return {"partitions_rewritten": 0, "rows_erased": 0}
+    vals = sorted(touched, key=lambda v: (v is None, str(v)))
     # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and MUST
     # be rewritten like any other — _isin_with_null matches them where a
     # plain isin would silently skip the erasure.
     scoped = spark.read.parquet(base_path).filter(
-        _isin_with_null(partition_col, touched)
+        _isin_with_null(partition_col, vals)
     )
     before = scoped.count()
     kept = scoped.join(F.broadcast(subj), key, "left_anti")
@@ -320,11 +325,13 @@ def erase_subjects(
     # Spark's own partition-path escaping; a raw f-string would publish
     # a bogus dir for values needing %XX escapes and the real dir — with
     # the subject's data — would survive the "successful" erasure.
-    expected = _partition_dir_names(spark, partition_col, touched)
+    expected = _partition_dir_names(
+        spark, partition_col, [touched[v] for v in vals]
+    )
     _ensure_partition_dirs(spark, tmp_path, expected)
     after = kept.count()
     _swap_partitions(spark, base_path, tmp_path, partition_col)
     return {
-        "partitions_rewritten": len(touched),
+        "partitions_rewritten": len(vals),
         "rows_erased": int(before - after),
     }

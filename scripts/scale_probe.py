@@ -50,7 +50,7 @@ HEAVY = [
     # round-6: the production selective mutual-kNN plan (the key whose
     # sf1 ratio should fall from mutual_knn's exhaustive 9.16x toward
     # linear) + the KN LM corpus pass.
-    "mutual_knn_selective", "doc_kn_lm",
+    "mutual_knn_selective", "doc_kn_lm", "doc_sb_lm",
 ]
 
 

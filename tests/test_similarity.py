@@ -512,6 +512,45 @@ def test_knn_graph_blas_string_ids(spark):
     assert all(isinstance(r.qid, str) for r in blas)
 
 
+def test_knn_graph_zero_vectors_dropped_both_paths(spark):
+    """Zero-norm vectors normalize to NULL (cosine undefined) and must
+    be DROPPED from the graph, not crash the BLAS cogroup's np.stack
+    (shape mismatch on None) or emit NULL-cosine pseudo-edges on the
+    expression path — found by the sf1 degenerate-row probe (r7)."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        knn_graph,
+        mutual_nearest_pairs,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.0, 0.0]), (4, [0.0, 0.0])]  # 3, 4: zero-norm
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    for blas in (False, True):
+        got = knn_graph(df, cents, k=2, nprobe=2, blas=blas).collect()
+        ids = {r.qid for r in got} | {r.nid for r in got}
+        assert 3 not in ids and 4 not in ids
+        assert all(r.cosine is not None for r in got)
+    pairs = mutual_nearest_pairs(df, cents, nprobe=2).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_blas_topk_query_guards(corpus):
+    """Empty query_vecs and heterogeneous query-id types must raise
+    explicit ValueErrors, not a bare IndexError / silent type coercion
+    through the first element (ADVICE r6)."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        brute_force_topk_pairs_blas,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        brute_force_topk_pairs_blas(corpus, [], k=3)
+    with pytest.raises(ValueError, match="homogeneous"):
+        brute_force_topk_pairs_blas(
+            corpus, [(1, [1.0, 0.0]), ("q2", [0.0, 1.0])], k=3
+        )
+
+
 def test_knn_graph_blas_boundary_ties_beyond_slack(spark):
     """>8 candidates tying exactly AT the k-th cosine (duplicated
     vectors) must not let the argpartition preselect pick arbitrary

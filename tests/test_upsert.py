@@ -252,6 +252,62 @@ def test_erase_subjects_escaped_and_null_partitions(spark, tmp_path):
             assert files == [], f"stale data survived in {d}"
 
 
+def test_erase_subjects_timestamp_partition_cast_rendering(spark, tmp_path):
+    """Timestamp partition values with trailing-zero fractional seconds
+    render differently under Python str() ('...123000') vs Spark's
+    Cast ('...123'); dir names must use the Cast rendering or the
+    emptied partition survives the swap with the subject's data
+    (ADVICE r6: _partition_value_str)."""
+    import os
+    from datetime import datetime
+
+    base = str(tmp_path / "tbl_ts")
+    rows = [
+        (1, datetime(2024, 1, 2, 3, 4, 5, 123000), 1.0),
+        (2, datetime(2030, 6, 7, 8, 9, 10), 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, v double"
+    ).write.partitionBy("ts").parquet(base)
+    res = erase_subjects(
+        base, spark.createDataFrame([(1,)], "user_id long"), "user_id", "ts"
+    )
+    assert res == {"partitions_rewritten": 1, "rows_erased": 1}
+    assert {r["user_id"] for r in spark.read.parquet(base).collect()} == {2}
+    dirs = [d for d in os.listdir(base) if d.startswith("ts=")]
+    # no bogus str()-named twin; the real Cast-named dir was emptied
+    assert not any("123000" in d for d in dirs), dirs
+    (emptied,) = [d for d in dirs if ".123" in d]
+    files = [f for f in os.listdir(os.path.join(base, emptied))
+             if f.endswith(".parquet")]
+    assert files == [], f"stale subject data survived in {emptied}"
+
+
+def test_erase_subjects_double_partition_cast_rendering(spark, tmp_path):
+    """Double partition values in scientific notation: str(1e20) is
+    '1e+20' but Spark's Cast renders '1.0E20' — same failure class as
+    the timestamp case (ADVICE r6)."""
+    import os
+
+    base = str(tmp_path / "tbl_dbl")
+    rows = [(1, 1e20, "a"), (2, 0.5, "b")]
+    spark.createDataFrame(
+        rows, "user_id long, bucket double, payload string"
+    ).write.partitionBy("bucket").parquet(base)
+    res = erase_subjects(
+        base, spark.createDataFrame([(1,)], "user_id long"),
+        "user_id", "bucket",
+    )
+    assert res == {"partitions_rewritten": 1, "rows_erased": 1}
+    assert {r["user_id"] for r in spark.read.parquet(base).collect()} == {2}
+    dirs = [d for d in os.listdir(base) if d.startswith("bucket=")]
+    assert not any("1e+20" in d for d in dirs), dirs
+    (emptied,) = [d for d in dirs if "E20" in d]
+    files = [f for f in os.listdir(os.path.join(base, emptied))
+             if f.endswith(".parquet")]
+    assert files == [], f"stale subject data survived in {emptied}"
+
+
 def test_erase_subjects_noop_and_full_partition(spark, tmp_path):
     base = str(tmp_path / "tbl2")
     rows = [(1, "a", 1.0), (2, "b", 2.0)]
