@@ -5579,6 +5579,102 @@ FROM sc ORDER BY doc_id
 """
 
 
+def q_doc_sb5_lm(spark, sf_dir):
+    """5-gram Stupid-Backoff scoring — the CCNet-matched order (Wenzek
+    et al. 2020 filter with a 5-gram KenLM; Brants 2007 backoff) — on
+    the same held-out even/odd split as doc_sb_lm so all five backoff
+    levels (5-gram -> a*4-gram -> ... -> a^4*unigram -> OOV floor)
+    exercise for real. Five map-side explode+agg passes over one
+    tokenization build k-gram count tables k=1..5 (vocab-sized,
+    shrinking with k); scoring joins them back AQE-sized (2*5-1 count-
+    table joins); only the 1-row token total broadcasts
+    (operators/lm.py sb_doc_scores)."""
+    from mhm_data_pipelines_spark.operators.lm import sb_doc_scores
+
+    df = _t(spark, sf_dir, "documents")
+    tk = df.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("tk")
+    )
+    train = tk.filter(F.col("doc_id") % 2 == 0)
+    score = tk.filter(F.col("doc_id") % 2 == 1)
+    return sb_doc_scores(score, train=train, order=5).orderBy("doc_id")
+
+
+SQL_DOC_SB5_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), tr AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 0
+), sdocs AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 1
+), g5 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i + 3] AS w4, tk[i + 4] AS w5, count(*) AS c5
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 4)) AS u(i)
+  WHERE len(tk) >= 5 GROUP BY 1, 2, 3, 4, 5
+), g4 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i + 3] AS w4, count(*) AS c4
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 3)) AS u(i)
+  WHERE len(tk) >= 4 GROUP BY 1, 2, 3, 4
+), g3 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3, count(*) AS c3
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3 GROUP BY 1, 2, 3
+), g2 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c2
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2 GROUP BY 1, 2
+), g1 AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS n FROM g1
+), stream AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i + 3] AS w4, tk[i + 4] AS w5
+  FROM sdocs, LATERAL unnest(generate_series(1, len(tk) - 4)) AS u(i)
+  WHERE len(tk) >= 5
+), sc AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         round(avg(ln(
+           CASE
+             WHEN s5.c5 IS NOT NULL THEN s5.c5 / x5.c4
+             WHEN s4.c4 IS NOT NULL THEN 0.4 * s4.c4 / x4.c3
+             WHEN s3.c3 IS NOT NULL THEN 0.4 * 0.4 * s3.c3 / x3.c2
+             WHEN s2.c2 IS NOT NULL
+               THEN 0.4 * 0.4 * 0.4 * s2.c2 / x2.c1
+             ELSE 0.4 * 0.4 * 0.4 * 0.4
+                  * coalesce(CAST(s1.c1 AS DOUBLE), 1.0) / tot.n
+           END)), 4) AS avg_logs
+  FROM stream
+  LEFT JOIN g5 s5 USING (w1, w2, w3, w4, w5)
+  LEFT JOIN (SELECT w1 AS a1, w2 AS a2, w3 AS a3, w4 AS a4, c4 FROM g4)
+    x5 ON stream.w1 = x5.a1 AND stream.w2 = x5.a2
+     AND stream.w3 = x5.a3 AND stream.w4 = x5.a4
+  LEFT JOIN (SELECT w1 AS b2, w2 AS b3, w3 AS b4, w4 AS b5, c4 FROM g4)
+    s4 ON stream.w2 = s4.b2 AND stream.w3 = s4.b3
+     AND stream.w4 = s4.b4 AND stream.w5 = s4.b5
+  LEFT JOIN (SELECT w1 AS c2_, w2 AS c3_, w3 AS c4_, c3 FROM g3)
+    x4 ON stream.w2 = x4.c2_ AND stream.w3 = x4.c3_
+     AND stream.w4 = x4.c4_
+  LEFT JOIN (SELECT w1 AS d3, w2 AS d4, w3 AS d5, c3 FROM g3)
+    s3 ON stream.w3 = s3.d3 AND stream.w4 = s3.d4
+     AND stream.w5 = s3.d5
+  LEFT JOIN (SELECT w1 AS e3, w2 AS e4, c2 FROM g2)
+    x3 ON stream.w3 = x3.e3 AND stream.w4 = x3.e4
+  LEFT JOIN (SELECT w1 AS f4, w2 AS f5, c2 FROM g2)
+    s2 ON stream.w4 = s2.f4 AND stream.w5 = s2.f5
+  LEFT JOIN (SELECT w AS h4, c1 FROM g1) x2 ON stream.w4 = x2.h4
+  LEFT JOIN (SELECT w AS h5, c1 FROM g1) s1 ON stream.w5 = s1.h5,
+  tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, avg_logs, round(exp(-avg_logs), 4) AS ppl
+FROM sc ORDER BY doc_id
+"""
+
+
 SQL_BPE_PAIRS = f"""
 WITH w AS (
   SELECT lower(unnest({_SQL_TOKENS})) AS word FROM documents
@@ -9456,6 +9552,46 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro sink/source verified end-to-end: documents land as deflate
+    Avro containers via the pure-Python spec codec (sources/avro_io.py
+    — the pip distro has no spark-avro datasource; the codec is
+    JVM-reference-parity-tested), one container per partition written
+    task-side from Arrow batches, read back through binaryFile + the
+    embedded writer schema; the per-source aggregate must equal the
+    oracle's aggregate over the original table — value and null-union
+    fidelity in one check."""
+    from mhm_data_pipelines_spark.sources.avro_io import (
+        read_avro,
+        write_avro,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dest = _scratch("mhm_avro_gate_") + "/docs"
+    write_avro(docs.repartition(4), dest, codec="deflate")
+    back = read_avro(spark, dest)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_stream_dim_join(spark, sf_dir):
     """Stream-static enrichment verified end-to-end: events arrive as
     TWO micro-batches, each joins the broadcast customer dimension
@@ -10373,6 +10509,7 @@ QUERIES: dict[str, QuerySpec] = {
     "mwu_shift": q_mwu_shift,
     "chi2_assoc": q_chi2_assoc,
     "orc_roundtrip": q_orc_roundtrip,
+    "avro_roundtrip": q_avro_roundtrip,
     "stream_dim_join": q_stream_dim_join,
     "embedding_whitening": q_embedding_whitening,
     "source_concentration": q_source_concentration,
@@ -10399,6 +10536,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_bigram_lm": q_doc_bigram_lm,
     "doc_kn_lm": q_doc_kn_lm,
     "doc_sb_lm": q_doc_sb_lm,
+    "doc_sb5_lm": q_doc_sb5_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -10594,6 +10732,7 @@ ORACLES: dict[str, str] = {
     "mwu_shift": SQL_MWU_SHIFT,
     "chi2_assoc": SQL_CHI2_ASSOC,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
     "stream_dim_join": SQL_STREAM_DIM_JOIN,
     "embedding_whitening": SQL_EMBEDDING_WHITENING,
     "source_concentration": SQL_SOURCE_CONCENTRATION,
@@ -10619,6 +10758,7 @@ ORACLES: dict[str, str] = {
     "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
     "doc_kn_lm": SQL_DOC_KN_LM,
     "doc_sb_lm": SQL_DOC_SB_LM,
+    "doc_sb5_lm": SQL_DOC_SB5_LM,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -10867,6 +11007,7 @@ BENCH_QUERIES: list[str] = [
     "mwu_shift",
     "chi2_assoc",
     "orc_roundtrip",
+    "avro_roundtrip",
     "stream_dim_join",
     "embedding_whitening",
     "source_concentration",
@@ -10884,6 +11025,7 @@ BENCH_QUERIES: list[str] = [
     "mutual_knn_selective",
     "doc_kn_lm",
     "doc_sb_lm",
+    "doc_sb5_lm",
     "doc_bigram_lm",
     "doc_lm_score",
     "doc_token_stats",

@@ -152,6 +152,137 @@ def kn_bigram_doc_scores(
     )
 
 
+def sb_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tk",
+    train: DataFrame | None = None,
+    order: int = 5,
+    alpha: float = 0.4,
+    quantize: int = 4,
+) -> DataFrame:
+    """Per-document Stupid-Backoff score at a CONFIGURABLE order
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the web-scale scorer that skips discount
+    bookkeeping entirely:
+
+        S(w_n | w_1..w_{n-1}) = c(w_1..w_n) / c(w_1..w_{n-1})  if seen
+                              = a * S(w_n | w_2..w_{n-1})       else
+        ...
+        S(w)                  = c(w) / N, OOV floor 1 / N
+
+    with a = 0.4 as published. Not a probability (doesn't normalize) —
+    by design; at Google scale the ranking quality matched KN while
+    training stayed embarrassingly parallel, which is exactly the
+    100 TB argument. ``order=5`` matches CCNet's industrial filter
+    (Wenzek et al. 2020 use a 5-gram KenLM). A k-gram that occurred
+    implies its (k-1)-gram prefix occurred (prefix containment), so
+    every branch's denominator is always defined.
+
+    ``train`` defaults to ``docs``; pass a disjoint split to exercise
+    the backoff chain for real (self-scoring always hits the top
+    branch). Returns ``(id_col, n_ngrams, avg_logs, ppl)`` —
+    ``avg_logs`` the mean natural-log score rounded to ``quantize``,
+    ``ppl`` = exp(-avg_logs) of the rounded mean (deterministic pair,
+    as in :func:`kn_bigram_doc_scores`). Docs with < ``order`` tokens
+    are absent by contract.
+
+    Scale shape: ``order`` map-side explode+agg passes over ONE
+    tokenization build the k-gram count tables for k = 1..order (each
+    vocab-sized, shrinking as k falls); scoring joins them back
+    AQE-sized — for each k the k-gram table joins once as the suffix
+    count and once as the (k+1)-branch's context — only the 1-row
+    token total broadcasts. 2·order−1 joins total, all on count
+    tables orders of magnitude smaller than the corpus; no Python in
+    the row loop. Backoff powers of ``alpha`` are LEFT-ASSOCIATED
+    float products (a*a*...), replicable bit-for-bit by any engine
+    that evaluates the same literal chain.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    tr = train if train is not None else docs
+    n = order
+    # k-gram count tables, k = 1..n, columns (w1..wk, ck)
+    cnt = {
+        k: _ngrams(tr, [], tokens_col, k)
+        .groupBy(*[f"w{j + 1}" for j in range(k)])
+        .agg(F.count("*").alias(f"c{k}"))
+        for k in range(1, n + 1)
+    }
+    total = cnt[1].agg(F.sum("c1").cast("double").alias("_n"))
+    stream = _ngrams(docs, [id_col], tokens_col, n)
+    scored = stream
+    # suffix-k count: the k-gram (w_{n-k+1}..w_n) of each stream row;
+    # context-k count: its (k-1)-gram prefix (w_{n-k+1}..w_{n-1}).
+    for k in range(n, 0, -1):
+        off = n - k  # stream column offset of the suffix k-gram
+        sfx = cnt[k].select(
+            *[
+                F.col(f"w{j + 1}").alias(f"_s{k}_{j + 1}")
+                for j in range(k)
+            ],
+            F.col(f"c{k}").alias(f"sfx{k}"),
+        )
+        cond = None
+        for j in range(k):
+            eq = F.col(f"w{off + j + 1}") == F.col(f"_s{k}_{j + 1}")
+            cond = eq if cond is None else cond & eq
+        scored = scored.join(sfx, cond, "left")
+        if k >= 2:
+            ctx = cnt[k - 1].select(
+                *[
+                    F.col(f"w{j + 1}").alias(f"_x{k}_{j + 1}")
+                    for j in range(k - 1)
+                ],
+                F.col(f"c{k - 1}").alias(f"ctx{k}"),
+            )
+            cond = None
+            for j in range(k - 1):
+                eq = F.col(f"w{off + j + 1}") == F.col(f"_x{k}_{j + 1}")
+                cond = eq if cond is None else cond & eq
+            scored = scored.join(ctx, cond, "left")
+    # Backoff chain, highest order first. Alpha powers accumulate by
+    # left-associated multiplication so the float matches an engine
+    # writing the same literal product.
+    af = 1.0
+    s = None
+    for k in range(n, 1, -1):
+        # (a^i * c) / ctx, NOT a^i * (c/ctx): keep the multiply-then-
+        # divide left association so a SQL twin writing the same
+        # literal chain reproduces the float bit-for-bit.
+        num = F.col(f"sfx{k}")
+        if af != 1.0:
+            num = F.lit(af) * num
+        branch = num / F.col(f"ctx{k}")
+        hit = F.when(F.col(f"sfx{k}").isNotNull(), branch)
+        s = hit if s is None else s.when(
+            F.col(f"sfx{k}").isNotNull(), branch
+        )
+        af = af * float(alpha)
+    s = s.otherwise(
+        F.lit(af)
+        * F.coalesce(F.col("sfx1").cast("double"), F.lit(1.0))
+        / F.col("_n")
+    )
+    out = (
+        scored.crossJoin(F.broadcast(total))  # 1-row scalar
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_ngrams"), F.avg(F.log(s)).alias("_m"))
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        F.round("_m", quantize).alias("avg_logs"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "avg_logs",
+        F.round(F.exp(-F.col("avg_logs")), quantize).alias("ppl"),
+    )
+
+
 def sb_trigram_doc_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -160,103 +291,16 @@ def sb_trigram_doc_scores(
     alpha: float = 0.4,
     quantize: int = 4,
 ) -> DataFrame:
-    """Per-document trigram Stupid-Backoff score (Brants et al. 2007,
-    "Large Language Models in Machine Translation"): the web-scale
-    scorer that skips discount bookkeeping entirely —
-
-        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)        if the trigram exists
-                      = a * S(w3 | w2)              else
-        S(w3 | w2)    = c(w2w3) / c(w2)             if the bigram exists
-                      = a * S(w3)                   else
-        S(w3)         = c(w3) / N, OOV floor 1 / N
-
-    with a = 0.4 as published. Not a probability (doesn't normalize)
-    — by design; at Google scale the ranking quality matched KN while
-    training stayed embarrassingly parallel, which is exactly the
-    100 TB argument. A trigram that occurred implies its context
-    bigram occurred (prefix containment), so each branch's denominator
-    is always defined.
-
-    ``train`` defaults to ``docs``; pass a disjoint split to exercise
-    the backoff chain for real (self-scoring always hits the trigram
-    branch). Returns ``(id_col, n_trigrams, avg_logs, ppl)`` —
-    ``avg_logs`` the mean natural-log score rounded to ``quantize``,
-    ``ppl`` = exp(-avg_logs) of the rounded mean (deterministic pair,
-    as in :func:`kn_bigram_doc_scores`). Docs with < 3 tokens are
-    absent by contract.
-
-    Scale shape: three map-side explode+agg passes over ONE cached
-    tokenization build the trigram/bigram/unigram count tables (each
-    vocab-sized); scoring joins them back AQE-sized (the bigram table
-    joins twice: context (w1,w2) and backoff (w2,w3)); only the 1-row
-    token total broadcasts. No Python in the row loop.
-    """
-    if not 0.0 < alpha < 1.0:
-        raise ValueError(f"alpha must be in (0,1), got {alpha}")
-    tr = train if train is not None else docs
-    tri = _ngrams(tr, [], tokens_col, 3).groupBy("w1", "w2", "w3").agg(
-        F.count("*").alias("c123")
-    )
-    big = _ngrams(tr, [], tokens_col, 2).groupBy("w1", "w2").agg(
-        F.count("*").alias("c12")
-    )
-    uni = (
-        tr.select(F.explode(tokens_col).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
-    )
-    total = uni.agg(F.sum("c1").cast("double").alias("_n"))
-    a = F.lit(float(alpha))
-    stream = _ngrams(docs, [id_col], tokens_col, 3)
-    ctx = big.select(
-        F.col("w1").alias("_c1"), F.col("w2").alias("_c2"),
-        F.col("c12").alias("c12_ctx"),
-    )
-    b23 = big.select(
-        F.col("w1").alias("_b2"), F.col("w2").alias("_b3"),
-        F.col("c12").alias("c23"),
-    )
-    u2 = uni.select(F.col("w").alias("_u2"), F.col("c1").alias("c2"))
-    u3 = uni.select(F.col("w").alias("_u3"), F.col("c1").alias("c3"))
-    s = (
-        F.when(
-            F.col("c123").isNotNull(),
-            F.col("c123") / F.col("c12_ctx"),
-        )
-        .when(
-            F.col("c23").isNotNull(),
-            a * F.col("c23") / F.col("c2"),
-        )
-        .otherwise(
-            a * a * F.coalesce(F.col("c3").cast("double"), F.lit(1.0))
-            / F.col("_n")
-        )
-    )
-    scored = (
-        stream.join(tri, ["w1", "w2", "w3"], "left")
-        .join(
-            ctx,
-            (F.col("w1") == F.col("_c1")) & (F.col("w2") == F.col("_c2")),
-            "left",
-        )
-        .join(
-            b23,
-            (F.col("w2") == F.col("_b2")) & (F.col("w3") == F.col("_b3")),
-            "left",
-        )
-        .join(u2, F.col("w2") == F.col("_u2"), "left")
-        .join(u3, F.col("w3") == F.col("_u3"), "left")
-        .crossJoin(F.broadcast(total))  # 1-row scalar
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_trigrams"), F.avg(F.log(s)).alias("_m"))
-    )
-    return scored.select(
-        id_col,
-        "n_trigrams",
-        F.round("_m", quantize).alias("avg_logs"),
-    ).select(
-        id_col,
-        "n_trigrams",
-        "avg_logs",
-        F.round(F.exp(-F.col("avg_logs")), quantize).alias("ppl"),
-    )
+    """Trigram Stupid-Backoff — :func:`sb_doc_scores` at ``order=3``
+    with the historical ``n_trigrams`` output name. See there for the
+    model and scale shape (three count tables, bigram joined twice:
+    context (w1,w2) and backoff (w2,w3))."""
+    return sb_doc_scores(
+        docs,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        train=train,
+        order=3,
+        alpha=alpha,
+        quantize=quantize,
+    ).withColumnRenamed("n_ngrams", "n_trigrams")

@@ -47,6 +47,15 @@ NOTES = {
         "table twice: context + backoff); only the 1-row token total "
         "broadcasts; no discount bookkeeping - the web-scale scorer."
     ),
+    "doc_sb5_lm": (
+        "5-gram Stupid Backoff (the CCNet order) on a held-out split: "
+        "five map-side explode+agg count passes (k=1..5, each "
+        "vocab-sized, shrinking with k) + nine AQE-sized joins onto "
+        "the scored 5-gram stream (each k-gram table twice: suffix "
+        "count + the (k+1)-branch's context); only the 1-row token "
+        "total broadcasts. Order is a parameter - the same plan shape "
+        "at any n."
+    ),
     "doc_kn_lm": (
         "interpolated Kneser-Ney bigram LM: ONE corpus explode + one "
         "(w1,w2) hash agg; context/continuation/type-total marginals "
@@ -336,6 +345,15 @@ NOTES = {
         "ORC sink/source: zstd ORC partitioned by source, read back "
         "through partition discovery - partition-column re-"
         "materialization + value fidelity in one aggregate check."
+    ),
+    "avro_roundtrip": (
+        "Avro sink/source via the pure-Python container codec (no "
+        "spark-avro in the pip distro; JVM-reference parity-tested): "
+        "one container per partition encoded task-side from Arrow "
+        "batches (block per chunk, memory batch-bounded), read back "
+        "binaryFile + mapInPandas with the embedded writer schema - "
+        "row-format cost is the format's, both directions scale with "
+        "partition count."
     ),
     "stream_dim_join": (
         "stream-static enrichment: broadcast dim joined INSIDE "

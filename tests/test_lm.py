@@ -152,6 +152,73 @@ def test_sb_self_scored_is_mle_trigram(spark):
     assert got["d1"]["avg_logs"] == pytest.approx(round(want, 4))
 
 
+def test_sb5_every_backoff_level_hand_values(spark):
+    """Configurable-order Stupid-Backoff at order=5 (the CCNet shape):
+    one held-out doc per backoff level, hand-computed.
+    train d5 = a b c d e a b c d e ->
+    c(abcde)=2, c(abcd)=2, c(bcde)=2, c(cde)=2, c(cd)=2, c(de)=2,
+    c(d)=2, c(e)=2, N=10."""
+    from mhm_data_pipelines_spark.operators.lm import sb_doc_scores
+
+    train = _df(spark, [("d5", list("abcdeabcde"))])
+    held = _df(
+        spark,
+        [
+            ("h1", list("abcde")),  # 5-gram branch: 2/2
+            ("h2", list("xbcde")),  # 4-gram: .4 * 2/2
+            ("h3", list("xycde")),  # trigram: .16 * 2/2
+            ("h4", list("xyzde")),  # bigram:  .064 * 2/2
+            ("h5", list("xyzwe")),  # unigram: .0256 * 2/10
+            ("h6", list("xyzwv")),  # OOV floor: .0256 * 1/10
+            ("h7", list("abcd")),   # < 5 tokens: dropped
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sb_doc_scores(held, train=train, order=5).collect()
+    }
+    assert "h7" not in got
+    a = 0.4
+    want = {
+        "h1": 2 / 2,
+        "h2": a * 2 / 2,
+        "h3": a * a * 2 / 2,
+        "h4": a * a * a * 2 / 2,
+        "h5": a * a * a * a * 2 / 10,
+        "h6": a * a * a * a * 1.0 / 10,
+    }
+    for k, w in want.items():
+        assert got[k]["avg_logs"] == pytest.approx(round(math.log(w), 4)), k
+        assert got[k]["n_ngrams"] == 1
+    with pytest.raises(ValueError):
+        sb_doc_scores(held, train=train, order=1)
+
+
+def test_sb_trigram_wrapper_matches_generic_order3(spark):
+    """sb_trigram_doc_scores is sb_doc_scores(order=3) with the
+    historical n_trigrams name — values must be identical."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        sb_doc_scores,
+        sb_trigram_doc_scores,
+    )
+
+    train = _df(spark, _TRAIN)
+    held = _df(
+        spark,
+        [("t1", ["b", "a", "b"]), ("t3", ["x", "a", "b"]),
+         ("t5", ["x", "y", "z"])],
+    )
+    via_wrapper = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logs"], r["ppl"])
+        for r in sb_trigram_doc_scores(held, train=train).collect()
+    }
+    via_generic = {
+        r["doc_id"]: (r["n_ngrams"], r["avg_logs"], r["ppl"])
+        for r in sb_doc_scores(held, train=train, order=3).collect()
+    }
+    assert via_wrapper == via_generic
+
+
 def test_kn_lower_ppl_for_in_distribution_text(spark):
     """The whole point of the filter: text made of corpus-frequent
     bigrams scores lower perplexity than shuffled/rare text."""

@@ -53,3 +53,27 @@ def test_exclusions_are_not_stale():
 def test_bench_and_gate_keys_exist():
     unknown = sorted(set(BENCH_QUERIES) - set(QUERIES))
     assert not unknown, f"bench entries for non-existent keys: {unknown}"
+
+
+def test_heavy_keys_have_committed_probe_results():
+    """HEAVY membership alone is not evidence — the committed
+    SCALE_PROBE.json must actually hold an sf0.1 AND sf1 result for
+    every HEAVY key (VERDICT r6 #1: two r6 keys sat in HEAVY for a
+    round with no committed probe, invisible to CI)."""
+    import json
+
+    sp_path = os.path.join(os.path.dirname(_SP), "..", "SCALE_PROBE.json")
+    with open(sp_path) as f:
+        probed = json.load(f)
+    missing = sorted(
+        k
+        for k in _probe_heavy()
+        if k not in probed
+        or "sf0.1" not in probed[k]
+        or "sf1" not in probed[k]
+    )
+    assert not missing, (
+        f"HEAVY keys with no committed sf0.1+sf1 probe result in "
+        f"SCALE_PROBE.json — re-run scripts/scale_probe.py and commit: "
+        f"{missing}"
+    )

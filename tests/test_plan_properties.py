@@ -39,6 +39,8 @@ EXECUTES_ON_BUILD = {
     "stream_manifest",  # drains a two-batch manifest stream on build
     "mmr_diverse",  # k greedy argmax rounds (bounded collects) on build
     "orc_roundtrip",     # writes the partitioned ORC dump on build
+    "avro_roundtrip",    # writes the Avro containers on build (bounded
+                         # one-row-per-file manifest collect)
     "stream_dim_join",   # drains a two-batch enrichment stream on build
     "embedding_whitening",  # fits the whitener (bounded collects) on build
     "subject_erasure",   # writes + erasure-rewrites the table on build
@@ -78,6 +80,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "ppl_buckets",        # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_kn_lm",          # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_sb_lm",          # crossJoin(broadcast(token total)) — 1 row
+    "doc_sb5_lm",         # crossJoin(broadcast(token total)) — 1 row
     "embedding_covariance",  # crossJoin(broadcast(vector count n)) — 1 row
     "skew_report",        # crossJoin(broadcast(mean/total per column)) —
                           # one 1-row scalar frame per report column
@@ -269,6 +272,11 @@ PLAN_BUDGETS: dict[str, dict] = {
     # AQE-sized joins back onto the held-out trigram stream + per-doc
     # agg + display sort (subtrees planned per consumer).
     "doc_sb_lm": {"max_shuffles": 18, "require": ["BroadcastHashJoin"]},
+    # doc_sb5_lm: five explode+agg count passes (k=1..5) + nine
+    # AQE-sized joins back onto the held-out 5-gram stream (each k-gram
+    # table twice: suffix count + (k+1)-context) + per-doc agg +
+    # display sort (subtrees planned per consumer).
+    "doc_sb5_lm": {"max_shuffles": 30, "require": ["BroadcastHashJoin"]},
     "embedding_covariance": {"max_shuffles": 5},
     # sft_stats is from_json + higher-order array exprs, all row-local:
     # the display sort is the ONLY Exchange.
