@@ -99,6 +99,13 @@ def load_table_cache_clear() -> None:
 #: by harnesses that never call it (e.g. the driver's one-shot gate).
 _LIVE_FRAMES: list[DataFrame] = []
 _SCRATCH_ROOTS: list[str] = []
+_LIVE_TABLES: list = []  # (weakref to session, table name)
+
+
+def _track_table(spark, table: str) -> str:
+    """Register a builder-created catalog table for later DROP."""
+    _LIVE_TABLES.append((weakref.ref(spark), table))
+    return table
 
 
 def _track(df: DataFrame) -> DataFrame:
@@ -131,6 +138,14 @@ def release_query_resources() -> None:
     for d in _SCRATCH_ROOTS:
         shutil.rmtree(d, ignore_errors=True)
     _SCRATCH_ROOTS.clear()
+    for ref, table in _LIVE_TABLES:
+        spark = ref()
+        if spark is not None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+    _LIVE_TABLES.clear()
 
 
 import atexit
@@ -4927,6 +4942,60 @@ FROM ranked ORDER BY query_id, vec_id
 
 
 SQL_IVFPQ_TOPK = _ivfpq_topk_oracle_sql()
+
+
+def q_ann_index_roundtrip(spark, sf_dir):
+    """ANN index LIFECYCLE verified end-to-end: the IVF-PQ index is
+    built once, PERSISTED as a list_id-bucketed catalog table
+    (similarity.persist_ivf_pq_index — the production shape: the index
+    is built once, searched many times), reloaded, and searched with
+    the probed-lists filter pushed onto the bucketed scan (bucket
+    pruning — SelectedBucketsCount in the plan, asserted by
+    test_plan_properties). Same seeded quantizers and split as
+    ivfpq_topk, so the DuckDB twin is the SAME full-value ADC oracle —
+    persistence must be lossless down to the float."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_search_table,
+        persist_ivf_pq_index,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    import uuid as _uuid
+
+    # Unique name per build: a crashed prior run can leave the managed
+    # LOCATION on disk without the catalog entry, and saveAsTable then
+    # fails on the stale dir no DROP TABLE can see. Tracked for DROP by
+    # release_query_resources once the search frame is consumed.
+    table = _track_table(
+        spark, f"mhm_ann_gate_idx_{_uuid.uuid4().hex[:12]}"
+    )
+    persist_ivf_pq_index(
+        ivf_pq_index(corpus, _ivf_seeded_centroids(), _pq_seeded_codebooks()),
+        table,
+        n_buckets=8,
+    )
+    out = ivf_pq_search_table(
+        spark,
+        table,
+        queries,
+        _ivf_seeded_centroids(),
+        _pq_seeded_codebooks(),
+        k=10,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_score", 4).alias("adc_score"),
+    ).orderBy("query_id", "vec_id")
+
+
+SQL_ANN_INDEX_ROUNDTRIP = _ivfpq_topk_oracle_sql()
 
 
 def q_staging_mirror(spark, sf_dir):
@@ -10400,6 +10469,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_recall": q_ivf_recall,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "ann_index_roundtrip": q_ann_index_roundtrip,
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
@@ -10617,6 +10687,7 @@ ORACLES: dict[str, str] = {
     "ivf_recall": SQL_IVF_RECALL,
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ann_index_roundtrip": SQL_ANN_INDEX_ROUNDTRIP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
@@ -11008,6 +11079,7 @@ BENCH_QUERIES: list[str] = [
     "chi2_assoc",
     "orc_roundtrip",
     "avro_roundtrip",
+    "ann_index_roundtrip",
     "stream_dim_join",
     "embedding_whitening",
     "source_concentration",

@@ -876,32 +876,17 @@ def ivf_pq_index(
     )
 
 
-def ivf_pq_topk(
-    corpus: DataFrame,
+def _ivf_pq_probes(
     queries: DataFrame,
     centroids: list[tuple[int, list[float]]],
     codebooks: list[list[tuple[int, list[float]]]],
-    k: int = 10,
-    nprobe: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    query_id_col: str = "query_id",
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
 ) -> DataFrame:
-    """IVF-PQ approximate top-k: queries probe their ``nprobe`` nearest
-    inverted lists and score candidates by residual-ADC —
-    ``score = q·c_list + Σᵢ LUT[i][codeᵢ]`` (the q·residual part is the
-    same codebook LUT as plain PQ, since the codebook is shared across
-    lists; the q·centroid part is one scalar per probe).
-
-    Scale shape: the index (:func:`ivf_pq_index`) and the probe frame
-    are both zero-shuffle map stages; candidate generation is an
-    equi-join on ``list_id`` with the (always-small) probe side
-    broadcast — fan-out is list-sized, never |corpus| × |queries| — and
-    the only corpus movement is the final per-query top-k window over
-    probed candidates. The ADC sum is an explicit left-to-right add
-    chain for the value oracle. Recall grows with nprobe and ksub;
-    re-rank the top-k' with true vectors downstream for exactness.
-    """
+    """Probe frame for IVF-PQ search: one row per (query, probed list)
+    carrying the q·centroid scalar and the query's ADC LUT. Zero
+    shuffle — one Arrow map stage; queries are small by contract."""
     import numpy as np
     import pandas as pd
 
@@ -915,7 +900,6 @@ def ivf_pq_topk(
         dtype=np.float64,
     )
     qid_type = queries.schema[query_id_col].dataType.simpleString()
-    index = ivf_pq_index(corpus, centroids, codebooks, vec_col, id_col)
 
     def probe(batches):
         for pdf in batches:
@@ -960,7 +944,7 @@ def ivf_pq_topk(
                     )
             yield pd.DataFrame(out)
 
-    probes = queries.select(query_id_col, vec_col).mapInPandas(
+    return queries.select(query_id_col, vec_col).mapInPandas(
         probe,
         schema=(
             f"{query_id_col} {qid_type}, list_id int, qc double,"
@@ -968,6 +952,17 @@ def ivf_pq_topk(
         ),
     )
 
+
+def _adc_topk(
+    index: DataFrame,
+    probes: DataFrame,
+    m: int,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC scoring join + per-query top-k over a (persisted or
+    freshly-built) IVF-PQ index and a probe frame."""
     score = F.col("qc")
     for i in range(m):
         score = score + F.element_at(
@@ -985,6 +980,105 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: queries probe their ``nprobe`` nearest
+    inverted lists and score candidates by residual-ADC —
+    ``score = q·c_list + Σᵢ LUT[i][codeᵢ]`` (the q·residual part is the
+    same codebook LUT as plain PQ, since the codebook is shared across
+    lists; the q·centroid part is one scalar per probe).
+
+    Scale shape: the index (:func:`ivf_pq_index`) and the probe frame
+    are both zero-shuffle map stages; candidate generation is an
+    equi-join on ``list_id`` with the (always-small) probe side
+    broadcast — fan-out is list-sized, never |corpus| × |queries| — and
+    the only corpus movement is the final per-query top-k window over
+    probed candidates. The ADC sum is an explicit left-to-right add
+    chain for the value oracle. Recall grows with nprobe and ksub;
+    re-rank the top-k' with true vectors downstream for exactness.
+
+    ``index``: a prebuilt :func:`ivf_pq_index` frame (e.g. reloaded
+    from a persisted table via :func:`load_ivf_pq_index`) — pass it to
+    skip the per-search encode; it must have been built with the SAME
+    centroids/codebooks or the ADC scores are meaningless.
+    """
+    m, _ = _pq_check(codebooks)
+    if index is None:
+        index = ivf_pq_index(corpus, centroids, codebooks, vec_col, id_col)
+    probes = _ivf_pq_probes(
+        queries, centroids, codebooks, nprobe, vec_col, query_id_col
+    )
+    return _adc_topk(index, probes, m, k, id_col, query_id_col)
+
+
+def persist_ivf_pq_index(
+    index: DataFrame, table: str, n_buckets: int = 8
+) -> None:
+    """Persist an IVF-PQ index as a catalog table BUCKETED BY
+    ``list_id`` (sources/bucketed.write_bucketed): the index is built
+    once and searched many times, so the one-time write buys every
+    subsequent search a pre-clustered scan where a probed-lists filter
+    prunes to matching bucket files (``SelectedBucketsCount`` in the
+    plan) instead of scanning the whole index. At 100 TB the index is
+    ~1-2% of corpus bytes (codes, not vectors) but still far too big to
+    rebuild per search — the lifecycle IS the production shape."""
+    from mhm_data_pipelines_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(index, table, keys=["list_id"], n_buckets=n_buckets)
+
+
+def load_ivf_pq_index(spark, table: str) -> DataFrame:
+    """Reload a persisted IVF-PQ index table (bucket metadata rides the
+    catalog entry, so downstream list_id filters bucket-prune)."""
+    return spark.table(table)
+
+
+def ivf_pq_search_table(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a PERSISTED IVF-PQ index end-to-end: compute the probe
+    frame, collect the probed list ids (bounded: ≤ |queries| × nprobe
+    ints — the one collect, documented), PUSH them as an ``isin``
+    filter onto the bucketed index scan so only the matching buckets'
+    files are read, then ADC-score and top-k exactly as
+    :func:`ivf_pq_topk`. Results are identical to an in-memory build
+    with the same quantizers (asserted by the ``ann_index_roundtrip``
+    gate query); the plan difference is the point — no per-search
+    index encode, no full index scan."""
+    m, _ = _pq_check(codebooks)
+    probes = _ivf_pq_probes(
+        queries, centroids, codebooks, nprobe, vec_col, query_id_col
+    )
+    # Reuse the tiny probe frame across the collect and the join.
+    probes = probes.localCheckpoint(eager=False)
+    probed_lists = sorted(
+        {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+    )
+    index = load_ivf_pq_index(spark, table).filter(
+        F.col("list_id").isin(probed_lists)
+    )
+    return _adc_topk(index, probes, m, k, id_col, query_id_col)
 
 
 def knn_graph(

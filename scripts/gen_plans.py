@@ -346,6 +346,14 @@ NOTES = {
         "through partition discovery - partition-column re-"
         "materialization + value fidelity in one aggregate check."
     ),
+    "ann_index_roundtrip": (
+        "ANN index lifecycle: IVF-PQ index persisted ONCE as a "
+        "list_id-bucketed catalog table, reloaded, searched with the "
+        "probed-lists filter pushed onto the bucketed scan - bucket "
+        "pruning (SelectedBucketsCount) replaces the full index scan "
+        "and the per-search encode; results bit-identical to the "
+        "in-memory build (same ADC float chain)."
+    ),
     "avro_roundtrip": (
         "Avro sink/source via the pure-Python container codec (no "
         "spark-avro in the pip distro; JVM-reference parity-tested): "

@@ -41,6 +41,9 @@ EXECUTES_ON_BUILD = {
     "orc_roundtrip",     # writes the partitioned ORC dump on build
     "avro_roundtrip",    # writes the Avro containers on build (bounded
                          # one-row-per-file manifest collect)
+    "ann_index_roundtrip",  # persists the bucketed IVF-PQ index table
+                            # on build + one bounded probed-lists
+                            # collect (<= |queries| x nprobe ints)
     "stream_dim_join",   # drains a two-batch enrichment stream on build
     "embedding_whitening",  # fits the whitener (bounded collects) on build
     "subject_erasure",   # writes + erasure-rewrites the table on build

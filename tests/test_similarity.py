@@ -512,6 +512,56 @@ def test_knn_graph_blas_string_ids(spark):
     assert all(isinstance(r.qid, str) for r in blas)
 
 
+def test_ivf_pq_index_persist_reload_search_parity(spark, corpus):
+    """ANN index lifecycle: build -> persist (bucketed by list_id) ->
+    reload -> search must return EXACTLY the in-memory build's results,
+    and the persisted-search plan must show bucket pruning (only the
+    probed lists' buckets read) with no shuffle on the index side."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_search_table,
+        ivf_pq_topk,
+        persist_ivf_pq_index,
+    )
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    books = _rand_books(m, ksub, dsub)
+    import random
+
+    rng = random.Random(5)
+    cents = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(4)
+    ]
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = corpus.filter(F.col("vec_id") >= 3)
+    table = "ivfpq_idx_lifecycle_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        persist_ivf_pq_index(ivf_pq_index(c, cents, books), table,
+                             n_buckets=4)
+        got_df = ivf_pq_search_table(
+            spark, table, q, cents, books, k=5, nprobe=2
+        )
+        want = {
+            (r.query_id, r.vec_id): r.adc_score
+            for r in ivf_pq_topk(c, q, cents, books, k=5, nprobe=2).collect()
+        }
+        got = {(r.query_id, r.vec_id): r.adc_score for r in got_df.collect()}
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key] == want[key], key  # bit-identical ADC floats
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        # probed-lists filter bucket-prunes the persisted scan
+        assert "SelectedBucketsCount" in plan, plan
+        # index side streams into the broadcast join - the only
+        # Exchanges are the probe broadcast and the top-k window
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_knn_graph_zero_vectors_dropped_both_paths(spark):
     """Zero-norm vectors normalize to NULL (cosine undefined) and must
     be DROPPED from the graph, not crash the BLAS cogroup's np.stack
