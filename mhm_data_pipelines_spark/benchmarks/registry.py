@@ -2717,6 +2717,117 @@ ORDER BY doc_a, doc_b, start_a, start_b
 """
 
 
+def q_dup_spans_recall(spark, sf_dir):
+    """Substring-dedup RECALL certification (the dup_spans analogue of
+    minhash_pr_curve): with the boilerplate cap DISABLED, the k-gram
+    diagonal-run method is EXACT Lee et al. 2022 suffix-array
+    substring-dedup semantics for spans ≥ k+min_run−1 tokens (a shared
+    span of t tokens IS a maximal diagonal run of t−k+1 shared k-grams
+    — the bijection; only 64-bit hash collisions, P≈n²/2⁶⁵, separate
+    them). So the uncapped run is ground truth, and this query
+    MEASURES what the production max_gram_df=1000 cap gives up:
+    matched-gram recall (capped gram matches are a strict subset of
+    exact ones — precision is 1 by construction), span counts, and how
+    many spans survive bitwise identical. One summary row; the
+    fan-out-bounding cap's cost is now a number, not a hope."""
+    from mhm_data_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    span_cols = ["doc_a", "doc_b", "start_a", "start_b", "n_grams"]
+    exact = duplicate_ngram_spans(df, k=5, min_run=2, max_gram_df=None)
+    capped = duplicate_ngram_spans(df, k=5, min_run=2, max_gram_df=1000)
+    e = exact.agg(
+        F.count("*").alias("exact_spans"),
+        F.sum("n_grams").alias("exact_grams"),
+    )
+    c = capped.agg(
+        F.count("*").alias("capped_spans"),
+        F.sum("n_grams").alias("capped_grams"),
+    )
+    ident = (
+        exact.select(*span_cols)
+        .join(capped.select(*span_cols), span_cols)
+        .agg(F.count("*").alias("identical_spans"))
+    )
+    return (
+        e.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(ident))
+        .select(
+            "exact_spans",
+            "capped_spans",
+            "identical_spans",
+            F.round(
+                F.col("capped_grams").cast("double")
+                / F.col("exact_grams"),
+                4,
+            ).alias("gram_recall"),
+        )
+    )
+
+
+SQL_DUP_SPANS_RECALL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g0 AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i + 4], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+  WHERE len(toks) >= 5
+), spans_exact AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) AS n_grams
+  FROM (
+    SELECT doc_a, doc_b, diag, pa, pb,
+           pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+      FROM g0 a JOIN g0 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+  )
+  GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) >= 2
+), gc AS (
+  SELECT doc_id, pos, gram FROM g0
+  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+), spans_capped AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) AS n_grams
+  FROM (
+    SELECT doc_a, doc_b, diag, pa, pb,
+           pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+      FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+  )
+  GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) >= 2
+), e AS (
+  SELECT count(*) AS exact_spans, sum(n_grams) AS exact_grams
+  FROM spans_exact
+), c AS (
+  SELECT count(*) AS capped_spans, sum(n_grams) AS capped_grams
+  FROM spans_capped
+), i AS (
+  SELECT count(*) AS identical_spans
+  FROM spans_exact se JOIN spans_capped sc
+    USING (doc_a, doc_b, start_a, start_b, n_grams)
+)
+SELECT CAST(exact_spans AS BIGINT) AS exact_spans,
+       CAST(capped_spans AS BIGINT) AS capped_spans,
+       CAST(identical_spans AS BIGINT) AS identical_spans,
+       round(CAST(capped_grams AS DOUBLE) / exact_grams, 4)
+         AS gram_recall
+FROM e, c, i
+"""
+
+
 def q_span_dedup(spark, sf_dir):
     """Substring dedup applied (Lee et al. 2022 keep-first): duplicated
     token spans reported by dup_spans are excised from the higher-id
@@ -10459,6 +10570,7 @@ QUERIES: dict[str, QuerySpec] = {
     "c4_filter_stats": q_c4_filter_stats,
     "gopher_quality": q_gopher_quality,
     "dup_spans": q_dup_spans,
+    "dup_spans_recall": q_dup_spans_recall,
     "span_dedup": q_span_dedup,
     "dsir_weights": q_dsir_weights,
     "quality_classifier": q_quality_classifier,
@@ -10677,6 +10789,7 @@ ORACLES: dict[str, str] = {
     "c4_filter_stats": SQL_C4_FILTER_STATS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dup_spans": SQL_DUP_SPANS,
+    "dup_spans_recall": SQL_DUP_SPANS_RECALL,
     "span_dedup": SQL_SPAN_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,

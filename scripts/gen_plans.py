@@ -346,6 +346,15 @@ NOTES = {
         "through partition discovery - partition-column re-"
         "materialization + value fidelity in one aggregate check."
     ),
+    "dup_spans_recall": (
+        "substring-dedup recall cert: the UNCAPPED k-gram diagonal-run "
+        "pipeline is exact Lee et al. 2022 semantics for spans >= "
+        "k+min_run-1 tokens (span <-> maximal diagonal run bijection), "
+        "so running it capped AND uncapped measures what the "
+        "production max_gram_df fan-out bound gives up - gram recall, "
+        "span counts, identical-span count, one summary row; "
+        "precision is 1 by construction (capping only removes grams)."
+    ),
     "ann_index_roundtrip": (
         "ANN index lifecycle: IVF-PQ index persisted ONCE as a "
         "list_id-bucketed catalog table, reloaded, searched with the "

@@ -82,6 +82,17 @@ def main() -> None:
     texts[int(idx[-2])] = "   "
     texts[int(idx[-3])] = "solo"
     texts[int(idx[-4])] = "dup dup dup dup dup dup dup dup"
+    # Boilerplate (r7): one fixed 12-token footer PREPENDED to ~3% of
+    # docs (1500 >> the 1000 max_gram_df cap), so dup_spans_recall's
+    # capped-vs-exact comparison measures a REAL loss at sf1 (at
+    # sf0.01/sf0.1 no gram exceeds DF 3 and the cap is inert) and
+    # remove_frequent_lines sees a genuinely corpus-frequent line.
+    footer = (
+        "subscribe to our newsletter for updates terms of service "
+        "apply here"
+    )
+    for i in idx[N_DOCS // 20 : N_DOCS // 20 + 1500]:
+        texts[int(i)] = footer + " " + texts[int(i)]
     tbl = pa.table(
         {
             "doc_id": pa.array(range(N_DOCS), pa.int64()),
@@ -132,7 +143,15 @@ def main() -> None:
     ts = t0 + rng.integers(0, 90 * 86_400_000_000, N_EVENTS).astype(
         "timedelta64[us]"
     )
-    user_ids = rng.integers(0, n_users * 10, N_EVENTS)
+    # Zipf-skewed user column (VERDICT r6 #7 — exercised at sf1, the
+    # gate's sf0.01 data is driver-owned/read-only): a Zipf(1.5) draw
+    # over the 10× user space gives one user ~8-10% of all events —
+    # the shape that makes AQE skew-join / salting observable and
+    # gives skew_report a real number to flag.
+    zipf_ranks = rng.zipf(1.5, size=N_EVENTS)
+    user_ids = np.minimum(zipf_ranks - 1, n_users * 10 - 1).astype(
+        np.int64
+    )
     # Degenerate rows: single-event users (no defined TWA/gap/session
     # successor) and NULL values (LOCF must carry across, never deflate
     # the average — ADVICE r5 rollup_ts fix).

@@ -51,6 +51,10 @@ HEAVY = [
     # sf1 ratio should fall from mutual_knn's exhaustive 9.16x toward
     # linear) + the KN LM corpus pass.
     "mutual_knn_selective", "doc_kn_lm", "doc_sb_lm",
+    # round-7: the capped-vs-exact substring-dedup cert (the cap is
+    # inert at sf0.01 where max gram DF is 3 — sf1's boilerplate is
+    # where the recall number means something) + the new LM order.
+    "dup_spans_recall", "doc_sb5_lm",
 ]
 
 

@@ -115,6 +115,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # 1 row (activity_spans' censoring boundary)
     "mutual_knn_recall",  # crossJoin(broadcast(1-row selective-pair
                           # count)) onto the 1-row recall summary
+    "dup_spans_recall",   # crossJoin(broadcast(1-row capped/identical
+                          # summary aggs)) onto the 1-row exact agg
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
