@@ -10960,102 +10960,76 @@ GATE_PRIORITY: list[str] = [
     "tpch_q1",
     "overview_stats",
     "summary_assembly",
-    # -- round 6 rotation, per the documented policy (canaries first,
-    #    then never-driver-verified keys, then definitions touched since
-    #    their last green row, then single-green keeps; multi-round-green
-    #    unchanged keys rotate out first and stay covered by
-    #    tests/test_oracle_parity.py every CI run).
+    # -- round 7 rotation: STALENESS-BASED (VERDICT r6 #2). All 212
+    #    r6 keys are driver-green at least once, so the window is now
+    #    (a) canaries, (b) keys NEW this round, (c) keys whose
+    #    DEFINITION was touched this round, (d) the keys whose last
+    #    green row is OLDEST (the r2 block — 46 keys last gated in
+    #    CORRECTNESS_r02; 36 fit this round, the remaining 10 plus the
+    #    40 r3-last-green keys lead the r8 rotation). Everything
+    #    rotated out stays hash-checked every CI run by
+    #    tests/test_oracle_parity.py.
     #
-    # never-driver-verified (VERDICT r5 "What's missing" #1): the 25
-    # r5 keys that landed after the 50-slot r5 window filled — all
-    # local-oracle-green since they landed, now driver-gated.
-    "mix_apply",
-    "sorted_neighborhood",
-    "score_correlation",
-    "ranking_overlap",
-    "mmr_diverse",           # also r6-touched: pooled driver path
-    "grouped_folds",
-    "calibration_report",
-    "robust_outliers",
-    "novelty_scores",
-    "embargo_split",
-    "benford_digits",
-    "ks_drift",
-    "mwu_shift",
-    "chi2_assoc",
-    "orc_roundtrip",
-    "stream_dim_join",
-    "embedding_whitening",
-    "source_concentration",
-    "doc_keywords",
-    "mutual_knn",            # also r6-touched: explicit exhaustive nprobe
-    "basket_rules",
-    "minhash_pr_curve",
-    "scd2_intervals",
-    "subject_erasure",       # also r6-touched: escaping/NULL/key-move fixes
-    "ab_ztest",
-    # new in round 6:
-    "mutual_knn_recall",     # selective-nprobe certification (VERDICT #3)
-    "mutual_knn_selective",  # the production selective plan itself
-    "doc_kn_lm",             # Kneser-Ney LM scorer (VERDICT #5)
-    "doc_sb_lm",             # trigram Stupid-Backoff, held-out split
-    # re-verify: definitions touched in round 6.
-    "ppl_buckets",           # input switched from unigram MLE to KN score
-    "time_weighted",         # NULL-value LOCF fix (ADVICE r5)
-    # single-green keeps (warm tripwires whose only driver-green row is
-    # r5), one per family where the family has no other in-window rep:
-    "audio_features",        # multimodal (decode/feature family)
-    "sft_stats",             # conversations/preferences
-    "unicode_normalize",     # Arrow NFC path
-    "profile_drift",         # profiling (contains two profile passes)
-    "content_manifest",      # manifest family
-    "line_boilerplate",      # CCNet line-removal
-    "impute_values",         # repair
-    "event_funnel",          # sequential-ts
-    "kaplan_meier",          # survival
-    "cusum_detect",          # change detection (ewma family twin out)
-    "bradley_terry",         # paired-comparison MM (driver/dist paths)
-    "triangle_count",        # graph (wedge machinery; coeff twin out)
-    "prefix_jaccard",        # set-similarity join (PPJoin)
-    "shard_plan",            # packing/layout prefix sums
-    "rater_agreement",       # agreement (kappa)
-    "skew_report",           # skew/join ops (join_preflight's twin)
-    # join_preflight yields its keep slot to doc_sb_lm — the ops-
-    # hygiene family keeps skew_report in-window; join_preflight is
-    # r5-driver-green, unchanged, CI-hash-checked every run.
-    # hybrid_rrf yields its keep slot to mutual_knn_selective —
-    # retrieval keeps doc_keywords in-window; the full bm25 path
-    # stays hash-checked every CI run by test_oracle_parity.py.
-    # Rotated out this round (all r5-driver-green with definitions
-    # unchanged since, all still hash-checked every CI run by
-    # test_oracle_parity.py; family rep noted):
-    #   doc_entropy, compression_ratio, url_filter, script_profile,
-    #     wordlist_screen, source_divergence, source_overlap (text-
-    #     quality family keeps ppl_buckets + doc_kn_lm + line_
-    #     boilerplate; concentration family keeps source_concentration)
-    #   quantile_select, curriculum_order (selection family keeps
-    #     calibration_report)
-    #   embedding_covariance (PCA family keeps embedding_whitening,
-    #     which consumes the covariance moment pass)
-    #   phrase_search, pmi_collocations (retrieval keeps hybrid_rrf +
-    #     doc_keywords)
-    #   preference_pairs, preference_all_pairs, conversation_windows
-    #     (conversations family keeps sft_stats)
-    #   embedding_outliers, hard_negatives (embedding-analysis family
-    #     keeps mmr_diverse + mutual_knn + mutual_knn_recall)
-    #   split_leakage (decontam family keeps novelty_scores)
-    #   length_buckets (packing family keeps shard_plan)
-    #   stream_manifest (manifest keeps content_manifest; streaming
-    #     keeps stream_dim_join)
-    #   mix_solver (mix family keeps mix_apply)
-    #   cohort_retention (sequential family keeps event_funnel)
-    #   ohlc_hourly, hist_quantile_rollup (rollup family keeps the
-    #     re-gated time_weighted)
-    #   ewma_smooth (smoothing family keeps cusum_detect)
-    #   containment_pairs (setjoin family keeps prefix_jaccard)
-    #   clustering_coeff (graph family keeps triangle_count)
-    # (end of round-6 rotation; the full r5 window text is in git
-    # history at tag-commit f2027c3 for the policy audit.)
+    # (b) new in round 7:
+    "doc_sb5_lm",            # configurable-order SB at the CCNet order
+    "avro_roundtrip",        # pure-Python Avro container sink/source
+    "ann_index_roundtrip",   # IVF-PQ persist/reload/search lifecycle
+    "dup_spans_recall",      # capped-vs-exact substring-dedup cert
+    # (c) definitions touched in round 7, re-gated:
+    "knn_graph",             # zero-norm vectors dropped pre-cogroup
+    "mutual_knn",            # consumes knn_graph (same fix)
+    "mutual_knn_selective",  # consumes knn_graph (same fix)
+    "mutual_knn_recall",     # consumes both mutual plans
+    "ivfpq_topk",            # ivf_pq_topk refactored (probe + ADC split)
+    "doc_sb_lm",             # now the order=3 wrapper of sb_doc_scores
+    "subject_erasure",       # partition-dir names via Spark Cast
+    # (d) stalest driver-green keys — last green r2. The whole TPC-H
+    # engine-surface block (21 keys):
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # ...and the first 15 (alphabetical — deterministic, auditable) of
+    # the 25 non-TPC-H r2-last-green keys:
+    "availability_pivot",
+    "cube_counts",
+    "daily_availability",
+    "date_ranges",
+    "device_split",
+    "distinct_measurements",
+    "event_gaps",
+    "feature_stats",
+    "gap_fill",
+    "iso_week_activity",
+    "json_extract",
+    "latest_event_state",
+    "lineitem_unpivot",
+    "missing_data",
+    "monthly_activity",
+    # Remaining r2-last-green keys (rolling_anomalies, rollup_counts,
+    # salted_agg_parity, sessionization, split_assignment, stream_dedup,
+    # stream_interval_join, top_orders_per_customer, value_histogram,
+    # value_percentiles) and the 40 r3-last-green keys lead the r8
+    # rotation; the r6 window text is in git history (commit 6f0bd02)
+    # for the policy audit.
+    # (end of round-7 rotation)
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -11279,7 +11253,8 @@ PERF_EVIDENCE_EXCLUSIONS: dict[str, str] = {
     "source_mix": "one hash agg; stratified_counts benched",
     "split_assignment": "hash-projection twin of benched grouped_folds",
     "balanced_classes": "scalar-min downsample; stratified_counts benched",
-    "salted_agg_parity": "parity check of salting; skew_report benched",
+    # salted_agg_parity moved to the sf1 probe set in r7: the Zipf-
+    # skewed sf1 events make salting evidence measurable, not nominal.
     # Correctness-certification queries: they CONTAIN a deliberate
     # brute-force reference side, so a timing measures the reference,
     # not a production plan (the certified production plans are

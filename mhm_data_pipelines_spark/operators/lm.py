@@ -1,5 +1,6 @@
 """Smoothed n-gram language-model scoring: interpolated Kneser-Ney
-(bigram) and trigram Stupid Backoff.
+(bigram) and configurable-order Stupid Backoff (order=5 = the CCNet
+shape; the trigram scorer is the order=3 wrapper).
 
 The CCNet pipeline (Wenzek et al. 2020) filters web text by perplexity
 under a smoothed 5-gram KenLM (Heafield 2011); the repo's earlier

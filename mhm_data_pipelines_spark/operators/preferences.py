@@ -58,8 +58,12 @@ def preference_pairs(
 
     ``mode="all_pairs"`` emits every (higher, lower) scored pair over
     the margin; ``max_pairs_per_prompt`` keeps the largest margins
-    (ties: smaller chosen id, then smaller rejected id) via a
-    per-prompt rank window over the already-selected pairs.
+    (ties: smaller chosen id, then smaller rejected id). With the cap
+    set, both join sides are pre-pruned to the per-prompt top/bottom-K
+    completions (provably sufficient — see the inline exchange
+    argument), so a hot prompt costs K², never n². WITHOUT the cap the
+    self-join is inherently the full expansion — only use uncapped
+    all_pairs where a completions-per-prompt contract bounds n.
 
     NULL scores never pair: a preference you cannot order is not a
     preference (rows with NULL score are dropped up front on both
@@ -87,12 +91,41 @@ def preference_pairs(
         return out.filter(F.col("score_margin") > F.lit(margin))
     if mode != "all_pairs":
         raise ValueError(f"unknown mode: {mode!r}")
-    a = scored.select(
+    chosen_side, rejected_side = scored, scored
+    if max_pairs_per_prompt is not None:
+        # Hot-prompt guard (found by the r7 Zipf-skewed sf1 probe: one
+        # prompt holding 38% of rows made the raw self-join quadratic,
+        # 200× on 10× data). The final top-K pairs under
+        # (margin DESC, chosen_id ASC, rejected_id ASC) can only draw
+        # chosen from the prompt's top-K completions by
+        # (score DESC, id ASC) and rejected from its bottom-K by
+        # (score ASC, id ASC): any pair violating that is preceded by
+        # ≥ K pairs that beat it on margin or tie-break (swap the
+        # out-of-candidate endpoint for a dominating one — an exchange
+        # argument). So prune both sides to K rows per prompt FIRST:
+        # fan-out falls from n² to K² per prompt, bit-identical output
+        # (asserted by test_preferences.py against the unpruned path).
+        from pyspark.sql import Window
+
+        kk = max_pairs_per_prompt
+        wc = Window.partitionBy(p).orderBy(F.col(s).desc(), F.col(c))
+        wr = Window.partitionBy(p).orderBy(F.col(s).asc(), F.col(c))
+        chosen_side = (
+            scored.withColumn("_rk", F.row_number().over(wc))
+            .filter(F.col("_rk") <= kk)
+            .drop("_rk")
+        )
+        rejected_side = (
+            scored.withColumn("_rk", F.row_number().over(wr))
+            .filter(F.col("_rk") <= kk)
+            .drop("_rk")
+        )
+    a = chosen_side.select(
         F.col(p),
         F.col(c).alias("chosen_id"),
         F.col(s).alias("chosen_score"),
     )
-    b = scored.select(
+    b = rejected_side.select(
         F.col(p),
         F.col(c).alias("rejected_id"),
         F.col(s).alias("rejected_score"),

@@ -94,3 +94,45 @@ def test_attach_texts(spark, scored):
 def test_unknown_mode_rejected(spark, scored):
     with pytest.raises(ValueError, match="unknown mode"):
         preference_pairs(scored, mode="nope")
+
+
+def test_capped_all_pairs_matches_full_expansion(spark):
+    """The hot-prompt candidate pruning (top/bottom-K per prompt before
+    the join — r7 fix for the Zipf-skew quadratic blowup) must be
+    invisible: capped output == rank-K of the FULL expansion, including
+    heavy score ties where only the id tie-breaks order pairs."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for prompt in range(4):
+        n = 30
+        for cid in range(n):
+            # few distinct scores -> massive margin ties
+            rows.append((prompt, prompt * 100 + cid,
+                         float(rng.choice([1.0, 2.0, 2.0, 3.0]))))
+    df = spark.createDataFrame(
+        rows, "prompt_id int, completion_id int, score double"
+    )
+    for k in (1, 3, 5):
+        got = sorted(
+            (r.prompt_id, r.chosen_id, r.rejected_id)
+            for r in preference_pairs(
+                df, mode="all_pairs", margin=0.5, max_pairs_per_prompt=k
+            ).collect()
+        )
+        # reference: full expansion ranked in python
+        want = []
+        by_prompt = {}
+        for pr, cid, sc in rows:
+            by_prompt.setdefault(pr, []).append((cid, sc))
+        for pr, comps in by_prompt.items():
+            pairs = [
+                (cs - rs, c, r)
+                for (c, cs), (r, rs) in itertools.product(comps, comps)
+                if cs - rs > 0.5
+            ]
+            pairs.sort(key=lambda t: (-t[0], t[1], t[2]))
+            want += [(pr, c, r) for _, c, r in pairs[:k]]
+        assert got == sorted(want), f"k={k}"
