@@ -5109,6 +5109,68 @@ def q_ann_index_roundtrip(spark, sf_dir):
 SQL_ANN_INDEX_ROUNDTRIP = _ivfpq_topk_oracle_sql()
 
 
+def q_ann_index_append(spark, sf_dir):
+    """ANN index INCREMENTAL maintenance verified end-to-end: half the
+    corpus is persisted, the other half APPENDED with the same frozen
+    quantizers and bucket spec (similarity.append_to_ivf_pq_index —
+    the arrival-batch shape of a live corpus: encode only the new
+    rows, co-bucketed into the existing table, no rewrite), then
+    searched. Per-row encode is deterministic, so append ≡ rebuild —
+    the oracle is the SAME full-value ADC twin as ivfpq_topk; any
+    divergence means the append corrupted the index."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        ivf_pq_index,
+        ivf_pq_search_table,
+        persist_ivf_pq_index,
+    )
+
+    import uuid as _uuid
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    mid = 1000
+    table = _track_table(
+        spark, f"mhm_ann_gate_app_{_uuid.uuid4().hex[:12]}"
+    )
+    persist_ivf_pq_index(
+        ivf_pq_index(
+            corpus.filter(F.col("vec_id") < mid),
+            _ivf_seeded_centroids(),
+            _pq_seeded_codebooks(),
+        ),
+        table,
+        n_buckets=8,
+    )
+    append_to_ivf_pq_index(
+        corpus.filter(F.col("vec_id") >= mid),
+        table,
+        _ivf_seeded_centroids(),
+        _pq_seeded_codebooks(),
+        n_buckets=8,
+    )
+    out = ivf_pq_search_table(
+        spark,
+        table,
+        queries,
+        _ivf_seeded_centroids(),
+        _pq_seeded_codebooks(),
+        k=10,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_score", 4).alias("adc_score"),
+    ).orderBy("query_id", "vec_id")
+
+
+SQL_ANN_INDEX_APPEND = _ivfpq_topk_oracle_sql()
+
+
 def q_staging_mirror(spark, sf_dir):
     """S5 staging escape hatch (download_data.py:83-145), verified
     end-to-end: ``stage_objects`` mirrors the ``region`` table's files
@@ -10582,6 +10644,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ann_index_roundtrip": q_ann_index_roundtrip,
+    "ann_index_append": q_ann_index_append,
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "source_mix": q_source_mix,
@@ -10801,6 +10864,7 @@ ORACLES: dict[str, str] = {
     "pq_topk": SQL_PQ_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ann_index_roundtrip": SQL_ANN_INDEX_ROUNDTRIP,
+    "ann_index_append": SQL_ANN_INDEX_APPEND,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "source_mix": SQL_SOURCE_MIX,
@@ -10975,6 +11039,7 @@ GATE_PRIORITY: list[str] = [
     "avro_roundtrip",        # pure-Python Avro container sink/source
     "ann_index_roundtrip",   # IVF-PQ persist/reload/search lifecycle
     "dup_spans_recall",      # capped-vs-exact substring-dedup cert
+    "ann_index_append",      # incremental co-bucketed index appends
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -11006,7 +11071,7 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 15 (alphabetical — deterministic, auditable) of
+    # ...and the first 14 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
@@ -11022,8 +11087,8 @@ GATE_PRIORITY: list[str] = [
     "latest_event_state",
     "lineitem_unpivot",
     "missing_data",
-    "monthly_activity",
-    # Remaining r2-last-green keys (rolling_anomalies, rollup_counts,
+    # Remaining r2-last-green keys (monthly_activity, rolling_anomalies,
+    # rollup_counts,
     # salted_agg_parity, sessionization, split_assignment, stream_dedup,
     # stream_interval_join, top_orders_per_customer, value_histogram,
     # value_percentiles) and the 40 r3-last-green keys lead the r8
@@ -11167,6 +11232,7 @@ BENCH_QUERIES: list[str] = [
     "orc_roundtrip",
     "avro_roundtrip",
     "ann_index_roundtrip",
+    "ann_index_append",
     "stream_dim_join",
     "embedding_whitening",
     "source_concentration",

@@ -1039,6 +1039,37 @@ def persist_ivf_pq_index(
     write_bucketed(index, table, keys=["list_id"], n_buckets=n_buckets)
 
 
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    table: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    n_buckets: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """INCREMENTAL index maintenance: encode only the new vectors
+    (:func:`ivf_pq_index` is a zero-shuffle map — per-row encode is
+    deterministic given fixed quantizers, so append ≡ rebuild row-set,
+    asserted by the ``ann_index_append`` gate query) and APPEND them to
+    the persisted bucketed table with the SAME bucket spec — Spark
+    co-buckets the new files, so searches stay bucket-pruned with no
+    rewrite of the existing index. The arrival-batch shape of a live
+    corpus: daily embeddings append in minutes while the quantizers
+    stay frozen; retrain + full rebuild only when recall drift (watch
+    ``ivf_recall``) says the coarse centroids went stale. Caller must
+    pass the same quantizers and bucket count as the original build —
+    mixed-quantizer indexes are meaningless, so drift here is on the
+    caller's catalog discipline (at 100 TB: store quantizer versions
+    in the table properties)."""
+    from mhm_data_pipelines_spark.sources.bucketed import write_bucketed
+
+    idx = ivf_pq_index(new_vectors, centroids, codebooks, vec_col, id_col)
+    write_bucketed(
+        idx, table, keys=["list_id"], n_buckets=n_buckets, mode="append"
+    )
+
+
 def load_ivf_pq_index(spark, table: str) -> DataFrame:
     """Reload a persisted IVF-PQ index table (bucket metadata rides the
     catalog entry, so downstream list_id filters bucket-prune)."""

@@ -355,6 +355,14 @@ NOTES = {
         "span counts, identical-span count, one summary row; "
         "precision is 1 by construction (capping only removes grams)."
     ),
+    "ann_index_append": (
+        "ANN index incremental maintenance: only the NEW vectors "
+        "encode (zero-shuffle map, frozen quantizers), appended "
+        "co-bucketed into the existing table - no rewrite; per-row "
+        "encode determinism makes append == rebuild, so the search "
+        "result is bit-identical to a from-scratch index (same ADC "
+        "oracle)."
+    ),
     "ann_index_roundtrip": (
         "ANN index lifecycle: IVF-PQ index persisted ONCE as a "
         "list_id-bucketed catalog table, reloaded, searched with the "

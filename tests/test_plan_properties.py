@@ -44,6 +44,8 @@ EXECUTES_ON_BUILD = {
     "ann_index_roundtrip",  # persists the bucketed IVF-PQ index table
                             # on build + one bounded probed-lists
                             # collect (<= |queries| x nprobe ints)
+    "ann_index_append",     # persists + appends the bucketed index
+                            # table on build (same bounded collect)
     "stream_dim_join",   # drains a two-batch enrichment stream on build
     "embedding_whitening",  # fits the whitener (bounded collects) on build
     "subject_erasure",   # writes + erasure-rewrites the table on build

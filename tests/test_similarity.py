@@ -562,6 +562,55 @@ def test_ivf_pq_index_persist_reload_search_parity(spark, corpus):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_ivf_pq_index_append_equals_rebuild(spark, corpus):
+    """Incremental append: persist half the corpus, append the rest —
+    searches must be bit-identical to an index built over the whole
+    corpus at once (per-row encode is deterministic given frozen
+    quantizers), and the appended table must still bucket-prune."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        ivf_pq_index,
+        ivf_pq_search_table,
+        ivf_pq_topk,
+        persist_ivf_pq_index,
+    )
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    books = _rand_books(m, ksub, dsub)
+    import random
+
+    rng = random.Random(5)
+    cents = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]) for i in range(4)
+    ]
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = corpus.filter(F.col("vec_id") >= 3)
+    first = c.filter(F.col("vec_id") < 100)
+    second = c.filter(F.col("vec_id") >= 100)
+    table = "ivfpq_idx_append_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        persist_ivf_pq_index(
+            ivf_pq_index(first, cents, books), table, n_buckets=4
+        )
+        append_to_ivf_pq_index(second, table, cents, books, n_buckets=4)
+        got_df = ivf_pq_search_table(
+            spark, table, q, cents, books, k=5, nprobe=2
+        )
+        want = {
+            (r.query_id, r.vec_id): r.adc_score
+            for r in ivf_pq_topk(c, q, cents, books, k=5, nprobe=2).collect()
+        }
+        got = {(r.query_id, r.vec_id): r.adc_score for r in got_df.collect()}
+        assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_knn_graph_zero_vectors_dropped_both_paths(spark):
     """Zero-norm vectors normalize to NULL (cosine undefined) and must
     be DROPPED from the graph, not crash the BLAS cogroup's np.stack
