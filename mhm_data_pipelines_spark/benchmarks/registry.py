@@ -5748,6 +5748,93 @@ FROM sc ORDER BY doc_id
 """
 
 
+def q_doc_kn3_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM scoring (Chen & Goodman 1999
+    continuation-count recursion) on the held-out even/odd split, so
+    every recursion level exercises: discounted trigram mass →
+    continuation-count middle level → P_cont → D/B floor. Two corpus
+    explodes build the trigram/bigram aggregates; five marginals
+    re-aggregate them; scoring joins all six back AQE-sized; only the
+    1-row bigram-type total broadcasts (operators/lm.py
+    kn_trigram_doc_scores; the distribution sums to exactly 1 for
+    every seen context — tested)."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        kn_trigram_doc_scores,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    tk = df.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("tk")
+    )
+    train = tk.filter(F.col("doc_id") % 2 == 0)
+    score = tk.filter(F.col("doc_id") % 2 == 1)
+    return kn_trigram_doc_scores(score, train=train).orderBy("doc_id")
+
+
+SQL_DOC_KN3_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), tr AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 0
+), sdocs AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 1
+), tri AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         count(*) AS c123
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3 GROUP BY 1, 2, 3
+), ctx12 AS (
+  SELECT w1, w2, CAST(sum(c123) AS DOUBLE) AS c12,
+         CAST(count(*) AS DOUBLE) AS n1r12
+  FROM tri GROUP BY 1, 2
+), cont23 AS (
+  SELECT w2, w3, CAST(count(*) AS DOUBLE) AS n1l23
+  FROM tri GROUP BY 1, 2
+), mid2 AS (
+  SELECT w2, CAST(sum(n1l23) AS DOUBLE) AS m2,
+         CAST(count(*) AS DOUBLE) AS n1r2
+  FROM cont23 GROUP BY 1
+), bf AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c12raw
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2 GROUP BY 1, 2
+), contw AS (
+  SELECT w2 AS w3, CAST(count(*) AS DOUBLE) AS n1l FROM bf GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM bf
+), stream AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+  FROM sdocs, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3
+), scored AS (
+  SELECT doc_id,
+         coalesce(contw.n1l / tot.b, 0.75 / tot.b) AS pc,
+         CASE WHEN mid2.m2 IS NOT NULL THEN
+           greatest(coalesce(cont23.n1l23, 0.0) - 0.75, 0.0) / mid2.m2
+           + 0.75 * mid2.n1r2 / mid2.m2 * pc
+         ELSE pc END AS pmid,
+         CASE WHEN ctx12.c12 IS NOT NULL THEN
+           greatest(coalesce(CAST(tri.c123 AS DOUBLE), 0.0) - 0.75, 0.0)
+             / ctx12.c12
+           + 0.75 * ctx12.n1r12 / ctx12.c12 * pmid
+         ELSE pmid END AS p
+  FROM stream
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN ctx12 USING (w1, w2)
+  LEFT JOIN cont23 USING (w2, w3)
+  LEFT JOIN mid2 USING (w2)
+  LEFT JOIN contw USING (w3),
+  tot
+), sc AS (
+  SELECT doc_id, count(*) AS n_trigrams,
+         round(avg(ln(p)), 4) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+FROM sc ORDER BY doc_id
+"""
+
+
 def q_doc_sb_lm(spark, sf_dir):
     """Trigram Stupid-Backoff scoring (Brants 2007) on a HELD-OUT
     split — train on even doc_ids, score the odd ones, so the full
@@ -10780,6 +10867,7 @@ QUERIES: dict[str, QuerySpec] = {
     "profile_table": q_profile_table,
     "doc_bigram_lm": q_doc_bigram_lm,
     "doc_kn_lm": q_doc_kn_lm,
+    "doc_kn3_lm": q_doc_kn3_lm,
     "doc_sb_lm": q_doc_sb_lm,
     "doc_sb5_lm": q_doc_sb5_lm,
 }
@@ -11005,6 +11093,7 @@ ORACLES: dict[str, str] = {
     "profile_table": SQL_PROFILE_TABLE,
     "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
     "doc_kn_lm": SQL_DOC_KN_LM,
+    "doc_kn3_lm": SQL_DOC_KN3_LM,
     "doc_sb_lm": SQL_DOC_SB_LM,
     "doc_sb5_lm": SQL_DOC_SB5_LM,
 }
@@ -11040,6 +11129,7 @@ GATE_PRIORITY: list[str] = [
     "ann_index_roundtrip",   # IVF-PQ persist/reload/search lifecycle
     "dup_spans_recall",      # capped-vs-exact substring-dedup cert
     "ann_index_append",      # incremental co-bucketed index appends
+    "doc_kn3_lm",            # interpolated KN trigram, held-out split
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -11071,7 +11161,7 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 14 (alphabetical — deterministic, auditable) of
+    # ...and the first 13 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
@@ -11086,9 +11176,8 @@ GATE_PRIORITY: list[str] = [
     "json_extract",
     "latest_event_state",
     "lineitem_unpivot",
-    "missing_data",
-    # Remaining r2-last-green keys (monthly_activity, rolling_anomalies,
-    # rollup_counts,
+    # Remaining r2-last-green keys (missing_data, monthly_activity,
+    # rolling_anomalies, rollup_counts,
     # salted_agg_parity, sessionization, split_assignment, stream_dedup,
     # stream_interval_join, top_orders_per_customer, value_histogram,
     # value_percentiles) and the 40 r3-last-green keys lead the r8
@@ -11249,6 +11338,7 @@ BENCH_QUERIES: list[str] = [
     # asserts the three-way cover is total.
     "mutual_knn_selective",
     "doc_kn_lm",
+    "doc_kn3_lm",
     "doc_sb_lm",
     "doc_sb5_lm",
     "doc_bigram_lm",

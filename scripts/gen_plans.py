@@ -56,6 +56,14 @@ NOTES = {
         "total broadcasts. Order is a parameter - the same plan shape "
         "at any n."
     ),
+    "doc_kn3_lm": (
+        "interpolated Kneser-Ney TRIGRAM (Chen & Goodman continuation-"
+        "count recursion): trigram + bigram explode/agg passes; the "
+        "middle level runs on continuation counts N1+(.w2w3) derived "
+        "by re-aggregating the trigram TYPE table; c12 = sum c123 "
+        "makes each level sum to exactly 1 over the vocab; six "
+        "AQE-sized joins, only the 1-row B total broadcasts."
+    ),
     "doc_kn_lm": (
         "interpolated Kneser-Ney bigram LM: ONE corpus explode + one "
         "(w1,w2) hash agg; context/continuation/type-total marginals "

@@ -152,6 +152,65 @@ def test_sb_self_scored_is_mle_trigram(spark):
     assert got["d1"]["avg_logs"] == pytest.approx(round(want, 4))
 
 
+def test_kn_trigram_hand_values_all_levels(spark):
+    """Interpolated KN trigram: every recursion level hand-computed on
+    _TRAIN (tri (a,b,a):1 (b,a,b):1; cont counts all 1; B=3; D=.75):
+    P(a|a,b) = .25 + .75*P(a|b) = .25 + .75*.5 = .625;
+    unseen trigram/known ctx -> interpolation term only;
+    unknown ctx -> middle level; unknown middle -> P_cont; OOV -> D/B."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        kn_trigram_doc_scores,
+    )
+
+    train = _df(spark, _TRAIN)
+    held = _df(
+        spark,
+        [
+            ("s1", ["a", "b", "a"]),   # full formula: .625
+            ("h1", ["a", "b", "c"]),   # unseen tri, known ctx:
+                                       # .75 * P(c|b) = .75*.25 = .1875
+            ("h2", ["x", "a", "b"]),   # unknown ctx -> P(b|a) = .5
+            ("h3", ["x", "z", "b"]),   # unknown middle -> P_cont(b)=1/3
+            ("h4", ["x", "z", "q"]),   # OOV w3 -> D/B = .25
+            ("h5", ["a", "b"]),        # < 3 tokens: dropped
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in kn_trigram_doc_scores(held, train=train).collect()
+    }
+    assert "h5" not in got
+    want = {"s1": 0.625, "h1": 0.1875, "h2": 0.5, "h3": 1 / 3, "h4": 0.25}
+    for k, w in want.items():
+        assert got[k]["avg_logp"] == pytest.approx(round(math.log(w), 4)), k
+        assert got[k]["n_trigrams"] == 1
+    with pytest.raises(ValueError):
+        kn_trigram_doc_scores(held, train=train, discount=0.0)
+
+
+def test_kn_trigram_probability_mass_sums_to_one(spark):
+    """For a seen context the trigram KN distribution must sum to
+    EXACTLY 1 over the vocabulary — the property the re-aggregated
+    c12 = Σ c123 denominator buys (raw bigram counts would break it
+    at document boundaries). Σ_w3 P(w3 | a,b) over {a,b,c} = 1."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        kn_trigram_doc_scores,
+    )
+
+    train = _df(spark, _TRAIN)
+    held = _df(
+        spark,
+        [("pa", ["a", "b", "a"]), ("pb", ["a", "b", "b"]),
+         ("pz", ["a", "b", "c"])],
+    )
+    got = {
+        r["doc_id"]: math.exp(r["avg_logp"])
+        for r in kn_trigram_doc_scores(held, train=train).collect()
+    }
+    # note: exp(round(ln p, 4)) ~ p to ~1e-4
+    assert sum(got.values()) == pytest.approx(1.0, abs=5e-4)
+
+
 def test_sb5_every_backoff_level_hand_values(spark):
     """Configurable-order Stupid-Backoff at order=5 (the CCNet shape):
     one held-out doc per backoff level, hand-computed.

@@ -84,6 +84,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "hybrid_rrf",         # contains bm25_topk's 1-row stats cross
     "ppl_buckets",        # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_kn_lm",          # crossJoin(broadcast(bigram-type total)) — 1 row
+    "doc_kn3_lm",         # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_sb_lm",          # crossJoin(broadcast(token total)) — 1 row
     "doc_sb5_lm",         # crossJoin(broadcast(token total)) — 1 row
     "embedding_covariance",  # crossJoin(broadcast(vector count n)) — 1 row
@@ -275,6 +276,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # count table + AQE-sized joins back + the per-doc agg + display
     # sort (subtrees planned per consumer as in ppl_buckets).
     "doc_kn_lm": {"max_shuffles": 12, "require": ["BroadcastHashJoin"]},
+    # doc_kn3_lm: trigram + bigram explode/agg passes + four marginal
+    # re-aggs + six AQE-sized joins back onto the held-out stream +
+    # per-doc agg + display sort (subtrees planned per consumer).
+    "doc_kn3_lm": {"max_shuffles": 24, "require": ["BroadcastHashJoin"]},
     # doc_sb_lm: three explode+agg count passes (tri/big/uni) + five
     # AQE-sized joins back onto the held-out trigram stream + per-doc
     # agg + display sort (subtrees planned per consumer).
