@@ -5835,6 +5835,129 @@ FROM sc ORDER BY doc_id
 """
 
 
+def q_doc_kn5_lm(spark, sf_dir):
+    """5-gram interpolated Kneser-Ney — the EXACT shape of CCNet's
+    industrial KenLM filter (Wenzek 2020; Heafield 2011) in closed
+    count form, on the held-out even/odd split: raw counts at the top,
+    continuation counts N1+(·suffix) at every middle level, P_cont at
+    the base, finite fallbacks level by level. Four corpus explode+agg
+    passes (k-gram counts k=2..5); all marginals re-aggregate those
+    type tables; scoring joins nine count tables back AQE-sized; only
+    the 1-row bigram-type total broadcasts (operators/lm.py
+    kn_doc_scores; each level sums to exactly 1 per seen context —
+    tested)."""
+    from mhm_data_pipelines_spark.operators.lm import kn_doc_scores
+
+    df = _t(spark, sf_dir, "documents")
+    tk = df.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("tk")
+    )
+    train = tk.filter(F.col("doc_id") % 2 == 0)
+    score = tk.filter(F.col("doc_id") % 2 == 1)
+    return kn_doc_scores(score, train=train, order=5).orderBy("doc_id")
+
+
+SQL_DOC_KN5_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_LOWER} AS tk FROM documents
+), tr AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 0
+), sdocs AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 1
+), g5 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i + 3] AS w4, tk[i + 4] AS w5, count(*) AS c5
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 4)) AS u(i)
+  WHERE len(tk) >= 5 GROUP BY 1, 2, 3, 4, 5
+), g4 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i + 3] AS w4, count(*) AS c4
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 3)) AS u(i)
+  WHERE len(tk) >= 4 GROUP BY 1, 2, 3, 4
+), g3 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3, count(*) AS c3
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3 GROUP BY 1, 2, 3
+), g2 AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c2
+  FROM tr, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2 GROUP BY 1, 2
+), ctx5 AS (
+  SELECT w1, w2, w3, w4, CAST(sum(c5) AS DOUBLE) AS cx,
+         CAST(count(*) AS DOUBLE) AS n1r5
+  FROM g5 GROUP BY 1, 2, 3, 4
+), ck4 AS (
+  SELECT w2, w3, w4, w5, CAST(count(*) AS DOUBLE) AS ck4
+  FROM g5 GROUP BY 1, 2, 3, 4
+), m4 AS (
+  SELECT w2, w3, w4, CAST(sum(ck4) AS DOUBLE) AS m4,
+         CAST(count(*) AS DOUBLE) AS n1r4
+  FROM ck4 GROUP BY 1, 2, 3
+), ck3 AS (
+  SELECT w2 AS w3, w3 AS w4, w4 AS w5,
+         CAST(count(*) AS DOUBLE) AS ck3
+  FROM g4 GROUP BY 1, 2, 3
+), m3 AS (
+  SELECT w3, w4, CAST(sum(ck3) AS DOUBLE) AS m3,
+         CAST(count(*) AS DOUBLE) AS n1r3
+  FROM ck3 GROUP BY 1, 2
+), ck2 AS (
+  SELECT w2 AS w4, w3 AS w5, CAST(count(*) AS DOUBLE) AS ck2
+  FROM g3 GROUP BY 1, 2
+), m2 AS (
+  SELECT w4, CAST(sum(ck2) AS DOUBLE) AS m2,
+         CAST(count(*) AS DOUBLE) AS n1r2
+  FROM ck2 GROUP BY 1
+), contw AS (
+  SELECT w2 AS w5, CAST(count(*) AS DOUBLE) AS n1l FROM g2 GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM g2
+), stream AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i + 3] AS w4, tk[i + 4] AS w5
+  FROM sdocs, LATERAL unnest(generate_series(1, len(tk) - 4)) AS u(i)
+  WHERE len(tk) >= 5
+), scored AS (
+  SELECT doc_id,
+         coalesce(contw.n1l / tot.b, 0.75 / tot.b) AS pc,
+         CASE WHEN m2.m2 IS NOT NULL THEN
+           greatest(coalesce(ck2.ck2, 0.0) - 0.75, 0.0) / m2.m2
+           + 0.75 * m2.n1r2 / m2.m2 * pc
+         ELSE pc END AS p2,
+         CASE WHEN m3.m3 IS NOT NULL THEN
+           greatest(coalesce(ck3.ck3, 0.0) - 0.75, 0.0) / m3.m3
+           + 0.75 * m3.n1r3 / m3.m3 * p2
+         ELSE p2 END AS p3,
+         CASE WHEN m4.m4 IS NOT NULL THEN
+           greatest(coalesce(ck4.ck4, 0.0) - 0.75, 0.0) / m4.m4
+           + 0.75 * m4.n1r4 / m4.m4 * p3
+         ELSE p3 END AS p4,
+         CASE WHEN ctx5.cx IS NOT NULL THEN
+           greatest(coalesce(CAST(g5.c5 AS DOUBLE), 0.0) - 0.75, 0.0)
+             / ctx5.cx
+           + 0.75 * ctx5.n1r5 / ctx5.cx * p4
+         ELSE p4 END AS p
+  FROM stream
+  LEFT JOIN g5 USING (w1, w2, w3, w4, w5)
+  LEFT JOIN ctx5 USING (w1, w2, w3, w4)
+  LEFT JOIN ck4 USING (w2, w3, w4, w5)
+  LEFT JOIN m4 USING (w2, w3, w4)
+  LEFT JOIN ck3 USING (w3, w4, w5)
+  LEFT JOIN m3 USING (w3, w4)
+  LEFT JOIN ck2 USING (w4, w5)
+  LEFT JOIN m2 USING (w4)
+  LEFT JOIN contw USING (w5),
+  tot
+), sc AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         round(avg(ln(p)), 4) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+FROM sc ORDER BY doc_id
+"""
+
+
 def q_doc_sb_lm(spark, sf_dir):
     """Trigram Stupid-Backoff scoring (Brants 2007) on a HELD-OUT
     split — train on even doc_ids, score the odd ones, so the full
@@ -10868,6 +10991,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_bigram_lm": q_doc_bigram_lm,
     "doc_kn_lm": q_doc_kn_lm,
     "doc_kn3_lm": q_doc_kn3_lm,
+    "doc_kn5_lm": q_doc_kn5_lm,
     "doc_sb_lm": q_doc_sb_lm,
     "doc_sb5_lm": q_doc_sb5_lm,
 }
@@ -11094,6 +11218,7 @@ ORACLES: dict[str, str] = {
     "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
     "doc_kn_lm": SQL_DOC_KN_LM,
     "doc_kn3_lm": SQL_DOC_KN3_LM,
+    "doc_kn5_lm": SQL_DOC_KN5_LM,
     "doc_sb_lm": SQL_DOC_SB_LM,
     "doc_sb5_lm": SQL_DOC_SB5_LM,
 }
@@ -11130,6 +11255,7 @@ GATE_PRIORITY: list[str] = [
     "dup_spans_recall",      # capped-vs-exact substring-dedup cert
     "ann_index_append",      # incremental co-bucketed index appends
     "doc_kn3_lm",            # interpolated KN trigram, held-out split
+    "doc_kn5_lm",            # 5-gram KN — the exact CCNet filter shape
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -11161,7 +11287,7 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 13 (alphabetical — deterministic, auditable) of
+    # ...and the first 12 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
@@ -11175,8 +11301,8 @@ GATE_PRIORITY: list[str] = [
     "iso_week_activity",
     "json_extract",
     "latest_event_state",
-    "lineitem_unpivot",
-    # Remaining r2-last-green keys (missing_data, monthly_activity,
+    # Remaining r2-last-green keys (lineitem_unpivot, missing_data,
+    # monthly_activity,
     # rolling_anomalies, rollup_counts,
     # salted_agg_parity, sessionization, split_assignment, stream_dedup,
     # stream_interval_join, top_orders_per_customer, value_histogram,
@@ -11339,6 +11465,7 @@ BENCH_QUERIES: list[str] = [
     "mutual_knn_selective",
     "doc_kn_lm",
     "doc_kn3_lm",
+    "doc_kn5_lm",
     "doc_sb_lm",
     "doc_sb5_lm",
     "doc_bigram_lm",

@@ -153,6 +153,165 @@ def kn_bigram_doc_scores(
     )
 
 
+def kn_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tk",
+    train: DataFrame | None = None,
+    order: int = 5,
+    discount: float = 0.75,
+    quantize: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney at a CONFIGURABLE order — ``order=5``
+    is the EXACT shape of CCNet's industrial KenLM filter (Wenzek et
+    al. 2020; Heafield 2011), in closed count form:
+
+        P_n(w|ctx_n)   = max(c_n−D,0)/Σc_n + D·N1+(ctx_n·)/Σc_n · P_{n−1}
+        P_k (2≤k<n)    = max(N1+(·sfx_k)−D,0)/m_k
+                         + D·N1+(ctx_k·)/m_k · P_{k−1}
+        P_1(w)         = N1+(·w)/B, floor D/B
+
+    — raw counts at the top, CONTINUATION counts ``N1+(· suffix_k)``
+    (distinct left-extensions among (k+1)-gram types) at every middle
+    level, the Chen & Goodman 1999 recursion in full. Each level's
+    denominator is the row-sum of its own count table (``Σc_n``,
+    ``m_k = Σ N1+(·sfx_k)``), so for every seen context each level
+    sums to EXACTLY 1 over the vocabulary (tested as an identity).
+    Finite fallback chain: unseen context at level k → level k−1;
+    unseen base continuation → ``D/B``. Documents with < ``order``
+    tokens are absent.
+
+    Scale shape: ``order−1`` corpus explode+agg passes (k-gram counts,
+    k = 2..order) — everything else re-aggregates those vocab-sized
+    TYPE tables (continuation counts per level, the per-level context
+    marginals); scoring joins ``2·order−1`` count tables back
+    AQE-sized; only the 1-row bigram-type total ``B`` broadcasts. No
+    Python in the row loop; a closed-form twin can replay every float.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    tr = train if train is not None else docs
+    n = order
+    d = F.lit(float(discount))
+    # raw k-gram count tables, k = 2..n (one corpus explode each)
+    raw = {
+        k: _ngrams(tr, [], tokens_col, k)
+        .groupBy(*[f"w{j + 1}" for j in range(k)])
+        .agg(F.count("*").alias("c"))
+        for k in range(2, n + 1)
+    }
+    stream = _ngrams(docs, [id_col], tokens_col, n)
+    scored = stream
+    # top level: raw counts + re-aggregated context marginal
+    top = raw[n].select(
+        *[F.col(f"w{j + 1}").alias(f"_t_{j + 1}") for j in range(n)],
+        F.col("c").alias("cn"),
+    )
+    cond = None
+    for j in range(n):
+        eq = F.col(f"w{j + 1}") == F.col(f"_t_{j + 1}")
+        cond = eq if cond is None else cond & eq
+    scored = scored.join(top, cond, "left")
+    ctx_n = raw[n].groupBy(*[f"w{j + 1}" for j in range(n - 1)]).agg(
+        F.sum("c").cast("double").alias("cxn"),
+        F.count("*").cast("double").alias(f"n1r_{n}"),
+    )
+    ctx_n = ctx_n.select(
+        *[F.col(f"w{j + 1}").alias(f"_x{n}_{j + 1}") for j in range(n - 1)],
+        "cxn",
+        f"n1r_{n}",
+    )
+    cond = None
+    for j in range(n - 1):
+        eq = F.col(f"w{j + 1}") == F.col(f"_x{n}_{j + 1}")
+        cond = eq if cond is None else cond & eq
+    scored = scored.join(ctx_n, cond, "left")
+    # middle levels k = n-1 .. 2: continuation counts from the
+    # (k+1)-gram TYPE table (group by its last k columns), plus that
+    # level's context marginal (group the cont table by its first k−1).
+    for k in range(n - 1, 1, -1):
+        src = raw[k + 1]
+        # suffix columns w2..w{k+1} of the (k+1)-gram types -> s0..s{k-1}
+        cont = src.groupBy(
+            *[F.col(f"w{j + 2}").alias(f"s{j}") for j in range(k)]
+        ).agg(F.count("*").cast("double").alias(f"ck{k}"))
+        # cont columns s0..s{k-1} correspond to suffix positions
+        # (w_{n-k+1}..w_n) of the stream.
+        off = n - k
+        sel = cont.select(
+            *[
+                F.col(f"s{j}").alias(f"_c{k}_{j}")
+                for j in range(k)
+            ],
+            f"ck{k}",
+        )
+        cond = None
+        for j in range(k):
+            eq = F.col(f"w{off + j + 1}") == F.col(f"_c{k}_{j}")
+            cond = eq if cond is None else cond & eq
+        scored = scored.join(sel, cond, "left")
+        mid = cont.groupBy(*[f"s{j}" for j in range(k - 1)]).agg(
+            F.sum(f"ck{k}").cast("double").alias(f"m{k}"),
+            F.count("*").cast("double").alias(f"n1r_{k}"),
+        )
+        mid = mid.select(
+            *[
+                F.col(f"s{j}").alias(f"_m{k}_{j}")
+                for j in range(k - 1)
+            ],
+            f"m{k}",
+            f"n1r_{k}",
+        )
+        cond = None
+        for j in range(k - 1):
+            eq = F.col(f"w{off + j + 1}") == F.col(f"_m{k}_{j}")
+            cond = eq if cond is None else cond & eq
+        scored = scored.join(mid, cond, "left")
+    # base level: bigram-type continuation counts
+    contw = raw[2].groupBy(F.col("w2").alias("_bw")).agg(
+        F.count("*").cast("double").alias("n1l")
+    )
+    scored = scored.join(contw, F.col(f"w{n}") == F.col("_bw"), "left")
+    total = raw[2].agg(F.count("*").cast("double").alias("_b"))
+    # nested interpolation, base up
+    p = F.coalesce(F.col("n1l") / F.col("_b"), d / F.col("_b"))
+    for k in range(2, n):
+        p = F.when(
+            F.col(f"m{k}").isNotNull(),
+            F.greatest(
+                F.coalesce(F.col(f"ck{k}"), F.lit(0.0)) - d, F.lit(0.0)
+            )
+            / F.col(f"m{k}")
+            + d * F.col(f"n1r_{k}") / F.col(f"m{k}") * p,
+        ).otherwise(p)
+    p = F.when(
+        F.col("cxn").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("cn"), F.lit(0)).cast("double") - d,
+            F.lit(0.0),
+        )
+        / F.col("cxn")
+        + d * F.col(f"n1r_{n}") / F.col("cxn") * p,
+    ).otherwise(p)
+    out = (
+        scored.crossJoin(F.broadcast(total))  # 1-row scalar
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_ngrams"), F.avg(F.log(p)).alias("_m"))
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        F.round("_m", quantize).alias("avg_logp"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), quantize).alias("ppl"),
+    )
+
+
 def kn_trigram_counts(train: DataFrame, tokens_col: str = "tk") -> dict:
     """Interpolated-KN TRIGRAM count tables (Chen & Goodman 1999 §4.1.6
     continuation-count formulation). Everything derives from TWO corpus

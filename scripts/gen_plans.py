@@ -56,6 +56,14 @@ NOTES = {
         "total broadcasts. Order is a parameter - the same plan shape "
         "at any n."
     ),
+    "doc_kn5_lm": (
+        "5-gram interpolated KN - the exact CCNet KenLM filter shape "
+        "in closed count form: raw counts at the top, continuation "
+        "counts N1+(.suffix) at every middle level (re-aggregations "
+        "of the k-gram TYPE tables), P_cont base with the D/B floor; "
+        "nine AQE-sized count-table joins, 1-row B broadcast; every "
+        "level sums to exactly 1 per seen context."
+    ),
     "doc_kn3_lm": (
         "interpolated Kneser-Ney TRIGRAM (Chen & Goodman continuation-"
         "count recursion): trigram + bigram explode/agg passes; the "

@@ -211,6 +211,96 @@ def test_kn_trigram_probability_mass_sums_to_one(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=5e-4)
 
 
+def test_kn_generic_order3_matches_handwritten_trigram(spark):
+    """kn_doc_scores(order=3) must reproduce kn_trigram_doc_scores
+    bit-for-bit (same tables, same float chains) — the generic builder
+    is the handwritten recursion with the loop unrolled."""
+    from mhm_data_pipelines_spark.operators.lm import (
+        kn_doc_scores,
+        kn_trigram_doc_scores,
+    )
+
+    train = _df(spark, _TRAIN)
+    held = _df(
+        spark,
+        [("s1", ["a", "b", "a"]), ("h1", ["a", "b", "c"]),
+         ("h2", ["x", "a", "b"]), ("h3", ["x", "z", "b"]),
+         ("h4", ["x", "z", "q"])],
+    )
+    via_tri = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["ppl"])
+        for r in kn_trigram_doc_scores(held, train=train).collect()
+    }
+    via_gen = {
+        r["doc_id"]: (r["n_ngrams"], r["avg_logp"], r["ppl"])
+        for r in kn_doc_scores(held, train=train, order=3).collect()
+    }
+    assert via_tri == via_gen
+
+
+def test_kn5_every_recursion_level_hand_values(spark):
+    """5-gram interpolated KN (the exact CCNet filter shape): one
+    held-out doc per recursion level, hand-computed on
+    train = a b c d e a b c d e (D=.75, B=5, all continuation counts
+    1, c5(abcde)=2 with context total 2)."""
+    from mhm_data_pipelines_spark.operators.lm import kn_doc_scores
+
+    train = _df(spark, [("d5", list("abcdeabcde"))])
+    held = _df(
+        spark,
+        [
+            ("h1", list("abcde")),  # full 5-gram: .625 + .375*P4
+            ("h2", list("xbcde")),  # unseen ctx -> P4(e|bcd)
+            ("h3", list("xycde")),  # -> P3(e|cd)
+            ("h4", list("xyzde")),  # -> P2(e|d)
+            ("h5", list("xyzwe")),  # -> P_cont(e)
+            ("h6", list("xyzwv")),  # -> D/B floor
+            ("h7", list("abcdx")),  # known ctx, unseen 5-gram: pure
+                                    # interpolation chain to the floor
+            ("h8", list("abcd")),   # < 5 tokens: dropped
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in kn_doc_scores(held, train=train, order=5).collect()
+    }
+    assert "h8" not in got
+    pc, floor = 1 / 5, 0.75 / 5
+    p2 = 0.25 + 0.75 * pc            # .4
+    p3 = 0.25 + 0.75 * p2            # .55
+    p4 = 0.25 + 0.75 * p3            # .6625
+    p5 = (2 - 0.75) / 2 + 0.75 * 1 / 2 * p4   # .8734375
+    # h7: every level unseen numerator, known context -> D-weight chain
+    x2 = 0.75 * floor
+    x3 = 0.75 * x2
+    x4 = 0.75 * x3
+    x5 = 0.75 * 1 / 2 * x4
+    want = {"h1": p5, "h2": p4, "h3": p3, "h4": p2, "h5": pc,
+            "h6": floor, "h7": x5}
+    for k, w in want.items():
+        assert got[k]["avg_logp"] == pytest.approx(round(math.log(w), 4)), k
+        assert got[k]["n_ngrams"] == 1
+    with pytest.raises(ValueError):
+        kn_doc_scores(held, train=train, order=1)
+
+
+def test_kn5_probability_mass_sums_to_one(spark):
+    """Σ_w P5(w | a,b,c,d) over the vocabulary = 1 exactly — the mass
+    identity must survive the full 4-level recursion."""
+    from mhm_data_pipelines_spark.operators.lm import kn_doc_scores
+
+    train = _df(spark, [("d5", list("abcdeabcde"))])
+    held = _df(
+        spark,
+        [(f"p{w}", ["a", "b", "c", "d", w]) for w in "abcde"],
+    )
+    got = {
+        r["doc_id"]: math.exp(r["avg_logp"])
+        for r in kn_doc_scores(held, train=train, order=5).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=5e-4)
+
+
 def test_sb5_every_backoff_level_hand_values(spark):
     """Configurable-order Stupid-Backoff at order=5 (the CCNet shape):
     one held-out doc per backoff level, hand-computed.

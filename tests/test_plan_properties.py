@@ -85,6 +85,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "ppl_buckets",        # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_kn_lm",          # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_kn3_lm",         # crossJoin(broadcast(bigram-type total)) — 1 row
+    "doc_kn5_lm",         # crossJoin(broadcast(bigram-type total)) — 1 row
     "doc_sb_lm",          # crossJoin(broadcast(token total)) — 1 row
     "doc_sb5_lm",         # crossJoin(broadcast(token total)) — 1 row
     "embedding_covariance",  # crossJoin(broadcast(vector count n)) — 1 row
@@ -280,6 +281,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # re-aggs + six AQE-sized joins back onto the held-out stream +
     # per-doc agg + display sort (subtrees planned per consumer).
     "doc_kn3_lm": {"max_shuffles": 24, "require": ["BroadcastHashJoin"]},
+    # doc_kn5_lm: four explode/agg passes (k=2..5) + five marginal
+    # re-aggs + nine AQE-sized joins onto the held-out 5-gram stream +
+    # per-doc agg + display sort (subtrees planned per consumer).
+    "doc_kn5_lm": {"max_shuffles": 40, "require": ["BroadcastHashJoin"]},
     # doc_sb_lm: three explode+agg count passes (tri/big/uni) + five
     # AQE-sized joins back onto the held-out trigram stream + per-doc
     # agg + display sort (subtrees planned per consumer).
