@@ -54,7 +54,7 @@ HEAVY = [
     # round-7: the capped-vs-exact substring-dedup cert (the cap is
     # inert at sf0.01 where max gram DF is 3 — sf1's boilerplate is
     # where the recall number means something) + the new LM order.
-    "dup_spans_recall", "doc_sb5_lm",
+    "dup_spans_recall", "doc_sb5_lm", "doc_kn3_lm", "doc_kn5_lm",
     # round-7: the skew family against the Zipf(1.5)-skewed sf1 events
     # (one user holds ~38% of rows) — salting/AQE evidence at scale.
     "skew_report", "salted_agg_parity",
