@@ -10773,6 +10773,84 @@ FROM a
 """
 
 
+def q_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance verified end-to-end: events arrive
+    as THREE batches (event_id mod 3); the standing per-(event_type,
+    day) summary of mergeable partials is initialized from batch 0 and
+    folded forward with bucket-scoped rewrites — each increment reads
+    and rewrites ONLY the touched hash-bucket partitions, never the
+    corpus (operators/ivm.py). The maintained view must equal the
+    oracle's direct full-scan aggregate: maintained ≡ recomputed is
+    the IVM correctness property itself."""
+    from mhm_data_pipelines_spark.operators.ivm import (
+        apply_increment,
+        init_rollup_table,
+        read_rollup,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .select("event_id", "event_type", "day", "value")
+    )
+    root = _scratch("mhm_ivm_gate_")
+    path = f"{root}/rollup"
+    keys = ["event_type", "day"]
+    init_rollup_table(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 3 == 0),
+        keys,
+        "value",
+        n_buckets=16,
+    )
+    for m in (1, 2):
+        apply_increment(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 3 == m),
+            keys,
+            "value",
+        )
+    view = read_rollup(spark, path, finalize=False)
+    # mean/sd derived from the 2dp-ROUNDED sums so both engines divide
+    # bit-identical doubles — one rounding roll per sum instead of an
+    # independent 4dp boundary roll per derived statistic.
+    rs1 = F.round("s1", 2)
+    rs2 = F.round("s2", 2)
+    rmean = rs1 / F.col("nn")
+    rvar = F.greatest(rs2 / F.col("nn") - rmean * rmean, F.lit(0.0))
+    return view.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "nn",
+        rs1.alias("sum_value"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+        F.round(rmean, 6).alias("mean_value"),
+        F.round(F.sqrt(rvar), 6).alias("sd_value"),
+    ).orderBy("event_type", "day")
+
+
+SQL_IVM_ROLLUP = """
+WITH g AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n, count(value) AS nn,
+         round(sum(value), 2) AS s1,
+         round(sum(value * value), 2) AS s2,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value
+  FROM events
+  GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+)
+SELECT event_type, day, n, nn, s1 AS sum_value, min_value, max_value,
+       round(s1 / nn, 6) AS mean_value,
+       round(sqrt(greatest(s2 / nn - (s1 / nn) * (s1 / nn), 0.0)), 6)
+         AS sd_value
+FROM g ORDER BY event_type, day
+"""
+
 
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
@@ -10994,6 +11072,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_kn5_lm": q_doc_kn5_lm,
     "doc_sb_lm": q_doc_sb_lm,
     "doc_sb5_lm": q_doc_sb5_lm,
+    "ivm_rollup": q_ivm_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -11221,6 +11300,7 @@ ORACLES: dict[str, str] = {
     "doc_kn5_lm": SQL_DOC_KN5_LM,
     "doc_sb_lm": SQL_DOC_SB_LM,
     "doc_sb5_lm": SQL_DOC_SB5_LM,
+    "ivm_rollup": SQL_IVM_ROLLUP,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -11493,6 +11573,7 @@ BENCH_QUERIES: list[str] = [
     "wordlist_screen",
     "length_buckets",
     "shard_plan",
+    "ivm_rollup",
 ]
 
 

@@ -637,6 +637,31 @@ def simhash_near_duplicates(
         sigs = simhash(
             df, text_col, id_col, bits=bits, token_hash=token_hash
         )
+    return hamming_near_duplicates(
+        sigs,
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        bits=bits,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_duplicates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """The pigeonhole chunk-join over ANY precomputed ``bits``-wide
+    integer signature column — the machinery behind
+    :func:`simhash_near_duplicates`, shared with image perceptual
+    hashes (operators/multimodal.py ``ahash_near_duplicates``) and any
+    other Hamming-space near-dup signal. Exactness, bucket-cap and
+    scale contracts are documented on :func:`simhash_near_duplicates`;
+    returns (id_a, id_b, hamming)."""
     nb = max_hamming + 1
     base_w, extra = divmod(bits, nb)
     if base_w == 0:
@@ -649,14 +674,14 @@ def simhash_near_duplicates(
         off += w
 
     def chunk_val(offset: int, width: int):
-        shifted = F.shiftrightunsigned(F.col("simhash"), offset)
+        shifted = F.shiftrightunsigned(F.col(hash_col), offset)
         if offset + width >= 64:
             return shifted  # top chunk: shift already dropped the rest
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
     banded = sigs.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
@@ -668,7 +693,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    ).select(id_col, hash_col, "bb.band", "bb.chunk")
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.chunk") == F.col("b.chunk"))
@@ -683,7 +708,7 @@ def simhash_near_duplicates(
         )
     b = banded.alias("b")
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
     )
     # Star edges (over-cap buckets, left side pinned to the min-id
     # representative) flow through the SAME exact hamming filter as

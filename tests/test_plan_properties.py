@@ -491,6 +491,11 @@ PLAN_BUDGETS: dict[str, dict] = {
     "scd2_intervals": {"max_shuffles": 3},
     # ab_ztest: one two-group hash aggregate (single-row result).
     "ab_ztest": {"max_shuffles": 2},
+    # ivm_rollup: the returned view is a partition-pruned READ of the
+    # maintained partials + projection + display sort — the increments
+    # themselves each cost one batch-sized hash agg, never a corpus
+    # scan. One range exchange for the sort (+AQE reuse slack).
+    "ivm_rollup": {"max_shuffles": 2},
 }
 
 
