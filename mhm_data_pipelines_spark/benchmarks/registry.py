@@ -10852,6 +10852,101 @@ FROM g ORDER BY event_type, day
 """
 
 
+def q_image_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection through the FULL multimodal path:
+    deterministic 16×16 PPM payloads are generated per doc_id (seed =
+    doc_id%20 picks the pattern, variant = (doc_id//20)%3 brightens one
+    2×2 cell — a planted near-dup family per seed), then REAL bytes →
+    decode → integer-exact 64-bit aHash (multimodal.image_ahash) → the
+    pigeonhole banded Hamming join (ahash_near_duplicates, never
+    all-pairs). The oracle is fully independent: it replays the pixel
+    arithmetic from the generating formula — never seeing the bytes or
+    the decode path — and brute-forces all pairs, so a hash-match
+    proves the whole encode→decode→sample→threshold→band-join pipeline
+    bit-for-bit. Within-seed variants land at Hamming 0-5 (most ≤3),
+    cross-seed patterns at ≥19, so max_hamming=3 yields a nontrivial
+    subset of the planted families."""
+    import numpy as np
+    import pandas as pd
+
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        ahash_near_duplicates,
+        encode_ppm,
+        image_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        y, x, c = np.meshgrid(
+            np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+        )
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                seed = int(i) % 20
+                p = (int(i) // 20) % 3
+                v = (
+                    (seed + 1) * 2654435761
+                    + y * 40503
+                    + x * 9973
+                    + c * 31
+                    + (y * 16 + x) * (seed + 3) * 137
+                )
+                if p > 0:
+                    cy, cx = (p - 1) // 8, (p - 1) % 8
+                    v = v + np.where(
+                        (y // 2 == cy) & (x // 2 == cx), 180, 0
+                    )
+                payloads.append(encode_ppm((v % 256).astype(np.uint8)))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    hashed = image_ahash(assets)
+    return ahash_near_duplicates(hashed, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_IMAGE_PHASH_NEARDUP = """
+WITH grid AS (
+  SELECT g1.generate_series AS gy, g2.generate_series AS gx
+  FROM generate_series(0, 7) g1, generate_series(0, 7) g2
+),
+pix AS (  -- sampled pixel (2Y,2X): gray = sum of the 3 channel values
+  SELECT d.doc_id, g.gy, g.gx,
+         SUM(((d.doc_id % 20 + 1) * 2654435761
+              + (2 * g.gy) * 40503 + (2 * g.gx) * 9973
+              + ch.generate_series * 31
+              + ((2 * g.gy) * 16 + 2 * g.gx) * (d.doc_id % 20 + 3) * 137
+              + CASE WHEN (d.doc_id // 20) % 3 > 0
+                      AND g.gy = ((d.doc_id // 20) % 3 - 1) // 8
+                      AND g.gx = ((d.doc_id // 20) % 3 - 1) % 8
+                     THEN 180 ELSE 0 END) % 256) AS gray
+  FROM documents d, grid g, generate_series(0, 2) ch
+  GROUP BY d.doc_id, g.gy, g.gx
+),
+bits AS (
+  SELECT doc_id, gy, gx,
+         CASE WHEN gray * 64 >= SUM(gray) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS b
+  FROM pix
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS INT)
+           AS hamming
+  FROM bits a JOIN bits b
+    ON a.gy = b.gy AND a.gx = b.gx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11073,6 +11168,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_sb_lm": q_doc_sb_lm,
     "doc_sb5_lm": q_doc_sb5_lm,
     "ivm_rollup": q_ivm_rollup,
+    "image_phash_neardup": q_image_phash_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -11301,6 +11397,7 @@ ORACLES: dict[str, str] = {
     "doc_sb_lm": SQL_DOC_SB_LM,
     "doc_sb5_lm": SQL_DOC_SB5_LM,
     "ivm_rollup": SQL_IVM_ROLLUP,
+    "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -11574,6 +11671,7 @@ BENCH_QUERIES: list[str] = [
     "length_buckets",
     "shard_plan",
     "ivm_rollup",
+    "image_phash_neardup",
 ]
 
 

@@ -496,6 +496,10 @@ PLAN_BUDGETS: dict[str, dict] = {
     # themselves each cost one batch-sized hash agg, never a corpus
     # scan. One range exchange for the sort (+AQE reuse slack).
     "ivm_rollup": {"max_shuffles": 2},
+    # image_phash_neardup: two Arrow map stages (payload gen, hash) are
+    # shuffle-free; the banded Hamming self-join exchanges both sides,
+    # then the pair distinct + display sort.
+    "image_phash_neardup": {"max_shuffles": 6},
 }
 
 

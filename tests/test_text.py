@@ -693,3 +693,70 @@ def test_wordlist_hits_null_text_is_zero(spark):
     assert got.s.asDict() == {
         "n_hits": 0, "n_distinct_hits": 0, "hit_any": False
     }
+
+
+def test_ahash64_known_bits_and_perturbation():
+    """aHash integer contract on a hand-checkable image: half-dark /
+    half-bright vertical split -> exactly the bright half's 32 bits
+    set; a strong perturbation of one sampled cell flips ~1 bit."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        ahash64,
+        encode_ppm,
+    )
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 200  # right half bright
+    h = ahash64(encode_ppm(img))
+    bits = [(h >> i) & 1 if h >= 0 else ((h + (1 << 64)) >> i) & 1
+            for i in range(64)]
+    for y in range(8):
+        for x in range(8):
+            expect = 1 if x >= 4 else 0
+            assert bits[y * 8 + x] == expect, (y, x)
+    # Perturb one dark sampled cell (pixel (0,0) drives grid cell 0).
+    img2 = img.copy()
+    img2[0, 0, :] = 255
+    h2 = ahash64(encode_ppm(img2))
+    ham = bin((h ^ h2) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 2, ham
+
+
+def test_image_ahash_and_neardup_through_spark(spark):
+    """bytes -> decode -> hash -> banded Hamming join end-to-end:
+    identical images pair at 0, a 1-cell variant pairs within 3, a
+    different image does not pair; undecodable payloads quarantine."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.multimodal import (
+        ahash_near_duplicates,
+        encode_ppm,
+        image_ahash,
+    )
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    base[:, 8:, :] = 200
+    variant = base.copy()
+    variant[0, 0, :] = 255  # flips ~1 bit
+    other = np.zeros((16, 16, 3), dtype=np.uint8)
+    other[8:, :, :] = 200  # horizontal split: hamming 32 from base
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(base))),
+        (3, bytearray(encode_ppm(variant))),
+        (4, bytearray(encode_ppm(other))),
+        (5, bytearray(b"GIF89a not decodable")),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashed = image_ahash(assets)
+    got = {r["asset_id"]: r for r in hashed.collect()}
+    assert got[5]["decoded"] is False and got[5]["ahash"] is None
+    assert got[1]["ahash"] == got[2]["ahash"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_duplicates(hashed, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 2
+    assert not any(4 in p or 5 in p for p in pairs)
