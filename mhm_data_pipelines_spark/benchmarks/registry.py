@@ -10947,6 +10947,187 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
 """
 
 
+def q_ols_trend(spark, sf_dir):
+    """Per-(event_type, user-bucket) OLS trend of value over time —
+    slope/intercept/r² from ONE hash aggregate of sufficient statistics
+    (timeseries.ols_trend). x is day-scaled from a literal epoch
+    ((µs − 2024-01-01)/86.4e9): raw epoch-seconds squared lose ~6
+    digits to cancellation in nΣx²−(Σx)²; day-scale keeps every sum
+    within exact-double range. round_sums=6 makes both engines derive
+    the closed form from bit-identical doubles."""
+    from mhm_data_pipelines_spark.operators.timeseries import ols_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 25).alias("user_bucket"),
+        (
+            (F.unix_micros("ts") - F.lit(1704067200000000))
+            / F.lit(86400000000.0)
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = ols_trend(ev, ["event_type", "user_bucket"], "x", "y",
+                    round_sums=6)
+    return out.select(
+        "event_type",
+        "user_bucket",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type", "user_bucket")
+
+
+SQL_OLS_TREND = """
+WITH base AS (
+  SELECT event_type, user_id % 25 AS user_bucket,
+         (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x,
+         value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), s AS (
+  SELECT event_type, user_bucket, count(*) AS n,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx,
+         round(sum(y * y), 6) AS syy
+  FROM base GROUP BY event_type, user_bucket
+)
+SELECT event_type, user_bucket, n,
+  round(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+    AS slope,
+  round(CASE WHEN n * sxx - sx * sx > 0
+             THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n END, 6) AS intercept,
+  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+    AS r2
+FROM s ORDER BY event_type, user_bucket
+"""
+
+
+def q_winsorize_stats(spark, sf_dir):
+    """Per-event-type winsorization at the exact [p05, p95] band
+    (repair.winsorize): heavy-tail repair that KEEPS clipped rows at
+    the boundary instead of dropping them. The zero-shuffle clamp is
+    verified through its per-group aggregate: clip counts and the
+    post-clamp sum/min/max must match the oracle's quantile_cont
+    replay."""
+    from mhm_data_pipelines_spark.operators.repair import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, "value", ["event_type"], 0.05, 0.95, flag=True)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value_clipped") == -1).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("value_clipped") == 1).cast("long")).alias(
+                "n_clip_hi"
+            ),
+            F.round(F.sum("value_w"), 2).alias("sum_w"),
+            F.round(F.min("value_w"), 6).alias("min_w"),
+            F.round(F.max("value_w"), 6).alias("max_w"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WINSORIZE_STATS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       round(sum(least(greatest(e.value, b.lo), b.hi)), 2) AS sum_w,
+       round(min(least(greatest(e.value, b.lo), b.hi)), 6) AS min_w,
+       round(max(least(greatest(e.value, b.lo), b.hi)), 6) AS max_w
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Per-event-type Poisson-bootstrap 95% CI for the mean value
+    (stats_tests.poisson_bootstrap_ci, 200 replicates): every (row,
+    replicate) weight is a deterministic md5-seeded Poisson(1) draw,
+    replicate means are one hash aggregate over the codegen-exploded
+    stream, the CI is the exact interpolated percentile of the 200
+    means. The oracle replays the identical resample — same md5 draw,
+    same CDF literals, same rounded-sum discipline — so the full
+    resampling distribution is verified, not just the interval."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = poisson_bootstrap_ci(
+        ev, "value", "event_id", keys=["event_type"], n_boot=200, seed=42
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+def _sql_bootstrap_ci() -> str:
+    from mhm_data_pipelines_spark.operators.stats_tests import POISSON1_CDF
+
+    case = " ".join(
+        f"WHEN u < {POISSON1_CDF[k]!r} THEN {k}"
+        for k in range(len(POISSON1_CDF))
+    )
+    return f"""
+WITH reps AS (
+  SELECT e.event_type, e.value, b.generate_series AS b,
+         CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                || CAST(b.generate_series AS VARCHAR) || ':42'),
+                1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+  FROM events e, generate_series(0, 199) b
+  WHERE e.value IS NOT NULL
+), wt AS (
+  SELECT event_type, b, value,
+         CASE {case} ELSE {len(POISSON1_CDF)} END AS w
+  FROM reps
+), boot AS (
+  SELECT event_type, b,
+         round(sum(w * value), 6) AS sw,
+         CAST(sum(w) AS DOUBLE) AS ww
+  FROM wt GROUP BY event_type, b
+), ci AS (
+  SELECT event_type,
+         quantile_cont(CASE WHEN ww > 0 THEN sw / ww END, 0.025)
+           AS ci_lo,
+         quantile_cont(CASE WHEN ww > 0 THEN sw / ww END, 0.975)
+           AS ci_hi
+  FROM boot GROUP BY event_type
+), pt AS (
+  SELECT event_type, count(value) AS n,
+         round(sum(value), 6) / count(value) AS mean
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT pt.event_type, pt.n, round(pt.mean, 6) AS mean,
+       round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi
+FROM pt JOIN ci USING (event_type) ORDER BY pt.event_type
+"""
+
+
+SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11169,6 +11350,9 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_sb5_lm": q_doc_sb5_lm,
     "ivm_rollup": q_ivm_rollup,
     "image_phash_neardup": q_image_phash_neardup,
+    "ols_trend": q_ols_trend,
+    "winsorize_stats": q_winsorize_stats,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 ORACLES: dict[str, str] = {
@@ -11398,6 +11582,9 @@ ORACLES: dict[str, str] = {
     "doc_sb5_lm": SQL_DOC_SB5_LM,
     "ivm_rollup": SQL_IVM_ROLLUP,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
+    "ols_trend": SQL_OLS_TREND,
+    "winsorize_stats": SQL_WINSORIZE_STATS,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -11420,7 +11607,7 @@ GATE_PRIORITY: list[str] = [
     #    (a) canaries, (b) keys NEW this round, (c) keys whose
     #    DEFINITION was touched this round, (d) the keys whose last
     #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 36 fit this round, the remaining 10 plus the
+    #    CORRECTNESS_r02; 30 fit this round, the remaining 16 plus the
     #    40 r3-last-green keys lead the r8 rotation). Everything
     #    rotated out stays hash-checked every CI run by
     #    tests/test_oracle_parity.py.
@@ -11433,6 +11620,9 @@ GATE_PRIORITY: list[str] = [
     "ann_index_append",      # incremental co-bucketed index appends
     "doc_kn3_lm",            # interpolated KN trigram, held-out split
     "doc_kn5_lm",            # 5-gram KN — the exact CCNet filter shape
+    "ols_trend",             # per-group OLS from one sufficient-stats agg
+    "winsorize_stats",       # exact-percentile heavy-tail clamp
+    "bootstrap_ci",          # md5-replayable Poisson bootstrap CI
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -11464,7 +11654,7 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 12 (alphabetical — deterministic, auditable) of
+    # ...and the first 9 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
@@ -11475,10 +11665,8 @@ GATE_PRIORITY: list[str] = [
     "event_gaps",
     "feature_stats",
     "gap_fill",
-    "iso_week_activity",
-    "json_extract",
-    "latest_event_state",
-    # Remaining r2-last-green keys (lineitem_unpivot, missing_data,
+    # Remaining r2-last-green keys (iso_week_activity, json_extract,
+    # latest_event_state, lineitem_unpivot, missing_data,
     # monthly_activity,
     # rolling_anomalies, rollup_counts,
     # salted_agg_parity, sessionization, split_assignment, stream_dedup,
@@ -11672,6 +11860,9 @@ BENCH_QUERIES: list[str] = [
     "shard_plan",
     "ivm_rollup",
     "image_phash_neardup",
+    "ols_trend",
+    "winsorize_stats",
+    "bootstrap_ci",
 ]
 
 

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["impute_stats", "impute_nulls", "robust_outlier_stats"]
+__all__ = [
+    "impute_stats",
+    "impute_nulls",
+    "robust_outlier_stats",
+    "winsorize_bounds",
+    "winsorize",
+]
 
 _STRATEGIES = ("median", "mean", "mode")
 
@@ -186,3 +192,71 @@ def robust_outlier_stats(
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+def winsorize_bounds(
+    df: DataFrame,
+    value_col: str,
+    keys: list | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization bounds: the exact interpolated
+    ``lower``/``upper`` percentiles of ``value_col`` (Spark
+    ``percentile`` = ANSI quantile_cont — the same cross-engine-exact
+    primitive as :func:`robust_outlier_stats`). One hash aggregate to
+    ``n_groups`` rows; ``keys=None`` yields a single global row.
+    NULL values are excluded (percentile ignores them)."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}/{upper}")
+    gb = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+    return gb.agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("hi"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    keys: list | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    bounds: DataFrame | None = None,
+    flag: bool = False,
+) -> DataFrame:
+    """Clamp ``value_col`` into its per-group [lower, upper] percentile
+    band — the standard heavy-tail repair before mean/stddev-based
+    features (outlier REMOVAL loses the row; winsorizing keeps it at
+    the boundary). Adds ``{value_col}_w`` (clamped; NULL stays NULL)
+    and, with ``flag``, ``{value_col}_clipped`` (-1 low / 0 kept /
+    +1 high).
+
+    Scale shape: bounds are a groups-sized aggregate broadcast back
+    (AQE picks the broadcast side); the clamp itself is a row-local
+    ``least(greatest(...))`` projection — the corpus shuffles zero
+    times. Pass a precomputed ``bounds`` frame (same keys) to reuse
+    one stats pass across several winsorized exports, mirroring the
+    ``impute_nulls(stats=...)`` contract."""
+    if bounds is None:
+        bounds = winsorize_bounds(df, value_col, keys, lower, upper)
+    v = F.col(value_col)
+    out_col = f"{value_col}_w"
+    if keys:
+        joined = df.join(F.broadcast(bounds), on=list(keys), how="left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    clamped = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")),
+    )
+    out = joined.withColumn(out_col, clamped)
+    if flag:
+        out = out.withColumn(
+            f"{value_col}_clipped",
+            F.when(v.isNull(), F.lit(None).cast("int"))
+            .when(v < F.col("lo"), F.lit(-1))
+            .when(v > F.col("hi"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    return out.drop("lo", "hi")

@@ -40,6 +40,8 @@ __all__ = [
     "mann_whitney_u",
     "chi2_independence",
     "two_proportion_ztest",
+    "poisson_bootstrap_ci",
+    "POISSON1_CDF",
 ]
 
 
@@ -282,3 +284,117 @@ def two_proportion_ztest(
         F.round(F.when(p_b > 0, p_a / p_b), round_to).alias("risk_ratio"),
         F.round(z, round_to).alias("z"),
     )
+
+
+#: Poisson(λ=1) CDF F(k) for k = 0..8 as exact double literals — the
+#: inverse-CDF thresholds for the Poisson bootstrap. P(X > 8) ≈ 1.1e-7;
+#: draws past the table clamp to 9. The SAME literals are embedded in
+#: every oracle twin (f-string), so the weight is an identical CASE
+#: chain in both engines.
+import math as _math
+
+POISSON1_CDF: tuple[float, ...] = tuple(
+    _math.exp(-1.0) * sum(1.0 / _math.factorial(i) for i in range(k + 1))
+    for k in range(9)
+)
+
+
+def poisson_bootstrap_weight(u) -> F.Column:
+    """Poisson(1) inverse CDF over a unit draw ``u`` — the per-(row,
+    replicate) resampling weight of the Poisson bootstrap (the
+    distributed approximation to multinomial resampling: at corpus
+    scale n the multinomial's row coupling is unobtainable, Poisson(1)
+    weights are independent per row and converge to the same law)."""
+    w = F.when(u < F.lit(POISSON1_CDF[0]), F.lit(0))
+    for k in range(1, len(POISSON1_CDF)):
+        w = w.when(u < F.lit(POISSON1_CDF[k]), F.lit(k))
+    return w.otherwise(F.lit(len(POISSON1_CDF)))
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    keys: list | None = None,
+    n_boot: int = 200,
+    seed: int = 42,
+    alpha: float = 0.05,
+    round_sums: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN of
+    ``value_col`` — the Poisson bootstrap (the industry-standard
+    distributed bootstrap: no global resampling pass, no row coupling):
+
+    * every (row, replicate) pair draws a deterministic Poisson(1)
+      weight from ``md5(id '#' replicate ':' seed)`` — the repo's one
+      unit-draw construction (sampling.md5_unit_draw), so any engine
+      with md5 replays the exact resample;
+    * replicate means are ONE hash aggregate over the exploded frame
+      (codegen explode feeds the aggregate — the ``n_boot``× row
+      stream is never materialized);
+    * the CI is the exact interpolated [α/2, 1−α/2] percentile of the
+      ``n_boot`` replicate means (percentile = quantile_cont parity).
+
+    Float discipline: per-replicate weighted sums round to
+    ``round_sums`` digits before the division, so both engines derive
+    replicate means from bit-identical doubles (the ivm_rollup/
+    ols_trend convention). Replicates whose weights all landed 0 (only
+    possible for tiny groups) yield NULL means, which the percentile
+    ignores. Returns keys + (n, mean, ci_lo, ci_hi).
+
+    Scale: work is ``n_boot × |rows|`` weight draws inside one
+    projection + two hash aggregates — embarrassingly parallel, zero
+    corpus shuffles beyond the group-by; tune ``n_boot`` to budget.
+    """
+    from mhm_data_pipelines_spark.operators.sampling import md5_unit_draw
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    keys = list(keys or [])
+    y = F.col(value_col).cast("double")
+    base = df.filter(y.isNotNull()).select(
+        *keys, F.col(id_col).alias("_id"), y.alias("_y")
+    )
+    reps = base.withColumn(
+        "_b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1)))
+    )
+    u = md5_unit_draw(
+        F.concat(
+            F.col("_id").cast("string"),
+            F.lit("#"),
+            F.col("_b").cast("string"),
+        ),
+        seed,
+    )
+    w = poisson_bootstrap_weight(u).cast("double")
+    boot = (
+        reps.groupBy(*keys, "_b")
+        .agg(
+            F.round(F.sum(w * F.col("_y")), round_sums).alias("_sw"),
+            F.sum(w).alias("_ww"),
+        )
+        .withColumn(
+            "_mean_b",
+            F.when(F.col("_ww") > 0, F.col("_sw") / F.col("_ww")),
+        )
+    )
+    gb = boot.groupBy(*keys) if keys else boot.groupBy()
+    ci = gb.agg(
+        F.percentile(F.col("_mean_b"), F.lit(alpha / 2)).alias("ci_lo"),
+        F.percentile(F.col("_mean_b"), F.lit(1 - alpha / 2)).alias(
+            "ci_hi"
+        ),
+    )
+    pgb = base.groupBy(*keys) if keys else base.groupBy()
+    point = pgb.agg(
+        F.count("_y").alias("n"),
+        (F.round(F.sum("_y"), round_sums) / F.count("_y")).alias("mean"),
+    )
+    joined = (
+        point.join(F.broadcast(ci), on=keys)
+        if keys
+        else point.crossJoin(F.broadcast(ci))
+    )
+    return joined.select(*keys, "n", "mean", "ci_lo", "ci_hi")

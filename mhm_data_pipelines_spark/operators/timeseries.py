@@ -309,3 +309,70 @@ def cusum_summary(
         )
 
     return prepped.groupBy(key).applyInPandas(scan, schema=schema)
+
+
+def ols_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col,
+    y_col: str,
+    round_sums: int | None = None,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line — slope, intercept,
+    r² of ``y`` over ``x`` — from ONE hash aggregate of sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²). The closed form needs no
+    second pass, no window, no sort: the same mergeable-partials shape
+    as operators/ivm.py, so trends roll up incrementally too.
+
+    Numerical contract: callers pass ``x_col`` already CENTERED to a
+    modest magnitude (e.g. epoch seconds minus a literal epoch —
+    raw epoch-seconds squared lose ~6 digits to cancellation in
+    nΣx²−(Σx)²). ``round_sums`` (digits) optionally rounds the float
+    sums before the closed form so two engines derive from
+    bit-identical doubles — the cross-engine hash-parity discipline.
+
+    Zero x-variance (a single distinct x) → NULL slope/intercept/r²;
+    zero y-variance → slope 0 with NULL r² (r² is 0/0 there). Null x
+    or y rows are excluded (both sums must see the same rows).
+    Returns keys + (n, slope, intercept, r2).
+    """
+    x = (x_col if not isinstance(x_col, str) else F.col(x_col)).cast(
+        "double"
+    )
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    agg = base.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    if round_sums is not None:
+        agg = agg.select(
+            *keys,
+            "n",
+            *[
+                F.round(c, round_sums).alias(c)
+                for c in ("sx", "sy", "sxy", "sxx", "syy")
+            ],
+        )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")  # n²·cov
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")  # n²·var(x)
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")  # n²·var(y)
+    slope = F.when(varx_n > 0, cov_n / varx_n)
+    intercept = F.when(
+        varx_n > 0, (F.col("sy") - slope * F.col("sx")) / n
+    )
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)
+    )
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

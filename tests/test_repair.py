@@ -101,3 +101,46 @@ def test_robust_outliers_per_group_and_null_values(spark):
     out = {r["grp"]: r for r in robust_outlier_stats(df, "x", ["grp"]).collect()}
     assert out["a"]["n"] == 3 and out["a"]["n_outliers"] == 0
     assert out["b"]["n_outliers"] is None  # MAD 0 (3 of 4 identical)
+
+
+def test_winsorize_hand_case(spark):
+    from mhm_data_pipelines_spark.operators.repair import (
+        winsorize,
+        winsorize_bounds,
+    )
+
+    # g=a: 0..10 -> p10 = 1.0, p90 = 9.0 (exact interpolation)
+    rows = [("a", float(i)) for i in range(11)]
+    rows += [("b", 5.0), ("b", 5.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    b = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in winsorize_bounds(df, "v", ["g"], 0.1, 0.9).collect()
+    }
+    assert b["a"] == (1.0, 9.0)
+    assert b["b"] == (5.0, 5.0)
+    got = winsorize(df, "v", ["g"], 0.1, 0.9, flag=True).collect()
+    byrow = {(r["g"], r["v"]): r for r in got}
+    assert byrow[("a", 0.0)]["v_w"] == 1.0
+    assert byrow[("a", 0.0)]["v_clipped"] == -1
+    assert byrow[("a", 10.0)]["v_w"] == 9.0
+    assert byrow[("a", 10.0)]["v_clipped"] == 1
+    assert byrow[("a", 5.0)]["v_w"] == 5.0
+    assert byrow[("a", 5.0)]["v_clipped"] == 0
+    assert byrow[("b", None)]["v_w"] is None
+    assert byrow[("b", None)]["v_clipped"] is None
+    # global (keys=None) path
+    g = winsorize(df.filter("v is not null"), "v", None, 0.0, 0.5)
+    mx = max(r["v_w"] for r in g.collect())
+    import pytest as _pt
+    assert mx == _pt.approx(5.0)
+
+
+def test_winsorize_validation_and_zero_shuffle_clamp(spark):
+    import pytest as _pt
+
+    from mhm_data_pipelines_spark.operators.repair import winsorize_bounds
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pt.raises(ValueError):
+        winsorize_bounds(df, "v", ["g"], 0.9, 0.1)

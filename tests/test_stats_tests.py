@@ -115,3 +115,64 @@ def test_two_proportion_degenerate_null_z(spark):
     r = two_proportion_ztest(df, "grp", "a", "b", "conv").collect()[0]
     assert r["z"] is None and r["risk_ratio"] is None
     assert r["n_a"] == 5  # NULL outcome dropped
+
+
+def test_poisson_bootstrap_ci_python_replay(spark):
+    """The exact resample is replayed row-for-row in Python (same md5
+    draw, same CDF literals, same rounded-sum discipline) — the Spark
+    result must match to the last interpolated percentile."""
+    import hashlib
+
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g1", i, float((i * 7) % 13) + 1.0) for i in range(40)]
+    rows += [("g2", 100 + i, 50.0 + (i % 5)) for i in range(25)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r["g"]: r
+        for r in poisson_bootstrap_ci(
+            df, "v", "id", keys=["g"], n_boot=50, seed=7
+        ).collect()
+    }
+
+    def draw(i, b):
+        h = hashlib.md5(f"{i}#{b}:7".encode()).hexdigest()
+        u = int(h[:15], 16) / 2**60
+        for k, f in enumerate(POISSON1_CDF):
+            if u < f:
+                return k
+        return len(POISSON1_CDF)
+
+    for g in ("g1", "g2"):
+        data = [(i, v) for gg, i, v in rows if gg == g]
+        means = []
+        for b in range(50):
+            ws = [(draw(i, b), v) for i, v in data]
+            ww = sum(w for w, _ in ws)
+            if ww > 0:
+                means.append(round(sum(w * v for w, v in ws), 6) / ww)
+        lo, hi = np.percentile(means, [2.5, 97.5], method="linear")
+        assert got[g]["n"] == len(data)
+        assert got[g]["mean"] == pytest.approx(
+            round(sum(v for _, v in data), 6) / len(data), rel=1e-12
+        )
+        assert got[g]["ci_lo"] == pytest.approx(lo, rel=1e-12), g
+        assert got[g]["ci_hi"] == pytest.approx(hi, rel=1e-12), g
+        assert got[g]["ci_lo"] <= got[g]["mean"] <= got[g]["ci_hi"]
+
+
+def test_poisson_bootstrap_validation(spark):
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, id long, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        poisson_bootstrap_ci(df, "v", "id", ["g"], alpha=1.5)
+    with pytest.raises(ValueError, match="n_boot"):
+        poisson_bootstrap_ci(df, "v", "id", ["g"], n_boot=1)

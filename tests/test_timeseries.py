@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.operators.timeseries import (
@@ -145,3 +147,35 @@ def test_retention_cohorts_triangle(spark):
     assert got[("2024-01-01", 1)] == 1
     assert got[("2024-01-01", 2)] == 2
     assert got[("2024-01-08", 0)] == 1
+
+
+def test_ols_trend_hand_case_and_degenerates(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import ols_trend
+
+    rows = [
+        # g=a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+        ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0),
+        # g=b: known least squares: x=[0,1,2], y=[0,0,3]
+        ("b", 0.0, 0.0), ("b", 1.0, 0.0), ("b", 2.0, 3.0),
+        # g=c: zero x-variance
+        ("c", 1.0, 0.0), ("c", 1.0, 5.0),
+        # g=d: zero y-variance (flat line) -> slope 0, r2 NULL
+        ("d", 0.0, 7.0), ("d", 1.0, 7.0),
+        # g=e: null x / null y rows are excluded together
+        ("e", 0.0, 1.0), ("e", 1.0, 2.0), ("e", None, 9.0),
+        ("e", 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    import numpy as np
+
+    assert got["a"]["slope"] == pytest.approx(2.0)
+    assert got["a"]["intercept"] == pytest.approx(1.0)
+    assert got["a"]["r2"] == pytest.approx(1.0)
+    bs, bi = np.polyfit([0, 1, 2], [0, 0, 3], 1)
+    assert got["b"]["slope"] == pytest.approx(bs)
+    assert got["b"]["intercept"] == pytest.approx(bi)
+    assert got["c"]["slope"] is None and got["c"]["r2"] is None
+    assert got["d"]["slope"] == pytest.approx(0.0)
+    assert got["d"]["r2"] is None
+    assert got["e"]["n"] == 2 and got["e"]["slope"] == pytest.approx(1.0)
