@@ -11128,6 +11128,122 @@ FROM pt JOIN ci USING (event_type) ORDER BY pt.event_type
 SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
 
 
+def q_kmeans_iters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus, verified
+    ROUND BY ROUND: k=8 clusters, exactly 2 update rounds from a pinned
+    deterministic init (the first 8 vectors by vec_id), then a final
+    assignment report (cluster sizes + mean cosine to the assigned
+    centroid). The DuckDB oracle unrolls the SAME two Lloyd rounds as a
+    CTE chain, so convergence behavior — not just the end state — is
+    cross-engine verified.
+
+    Scale shape (similarity.train_kmeans/kmeans_assign): assignment is
+    a literal-centroid projection (ZERO shuffle — the corpus never
+    moves), each update is one posexplode hash-aggregate collecting
+    only the k x d centroid matrix, and every round is an independent
+    job over the base relation so lineage never grows. round_means=6
+    (round-half-up = SQL round) keeps both engines' centroids
+    6-digit-identical between rounds."""
+    from mhm_data_pipelines_spark.functions.vectors import normalize
+    from mhm_data_pipelines_spark.operators.similarity import (
+        kmeans_assign,
+        train_kmeans,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    init_rows = (
+        df.filter(F.col("vec_id") < 8)
+        .select("vec_id", normalize("embedding").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy("vec_id")
+        .collect()  # k rows — metadata-sized by construction
+    )
+    cents = train_kmeans(
+        df,
+        max_iter=2,
+        tol=0.0,
+        init_centroids=[list(r["v"]) for r in init_rows],
+        round_means=6,
+    )
+    out = kmeans_assign(df, cents)
+    return (
+        out.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def _sql_kmeans_iters(k: int = 8, rounds: int = 2) -> str:
+    """DuckDB twin of q_kmeans_iters: the identical Lloyd recursion
+    unrolled as CTEs. list_cosine_similarity is scale-invariant, so the
+    SQL centroids stay un-renormalized (Spark re-normalizes literals —
+    mathematically the same cosine); means aggregate the same
+    L2-normalized components rounded to the same 6 digits; ties break
+    to the highest list_id exactly like Spark's lexicographic
+    greatest-of-structs; empty clusters carry the previous centroid
+    via the LEFT JOIN coalesce."""
+    assign = """
+{a} AS (
+  SELECT vec_id, vn, list_id{keep} FROM (
+    SELECT v.vec_id, v.vn, c.list_id,
+           list_cosine_similarity(v.vn, c.c) AS sim,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.vn, c.c) DESC,
+                      c.list_id DESC) AS rn
+    FROM v CROSS JOIN {c} c) WHERE rn = 1
+)"""
+    update = """
+{m} AS (
+  SELECT list_id, list(m ORDER BY pos) AS c FROM (
+    SELECT list_id, pos, round(avg(val), 6) AS m FROM (
+      SELECT list_id, unnest(vn) AS val,
+             unnest(range(1, len(vn) + 1)) AS pos
+      FROM {a}) GROUP BY list_id, pos) GROUP BY list_id
+),
+{cn} AS (
+  SELECT {cp}.list_id, coalesce({m}.c, {cp}.c) AS c
+  FROM {cp} LEFT JOIN {m} USING (list_id)
+)"""
+    parts = [
+        f"""raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+), v AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS vn
+  FROM raw WHERE list_dot_product(e, e) > 0
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, vn AS c
+  FROM v WHERE vec_id < {k}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            assign.format(a=f"a{r}", c=f"c{r - 1}", keep="").strip()
+        )
+        parts.append(
+            update.format(
+                m=f"m{r}", a=f"a{r}", cn=f"c{r}", cp=f"c{r - 1}"
+            ).strip()
+        )
+    parts.append(
+        assign.format(a="afin", c=f"c{rounds}", keep=", sim").strip()
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT list_id, count(*) AS n_members,
+       round(avg(sim), 4) AS mean_cosine
+FROM afin GROUP BY list_id ORDER BY list_id
+"""
+
+
+SQL_KMEANS_ITERS = _sql_kmeans_iters()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11353,6 +11469,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ols_trend": q_ols_trend,
     "winsorize_stats": q_winsorize_stats,
     "bootstrap_ci": q_bootstrap_ci,
+    "kmeans_iters": q_kmeans_iters,
 }
 
 ORACLES: dict[str, str] = {
@@ -11585,6 +11702,7 @@ ORACLES: dict[str, str] = {
     "ols_trend": SQL_OLS_TREND,
     "winsorize_stats": SQL_WINSORIZE_STATS,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "kmeans_iters": SQL_KMEANS_ITERS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -11607,7 +11725,7 @@ GATE_PRIORITY: list[str] = [
     #    (a) canaries, (b) keys NEW this round, (c) keys whose
     #    DEFINITION was touched this round, (d) the keys whose last
     #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 30 fit this round, the remaining 16 plus the
+    #    CORRECTNESS_r02; 29 fit this round, the remaining 17 plus the
     #    40 r3-last-green keys lead the r8 rotation). Everything
     #    rotated out stays hash-checked every CI run by
     #    tests/test_oracle_parity.py.
@@ -11623,6 +11741,7 @@ GATE_PRIORITY: list[str] = [
     "ols_trend",             # per-group OLS from one sufficient-stats agg
     "winsorize_stats",       # exact-percentile heavy-tail clamp
     "bootstrap_ci",          # md5-replayable Poisson bootstrap CI
+    "kmeans_iters",          # round-by-round-verified distributed Lloyd
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -11654,7 +11773,7 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 9 (alphabetical — deterministic, auditable) of
+    # ...and the first 8 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
@@ -11664,8 +11783,7 @@ GATE_PRIORITY: list[str] = [
     "distinct_measurements",
     "event_gaps",
     "feature_stats",
-    "gap_fill",
-    # Remaining r2-last-green keys (iso_week_activity, json_extract,
+    # Remaining r2-last-green keys (gap_fill, iso_week_activity, json_extract,
     # latest_event_state, lineitem_unpivot, missing_data,
     # monthly_activity,
     # rolling_anomalies, rollup_counts,
@@ -11863,6 +11981,7 @@ BENCH_QUERIES: list[str] = [
     "ols_trend",
     "winsorize_stats",
     "bootstrap_ci",
+    "kmeans_iters",
 ]
 
 

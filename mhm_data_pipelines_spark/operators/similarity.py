@@ -342,6 +342,8 @@ def train_kmeans(
     max_iter: int = 5,
     seed: int = 42,
     tol: float = 1e-6,
+    init_centroids: list[list[float]] | None = None,
+    round_means: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Unsupervised spherical k-means-lite → IVF coarse quantizer
     (``[(list_id, centroid), ...]`` for :func:`ivf_topk`) with no labels
@@ -364,20 +366,39 @@ def train_kmeans(
 
     Cosine geometry throughout (vectors and centroids L2-normalized),
     matching :func:`ivf_topk`'s assignment metric.
+
+    Cross-engine replay hooks (the ``kmeans_iters`` gate key): pass
+    ``init_centroids`` to pin the starting point (skipping the hash
+    sample — an independent engine can then replay every Lloyd round
+    exactly), and ``round_means`` (digits, round-half-up = SQL
+    ``round``) to round each mean component before re-normalization so
+    both engines derive subsequent assignments from 6-digit-identical
+    centroids. Zero-norm / NULL vectors are excluded from training
+    (they have no cosine geometry).
     """
     if n_lists < 1:
         raise ValueError(f"n_lists must be >= 1, got {n_lists}")
-    base = df.select(F.col(id_col), normalize(vec_col).alias("v"))
-    init = (
-        base.select(
-            "v",
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(n_lists)
-        .collect()
+    base = df.select(F.col(id_col), normalize(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
     )
-    cents: list[list[float]] = [_normalized_lit(list(r["v"])) for r in init]
+    if init_centroids is not None:
+        if not init_centroids:
+            raise ValueError("init_centroids must be non-empty")
+        cents = [_normalized_lit(list(c)) for c in init_centroids]
+        n_lists = len(cents)
+    else:
+        init = (
+            base.select(
+                "v",
+                F.xxhash64(
+                    F.col(id_col).cast("string"), F.lit(seed)
+                ).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(n_lists)
+            .collect()
+        )
+        cents = [_normalized_lit(list(r["v"])) for r in init]
     for _ in range(max_iter):
         centroids = list(enumerate(cents))
         assigned = base.withColumn(
@@ -405,6 +426,11 @@ def train_kmeans(
             .collect()  # n_lists rows — metadata-sized
         )
         new_means = {r["list_id"]: list(r["centroid"]) for r in rows}
+        if round_means is not None:
+            new_means = {
+                i: [_round_half_up(x, round_means) for x in m]
+                for i, m in new_means.items()
+            }
         movement = 0.0
         new_cents = []
         for i, old in enumerate(cents):
@@ -415,6 +441,33 @@ def train_kmeans(
         if movement < tol:
             break
     return list(enumerate(cents))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Final nearest-centroid assignment — (id, list_id, cosine) per
+    vector, against the literal ``centroids`` from :func:`train_kmeans`.
+
+    The same zero-shuffle greatest-of-structs projection IVF uses
+    (:func:`_centroid_sim_structs`): the centroid matrix is plan
+    literals, so assignment is a pure per-row expression — the corpus
+    never shuffles, whole-stage codegen end to end, and the plan is
+    identical at 100 TB. Ties resolve to the HIGHEST list_id
+    (lexicographic struct greatest). Zero-norm / NULL vectors (no
+    cosine geometry) are dropped, matching training."""
+    base = df.select(F.col(id_col), normalize(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    best = F.greatest(*_centroid_sim_structs(centroids, F.col("v")))
+    return base.select(
+        F.col(id_col),
+        best["list_id"].alias("list_id"),
+        best["sim"].alias("cosine"),
+    )
 
 
 def label_centroids_long(

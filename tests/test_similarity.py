@@ -144,6 +144,62 @@ def test_train_kmeans_unsupervised_ivf(corpus, corpus_np):
     assert overlap >= 15  # ≥30% avg recall at nprobe=2/8 on random data
 
 
+def test_train_kmeans_pinned_init_matches_numpy(corpus, corpus_np):
+    """Pinned-init fixed-round Lloyd (the kmeans_iters gate shape)
+    matches an independent NumPy replay round for round, and
+    kmeans_assign reproduces the final argmax assignment + cosines."""
+    from mhm_data_pipelines_spark.operators.similarity import (
+        kmeans_assign,
+        train_kmeans,
+    )
+
+    k, rounds = 4, 2
+    vn = corpus_np / np.linalg.norm(corpus_np, axis=1, keepdims=True)
+    init = [corpus_np[i].tolist() for i in range(k)]
+    cents = train_kmeans(
+        corpus, max_iter=rounds, tol=0.0, init_centroids=init
+    )
+    assert [i for i, _ in cents] == list(range(k))
+
+    ref = vn[:k].copy()
+    for _ in range(rounds):
+        # ties break to the HIGHEST list_id, like Spark's struct greatest
+        sims = vn @ ref.T
+        assign = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+        for i in range(k):
+            member = vn[assign == i]
+            if len(member):
+                m = member.mean(axis=0)
+                ref[i] = m / np.linalg.norm(m)
+    for i in range(k):
+        assert np.allclose(cents[i][1], ref[i], atol=1e-9)
+
+    got = {
+        r["vec_id"]: (r["list_id"], r["cosine"])
+        for r in kmeans_assign(corpus, cents).collect()
+    }
+    sims = vn @ ref.T
+    want = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+    assert len(got) == N
+    for vid in range(N):
+        assert got[vid][0] == want[vid]
+        assert abs(got[vid][1] - sims[vid, want[vid]]) < 1e-9
+
+
+def test_kmeans_assign_drops_degenerate_vectors(spark):
+    """Zero-norm and NULL vectors have no cosine geometry: excluded
+    from assignment (and from training) rather than landing in an
+    arbitrary cluster."""
+    from mhm_data_pipelines_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, None), (3, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = kmeans_assign(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])]).collect()
+    assert {r["vec_id"]: r["list_id"] for r in got} == {0: 0, 3: 1}
+
+
 def test_ivf_topk_recall_and_exactness(corpus, corpus_np):
     """nprobe = all lists ⇒ IVF degrades to exact search (every bucket
     probed); small nprobe keeps decent recall and must include self."""
