@@ -11244,6 +11244,247 @@ FROM afin GROUP BY list_id ORDER BY list_id
 SQL_KMEANS_ITERS = _sql_kmeans_iters()
 
 
+def q_anova_f(spark, sf_dir):
+    """Per-user-bucket one-way ANOVA F of value across event types
+    (stats_tests.anova_oneway): did the event-type means separate
+    within each cohort? One hash aggregate on (bucket, type) to
+    sufficient statistics, then a bucket-sized closed form —
+    round_sums=6 keeps both engines' doubles identical."""
+    from mhm_data_pipelines_spark.operators.stats_tests import anova_oneway
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"),
+        "event_type",
+        "value",
+    )
+    out = anova_oneway(ev, "value", "event_type", ["user_bucket"])
+    return out.select(
+        "user_bucket",
+        "k_groups",
+        "n",
+        F.round("ss_between", 6).alias("ss_between"),
+        F.round("ss_within", 6).alias("ss_within"),
+        F.round("f_stat", 6).alias("f_stat"),
+    ).orderBy("user_bucket")
+
+
+SQL_ANOVA_F = """
+WITH pg AS (
+  SELECT user_id % 10 AS user_bucket, event_type, count(*) AS ng,
+         round(sum(value), 6) AS sg,
+         round(sum(value * value), 6) AS qg
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), t AS (
+  SELECT user_bucket, count(*) AS k_groups,
+         CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s,
+         sum(sg * sg / ng) AS ssb_raw,
+         sum(qg - sg * sg / ng) AS ssw
+  FROM pg GROUP BY user_bucket
+)
+SELECT user_bucket, k_groups, n,
+  round(ssb_raw - s * s / n, 6) AS ss_between,
+  round(ssw, 6) AS ss_within,
+  round(CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0
+        THEN ((ssb_raw - s * s / n) / (k_groups - 1))
+             / (ssw / (n - k_groups)) END, 6) AS f_stat
+FROM t ORDER BY user_bucket
+"""
+
+
+def q_variance_homogeneity(spark, sf_dir):
+    """Per-user-bucket Brown-Forsythe W across event types
+    (stats_tests.brown_forsythe): did the SPREADS diverge, not just the
+    means — median-centered (robust Levene), exact quantile_cont
+    medians, deviations rounded to 6 digits so both engines feed the
+    ANOVA identical inputs."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        brown_forsythe,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("user_bucket"),
+        "event_type",
+        "value",
+    )
+    out = brown_forsythe(ev, "value", "event_type", ["user_bucket"])
+    return out.select(
+        "user_bucket",
+        "k_groups",
+        "n",
+        F.round("ss_between", 6).alias("ss_between"),
+        F.round("ss_within", 6).alias("ss_within"),
+        F.round("f_stat", 6).alias("w_stat"),
+    ).orderBy("user_bucket")
+
+
+SQL_VARIANCE_HOMOGENEITY = """
+WITH med AS (
+  SELECT user_id % 5 AS user_bucket, event_type,
+         quantile_cont(value, 0.5) AS m
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), z AS (
+  SELECT e.user_id % 5 AS user_bucket, e.event_type,
+         round(abs(e.value - med.m), 6) AS z
+  FROM events e
+  JOIN med ON e.user_id % 5 = med.user_bucket
+          AND e.event_type = med.event_type
+  WHERE e.value IS NOT NULL
+), pg AS (
+  SELECT user_bucket, event_type, count(*) AS ng,
+         round(sum(z), 6) AS sg, round(sum(z * z), 6) AS qg
+  FROM z GROUP BY 1, 2
+), t AS (
+  SELECT user_bucket, count(*) AS k_groups,
+         CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s,
+         sum(sg * sg / ng) AS ssb_raw,
+         sum(qg - sg * sg / ng) AS ssw
+  FROM pg GROUP BY user_bucket
+)
+SELECT user_bucket, k_groups, n,
+  round(ssb_raw - s * s / n, 6) AS ss_between,
+  round(ssw, 6) AS ss_within,
+  round(CASE WHEN k_groups > 1 AND n > k_groups AND ssw > 0
+        THEN ((ssb_raw - s * s / n) / (k_groups - 1))
+             / (ssw / (n - k_groups)) END, 6) AS w_stat
+FROM t ORDER BY user_bucket
+"""
+
+
+def q_acf_lags(spark, sf_dir):
+    """Per-event-type autocorrelation function, lags 1-3
+    (timeseries.acf): one partitioned window pass produces ALL lag
+    leads (one shuffle, no self-joins), one hash aggregate per series,
+    standard full-series-normalizer estimator. Ordered by (ts,
+    event_id) — a deterministic total order both engines replay."""
+    from mhm_data_pipelines_spark.operators.timeseries import acf
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+    )
+    out = acf(
+        ev, ["event_type"], ["ts", "event_id"], "value", max_lag=3,
+        round_sums=6,
+    )
+    return out.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round("r", 6).alias("r"),
+    ).orderBy("event_type", "lag")
+
+
+def _sql_acf_lags(max_lag: int = 3) -> str:
+    lags = range(1, max_lag + 1)
+    leads = ",\n         ".join(
+        f"lead(value, {g}) OVER w AS y{g}" for g in lags
+    )
+    sums = ",\n         ".join(
+        f"""count(CASE WHEN value IS NOT NULL AND y{g} IS NOT NULL
+               THEN 1 END) AS np{g},
+         round(sum(value * y{g}), 6) AS sxy{g},
+         round(sum(CASE WHEN y{g} IS NOT NULL THEN value END), 6) AS sx{g},
+         round(sum(CASE WHEN value IS NOT NULL THEN y{g} END), 6) AS sy{g}"""
+        for g in lags
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT event_type, {g} AS lag, np{g} AS n_pairs,
+    round(CASE WHEN q - (n * (s / n)) * (s / n) > 0
+      THEN (sxy{g} - (s / n) * sx{g} - (s / n) * sy{g}
+            + (np{g} * (s / n)) * (s / n))
+           / (q - (n * (s / n)) * (s / n)) END, 6) AS r
+  FROM st"""
+        for g in lags
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, value,
+         {leads}
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), st AS (
+  SELECT event_type, count(value) AS n, round(sum(value), 6) AS s,
+         round(sum(value * value), 6) AS q,
+         {sums}
+  FROM base GROUP BY event_type
+)
+SELECT event_type, lag, n_pairs, r FROM (
+{arms}
+) ORDER BY event_type, lag
+"""
+
+
+SQL_ACF_LAGS = _sql_acf_lags()
+
+
+def q_randomization_test(spark, sf_dir):
+    """Randomization test for the purchase-vs-view mean-value gap
+    (stats_tests.randomization_test, 199 replicates): every (row,
+    replicate) pseudo-assignment is a deterministic md5 draw compared
+    against the observed n_a/n, so the oracle replays the IDENTICAL
+    resampling distribution — the extreme-count is integer-verified,
+    not just the interval."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        randomization_test,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return randomization_test(
+        ev, "value", "event_type", "purchase", "view", "event_id",
+        n_perm=199, seed=42,
+    )
+
+
+SQL_RANDOMIZATION_TEST = """
+WITH base AS (
+  SELECT event_id AS id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+         value AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+), obs AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+         CAST(sum(1 - ia) AS BIGINT) AS n_b,
+         round(round(sum(ia * y), 6) / sum(ia)
+               - round(sum((1 - ia) * y), 6) / sum(1 - ia), 6) AS diff_obs
+  FROM base
+), reps AS (
+  SELECT b.y, r.generate_series AS rep,
+         CAST(('0x' || substr(md5(CAST(b.id AS VARCHAR) || '#'
+                || CAST(r.generate_series AS VARCHAR) || ':42'),
+                1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+  FROM base b, generate_series(0, 198) r
+), tagged AS (
+  SELECT rep, y,
+         CASE WHEN u < (SELECT CAST(n_a AS DOUBLE) / (n_a + n_b)
+                        FROM obs)
+              THEN 1 ELSE 0 END AS pa
+  FROM reps
+), per AS (
+  SELECT rep, round(sum(pa * y), 6) AS sa,
+         round(sum((1 - pa) * y), 6) AS sb,
+         sum(pa) AS ka, sum(1 - pa) AS kb
+  FROM tagged GROUP BY rep
+), diffs AS (
+  SELECT round(CASE WHEN ka > 0 AND kb > 0
+               THEN sa / ka - sb / kb END, 6) AS dd
+  FROM per
+)
+SELECT o.n_a, o.n_b, o.diff_obs,
+       CAST(sum(CASE WHEN abs(d.dd) >= abs(o.diff_obs)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       round((1 + sum(CASE WHEN abs(d.dd) >= abs(o.diff_obs)
+                      THEN 1 ELSE 0 END)) / 200.0, 6) AS p_two_sided
+FROM diffs d CROSS JOIN obs o
+GROUP BY o.n_a, o.n_b, o.diff_obs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11470,6 +11711,10 @@ QUERIES: dict[str, QuerySpec] = {
     "winsorize_stats": q_winsorize_stats,
     "bootstrap_ci": q_bootstrap_ci,
     "kmeans_iters": q_kmeans_iters,
+    "anova_f": q_anova_f,
+    "variance_homogeneity": q_variance_homogeneity,
+    "acf_lags": q_acf_lags,
+    "randomization_test": q_randomization_test,
 }
 
 ORACLES: dict[str, str] = {
@@ -11703,6 +11948,10 @@ ORACLES: dict[str, str] = {
     "winsorize_stats": SQL_WINSORIZE_STATS,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "kmeans_iters": SQL_KMEANS_ITERS,
+    "anova_f": SQL_ANOVA_F,
+    "variance_homogeneity": SQL_VARIANCE_HOMOGENEITY,
+    "acf_lags": SQL_ACF_LAGS,
+    "randomization_test": SQL_RANDOMIZATION_TEST,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -11725,7 +11974,7 @@ GATE_PRIORITY: list[str] = [
     #    (a) canaries, (b) keys NEW this round, (c) keys whose
     #    DEFINITION was touched this round, (d) the keys whose last
     #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 29 fit this round, the remaining 17 plus the
+    #    CORRECTNESS_r02; 25 fit this round, the remaining 21 plus the
     #    40 r3-last-green keys lead the r8 rotation). Everything
     #    rotated out stays hash-checked every CI run by
     #    tests/test_oracle_parity.py.
@@ -11742,6 +11991,10 @@ GATE_PRIORITY: list[str] = [
     "winsorize_stats",       # exact-percentile heavy-tail clamp
     "bootstrap_ci",          # md5-replayable Poisson bootstrap CI
     "kmeans_iters",          # round-by-round-verified distributed Lloyd
+    "anova_f",               # sufficient-stats one-way ANOVA
+    "variance_homogeneity",  # Brown-Forsythe W (robust Levene)
+    "acf_lags",              # single-window-pass autocorrelation
+    "randomization_test",    # md5-replayable permutation-style test
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -11773,20 +12026,16 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 8 (alphabetical — deterministic, auditable) of
+    # ...and the first 4 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
     "daily_availability",
     "date_ranges",
-    "device_split",
-    "distinct_measurements",
-    "event_gaps",
-    "feature_stats",
-    # Remaining r2-last-green keys (gap_fill, iso_week_activity, json_extract,
-    # latest_event_state, lineitem_unpivot, missing_data,
-    # monthly_activity,
-    # rolling_anomalies, rollup_counts,
+    # Remaining r2-last-green keys (device_split, distinct_measurements,
+    # event_gaps, feature_stats, gap_fill, iso_week_activity,
+    # json_extract, latest_event_state, lineitem_unpivot, missing_data,
+    # monthly_activity, rolling_anomalies, rollup_counts,
     # salted_agg_parity, sessionization, split_assignment, stream_dedup,
     # stream_interval_join, top_orders_per_customer, value_histogram,
     # value_percentiles) and the 40 r3-last-green keys lead the r8
@@ -11982,6 +12231,10 @@ BENCH_QUERIES: list[str] = [
     "winsorize_stats",
     "bootstrap_ci",
     "kmeans_iters",
+    "anova_f",
+    "variance_homogeneity",
+    "acf_lags",
+    "randomization_test",
 ]
 
 

@@ -42,6 +42,9 @@ __all__ = [
     "two_proportion_ztest",
     "poisson_bootstrap_ci",
     "POISSON1_CDF",
+    "anova_oneway",
+    "brown_forsythe",
+    "randomization_test",
 ]
 
 
@@ -398,3 +401,221 @@ def poisson_bootstrap_ci(
         else point.crossJoin(F.broadcast(ci))
     )
     return joined.select(*keys, "n", "mean", "ci_lo", "ci_hi")
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    keys: list | None = None,
+    round_sums: int | None = 6,
+) -> DataFrame:
+    """One-way ANOVA F over the FULL data from sufficient statistics:
+    per-group (n, Σy, Σy²) is one hash aggregate to k rows, the second
+    (metadata-sized) aggregate derives
+
+        SSW = Σ_g (q_g − s_g²/n_g)          (within-group)
+        SSB = Σ_g s_g²/n_g − S²/N           (between-group)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    — the classic computational form, exact given the sums. Like
+    :func:`~..timeseries.ols_trend`, ``round_sums`` rounds Σy/Σy² (per
+    group) so two engines derive the closed form from bit-identical
+    doubles; pre-center ``value_col`` if its magnitude makes Σy² lose
+    precision. NULL values drop; F is NULL when k < 2, N ≤ k, or
+    SSW ≤ 0 (all groups constant). Returns keys +
+    (k_groups, n, ss_between, ss_within, f_stat).
+
+    Scale shape: the corpus is touched once by the group hash
+    aggregate; everything after is k-rows-sized. With ``keys`` the
+    whole computation stays one shuffle on (keys, group).
+    """
+    keys = list(keys or [])
+    y = F.col(value_col).cast("double")
+    base = df.filter(y.isNotNull() & F.col(group_col).isNotNull())
+    per_group = base.groupBy(*keys, group_col).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(y).alias("sg"),
+        F.sum(y * y).alias("qg"),
+    )
+    if round_sums is not None:
+        per_group = per_group.withColumn(
+            "sg", F.round("sg", round_sums)
+        ).withColumn("qg", F.round("qg", round_sums))
+    gb = per_group.groupBy(*keys) if keys else per_group.groupBy()
+    tot = gb.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("ssb_raw"),
+        F.sum(F.col("qg") - F.col("sg") * F.col("sg") / F.col("ng")).alias(
+            "ssw"
+        ),
+    )
+    k = F.col("k_groups").cast("double")
+    n = F.col("n").cast("double")
+    ssb = F.col("ssb_raw") - F.col("s") * F.col("s") / n
+    f_ok = (k > 1) & (n > k) & (F.col("ssw") > 0)
+    return tot.select(
+        *keys,
+        "k_groups",
+        "n",
+        ssb.alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        F.when(f_ok, (ssb / (k - 1)) / (F.col("ssw") / (n - k))).alias(
+            "f_stat"
+        ),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    keys: list | None = None,
+    round_sums: int | None = 6,
+    round_dev: int | None = 6,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test: one-way ANOVA F over
+    the MEDIAN-centered absolute deviations ``z = |y − median_g|`` —
+    the robust Levene variant (median centering survives heavy tails,
+    which is why it's the recommended default). A significant W says
+    the groups' spreads differ, e.g. a new crawl got noisier even
+    though its mean held.
+
+    Exact medians via Spark ``percentile`` (= ANSI quantile_cont, the
+    cross-engine-exact primitive of :func:`~.repair.winsorize_bounds`);
+    the k-row median table broadcasts back (AQE picks the broadcast
+    side), so the corpus shuffles only for the two hash aggregates.
+    ``round_dev`` rounds z itself — median interpolation is one
+    divide, so rounding z makes both engines feed the ANOVA identical
+    inputs. Output schema = :func:`anova_oneway` with f_stat = W.
+    """
+    keys = list(keys or [])
+    y = F.col(value_col).cast("double")
+    base = df.filter(y.isNotNull() & F.col(group_col).isNotNull())
+    med = base.groupBy(*keys, group_col).agg(
+        F.percentile(y, F.lit(0.5)).alias("_med")
+    )
+    joined = base.join(F.broadcast(med), on=[*keys, group_col])
+    z = F.abs(y - F.col("_med"))
+    if round_dev is not None:
+        z = F.round(z, round_dev)
+    dev = joined.select(*keys, group_col, z.alias("_z"))
+    return anova_oneway(dev, "_z", group_col, keys, round_sums)
+
+
+def randomization_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    id_col: str,
+    n_perm: int = 200,
+    seed: int = 42,
+    round_sums: int = 6,
+    round_diff: int = 6,
+) -> DataFrame:
+    """Randomization (approximate permutation) test for the difference
+    in MEANS between two groups — the assumption-free significance
+    check when z/t preconditions (normality, equal variance) don't
+    hold, which at corpus scale they usually don't.
+
+    Each replicate reassigns every row independently to pseudo-A with
+    probability ``n_a/n`` from a deterministic md5 unit draw over
+    ``(id, replicate, seed)`` (sampling.md5_unit_draw — the repo's one
+    cross-engine draw). Independent reassignment is the distributed
+    form of permutation: an exact permutation couples all rows through
+    a global shuffle, which is unobtainable at scale, and the binomial
+    approximation converges to the same null law (and is itself a
+    valid randomization test). The two-sided p is the add-one
+    estimator ``(1 + #{|diff_b| >= |diff_obs|}) / (n_perm + 1)``.
+
+    Float discipline: per-replicate sums round to ``round_sums``
+    digits and both diffs to ``round_diff`` BEFORE the >= compare, so
+    the extreme-count is integer-identical across engines. Degenerate
+    replicates (a side drew zero rows — vanishing probability at real
+    n) yield NULL diffs, which never count as extreme. Returns one row
+    (n_a, n_b, diff_obs, n_extreme, p_two_sided).
+
+    Scale: n_perm × rows weight draws in one codegen explode-project,
+    two hash aggregates, a one-row broadcast — the bootstrap_ci shape.
+    """
+    from mhm_data_pipelines_spark.operators.sampling import md5_unit_draw
+
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    g = F.col(group_col)
+    y = F.col(value_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.when(g == F.lit(group_a), 1).otherwise(0).alias("_ia"),
+        y.alias("_y"),
+    )
+    obs = base.agg(
+        F.sum("_ia").alias("n_a"),
+        F.sum(F.lit(1) - F.col("_ia")).alias("n_b"),
+        F.round(F.sum(F.col("_ia") * F.col("_y")), round_sums).alias("sa"),
+        F.round(
+            F.sum((F.lit(1) - F.col("_ia")) * F.col("_y")), round_sums
+        ).alias("sb"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("sa") / F.col("n_a") - F.col("sb") / F.col("n_b"),
+            round_diff,
+        ).alias("diff_obs"),
+    )
+    reps = base.crossJoin(F.broadcast(obs.select("n_a", "n_b"))).withColumn(
+        "_b", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1)))
+    )
+    u = md5_unit_draw(
+        F.concat(
+            F.col("_id").cast("string"),
+            F.lit("#"),
+            F.col("_b").cast("string"),
+        ),
+        seed,
+    )
+    pa = F.col("n_a").cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    tagged = reps.withColumn("_pa", (u < pa).cast("int"))
+    per_rep = tagged.groupBy("_b").agg(
+        F.round(
+            F.sum(F.col("_pa") * F.col("_y")), round_sums
+        ).alias("sa"),
+        F.round(
+            F.sum((F.lit(1) - F.col("_pa")) * F.col("_y")), round_sums
+        ).alias("sb"),
+        F.sum("_pa").alias("ka"),
+        F.sum(F.lit(1) - F.col("_pa")).alias("kb"),
+    )
+    diff_b = F.round(
+        F.when(
+            (F.col("ka") > 0) & (F.col("kb") > 0),
+            F.col("sa") / F.col("ka") - F.col("sb") / F.col("kb"),
+        ),
+        round_diff,
+    )
+    tail = per_rep.crossJoin(F.broadcast(obs)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.first("diff_obs").alias("diff_obs"),
+        F.sum(
+            (F.abs(diff_b) >= F.abs(F.col("diff_obs"))).cast("long")
+        ).alias("n_extreme"),
+    )
+    return tail.select(
+        "n_a",
+        "n_b",
+        "diff_obs",
+        "n_extreme",
+        F.round(
+            (F.lit(1) + F.col("n_extreme")) / F.lit(float(n_perm + 1)), 6
+        ).alias("p_two_sided"),
+    )

@@ -376,3 +376,123 @@ def ols_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def acf(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    max_lag: int = 5,
+    round_sums: int | None = None,
+) -> DataFrame:
+    """Per-series autocorrelation function: r_lag for lag = 1..max_lag,
+
+        r_l = Σ_t (y_t − ȳ)(y_{t+l} − ȳ)  /  Σ_t (y_t − ȳ)²
+
+    with ȳ and the denominator over the FULL series (the standard ACF
+    estimator — one shared normalizer, so r_l is comparable across
+    lags). The lag pairing is ``lead(value, l)`` over one
+    partitioned-by-key window ordered by ``order_cols`` — all max_lag
+    leads come out of a SINGLE window pass (one shuffle on the series
+    key, no self-joins), then one hash aggregate per series. Rows with
+    NULL value stay in the window frame (a gap breaks the pairs that
+    span it — lag counts the positions actually paired).
+
+    ``order_cols`` must be a deterministic total order per key (pass a
+    tiebreaker, e.g. ``["ts", "event_id"]``) or lag pairing is
+    nondeterministic under shuffle. ``round_sums`` rounds the two
+    cross-sums so independent engines derive r from identical doubles
+    (the ols_trend convention). Returns keys + (lag, n_pairs, r), with
+    r NULL for a zero-variance series.
+
+    Scale: series live whole in their key partition (the usual
+    time-series contract; salt long series upstream if one key is a
+    hot spot). Work is O(max_lag) columns per row, one shuffle total.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    y = F.col(value_col).cast("double")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    with_leads = df.select(
+        *keys,
+        y.alias("_y"),
+        *[F.lead(y, lag).over(w).alias(f"_y{lag}") for lag in
+          range(1, max_lag + 1)],
+    )
+    stats = with_leads.groupBy(*keys).agg(
+        F.count("_y").alias("n"),
+        F.sum("_y").alias("s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("q"),
+        *[
+            agg
+            for lag in range(1, max_lag + 1)
+            for agg in (
+                F.count(
+                    F.when(
+                        F.col("_y").isNotNull()
+                        & F.col(f"_y{lag}").isNotNull(),
+                        1,
+                    )
+                ).alias(f"np{lag}"),
+                F.sum(F.col("_y") * F.col(f"_y{lag}")).alias(f"sxy{lag}"),
+                F.sum(
+                    F.when(
+                        F.col(f"_y{lag}").isNotNull(), F.col("_y")
+                    )
+                ).alias(f"sx{lag}"),
+                F.sum(
+                    F.when(
+                        F.col("_y").isNotNull(), F.col(f"_y{lag}")
+                    )
+                ).alias(f"sy{lag}"),
+            )
+        ],
+    )
+    if round_sums is not None:
+        float_cols = ["s", "q"] + [
+            f"{p}{lag}"
+            for lag in range(1, max_lag + 1)
+            for p in ("sxy", "sx", "sy")
+        ]
+        stats = stats.select(
+            *keys,
+            "n",
+            *[F.round(c, round_sums).alias(c) for c in float_cols],
+            *[f"np{lag}" for lag in range(1, max_lag + 1)],
+        )
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    denom = F.col("q") - n * mean * mean
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"np{lag}").alias("n_pairs"),
+                (
+                    F.col(f"sxy{lag}")
+                    - mean * F.col(f"sx{lag}")
+                    - mean * F.col(f"sy{lag}")
+                    + F.col(f"np{lag}") * mean * mean
+                ).alias("num"),
+            )
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    exploded = stats.select(
+        *keys,
+        denom.alias("_den"),
+        F.explode(lag_structs).alias("_l"),
+    )
+    return exploded.select(
+        *keys,
+        F.col("_l.lag").alias("lag"),
+        F.col("_l.n_pairs").alias("n_pairs"),
+        F.when(F.col("_den") > 0, F.col("_l.num") / F.col("_den")).alias(
+            "r"
+        ),
+    )

@@ -121,6 +121,9 @@ SINGLE_ROW_BROADCAST_OK = {
                           # count)) onto the 1-row recall summary
     "dup_spans_recall",   # crossJoin(broadcast(1-row capped/identical
                           # summary aggs)) onto the 1-row exact agg
+    "randomization_test", # crossJoin(broadcast(1-row observed n_a/n_b/
+                          # diff)) onto the replicate stream and the
+                          # 1-row tail aggregate
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose

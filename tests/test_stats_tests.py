@@ -176,3 +176,135 @@ def test_poisson_bootstrap_validation(spark):
         poisson_bootstrap_ci(df, "v", "id", ["g"], alpha=1.5)
     with pytest.raises(ValueError, match="n_boot"):
         poisson_bootstrap_ci(df, "v", "id", ["g"], n_boot=1)
+
+
+def test_anova_oneway_matches_numpy(spark):
+    """F statistic equals the textbook decomposition computed
+    independently in NumPy; round_sums=None for the pure-float check."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.stats_tests import anova_oneway
+
+    rng = np.random.RandomState(7)
+    groups = {"a": rng.normal(0, 1, 40), "b": rng.normal(0.8, 1, 55),
+              "c": rng.normal(0.4, 1.5, 30)}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = anova_oneway(df, "v", "g", round_sums=None).collect()[0]
+
+    allv = np.concatenate(list(groups.values()))
+    grand = allv.mean()
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    k, n = 3, len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k_groups"] == 3 and got["n"] == n
+    assert got["ss_between"] == pytest.approx(ssb, rel=1e-9)
+    assert got["ss_within"] == pytest.approx(ssw, rel=1e-9)
+    assert got["f_stat"] == pytest.approx(f, rel=1e-9)
+
+
+def test_anova_oneway_degenerate_null_f(spark):
+    from mhm_data_pipelines_spark.operators.stats_tests import anova_oneway
+
+    one_group = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert anova_oneway(one_group, "v", "g").collect()[0]["f_stat"] is None
+    constant = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    assert anova_oneway(constant, "v", "g").collect()[0]["f_stat"] is None
+
+
+def test_brown_forsythe_matches_manual(spark):
+    """W equals a manual median-centered Levene computed in NumPy;
+    spread difference is detected (W >> 1) while a same-spread pair
+    stays small."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        brown_forsythe,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.normal(0, 1, 60)
+    b = rng.normal(0, 4, 60)  # same mean, 4x the spread
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = brown_forsythe(df, "v", "g", round_sums=None,
+                         round_dev=None).collect()[0]
+
+    za = np.abs(a - np.median(a))
+    zb = np.abs(b - np.median(b))
+    grand = np.concatenate([za, zb]).mean()
+    ssb = len(za) * (za.mean() - grand) ** 2 + len(zb) * (
+        zb.mean() - grand
+    ) ** 2
+    ssw = ((za - za.mean()) ** 2).sum() + ((zb - zb.mean()) ** 2).sum()
+    w = (ssb / 1) / (ssw / (120 - 2))
+    assert got["f_stat"] == pytest.approx(w, rel=1e-9)
+    assert got["f_stat"] > 10  # the planted spread difference
+
+
+def test_randomization_test_md5_replay_and_power(spark):
+    """n_extreme and p replay exactly from a pure-Python md5 walk of
+    the same (id, replicate, seed) draws; a planted shift is detected
+    at the add-one floor while a null shift is not."""
+    import hashlib
+
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        randomization_test,
+    )
+
+    rng = np.random.RandomState(5)
+    a = rng.normal(0.0, 1.0, 80)
+    b = rng.normal(3.0, 1.0, 70)  # strong shift
+    rows = [("a", i, float(v)) for i, v in enumerate(a)]
+    rows += [("b", 1000 + i, float(v)) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = randomization_test(
+        df, "v", "g", "a", "b", "id", n_perm=99, seed=42
+    ).collect()[0]
+
+    # pure-Python replay
+    vals = {i: float(v) for _, i, v in rows}
+    na, n = 80, 150
+    pa = na / n
+    diff_obs = round(
+        round(sum(a), 6) / 80 - round(sum(b), 6) / 70, 6
+    )
+    n_extreme = 0
+    for rep in range(99):
+        sa = sb = 0.0
+        ka = kb = 0
+        for i, v in vals.items():
+            h = hashlib.md5(f"{i}#{rep}:42".encode()).hexdigest()
+            u = int(h[:15], 16) / float(16**15)
+            if u < pa:
+                sa += v
+                ka += 1
+            else:
+                sb += v
+                kb += 1
+        if ka and kb:
+            d = round(round(sa, 6) / ka - round(sb, 6) / kb, 6)
+            if abs(d) >= abs(diff_obs):
+                n_extreme += 1
+    assert got["n_a"] == 80 and got["n_b"] == 70
+    assert got["diff_obs"] == pytest.approx(diff_obs, abs=1e-9)
+    assert got["n_extreme"] == n_extreme
+    assert got["p_two_sided"] == pytest.approx((1 + n_extreme) / 100, abs=1e-9)
+    assert got["p_two_sided"] <= 0.02  # planted 3-sigma shift detected
+
+    # null: both halves from the same distribution -> p well above floor
+    c = rng.normal(0.0, 1.0, 150)
+    rows0 = [("a" if i < 75 else "b", i, float(v)) for i, v in enumerate(c)]
+    df0 = spark.createDataFrame(rows0, "g string, id long, v double")
+    p0 = randomization_test(
+        df0, "v", "g", "a", "b", "id", n_perm=99, seed=42
+    ).collect()[0]["p_two_sided"]
+    assert p0 > 0.05

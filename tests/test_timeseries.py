@@ -179,3 +179,52 @@ def test_ols_trend_hand_case_and_degenerates(spark):
     assert got["d"]["slope"] == pytest.approx(0.0)
     assert got["d"]["r2"] is None
     assert got["e"]["n"] == 2 and got["e"]["slope"] == pytest.approx(1.0)
+
+
+def test_acf_matches_numpy(spark):
+    """Per-series r_lag equals the standard estimator (full-series mean
+    and variance normalizer) computed independently in NumPy."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.timeseries import acf
+
+    rng = np.random.RandomState(3)
+    y = np.cumsum(rng.normal(0, 1, 80))  # random walk: strong ACF
+    rows = [("s1", i, float(v)) for i, v in enumerate(y)]
+    # second, anti-correlated series
+    y2 = np.array([(-1.0) ** i for i in range(40)])
+    rows += [("s2", i, float(v)) for i, v in enumerate(y2)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r["k"], r["lag"]): r
+        for r in acf(df, ["k"], ["t"], "v", max_lag=3).collect()
+    }
+
+    for key, series in (("s1", y), ("s2", y2)):
+        m, den = series.mean(), ((series - series.mean()) ** 2).sum()
+        for lag in (1, 2, 3):
+            num = ((series[:-lag] - m) * (series[lag:] - m)).sum()
+            r = got[(key, lag)]
+            assert r["n_pairs"] == len(series) - lag
+            assert r["r"] == pytest.approx(num / den, rel=1e-9), (key, lag)
+    assert got[("s2", 1)]["r"] < -0.9  # alternating series
+    assert got[("s1", 1)]["r"] > 0.8  # random walk
+
+
+def test_acf_gaps_and_zero_variance(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import acf
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 1, None), ("s", 2, 3.0), ("s", 3, 4.0),
+         ("c", 0, 2.0), ("c", 1, 2.0), ("c", 2, 2.0)],
+        "k string, t long, v double",
+    )
+    got = {(r["k"], r["lag"]): r for r in
+           acf(df, ["k"], ["t"], "v", max_lag=2).collect()}
+    # NULL at t=1 breaks the (0,1) and (1,2) pairs but not (2,3)
+    assert got[("s", 1)]["n_pairs"] == 1
+    # lag 2 pairs (0,2) and (1,3): (1,3) broken by the NULL at 1
+    assert got[("s", 2)]["n_pairs"] == 1
+    # constant series: zero variance -> NULL r, pairs still counted
+    assert got[("c", 1)]["n_pairs"] == 2
+    assert got[("c", 1)]["r"] is None
