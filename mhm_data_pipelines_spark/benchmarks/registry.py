@@ -11485,6 +11485,90 @@ GROUP BY o.n_a, o.n_b, o.diff_obs
 """
 
 
+def q_constraint_report(spark, sf_dir):
+    """Declarative expectations suite over orders (validate.
+    validate_constraints): six contract rules — not-null, key
+    uniqueness, price range, status set, priority regex, and
+    referential integrity against customer. The five row-local rules
+    compile into ONE aggregate over ONE scan; uniqueness adds one
+    distinct-agg; the ref check joins the broadcast-sized distinct
+    dimension keys. Violation counts are exact integers — the
+    strongest possible oracle."""
+    from mhm_data_pipelines_spark.operators.validate import (
+        validate_constraints,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        {"name": "custkey_not_null", "kind": "not_null",
+         "col": "o_custkey"},
+        {"name": "orderkey_unique", "kind": "unique",
+         "cols": ["o_orderkey"]},
+        {"name": "price_range", "kind": "range", "col": "o_totalprice",
+         "min": 0.0, "max": 600000.0},
+        {"name": "status_set", "kind": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"name": "priority_regex", "kind": "regex",
+         "col": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"name": "custkey_in_customer", "kind": "ref_integrity",
+         "col": "o_custkey", "ref": "customer", "ref_col": "c_custkey"},
+    ]
+    return validate_constraints(
+        orders, rules, refs={"customer": customer}
+    ).orderBy("rule")
+
+
+SQL_CONSTRAINT_REPORT = """
+WITH t AS (SELECT count(*) AS total FROM orders)
+SELECT rule, kind, violations, total, violations = 0 AS passed
+FROM (
+  SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS violations,
+         (SELECT total FROM t) AS total
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         (SELECT total FROM t)
+  FROM orders
+  UNION ALL
+  SELECT 'price_range', 'range',
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                        AND NOT (o_totalprice >= 0.0
+                                 AND o_totalprice <= 600000.0)
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM orders
+  UNION ALL
+  SELECT 'status_set', 'in_set',
+         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_regex', 'regex',
+         CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority,
+                                               '^[1-5]-')
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_in_customer', 'ref_integrity',
+         CAST(sum(CASE WHEN o.o_custkey IS NOT NULL
+                        AND c.c_custkey IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+) ORDER BY rule
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11715,6 +11799,7 @@ QUERIES: dict[str, QuerySpec] = {
     "variance_homogeneity": q_variance_homogeneity,
     "acf_lags": q_acf_lags,
     "randomization_test": q_randomization_test,
+    "constraint_report": q_constraint_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -11952,6 +12037,7 @@ ORACLES: dict[str, str] = {
     "variance_homogeneity": SQL_VARIANCE_HOMOGENEITY,
     "acf_lags": SQL_ACF_LAGS,
     "randomization_test": SQL_RANDOMIZATION_TEST,
+    "constraint_report": SQL_CONSTRAINT_REPORT,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -11974,7 +12060,7 @@ GATE_PRIORITY: list[str] = [
     #    (a) canaries, (b) keys NEW this round, (c) keys whose
     #    DEFINITION was touched this round, (d) the keys whose last
     #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 25 fit this round, the remaining 21 plus the
+    #    CORRECTNESS_r02; 24 fit this round, the remaining 22 plus the
     #    40 r3-last-green keys lead the r8 rotation). Everything
     #    rotated out stays hash-checked every CI run by
     #    tests/test_oracle_parity.py.
@@ -11995,6 +12081,7 @@ GATE_PRIORITY: list[str] = [
     "variance_homogeneity",  # Brown-Forsythe W (robust Levene)
     "acf_lags",              # single-window-pass autocorrelation
     "randomization_test",    # md5-replayable permutation-style test
+    "constraint_report",     # declarative expectations suite, 1-scan
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12026,13 +12113,12 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 4 (alphabetical — deterministic, auditable) of
+    # ...and the first 3 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
     "cube_counts",
     "daily_availability",
-    "date_ranges",
-    # Remaining r2-last-green keys (device_split, distinct_measurements,
+    # Remaining r2-last-green keys (date_ranges, device_split, distinct_measurements,
     # event_gaps, feature_stats, gap_fill, iso_week_activity,
     # json_extract, latest_event_state, lineitem_unpivot, missing_data,
     # monthly_activity, rolling_anomalies, rollup_counts,
@@ -12235,6 +12321,7 @@ BENCH_QUERIES: list[str] = [
     "variance_homogeneity",
     "acf_lags",
     "randomization_test",
+    "constraint_report",
 ]
 
 
