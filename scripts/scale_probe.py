@@ -58,6 +58,10 @@ HEAVY = [
     # round-7: the skew family against the Zipf(1.5)-skewed sf1 events
     # (one user holds ~38% of rows) — salting/AQE evidence at scale.
     "skew_report", "salted_agg_parity",
+    # round-7 second batch: replicate-exploding resamplers (200x the
+    # event stream flows through one codegen projection), the
+    # multi-round Lloyd corpus passes, and the all-lags window pass.
+    "bootstrap_ci", "randomization_test", "kmeans_iters", "acf_lags",
 ]
 
 
