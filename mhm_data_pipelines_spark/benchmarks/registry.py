@@ -11569,6 +11569,160 @@ FROM (
 """
 
 
+def q_quantile_norm(spark, sf_dir):
+    """Per-source quantile normalization of document lengths
+    (repair.quantile_normalize, 101-knot grid): every source's score
+    distribution maps onto the global one — the precondition for
+    mixing quality scores from heterogeneous sources. Verified through
+    per-source aggregates of the normalized values (the invariant: all
+    sources now share the global range). The grid is one bounded
+    collect embedded as literals; the only shuffle is the per-source
+    percent_rank window."""
+    from mhm_data_pipelines_spark.operators.repair import (
+        quantile_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("score")
+    )
+    out = quantile_normalize(docs, "score", "source", n_quantiles=101)
+    return (
+        out.filter(F.col("score").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score_qnorm"), 4).alias("mean_qnorm"),
+            F.round(F.min("score_qnorm"), 4).alias("min_qnorm"),
+            F.round(F.max("score_qnorm"), 4).alias("max_qnorm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_quantile_norm(n_quantiles: int = 101) -> str:
+    b1 = n_quantiles - 1
+    probs = ", ".join(repr(i / b1) for i in range(n_quantiles))
+    return f"""
+WITH nn AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL
+), g AS (
+  SELECT list_transform(quantile_cont(v, [{probs}]),
+                        x -> round(x, 6)) AS gq
+  FROM nn
+), ranked AS (
+  SELECT source, v,
+         percent_rank() OVER (PARTITION BY source ORDER BY v) AS p
+  FROM nn
+), mapped AS (
+  SELECT source,
+         CAST(least(floor(p * {b1}), {b1 - 1}) AS INT) AS idx,
+         p * {b1} - CAST(least(floor(p * {b1}), {b1 - 1}) AS INT)
+           AS frac
+  FROM ranked
+), qn AS (
+  SELECT m.source,
+         g.gq[m.idx + 1] * (1 - m.frac) + g.gq[m.idx + 2] * m.frac AS q
+  FROM mapped m CROSS JOIN g
+)
+SELECT source, count(*) AS n, round(avg(q), 4) AS mean_qnorm,
+       round(min(q), 4) AS min_qnorm, round(max(q), 4) AS max_qnorm
+FROM qn GROUP BY source ORDER BY source
+"""
+
+
+SQL_QUANTILE_NORM = _sql_quantile_norm()
+
+
+def q_ccf_lags(spark, sf_dir):
+    """Cross-correlation between the hourly click and purchase count
+    series, lags -3..+3 (timeseries.ccf): does purchasing trail
+    clicking, and by how many hours? The series frame is a bounded
+    hourly rollup (one row per hour), so the single global window is
+    metadata-sized; all 7 shifted copies come from ONE window pass."""
+    from mhm_data_pipelines_spark.operators.timeseries import ccf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("double")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("double")
+        .alias("y"),
+    )
+    out = ccf(hourly, [], ["h"], "x", "y", max_lag=3, round_sums=6)
+    return out.select(
+        "lag", "n_pairs", F.round("r", 6).alias("r")
+    ).orderBy("lag")
+
+
+def _sql_ccf_lags(max_lag: int = 3) -> str:
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def tag(lag: int) -> str:
+        return f"m{-lag}" if lag < 0 else f"p{lag}"
+
+    shifts = ",\n         ".join(
+        (
+            f"lead(y, {g}) OVER w AS s{tag(g)}"
+            if g >= 0
+            else f"lag(y, {-g}) OVER w AS s{tag(g)}"
+        )
+        for g in lags
+    )
+    sums = ",\n         ".join(
+        f"""count(CASE WHEN x IS NOT NULL AND s{tag(g)} IS NOT NULL
+               THEN 1 END) AS np_{tag(g)},
+         round(sum(x * s{tag(g)}), 6) AS sxy_{tag(g)},
+         round(sum(CASE WHEN s{tag(g)} IS NOT NULL THEN x END), 6)
+           AS sa_{tag(g)},
+         round(sum(CASE WHEN x IS NOT NULL THEN s{tag(g)} END), 6)
+           AS sb_{tag(g)}"""
+        for g in lags
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT {g} AS lag, np_{tag(g)} AS n_pairs,
+    round(CASE WHEN sqrt((qx - (nx * (sx / nx)) * (sx / nx))
+                    * (qy - (ny * (sy / ny)) * (sy / ny))) > 0
+      THEN (sxy_{tag(g)} - (sy / ny) * sa_{tag(g)}
+            - (sx / nx) * sb_{tag(g)}
+            + (np_{tag(g)} * (sx / nx)) * (sy / ny))
+           / sqrt((qx - (nx * (sx / nx)) * (sx / nx))
+                  * (qy - (ny * (sy / ny)) * (sy / ny)))
+      END, 6) AS r
+  FROM st"""
+        for g in lags
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), base AS (
+  SELECT x, y,
+         {shifts}
+  FROM hourly WINDOW w AS (ORDER BY h)
+), st AS (
+  SELECT count(x) AS nx, round(sum(x), 6) AS sx,
+         round(sum(x * x), 6) AS qx,
+         count(y) AS ny, round(sum(y), 6) AS sy,
+         round(sum(y * y), 6) AS qy,
+         {sums}
+  FROM base
+)
+SELECT lag, n_pairs, r FROM (
+{arms}
+) ORDER BY lag
+"""
+
+
+SQL_CCF_LAGS = _sql_ccf_lags()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11800,6 +11954,8 @@ QUERIES: dict[str, QuerySpec] = {
     "acf_lags": q_acf_lags,
     "randomization_test": q_randomization_test,
     "constraint_report": q_constraint_report,
+    "quantile_norm": q_quantile_norm,
+    "ccf_lags": q_ccf_lags,
 }
 
 ORACLES: dict[str, str] = {
@@ -12038,6 +12194,8 @@ ORACLES: dict[str, str] = {
     "acf_lags": SQL_ACF_LAGS,
     "randomization_test": SQL_RANDOMIZATION_TEST,
     "constraint_report": SQL_CONSTRAINT_REPORT,
+    "quantile_norm": SQL_QUANTILE_NORM,
+    "ccf_lags": SQL_CCF_LAGS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -12060,7 +12218,7 @@ GATE_PRIORITY: list[str] = [
     #    (a) canaries, (b) keys NEW this round, (c) keys whose
     #    DEFINITION was touched this round, (d) the keys whose last
     #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 24 fit this round, the remaining 22 plus the
+    #    CORRECTNESS_r02; 22 fit this round, the remaining 24 plus the
     #    40 r3-last-green keys lead the r8 rotation). Everything
     #    rotated out stays hash-checked every CI run by
     #    tests/test_oracle_parity.py.
@@ -12082,6 +12240,8 @@ GATE_PRIORITY: list[str] = [
     "acf_lags",              # single-window-pass autocorrelation
     "randomization_test",    # md5-replayable permutation-style test
     "constraint_report",     # declarative expectations suite, 1-scan
+    "quantile_norm",         # cross-source score harmonization
+    "ccf_lags",              # hourly lead/lag cross-correlation
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12113,12 +12273,11 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # ...and the first 3 (alphabetical — deterministic, auditable) of
+    # ...and the first 1 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
-    "cube_counts",
-    "daily_availability",
-    # Remaining r2-last-green keys (date_ranges, device_split, distinct_measurements,
+    # Remaining r2-last-green keys (cube_counts, daily_availability,
+    # date_ranges, device_split, distinct_measurements,
     # event_gaps, feature_stats, gap_fill, iso_week_activity,
     # json_extract, latest_event_state, lineitem_unpivot, missing_data,
     # monthly_activity, rolling_anomalies, rollup_counts,
@@ -12322,6 +12481,8 @@ BENCH_QUERIES: list[str] = [
     "acf_lags",
     "randomization_test",
     "constraint_report",
+    "quantile_norm",
+    "ccf_lags",
 ]
 
 

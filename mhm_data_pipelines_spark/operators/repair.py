@@ -27,6 +27,7 @@ __all__ = [
     "robust_outlier_stats",
     "winsorize_bounds",
     "winsorize",
+    "quantile_normalize",
 ]
 
 _STRATEGIES = ("median", "mean", "mode")
@@ -260,3 +261,65 @@ def winsorize(
             .otherwise(F.lit(0)),
         )
     return out.drop("lo", "hi")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_quantiles: int = 101,
+    round_grid: int | None = 6,
+) -> DataFrame:
+    """Map each group's score distribution onto the GLOBAL distribution
+    — the sklearn-QuantileTransformer shape, per group: a row's
+    within-group percent_rank p is looked up in an ``n_quantiles``-point
+    interpolated grid of global quantiles. After the transform every
+    group's scores follow the same (global) distribution, which is the
+    precondition for mixing quality scores produced by different
+    classifiers/heuristics across sources.
+
+    Scale shape: the grid is ONE global aggregate collected as an
+    ``n_quantiles`` literal array (bounded by construction — the
+    train_kmeans centroid discipline), so the lookup is a pure
+    projection; the only shuffle is the per-group percent_rank window.
+    A group is a window partition — groups are assumed to fit a task
+    (salt or pre-aggregate a pathologically hot group upstream).
+
+    Exactness contract: percent_rank is an exact rational in both
+    engines; ``round_grid`` rounds the collected quantiles (half-up =
+    SQL round) so both engines interpolate from identical doubles; the
+    grid index is ``least(floor(p·(B−1)), B−2)`` with linear
+    interpolation to the next knot. NULL scores pass through as NULL;
+    a single-row group gets p = 0 (the global minimum's image).
+    Adds ``{value_col}_qnorm``.
+    """
+    from pyspark.sql import Window
+
+    from mhm_data_pipelines_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    if n_quantiles < 2:
+        raise ValueError(f"n_quantiles must be >= 2, got {n_quantiles}")
+    v = F.col(value_col).cast("double")
+    probs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    grid_row = df.filter(v.isNotNull()).agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in probs])).alias("q")
+    ).collect()  # ONE row, n_quantiles doubles — metadata-sized
+    grid = [float(x) for x in grid_row[0]["q"]]
+    if round_grid is not None:
+        grid = [_round_half_up(x, round_grid) for x in grid]
+    garr = F.array(*[F.lit(x) for x in grid])
+    # NULL scores go to their own sub-partition so they can't distort
+    # the ranks of real values (they emit NULL regardless)
+    w = Window.partitionBy(F.col(group_col), v.isNull()).orderBy(v)
+    p = F.percent_rank().over(w)
+    b1 = n_quantiles - 1
+    idx = F.least(F.floor(p * b1), F.lit(n_quantiles - 2)).cast("int")
+    frac = p * b1 - idx
+    qn = F.element_at(garr, idx + 1) * (1 - frac) + F.element_at(
+        garr, idx + 2
+    ) * frac
+    return df.withColumn(
+        f"{value_col}_qnorm", F.when(v.isNotNull(), qn)
+    )

@@ -496,3 +496,141 @@ def acf(
             "r"
         ),
     )
+
+
+def ccf(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    max_lag: int = 5,
+    round_sums: int | None = None,
+) -> DataFrame:
+    """Per-series cross-correlation function between two aligned
+    series — for lag = −max_lag..max_lag,
+
+        r_l = Σ_t (x_t − x̄)(y_{t+l} − ȳ)
+              / sqrt(Σ(x−x̄)² · Σ(y−ȳ)²)
+
+    with means and the normalizer over each FULL series (the standard
+    CCF estimator; positive lag = y FOLLOWS x by l steps, so a peak at
+    l>0 reads "x leads y"). The lead/lag lead detection every
+    funnel-ish question wants: do purchases trail clicks by two hours?
+
+    Same single-window-pass shape as :func:`acf`: ALL 2·max_lag+1
+    shifted copies come from one partitioned window ordered by
+    ``order_cols`` (deterministic total order — pass a tiebreaker),
+    then one hash aggregate per series. Rows where either side of a
+    pair is NULL drop from that lag's numerator sums; the normalizer
+    uses all non-null values of each series. ``round_sums`` = the
+    ols_trend cross-engine convention. Returns keys +
+    (lag, n_pairs, r); r NULL when either series has zero variance.
+
+    Scale: feed PRE-AGGREGATED series (e.g. hourly rollups) — the
+    frame is then bounded by the time range, so even an unkeyed global
+    window is metadata-sized; raw-event CCF should roll up first.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    lags = list(range(-max_lag, max_lag + 1))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+
+    def shifted(lag: int):
+        return F.lead(y, lag).over(w) if lag >= 0 else F.lag(
+            y, -lag
+        ).over(w)
+
+    def tag(lag: int) -> str:
+        return f"m{-lag}" if lag < 0 else f"p{lag}"
+
+    with_shifts = df.select(
+        *keys,
+        x.alias("_x"),
+        y.alias("_y"),
+        *[shifted(lag).alias(f"_s{tag(lag)}") for lag in lags],
+    )
+    stats = with_shifts.groupBy(*keys).agg(
+        F.count("_x").alias("nx"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("qx"),
+        F.count("_y").alias("ny"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("qy"),
+        *[
+            agg
+            for lag in lags
+            for agg in (
+                F.count(
+                    F.when(
+                        F.col("_x").isNotNull()
+                        & F.col(f"_s{tag(lag)}").isNotNull(),
+                        1,
+                    )
+                ).alias(f"np_{tag(lag)}"),
+                F.sum(F.col("_x") * F.col(f"_s{tag(lag)}")).alias(
+                    f"sxy_{tag(lag)}"
+                ),
+                F.sum(
+                    F.when(
+                        F.col(f"_s{tag(lag)}").isNotNull(), F.col("_x")
+                    )
+                ).alias(f"sa_{tag(lag)}"),
+                F.sum(
+                    F.when(
+                        F.col("_x").isNotNull(), F.col(f"_s{tag(lag)}")
+                    )
+                ).alias(f"sb_{tag(lag)}"),
+            )
+        ],
+    )
+    if round_sums is not None:
+        float_cols = ["sx", "qx", "sy", "qy"] + [
+            f"{p}_{tag(lag)}" for lag in lags for p in ("sxy", "sa", "sb")
+        ]
+        stats = stats.select(
+            *keys,
+            "nx",
+            "ny",
+            *[F.round(c, round_sums).alias(c) for c in float_cols],
+            *[f"np_{tag(lag)}" for lag in lags],
+        )
+    nx = F.col("nx").cast("double")
+    ny = F.col("ny").cast("double")
+    mx = F.col("sx") / nx
+    my = F.col("sy") / ny
+    den = F.sqrt(
+        (F.col("qx") - nx * mx * mx) * (F.col("qy") - ny * my * my)
+    )
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"np_{tag(lag)}").alias("n_pairs"),
+                (
+                    F.col(f"sxy_{tag(lag)}")
+                    - my * F.col(f"sa_{tag(lag)}")
+                    - mx * F.col(f"sb_{tag(lag)}")
+                    + F.col(f"np_{tag(lag)}") * mx * my
+                ).alias("num"),
+            )
+            for lag in lags
+        ]
+    )
+    exploded = stats.select(
+        *keys, den.alias("_den"), F.explode(lag_structs).alias("_l")
+    )
+    return exploded.select(
+        *keys,
+        F.col("_l.lag").alias("lag"),
+        F.col("_l.n_pairs").alias("n_pairs"),
+        F.when(F.col("_den") > 0, F.col("_l.num") / F.col("_den")).alias(
+            "r"
+        ),
+    )

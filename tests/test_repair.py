@@ -144,3 +144,61 @@ def test_winsorize_validation_and_zero_shuffle_clamp(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with _pt.raises(ValueError):
         winsorize_bounds(df, "v", ["g"], 0.9, 0.1)
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    """Two groups with very different scales map onto the same global
+    distribution: post-transform group means converge, ranks are
+    preserved within groups, NULLs pass through, and the global min/max
+    map to the grid endpoints."""
+    import numpy as np
+    import pytest
+
+    from mhm_data_pipelines_spark.operators.repair import (
+        quantile_normalize,
+    )
+
+    rng = np.random.RandomState(13)
+    a = rng.normal(0, 1, 200)       # small scale
+    b = rng.normal(1000, 50, 200)   # wildly different scale
+    rows = [("a", i, float(v)) for i, v in enumerate(a)]
+    rows += [("b", 1000 + i, float(v)) for i, v in enumerate(b)]
+    rows.append(("a", 9999, None))
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = quantile_normalize(df, "v", "g", n_quantiles=101).collect()
+    byg = {}
+    for r in out:
+        if r["id"] == 9999:
+            assert r["v_qnorm"] is None
+            continue
+        byg.setdefault(r["g"], []).append((r["v"], r["v_qnorm"]))
+    ma = np.mean([q for _, q in byg["a"]])
+    mb = np.mean([q for _, q in byg["b"]])
+    # raw means differ by ~1000; normalized means nearly coincide
+    assert abs(ma - mb) < 30
+    for g in ("a", "b"):
+        vs = sorted(byg[g])
+        qs = [q for _, q in vs]
+        assert qs == sorted(qs)  # rank-preserving within group
+    # each group spans the SAME full global range after the transform
+    # (p=0 -> global min, p=1 -> global max for every group)
+    for g in ("a", "b"):
+        qs = [q for _, q in byg[g]]
+        assert min(qs) == pytest.approx(min(a.min(), b.min()), abs=1e-5)
+        assert max(qs) == pytest.approx(max(a.max(), b.max()), abs=1e-5)
+    allq = [q for g in byg.values() for _, q in g]
+    allv = [v for g in byg.values() for v, _ in g]
+    assert min(allq) == pytest.approx(round(min(allv), 6), abs=1e-9)
+    assert max(allq) == pytest.approx(round(max(allv), 6), abs=1e-9)
+
+
+def test_quantile_normalize_validation(spark):
+    import pytest
+
+    from mhm_data_pipelines_spark.operators.repair import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="n_quantiles"):
+        quantile_normalize(df, "v", "g", n_quantiles=1)

@@ -228,3 +228,39 @@ def test_acf_gaps_and_zero_variance(spark):
     # constant series: zero variance -> NULL r, pairs still counted
     assert got[("c", 1)]["n_pairs"] == 2
     assert got[("c", 1)]["r"] is None
+
+
+def test_ccf_detects_planted_lead(spark):
+    """y = x shifted by 2 steps (plus noise-free construction): the CCF
+    peaks exactly at lag +2 with r ~= 1, matches a NumPy replay at
+    every lag, and the symmetric identity r_-l(x,y) = r_l(y,x) holds."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.timeseries import ccf
+
+    rng = np.random.RandomState(9)
+    x = rng.normal(0, 1, 100)
+    y = np.roll(x, 2)  # y_t = x_{t-2}: x leads y by 2
+    rows = [("s", i, float(x[i]), float(y[i])) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, t long, x double, y double")
+    got = {r["lag"]: r for r in
+           ccf(df, ["k"], ["t"], "x", "y", max_lag=3).collect()}
+    assert sorted(got) == list(range(-3, 4))
+
+    mx, my = x.mean(), y.mean()
+    den = np.sqrt(((x - mx) ** 2).sum() * ((y - my) ** 2).sum())
+    for lag in range(-3, 4):
+        if lag >= 0:
+            xs, ys = x[: 100 - lag], y[lag:]
+        else:
+            xs, ys = x[-lag:], y[: 100 + lag]
+        num = ((xs - mx) * (ys - my)).sum()
+        assert got[lag]["n_pairs"] == 100 - abs(lag)
+        assert got[lag]["r"] == pytest.approx(num / den, rel=1e-9), lag
+    assert got[2]["r"] > 0.9  # the planted lead
+    assert abs(got[0]["r"]) < 0.5
+
+    # symmetry: ccf(y, x) at -2 equals ccf(x, y) at +2
+    got_rev = {r["lag"]: r["r"] for r in
+               ccf(df, ["k"], ["t"], "y", "x", max_lag=3).collect()}
+    assert got_rev[-2] == pytest.approx(got[2]["r"], rel=1e-9)
