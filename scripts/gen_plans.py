@@ -737,6 +737,42 @@ NOTES = {
         "zlib ratio: one zero-shuffle MapInPandas stage (Python "
         "genuinely required); only the display sort exchanges."
     ),
+    "kmeans_iters": (
+        "Lloyd round: assignment is a literal-centroid PROJECTION "
+        "(zero corpus shuffle - look for the greatest-of-structs in "
+        "the scan stage); the only Exchange is the k x d posexplode "
+        "update aggregate. Per-round plans are independent jobs, so "
+        "lineage never grows."
+    ),
+    "bootstrap_ci": (
+        "Poisson bootstrap: the 200x replicate stream is a codegen "
+        "explode feeding a partial-aggregating HashAggregate - the "
+        "expanded rows never materialize; one Exchange on (group, "
+        "replicate), then the percentile agg over 200-row groups."
+    ),
+    "randomization_test": (
+        "randomization test: same explode-into-hash-agg shape as "
+        "bootstrap_ci, plus two single-row BroadcastNestedLoopJoin "
+        "crosses (the observed n_a/n_b/diff scalars) - whitelisted "
+        "scalar broadcasts, not data crosses."
+    ),
+    "constraint_report": (
+        "expectations suite: all five row-local rules fold into ONE "
+        "HashAggregate over ONE pruned scan of orders; uniqueness is "
+        "the single distinct-agg Exchange; ref-integrity joins the "
+        "broadcast distinct customer keys."
+    ),
+    "quantile_norm": (
+        "quantile normalization: the 101-knot global grid is plan "
+        "literals (one bounded collect at build), so the mapping is a "
+        "pure projection; the ONLY corpus shuffle is the per-source "
+        "percent_rank window Exchange."
+    ),
+    "acf_lags": (
+        "ACF: all three lag leads come from ONE window pass (single "
+        "Exchange on the series key), then one hash aggregate per "
+        "series; no self-joins anywhere in the plan."
+    ),
 }
 
 
