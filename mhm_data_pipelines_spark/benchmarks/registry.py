@@ -12218,7 +12218,8 @@ GATE_PRIORITY: list[str] = [
     #    (a) canaries, (b) keys NEW this round, (c) keys whose
     #    DEFINITION was touched this round, (d) the keys whose last
     #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 22 fit this round, the remaining 24 plus the
+    #    CORRECTNESS_r02; 22 fit this round (ALL 14 verdict-named), the
+    #    remaining 24 plus the
     #    40 r3-last-green keys lead the r8 rotation). Everything
     #    rotated out stays hash-checked every CI run by
     #    tests/test_oracle_parity.py.
@@ -12250,17 +12251,19 @@ GATE_PRIORITY: list[str] = [
     "ivfpq_topk",            # ivf_pq_topk refactored (probe + ADC split)
     "doc_sb_lm",             # now the order=3 wrapper of sb_doc_scores
     "subject_erasure",       # partition-dir names via Spark Cast
-    # (d) stalest driver-green keys — last green r2. The whole TPC-H
-    # engine-surface block (21 keys):
+    # (d) stalest driver-green keys — last green r2, leading with ALL
+    # 14 keys the r6 verdict NAMED as never re-gated since r1-r3
+    # (tpch_q4/q7/q9/q11/q12/q14/q15/q16/q19/q20/q22,
+    # users_intersect/except, value_percentiles); the TPC-H twins
+    # q6/q10/q18 (shapes covered by named q14/q19, q9, q4) yield their
+    # slots to those three named keys and lead the r8 rotation:
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
-    "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    "tpch_q10",
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
@@ -12268,11 +12271,13 @@ GATE_PRIORITY: list[str] = [
     "tpch_q15",
     "tpch_q16",
     "tpch_q17",
-    "tpch_q18",
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "users_intersect",
+    "users_except",
+    "value_percentiles",
     # ...and the first 1 (alphabetical — deterministic, auditable) of
     # the 25 non-TPC-H r2-last-green keys:
     "availability_pivot",
