@@ -11723,6 +11723,110 @@ SELECT lag, n_pairs, r FROM (
 SQL_CCF_LAGS = _sql_ccf_lags()
 
 
+def q_stream_constraints(spark, sf_dir):
+    """Streaming data-contract enforcement verified end-to-end: events
+    arrive as TWO micro-batches, each runs the declarative constraint
+    suite inside foreachBatch and writes its per-rule violation counts
+    to its own batch_id partition (checkpoint-idempotent overwrite);
+    the merged report must equal the batch suite over all rows
+    (streaming/ingest.validate_stream — counts are mergeable sums, so
+    micro-batch boundaries can't change the verdict)."""
+    import os as _os
+    import time as _time
+
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        read_validation_table,
+        validate_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey")
+    root = _scratch("mhm_stream_val_")
+    src = f"{root}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    old = _time.time() - 3600
+    for d, _, files in _os.walk(f"{src}/b0"):
+        for fn in files:
+            _os.utime(_os.path.join(d, fn), (old, old))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "value double"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    rules = [
+        {"name": "value_not_null", "kind": "not_null", "col": "value"},
+        {"name": "value_range", "kind": "range", "col": "value",
+         "min": 0.0, "max": 100.0},
+        {"name": "type_set", "kind": "in_set", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup", "error"]},
+        {"name": "user_in_customer", "kind": "ref_integrity",
+         "col": "user_id", "ref": "customer", "ref_col": "c_custkey"},
+    ]
+    writer = validate_stream(
+        stream,
+        rules,
+        out_path=f"{root}/report",
+        checkpoint=f"{root}/ck",
+        refs={"customer": dim},
+    )
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_constraints: availableNow drain exceeded 300 s"
+        )
+    return read_validation_table(spark, f"{root}/report").orderBy("rule")
+
+
+SQL_STREAM_CONSTRAINTS = """
+WITH t AS (SELECT count(*) AS total FROM events)
+SELECT rule, kind, violations, total, violations = 0 AS passed
+FROM (
+  SELECT 'value_not_null' AS rule, 'not_null' AS kind,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS violations,
+         (SELECT total FROM t) AS total
+  FROM events
+  UNION ALL
+  SELECT 'value_range', 'range',
+         CAST(sum(CASE WHEN value IS NOT NULL
+                        AND NOT (value >= 0.0 AND value <= 100.0)
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM events
+  UNION ALL
+  SELECT 'type_set', 'in_set',
+         CAST(sum(CASE WHEN event_type IS NOT NULL
+                        AND event_type NOT IN
+                            ('click', 'view', 'purchase', 'signup',
+                             'error')
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM events
+  UNION ALL
+  SELECT 'user_in_customer', 'ref_integrity',
+         CAST(sum(CASE WHEN e.user_id IS NOT NULL
+                        AND c.c_custkey IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT total FROM t)
+  FROM events e
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON e.user_id = c.c_custkey
+) ORDER BY rule
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -11956,6 +12060,7 @@ QUERIES: dict[str, QuerySpec] = {
     "constraint_report": q_constraint_report,
     "quantile_norm": q_quantile_norm,
     "ccf_lags": q_ccf_lags,
+    "stream_constraints": q_stream_constraints,
 }
 
 ORACLES: dict[str, str] = {
@@ -12196,6 +12301,7 @@ ORACLES: dict[str, str] = {
     "constraint_report": SQL_CONSTRAINT_REPORT,
     "quantile_norm": SQL_QUANTILE_NORM,
     "ccf_lags": SQL_CCF_LAGS,
+    "stream_constraints": SQL_STREAM_CONSTRAINTS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -12243,6 +12349,7 @@ GATE_PRIORITY: list[str] = [
     "constraint_report",     # declarative expectations suite, 1-scan
     "quantile_norm",         # cross-source score harmonization
     "ccf_lags",              # hourly lead/lag cross-correlation
+    "stream_constraints",    # per-batch mergeable contract enforcement
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12255,7 +12362,7 @@ GATE_PRIORITY: list[str] = [
     # 14 keys the r6 verdict NAMED as never re-gated since r1-r3
     # (tpch_q4/q7/q9/q11/q12/q14/q15/q16/q19/q20/q22,
     # users_intersect/except, value_percentiles); the TPC-H twins
-    # q6/q10/q18 (shapes covered by named q14/q19, q9, q4) yield their
+    # q6/q10/q13/q18 (shapes covered by named q14/q19, q9, q16, q4) yield their
     # slots to those three named keys and lead the r8 rotation:
     "tpch_q2",
     "tpch_q3",
@@ -12266,7 +12373,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q12",
-    "tpch_q13",
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",
@@ -12558,6 +12664,7 @@ PERF_EVIDENCE_EXCLUSIONS: dict[str, str] = {
     "stream_neardup": "stream drain; minhash_incremental benched",
     "stream_sketch_rollup": "stream drain; hll_user_rollup benched",
     "stream_manifest": "stream drain; content_manifest probed",
+    "stream_constraints": "stream drain; constraint_report benched",
     # Sink/build pipelines: dominated by file-write fan-out of the
     # local filesystem, not by plan quality.
     "heatmap_render": "renders+writes a PNG on build; pivot benched "

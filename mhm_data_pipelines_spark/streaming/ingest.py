@@ -305,3 +305,75 @@ def read_enriched_table(
         .groupBy(*group_cols)
         .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
     )
+
+
+def validate_stream(
+    stream: DataFrame,
+    rules: list[dict],
+    out_path: str,
+    checkpoint: str,
+    refs: dict | None = None,
+) -> DataStreamWriter:
+    """Streaming data-contract enforcement: every micro-batch runs the
+    declarative constraint suite (:func:`~..operators.validate.
+    validate_constraints`) and writes its per-rule violation counts to
+    a ``batch_id=N`` partition with overwrite semantics — a retried
+    epoch replaces its own report, so the maintenance is checkpoint-
+    idempotent exactly like :func:`enrich_stream`. Violation/total
+    counts are associative-commutative sums, so
+    :func:`read_validation_table`'s merge equals the batch suite over
+    the union of all arrived rows, whatever the micro-batch boundaries.
+
+    Only per-row-decidable rules are accepted (row-local kinds +
+    ``ref_integrity`` against a static reference). ``unique`` is
+    rejected: a duplicate spanning two micro-batches is invisible to
+    per-batch counts — uniqueness of a stream needs the standing-table
+    check (dedup_stream / the batch suite over the sink), and a
+    silently-wrong count is worse than no count.
+    """
+    from mhm_data_pipelines_spark.operators.validate import (
+        validate_constraints,
+    )
+
+    for r in rules:
+        if r.get("kind") == "unique":
+            raise ValueError(
+                "'unique' is not per-batch mergeable (cross-batch "
+                "duplicates are invisible); validate uniqueness on the "
+                "sink table instead"
+            )
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            validate_constraints(batch, rules, refs)
+            .select("rule", "kind", "violations", "total")
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )
+
+
+def read_validation_table(spark, out_path: str) -> DataFrame:
+    """Merged view of a :func:`validate_stream` report: per-rule count
+    sums across the per-batch partials, with the pass verdict derived
+    from the MERGED counts."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("rule", "kind")
+        .agg(
+            F.sum("violations").alias("violations"),
+            F.sum("total").alias("total"),
+        )
+        .select(
+            "rule",
+            "kind",
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )

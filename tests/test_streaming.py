@@ -121,3 +121,68 @@ def test_incremental_overview_equals_single_pass(spark, tmp_path):
         for r in rows
     }
     assert as_tuples(merged) == as_tuples(whole)
+
+
+def test_validate_stream_rejects_unique_and_merges(spark, tmp_path):
+    """'unique' is rejected up front (cross-batch duplicates are
+    invisible to per-batch counts); the merged per-batch reports equal
+    the batch suite over the union of rows regardless of micro-batch
+    boundaries."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.operators.validate import (
+        validate_constraints,
+    )
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        read_validation_table,
+        validate_stream,
+    )
+
+    rows = [(i, float(i - 2)) for i in range(10)]  # two negatives
+    df = spark.createDataFrame(rows, "id long, v double")
+    src = str(tmp_path / "src")
+    df.filter(F.col("id") < 5).coalesce(1).write.parquet(f"{src}/b0")
+    df.filter(F.col("id") >= 5).coalesce(1).write.parquet(f"{src}/b1")
+    rules = [
+        {"name": "v_nn", "kind": "not_null", "col": "v"},
+        {"name": "v_range", "kind": "range", "col": "v", "min": 0.0},
+    ]
+    with pytest.raises(ValueError, match="unique"):
+        validate_stream(
+            spark.readStream.schema("id long, v double").parquet(src),
+            rules + [{"name": "u", "kind": "unique", "cols": ["id"]}],
+            out_path=str(tmp_path / "rep"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        validate_stream(
+            stream, rules,
+            out_path=str(tmp_path / "rep"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    merged = {
+        r["rule"]: r
+        for r in read_validation_table(
+            spark, str(tmp_path / "rep")
+        ).collect()
+    }
+    want = {
+        r["rule"]: r for r in validate_constraints(df, rules).collect()
+    }
+    assert set(merged) == set(want)
+    for k in want:
+        assert merged[k]["violations"] == want[k]["violations"]
+        assert merged[k]["total"] == want[k]["total"]
+        assert merged[k]["passed"] == want[k]["passed"]
+    assert merged["v_range"]["violations"] == 2
