@@ -240,3 +240,131 @@ def test_weighted_sample_partitioning_invariant(sp, n_rows, n, parts):
     }
     assert base == repart
     assert len(base) == min(n, n_rows)
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_ols_trend_matches_lstsq(sp, rows):
+    """Per-group slope/intercept equal NumPy least squares whenever x
+    has variance; NULL-contract groups (single distinct x) are NULL."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.timeseries import ols_trend
+
+    df = sp.createDataFrame(
+        [(g, float(x), float(y)) for g, x, y in rows],
+        "g int, x double, y double",
+    )
+    got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    by_g: dict[int, list] = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        r = got[g]
+        assert r["n"] == len(pts)
+        if np.ptp(xs) == 0:
+            assert r["slope"] is None and r["r2"] is None
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r["slope"] == pytest.approx(slope, rel=1e-6, abs=1e-6)
+        assert r["intercept"] == pytest.approx(
+            intercept, rel=1e-6, abs=1e-6
+        )
+        if r["r2"] is not None:
+            assert -1e-9 <= r["r2"] <= 1 + 1e-9
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=6,
+        max_size=40,
+    ),
+    shift=st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+)
+def test_anova_shift_and_relabel_invariance(sp, rows, shift):
+    """The F statistic is invariant under adding a constant to every
+    value and under permuting group labels (variance decomposition
+    properties) — checked against the Spark implementation itself."""
+    from mhm_data_pipelines_spark.operators.stats_tests import anova_oneway
+
+    df = sp.createDataFrame(
+        [(str(g), float(v)) for g, v in rows], "g string, v double"
+    )
+    base = anova_oneway(df, "v", "g", round_sums=None).collect()[0]
+    from pyspark.sql import functions as F
+
+    shifted = anova_oneway(
+        df.withColumn("v", F.col("v") + float(shift)),
+        "v",
+        "g",
+        round_sums=None,
+    ).collect()[0]
+    relabel = anova_oneway(
+        df.withColumn("g", F.concat(F.lit("z"), F.col("g"))),
+        "v",
+        "g",
+        round_sums=None,
+    ).collect()[0]
+    for other in (shifted, relabel):
+        assert other["k_groups"] == base["k_groups"]
+        assert other["n"] == base["n"]
+        if base["f_stat"] is None:
+            assert other["f_stat"] is None
+        else:
+            assert other["f_stat"] == pytest.approx(
+                base["f_stat"], rel=1e-6, abs=1e-6
+            )
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=5,
+        max_size=50,
+    )
+)
+def test_winsorize_bounds_and_idempotence(sp, vals):
+    """Clamped values always land inside the percentile band, row count
+    is preserved, and winsorizing the already-winsorized column with
+    the same bounds is the identity."""
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.operators.repair import (
+        winsorize,
+        winsorize_bounds,
+    )
+
+    df = sp.createDataFrame([(float(v),) for v in vals], "v double")
+    b = winsorize_bounds(df, "v", None, 0.1, 0.9).collect()[0]
+    out = winsorize(df, "v", None, 0.1, 0.9).collect()
+    assert len(out) == len(vals)
+    for r in out:
+        assert b["lo"] - 1e-9 <= r["v_w"] <= b["hi"] + 1e-9
+    again = winsorize(
+        sp.createDataFrame([(r["v_w"],) for r in out], "v double"),
+        "v",
+        None,
+        0.0,
+        1.0,
+    ).collect()
+    assert sorted(r["v_w"] for r in again) == pytest.approx(
+        sorted(r["v_w"] for r in out)
+    )
