@@ -11827,6 +11827,165 @@ FROM (
 """
 
 
+def q_linreg_weights(spark, sf_dir):
+    """Per-source multivariate OLS (timeseries.linear_fit, d=3):
+    regress scaled document length on space/digit/newline counts — the
+    score-blending fit ("weight these heuristics to predict the
+    target") solved IN-PLAN by Cramer's rule over one normal-equation
+    hash aggregate. Features scaled to O(1) so the rounded sums stay
+    within exact-double range; the oracle rebuilds the IDENTICAL
+    determinant expression tree, so the betas are bit-identical."""
+    from mhm_data_pipelines_spark.operators.timeseries import linear_fit
+
+    t = F.col("text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        (
+            (F.length(t) - F.length(F.regexp_replace(t, " ", "")))
+            / F.lit(100.0)
+        ).alias("x1"),
+        (
+            F.length(F.regexp_replace(t, "[^0-9]", "")) / F.lit(100.0)
+        ).alias("x2"),
+        (
+            (F.length(t) - F.length(F.regexp_replace(t, "\n", "")))
+            / F.lit(10.0)
+        ).alias("x3"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("y"),
+    )
+    out = linear_fit(
+        docs, ["source"], ["x1", "x2", "x3"], "y", round_sums=6
+    )
+    return out.select(
+        "source",
+        "n",
+        *[F.round(f"b{j}", 5).alias(f"b{j}") for j in range(4)],
+        F.round("det", 2).alias("det"),
+    ).orderBy("source")
+
+
+def _sql_linreg_weights() -> str:
+    """DuckDB twin of q_linreg_weights: the sufficient statistics are
+    the same rounded sums, and the Cramer solve is generated from the
+    SAME cofactor recursion as timeseries.linear_fit.det — structurally
+    identical expression trees over bit-identical doubles, so every
+    beta matches bit-for-bit before the output rounding."""
+    m = 4
+
+    def det_str(cols: list[list[str]]) -> str:
+        n_ = len(cols)
+        if n_ == 1:
+            return cols[0][0]
+        if n_ == 2:
+            return (
+                f"({cols[0][0]} * {cols[1][1]} - "
+                f"{cols[1][0]} * {cols[0][1]})"
+            )
+        if n_ == 3:
+            c0, c1, c2 = cols
+            return (
+                f"({c0[0]} * ({c1[1]} * {c2[2]} - {c1[2]} * {c2[1]}) - "
+                f"{c1[0]} * ({c0[1]} * {c2[2]} - {c0[2]} * {c2[1]}) + "
+                f"{c2[0]} * ({c0[1]} * {c1[2]} - {c0[2]} * {c1[1]}))"
+            )
+        parts = []
+        for r in range(n_):
+            minor = [
+                [c[k] for k in range(n_) if k != r] for c in cols[1:]
+            ]
+            term = f"{cols[0][r]} * {det_str(minor)}"
+            parts.append(("- " if r % 2 else "+ ") + term)
+        joined = " ".join(parts)
+        if joined.startswith("+ "):
+            joined = joined[2:]
+        return f"({joined})"
+
+    def a(i: int, j: int) -> str:
+        i, j = min(i, j), max(i, j)
+        return f"a{i}{j}"
+
+    ata = [[a(i, j) for i in range(m)] for j in range(m)]  # column-major
+    aty = [f"b{i}" for i in range(m)]
+    det_a = det_str(ata)
+    betas = []
+    for j in range(m):
+        replaced = [aty if k == j else ata[k] for k in range(m)]
+        betas.append(
+            f"round(CASE WHEN abs(det) > 1e-12 THEN "
+            f"{det_str(replaced)} / det END, 5) AS b{j}"
+        )
+    sums = []
+    xs = ["CAST(1.0 AS DOUBLE)", "x1", "x2", "x3"]
+    for i in range(m):
+        for j in range(i, m):
+            sums.append(
+                f"round(sum({xs[i]} * {xs[j]}), 6) AS a{i}{j}"
+            )
+        sums.append(f"round(sum({xs[i]} * y), 6) AS b{i}")
+    return f"""
+WITH feats AS (
+  SELECT source,
+         (length(text) - length(regexp_replace(text, ' ', '', 'g')))
+           / CAST(100.0 AS DOUBLE) AS x1,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / CAST(100.0 AS DOUBLE) AS x2,
+         (length(text) - length(regexp_replace(text, chr(10), '', 'g')))
+           / CAST(10.0 AS DOUBLE) AS x3,
+         CAST(n_chars AS DOUBLE) / 1000.0 AS y
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+), s AS (
+  SELECT source, count(*) AS n,
+         {", ".join(sums)}
+  FROM feats GROUP BY source
+), d AS (
+  SELECT *, {det_a} AS det FROM s
+)
+SELECT source, n,
+       {", ".join(betas)},
+       round(det, 2) AS det
+FROM d ORDER BY source
+"""
+
+
+SQL_LINREG_WEIGHTS = _sql_linreg_weights()
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user first-order Markov transition matrix over event types
+    (timeseries.transition_matrix): exact pair counts + P(next|state),
+    one lead window + one hash aggregate; entity boundaries never
+    produce cross-user pairs (the window partitions by user)."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                            "event_type")
+    return out.orderBy("state", "next_state")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+  FROM events
+), c AS (
+  SELECT state, next_state, count(*) AS n
+  FROM pairs WHERE state IS NOT NULL AND next_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT state, next_state, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY state) AS DOUBLE), 6)
+         AS p
+FROM c ORDER BY state, next_state
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12061,6 +12220,8 @@ QUERIES: dict[str, QuerySpec] = {
     "quantile_norm": q_quantile_norm,
     "ccf_lags": q_ccf_lags,
     "stream_constraints": q_stream_constraints,
+    "linreg_weights": q_linreg_weights,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -12302,6 +12463,8 @@ ORACLES: dict[str, str] = {
     "quantile_norm": SQL_QUANTILE_NORM,
     "ccf_lags": SQL_CCF_LAGS,
     "stream_constraints": SQL_STREAM_CONSTRAINTS,
+    "linreg_weights": SQL_LINREG_WEIGHTS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -12350,6 +12513,8 @@ GATE_PRIORITY: list[str] = [
     "quantile_norm",         # cross-source score harmonization
     "ccf_lags",              # hourly lead/lag cross-correlation
     "stream_constraints",    # per-batch mergeable contract enforcement
+    "linreg_weights",        # in-plan Cramer-solved multivariate OLS
+    "event_transitions",     # per-user Markov transition matrix
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12362,7 +12527,8 @@ GATE_PRIORITY: list[str] = [
     # 14 keys the r6 verdict NAMED as never re-gated since r1-r3
     # (tpch_q4/q7/q9/q11/q12/q14/q15/q16/q19/q20/q22,
     # users_intersect/except, value_percentiles); the TPC-H twins
-    # q6/q10/q13/q18 (shapes covered by named q14/q19, q9, q16, q4) yield their
+    # q6/q10/q13/q17/q18/q21 (shapes covered by named q14/q19, q9,
+    # q16, q22's scalar-avg, q4, q4+q22's semi/anti pair) yield their
     # slots to those three named keys and lead the r8 rotation:
     "tpch_q2",
     "tpch_q3",
@@ -12376,10 +12542,8 @@ GATE_PRIORITY: list[str] = [
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",
-    "tpch_q17",
     "tpch_q19",
     "tpch_q20",
-    "tpch_q21",
     "tpch_q22",
     "users_intersect",
     "users_except",
@@ -12594,6 +12758,8 @@ BENCH_QUERIES: list[str] = [
     "constraint_report",
     "quantile_norm",
     "ccf_lags",
+    "linreg_weights",
+    "event_transitions",
 ]
 
 

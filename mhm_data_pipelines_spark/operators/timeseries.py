@@ -634,3 +634,162 @@ def ccf(
             "r"
         ),
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_cols: Sequence[str],
+    y_col: str,
+    round_sums: int | None = None,
+) -> DataFrame:
+    """Per-group multivariate OLS — fit ``y = b0 + b1·x1 + ... + bd·xd``
+    for up to d=3 features from ONE hash aggregate of normal-equation
+    sufficient statistics (XᵀX and Xᵀy with an intercept column), then
+    solve the (d+1)×(d+1) system IN-PLAN via Cramer's rule — explicit
+    determinant arithmetic over the (rounded) sums, so an independent
+    SQL engine replays the identical closed form and the whole fit
+    stays one aggregate + one projection (zero extra shuffles, no
+    driver solve, no iteration).
+
+    This is the score-blending fit every quality pipeline wants
+    ("weight these 3 heuristics to predict the gold label") at the
+    d where Cramer is exact and cheap; larger d belongs to the
+    gradient path (selection.quality_classifier) or the PCA-style
+    collect-and-eigensolve. Singular systems (det ≈ 0, e.g. collinear
+    or constant features) yield NULL betas by contract. Rows with any
+    NULL among x/y drop (the sums must see identical rows).
+
+    Numerical contract mirrors :func:`ols_trend`: pre-center/scale
+    features of wild magnitude; ``round_sums`` (round-half-up = SQL
+    round) makes both engines derive from bit-identical doubles.
+    Returns keys + (n, b0, b1..bd, det).
+    """
+    d = len(x_cols)
+    if not 1 <= d <= 3:
+        raise ValueError(f"linear_fit supports 1..3 features, got {d}")
+    y = F.col(y_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).cast("double").isNotNull()
+    base = df.filter(cond)
+    m = d + 1
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(m):
+        for j in range(i, m):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"a{i}{j}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"b{i}"))
+    stats = base.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    if round_sums is not None:
+        float_cols = [
+            f"a{i}{j}" for i in range(m) for j in range(i, m)
+        ] + [f"b{i}" for i in range(m)]
+        stats = stats.select(
+            *keys,
+            "n",
+            *[F.round(c, round_sums).alias(c) for c in float_cols],
+        )
+
+    def a(i: int, j: int):
+        i, j = min(i, j), max(i, j)
+        return F.col(f"a{i}{j}")
+
+    def det3(c0, c1, c2):
+        """Determinant of a 3x3 given as three column-index triples or
+        literal column lists [(row0), (row1), (row2)] laid out by
+        columns c0/c1/c2 — each c is a list of 3 Column expressions."""
+        return (
+            c0[0] * (c1[1] * c2[2] - c1[2] * c2[1])
+            - c1[0] * (c0[1] * c2[2] - c0[2] * c2[1])
+            + c2[0] * (c0[1] * c1[2] - c0[2] * c1[1])
+        )
+
+    def det(cols):
+        """Determinant of an m×m matrix given as m column-vectors
+        (each a list of m Column expressions), m in 1..4, by cofactor
+        expansion along the first column-vector."""
+        n_ = len(cols)
+        if n_ == 1:
+            return cols[0][0]
+        if n_ == 2:
+            return cols[0][0] * cols[1][1] - cols[1][0] * cols[0][1]
+        if n_ == 3:
+            return det3(cols[0], cols[1], cols[2])
+        total = None
+        for r in range(n_):
+            minor = [
+                [c[k] for k in range(n_) if k != r] for c in cols[1:]
+            ]
+            term = cols[0][r] * det(minor)
+            if r % 2 == 1:
+                term = -term
+            total = term if total is None else total + term
+        return total
+
+    ata = [[a(i, j) for i in range(m)] for j in range(m)]  # column-major
+    aty = [F.col(f"b{i}") for i in range(m)]
+    det_a = det(ata)
+    out_cols = [*keys, F.col("n"), det_a.alias("det")]
+    eps = F.lit(1e-12)
+    for j in range(m):
+        replaced = [aty if k == j else ata[k] for k in range(m)]
+        beta = F.when(F.abs(det_a) > eps, det(replaced) / det_a)
+        out_cols.append(beta.alias(f"b{j}"))
+    res = stats.select(*out_cols)
+    return res.select(
+        *keys, "n", *[f"b{j}" for j in range(m)], "det"
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    keys: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: P(next_state | state) with exact integer counts — the
+    behavioral fingerprint behind session modeling, anomaly detection
+    ("this user's click→purchase rate collapsed"), and synthetic
+    sequence generation.
+
+    One lead window partitioned by entity (ordered by ``order_cols`` —
+    pass a tiebreaker for a deterministic total order), then one hash
+    aggregate on (keys, state, next_state); row probabilities divide by
+    the per-state total via a window SUM over the states-sized
+    aggregate — the corpus shuffles once for the lead window and once
+    for the count aggregate, nothing else. Sequence-final events (lead
+    NULL) drop, and a NULL state BREAKS the chain — the events on
+    either side of it do not pair (the lead runs before the NULL
+    filter). Returns keys + (state, next_state, n, p) where p sums to
+    1 per (keys, state).
+    """
+    from pyspark.sql import Window
+
+    st = F.col(state_col)
+    w = Window.partitionBy(
+        *[F.col(k) for k in keys], F.col(entity_col)
+    ).orderBy(*[F.col(c) for c in order_cols])
+    pairs = df.select(
+        *keys,
+        st.alias("state"),
+        F.lead(st).over(w).alias("next_state"),
+    ).filter(F.col("state").isNotNull() & F.col("next_state").isNotNull())
+    counts = pairs.groupBy(*keys, "state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_state = Window.partitionBy(*[F.col(k) for k in keys], "state")
+    return counts.select(
+        *keys,
+        "state",
+        "next_state",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(per_state).cast("double"),
+            round_to,
+        ).alias("p"),
+    )

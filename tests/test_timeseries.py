@@ -264,3 +264,85 @@ def test_ccf_detects_planted_lead(spark):
     got_rev = {r["lag"]: r["r"] for r in
                ccf(df, ["k"], ["t"], "y", "x", max_lag=3).collect()}
     assert got_rev[-2] == pytest.approx(got[2]["r"], rel=1e-9)
+
+
+def test_linear_fit_matches_numpy_lstsq(spark):
+    """Per-group multivariate betas equal NumPy's normal-equation
+    solution for d = 1, 2, 3; a collinear feature set yields NULL
+    betas by the singularity contract."""
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.timeseries import linear_fit
+
+    rng = np.random.RandomState(21)
+    X = rng.normal(0, 2, (120, 3))
+    beta_true = np.array([1.5, -2.0, 0.75, 3.0])  # b0, b1, b2, b3
+    y = beta_true[0] + X @ beta_true[1:] + rng.normal(0, 0.1, 120)
+    rows = [
+        ("g", float(X[i, 0]), float(X[i, 1]), float(X[i, 2]), float(y[i]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, x1 double, x2 double, x3 double, y double"
+    )
+    for d in (1, 2, 3):
+        cols = ["x1", "x2", "x3"][:d]
+        got = linear_fit(df, ["g"], cols, "y").collect()[0]
+        A = np.column_stack([np.ones(120)] + [X[:, k] for k in range(d)])
+        want, *_ = np.linalg.lstsq(A, y, rcond=None)
+        assert got["n"] == 120
+        for j in range(d + 1):
+            assert got[f"b{j}"] == pytest.approx(
+                want[j], rel=1e-6, abs=1e-6
+            ), (d, j)
+    # full model recovers the planted coefficients
+    got = linear_fit(df, ["g"], ["x1", "x2", "x3"], "y").collect()[0]
+    for j, b in enumerate(beta_true):
+        assert abs(got[f"b{j}"] - b) < 0.05
+
+    # collinear: x2 = 2*x1 -> singular - NULL betas
+    rows_c = [
+        ("g", float(v), float(2 * v), float(v + 1)) for v in range(20)
+    ]
+    dfc = spark.createDataFrame(rows_c, "g string, x1 double, x2 double, y double")
+    sing = linear_fit(dfc, ["g"], ["x1", "x2"], "y").collect()[0]
+    assert sing["b0"] is None and sing["b1"] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="1..3"):
+        linear_fit(df, ["g"], [], "y")
+    with _pt.raises(ValueError, match="1..3"):
+        linear_fit(df, ["g"], ["x1", "x2", "x3", "x1"], "y")
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    """Hand-checkable two-user sequence: exact pair counts, per-state
+    probabilities sum to 1, sequence-final events drop, and entity
+    boundaries never produce cross-user transitions."""
+    rows = [
+        # user 1: a -> b -> a -> c
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+        # user 2: b -> a  (the 'c' at the end of user 1 must NOT pair
+        # with user 2's 'b')
+        (2, 0, "b"), (2, 1, "a"),
+        # NULL state rows drop entirely
+        (1, 4, None),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    got = {
+        (r["state"], r["next_state"]): r
+        for r in transition_matrix(df, "u", ["t"], "s").collect()
+    }
+    # pairs: u1 (a,b),(b,a),(a,c); u2 (b,a)
+    assert got[("a", "b")]["n"] == 1
+    assert got[("a", "c")]["n"] == 1
+    assert got[("b", "a")]["n"] == 2
+    assert len(got) == 3
+    assert got[("a", "b")]["p"] == pytest.approx(0.5)
+    assert got[("a", "c")]["p"] == pytest.approx(0.5)
+    assert got[("b", "a")]["p"] == pytest.approx(1.0)
