@@ -11986,6 +11986,57 @@ FROM c ORDER BY state, next_state
 """
 
 
+def q_user_rfm(spark, sf_dir):
+    """RFM segmentation over events (timeseries.rfm_scores): per-user
+    recency/frequency/monetary cut into deterministic terciles
+    (entity-id tie-break), reported as segment-level counts + means.
+    One corpus aggregate to the user table; the three ntile windows
+    run over that dimension-sized table, never the corpus."""
+    from mhm_data_pipelines_spark.operators.timeseries import rfm_scores
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = rfm_scores(ev, "user_id", "ts", "value")
+    return (
+        out.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.round(F.sum("m"), 6) / F.count(F.lit(1)), 4
+            ).alias("avg_m"),
+            F.round(
+                F.round(F.sum("r_days"), 6) / F.count(F.lit(1)), 4
+            ).alias("avg_r_days"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+SQL_USER_RFM = """
+WITH per_user AS (
+  SELECT user_id AS entity, max(epoch_us(ts)) AS last_us,
+         count(*) AS f, round(sum(value), 6) AS m
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), ref AS (
+  SELECT max(epoch_us(ts)) AS ref_us FROM events WHERE ts IS NOT NULL
+), j AS (
+  SELECT entity,
+         round((ref.ref_us - last_us) / 86400000000.0, 6) AS r_days,
+         f, coalesce(m, 0.0) AS m
+  FROM per_user CROSS JOIN ref
+), s AS (
+  SELECT r_days, m,
+         4 - ntile(3) OVER (ORDER BY r_days, entity) AS r_score,
+         4 - ntile(3) OVER (ORDER BY f DESC, entity) AS f_score,
+         4 - ntile(3) OVER (ORDER BY m DESC, entity) AS m_score
+  FROM j
+)
+SELECT r_score, f_score, m_score, count(*) AS n_users,
+       round(round(sum(m), 6) / count(*), 4) AS avg_m,
+       round(round(sum(r_days), 6) / count(*), 4) AS avg_r_days
+FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12222,6 +12273,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_constraints": q_stream_constraints,
     "linreg_weights": q_linreg_weights,
     "event_transitions": q_event_transitions,
+    "user_rfm": q_user_rfm,
 }
 
 ORACLES: dict[str, str] = {
@@ -12465,6 +12517,7 @@ ORACLES: dict[str, str] = {
     "stream_constraints": SQL_STREAM_CONSTRAINTS,
     "linreg_weights": SQL_LINREG_WEIGHTS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "user_rfm": SQL_USER_RFM,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -12515,6 +12568,7 @@ GATE_PRIORITY: list[str] = [
     "stream_constraints",    # per-batch mergeable contract enforcement
     "linreg_weights",        # in-plan Cramer-solved multivariate OLS
     "event_transitions",     # per-user Markov transition matrix
+    "user_rfm",              # deterministic-tercile RFM segmentation
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12548,10 +12602,8 @@ GATE_PRIORITY: list[str] = [
     "users_intersect",
     "users_except",
     "value_percentiles",
-    # ...and the first 1 (alphabetical — deterministic, auditable) of
-    # the 25 non-TPC-H r2-last-green keys:
-    "availability_pivot",
-    # Remaining r2-last-green keys (cube_counts, daily_availability,
+    # All remaining r2-last-green keys (availability_pivot,
+    # cube_counts, daily_availability,
     # date_ranges, device_split, distinct_measurements,
     # event_gaps, feature_stats, gap_fill, iso_week_activity,
     # json_extract, latest_event_state, lineitem_unpivot, missing_data,
@@ -12760,6 +12812,7 @@ BENCH_QUERIES: list[str] = [
     "ccf_lags",
     "linreg_weights",
     "event_transitions",
+    "user_rfm",
 ]
 
 

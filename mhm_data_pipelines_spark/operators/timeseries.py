@@ -793,3 +793,69 @@ def transition_matrix(
             round_to,
         ).alias("p"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per entity,
+    days since last event, event count, and value total, each cut into
+    ``n_tiles`` equal-population scores (``n_tiles`` = best) — the
+    classic behavioral segmentation for retention targeting and the
+    canonical input to churn models.
+
+    Scale shape: ONE hash aggregate collapses the corpus to the
+    entity-sized table; the reference timestamp is a single-row
+    broadcast (max ts); the three ntile windows then run over the
+    AGGREGATED table — dimension-sized by construction, never the
+    corpus. Ordering ties break on the entity id, so tile assignment
+    is a deterministic total order any engine replays. Entities with
+    NULL ts never aggregate (filtered); NULL values count toward
+    frequency but not monetary. Returns (entity, r_days, f, m,
+    r_score, f_score, m_score) with scores in 1..n_tiles, n_tiles =
+    most recent / most frequent / highest value.
+    """
+    from pyspark.sql import Window
+
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    e = F.col(entity_col)
+    base = df.filter(F.col(ts_col).isNotNull())
+    per_user = base.groupBy(e.alias("entity")).agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+        F.count(F.lit(1)).alias("f"),
+        F.round(F.sum(F.col(value_col).cast("double")), round_to).alias(
+            "m"
+        ),
+    )
+    ref = base.agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("ref_us")
+    )
+    joined = per_user.crossJoin(F.broadcast(ref)).select(
+        "entity",
+        F.round(
+            (F.col("ref_us") - F.col("last_us"))
+            / F.lit(86400000000.0),
+            round_to,
+        ).alias("r_days"),
+        "f",
+        F.coalesce("m", F.lit(0.0)).alias("m"),
+    )
+    by_recency = Window.orderBy(F.col("r_days"), F.col("entity"))
+    by_freq = Window.orderBy(F.col("f").desc(), F.col("entity"))
+    by_money = Window.orderBy(F.col("m").desc(), F.col("entity"))
+    k = n_tiles + 1
+    return joined.select(
+        "entity",
+        "r_days",
+        "f",
+        "m",
+        (F.lit(k) - F.ntile(n_tiles).over(by_recency)).alias("r_score"),
+        (F.lit(k) - F.ntile(n_tiles).over(by_freq)).alias("f_score"),
+        (F.lit(k) - F.ntile(n_tiles).over(by_money)).alias("m_score"),
+    )

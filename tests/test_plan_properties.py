@@ -124,6 +124,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "randomization_test", # crossJoin(broadcast(1-row observed n_a/n_b/
                           # diff)) onto the replicate stream and the
                           # 1-row tail aggregate
+    "user_rfm",           # crossJoin(broadcast(1-row global max-ts
+                          # reference)) onto the user aggregate
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose

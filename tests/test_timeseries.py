@@ -346,3 +346,41 @@ def test_transition_matrix_counts_and_probs(spark):
     assert got[("a", "b")]["p"] == pytest.approx(0.5)
     assert got[("a", "c")]["p"] == pytest.approx(0.5)
     assert got[("b", "a")]["p"] == pytest.approx(1.0)
+
+
+def test_rfm_scores_hand_case(spark):
+    """Six entities with hand-placed recency/frequency/monetary:
+    tercile scores land exactly, ties break on entity id, NULL values
+    count toward frequency but not monetary."""
+    from datetime import datetime
+
+    from mhm_data_pipelines_spark.operators.timeseries import rfm_scores
+
+    def t(d):
+        return datetime(2024, 1, d)
+
+    rows = []
+    # entity i: last event on day i+1, i+1 events, value 10*(i+1) each
+    for i in range(6):
+        for j in range(i + 1):
+            rows.append((i, t(j + 1) if j < i else t(i + 1),
+                         float(10 * (i + 1))))
+    rows.append((0, t(1), None))  # NULL value: freq +1, monetary +0
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {r["entity"]: r for r in
+           rfm_scores(df, "u", "ts", "v").collect()}
+    assert len(got) == 6
+    # entity 5 most recent (day 6), most frequent, highest total
+    assert got[5]["r_score"] == 3
+    assert got[5]["f_score"] == 3 and got[5]["m_score"] == 3
+    # entity 0: oldest (day 1), f=2 (incl. NULL-value row), m=10
+    assert got[0]["r_days"] == 5.0
+    assert got[0]["f"] == 2 and got[0]["m"] == 10.0
+    assert got[0]["r_score"] == 1 and got[0]["m_score"] == 1
+    # every score column is a permutation of 2/2/2 across terciles
+    for col in ("r_score", "f_score", "m_score"):
+        vals = sorted(r[col] for r in got.values())
+        assert vals == [1, 1, 2, 2, 3, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_tiles"):
+        rfm_scores(df, "u", "ts", "v", n_tiles=1)
