@@ -773,6 +773,24 @@ NOTES = {
         "Exchange on the series key), then one hash aggregate per "
         "series; no self-joins anywhere in the plan."
     ),
+    "linreg_weights": (
+        "multivariate OLS: one normal-equation HashAggregate over the "
+        "pruned documents scan; the Cramer solve is a pure projection "
+        "over the 15 rounded sums - no second pass, no driver solve, "
+        "no iteration."
+    ),
+    "event_transitions": (
+        "Markov transitions: one lead window partitioned by user "
+        "(single Exchange), one (state, next_state) HashAggregate; "
+        "the per-state normalizer is a window over the 25-row count "
+        "table, not the corpus."
+    ),
+    "user_rfm": (
+        "RFM: the corpus collapses to the user table in ONE "
+        "HashAggregate; the 1-row max-ts reference broadcasts "
+        "(whitelisted scalar cross); all three ntile windows run over "
+        "the dimension-sized aggregate."
+    ),
 }
 
 
