@@ -12569,6 +12569,8 @@ GATE_PRIORITY: list[str] = [
     "linreg_weights",        # in-plan Cramer-solved multivariate OLS
     "event_transitions",     # per-user Markov transition matrix
     "user_rfm",              # deterministic-tercile RFM segmentation
+    "ivm_rollup",            # (late r7-prior keys, never yet gated)
+    "image_phash_neardup",   # integer-exact aHash banded Hamming join
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12581,13 +12583,12 @@ GATE_PRIORITY: list[str] = [
     # 14 keys the r6 verdict NAMED as never re-gated since r1-r3
     # (tpch_q4/q7/q9/q11/q12/q14/q15/q16/q19/q20/q22,
     # users_intersect/except, value_percentiles); the TPC-H twins
-    # q6/q10/q13/q17/q18/q21 (shapes covered by named q14/q19, q9,
-    # q16, q22's scalar-avg, q4, q4+q22's semi/anti pair) yield their
+    # q3/q5/q6/q10/q13/q17/q18/q21 (shapes covered by the named
+    # q7/q9 join chains, q14/q19, q9, q16, q22's scalar-avg, q4,
+    # q4+q22's semi/anti pair) yield their
     # slots to those three named keys and lead the r8 rotation:
     "tpch_q2",
-    "tpch_q3",
     "tpch_q4",
-    "tpch_q5",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",

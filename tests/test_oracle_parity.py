@@ -39,3 +39,40 @@ def test_gate_window_covers_extension_surface():
     oracles = entry_mod.oracle_sql()
     missing = [k for k in GATE_PRIORITY if k not in oracles]
     assert not missing, f"gate-window keys lacking oracle SQL: {missing}"
+
+
+def test_never_driver_verified_keys_are_gate_windowed():
+    """The no-never-verified invariant (VERDICT r5 #1, closed in r6):
+    any registry key with no green row in ANY committed
+    CORRECTNESS_r*.json must sit inside the current 50-slot gate
+    window, or it ends the round never driver-verified. This is the
+    tripwire that caught ivm_rollup/image_phash_neardup slipping in
+    after the round's rotation commit."""
+    import glob
+    import json
+    import os
+
+    from mhm_data_pipelines_spark.benchmarks.registry import (
+        GATE_PRIORITY,
+        QUERIES,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            rec = json.load(fh)
+        green |= {
+            k
+            for k, v in rec.items()
+            if v.get("hash_match")
+            or (v.get("rows_match") and not v.get("err"))
+        }
+    assert green, "no committed CORRECTNESS files found"
+    never = set(QUERIES) - green
+    window = set(GATE_PRIORITY[:50])
+    stranded = sorted(never - window)
+    assert not stranded, (
+        f"{len(stranded)} never-driver-verified keys are outside the "
+        f"gate window and would stay unverified this round: {stranded}"
+    )
