@@ -12037,6 +12037,92 @@ FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_robust_trend(spark, sf_dir):
+    """Theil-Sen slope + Mann-Kendall trend z per event type over the
+    DAILY mean-value series (timeseries.robust_trend): outlier-proof
+    trend detection from one within-key pair join over the ~366-point
+    rollup (never the raw corpus) + a tie-corrected variance. Daily y
+    uses the round-sum-before-divide discipline so both engines derive
+    identical pair slopes."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        robust_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("_d")
+    ).agg(
+        F.round(
+            F.round(F.sum("value"), 6) / F.count(F.lit(1)), 6
+        ).alias("y")
+    ).select(
+        "event_type",
+        (F.unix_micros("_d") / F.lit(86400000000.0)).alias("x"),
+        "y",
+    )
+    out = robust_trend(daily, ["event_type"], "x", "y")
+    return out.select(
+        "event_type",
+        "n",
+        "n_pairs",
+        F.round("sen_slope", 6).alias("sen_slope"),
+        "mk_s",
+        F.round("mk_z", 6).alias("mk_z"),
+    ).orderBy("event_type")
+
+
+SQL_ROBUST_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) / 86400000000.0 AS x,
+         round(round(sum(value), 6) / count(*), 6) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)
+), pairs AS (
+  SELECT a.event_type,
+         (b.y - a.y) / (b.x - a.x) AS slope,
+         sign(b.y - a.y) AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x
+), ps AS (
+  SELECT event_type, count(*) AS n_pairs,
+         quantile_cont(slope, 0.5) AS sen_slope,
+         CAST(sum(sgn) AS BIGINT) AS mk_s
+  FROM pairs GROUP BY event_type
+), cnt AS (
+  SELECT event_type, count(*) AS n FROM daily GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+         sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS t
+        FROM daily GROUP BY event_type, y)
+  GROUP BY event_type
+), m AS (
+  SELECT c.event_type, c.n,
+         coalesce(ps.n_pairs, 0) AS n_pairs, ps.sen_slope,
+         coalesce(ps.mk_s, 0) AS mk_s,
+         (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1)
+          * (2 * CAST(c.n AS DOUBLE) + 5) - ties.tie_term) / 18.0
+           AS var_s
+  FROM cnt c
+  LEFT JOIN ps USING (event_type)
+  LEFT JOIN ties USING (event_type)
+)
+SELECT event_type, n, n_pairs,
+       round(sen_slope, 6) AS sen_slope, mk_s,
+       round(CASE WHEN var_s > 0 THEN
+         CASE WHEN mk_s > 0
+                THEN (CAST(mk_s AS DOUBLE) - 1) / sqrt(var_s)
+              WHEN mk_s < 0
+                THEN (CAST(mk_s AS DOUBLE) + 1) / sqrt(var_s)
+              ELSE 0.0 END
+       END, 6) AS mk_z
+FROM m ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12274,6 +12360,7 @@ QUERIES: dict[str, QuerySpec] = {
     "linreg_weights": q_linreg_weights,
     "event_transitions": q_event_transitions,
     "user_rfm": q_user_rfm,
+    "robust_trend": q_robust_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -12518,6 +12605,7 @@ ORACLES: dict[str, str] = {
     "linreg_weights": SQL_LINREG_WEIGHTS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "user_rfm": SQL_USER_RFM,
+    "robust_trend": SQL_ROBUST_TREND,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -12569,6 +12657,7 @@ GATE_PRIORITY: list[str] = [
     "linreg_weights",        # in-plan Cramer-solved multivariate OLS
     "event_transitions",     # per-user Markov transition matrix
     "user_rfm",              # deterministic-tercile RFM segmentation
+    "robust_trend",          # Theil-Sen + Mann-Kendall over rollups
     "ivm_rollup",            # (late r7-prior keys, never yet gated)
     "image_phash_neardup",   # integer-exact aHash banded Hamming join
     # (c) definitions touched in round 7, re-gated:
@@ -12583,14 +12672,13 @@ GATE_PRIORITY: list[str] = [
     # 14 keys the r6 verdict NAMED as never re-gated since r1-r3
     # (tpch_q4/q7/q9/q11/q12/q14/q15/q16/q19/q20/q22,
     # users_intersect/except, value_percentiles); the TPC-H twins
-    # q3/q5/q6/q10/q13/q17/q18/q21 (shapes covered by the named
-    # q7/q9 join chains, q14/q19, q9, q16, q22's scalar-avg, q4,
+    # q3/q5/q6/q8/q10/q13/q17/q18/q21 (shapes covered by the named
+    # q7/q9 join chains and fans, q14/q19, q16, q22's scalar-avg, q4,
     # q4+q22's semi/anti pair) yield their
     # slots to those three named keys and lead the r8 rotation:
     "tpch_q2",
     "tpch_q4",
     "tpch_q7",
-    "tpch_q8",
     "tpch_q9",
     "tpch_q11",
     "tpch_q12",
@@ -12814,6 +12902,7 @@ BENCH_QUERIES: list[str] = [
     "linreg_weights",
     "event_transitions",
     "user_rfm",
+    "robust_trend",
 ]
 
 

@@ -859,3 +859,96 @@ def rfm_scores(
         (F.lit(k) - F.ntile(n_tiles).over(by_freq)).alias("f_score"),
         (F.lit(k) - F.ntile(n_tiles).over(by_money)).alias("m_score"),
     )
+
+
+def robust_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-series Theil-Sen slope + Mann-Kendall trend test — the
+    robust complement to :func:`ols_trend`: the Sen slope is the exact
+    median of all pairwise slopes (up to 29% contaminated points can't
+    move it), and MK's S = Σ sign(y_j − y_i) over time-ordered pairs
+    gives a distribution-free monotone-trend z (tie-corrected
+    variance, ±1 continuity correction).
+
+    Both statistics come from ONE within-key self-join over the series
+    (pairs with x_i < x_j — x must be distinct per key, e.g. a day
+    index) plus a tie-count aggregate for Var(S):
+
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    over y-tie group sizes t. Designed for PRE-AGGREGATED series (the
+    :func:`ccf` contract): the pair space is O(m²) of the ROLLUP
+    length, within-key, never the raw corpus — a 3-year daily series
+    is ~600k pairs, trivially partition-local. Feed rounded y values
+    (the round-sum-before-divide rollup discipline) so two engines
+    derive identical slopes. NULL x/y rows drop. Returns keys +
+    (n, n_pairs, sen_slope, mk_s, mk_z); z is NULL when Var(S) ≤ 0
+    (all values tied) and sen_slope NULL when the series has < 2
+    points.
+    """
+    keys = list(keys)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("_x"), y.alias("_y")
+    )
+    a = base
+    b = base
+    for k in keys + ["_x", "_y"]:
+        b = b.withColumnRenamed(k, f"{k}__b")
+    cond = F.col("_x") < F.col("_x__b")
+    for k in keys:
+        cond = (F.col(k) == F.col(f"{k}__b")) & cond
+    pairs = a.join(b, cond).select(
+        *keys,
+        (
+            (F.col("_y__b") - F.col("_y"))
+            / (F.col("_x__b") - F.col("_x"))
+        ).alias("_slope"),
+        F.signum(F.col("_y__b") - F.col("_y")).alias("_sgn"),
+    )
+    gbp = pairs.groupBy(*keys) if keys else pairs.groupBy()
+    pair_stats = gbp.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("_slope"), F.lit(0.5)).alias("sen_slope"),
+        F.sum("_sgn").cast("long").alias("mk_s"),
+    )
+    gbn = base.groupBy(*keys) if keys else base.groupBy()
+    counts = gbn.agg(F.count(F.lit(1)).alias("n"))
+    ties = base.groupBy(*keys, "_y").agg(F.count(F.lit(1)).alias("_t"))
+    gbt = ties.groupBy(*keys) if keys else ties.groupBy()
+    t = F.col("_t").cast("double")
+    tie_sum = gbt.agg(
+        F.sum(t * (t - 1) * (2 * t + 5)).alias("_tie_term")
+    )
+    if keys:
+        merged = counts.join(pair_stats, keys, "left").join(
+            F.broadcast(tie_sum), keys, "left"
+        )
+    else:
+        merged = counts.crossJoin(pair_stats).crossJoin(
+            F.broadcast(tie_sum)
+        )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie_term")
+    ) / F.lit(18.0)
+    s = F.col("mk_s").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return merged.select(
+        *keys,
+        "n",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "sen_slope",
+        F.coalesce("mk_s", F.lit(0)).alias("mk_s"),
+        z.alias("mk_z"),
+    )

@@ -384,3 +384,72 @@ def test_rfm_scores_hand_case(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_tiles"):
         rfm_scores(df, "u", "ts", "v", n_tiles=1)
+
+
+def test_robust_trend_theil_sen_and_mann_kendall(spark):
+    """Sen slope = exact median of pairwise slopes (NumPy replay) and
+    survives a planted outlier that wrecks OLS; Mann-Kendall S/Z match
+    the textbook tie-corrected computation; a monotone series gets the
+    maximal S."""
+    import itertools
+
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        ols_trend,
+        robust_trend,
+    )
+
+    # series A: clean slope 2 with ONE wild outlier at the end (an
+    # outlier at the x-midpoint wouldn't move OLS at all)
+    ys = [2.0 * t for t in range(15)]
+    ys[14] = 1000.0
+    rows = [("a", float(t), y) for t, y in enumerate(ys)]
+    # series B: strictly increasing -> S = C(8,2) = 28
+    rows += [("b", float(t), float(t * t)) for t in range(8)]
+    # series C: with ties in y
+    c_ys = [1.0, 2.0, 2.0, 3.0, 2.0]
+    rows += [("c", float(t), v) for t, v in enumerate(c_ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in
+           robust_trend(df, ["g"], "x", "y").collect()}
+
+    def replay(series):
+        slopes, sgn = [], 0
+        for (i, yi), (j, yj) in itertools.combinations(
+            enumerate(series), 2
+        ):
+            slopes.append((yj - yi) / (j - i))
+            sgn += int(np.sign(yj - yi))
+        return float(np.percentile(slopes, 50, method="linear")), sgn
+
+    for g, series in (("a", ys), ("b", [t * t for t in range(8)]),
+                      ("c", c_ys)):
+        sen, s = replay(series)
+        r = got[g]
+        n = len(series)
+        assert r["n"] == n and r["n_pairs"] == n * (n - 1) // 2
+        assert r["sen_slope"] == pytest.approx(sen, rel=1e-9)
+        assert r["mk_s"] == s
+    assert got["b"]["mk_s"] == 28  # strictly monotone
+    # the outlier barely moves Sen but wrecks OLS
+    assert abs(got["a"]["sen_slope"] - 2.0) < 0.5
+    ols = {r["g"]: r for r in
+           ols_trend(df, ["g"], "x", "y").collect()}
+    assert abs(ols["a"]["slope"] - 2.0) > 5
+    # tie-corrected z for series c: n=5, ties: one y-group of 3
+    n, tt = 5.0, 3.0
+    var_s = (n * (n - 1) * (2 * n + 5)
+             - tt * (tt - 1) * (2 * tt + 5)) / 18.0
+    s = got["c"]["mk_s"]
+    want_z = (s - 1) / var_s ** 0.5 if s > 0 else (
+        (s + 1) / var_s ** 0.5 if s < 0 else 0.0
+    )
+    assert got["c"]["mk_z"] == pytest.approx(want_z, rel=1e-9)
+    # all-tied series: variance 0 -> NULL z
+    dft = spark.createDataFrame(
+        [("t", float(i), 5.0) for i in range(4)],
+        "g string, x double, y double",
+    )
+    rt = robust_trend(dft, ["g"], "x", "y").collect()[0]
+    assert rt["mk_z"] is None and rt["mk_s"] == 0
