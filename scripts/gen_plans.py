@@ -791,6 +791,13 @@ NOTES = {
         "(whitelisted scalar cross); all three ntile windows run over "
         "the dimension-sized aggregate."
     ),
+    "robust_trend": (
+        "Theil-Sen + Mann-Kendall: the raw corpus collapses to the "
+        "daily rollup first; the O(m^2) pair join is an equi-join on "
+        "event_type over that ~366-row series - a SortMergeJoin/"
+        "BroadcastHashJoin over rollup rows, never a corpus "
+        "self-join; tie counts are a second rollup-sized aggregate."
+    ),
 }
 
 
