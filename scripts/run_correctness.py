@@ -2,8 +2,8 @@
 query side-by-side with its DuckDB oracle (value-hash compare via
 tests.oracle_utils), rows-only for the hash-based/approximate ops.
 
-Usage: python scripts/run_correctness.py [sf_dir]   (default sf0.01)
-Exit code 0 iff zero failures.
+Usage: python scripts/run_correctness.py [sf_dir] [--keys k1,k2,...]
+(default sf0.01, all keys). Exit code 0 iff zero failures.
 """
 
 from __future__ import annotations
@@ -25,11 +25,23 @@ from mhm_data_pipelines_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--keys" in argv:
+        i = argv.index("--keys")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+        unknown = only - set(QUERIES)
+        if unknown:
+            print(f"unknown keys: {sorted(unknown)}")
+            return 2
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark(app_name="correctness-gate")
     spark.sparkContext.setLogLevel("ERROR")
     fails = 0
     for name in sorted(QUERIES):
+        if only is not None and name not in only:
+            continue
         if name not in ORACLES:
             try:
                 n = QUERIES[name](spark, sf).count()
