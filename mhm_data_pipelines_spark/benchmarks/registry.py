@@ -12123,6 +12123,86 @@ FROM m ORDER BY event_type
 """
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release-risk report over events
+    (privacy.k_anonymity_report): quasi-identifiers = (event_type,
+    day, floor(value)), sensitive = user_id. One hash aggregate to the
+    equivalence-class table + a single-row re-aggregate — the
+    disclosure review a derived table passes before leaving the
+    enclave (complements upsert.erase_subjects' deletion side)."""
+    from mhm_data_pipelines_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        F.floor("value").alias("v0"),
+        "user_id",
+    )
+    return k_anonymity_report(
+        ev, ["event_type", "day", "v0"], "user_id", k=5, l=2
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (
+  SELECT event_type, date_trunc('day', ts) AS day, floor(value) AS v0,
+         count(*) AS n, count(DISTINCT user_id) AS n_sens
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_classes,
+       CAST(min(n) AS BIGINT) AS k_anonymity,
+       CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+         AS rows_below_k,
+       count(CASE WHEN n < 5 THEN 1 END) AS classes_below_k,
+       CAST(min(n_sens) AS BIGINT) AS l_diversity,
+       count(CASE WHEN n_sens < 2 THEN 1 END) AS classes_below_l,
+       round(CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+                  AS DOUBLE) / sum(n), 6) AS pct_below_k
+FROM cls
+"""
+
+
+def q_dp_counts(spark, sf_dir):
+    """ε-DP noisy daily event counts (privacy.dp_noisy_counts,
+    ε=0.5 ⇒ Laplace scale 2): the count aggregate plus a
+    pure-projection md5-seeded inverse-CDF draw, so the release is
+    bit-replayable and the oracle recomputes the identical noise.
+    True counts withheld (include_true=False) — release semantics."""
+    from mhm_data_pipelines_spark.operators.privacy import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    out = dp_noisy_counts(
+        ev, ["event_type", "day"], epsilon=0.5, seed=42
+    )
+    return out.orderBy("event_type", "day")
+
+
+SQL_DP_COUNTS = """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT event_type, day, n,
+         CAST(('0x' || substr(md5(
+           concat_ws('|', coalesce(event_type, '␀'),
+                          coalesce(day, '␀')) || ':42'), 1, 15))
+           AS BIGINT) / 1152921504606846976.0 AS u
+  FROM c
+)
+SELECT event_type, day,
+       round(n + (-2.0) * sign(u - 0.5)
+               * ln(greatest(1e-18, 1.0 - 2.0 * abs(u - 0.5))), 6)
+         AS noisy_n
+FROM k ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12360,6 +12440,8 @@ QUERIES: dict[str, QuerySpec] = {
     "linreg_weights": q_linreg_weights,
     "event_transitions": q_event_transitions,
     "user_rfm": q_user_rfm,
+    "k_anonymity": q_k_anonymity,
+    "dp_counts": q_dp_counts,
     "robust_trend": q_robust_trend,
 }
 
@@ -12605,6 +12687,8 @@ ORACLES: dict[str, str] = {
     "linreg_weights": SQL_LINREG_WEIGHTS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "user_rfm": SQL_USER_RFM,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "dp_counts": SQL_DP_COUNTS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -12660,6 +12744,8 @@ GATE_PRIORITY: list[str] = [
     "robust_trend",          # Theil-Sen + Mann-Kendall over rollups
     "ivm_rollup",            # (late r7-prior keys, never yet gated)
     "image_phash_neardup",   # integer-exact aHash banded Hamming join
+    "k_anonymity",           # k-anon/l-diversity release-risk report
+    "dp_counts",             # seeded Laplace ε-DP noisy counts
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12676,7 +12762,12 @@ GATE_PRIORITY: list[str] = [
     # q7/q9 join chains and fans, q14/q19, q16, q22's scalar-avg, q4,
     # q4+q22's semi/anti pair) yield their
     # slots to those three named keys and lead the r8 rotation:
-    "tpch_q2",
+    # (tpch_q2 and users_except yielded their stale-fill slots to the
+    # late-r7 privacy keys k_anonymity/dp_counts — new never-gated keys
+    # outrank old-green re-gates; q2's scan/join shape rides the named
+    # q7/q9/q15 re-gates, users_except shares users_intersect's exact
+    # scan pair. Both lead the r8 rotation with the rest of the r2
+    # block.)
     "tpch_q4",
     "tpch_q7",
     "tpch_q9",
@@ -12689,7 +12780,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q22",
     "users_intersect",
-    "users_except",
     "value_percentiles",
     # All remaining r2-last-green keys (availability_pivot,
     # cube_counts, daily_availability,
@@ -12903,6 +12993,8 @@ BENCH_QUERIES: list[str] = [
     "event_transitions",
     "user_rfm",
     "robust_trend",
+    "k_anonymity",
+    "dp_counts",
 ]
 
 

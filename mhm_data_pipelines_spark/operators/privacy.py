@@ -1,0 +1,186 @@
+"""Privacy / governance operators: k-anonymity (+ l-diversity) risk
+reporting and differentially-private noisy counts.
+
+Domain extension of the reference's subject-level data handling (the
+GDPR right-to-erasure path in ``operators.upsert.erase_subjects``
+covers deletion; these cover DISCLOSURE review): before a table
+derived from per-participant events is shared outside the enclave, a
+release board asks (a) how re-identifiable is it — the k-anonymity /
+l-diversity report (Sweeney 2002; Machanavajjhala et al. 2007), and
+(b) can we publish aggregate counts at all — the ε-DP Laplace
+mechanism (Dwork et al. 2006), seeded here so releases are replayable.
+
+Scale design:
+* ``k_anonymity_report`` is ONE hash aggregate over the
+  quasi-identifier key (map-side partials, no sort) followed by a
+  single-row re-aggregate of the class table — the class table is
+  never collected and never joined back to the corpus.
+* ``dp_noisy_counts`` is one hash aggregate plus a pure-projection
+  noise column: the Laplace draw derives from
+  ``sampling.md5_unit_draw`` (60 bits of md5 over "<key>:<seed>"), so
+  the release is bit-reproducible in any engine with md5 and adds
+  ZERO shuffles beyond the count itself. True counts are withheld
+  unless ``include_true=True`` (debugging/verification only — keeping
+  them would defeat the mechanism).
+
+Determinism caveat (documented, deliberate): a seeded draw is a
+replayable SIMULATION of the Laplace mechanism — replaying with the
+same seed yields the same noise, so the formal ε guarantee holds only
+per-seed-release. Rotate seeds across releases; never re-release the
+same groups under multiple seeds (sequential composition applies).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mhm_data_pipelines_spark.operators.sampling import md5_unit_draw
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Equivalence-class table over the quasi-identifier columns:
+    one row per distinct quasi-identifier combination with its row
+    count ``n`` and (when ``sensitive_col`` is given) the number of
+    distinct sensitive values ``n_sensitive`` inside the class.
+
+    NULL is a quasi-identifier value like any other (a published NULL
+    cell narrows identity exactly as a real value does), so the
+    grouping keeps NULL groups — matching SQL ``GROUP BY`` semantics
+    in every engine.
+
+    One hash aggregate; partial (map-side) combine applies to both
+    ``count`` and the distinct-count (Spark plans countDistinct as a
+    two-phase expand-agg) — no row sorts, no joins.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l: int = 2,  # noqa: E741 - l is the literature's name (l-diversity)
+) -> DataFrame:
+    """One-row k-anonymity / l-diversity release-risk report.
+
+    Columns: ``n_rows``, ``n_classes``, ``k_anonymity`` (the minimum
+    equivalence-class size — the table is k-anonymous for exactly this
+    k), ``rows_below_k`` / ``classes_below_k`` (re-identification
+    exposure at the requested ``k``), ``pct_below_k`` (share of rows
+    at risk, 6dp), and — when ``sensitive_col`` is given —
+    ``l_diversity`` (minimum distinct sensitive values per class) and
+    ``classes_below_l`` (homogeneity-attack exposure: classes where
+    every row shares ≤ l−1 sensitive values).
+
+    Scale shape: the class table from :func:`k_anonymity_classes`
+    (already one aggregate) re-aggregates to a single row; the report
+    never touches the corpus a second time.
+    """
+    classes = k_anonymity_classes(df, quasi_cols, sensitive_col)
+    below = F.col("n") < F.lit(int(k))
+    aggs = [
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").cast("long").alias("k_anonymity"),
+        F.sum(F.when(below, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.count(F.when(below, F.lit(1))).alias("classes_below_k"),
+    ]
+    if sensitive_col is not None:
+        aggs.extend(
+            [
+                F.min("n_sensitive").cast("long").alias("l_diversity"),
+                F.count(
+                    F.when(F.col("n_sensitive") < F.lit(int(l)), F.lit(1))
+                ).alias("classes_below_l"),
+            ]
+        )
+    rep = classes.agg(*aggs)
+    return rep.withColumn(
+        "pct_below_k",
+        F.round(
+            F.col("rows_below_k") / F.col("n_rows"), 6
+        ),
+    )
+
+
+def laplace_noise(
+    key: Column, scale: float, seed: int = 42
+) -> Column:
+    """Deterministic Laplace(0, ``scale``) draw keyed by ``key``:
+    inverse-CDF transform of the unit draw
+    ``u = md5_unit_draw(key, seed)`` —
+    ``x = -scale * sign(u - 0.5) * ln(1 - 2|u - 0.5|)``.
+
+    The ``greatest(1e-18, ·)`` clamp guards the measure-zero u=0 edge
+    (ln 0) without disturbing any representable draw above it. Pure
+    projection: no shuffle, engine-portable (the same expression runs
+    verbatim in any SQL engine with md5/ln).
+    """
+    u = md5_unit_draw(key, seed)
+    t = u - F.lit(0.5)
+    mag = F.greatest(
+        F.lit(1e-18), F.lit(1.0) - F.lit(2.0) * F.abs(t)
+    )
+    return F.lit(-float(scale)) * F.signum(t) * F.log(mag)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+    include_true: bool = False,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (sensitivity 1 for a count ⇒ scale 1/ε), with the noise draw
+    seeded by the group key so a release is replayable and
+    oracle-verifiable. Returns ``group_cols + (noisy_n,)`` (6dp);
+    ``include_true=True`` additionally emits the raw ``n`` — for
+    verification harnesses only, never for release.
+
+    NULL group values hash as the sentinel ``␀`` (U+2400; an explicit
+    coalesce — ``concat_ws`` would otherwise SKIP nulls and give two
+    distinct groups the same draw).
+
+    Scale shape: one hash aggregate (map-side combine) + a pure
+    projection for the noise — exactly the cost of the non-private
+    count.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+            for c in group_cols
+        ],
+    )
+    noisy = counts.withColumn(
+        "noisy_n",
+        F.round(F.col("n") + laplace_noise(key, 1.0 / float(epsilon), seed), 6),
+    )
+    if include_true:
+        return noisy.select(*group_cols, "n", "noisy_n")
+    return noisy.select(*group_cols, "noisy_n")
