@@ -1,0 +1,180 @@
+"""Population-stability-index (PSI) / Jensen-Shannon drift over
+reference-quantile bins.
+
+Completes the drift-monitoring triad: ``profile.profile_drift`` flags
+schema/range movement, ``decontam.source_divergence`` scores VOCABULARY
+shift (KL over unigrams); this scores a NUMERIC feature's
+distributional shift the way scorecard/monitoring practice does it —
+bin the feature on the REFERENCE distribution's quantile edges, then
+PSI = Σ (q_i − p_i)·ln(q_i/p_i) and JS divergence over the same bins
+(PSI ≥ 0.25 is the classic "investigate" threshold).
+
+Scale design:
+* Reference quantile edges come from ONE exact-percentile aggregate
+  (Spark ``percentile`` ↔ DuckDB ``quantile_cont``, both linear
+  interpolation) — a single row that broadcasts; edges are rounded to
+  6dp BEFORE binning so both engines bin against bit-identical
+  boundaries (raw interpolated edges can differ in the last ulp).
+* Bin assignment is a pure array-fold projection
+  (``aggregate(edges, 0, acc + (value > e))``) — no join, no UDF.
+* Counting is one hash aggregate per side; the (group × bin) grid is
+  a cross of two tiny aggregates (dims-grid pattern, cf.
+  ``overview.missing_data_report``) so empty bins report q=0 instead
+  of vanishing.
+* Proportions are rounded to 6dp before the PSI/JS terms are computed
+  from the ROUNDED values (round-before-derive discipline), with an
+  ``eps`` floor inside the logs so empty bins contribute the standard
+  clamped penalty instead of ±inf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Proportion floor inside the PSI/JS logarithms (industry-standard
+#: zero-bin clamp; 1e-6 keeps a fully-emptied decile's penalty finite
+#: and identical across engines).
+EPS = 1e-6
+
+
+def _quantile_edges(ref: DataFrame, value_col: str, n_bins: int) -> DataFrame:
+    """Single-row frame holding the reference's interior quantile edges
+    (n_bins − 1 doubles, rounded to 6dp) as an array column ``edges``."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    arr = "array({})".format(", ".join(repr(p) for p in probs))
+    return ref.agg(
+        F.expr(
+            f"transform(percentile({value_col}, {arr}), e -> round(e, 6))"
+        ).alias("edges")
+    )
+
+
+def _bin_expr(value_col: str) -> Column:
+    """0-based bin index: how many edges the value strictly exceeds."""
+    return F.expr(
+        f"aggregate(edges, 0, (acc, e) -> acc + CASE WHEN {value_col} > e "
+        "THEN 1 ELSE 0 END)"
+    )
+
+
+def _psi_terms(
+    ref_binned: DataFrame, cur_binned: DataFrame, n_bins: int
+) -> DataFrame:
+    """Shared tail: per-(group, bin) PSI/JS terms + per-group totals
+    from the two binned projections (``ref_binned``: column ``bin``;
+    ``cur_binned``: columns ``group, bin``).
+
+    The (group × bin) grid crosses the group aggregate with the FULL
+    ``0..n_bins−1`` range (not just ref-occupied bins — duplicated
+    edge values can leave a reference bin empty while current rows
+    land in it; dropping those rows would silently understate the
+    drift), so emptied bins on EITHER side surface with p or q = 0.
+    All grid inputs are tiny aggregates; the per-group totals ride a
+    window over the ≤ n_groups·n_bins-row frame.
+    """
+    ref_bins = ref_binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cur_bins = cur_binned.groupBy("group", "bin").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    groups = cur_binned.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_group")
+    )
+    total = ref_binned.agg(F.count(F.lit(1)).alias("n_total"))
+    bins = total.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        "n_total",
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(bins))
+        .join(F.broadcast(ref_bins), ["bin"], "left")
+    )
+    j = grid.join(cur_bins, ["group", "bin"], "left").select(
+        "group",
+        "bin",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.round(
+            F.coalesce(F.col("n_ref"), F.lit(0)) / F.col("n_total"), 6
+        ).alias("p_ref"),
+        F.round(
+            F.coalesce(F.col("n_cur"), F.lit(0)) / F.col("n_group"), 6
+        ).alias("p_cur"),
+    )
+    p = F.greatest(F.lit(EPS), F.col("p_ref"))
+    q = F.greatest(F.lit(EPS), F.col("p_cur"))
+    m = (p + q) / F.lit(2.0)
+    w = Window.partitionBy("group")
+    return j.select(
+        "group",
+        "bin",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        F.round(
+            F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m),
+            6,
+        ).alias("js_term"),
+    ).select(
+        "*",
+        F.round(F.sum("psi_term").over(w), 6).alias("psi_total"),
+        F.round(F.sum("js_term").over(w), 6).alias("js_total"),
+    )
+
+
+def psi_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group PSI/JS drift of ``value_col`` against the WHOLE
+    table as the reference (each group = a "current" snapshot, the
+    corpus = the scorecard's development sample). NULL values are
+    dropped on both sides (a NULL carries no position in the
+    distribution; nullity drift is ``profile_drift``'s job). A NULL
+    GROUP value survives the aggregate but falls out of the grid's
+    equi-join (SQL ``=`` semantics, identically in every engine) —
+    pre-coalesce NULL groups to a sentinel if they matter.
+
+    Returns one row per (group, bin): ``(group, bin, n_ref, n_cur,
+    p_ref, p_cur, psi_term, js_term, psi_total, js_total)`` — the
+    totals repeat per group (window sum over the ≤ n_bins rows) so a
+    consumer can filter to ``bin = 0`` for the headline numbers or
+    keep the full per-bin attribution.
+    """
+    vals = df.filter(F.col(value_col).isNotNull())
+    edges = _quantile_edges(vals, value_col, n_bins)
+    binned = vals.crossJoin(F.broadcast(edges)).select(
+        F.col(group_col).alias("group"),
+        _bin_expr(value_col).alias("bin"),
+    )
+    return _psi_terms(binned.select("bin"), binned, n_bins)
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Two-snapshot PSI/JS: bin ``cur`` on ``ref``'s quantile edges —
+    the old-export vs new-export monitoring call. Same output shape as
+    :func:`psi_by_group` minus the group column (one snapshot).
+    """
+    r = ref.filter(F.col(value_col).isNotNull())
+    c = cur.filter(F.col(value_col).isNotNull())
+    edges = _quantile_edges(r, value_col, n_bins)
+    ref_binned = r.crossJoin(F.broadcast(edges)).select(
+        _bin_expr(value_col).alias("bin")
+    )
+    cur_binned = c.crossJoin(F.broadcast(edges)).select(
+        F.lit("cur").alias("group"), _bin_expr(value_col).alias("bin")
+    )
+    return _psi_terms(ref_binned, cur_binned, n_bins).drop("group")

@@ -126,6 +126,10 @@ SINGLE_ROW_BROADCAST_OK = {
                           # 1-row tail aggregate
     "user_rfm",           # crossJoin(broadcast(1-row global max-ts
                           # reference)) onto the user aggregate
+    "psi_drift",          # crossJoin(broadcast(1-row decile-edge
+                          # array)) onto the corpus + the dims-grid
+                          # cross of two tiny aggregates (groups ×
+                          # 10 bins) — missing_data's J3 pattern
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
