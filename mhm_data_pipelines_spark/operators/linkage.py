@@ -1,0 +1,149 @@
+"""Fellegi-Sunter probabilistic record-linkage scoring.
+
+Completes the entity-resolution stack: ``setjoin``/``fuzzy`` generate
+candidate pairs (token/edit-distance blocking), ``components`` merges
+accepted matches — this supplies the principled SCORE between the two
+(Fellegi & Sunter 1969; Splink and RecordLinkage implement the same
+model): per-field agreement weights ``log2(m/u)`` and disagreement
+weights ``log2((1−m)/(1−u))``, summed over compare fields.
+
+* ``u`` (chance-agreement probability of two RANDOM records) is
+  estimated exactly from the data: ``u_f = Σ_v (n_v/n)²`` over the
+  field's non-null value frequencies — one tiny aggregate per field,
+  no pair sampling.
+* ``m`` (agreement probability among TRUE matches) requires labeled
+  pairs or EM to estimate; it is a caller parameter (default 0.9, the
+  conventional prior) — documented, deliberate: an unsupervised EM
+  fit on synthetic candidates would manufacture precision the data
+  cannot support.
+* Missing values contribute NO evidence (weight 0) — the standard
+  three-state treatment (agree / disagree / missing).
+
+Scale design: candidates come from a BLOCKED self-equi-join (never
+all-pairs — the ``setjoin`` discipline); the u-probability row is a
+1-row broadcast; the per-pair score is a pure projection; the pattern
+summary collapses to ≤ 3^k rows (k = #fields) via one hash aggregate,
+so the output never scales with the pair count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def u_probabilities(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """One-row frame of chance-agreement probabilities ``u_<field>``
+    (6dp): for each field, the probability two random records agree —
+    ``Σ_v (n_v / n)²`` over non-null value frequencies.
+
+    One value-count aggregate + one single-row re-aggregate per field,
+    unioned column-wise via a 1-row cross (all sides tiny).
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    out = None
+    for f in fields:
+        counts = (
+            df.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        u = counts.agg(
+            F.round(
+                F.sum(F.col("c") * F.col("c"))
+                / (F.sum("c") * F.sum("c")),
+                6,
+            ).alias(f"u_{f}")
+        )
+        out = u if out is None else out.crossJoin(F.broadcast(u))
+    return out
+
+
+def fs_pair_scores(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[str],
+    m: float = 0.9,
+) -> DataFrame:
+    """Per-candidate-pair Fellegi-Sunter match score over blocked
+    pairs: a self-equi-join on ``block_cols`` (``id_a < id_b`` halves
+    the space), one three-state column per compare field
+    (``s_<field>``: 1 agree, −1 disagree, 0 either-side-missing), and
+    ``score`` = Σ per-field weights from the data-estimated ``u`` and
+    the supplied ``m``:
+    agree → ``log2(m/u)``, disagree → ``log2((1−m)/(1−u))``,
+    missing → 0. Weights derive from the ROUNDED u (6dp) and are
+    rounded 6dp before summing (cross-engine round-before-derive).
+
+    Blocking keys with NULLs don't pair (SQL equi-join semantics) —
+    exactly what a blocking pass should do with an unknown key.
+    """
+    if not 0.0 < m < 1.0:
+        raise ValueError("m must be in (0, 1)")
+    u_row = u_probabilities(df, fields)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"bk_{c}") for c in block_cols],
+        *[F.col(f).alias(f"a_{f}") for f in fields],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"bk_{c}") for c in block_cols],
+        *[F.col(f).alias(f"b_{f}") for f in fields],
+    )
+    pairs = a.join(b, [f"bk_{c}" for c in block_cols]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    pairs = pairs.crossJoin(F.broadcast(u_row))
+    score = F.lit(0.0)
+    states = []
+    for f in fields:
+        av, bv = F.col(f"a_{f}"), F.col(f"b_{f}")
+        state = (
+            F.when(av.isNull() | bv.isNull(), F.lit(0))
+            .when(av == bv, F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+        states.append(state.alias(f"s_{f}"))
+        u6 = F.col(f"u_{f}")
+        w_agree = F.round(F.log2(F.lit(float(m)) / u6), 6)
+        w_disagree = F.round(
+            F.log2(F.lit(1.0 - float(m)) / (F.lit(1.0) - u6)), 6
+        )
+        score = score + (
+            F.when(state == 1, w_agree)
+            .when(state == -1, w_disagree)
+            .otherwise(F.lit(0.0))
+        )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        *states,
+        F.round(score, 6).alias("score"),
+        *[F.col(f"u_{f}") for f in fields],
+    )
+
+
+def fs_pattern_summary(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[str],
+    m: float = 0.9,
+) -> DataFrame:
+    """Agreement-pattern roll-up of :func:`fs_pair_scores`: one row
+    per distinct (s_field…) pattern with its pair count and score —
+    ≤ 3^k rows regardless of pair volume, the form a linkage reviewer
+    thresholds on (and the form that stays oracle-hashable when the
+    pair table runs to millions)."""
+    scored = fs_pair_scores(df, id_col, block_cols, fields, m)
+    state_cols = [f"s_{f}" for f in fields]
+    return (
+        scored.groupBy(*state_cols, "score")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(*state_cols, "n_pairs", "score")
+    )

@@ -1,0 +1,84 @@
+"""Fellegi-Sunter record-linkage scoring (operators.linkage)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mhm_data_pipelines_spark.operators.linkage import (
+    fs_pair_scores,
+    fs_pattern_summary,
+    u_probabilities,
+)
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    # 6 records in one block; city has a null; 2 exact dupes on
+    # (city, phone).
+    rows = [
+        (1, "b1", "nyc", "111"),
+        (2, "b1", "nyc", "111"),
+        (3, "b1", "nyc", "222"),
+        (4, "b1", "sfo", "333"),
+        (5, "b1", None, "333"),
+        (6, "b2", "nyc", "111"),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, blk string, city string, phone string"
+    )
+
+
+def test_u_probabilities_closed_form(records):
+    row = u_probabilities(records, ["city", "phone"]).collect()[0]
+    # city non-null counts: nyc=4, sfo=1 over n=5 -> (16+1)/25
+    assert row["u_city"] == round(17 / 25, 6)
+    # phone: 111=3, 222=1, 333=2 over n=6 -> (9+1+4)/36
+    assert row["u_phone"] == round(14 / 36, 6)
+
+
+def test_pair_scores_states_and_weights(records):
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fs_pair_scores(
+            records, "id", ["blk"], ["city", "phone"], m=0.9
+        ).collect()
+    }
+    # block b1 has 5 records -> 10 pairs; record 6 is alone in b2.
+    assert len(out) == 10
+    u_city = round(17 / 25, 6)
+    u_phone = round(14 / 36, 6)
+    wa_c = round(math.log2(0.9 / u_city), 6)
+    wd_c = round(math.log2(0.1 / (1 - u_city)), 6)
+    wa_p = round(math.log2(0.9 / u_phone), 6)
+    wd_p = round(math.log2(0.1 / (1 - u_phone)), 6)
+    # (1,2): agree on both.
+    r = out[(1, 2)]
+    assert (r["s_city"], r["s_phone"]) == (1, 1)
+    assert r["score"] == pytest.approx(round(wa_c + wa_p, 6), abs=1e-9)
+    # (1,3): agree city, disagree phone.
+    r = out[(1, 3)]
+    assert (r["s_city"], r["s_phone"]) == (1, -1)
+    assert r["score"] == pytest.approx(round(wa_c + wd_p, 6), abs=1e-9)
+    # (4,5): city missing on one side -> state 0, no evidence.
+    r = out[(4, 5)]
+    assert (r["s_city"], r["s_phone"]) == (0, 1)
+    assert r["score"] == pytest.approx(round(wa_p, 6), abs=1e-9)
+
+
+def test_pattern_summary_collapses(records):
+    pat = fs_pattern_summary(
+        records, "id", ["blk"], ["city", "phone"], m=0.9
+    ).collect()
+    assert sum(r["n_pairs"] for r in pat) == 10
+    assert len(pat) <= 9  # <= 3^2 patterns
+    # distinct (pattern -> score) is injective
+    assert len({(r["s_city"], r["s_phone"]) for r in pat}) == len(pat)
+
+
+def test_guards(records):
+    with pytest.raises(ValueError):
+        u_probabilities(records, [])
+    with pytest.raises(ValueError):
+        fs_pair_scores(records, "id", ["blk"], ["city"], m=1.0)

@@ -130,6 +130,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # array)) onto the corpus + the dims-grid
                           # cross of two tiny aggregates (groups ×
                           # 10 bins) — missing_data's J3 pattern
+    "fs_linkage",         # crossJoin(broadcast(1-row u-probability
+                          # aggregates)) onto the blocked pair join
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
