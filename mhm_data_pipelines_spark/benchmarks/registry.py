@@ -12346,6 +12346,83 @@ ORDER BY s_seg, s_balk, s_sfx
 """
 
 
+def q_label_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation over the co-order
+    part graph (graph.label_propagation, 3 rounds): nodes = parts,
+    edges = parts sharing an order (weight = co-occurrence count),
+    winner = max incident weight with min-label tie-break. The
+    community-detection complement of neardup_clusters' connected
+    components; the oracle unrolls the identical three rounds."""
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    out = label_propagation(pairs, "src", "dst", iterations=3)
+    return out.orderBy("node")
+
+
+def _sql_label_communities(rounds: int = 3) -> str:
+    parts = [
+        """WITH lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pairs AS (
+  SELECT a.p AS s, b.p AS d
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+), sym AS (
+  SELECT a, b, sum(w) AS w FROM (
+    SELECT s AS a, d AS b, CAST(1.0 AS DOUBLE) AS w FROM pairs
+    UNION ALL
+    SELECT d AS a, s AS b, CAST(1.0 AS DOUBLE) AS w FROM pairs
+  ) GROUP BY a, b
+), nodes AS (
+  SELECT DISTINCT a AS node FROM sym
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        parts.append(
+            f""", v{k} AS (
+  SELECT sym.b AS node, {p}.label, sum(sym.w) AS wt
+  FROM sym JOIN {p} ON {p}.node = sym.a GROUP BY 1, 2
+), w{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY wt DESC, label ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+), l{k} AS (
+  SELECT n.node, coalesce(w{k}.label, {p}.label) AS label
+  FROM nodes n
+  LEFT JOIN w{k} ON n.node = w{k}.node
+  JOIN {p} ON n.node = {p}.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, label FROM l{rounds} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+SQL_LABEL_COMMUNITIES = _sql_label_communities()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12587,6 +12664,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dp_counts": q_dp_counts,
     "psi_drift": q_psi_drift,
     "fs_linkage": q_fs_linkage,
+    "label_communities": q_label_communities,
     "robust_trend": q_robust_trend,
 }
 
@@ -12836,6 +12914,7 @@ ORACLES: dict[str, str] = {
     "dp_counts": SQL_DP_COUNTS,
     "psi_drift": SQL_PSI_DRIFT,
     "fs_linkage": SQL_FS_LINKAGE,
+    "label_communities": SQL_LABEL_COMMUNITIES,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -12895,6 +12974,7 @@ GATE_PRIORITY: list[str] = [
     "dp_counts",             # seeded Laplace ε-DP noisy counts
     "psi_drift",             # PSI/JS drift over reference deciles
     "fs_linkage",            # Fellegi-Sunter linkage pattern scores
+    "label_communities",     # deterministic synchronous weighted LPA
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -12924,7 +13004,9 @@ GATE_PRIORITY: list[str] = [
     # agg shape rides the kept q22 re-gate; leads the r8 rotation.)
     # (tpch_q12 yielded its slot to fs_linkage — its shipmode
     # case-agg is the canary q1's shape; leads the r8 rotation.)
-    "tpch_q14",
+    # (tpch_q14 yielded its slot to label_communities — its promo
+    # ratio is q6/q19's scan-agg shape, both of which stay windowed;
+    # leads the r8 rotation.)
     "tpch_q15",
     "tpch_q16",
     "tpch_q19",
@@ -13148,6 +13230,7 @@ BENCH_QUERIES: list[str] = [
     "dp_counts",
     "psi_drift",
     "fs_linkage",
+    "label_communities",
 ]
 
 

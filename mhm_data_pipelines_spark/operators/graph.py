@@ -231,3 +231,101 @@ def triangle_count(
     # local clustering coefficient 2T / (deg·(deg−1)) needs it and a
     # caller re-deriving degrees would re-scan the edge list.
     return out if include_degree else out.drop("deg")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    made deterministic): community detection over an UNDIRECTED view
+    of the edge list — each round, every node adopts the label with
+    the largest total incident edge weight among its neighbours, ties
+    broken by the SMALLEST label, all nodes updating simultaneously
+    from the previous round's labels.
+
+    Returns ``(node, label)``. Labels start as the node's own id, or
+    from ``seeds`` (``(node, label)`` rows; unseeded nodes fall back
+    to their id) for the semi-supervised variant — seeded nodes are
+    CLAMPED to their seed label every round (Zhu & Ghahramani 2002's
+    label-spreading convention: ground truth doesn't drift). Rounds
+    where a node has no neighbours keep its current label.
+
+    Determinism (so an external SQL oracle can unroll the rounds):
+    weights aggregate exactly (counts/ints or identical doubles), the
+    winner is ``row_number() over (partition by node order by total
+    weight desc, label asc)`` — a total order; synchronous updates
+    mean round k depends only on round k−1. (Synchronous LPA can
+    oscillate on bipartite structures — run an odd/even iteration
+    comparison if that matters; fixed ``iterations`` keeps the output
+    well-defined either way.)
+
+    Scale shape: identical to :func:`pagerank` — the symmetrized edge
+    list is checkpointed once; each round is one join keyed by the
+    neighbour side + one hash aggregate + one ≤-degree-bounded window
+    over the (node, label) vote table, with lineage truncated per
+    round. Only the (node, label) frame cycles.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    # Collapse parallel edges once so per-round vote aggregates touch
+    # the minimal edge list.
+    sym = (
+        sym.groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    s = None
+    if seeds is not None:
+        s = seeds.select(
+            "node", F.col("label").alias("seed_label")
+        ).localCheckpoint(eager=False)
+        labels = nodes.join(s, "node", "left").select(
+            "node",
+            F.coalesce("seed_label", F.col("node")).alias("label"),
+        )
+    else:
+        labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("node").orderBy(
+        F.col("wt").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        winners = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(winners, "node", "left").select(
+            "node",
+            F.coalesce("new_label", "label").alias("label"),
+        )
+        if s is not None:  # clamp: seeds never drift
+            labels = labels.join(s, "node", "left").select(
+                "node",
+                F.coalesce("seed_label", "label").alias("label"),
+            )
+        labels = labels.localCheckpoint(eager=True)
+    return labels

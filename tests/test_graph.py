@@ -147,3 +147,89 @@ def test_triangle_include_degree(spark):
     out = {r["node"]: (r["deg"], r["triangles"])
            for r in triangle_count(df, include_degree=True).collect()}
     assert out == {"a": (3, 1), "b": (2, 1), "c": (2, 1), "d": (1, 0)}
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def _labels(df) -> dict:
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_lpa_two_cliques_with_weak_bridge(spark):
+    # Two triangles joined by one bridge edge: each clique converges
+    # to its minimum node id; the bridge can't outvote two in-clique
+    # neighbours.
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("c", "x")]
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src string, dst string"
+    )
+    got = _labels(label_propagation(df, iterations=4))
+    # first clique converges to its min id
+    assert got["a"] == got["b"] == got["c"] == "a"
+    # the second clique holds together on ONE label
+    assert len({got["x"], got["y"], got["z"]}) == 1
+
+
+def test_lpa_single_round_min_label_tiebreak(spark):
+    # node "m" has two equal-weight neighbours "a" and "z": min label
+    # wins the tie deterministically.
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "m"), ("z", "m")], "src string, dst string"
+    )
+    got = _labels(label_propagation(df, iterations=1))
+    assert got["m"] == "a"
+
+
+def test_lpa_weighted_overrides_count(spark):
+    # One heavy edge beats two light ones.
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "m", 1.0), ("b", "m", 1.0), ("z", "m", 5.0)],
+        "src string, dst string, w double",
+    )
+    got = _labels(label_propagation(df, weight="w", iterations=1))
+    assert got["m"] == "z"
+
+
+def test_lpa_seeds_and_unseeded_fallback(spark):
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("a", "L1")], "node string, label string"
+    )
+    got = _labels(
+        label_propagation(df, iterations=2, seeds=seeds)
+    )
+    # a's seed label reaches b in round 1; c sees b's ORIGINAL label
+    # in round 1 (synchronous) and L1 in round 2 via b.
+    assert got["b"] == "L1"
+    assert got["c"] == "L1"
+
+
+def test_lpa_validation(spark):
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        label_propagation(df, iterations=0)

@@ -49,6 +49,9 @@ EXECUTES_ON_BUILD = {
     "stream_dim_join",   # drains a two-batch enrichment stream on build
     "embedding_whitening",  # fits the whitener (bounded collects) on build
     "subject_erasure",   # writes + erasure-rewrites the table on build
+    "label_communities",  # iterative LPA rounds (eager per-round
+                          # checkpoints) run on build — planned-shape
+                          # checks live in tests/test_graph.py
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
