@@ -12423,6 +12423,53 @@ def _sql_label_communities(rounds: int = 3) -> str:
 SQL_LABEL_COMMUNITIES = _sql_label_communities()
 
 
+def q_golden_records(spark, sf_dir):
+    """ER survivorship (components.golden_records): close the
+    exact-Jaccard near-dup pair graph into entities (the
+    neardup_clusters component map), then elect canonical lang/source
+    per entity by majority vote, smallest-value tie-break, NULLs
+    abstaining. Every post-CC frame is entity-sized."""
+    from mhm_data_pipelines_spark.operators.components import (
+        golden_records,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    pairs = q_unigram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = golden_records(df, pairs, ["lang", "source"], id_col="doc_id")
+    return out.orderBy("entity_id")
+
+
+SQL_GOLDEN_RECORDS = (
+    "WITH RECURSIVE "
+    + _SQL_NEARDUP_EDGES.format(toks=_SQL_TOKENS_LOWER)
+    + """, m AS (
+  SELECT d.*, comp.component FROM documents d
+  JOIN comp ON d.doc_id = comp.doc_id
+), base AS (
+  SELECT component AS entity_id, count(*) AS n_members
+  FROM m GROUP BY 1
+), lang_pick AS (
+  SELECT component AS entity_id, lang FROM (
+    SELECT component, lang, row_number() OVER (
+      PARTITION BY component ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM m WHERE lang IS NOT NULL GROUP BY component, lang
+  ) WHERE rn = 1
+), src_pick AS (
+  SELECT component AS entity_id, source FROM (
+    SELECT component, source, row_number() OVER (
+      PARTITION BY component ORDER BY count(*) DESC, source ASC) AS rn
+    FROM m WHERE source IS NOT NULL GROUP BY component, source
+  ) WHERE rn = 1
+)
+SELECT base.entity_id, base.n_members, lang_pick.lang, src_pick.source
+FROM base
+LEFT JOIN lang_pick USING (entity_id)
+LEFT JOIN src_pick USING (entity_id)
+ORDER BY entity_id
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12665,6 +12712,7 @@ QUERIES: dict[str, QuerySpec] = {
     "psi_drift": q_psi_drift,
     "fs_linkage": q_fs_linkage,
     "label_communities": q_label_communities,
+    "golden_records": q_golden_records,
     "robust_trend": q_robust_trend,
 }
 
@@ -12915,6 +12963,7 @@ ORACLES: dict[str, str] = {
     "psi_drift": SQL_PSI_DRIFT,
     "fs_linkage": SQL_FS_LINKAGE,
     "label_communities": SQL_LABEL_COMMUNITIES,
+    "golden_records": SQL_GOLDEN_RECORDS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -12975,6 +13024,7 @@ GATE_PRIORITY: list[str] = [
     "psi_drift",             # PSI/JS drift over reference deciles
     "fs_linkage",            # Fellegi-Sunter linkage pattern scores
     "label_communities",     # deterministic synchronous weighted LPA
+    "golden_records",        # ER survivorship: majority-vote fields
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13007,7 +13057,8 @@ GATE_PRIORITY: list[str] = [
     # (tpch_q14 yielded its slot to label_communities — its promo
     # ratio is q6/q19's scan-agg shape, both of which stay windowed;
     # leads the r8 rotation.)
-    "tpch_q15",
+    # (tpch_q15 yielded its slot to golden_records — its max-revenue
+    # scalar view is q2's kept shape; leads the r8 rotation.)
     "tpch_q16",
     "tpch_q19",
     "tpch_q20",
@@ -13231,6 +13282,7 @@ BENCH_QUERIES: list[str] = [
     "psi_drift",
     "fs_linkage",
     "label_communities",
+    "golden_records",
 ]
 
 

@@ -22,7 +22,9 @@ cluster; convergence is checked with a count aggregate, not a collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +119,60 @@ def dedup_by_components(
     return df.join(
         keep.select(id_col), id_col, "left_semi"
     )
+
+
+def golden_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    attrs: Sequence[str],
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Entity-resolution consolidation ("golden record"): close the
+    match-pair graph into entities with
+    :func:`connected_components`, then elect ONE canonical value per
+    attribute per entity by majority vote — ties broken by the
+    SMALLEST value, NULLs abstain (a missing field never outvotes a
+    present one). The survivorship step every MDM/ER pipeline runs
+    after ``setjoin``/``fuzzy``/``linkage`` said "same entity".
+
+    Returns ``(entity_id, n_members, <attrs...>)`` where ``entity_id``
+    is the component label (min member id). An attribute that is NULL
+    across the whole entity stays NULL.
+
+    Scale shape: components as certified elsewhere (per-round
+    min-label propagation); then ONE member-table join against the
+    component map and, per attribute, a (component, value) hash
+    aggregate + a component-bounded row_number window + an
+    entity-sized join — every post-CC frame is entity-sized, never
+    corpus-sized, and attributes vote independently (no wide melt
+    that would force a common value type).
+    """
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(id_col)
+    )
+    m = df.join(
+        comp.withColumnRenamed("node", id_col), id_col
+    ).localCheckpoint(eager=False)
+    out = m.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    for a in attrs:
+        votes = (
+            m.filter(F.col(a).isNotNull())
+            .groupBy("component", a)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("c").desc(), F.col(a).asc()
+        )
+        pick = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("component").alias("entity_id"), a)
+        )
+        out = out.join(pick, "entity_id", "left")
+    return out

@@ -87,3 +87,63 @@ def test_one_survivor_per_component_property(spark):
     )
     n_survivors = q_neardup_dedup_keep(spark, sf).count()
     assert n_survivors == n_components
+
+
+def test_golden_records_majority_and_ties(spark):
+    from mhm_data_pipelines_spark.operators.components import (
+        golden_records,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # entity {1,2,3}: lang majority "en"; src tie b/a -> "a"
+            (1, "en", "a"),
+            (2, "en", "b"),
+            (3, "de", None),  # NULL abstains from the source vote
+            # singleton 9 keeps its own values
+            (9, "fr", "c"),
+        ],
+        "doc_id int, lang string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a int, id_b int"
+    )
+    got = {
+        r["entity_id"]: r
+        for r in golden_records(
+            df, pairs, ["lang", "source"]
+        ).collect()
+    }
+    assert set(got) == {1, 9}
+    assert got[1]["n_members"] == 3
+    assert got[1]["lang"] == "en"
+    assert got[1]["source"] == "a"  # 1-1 tie, min value wins
+    assert got[9]["n_members"] == 1
+    assert (got[9]["lang"], got[9]["source"]) == ("fr", "c")
+
+
+def test_golden_records_all_null_attr_stays_null(spark):
+    from mhm_data_pipelines_spark.operators.components import (
+        golden_records,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id int, lang string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    row = golden_records(df, pairs, ["lang"]).collect()[0]
+    assert row["entity_id"] == 1 and row["n_members"] == 2
+    assert row["lang"] is None
+
+
+def test_golden_records_requires_attrs(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.components import (
+        golden_records,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, lang string")
+    pairs = spark.createDataFrame([(1, 1)], "id_a int, id_b int")
+    with _pytest.raises(ValueError):
+        golden_records(df, pairs, [])

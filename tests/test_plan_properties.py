@@ -52,6 +52,9 @@ EXECUTES_ON_BUILD = {
     "label_communities",  # iterative LPA rounds (eager per-round
                           # checkpoints) run on build — planned-shape
                           # checks live in tests/test_graph.py
+    "golden_records",     # iterative CC loop runs on build (same as
+                          # neardup_clusters); survivorship shape
+                          # checks live in tests/test_components.py
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
