@@ -12470,6 +12470,50 @@ ORDER BY entity_id
 )
 
 
+def q_event_sequences(spark, sf_dir):
+    """Consecutive event-type trigram patterns per user with support
+    (timeseries.sequential_patterns, k=3): one window pass builds both
+    leads, one hash aggregate counts, the entity total broadcasts —
+    the order-3 extension of event_transitions' Markov bigrams."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        sequential_patterns,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = sequential_patterns(
+        ev, "user_id", ["ts", "event_id"], "event_type", k=3
+    )
+    return out.orderBy("pattern")
+
+
+SQL_EVENT_SEQUENCES = """
+WITH runs AS (
+  SELECT user_id,
+         event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seqs AS (
+  SELECT user_id, s0 || '>' || s1 || '>' || s2 AS pattern
+  FROM runs
+  WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+), t AS (
+  SELECT count(DISTINCT user_id) AS n_total FROM events
+)
+SELECT pattern,
+       count(*) AS n_occurrences,
+       count(DISTINCT user_id) AS n_entities,
+       round(CAST(count(DISTINCT user_id) AS DOUBLE) / t.n_total, 6)
+         AS support
+FROM seqs CROSS JOIN t
+GROUP BY pattern, t.n_total
+ORDER BY pattern
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12713,6 +12757,7 @@ QUERIES: dict[str, QuerySpec] = {
     "fs_linkage": q_fs_linkage,
     "label_communities": q_label_communities,
     "golden_records": q_golden_records,
+    "event_sequences": q_event_sequences,
     "robust_trend": q_robust_trend,
 }
 
@@ -12964,6 +13009,7 @@ ORACLES: dict[str, str] = {
     "fs_linkage": SQL_FS_LINKAGE,
     "label_communities": SQL_LABEL_COMMUNITIES,
     "golden_records": SQL_GOLDEN_RECORDS,
+    "event_sequences": SQL_EVENT_SEQUENCES,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13025,6 +13071,7 @@ GATE_PRIORITY: list[str] = [
     "fs_linkage",            # Fellegi-Sunter linkage pattern scores
     "label_communities",     # deterministic synchronous weighted LPA
     "golden_records",        # ER survivorship: majority-vote fields
+    "event_sequences",       # consecutive k-gram patterns + support
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13059,7 +13106,9 @@ GATE_PRIORITY: list[str] = [
     # leads the r8 rotation.)
     # (tpch_q15 yielded its slot to golden_records — its max-revenue
     # scalar view is q2's kept shape; leads the r8 rotation.)
-    "tpch_q16",
+    # (tpch_q16 yielded its slot to event_sequences — its anti-join
+    # distinct-agg rides the kept q20/q4 semi/anti re-gates; leads
+    # the r8 rotation.)
     "tpch_q19",
     "tpch_q20",
     "tpch_q22",
@@ -13283,6 +13332,7 @@ BENCH_QUERIES: list[str] = [
     "fs_linkage",
     "label_communities",
     "golden_records",
+    "event_sequences",
 ]
 
 

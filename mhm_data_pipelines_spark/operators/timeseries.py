@@ -952,3 +952,66 @@ def robust_trend(
         F.coalesce("mk_s", F.lit(0)).alias("mk_s"),
         z.alias("mk_z"),
     )
+
+
+def sequential_patterns(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Frequent sequential patterns of length ``k``: every run of
+    ``k`` CONSECUTIVE states per entity (ordered by ``order_cols``),
+    with occurrence count, distinct-entity count, and support =
+    entities exhibiting the pattern / all entities. The contiguous
+    special case of PrefixSpan-style mining (general gapped
+    subsequences explode combinatorially; consecutive runs answer the
+    funnel/journey question pipelines actually ask) — and the order-k
+    extension of :func:`transition_matrix`'s bigram counts.
+
+    Returns ``(pattern, n_occurrences, n_entities, support)`` where
+    ``pattern`` is the ``>``-joined state string. Windows partition by
+    the entity, so no cross-entity runs; runs containing a NULL state
+    or truncated by the series end are dropped (every emitted pattern
+    has exactly k real states).
+
+    Scale shape: ONE window pass builds the k−1 leads (same
+    partition/order for all of them — one sort, k−1 frame reads), one
+    hash aggregate per pattern, and a 1-row entity-total broadcast for
+    the support ratio. Nothing scales with k but the projection width.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    cols = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, k)
+    ]
+    seqs = df.select(
+        F.col(entity_col).alias("entity"),
+        F.concat_ws(">", *cols).alias("pattern"),
+        # concat_ws SKIPS nulls — track completeness explicitly so a
+        # truncated run can't alias a shorter real one.
+        sum(
+            [c.isNotNull().cast("int") for c in cols], F.lit(0)
+        ).alias("n_states"),
+    ).filter(F.col("n_states") == k)
+    total = df.agg(
+        F.countDistinct(entity_col).alias("n_total_entities")
+    )
+    return (
+        seqs.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("entity").alias("n_entities"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pattern",
+            "n_occurrences",
+            "n_entities",
+            F.round(
+                F.col("n_entities") / F.col("n_total_entities"), 6
+            ).alias("support"),
+        )
+    )

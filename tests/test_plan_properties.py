@@ -138,6 +138,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # 10 bins) — missing_data's J3 pattern
     "fs_linkage",         # crossJoin(broadcast(1-row u-probability
                           # aggregates)) onto the blocked pair join
+    "event_sequences",    # crossJoin(broadcast(1-row distinct-entity
+                          # total)) onto the pattern aggregate
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose

@@ -95,3 +95,78 @@ def test_cusum_zero_variance_key_never_alarms(spark):
     row = cusum_summary(df).collect()[0]
     assert (row.n_alarms_hi, row.n_alarms_lo) == (0, 0)
     assert row.max_s_hi == 0.0 and row.max_s_lo == 0.0
+
+
+# ------------------------------------------------- sequential patterns
+
+
+def test_sequential_patterns_hand_counts(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        sequential_patterns,
+    )
+
+    rows = [
+        # u1: a b a b  -> trigrams a>b>a, b>a>b
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        # u2: a b a    -> trigram a>b>a
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "a"),
+        # u3: too short for any trigram
+        (3, 1, "a"), (3, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    got = {
+        r["pattern"]: r
+        for r in sequential_patterns(df, "u", ["t"], "s", k=3).collect()
+    }
+    assert set(got) == {"a>b>a", "b>a>b"}
+    assert got["a>b>a"]["n_occurrences"] == 2
+    assert got["a>b>a"]["n_entities"] == 2
+    assert got["a>b>a"]["support"] == round(2 / 3, 6)
+    assert got["b>a>b"]["n_entities"] == 1
+
+
+def test_sequential_patterns_null_state_breaks_run(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        sequential_patterns,
+    )
+
+    rows = [(1, 1, "a"), (1, 2, None), (1, 3, "b"), (1, 4, "c"),
+            (1, 5, "d")]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    got = {r["pattern"] for r in
+           sequential_patterns(df, "u", ["t"], "s", k=3).collect()}
+    # runs containing the NULL are dropped; b>c>d survives — and the
+    # truncated a>_>b must NOT alias to a bigram-looking pattern.
+    assert got == {"b>c>d"}
+
+
+def test_sequential_patterns_k2_matches_transitions(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        sequential_patterns,
+        transition_matrix,
+    )
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "b"),
+            (2, 2, "b")]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    pat = {
+        r["pattern"]: r["n_occurrences"]
+        for r in sequential_patterns(df, "u", ["t"], "s", k=2).collect()
+    }
+    tm = {
+        f"{r['state']}>{r['next_state']}": r["n"]
+        for r in transition_matrix(df, "u", ["t"], "s").collect()
+    }
+    assert pat == tm
+
+
+def test_sequential_patterns_k_guard(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        sequential_patterns,
+    )
+
+    df = spark.createDataFrame([(1, 1, "a")], "u int, t int, s string")
+    with _pytest.raises(ValueError):
+        sequential_patterns(df, "u", ["t"], "s", k=1)
