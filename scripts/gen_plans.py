@@ -798,6 +798,49 @@ NOTES = {
         "BroadcastHashJoin over rollup rows, never a corpus "
         "self-join; tie counts are a second rollup-sized aggregate."
     ),
+    "k_anonymity": (
+        "k-anonymity: ONE HashAggregate to the equivalence-class "
+        "table (map-side partials), then a single-row re-aggregate; "
+        "the corpus is scanned exactly once and the class table "
+        "never joins back."
+    ),
+    "dp_counts": (
+        "DP counts: the count HashAggregate IS the whole job - the "
+        "Laplace draw is a pure md5 projection over the aggregated "
+        "rows (no shuffle, no join), so privacy costs nothing over "
+        "the non-private count."
+    ),
+    "psi_drift": (
+        "PSI drift: decile edges = one percentile aggregate (1-row "
+        "broadcast cross, whitelisted); bin assignment is an "
+        "array-fold projection inside the scan stage; one "
+        "HashAggregate per side; the (group x bin) grid crosses "
+        "tiny aggregates only."
+    ),
+    "fs_linkage": (
+        "Fellegi-Sunter: u-probability aggregates are 1-row "
+        "broadcasts; candidates come from the nation-blocked "
+        "self-equi-join (never a cartesian); the 3^k pattern "
+        "roll-up bounds output regardless of pair volume."
+    ),
+    "label_communities": (
+        "LPA: symmetrized weighted edge list checkpointed once; "
+        "each round = one join keyed on the neighbour side + one "
+        "HashAggregate + a degree-bounded row_number window; only "
+        "the (node,label) frame cycles (plan shown post-round-3)."
+    ),
+    "golden_records": (
+        "golden records: CC closes the pair graph (iterative, "
+        "certified via neardup_clusters); every survivorship frame "
+        "after that is entity-sized - per-attribute vote aggregates "
+        "+ component-bounded windows + entity-sized joins."
+    ),
+    "event_sequences": (
+        "sequential patterns: both leads ride ONE window Exchange "
+        "(same partition/order), the pattern HashAggregate is the "
+        "only corpus-wide shuffle, and the entity total broadcasts "
+        "as a whitelisted 1-row cross."
+    ),
 }
 
 
