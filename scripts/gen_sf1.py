@@ -175,11 +175,34 @@ def main() -> None:
     )
     pq.write_table(tbl, f"{dest}/events.parquet")
     print(f"events: {N_EVENTS}")
+    # ---- lineitem: 10 structure-preserving replicas with OFFSET
+    # order/part keys (not row duplication — duplicated keys would
+    # only multiply edge weights, leaving the co-order graph the same
+    # size). 10× orders and 10× parts with identical per-order line
+    # structure is exactly the scale-up label_communities needs.
+    # NOTE: only lineitem is scaled — sf1 TPC-H joins against the
+    # symlinked dims are out of contract (the probe set touches
+    # lineitem alone).
+    li = con.sql(
+        f"""
+        WITH m AS (
+          SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp
+          FROM '{SRC}/lineitem.parquet'
+        )
+        SELECT l.* REPLACE (
+          l.l_orderkey + r.i * (m.mo + 1) AS l_orderkey,
+          l.l_partkey + r.i * (m.mp + 1) AS l_partkey
+        )
+        FROM '{SRC}/lineitem.parquet' l
+        CROSS JOIN m CROSS JOIN range(0, 10) r(i)
+        """
+    ).arrow()
+    pq.write_table(li, f"{dest}/lineitem.parquet")
+    print(f"lineitem: {li.num_rows}")
+
     # The small TPC-H dims aren't needed by the heavy-query probe; link
     # them anyway so registry.load_table works for any query.
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    for t in "region nation customer supplier part orders".split():
         src = f"{SRC}/{t}.parquet"
         dst = f"{dest}/{t}.parquet"
         if not os.path.exists(dst):

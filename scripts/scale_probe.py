@@ -62,6 +62,10 @@ HEAVY = [
     # event stream flows through one codegen projection), the
     # multi-round Lloyd corpus passes, and the all-lags window pass.
     "bootstrap_ci", "randomization_test", "kmeans_iters", "acf_lags",
+    # round-7 third batch: iterative LPA over the 10×-structure
+    # lineitem co-order graph (gen_sf1 offsets order/part keys so the
+    # GRAPH scales, not just the edge weights).
+    "label_communities",
 ]
 
 
