@@ -12514,6 +12514,66 @@ ORDER BY pattern
 """
 
 
+def q_woe_iv(spark, sf_dir):
+    """WoE/IV scorecard screening (drift.woe_iv): does doc length
+    separate English from non-English? Decile edges from one exact-
+    percentile aggregate, the (bin) hash aggregate carries both class
+    counts as conditional sums, the bins-sized tail computes WoE/IV
+    from rounded proportions."""
+    from mhm_data_pipelines_spark.operators.drift import woe_iv
+
+    d = _t(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return woe_iv(d, "n_chars", "is_en", n_bins=10).orderBy("bin")
+
+
+SQL_WOE_IV = """
+WITH v AS (
+  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+), e AS (
+  SELECT list_transform(
+           quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                             0.6, 0.7, 0.8, 0.9]),
+           q -> round(q, 6)) AS edges
+  FROM v
+), b AS (
+  SELECT len(list_filter(e.edges, q -> v.x > q)) AS bin, v.y
+  FROM v CROSS JOIN e
+), pb AS (
+  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM b GROUP BY bin
+), t AS (
+  SELECT CAST(sum(y) AS BIGINT) AS t_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS t_neg
+  FROM b
+), g AS (
+  SELECT bins.bin,
+         CAST(coalesce(pb.n_pos, 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(pb.n_neg, 0) AS BIGINT) AS n_neg,
+         round(CAST(coalesce(pb.n_pos, 0) AS DOUBLE) / t.t_pos, 6)
+           AS p_pos,
+         round(CAST(coalesce(pb.n_neg, 0) AS DOUBLE) / t.t_neg, 6)
+           AS p_neg
+  FROM range(0, 10) bins(bin) CROSS JOIN t
+  LEFT JOIN pb ON bins.bin = pb.bin
+), w AS (
+  SELECT bin, n_pos, n_neg, p_pos, p_neg,
+         round(ln(greatest(1e-6, p_pos) / greatest(1e-6, p_neg)), 6)
+           AS woe,
+         round((p_pos - p_neg)
+               * round(ln(greatest(1e-6, p_pos)
+                          / greatest(1e-6, p_neg)), 6), 6) AS iv_term
+  FROM g
+)
+SELECT bin, n_pos, n_neg, p_pos, p_neg, woe, iv_term,
+       round(sum(iv_term) OVER (), 6) AS iv_total
+FROM w ORDER BY bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12758,6 +12818,7 @@ QUERIES: dict[str, QuerySpec] = {
     "label_communities": q_label_communities,
     "golden_records": q_golden_records,
     "event_sequences": q_event_sequences,
+    "woe_iv": q_woe_iv,
     "robust_trend": q_robust_trend,
 }
 
@@ -13010,6 +13071,7 @@ ORACLES: dict[str, str] = {
     "label_communities": SQL_LABEL_COMMUNITIES,
     "golden_records": SQL_GOLDEN_RECORDS,
     "event_sequences": SQL_EVENT_SEQUENCES,
+    "woe_iv": SQL_WOE_IV,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13072,6 +13134,7 @@ GATE_PRIORITY: list[str] = [
     "label_communities",     # deterministic synchronous weighted LPA
     "golden_records",        # ER survivorship: majority-vote fields
     "event_sequences",       # consecutive k-gram patterns + support
+    "woe_iv",                # WoE/IV scorecard feature screening
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13113,7 +13176,10 @@ GATE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q22",
     "users_intersect",
-    "value_percentiles",
+    # (value_percentiles yielded its slot to woe_iv — the exact-
+    # percentile machinery is exercised harder by the NEW psi_drift /
+    # woe_iv gate keys, which bin every row on those same percentile
+    # edges; leads the r8 rotation.)
     # All remaining r2-last-green keys (availability_pivot,
     # cube_counts, daily_availability,
     # date_ranges, device_split, distinct_measurements,
@@ -13333,6 +13399,7 @@ BENCH_QUERIES: list[str] = [
     "label_communities",
     "golden_records",
     "event_sequences",
+    "woe_iv",
 ]
 
 

@@ -178,3 +178,81 @@ def psi_report(
         F.lit("cur").alias("group"), _bin_expr(value_col).alias("bin")
     )
     return _psi_terms(ref_binned, cur_binned, n_bins).drop("group")
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screening
+    (scorecard practice; Siddiqi 2006): bin the numeric feature on its
+    own quantile edges (same machinery as :func:`psi_by_group`), then
+    per bin WoE = ln(p_pos/p_neg) over the label-conditional bin
+    distributions and IV = Σ (p_pos − p_neg)·WoE — the standard
+    "does this feature separate the classes, monotonically where?"
+    readout run before training a selection classifier.
+
+    ``label_col`` is boolean/0-1 (NULL labels and NULL values drop).
+    Returns one row per bin: ``(bin, n_pos, n_neg, p_pos, p_neg, woe,
+    iv_term, iv_total)`` — proportions rounded 6dp before the
+    log/product terms (round-before-derive), ``EPS``-clamped so an
+    empty class-bin contributes the standard finite penalty. Empty
+    bins surface with zeros (full 0..n_bins−1 grid).
+
+    Scale shape: one exact-percentile aggregate (1-row broadcast),
+    bin assignment as the array-fold projection, ONE (bin) hash
+    aggregate carrying both class counts as conditional sums, and a
+    bins-sized finalization — two passes over the corpus total.
+    """
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    edges = _quantile_edges(vals, value_col, n_bins)
+    lab = F.col(label_col).cast("int")
+    binned = vals.crossJoin(F.broadcast(edges)).select(
+        _bin_expr(value_col).alias("bin"), lab.alias("y")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    totals = binned.agg(
+        F.sum("y").cast("long").alias("t_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("t_neg"),
+    )
+    bins = totals.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        "t_pos",
+        "t_neg",
+    )
+    g = bins.join(per_bin, "bin", "left").select(
+        "bin",
+        F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
+        F.round(F.coalesce("n_pos", F.lit(0)) / F.col("t_pos"), 6).alias(
+            "p_pos"
+        ),
+        F.round(F.coalesce("n_neg", F.lit(0)) / F.col("t_neg"), 6).alias(
+            "p_neg"
+        ),
+    )
+    pp = F.greatest(F.lit(EPS), F.col("p_pos"))
+    pn = F.greatest(F.lit(EPS), F.col("p_neg"))
+    woe = F.round(F.log(pp / pn), 6)
+    out = g.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        "p_pos",
+        "p_neg",
+        woe.alias("woe"),
+        F.round((F.col("p_pos") - F.col("p_neg")) * woe, 6).alias(
+            "iv_term"
+        ),
+    )
+    w = Window.partitionBy()
+    return out.select(
+        "*", F.round(F.sum("iv_term").over(w), 6).alias("iv_total")
+    )

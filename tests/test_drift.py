@@ -92,3 +92,47 @@ def test_n_bins_guard(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, x double")
     with pytest.raises(ValueError):
         psi_by_group(df, "x", "g", n_bins=1)
+
+
+# ------------------------------------------------------------- WoE/IV
+
+
+def test_woe_iv_separating_feature(spark):
+    from mhm_data_pipelines_spark.operators.drift import woe_iv
+
+    # feature perfectly separates: positives high, negatives low.
+    rows = [(float(i), 0) for i in range(50)] + [
+        (float(100 + i), 1) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = woe_iv(df, "x", "y", n_bins=4).collect()
+    assert len(out) == 4
+    by_bin = {r["bin"]: r for r in out}
+    # bottom bin: all negative; top bin: all positive.
+    assert by_bin[0]["n_pos"] == 0 and by_bin[0]["n_neg"] == 25
+    assert by_bin[3]["n_pos"] == 25 and by_bin[3]["n_neg"] == 0
+    assert by_bin[0]["woe"] < 0 < by_bin[3]["woe"]
+    # a perfect separator has a huge IV (>> the 0.5 "suspicious" bar)
+    assert by_bin[0]["iv_total"] > 0.5
+    # proportions are label-conditional: each bin holds 1/4 of its class
+    assert by_bin[0]["p_neg"] == 0.5  # 25 of 50 negatives in bin 0
+    assert by_bin[3]["p_pos"] == 0.5
+
+
+def test_woe_iv_uninformative_feature_near_zero(spark):
+    from mhm_data_pipelines_spark.operators.drift import woe_iv
+
+    # alternating labels: every bin is ~50/50 -> IV ~ 0.
+    rows = [(float(i), i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = woe_iv(df, "x", "y", n_bins=5).collect()
+    assert abs(out[0]["iv_total"]) < 0.01
+
+
+def test_woe_iv_null_rows_dropped(spark):
+    from mhm_data_pipelines_spark.operators.drift import woe_iv
+
+    rows = [(1.0, 1), (2.0, 0), (None, 1), (3.0, None), (4.0, 1)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = woe_iv(df, "x", "y", n_bins=2).collect()
+    assert sum(r["n_pos"] + r["n_neg"] for r in out) == 3

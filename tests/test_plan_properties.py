@@ -140,6 +140,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # aggregates)) onto the blocked pair join
     "event_sequences",    # crossJoin(broadcast(1-row distinct-entity
                           # total)) onto the pattern aggregate
+    "woe_iv",             # crossJoin(broadcast(1-row decile edges +
+                          # 1-row class totals)) — psi_drift's shape
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose
