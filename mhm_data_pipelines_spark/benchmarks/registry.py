@@ -12574,6 +12574,65 @@ FROM w ORDER BY bin
 """
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV/theta-sketch set algebra (sketches.kmv_set_ops, k=64):
+    estimated audience size, OVERLAP, and union for every event-type
+    pair — the intersection HLL can't produce. All pair math runs on
+    ≤ n_sets·k sample rows; md5 hashing makes the estimates (not just
+    the bounds) bit-reproducible, so the oracle is full-value."""
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    out = kmv_set_ops(ev, "event_type", "user_id", k=64)
+    return out.orderBy("set_a", "set_b")
+
+
+SQL_KMV_SET_OPS = """
+WITH el AS (
+  SELECT DISTINCT event_type AS s, user_id AS e FROM events
+  WHERE user_id IS NOT NULL
+), h AS (
+  SELECT s, e,
+         CAST(('0x' || substr(md5(CAST(e AS VARCHAR) || ':42'), 1, 15))
+           AS BIGINT) / 1152921504606846976.0 AS u
+  FROM el
+), kept AS (
+  SELECT * FROM (
+    SELECT s, e, u,
+           row_number() OVER (PARTITION BY s ORDER BY u, e) AS rn
+    FROM h
+  ) WHERE rn <= 64
+), stats AS (
+  SELECT s, count(*) AS n_kept,
+         coalesce(max(CASE WHEN rn = 64 THEN u END), 1.0) AS theta,
+         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END)
+         END AS est
+  FROM kept GROUP BY s
+), pairs AS (
+  SELECT a.s AS set_a, b.s AS set_b,
+         least(a.theta, b.theta) AS theta,
+         a.est AS est_a, b.est AS est_b
+  FROM stats a JOIN stats b ON a.s < b.s
+), common AS (
+  SELECT ka.s AS set_a, kb.s AS set_b, count(*) AS n_common
+  FROM kept ka
+  JOIN kept kb ON ka.e = kb.e
+  JOIN pairs p ON p.set_a = ka.s AND p.set_b = kb.s
+  WHERE ka.u < p.theta
+  GROUP BY 1, 2
+)
+SELECT p.set_a, p.set_b,
+       round(p.est_a, 2) AS est_a,
+       round(p.est_b, 2) AS est_b,
+       round(coalesce(c.n_common, 0) / p.theta, 2) AS est_inter,
+       round(p.est_a + p.est_b - coalesce(c.n_common, 0) / p.theta, 2)
+         AS est_union
+FROM pairs p LEFT JOIN common c USING (set_a, set_b)
+ORDER BY p.set_a, p.set_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12819,6 +12878,7 @@ QUERIES: dict[str, QuerySpec] = {
     "golden_records": q_golden_records,
     "event_sequences": q_event_sequences,
     "woe_iv": q_woe_iv,
+    "kmv_set_ops": q_kmv_set_ops,
     "robust_trend": q_robust_trend,
 }
 
@@ -13072,6 +13132,7 @@ ORACLES: dict[str, str] = {
     "golden_records": SQL_GOLDEN_RECORDS,
     "event_sequences": SQL_EVENT_SEQUENCES,
     "woe_iv": SQL_WOE_IV,
+    "kmv_set_ops": SQL_KMV_SET_OPS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13135,6 +13196,7 @@ GATE_PRIORITY: list[str] = [
     "golden_records",        # ER survivorship: majority-vote fields
     "event_sequences",       # consecutive k-gram patterns + support
     "woe_iv",                # WoE/IV scorecard feature screening
+    "kmv_set_ops",           # theta-sketch distinct set algebra
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13174,7 +13236,9 @@ GATE_PRIORITY: list[str] = [
     # the r8 rotation.)
     "tpch_q19",
     "tpch_q20",
-    "tpch_q22",
+    # (tpch_q22 yielded its slot to kmv_set_ops — the kept q4 re-gate
+    # covers the semi/anti family and user_rfm's gate row exercises
+    # the scalar-avg broadcast; leads the r8 rotation.)
     "users_intersect",
     # (value_percentiles yielded its slot to woe_iv — the exact-
     # percentile machinery is exercised harder by the NEW psi_drift /
@@ -13400,6 +13464,7 @@ BENCH_QUERIES: list[str] = [
     "golden_records",
     "event_sequences",
     "woe_iv",
+    "kmv_set_ops",
 ]
 
 

@@ -17,7 +17,7 @@ error (default lgConfigK=12 ⇒ ~1.6% rsd) instead of bounded staleness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,3 +148,120 @@ def histogram_quantile(
         F.max("n").alias("n"),
         (F.lit(lo) + (F.min("bin") + 1) * F.lit(width)).alias("est"),
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    set_col: str,
+    element_col: str,
+    k: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """KMV/theta-sketch set algebra (Beyer et al. 2007; the Theta
+    sketch of Dalvi et al. / Apache DataSketches): estimate distinct
+    cardinalities, unions, and INTERSECTIONS between every pair of
+    sets — the operation HLL cannot do (HLL unions, never
+    intersects) — from k-minimum-value samples.
+
+    Per set: hash each element to a unit draw (``md5_unit_draw`` —
+    deterministic, engine-portable), keep the k smallest;
+    ``|S| ≈ (k−1)/u_(k)``. Per pair: θ = min(θ_a, θ_b); every kept
+    hash < θ is a uniform sample of the set, so
+    ``|A∩B| ≈ |samples_A ∩ samples_B below θ| / θ`` and the union
+    estimate follows by inclusion-exclusion on the two
+    (θ-restricted) estimates.
+
+    Returns one row per (set_a < set_b) pair: ``(set_a, set_b,
+    est_a, est_b, est_inter, est_union)``, estimates rounded 2dp.
+    Sets with < k distinct elements are EXACT by construction
+    (θ = 1 semantics: est = n when u_(k) doesn't exist → the sketch
+    keeps everything; handled via the observed count).
+
+    Scale shape: one distinct-projection + hash, one per-set top-k
+    window over the hashed elements (rank ≤ k — the only shuffle
+    touching element volume), then ALL pair math runs on ≤ n_sets·k
+    rows: a sample-sample equi-join on the hash value + tiny
+    aggregates. The corpus is never pairwise-joined.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from mhm_data_pipelines_spark.operators.sampling import (
+        md5_unit_draw,
+    )
+
+    elems = (
+        df.filter(F.col(element_col).isNotNull())
+        .select(
+            F.col(set_col).alias("s"), F.col(element_col).alias("e")
+        )
+        .distinct()
+        .withColumn("u", md5_unit_draw(F.col("e"), seed))
+    )
+    w = Window.partitionBy("s").orderBy("u", "e")
+    kept = (
+        elems.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .localCheckpoint(eager=False)
+    )
+    # Per-set stats: n_kept and theta = the k-th min (1.0 when the
+    # set is smaller than k — the sketch holds the whole set).
+    stats = kept.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("u"))).alias("u_k"),
+    )
+    stats = stats.select(
+        "s",
+        "n_kept",
+        F.coalesce("u_k", F.lit(1.0)).alias("theta"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("u_k"))
+        .alias("est"),
+    )
+    a = stats.select(
+        F.col("s").alias("set_a"),
+        F.col("theta").alias("th_a"),
+        F.col("est").alias("est_a"),
+    )
+    b = stats.select(
+        F.col("s").alias("set_b"),
+        F.col("theta").alias("th_b"),
+        F.col("est").alias("est_b"),
+    )
+    pairs = a.join(b, F.col("set_a") < F.col("set_b")).withColumn(
+        "theta", F.least("th_a", "th_b")
+    )
+    # Sample-sample equi-join on the hash: elements of BOTH sets kept
+    # below the pair's theta.
+    ka = kept.select(
+        F.col("s").alias("set_a"), F.col("e").alias("e"),
+        F.col("u").alias("u"),
+    )
+    kb = kept.select(
+        F.col("s").alias("set_b"), F.col("e").alias("e"),
+        F.col("u").alias("u2"),
+    )
+    common = (
+        ka.join(kb, ["e"])
+        .join(
+            F.broadcast(pairs.select("set_a", "set_b", "theta")),
+            ["set_a", "set_b"],
+        )
+        .filter(F.col("u") < F.col("theta"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = pairs.join(common, ["set_a", "set_b"], "left").select(
+        "set_a",
+        "set_b",
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round(
+            F.coalesce("n_common", F.lit(0)) / F.col("theta"), 2
+        ).alias("est_inter"),
+        F.round(
+            F.col("est_a") + F.col("est_b")
+            - F.coalesce("n_common", F.lit(0)) / F.col("theta"),
+            2,
+        ).alias("est_union"),
+    )
+    return out

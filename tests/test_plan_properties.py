@@ -142,6 +142,11 @@ SINGLE_ROW_BROADCAST_OK = {
                           # total)) onto the pattern aggregate
     "woe_iv",             # crossJoin(broadcast(1-row decile edges +
                           # 1-row class totals)) — psi_drift's shape
+    "kmv_set_ops",        # set_a < set_b inequality pair join over
+                          # the n_sets-row sketch-stats aggregate —
+                          # tiny-aggregate cross by design; the
+                          # element-volume join is the kept⋈kept
+                          # hash equi-join
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose

@@ -134,3 +134,69 @@ def test_histogram_clamps_out_of_range(spark):
         df, ["g"], "value", 0.0, 100.0, 10
     ).collect()}
     assert got == {0: 1, 9: 1, 5: 1}
+
+
+# ------------------------------------------------------------ KMV/theta
+
+
+def test_kmv_small_sets_exact(spark):
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i) for i in range(50)] + [("B", i) for i in range(25, 75)]
+    df = spark.createDataFrame(rows, "s string, e int")
+    out = kmv_set_ops(df, "s", "e", k=256).collect()[0]
+    # both sets smaller than k: everything kept, estimates EXACT
+    assert out["est_a"] == 50.0 and out["est_b"] == 50.0
+    assert out["est_inter"] == 25.0
+    assert out["est_union"] == 75.0
+
+
+def test_kmv_estimation_within_error_bounds(spark):
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i) for i in range(2000)] + [
+        ("B", i) for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "s string, e int")
+    out = kmv_set_ops(df, "s", "e", k=256).collect()[0]
+    # 1/sqrt(k) ~ 6.3%; allow 4 sigma.
+    for est, truth in (
+        (out["est_a"], 2000),
+        (out["est_b"], 2000),
+        (out["est_inter"], 1000),
+        (out["est_union"], 3000),
+    ):
+        assert abs(est - truth) / truth < 0.25, (est, truth)
+
+
+def test_kmv_disjoint_sets(spark):
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i) for i in range(300)] + [
+        ("B", i + 10000) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s string, e int")
+    out = kmv_set_ops(df, "s", "e", k=64).collect()[0]
+    assert out["est_inter"] == 0.0
+    assert out["est_union"] == out["est_a"] + out["est_b"]
+
+
+def test_kmv_duplicates_and_nulls_ignored(spark):
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", 1), ("A", 1), ("A", 2), ("A", None),
+            ("B", 1), ("B", 3)]
+    df = spark.createDataFrame(rows, "s string, e int")
+    out = kmv_set_ops(df, "s", "e", k=16).collect()[0]
+    assert out["est_a"] == 2.0 and out["est_b"] == 2.0
+    assert out["est_inter"] == 1.0 and out["est_union"] == 3.0
+
+
+def test_kmv_k_guard(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    df = spark.createDataFrame([("A", 1)], "s string, e int")
+    with _pytest.raises(ValueError):
+        kmv_set_ops(df, "s", "e", k=1)
