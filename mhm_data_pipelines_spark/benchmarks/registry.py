@@ -12633,6 +12633,68 @@ ORDER BY p.set_a, p.set_b
 """
 
 
+def q_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak overlap (temporal.interval_concurrency): per
+    event type, the max number of user-day activity spans open at
+    once and the earliest moment it happens — the O(n log n) answer
+    to a question a self-join puts at O(n²). Boundaries are a 2×n
+    projection; the keyed sweep is ONE window."""
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    iv = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            "user_id",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+    )
+    out = interval_concurrency(
+        iv, "start_ts", "end_ts", keys=["event_type"]
+    )
+    return out.orderBy("event_type")
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, user_id, date_trunc('day', ts)
+), b AS (
+  SELECT event_type, s AS t_us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e, -1 FROM iv
+), r AS (
+  SELECT event_type, t_us,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t_us, delta
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM b
+), p AS (
+  SELECT event_type, max(running) AS peak FROM r GROUP BY 1
+), pa AS (
+  SELECT r.event_type, min(r.t_us) AS peak_at_us
+  FROM r JOIN p ON r.event_type = p.event_type
+              AND r.running = p.peak
+  GROUP BY 1
+), n AS (
+  SELECT event_type, count(*) AS n_intervals FROM iv GROUP BY 1
+)
+SELECT p.event_type, n.n_intervals,
+       CAST(p.peak AS BIGINT) AS peak_concurrency, pa.peak_at_us
+FROM p JOIN pa USING (event_type) JOIN n USING (event_type)
+ORDER BY p.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12879,6 +12941,7 @@ QUERIES: dict[str, QuerySpec] = {
     "event_sequences": q_event_sequences,
     "woe_iv": q_woe_iv,
     "kmv_set_ops": q_kmv_set_ops,
+    "peak_concurrency": q_peak_concurrency,
     "robust_trend": q_robust_trend,
 }
 
@@ -13133,6 +13196,7 @@ ORACLES: dict[str, str] = {
     "event_sequences": SQL_EVENT_SEQUENCES,
     "woe_iv": SQL_WOE_IV,
     "kmv_set_ops": SQL_KMV_SET_OPS,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13197,6 +13261,7 @@ GATE_PRIORITY: list[str] = [
     "event_sequences",       # consecutive k-gram patterns + support
     "woe_iv",                # WoE/IV scorecard feature screening
     "kmv_set_ops",           # theta-sketch distinct set algebra
+    "peak_concurrency",      # sweep-line interval overlap peak
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13235,7 +13300,9 @@ GATE_PRIORITY: list[str] = [
     # distinct-agg rides the kept q20/q4 semi/anti re-gates; leads
     # the r8 rotation.)
     "tpch_q19",
-    "tpch_q20",
+    # (tpch_q20 yielded its slot to peak_concurrency — the kept q4
+    # re-gate covers the nested semi/anti family; leads the r8
+    # rotation.)
     # (tpch_q22 yielded its slot to kmv_set_ops — the kept q4 re-gate
     # covers the semi/anti family and user_rfm's gate row exercises
     # the scalar-avg broadcast; leads the r8 rotation.)
@@ -13465,6 +13532,7 @@ BENCH_QUERIES: list[str] = [
     "event_sequences",
     "woe_iv",
     "kmv_set_ops",
+    "peak_concurrency",
 ]
 
 

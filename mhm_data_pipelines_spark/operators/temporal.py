@@ -150,3 +150,97 @@ def asof_join(
         F.col("_m.asof_ts").alias("asof_ts"),
         *[F.col(f"_m.asof_{c}").alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    keys: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sweep-line peak-overlap: how many intervals are open at once —
+    the concurrency question (peak concurrent sessions / devices /
+    jobs) that a naive self-join answers in O(n²). Half-open
+    ``[start, end)`` semantics: an interval closing at t does not
+    overlap one opening at t (at equal timestamps −1 boundaries sort
+    before +1, so touching intervals never count as concurrent, and
+    zero-length intervals contribute nothing).
+
+    Returns, per key group (or one global row when ``keys`` is None):
+    ``(keys…, n_intervals, peak_concurrency, peak_at_us)`` —
+    ``peak_at_us`` = the EARLIEST boundary (epoch µs) where the peak
+    is reached. Rows with a NULL endpoint or ``end < start`` are
+    dropped (an unbounded or negative interval has no sweep
+    semantics). ``tiebreak_cols`` complete the boundary total order —
+    they change nothing about the counts (same-timestamp boundaries
+    commute within a delta sign) but make the sweep replayable
+    row-for-row by an external oracle.
+
+    Scale shape: boundaries = a 2×n explode (pure projection). Keyed:
+    ONE window partitioned by the keys. Global: the two-phase
+    distributed literal-boundary prefix sum (``budget.running_total``)
+    — no single-task window. The peak + its earliest time come from
+    ONE aggregate (lexicographic max over (running, −t)).
+    """
+    keys = list(keys or [])
+    tb = list(tiebreak_cols or [])
+    iv = intervals.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    )
+    base = [
+        *[F.col(c) for c in keys],
+        *[F.col(c) for c in tb],
+    ]
+    starts = iv.select(
+        *base,
+        F.unix_micros(F.col(start_col)).alias("t_us"),
+        F.lit(1).alias("delta"),
+    )
+    ends = iv.select(
+        *base,
+        F.unix_micros(F.col(end_col)).alias("t_us"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    order = [F.col("t_us").asc(), F.col("delta").asc()] + [
+        F.col(c).asc() for c in tb
+    ]
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = bounds.withColumn("running", F.sum("delta").over(w))
+        grouped = run.groupBy(*keys)
+    else:
+        from mhm_data_pipelines_spark.operators.budget import (
+            running_total,
+        )
+
+        run = running_total(
+            bounds,
+            order_by=["t_us", "delta", *tb],
+            value_col="delta",
+            out_col="running",
+        )
+        grouped = run.groupBy()
+    peak = F.max(
+        F.struct(
+            F.col("running").alias("c"),
+            (-F.col("t_us")).alias("neg_t"),
+        )
+    ).alias("pk")
+    out = grouped.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        peak,
+    )
+    return out.select(
+        *keys,
+        "n_intervals",
+        F.col("pk.c").cast("long").alias("peak_concurrency"),
+        (-F.col("pk.neg_t")).cast("long").alias("peak_at_us"),
+    )

@@ -126,3 +126,88 @@ def test_range_join_equals_naive(spark):
         .select("pid", "iid")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+# --------------------------------------------------- interval sweep
+
+
+def _iv_df(spark, rows, schema="k string, s timestamp, e timestamp"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_concurrency_basic_overlap(spark):
+    from datetime import datetime as dt
+
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    rows = [
+        ("a", dt(2024, 1, 1, 0), dt(2024, 1, 1, 2)),
+        ("a", dt(2024, 1, 1, 1), dt(2024, 1, 1, 3)),   # overlaps 1st
+        ("a", dt(2024, 1, 1, 10), dt(2024, 1, 1, 11)),  # lone
+    ]
+    out = interval_concurrency(
+        _iv_df(spark, rows), "s", "e", keys=["k"]
+    ).collect()[0]
+    assert out["n_intervals"] == 3
+    assert out["peak_concurrency"] == 2
+    # peak first reached when the 2nd interval opens (01:00)
+    from datetime import timezone
+
+    assert out["peak_at_us"] == int(
+        dt(2024, 1, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def test_concurrency_touching_intervals_do_not_overlap(spark):
+    from datetime import datetime as dt
+
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    rows = [
+        ("a", dt(2024, 1, 1, 0), dt(2024, 1, 1, 1)),
+        ("a", dt(2024, 1, 1, 1), dt(2024, 1, 1, 2)),  # starts as 1st ends
+    ]
+    out = interval_concurrency(
+        _iv_df(spark, rows), "s", "e", keys=["k"]
+    ).collect()[0]
+    assert out["peak_concurrency"] == 1  # half-open: no overlap
+
+
+def test_concurrency_global_distributed_path(spark):
+    from datetime import datetime as dt
+
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    # 50 nested intervals -> peak 50 at the innermost start.
+    rows = [
+        ("x", dt(2024, 1, 1, 0, i), dt(2024, 1, 1, 10, 59 - i))
+        for i in range(50)
+    ]
+    out = interval_concurrency(_iv_df(spark, rows), "s", "e").collect()[0]
+    assert out["n_intervals"] == 50
+    assert out["peak_concurrency"] == 50
+    assert "k" not in out.asDict()
+
+
+def test_concurrency_null_and_inverted_dropped(spark):
+    from datetime import datetime as dt
+
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    rows = [
+        ("a", dt(2024, 1, 1, 0), dt(2024, 1, 1, 2)),
+        ("a", None, dt(2024, 1, 1, 2)),
+        ("a", dt(2024, 1, 1, 3), dt(2024, 1, 1, 1)),  # inverted
+    ]
+    out = interval_concurrency(
+        _iv_df(spark, rows), "s", "e", keys=["k"]
+    ).collect()[0]
+    assert out["n_intervals"] == 1 and out["peak_concurrency"] == 1
