@@ -12695,6 +12695,80 @@ ORDER BY p.event_type
 """
 
 
+def q_stream_topk(spark, sf_dir):
+    """Streaming top-k maintenance, value-verified end-to-end: events
+    arrive as TWO micro-batches (event_id parity split) through
+    ``streaming.ingest.topk_stream``; each batch persists only its own
+    (type, user) count partials, and the read-side sum-then-rank must
+    equal the batch top-5 over everything arrived — counts are
+    mergeable, so rank state needs no state store and no streaming
+    complete-mode sort."""
+    import os as _os
+    import time as _time
+
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        read_topk_table,
+        topk_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = _scratch("mhm_stream_topk_")
+    src = f"{root}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    old = _time.time() - 3600
+    for d, _, files in _os.walk(f"{src}/b0"):
+        for fn in files:
+            _os.utime(_os.path.join(d, fn), (old, old))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, user_id long"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = topk_stream(
+        stream,
+        out_path=f"{root}/topk",
+        checkpoint=f"{root}/ck",
+        group_cols=("event_type",),
+        item_col="user_id",
+    )
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_topk: availableNow drain exceeded 300 s"
+        )
+    out = read_topk_table(
+        spark, f"{root}/topk", ("event_type",), "user_id", k=5
+    )
+    return out.orderBy("event_type", "rank")
+
+
+SQL_STREAM_TOPK = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id ASC) AS rank
+  FROM c
+)
+SELECT event_type, user_id, n, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -12942,6 +13016,7 @@ QUERIES: dict[str, QuerySpec] = {
     "woe_iv": q_woe_iv,
     "kmv_set_ops": q_kmv_set_ops,
     "peak_concurrency": q_peak_concurrency,
+    "stream_topk": q_stream_topk,
     "robust_trend": q_robust_trend,
 }
 
@@ -13197,6 +13272,7 @@ ORACLES: dict[str, str] = {
     "woe_iv": SQL_WOE_IV,
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "stream_topk": SQL_STREAM_TOPK,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13262,6 +13338,7 @@ GATE_PRIORITY: list[str] = [
     "woe_iv",                # WoE/IV scorecard feature screening
     "kmv_set_ops",           # theta-sketch distinct set algebra
     "peak_concurrency",      # sweep-line interval overlap peak
+    "stream_topk",           # mergeable streaming top-k partials
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13299,7 +13376,9 @@ GATE_PRIORITY: list[str] = [
     # (tpch_q16 yielded its slot to event_sequences — its anti-join
     # distinct-agg rides the kept q20/q4 semi/anti re-gates; leads
     # the r8 rotation.)
-    "tpch_q19",
+    # (tpch_q19 yielded its slot to stream_topk — its disjunctive-
+    # pushdown scan is the benched q6 family, hash-checked every CI
+    # run; leads the r8 rotation.)
     # (tpch_q20 yielded its slot to peak_concurrency — the kept q4
     # re-gate covers the nested semi/anti family; leads the r8
     # rotation.)
@@ -13604,6 +13683,8 @@ PERF_EVIDENCE_EXCLUSIONS: dict[str, str] = {
     "stream_sketch_rollup": "stream drain; hll_user_rollup benched",
     "stream_manifest": "stream drain; content_manifest probed",
     "stream_constraints": "stream drain; constraint_report benched",
+    "stream_topk": "stream drain; rank twin top_orders_per_customer "
+    "benched and heavy_hitters benched",
     # Sink/build pipelines: dominated by file-write fan-out of the
     # local filesystem, not by plan quality.
     "heatmap_render": "renders+writes a PNG on build; pivot benched "

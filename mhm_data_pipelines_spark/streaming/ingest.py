@@ -377,3 +377,66 @@ def read_validation_table(spark, out_path: str) -> DataFrame:
             (F.col("violations") == 0).alias("passed"),
         )
     )
+
+
+def topk_stream(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    group_cols: tuple[str, ...],
+    item_col: str,
+) -> DataStreamWriter:
+    """foreachBatch maintenance of a streaming TOP-K table: each
+    micro-batch writes only its OWN (group, item) count partials —
+    counts are mergeable, so the reader's sum-then-rank
+    (:func:`read_topk_table`) equals a batch top-k over everything
+    that has arrived, whatever the epoch boundaries. Streaming rank
+    state without a state store: per-batch state is the batch's own
+    aggregate, and complete-mode ranking (which Spark would otherwise
+    require for a streaming ORDER BY/LIMIT) is deferred to read time
+    where it runs over the compact partial table, not the stream.
+
+    Idempotent like the other foreachBatch sinks here: each batch owns
+    its ``batch_id=N`` partition with overwrite semantics, so a
+    retried epoch replaces rather than double-counts.
+    """
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy(*group_cols, item_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(emit)
+    )
+
+
+def read_topk_table(
+    spark,
+    out_path: str,
+    group_cols: tuple[str, ...],
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Current top-k per group from a :func:`topk_stream` table: one
+    sum-merge across the per-batch partials, then a group-bounded
+    row_number (count desc, item asc — a deterministic total order).
+    Returns ``(group…, item, n, rank)``."""
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(out_path)
+        .groupBy(*group_cols, item_col)
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(item_col).asc()
+    )
+    return merged.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)

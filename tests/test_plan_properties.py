@@ -36,6 +36,7 @@ EXECUTES_ON_BUILD = {
     "jsonl_roundtrip",  # writes the line-JSON dump + persists the raw
                         # read on build (quarantine split)
     "stream_sketch_rollup",  # drains a two-batch sketch stream on build
+    "stream_topk",  # drains a two-batch top-k stream on build
     "stream_manifest",  # drains a two-batch manifest stream on build
     "mmr_diverse",  # k greedy argmax rounds (bounded collects) on build
     "orc_roundtrip",     # writes the partitioned ORC dump on build
