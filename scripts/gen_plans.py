@@ -841,6 +841,23 @@ NOTES = {
         "only corpus-wide shuffle, and the entity total broadcasts "
         "as a whitelisted 1-row cross."
     ),
+    "woe_iv": (
+        "WoE/IV: decile edges broadcast as a 1-row cross; ONE bin "
+        "HashAggregate carries both class counts as conditional "
+        "sums; everything after is bins-sized."
+    ),
+    "kmv_set_ops": (
+        "KMV sketches: the only element-volume stages are the "
+        "distinct + per-set top-k window and the sample equi-join; "
+        "pair estimation runs entirely on the n_sets-row stats "
+        "aggregate (tiny inequality cross, whitelisted)."
+    ),
+    "peak_concurrency": (
+        "interval sweep: boundaries are a 2x projection of the "
+        "user-day aggregate; the keyed running sum is ONE window "
+        "Exchange; peak + earliest time come from a single "
+        "lexicographic struct-max HashAggregate."
+    ),
 }
 
 
