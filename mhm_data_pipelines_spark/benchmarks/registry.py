@@ -12330,13 +12330,13 @@ WITH c AS (
   SELECT s_seg, s_balk, s_sfx,
     round(
       (CASE s_seg WHEN 1 THEN round(log2(0.9 / u.u_seg), 6)
-                  WHEN -1 THEN round(log2(0.1 / (1 - u.u_seg)), 6)
+                  WHEN -1 THEN round(log2(0.1 / greatest(1e-6, 1 - u.u_seg)), 6)
                   ELSE 0.0 END)
     + (CASE s_balk WHEN 1 THEN round(log2(0.9 / u.u_balk), 6)
-                   WHEN -1 THEN round(log2(0.1 / (1 - u.u_balk)), 6)
+                   WHEN -1 THEN round(log2(0.1 / greatest(1e-6, 1 - u.u_balk)), 6)
                    ELSE 0.0 END)
     + (CASE s_sfx WHEN 1 THEN round(log2(0.9 / u.u_sfx), 6)
-                  WHEN -1 THEN round(log2(0.1 / (1 - u.u_sfx)), 6)
+                  WHEN -1 THEN round(log2(0.1 / greatest(1e-6, 1 - u.u_sfx)), 6)
                   ELSE 0.0 END), 6) AS score
   FROM p CROSS JOIN u
 )

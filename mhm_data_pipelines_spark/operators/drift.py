@@ -75,6 +75,9 @@ def _psi_terms(
     All grid inputs are tiny aggregates; the per-group totals ride a
     window over the ≤ n_groups·n_bins-row frame.
     """
+    # Callers localCheckpoint the binned projections (lazily), so the
+    # four sibling aggregates below — which Spark cannot merge — share
+    # ONE scan+fold instead of re-deriving the binning 4×.
     ref_bins = ref_binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_ref")
     )
@@ -138,10 +141,12 @@ def psi_by_group(
     table as the reference (each group = a "current" snapshot, the
     corpus = the scorecard's development sample). NULL values are
     dropped on both sides (a NULL carries no position in the
-    distribution; nullity drift is ``profile_drift``'s job). A NULL
-    GROUP value survives the aggregate but falls out of the grid's
-    equi-join (SQL ``=`` semantics, identically in every engine) —
-    pre-coalesce NULL groups to a sentinel if they matter.
+    distribution; nullity drift is ``profile_drift``'s job). NULL
+    GROUP values are dropped explicitly — left in, they would survive
+    the group aggregate but never equi-join their own bin counts,
+    fabricating a maximal-drift block for a "group" that is really
+    just missingness; pre-coalesce NULL groups to a sentinel if they
+    matter.
 
     Returns one row per (group, bin): ``(group, bin, n_ref, n_cur,
     p_ref, p_cur, psi_term, js_term, psi_total, js_total)`` — the
@@ -151,11 +156,21 @@ def psi_by_group(
     """
     vals = df.filter(F.col(value_col).isNotNull())
     edges = _quantile_edges(vals, value_col, n_bins)
-    binned = vals.crossJoin(F.broadcast(edges)).select(
-        F.col(group_col).alias("group"),
-        _bin_expr(value_col).alias("bin"),
+    binned = (
+        vals.crossJoin(F.broadcast(edges))
+        .select(
+            F.col(group_col).alias("group"),
+            _bin_expr(value_col).alias("bin"),
+        )
+        .localCheckpoint(eager=False)
     )
-    return _psi_terms(binned.select("bin"), binned, n_bins)
+    # The corpus REFERENCE keeps NULL-group rows (they are corpus
+    # mass); only the per-group "current" side drops them.
+    return _psi_terms(
+        binned.select("bin"),
+        binned.filter(F.col("group").isNotNull()),
+        n_bins,
+    )
 
 
 def psi_report(
@@ -171,11 +186,18 @@ def psi_report(
     r = ref.filter(F.col(value_col).isNotNull())
     c = cur.filter(F.col(value_col).isNotNull())
     edges = _quantile_edges(r, value_col, n_bins)
-    ref_binned = r.crossJoin(F.broadcast(edges)).select(
-        _bin_expr(value_col).alias("bin")
+    ref_binned = (
+        r.crossJoin(F.broadcast(edges))
+        .select(_bin_expr(value_col).alias("bin"))
+        .localCheckpoint(eager=False)
     )
-    cur_binned = c.crossJoin(F.broadcast(edges)).select(
-        F.lit("cur").alias("group"), _bin_expr(value_col).alias("bin")
+    cur_binned = (
+        c.crossJoin(F.broadcast(edges))
+        .select(
+            F.lit("cur").alias("group"),
+            _bin_expr(value_col).alias("bin"),
+        )
+        .localCheckpoint(eager=False)
     )
     return _psi_terms(ref_binned, cur_binned, n_bins).drop("group")
 
@@ -199,7 +221,12 @@ def woe_iv(
     iv_term, iv_total)`` — proportions rounded 6dp before the
     log/product terms (round-before-derive), ``EPS``-clamped so an
     empty class-bin contributes the standard finite penalty. Empty
-    bins surface with zeros (full 0..n_bins−1 grid).
+    bins surface with zeros (full 0..n_bins−1 grid). A SINGLE-CLASS
+    input (zero positives or zero negatives overall) yields NULL
+    proportions/WoE/IV by contract — WoE is undefined without both
+    classes, and an explicit NULL beats the engine-dependent
+    divide-by-zero (Spark NULL vs IEEE inf) a bare division would
+    leak.
 
     Scale shape: one exact-percentile aggregate (1-row broadcast),
     bin assignment as the array-fold projection, ONE (bin) hash
@@ -231,16 +258,19 @@ def woe_iv(
         "bin",
         F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
         F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
-        F.round(F.coalesce("n_pos", F.lit(0)) / F.col("t_pos"), 6).alias(
-            "p_pos"
-        ),
-        F.round(F.coalesce("n_neg", F.lit(0)) / F.col("t_neg"), 6).alias(
-            "p_neg"
-        ),
+        F.when(
+            F.col("t_pos") > 0,
+            F.round(F.coalesce("n_pos", F.lit(0)) / F.col("t_pos"), 6),
+        ).alias("p_pos"),
+        F.when(
+            F.col("t_neg") > 0,
+            F.round(F.coalesce("n_neg", F.lit(0)) / F.col("t_neg"), 6),
+        ).alias("p_neg"),
     )
     pp = F.greatest(F.lit(EPS), F.col("p_pos"))
     pn = F.greatest(F.lit(EPS), F.col("p_neg"))
-    woe = F.round(F.log(pp / pn), 6)
+    both = F.col("p_pos").isNotNull() & F.col("p_neg").isNotNull()
+    woe = F.when(both, F.round(F.log(pp / pn), 6))
     out = g.select(
         "bin",
         "n_pos",
@@ -248,9 +278,10 @@ def woe_iv(
         "p_pos",
         "p_neg",
         woe.alias("woe"),
-        F.round((F.col("p_pos") - F.col("p_neg")) * woe, 6).alias(
-            "iv_term"
-        ),
+        F.when(
+            both,
+            F.round((F.col("p_pos") - F.col("p_neg")) * woe, 6),
+        ).alias("iv_term"),
     )
     w = Window.partitionBy()
     return out.select(

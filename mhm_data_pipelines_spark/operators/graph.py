@@ -286,16 +286,19 @@ def label_propagation(
         .agg(F.sum("w").alias("w"))
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
     s = None
     if seeds is not None:
         s = seeds.select(
             "node", F.col("label").alias("seed_label")
         ).localCheckpoint(eager=False)
+        # Seeded-but-isolated nodes (no edges) must still appear in
+        # the output with their ground-truth label — the node set is
+        # edge endpoints ∪ seed nodes, exactly connected_components'
+        # `nodes` treatment.
+        nodes = nodes.unionByName(s.select("node")).distinct()
+    nodes = nodes.localCheckpoint(eager=False)
+    if s is not None:
         labels = nodes.join(s, "node", "left").select(
             "node",
             F.coalesce("seed_label", F.col("node")).alias("label"),

@@ -110,9 +110,18 @@ def fs_pair_scores(
         )
         states.append(state.alias(f"s_{f}"))
         u6 = F.col(f"u_{f}")
+        # 1−m as a 9dp-rounded literal (0.1, not 0.09999999999999998)
+        # so both engines feed the SAME double into log2; 1−u6 clamped
+        # at 1e-6 — a near-constant field can round u6 to exactly 1.0,
+        # and a bare division would give NULL in Spark vs IEEE -inf in
+        # an oracle engine.
         w_agree = F.round(F.log2(F.lit(float(m)) / u6), 6)
         w_disagree = F.round(
-            F.log2(F.lit(1.0 - float(m)) / (F.lit(1.0) - u6)), 6
+            F.log2(
+                F.lit(round(1.0 - float(m), 9))
+                / F.greatest(F.lit(1e-6), F.lit(1.0) - u6)
+            ),
+            6,
         )
         score = score + (
             F.when(state == 1, w_agree)

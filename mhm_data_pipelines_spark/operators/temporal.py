@@ -175,7 +175,11 @@ def interval_concurrency(
     semantics). ``tiebreak_cols`` complete the boundary total order —
     they change nothing about the counts (same-timestamp boundaries
     commute within a delta sign) but make the sweep replayable
-    row-for-row by an external oracle.
+    row-for-row by an external oracle. On the GLOBAL path (no keys)
+    tiebreak columns must be NON-NULL: they become range-bucket
+    boundary keys in ``budget.running_total``, whose comparisons are
+    null-poisoned by contract — coalesce to a sentinel first (the
+    keyed window path tolerates NULLs).
 
     Scale shape: boundaries = a 2×n explode (pure projection). Keyed:
     ONE window partitioned by the keys. Global: the two-phase

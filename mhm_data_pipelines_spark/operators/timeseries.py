@@ -987,27 +987,28 @@ def sequential_patterns(
     cols = [F.col(state_col)] + [
         F.lead(state_col, i).over(w) for i in range(1, k)
     ]
+    state_names = [f"_s{i}" for i in range(k)]
     seqs = df.select(
         F.col(entity_col).alias("entity"),
-        F.concat_ws(">", *cols).alias("pattern"),
-        # concat_ws SKIPS nulls — track completeness explicitly so a
-        # truncated run can't alias a shorter real one.
-        sum(
-            [c.isNotNull().cast("int") for c in cols], F.lit(0)
-        ).alias("n_states"),
-    ).filter(F.col("n_states") == k)
+        *[c.alias(n) for c, n in zip(cols, state_names)],
+    )
+    for n in state_names:  # complete runs only (NULL/truncated drop)
+        seqs = seqs.filter(F.col(n).isNotNull())
     total = df.agg(
         F.countDistinct(entity_col).alias("n_total_entities")
     )
+    # Aggregate on the state TUPLE, render the display string after —
+    # grouping on the joined string would merge distinct sequences
+    # whose state values themselves contain the separator.
     return (
-        seqs.groupBy("pattern")
+        seqs.groupBy(*state_names)
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("entity").alias("n_entities"),
         )
         .crossJoin(F.broadcast(total))
         .select(
-            "pattern",
+            F.concat_ws(">", *state_names).alias("pattern"),
             "n_occurrences",
             "n_entities",
             F.round(

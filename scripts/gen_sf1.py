@@ -175,18 +175,34 @@ def main() -> None:
     )
     pq.write_table(tbl, f"{dest}/events.parquet")
     print(f"events: {N_EVENTS}")
-    # ---- lineitem: 10 structure-preserving replicas with OFFSET
-    # order/part keys (not row duplication — duplicated keys would
-    # only multiply edge weights, leaving the co-order graph the same
-    # size). 10× orders and 10× parts with identical per-order line
-    # structure is exactly the scale-up label_communities needs.
-    # NOTE: only lineitem is scaled — sf1 TPC-H joins against the
-    # symlinked dims are out of contract (the probe set touches
-    # lineitem alone).
+    # ---- lineitem + orders: 10 structure-preserving replicas with
+    # OFFSET order/part keys (not row duplication — duplicated keys
+    # would only multiply edge weights, leaving the co-order graph
+    # the same size). 10× orders and 10× parts with identical
+    # per-order line structure is the scale-up label_communities
+    # needs, and offsetting o_orderkey IDENTICALLY keeps the
+    # orders⋈lineitem key space aligned so the join_preflight probe
+    # measures a real 10× fact-fact join, not a 90%-miss one.
+    # (Dims like customer/part stay symlinked at sf0.1 — sf1
+    # fact⋈dim joins are out of the probe contract.)
+    def _fresh(path: str) -> str:
+        # A pre-existing SYMLINK here (older gen_sf1 linked the
+        # TPC-H tables) must be removed before writing: pyarrow
+        # writes THROUGH a symlink and would clobber the read-only
+        # canonical fixture it points at.
+        if os.path.islink(path) or os.path.exists(path):
+            os.unlink(path)
+        return path
+
     li = con.sql(
         f"""
         WITH m AS (
-          SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp
+          -- one shared order-key modulus from ORDERS (the superset:
+          -- orders without lineitems can exceed max(l_orderkey), and
+          -- a smaller modulus would let replica key ranges collide)
+          SELECT (SELECT max(o_orderkey)
+                  FROM '{SRC}/orders.parquet') AS mo,
+                 max(l_partkey) AS mp
           FROM '{SRC}/lineitem.parquet'
         )
         SELECT l.* REPLACE (
@@ -197,12 +213,27 @@ def main() -> None:
         CROSS JOIN m CROSS JOIN range(0, 10) r(i)
         """
     ).arrow()
-    pq.write_table(li, f"{dest}/lineitem.parquet")
+    pq.write_table(li, _fresh(f"{dest}/lineitem.parquet"))
     print(f"lineitem: {li.num_rows}")
+
+    orders = con.sql(
+        f"""
+        WITH m AS (
+          SELECT max(o_orderkey) AS mo FROM '{SRC}/orders.parquet'
+        )
+        SELECT o.* REPLACE (
+          o.o_orderkey + r.i * (m.mo + 1) AS o_orderkey
+        )
+        FROM '{SRC}/orders.parquet' o
+        CROSS JOIN m CROSS JOIN range(0, 10) r(i)
+        """
+    ).arrow()
+    pq.write_table(orders, _fresh(f"{dest}/orders.parquet"))
+    print(f"orders: {orders.num_rows}")
 
     # The small TPC-H dims aren't needed by the heavy-query probe; link
     # them anyway so registry.load_table works for any query.
-    for t in "region nation customer supplier part orders".split():
+    for t in "region nation customer supplier part".split():
         src = f"{SRC}/{t}.parquet"
         dst = f"{dest}/{t}.parquet"
         if not os.path.exists(dst):

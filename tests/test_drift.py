@@ -136,3 +136,29 @@ def test_woe_iv_null_rows_dropped(spark):
     df = spark.createDataFrame(rows, "x double, y int")
     out = woe_iv(df, "x", "y", n_bins=2).collect()
     assert sum(r["n_pos"] + r["n_neg"] for r in out) == 3
+
+
+def test_psi_null_group_dropped(spark):
+    # A NULL group must not fabricate a maximal-drift block.
+    rows = [("a", float(i % 100)) for i in range(100)] + [
+        (None, float(i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = psi_by_group(df, "x", "g", n_bins=4)
+    groups = {r["group"] for r in out.collect()}
+    assert groups == {"a"}
+    # ...but the NULL rows still count as corpus reference mass.
+    assert out.collect()[0]["n_ref"] >= 25
+
+
+def test_woe_iv_single_class_is_null_by_contract(spark):
+    from mhm_data_pipelines_spark.operators.drift import woe_iv
+
+    df = spark.createDataFrame(
+        [(float(i), 1) for i in range(40)], "x double, y int"
+    )
+    out = woe_iv(df, "x", "y", n_bins=4).collect()
+    for r in out:
+        assert r["p_neg"] is None
+        assert r["woe"] is None and r["iv_term"] is None
+        assert r["iv_total"] is None

@@ -233,3 +233,17 @@ def test_lpa_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         label_propagation(df, iterations=0)
+
+
+def test_lpa_isolated_seed_node_survives(spark):
+    from mhm_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("z", "L9")], "node string, label string"
+    )
+    got = _labels(label_propagation(df, iterations=2, seeds=seeds))
+    assert got["z"] == "L9"  # isolated seed kept, clamped
+    assert set(got) == {"a", "b", "z"}

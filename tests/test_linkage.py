@@ -82,3 +82,17 @@ def test_guards(records):
         u_probabilities(records, [])
     with pytest.raises(ValueError):
         fs_pair_scores(records, "id", ["blk"], ["city"], m=1.0)
+
+
+def test_near_constant_field_clamped_not_null(spark):
+    # u rounds to 1.0 for a constant-valued field: the disagreement
+    # weight must clamp, never NULL/inf-poison the score.
+    rows = [(i, "b", "same") for i in range(6)]
+    df = spark.createDataFrame(rows, "id int, blk string, f string")
+    out = fs_pair_scores(df, "id", ["blk"], ["f"], m=0.9).collect()
+    assert all(r["score"] is not None for r in out)
+    # all pairs agree here; force a disagreement and re-check
+    rows[0] = (0, "b", "diff")
+    df = spark.createDataFrame(rows, "id int, blk string, f string")
+    out = fs_pair_scores(df, "id", ["blk"], ["f"], m=0.9).collect()
+    assert all(r["score"] is not None for r in out)

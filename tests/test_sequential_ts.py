@@ -170,3 +170,17 @@ def test_sequential_patterns_k_guard(spark):
     df = spark.createDataFrame([(1, 1, "a")], "u int, t int, s string")
     with _pytest.raises(ValueError):
         sequential_patterns(df, "u", ["t"], "s", k=1)
+
+
+def test_sequential_patterns_separator_in_state_not_conflated(spark):
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        sequential_patterns,
+    )
+
+    # ('a>b', 'c') and ('a', 'b>c') must NOT merge even though both
+    # render as 'a>b>c'.
+    rows = [(1, 1, "a>b"), (1, 2, "c"), (2, 1, "a"), (2, 2, "b>c")]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    out = sequential_patterns(df, "u", ["t"], "s", k=2).collect()
+    assert len(out) == 2  # two distinct rows, one per true sequence
+    assert all(r["n_occurrences"] == 1 for r in out)
