@@ -13607,7 +13607,6 @@ BENCH_QUERIES: list[str] = [
     "psi_drift",
     "fs_linkage",
     "label_communities",
-    "golden_records",
     "event_sequences",
     "woe_iv",
     "kmv_set_ops",
@@ -13673,6 +13672,10 @@ PERF_EVIDENCE_EXCLUSIONS: dict[str, str] = {
     "prefix_jaccard",
     "unigram_jaccard_pairs": "bounded all-pairs demo; production path "
     "is prefix_jaccard (gated) / minhash_neardup (probed)",
+    "golden_records": "composes the pathologically self-similar "
+    "corpus' exact-Jaccard pair set (see prefix_jaccard note) + the "
+    "CC loop; a timing measures fixture pathology, not the "
+    "entity-sized survivorship plan (gated at sf0.01)",
     # Streaming drains: wall time is micro-batch trigger + checkpoint
     # latency, not operator throughput; the stateful operators' cost
     # model is covered by their batch twins (benched/probed).
