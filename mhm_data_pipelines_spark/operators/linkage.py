@@ -144,15 +144,115 @@ def fs_pattern_summary(
     fields: Sequence[str],
     m: float = 0.9,
 ) -> DataFrame:
-    """Agreement-pattern roll-up of :func:`fs_pair_scores`: one row
-    per distinct (s_field…) pattern with its pair count and score —
-    ≤ 3^k rows regardless of pair volume, the form a linkage reviewer
-    thresholds on (and the form that stays oracle-hashable when the
-    pair table runs to millions)."""
-    scored = fs_pair_scores(df, id_col, block_cols, fields, m)
+    """Agreement-pattern roll-up: one row per distinct (s_field…)
+    pattern with its pair count and score — ≤ 3^k rows regardless of
+    pair volume, the form a linkage reviewer thresholds on (and the
+    form that stays oracle-hashable when the pair table runs to
+    millions).
+
+    The summary needs no record ids, so it NEVER materializes record
+    pairs: records collapse to value PROFILES (block + field tuple)
+    with multiplicities, and the blocked self-join runs over profiles
+    — ``n_a·n_b`` pairs per cross-profile row, ``C(n,2)`` per
+    same-profile diagonal row. Candidate volume drops from
+    O(N²/block) to O(P²/block) where P is bounded by the value-combo
+    space however large the corpus grows (the algebraic lift that
+    keeps this runnable at 100 TB; :func:`fs_pair_scores` remains the
+    per-pair path when ids are needed). Identical output to rolling
+    up :func:`fs_pair_scores` — tested, and the gate oracle scores
+    record pairs directly.
+
+    ``id_col`` is unused by the lifted plan (kept for signature
+    parity with :func:`fs_pair_scores`).
+    """
+    if not 0.0 < m < 1.0:
+        raise ValueError("m must be in (0, 1)")
+    from pyspark.sql import Window
+
+    u_row = u_probabilities(df, fields)
+    bks = [f"bk_{c}" for c in block_cols]
+    prof = (
+        df.groupBy(
+            *[F.col(c).alias(f"bk_{c}") for c in block_cols],
+            *[F.col(f) for f in fields],
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Deterministic within-block profile id so each unordered profile
+    # pair is emitted once (a P-row window, never the corpus).
+    wpid = Window.partitionBy(*bks).orderBy(
+        *[F.col(f).asc_nulls_first() for f in fields]
+    )
+    prof = prof.withColumn(
+        "pid", F.row_number().over(wpid)
+    ).localCheckpoint(eager=False)
+    a = prof.select(
+        *bks,
+        F.col("pid").alias("pid_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f).alias(f"a_{f}") for f in fields],
+    )
+    b = prof.select(
+        *bks,
+        F.col("pid").alias("pid_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f).alias(f"b_{f}") for f in fields],
+    )
+    cross = (
+        a.join(b, bks)
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .select(
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+            *[
+                (
+                    F.when(
+                        F.col(f"a_{f}").isNull()
+                        | F.col(f"b_{f}").isNull(),
+                        F.lit(0),
+                    )
+                    .when(F.col(f"a_{f}") == F.col(f"b_{f}"), F.lit(1))
+                    .otherwise(F.lit(-1))
+                ).alias(f"s_{f}")
+                for f in fields
+            ],
+        )
+    )
+    # Same-profile diagonal: C(n,2) pairs; identical values agree,
+    # NULL = NULL is still MISSING (no evidence), exactly as in the
+    # record-pair path.
+    diag = prof.filter(F.col("n") >= 2).select(
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
+            "n_pairs"
+        ),
+        *[
+            F.when(F.col(f).isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias(f"s_{f}")
+            for f in fields
+        ],
+    )
+    pairs = cross.unionByName(diag).crossJoin(F.broadcast(u_row))
+    score = F.lit(0.0)
+    for f in fields:
+        u6 = F.col(f"u_{f}")
+        w_agree = F.round(F.log2(F.lit(float(m)) / u6), 6)
+        w_disagree = F.round(
+            F.log2(
+                F.lit(round(1.0 - float(m), 9))
+                / F.greatest(F.lit(1e-6), F.lit(1.0) - u6)
+            ),
+            6,
+        )
+        state = F.col(f"s_{f}")
+        score = score + (
+            F.when(state == 1, w_agree)
+            .when(state == -1, w_disagree)
+            .otherwise(F.lit(0.0))
+        )
     state_cols = [f"s_{f}" for f in fields]
     return (
-        scored.groupBy(*state_cols, "score")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        pairs.withColumn("score", F.round(score, 6))
+        .groupBy(*state_cols, "score")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
         .select(*state_cols, "n_pairs", "score")
     )

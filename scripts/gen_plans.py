@@ -819,9 +819,11 @@ NOTES = {
     ),
     "fs_linkage": (
         "Fellegi-Sunter: u-probability aggregates are 1-row "
-        "broadcasts; candidates come from the nation-blocked "
-        "self-equi-join (never a cartesian); the 3^k pattern "
-        "roll-up bounds output regardless of pair volume."
+        "broadcasts; records collapse to value PROFILES with "
+        "multiplicities before the blocked self-join, so candidate "
+        "volume is O(P^2/block) of the value-combo space, not "
+        "O(N^2/block) of the corpus; the 3^k pattern roll-up bounds "
+        "output regardless of pair volume."
     ),
     "label_communities": (
         "LPA: symmetrized weighted edge list checkpointed once; "

@@ -96,3 +96,40 @@ def test_near_constant_field_clamped_not_null(spark):
     df = spark.createDataFrame(rows, "id int, blk string, f string")
     out = fs_pair_scores(df, "id", ["blk"], ["f"], m=0.9).collect()
     assert all(r["score"] is not None for r in out)
+
+
+def test_pattern_summary_equals_pair_rollup(spark):
+    # The profile-lifted summary must equal rolling up the per-pair
+    # scores exactly (counts AND scores), including NULL fields and
+    # same-profile diagonals.
+    import random
+
+    random.seed(7)
+    rows = [
+        (
+            i,
+            random.choice(["b1", "b2"]),
+            random.choice(["nyc", "sfo", None]),
+            random.choice(["111", "222"]),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, blk string, city string, phone string"
+    )
+    lifted = {
+        (r["s_city"], r["s_phone"]): (r["n_pairs"], r["score"])
+        for r in fs_pattern_summary(
+            df, "id", ["blk"], ["city", "phone"], m=0.9
+        ).collect()
+    }
+    scored = fs_pair_scores(df, "id", ["blk"], ["city", "phone"], m=0.9)
+    from pyspark.sql import functions as F
+
+    rolled = {
+        (r["s_city"], r["s_phone"]): (r["n_pairs"], r["score"])
+        for r in scored.groupBy("s_city", "s_phone", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .collect()
+    }
+    assert lifted == rolled
