@@ -378,3 +378,88 @@ def test_winsorize_bounds_and_idempotence(sp, vals):
     assert sorted(r["v_w"] for r in again) == pytest.approx(
         sorted(r["v_w"] for r in out)
     )
+
+
+# ------------------------------------------------- r7 batch properties
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@_settings
+def test_interval_concurrency_matches_brute_force(sp, intervals):
+    from datetime import datetime, timedelta
+
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("k", base + timedelta(hours=min(s, e)),
+         base + timedelta(hours=max(s, e)))
+        for s, e in intervals
+    ]
+    df = sp.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    out = interval_concurrency(df, "s", "e", keys=["k"]).collect()[0]
+    # brute force over the half-open semantics: concurrency at any
+    # boundary instant t = #intervals with s <= t < e.
+    pts = sorted({min(s, e) for s, e in intervals})
+    want = max(
+        sum(1 for s, e in intervals if min(s, e) <= t < max(s, e))
+        for t in pts
+    )
+    # zero-length intervals can make every candidate 0
+    want = max(want, 0)
+    assert out["peak_concurrency"] == want
+    assert out["n_intervals"] == len(rows)
+
+
+@given(
+    elems_a=st.sets(st.integers(0, 500), min_size=1, max_size=80),
+    elems_b=st.sets(st.integers(0, 500), min_size=1, max_size=80),
+)
+@_settings
+def test_kmv_exact_below_k(sp, elems_a, elems_b):
+    from mhm_data_pipelines_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", e) for e in elems_a] + [("B", e) for e in elems_b]
+    df = sp.createDataFrame(rows, "s string, e int")
+    out = kmv_set_ops(df, "s", "e", k=256).collect()[0]
+    # both sets below k: the sketch IS the set — everything exact.
+    assert out["est_a"] == float(len(elems_a))
+    assert out["est_b"] == float(len(elems_b))
+    assert out["est_inter"] == float(len(elems_a & elems_b))
+    assert out["est_union"] == float(len(elems_a | elems_b))
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=4,
+        max_size=60,
+    ),
+    n_bins=st.sampled_from([2, 4, 5]),
+)
+@_settings
+def test_psi_self_comparison_is_zero(sp, vals, n_bins):
+    from mhm_data_pipelines_spark.operators.drift import psi_report
+
+    df = sp.createDataFrame([(v,) for v in vals], "x double")
+    out = psi_report(df, df, "x", n_bins=n_bins).collect()
+    assert out, "grid must not be empty"
+    for r in out:
+        assert r["psi_term"] == 0.0 and r["js_term"] == 0.0
+        assert r["n_ref"] == r["n_cur"]
