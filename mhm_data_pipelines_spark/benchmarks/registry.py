@@ -13291,16 +13291,21 @@ GATE_PRIORITY: list[str] = [
     "tpch_q1",
     "overview_stats",
     "summary_assembly",
-    # -- round 7 rotation: STALENESS-BASED (VERDICT r6 #2). All 212
-    #    r6 keys are driver-green at least once, so the window is now
-    #    (a) canaries, (b) keys NEW this round, (c) keys whose
-    #    DEFINITION was touched this round, (d) the keys whose last
-    #    green row is OLDEST (the r2 block — 46 keys last gated in
-    #    CORRECTNESS_r02; 22 fit this round (ALL 14 verdict-named), the
-    #    remaining 24 plus the
-    #    40 r3-last-green keys lead the r8 rotation). Everything
-    #    rotated out stays hash-checked every CI run by
-    #    tests/test_oracle_parity.py.
+    # -- round 7 rotation: STALENESS-BASED (VERDICT r6 #2), with the
+    #    documented precedence (b) new > (c) touched > (d) stale.
+    #    All 212 r6 keys are driver-green at least once, so the window
+    #    is (a) 3 canaries, (b) 36 keys NEW in round 7 (the round kept
+    #    producing operators, and a never-gated key always outranks an
+    #    old-green re-gate — the structural tripwire in
+    #    test_oracle_parity enforces this), (c) 7 keys whose
+    #    DEFINITION was touched, (d) the 4 stale-fill slots that
+    #    remain: the verdict-named q7/q9 join chains + q4's semi-join
+    #    and the users_intersect set-op scan pair. The other 10
+    #    verdict-named r2-stale keys each yielded a slot to a late-r7
+    #    capability key with an in-place rationale below; they lead
+    #    the r8 rotation together with the rest of the r2 block and
+    #    the 40 r3-last-green keys. Everything rotated out stays
+    #    hash-checked every CI run by tests/test_oracle_parity.py.
     #
     # (b) new in round 7:
     "doc_sb5_lm",            # configurable-order SB at the CCNet order
@@ -13347,14 +13352,13 @@ GATE_PRIORITY: list[str] = [
     "ivfpq_topk",            # ivf_pq_topk refactored (probe + ADC split)
     "doc_sb_lm",             # now the order=3 wrapper of sb_doc_scores
     "subject_erasure",       # partition-dir names via Spark Cast
-    # (d) stalest driver-green keys — last green r2, leading with ALL
-    # 14 keys the r6 verdict NAMED as never re-gated since r1-r3
-    # (tpch_q4/q7/q9/q11/q12/q14/q15/q16/q19/q20/q22,
-    # users_intersect/except, value_percentiles); the TPC-H twins
-    # q3/q5/q6/q8/q10/q13/q17/q18/q21 (shapes covered by the named
-    # q7/q9 join chains and fans, q14/q19, q16, q22's scalar-avg, q4,
-    # q4+q22's semi/anti pair) yield their
-    # slots to those three named keys and lead the r8 rotation:
+    # (d) stalest driver-green keys — last green r2. Of the 14 keys
+    # the r6 verdict NAMED as never re-gated since r1-r3, FOUR hold
+    # slots this round (q4's semi-join, the q7/q9 join chains,
+    # users_intersect's set-op scan pair); the other ten yielded to
+    # late-r7 capability keys — each yield documented in place below
+    # with the kept key that covers its plan shape — and lead the r8
+    # rotation:
     # (tpch_q2 and users_except yielded their stale-fill slots to the
     # late-r7 privacy keys k_anonymity/dp_counts — new never-gated keys
     # outrank old-green re-gates; q2's scan/join shape rides the named
