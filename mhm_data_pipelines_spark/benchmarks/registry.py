@@ -12769,6 +12769,81 @@ ORDER BY event_type, rank
 """
 
 
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal calibration (selection.conformal_report,
+    α=0.1): per-type mean model fit on even event_ids, nonconformity
+    = |value − μ_type| (round-before-derive), calibration on
+    event_id%4==1, the exact ⌈(n+1)(1−α)⌉-th order statistic via the
+    distributed prefix sum, realized coverage on event_id%4==3 —
+    the finite-sample ≥90% guarantee, measured."""
+    from mhm_data_pipelines_spark.operators.selection import (
+        conformal_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mu = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.round(F.sum("value"), 6) / F.count(F.lit(1)), 6
+            ).alias("mu")
+        )
+    )
+    scored = ev.join(F.broadcast(mu), "event_type").select(
+        "event_id",
+        F.round(F.abs(F.col("value") - F.col("mu")), 6).alias(
+            "residual"
+        ),
+    )
+    cal = scored.filter(F.col("event_id") % 4 == 1)
+    ev_split = scored.filter(F.col("event_id") % 4 == 3)
+    return conformal_report(cal, ev_split, "residual", alpha=0.1)
+
+
+SQL_CONFORMAL_COVERAGE = """
+WITH tr AS (
+  SELECT event_type,
+         round(round(sum(value), 6) / count(*), 6) AS mu
+  FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+  GROUP BY 1
+), scored AS (
+  SELECT e.event_id, round(abs(e.value - tr.mu), 6) AS s
+  FROM events e JOIN tr USING (event_type)
+  WHERE e.value IS NOT NULL
+), cal AS (
+  SELECT s FROM scored WHERE event_id % 4 = 1
+), ev AS (
+  SELECT s FROM scored WHERE event_id % 4 = 3
+), n AS (
+  SELECT count(*) AS n_cal FROM cal
+), kk AS (
+  SELECT n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS k FROM n
+), cum AS (
+  SELECT s, sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT s, count(*) AS cnt FROM cal GROUP BY s)
+), q AS (
+  SELECT min(cum.s) AS q_hat FROM cum CROSS JOIN kk
+  WHERE cum.cum >= kk.k
+), ne AS (
+  SELECT count(*) AS n_eval FROM ev
+), ni AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ev.s <= q.q_hat THEN 1 END), 0)
+    AS BIGINT) AS n_in
+  FROM ev CROSS JOIN q
+)
+SELECT kk.n_cal,
+       CASE WHEN kk.k <= kk.n_cal THEN kk.k END AS k,
+       CASE WHEN kk.k <= kk.n_cal THEN round(q.q_hat, 6) END AS q_hat,
+       ne.n_eval,
+       CASE WHEN kk.k <= kk.n_cal
+            THEN round(CAST(ni.n_in AS DOUBLE) / ne.n_eval, 6)
+       END AS coverage,
+       0.9 AS target
+FROM kk CROSS JOIN q CROSS JOIN ne CROSS JOIN ni
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -13017,6 +13092,7 @@ QUERIES: dict[str, QuerySpec] = {
     "kmv_set_ops": q_kmv_set_ops,
     "peak_concurrency": q_peak_concurrency,
     "stream_topk": q_stream_topk,
+    "conformal_coverage": q_conformal_coverage,
     "robust_trend": q_robust_trend,
 }
 
@@ -13273,6 +13349,7 @@ ORACLES: dict[str, str] = {
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "stream_topk": SQL_STREAM_TOPK,
+    "conformal_coverage": SQL_CONFORMAL_COVERAGE,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13294,7 +13371,7 @@ GATE_PRIORITY: list[str] = [
     # -- round 7 rotation: STALENESS-BASED (VERDICT r6 #2), with the
     #    documented precedence (b) new > (c) touched > (d) stale.
     #    All 212 r6 keys are driver-green at least once, so the window
-    #    is (a) 3 canaries, (b) 36 keys NEW in round 7 (the round kept
+    #    is (a) 3 canaries, (b) 37 keys NEW in round 7 (the round kept
     #    producing operators, and a never-gated key always outranks an
     #    old-green re-gate — the structural tripwire in
     #    test_oracle_parity enforces this), (c) 7 keys whose
@@ -13344,6 +13421,7 @@ GATE_PRIORITY: list[str] = [
     "kmv_set_ops",           # theta-sketch distinct set algebra
     "peak_concurrency",      # sweep-line interval overlap peak
     "stream_topk",           # mergeable streaming top-k partials
+    "conformal_coverage",    # split-conformal exact-rank threshold
     # (c) definitions touched in round 7, re-gated:
     "knn_graph",             # zero-norm vectors dropped pre-cogroup
     "mutual_knn",            # consumes knn_graph (same fix)
@@ -13353,9 +13431,9 @@ GATE_PRIORITY: list[str] = [
     "doc_sb_lm",             # now the order=3 wrapper of sb_doc_scores
     "subject_erasure",       # partition-dir names via Spark Cast
     # (d) stalest driver-green keys — last green r2. Of the 14 keys
-    # the r6 verdict NAMED as never re-gated since r1-r3, FOUR hold
-    # slots this round (q4's semi-join, the q7/q9 join chains,
-    # users_intersect's set-op scan pair); the other ten yielded to
+    # the r6 verdict NAMED as never re-gated since r1-r3, THREE hold
+    # slots this round (q4's semi-join, the q7/q9 join chains); the
+    # other eleven yielded to
     # late-r7 capability keys — each yield documented in place below
     # with the kept key that covers its plan shape — and lead the r8
     # rotation:
@@ -13389,7 +13467,10 @@ GATE_PRIORITY: list[str] = [
     # (tpch_q22 yielded its slot to kmv_set_ops — the kept q4 re-gate
     # covers the semi/anti family and user_rfm's gate row exercises
     # the scalar-avg broadcast; leads the r8 rotation.)
-    "users_intersect",
+    # (users_intersect yielded its slot to conformal_coverage — the
+    # set-op pair is the registry's simplest plan family (two scans +
+    # a hash distinct), hash-checked every CI run; both set-op keys
+    # lead the r8 rotation.)
     # (value_percentiles yielded its slot to woe_iv — the exact-
     # percentile machinery is exercised harder by the NEW psi_drift /
     # woe_iv gate keys, which bin every row on those same percentile
@@ -13615,6 +13696,7 @@ BENCH_QUERIES: list[str] = [
     "woe_iv",
     "kmv_set_ops",
     "peak_concurrency",
+    "conformal_coverage",
 ]
 
 

@@ -375,3 +375,95 @@ def calibration_curve(
             ).alias("ece_term"),
         )
     )
+
+
+def conformal_report(
+    cal: DataFrame,
+    eval_df: DataFrame,
+    score_col: str = "residual",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    2023 survey): from a CALIBRATION frame of nonconformity scores
+    (e.g. |y − ŷ|), the finite-sample threshold is the k-th SMALLEST
+    score with ``k = ⌈(n+1)(1−α)⌉`` — an exact order statistic, not an
+    interpolated quantile — and prediction sets ``score ≤ q_hat`` then
+    cover with probability ≥ 1−α on exchangeable data. Returns one
+    row: ``(n_cal, k, q_hat, n_eval, coverage, target)`` where
+    ``coverage`` is the realized fraction of the EVAL frame within the
+    threshold (rounded 6dp).
+
+    Degenerate contract: if ``k > n_cal`` (tiny calibration set or α
+    too small for it), no finite threshold guarantees coverage —
+    ``q_hat`` and ``coverage`` are NULL, never a silently-infinite
+    set.
+
+    Scale shape: the k-th order statistic comes from per-VALUE counts
+    + one ordered cumulative window over the ≤-distinct-values table —
+    the repo's exact-rank discipline (cf. ``correlation.spearman_rho``)
+    — never a global row sort; eval coverage is one more aggregate with
+    the 1-row threshold broadcast.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    c = cal.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("s")
+    )
+    counts = c.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative count over the distinct-score table via the
+    # two-phase distributed prefix sum — continuous scores can leave
+    # the distinct table corpus-sized, so no single-task window here
+    cum = running_total(counts, order_by=["s"], value_col="cnt",
+                        out_col="cum")
+    tot = c.agg(F.count(F.lit(1)).alias("n_cal"))
+    k_expr = F.ceil(
+        (F.col("n_cal") + 1) * F.lit(round(1.0 - float(alpha), 9))
+    ).cast("long")
+    kn = tot.select("n_cal", k_expr.alias("k"))
+    qhat = (
+        cum.crossJoin(F.broadcast(kn))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(
+            F.min("s").alias("q_hat"),
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+        )
+    )
+    # k > n_cal -> the filter above keeps no rows -> q_hat NULL with
+    # NULL n_cal/k; re-attach them so the report stays informative.
+    rep = kn.crossJoin(
+        F.broadcast(qhat.select(F.col("q_hat")))
+    )
+    e = eval_df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("s")
+    )
+    ev = e.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+    )
+    cov = (
+        e.crossJoin(F.broadcast(rep.select("q_hat")))
+        .agg(
+            F.sum(
+                F.when(F.col("s") <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_in")
+        )
+    )
+    return (
+        rep.crossJoin(F.broadcast(ev))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal",
+            F.when(F.col("k") <= F.col("n_cal"), F.col("k")).alias("k"),
+            F.when(
+                F.col("k") <= F.col("n_cal"), F.round("q_hat", 6)
+            ).alias("q_hat"),
+            "n_eval",
+            F.when(
+                F.col("k") <= F.col("n_cal"),
+                F.round(F.col("n_in") / F.col("n_eval"), 6),
+            ).alias("coverage"),
+            F.lit(round(1.0 - float(alpha), 9)).alias("target"),
+        )
+    )

@@ -143,6 +143,9 @@ SINGLE_ROW_BROADCAST_OK = {
                           # total)) onto the pattern aggregate
     "woe_iv",             # crossJoin(broadcast(1-row decile edges +
                           # 1-row class totals)) — psi_drift's shape
+    "conformal_coverage", # 1-row crosses: (n_cal,k) onto the cum
+                          # table, q_hat onto eval, and the final
+                          # report assembly — all single-row scalars
     "kmv_set_ops",        # set_a < set_b inequality pair join over
                           # the n_sets-row sketch-stats aggregate —
                           # tiny-aggregate cross by design; the

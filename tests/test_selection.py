@@ -369,3 +369,74 @@ def test_novelty_hand_computed(spark):
     assert out[2]["novelty"] == 1.0 and out[2]["n_matched"] == 0
     assert out[3]["n_ngrams"] == 4 and out[3]["n_matched"] == 1
     assert out[3]["novelty"] == 0.75
+
+
+# --------------------------------------------------- split conformal
+
+
+def test_conformal_threshold_is_exact_order_statistic(spark):
+    from mhm_data_pipelines_spark.operators.selection import (
+        conformal_report,
+    )
+
+    # 9 calibration scores 1..9; alpha=0.1 -> k = ceil(10*0.9) = 9
+    # -> q_hat = 9th smallest = 9.0.
+    cal = spark.createDataFrame(
+        [(float(i),) for i in range(1, 10)], "residual double"
+    )
+    ev = spark.createDataFrame(
+        [(0.5,), (9.0,), (9.5,)], "residual double"
+    )
+    row = conformal_report(cal, ev, alpha=0.1).collect()[0]
+    assert (row["n_cal"], row["k"]) == (9, 9)
+    assert row["q_hat"] == 9.0
+    assert row["coverage"] == round(2 / 3, 6)  # 0.5 and 9.0 covered
+    assert row["target"] == 0.9
+
+
+def test_conformal_coverage_guarantee_on_exchangeable_data(spark):
+    import random
+
+    from mhm_data_pipelines_spark.operators.selection import (
+        conformal_report,
+    )
+
+    random.seed(3)
+    scores = [random.gauss(0, 1) ** 2 for _ in range(2000)]
+    cal = spark.createDataFrame(
+        [(s,) for s in scores[:1000]], "residual double"
+    )
+    ev = spark.createDataFrame(
+        [(s,) for s in scores[1000:]], "residual double"
+    )
+    row = conformal_report(cal, ev, alpha=0.2).collect()[0]
+    # finite-sample guarantee: coverage ~ 0.8, binomial noise band
+    assert 0.74 <= row["coverage"] <= 0.88
+
+
+def test_conformal_degenerate_small_cal_is_null(spark):
+    from mhm_data_pipelines_spark.operators.selection import (
+        conformal_report,
+    )
+
+    # n_cal = 3, alpha = 0.1 -> k = ceil(4*0.9) = 4 > 3: no finite
+    # threshold can guarantee 90%.
+    cal = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,)], "residual double"
+    )
+    ev = spark.createDataFrame([(0.5,)], "residual double")
+    row = conformal_report(cal, ev, alpha=0.1).collect()[0]
+    assert row["q_hat"] is None and row["coverage"] is None
+    assert row["k"] is None and row["n_cal"] == 3
+
+
+def test_conformal_alpha_guard(spark):
+    import pytest as _pytest
+
+    from mhm_data_pipelines_spark.operators.selection import (
+        conformal_report,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "residual double")
+    with _pytest.raises(ValueError):
+        conformal_report(df, df, alpha=0.0)
