@@ -854,6 +854,12 @@ NOTES = {
         "pair estimation runs entirely on the n_sets-row stats "
         "aggregate (tiny inequality cross, whitelisted)."
     ),
+    "conformal_coverage": (
+        "split conformal: the model fit and (n_cal,k) are 1-row "
+        "broadcasts; the exact-rank threshold rides the per-value "
+        "count aggregate + literal-boundary prefix sum; coverage is "
+        "one more aggregate with the 1-row q_hat broadcast."
+    ),
     "peak_concurrency": (
         "interval sweep: boundaries are a 2x projection of the "
         "user-day aggregate; the keyed running sum is ONE window "
