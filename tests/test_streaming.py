@@ -186,3 +186,66 @@ def test_validate_stream_rejects_unique_and_merges(spark, tmp_path):
         assert merged[k]["total"] == want[k]["total"]
         assert merged[k]["passed"] == want[k]["passed"]
     assert merged["v_range"]["violations"] == 2
+
+
+def test_topk_stream_merge_equals_batch_topk(spark, tmp_path):
+    """Per-batch count partials merge to the batch top-k whatever the
+    micro-batch boundaries; ranks use the deterministic (n desc, item
+    asc) total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        read_topk_table,
+        topk_stream,
+    )
+
+    rows = [(i, f"g{i % 2}", i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, item long")
+    src = tmp_path / "src"
+    df.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    df.filter(F.col("id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema("id long, g string, item long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        topk_stream(
+            stream,
+            out_path=str(tmp_path / "topk"),
+            checkpoint=str(tmp_path / "ck"),
+            group_cols=("g",),
+            item_col="item",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # two batch_id partitions written (one per file)
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "topk" / "batch_id=*"))) == 2
+    got = {
+        (r["g"], r["item"]): (r["n"], r["rank"])
+        for r in read_topk_table(
+            spark, str(tmp_path / "topk"), ("g",), "item", k=3
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    want = {
+        (r["g"], r["item"]): (r["n"], r["rank"])
+        for r in df.groupBy("g", "item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == want
