@@ -12329,13 +12329,13 @@ WITH c AS (
 ), w AS (
   SELECT s_seg, s_balk, s_sfx,
     round(
-      (CASE s_seg WHEN 1 THEN round(log2(0.9 / u.u_seg), 6)
+      (CASE s_seg WHEN 1 THEN round(log2(0.9 / greatest(1e-6, u.u_seg)), 6)
                   WHEN -1 THEN round(log2(0.1 / greatest(1e-6, 1 - u.u_seg)), 6)
                   ELSE 0.0 END)
-    + (CASE s_balk WHEN 1 THEN round(log2(0.9 / u.u_balk), 6)
+    + (CASE s_balk WHEN 1 THEN round(log2(0.9 / greatest(1e-6, u.u_balk)), 6)
                    WHEN -1 THEN round(log2(0.1 / greatest(1e-6, 1 - u.u_balk)), 6)
                    ELSE 0.0 END)
-    + (CASE s_sfx WHEN 1 THEN round(log2(0.9 / u.u_sfx), 6)
+    + (CASE s_sfx WHEN 1 THEN round(log2(0.9 / greatest(1e-6, u.u_sfx)), 6)
                   WHEN -1 THEN round(log2(0.1 / greatest(1e-6, 1 - u.u_sfx)), 6)
                   ELSE 0.0 END), 6) AS score
   FROM p CROSS JOIN u
@@ -13375,9 +13375,9 @@ GATE_PRIORITY: list[str] = [
     #    producing operators, and a never-gated key always outranks an
     #    old-green re-gate — the structural tripwire in
     #    test_oracle_parity enforces this), (c) 7 keys whose
-    #    DEFINITION was touched, (d) the 4 stale-fill slots that
-    #    remain: the verdict-named q7/q9 join chains + q4's semi-join
-    #    and the users_intersect set-op scan pair. The other 10
+    #    DEFINITION was touched, (d) the 3 stale-fill slots that
+    #    remain: the verdict-named q7/q9 join chains + q4's semi-join.
+    #    The other 11
     #    verdict-named r2-stale keys each yielded a slot to a late-r7
     #    capability key with an in-place rationale below; they lead
     #    the r8 rotation together with the rest of the r2 block and

@@ -62,6 +62,50 @@ def u_probabilities(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     return out
 
 
+def _fs_state(av, bv):
+    """Three-state agreement column: 1 agree, −1 disagree, 0 when
+    either side is missing (no evidence)."""
+    return (
+        F.when(av.isNull() | bv.isNull(), F.lit(0))
+        .when(av == bv, F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+
+
+def _fs_score(fields: Sequence[str], m: float, state_of) -> "F.Column":
+    """Shared Fellegi-Sunter score fold — THE one place the weight
+    expressions live, so the record-pair and profile-lifted paths
+    (and any future caller) stay provably identical.
+
+    Numeric discipline: ``u6`` (the 6dp-rounded u) is clamped at 1e-6
+    on BOTH sides — a near-unique field rounds u6 to 0.0 (agree-side
+    divide-by-zero) exactly as a near-constant field rounds it to 1.0
+    (disagree-side); a bare division would give NULL in Spark vs IEEE
+    ±inf in an oracle engine. ``1−m`` is a 9dp-rounded literal floored
+    at 1e-9 (0.1 not 0.09999999999999998; and m within 5e-10 of 1
+    must not round the numerator to an invalid 0.0).
+    """
+    one_minus_m = max(round(1.0 - float(m), 9), 1e-9)
+    score = F.lit(0.0)
+    for f in fields:
+        u6 = F.greatest(F.lit(1e-6), F.col(f"u_{f}"))
+        w_agree = F.round(F.log2(F.lit(float(m)) / u6), 6)
+        w_disagree = F.round(
+            F.log2(
+                F.lit(one_minus_m)
+                / F.greatest(F.lit(1e-6), F.lit(1.0) - F.col(f"u_{f}"))
+            ),
+            6,
+        )
+        state = state_of(f)
+        score = score + (
+            F.when(state == 1, w_agree)
+            .when(state == -1, w_disagree)
+            .otherwise(F.lit(0.0))
+        )
+    return F.round(score, 6)
+
+
 def fs_pair_scores(
     df: DataFrame,
     id_col: str,
@@ -99,40 +143,20 @@ def fs_pair_scores(
         F.col("id_a") < F.col("id_b")
     )
     pairs = pairs.crossJoin(F.broadcast(u_row))
-    score = F.lit(0.0)
-    states = []
-    for f in fields:
-        av, bv = F.col(f"a_{f}"), F.col(f"b_{f}")
-        state = (
-            F.when(av.isNull() | bv.isNull(), F.lit(0))
-            .when(av == bv, F.lit(1))
-            .otherwise(F.lit(-1))
+    states = [
+        _fs_state(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f"s_{f}")
+        for f in fields
+    ]
+    score = _fs_score(
+        fields, m, state_of=lambda f: _fs_state(
+            F.col(f"a_{f}"), F.col(f"b_{f}")
         )
-        states.append(state.alias(f"s_{f}"))
-        u6 = F.col(f"u_{f}")
-        # 1−m as a 9dp-rounded literal (0.1, not 0.09999999999999998)
-        # so both engines feed the SAME double into log2; 1−u6 clamped
-        # at 1e-6 — a near-constant field can round u6 to exactly 1.0,
-        # and a bare division would give NULL in Spark vs IEEE -inf in
-        # an oracle engine.
-        w_agree = F.round(F.log2(F.lit(float(m)) / u6), 6)
-        w_disagree = F.round(
-            F.log2(
-                F.lit(round(1.0 - float(m), 9))
-                / F.greatest(F.lit(1e-6), F.lit(1.0) - u6)
-            ),
-            6,
-        )
-        score = score + (
-            F.when(state == 1, w_agree)
-            .when(state == -1, w_disagree)
-            .otherwise(F.lit(0.0))
-        )
+    )
     return pairs.select(
         "id_a",
         "id_b",
         *states,
-        F.round(score, 6).alias("score"),
+        score.alias("score"),
         *[F.col(f"u_{f}") for f in fields],
     )
 
@@ -171,8 +195,16 @@ def fs_pattern_summary(
 
     u_row = u_probabilities(df, fields)
     bks = [f"bk_{c}" for c in block_cols]
+    # NULL blocking keys never pair in the record-pair path (equi-join
+    # semantics) — drop them BEFORE profiling, or the diagonal would
+    # count same-profile pairs inside NULL blocks that
+    # fs_pair_scores never generates. (u_probabilities still sees the
+    # whole frame, exactly like the record-pair path.)
+    blocked = df
+    for c in block_cols:
+        blocked = blocked.filter(F.col(c).isNotNull())
     prof = (
-        df.groupBy(
+        blocked.groupBy(
             *[F.col(c).alias(f"bk_{c}") for c in block_cols],
             *[F.col(f) for f in fields],
         )
@@ -204,14 +236,8 @@ def fs_pattern_summary(
         .select(
             (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
             *[
-                (
-                    F.when(
-                        F.col(f"a_{f}").isNull()
-                        | F.col(f"b_{f}").isNull(),
-                        F.lit(0),
-                    )
-                    .when(F.col(f"a_{f}") == F.col(f"b_{f}"), F.lit(1))
-                    .otherwise(F.lit(-1))
+                _fs_state(
+                    F.col(f"a_{f}"), F.col(f"b_{f}")
                 ).alias(f"s_{f}")
                 for f in fields
             ],
@@ -232,26 +258,10 @@ def fs_pattern_summary(
         ],
     )
     pairs = cross.unionByName(diag).crossJoin(F.broadcast(u_row))
-    score = F.lit(0.0)
-    for f in fields:
-        u6 = F.col(f"u_{f}")
-        w_agree = F.round(F.log2(F.lit(float(m)) / u6), 6)
-        w_disagree = F.round(
-            F.log2(
-                F.lit(round(1.0 - float(m), 9))
-                / F.greatest(F.lit(1e-6), F.lit(1.0) - u6)
-            ),
-            6,
-        )
-        state = F.col(f"s_{f}")
-        score = score + (
-            F.when(state == 1, w_agree)
-            .when(state == -1, w_disagree)
-            .otherwise(F.lit(0.0))
-        )
+    score = _fs_score(fields, m, state_of=lambda f: F.col(f"s_{f}"))
     state_cols = [f"s_{f}" for f in fields]
     return (
-        pairs.withColumn("score", F.round(score, 6))
+        pairs.withColumn("score", score)
         .groupBy(*state_cols, "score")
         .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
         .select(*state_cols, "n_pairs", "score")

@@ -408,15 +408,22 @@ def conformal_report(
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
     from mhm_data_pipelines_spark.operators.budget import running_total
 
-    c = cal.filter(F.col(score_col).isNotNull()).select(
-        F.col(score_col).cast("double").alias("s")
+    # Lazily checkpoint both projections: cal feeds the count table
+    # AND the n_cal total, eval feeds the size AND coverage aggregates
+    # — without the checkpoint each consumer re-derives the caller's
+    # upstream plan (e.g. the model join in q_conformal_coverage).
+    c = (
+        cal.filter(F.col(score_col).isNotNull())
+        .select(F.col(score_col).cast("double").alias("s"))
+        .localCheckpoint(eager=False)
     )
     counts = c.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     # cumulative count over the distinct-score table via the
     # two-phase distributed prefix sum — continuous scores can leave
     # the distinct table corpus-sized, so no single-task window here
+    # (share_scan: the count aggregate is itself the expensive input)
     cum = running_total(counts, order_by=["s"], value_col="cnt",
-                        out_col="cum")
+                        out_col="cum", share_scan=True)
     tot = c.agg(F.count(F.lit(1)).alias("n_cal"))
     k_expr = F.ceil(
         (F.col("n_cal") + 1) * F.lit(round(1.0 - float(alpha), 9))
@@ -425,19 +432,15 @@ def conformal_report(
     qhat = (
         cum.crossJoin(F.broadcast(kn))
         .filter(F.col("cum") >= F.col("k"))
-        .agg(
-            F.min("s").alias("q_hat"),
-            F.first("n_cal").alias("n_cal"),
-            F.first("k").alias("k"),
-        )
+        .agg(F.min("s").alias("q_hat"))
     )
-    # k > n_cal -> the filter above keeps no rows -> q_hat NULL with
-    # NULL n_cal/k; re-attach them so the report stays informative.
-    rep = kn.crossJoin(
-        F.broadcast(qhat.select(F.col("q_hat")))
-    )
-    e = eval_df.filter(F.col(score_col).isNotNull()).select(
-        F.col(score_col).cast("double").alias("s")
+    # k > n_cal -> the filter above keeps no rows -> q_hat NULL;
+    # (n_cal, k) re-attach from kn so the report stays informative.
+    rep = kn.crossJoin(F.broadcast(qhat))
+    e = (
+        eval_df.filter(F.col(score_col).isNotNull())
+        .select(F.col(score_col).cast("double").alias("s"))
+        .localCheckpoint(eager=False)
     )
     ev = e.agg(
         F.count(F.lit(1)).alias("n_eval"),

@@ -5,10 +5,12 @@ input the rotation policy ranks on. Run it when composing the next
 round's window; the stalest keys lead.
 
 Usage: python scripts/gate_ledger.py [--limit N]
-Prints `last_green_round  key` sorted stalest-first (never-gated keys
-sort first as round 0 — the structural tripwire in
-tests/test_oracle_parity.py requires those to sit INSIDE the current
-window, so a non-empty round-0 block outside it is a bug).
+Prints `last_green_round  key` sorted stalest-first. Keys inside the
+CURRENT window rank as the upcoming round (they'll be gated at the
+next driver run), so the list head is exactly what the next rotation
+should window. A never-gated key OUTSIDE the window prints as r0 at
+the very top and exits non-zero — the structural tripwire in
+tests/test_oracle_parity.py forbids that state.
 """
 
 from __future__ import annotations
@@ -56,10 +58,19 @@ def main() -> int:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
     greens = last_green()
     window = set(GATE_PRIORITY)
-    # Keys in the CURRENT window will be gated next driver run: show
-    # them as "pending" so the ranking reflects the upcoming state.
+    # Keys in the CURRENT window will be gated at the next driver run:
+    # rank them as the UPCOMING round (max committed round + 1), so the
+    # stalest-first list reflects the state the next rotation composes
+    # against — the list head is what r8 should window, and windowed
+    # keys sink to the bottom instead of re-surfacing at their old
+    # round. The tripwire check below still uses the COMMITTED rounds.
+    upcoming = max(greens.values(), default=0) + 1
     ranked = sorted(
-        greens.items(), key=lambda kv: (kv[1], kv[0])
+        (
+            (k, upcoming if k in window else r)
+            for k, r in greens.items()
+        ),
+        key=lambda kv: (kv[1], kv[0]),
     )
     shown = 0
     for key, rnd in ranked:
