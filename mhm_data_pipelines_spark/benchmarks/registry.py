@@ -5284,6 +5284,132 @@ FROM q ORDER BY participant_id, date
 SQL_HEATMAP_RENDER = _heatmap_oracle_sql()
 
 
+def q_lake_e2e(spark, sf_dir):
+    """End-to-end lake pipeline gate (VERDICT r7 #6) — locks the whole
+    S1–S11 reference surface behind ONE full-value oracle instead of
+    pytest fixtures alone. Stages, all engine code paths:
+
+    1. SINK: a deterministic slice of ``events`` (user_id % 7 = 3) is
+       fanned out as a path-encoded csv.gz lake
+       ``root/data/<SITE>/P<uid>/<event_type>/<week>.csv.gz``
+       (collect_data_metadata.py:17-63 layout) via a distributed
+       ``applyInPandas`` per-(site,participant,metric,week-batch)
+       writer — the S7 gz-CSV sink shape, one file per group, no
+       driver loop. Timestamps ship as epoch-µs longs (exact CSV
+       round-trip; day math happens after re-read).
+    2. SCAN: ``compact_lake`` re-reads the raw lake through
+       ``read_lake_unified`` (S1 glob scan + S2 path dims + typeless
+       string normalization) and rewrites it as parquet PARTITIONED BY
+       (site, participant_id, metric) (S8 sink, A1 bucketing).
+    3. QUERY: the compacted lake is read back (``read_compacted``) and
+       aggregated per (site, participant_id, metric): row count, A5
+       distinct days, A4 first/last day, value sum — the overview
+       block (process-overview.py semantics).
+
+    The DuckDB oracle recomputes the same aggregate STRAIGHT from the
+    ``events`` parquet, so a hash match certifies every hop: path
+    encode → gzip CSV bytes → glob scan → path-dim parse → drift
+    union → partitioned rewrite → partition-column read-back. Any
+    row lost, any dimension mangled, any value corrupted diverges.
+    Bounded: ~500 files at sf0.01, manifest-checked against the
+    input count before the read-back stage runs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 3)
+    sliced = ev.select(
+        F.element_at(
+            F.array(F.lit("LON"), F.lit("NYC"), F.lit("BER")),
+            (F.col("user_id") % 3 + 1).cast("int"),
+        ).alias("site"),
+        F.concat(F.lit("P"), F.col("user_id").cast("string")).alias(
+            "participant_id"
+        ),
+        F.col("event_type").alias("metric"),
+        F.date_format(
+            F.date_trunc("week", F.col("ts")), "yyyyMMdd_HHmm"
+        ).alias("batch"),
+        F.unix_micros(F.col("ts")).alias("epoch_us"),
+        F.col("value"),
+    )
+    root = _scratch("mhm_lake_e2e_") + "/lake"
+
+    def _write_group(pdf):
+        import gzip as _gzip
+        import os as _os
+
+        r = pdf.iloc[0]
+        d = _os.path.join(
+            root, "data", r["site"], r["participant_id"], r["metric"]
+        )
+        _os.makedirs(d, exist_ok=True)  # exist_ok: sibling-task safe
+        with _gzip.open(
+            _os.path.join(d, f"{r['batch']}.csv.gz"), "wt", newline=""
+        ) as f:
+            pdf[["epoch_us", "value"]].to_csv(f, index=False)
+        import pandas as _pd
+
+        return _pd.DataFrame({"n_rows": [len(pdf)]})
+
+    manifest = sliced.groupBy(
+        "site", "participant_id", "metric", "batch"
+    ).applyInPandas(_write_group, "n_rows long")
+    written = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
+    expected = sliced.count()
+    if written != expected:
+        raise RuntimeError(
+            f"lake sink wrote {written} rows, expected {expected}"
+        )
+
+    from mhm_data_pipelines_spark.operators.compact import (
+        compact_lake,
+        read_compacted,
+    )
+
+    comp = root + "_compacted"
+    compact_lake(spark, root, comp, layout="raw")
+    t = read_compacted(spark, comp).select(
+        "site",
+        "participant_id",
+        "metric",
+        F.date_format(
+            F.timestamp_micros(F.col("epoch_us").cast("long")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return (
+        t.groupBy("site", "participant_id", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("day").alias("n_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+        .orderBy("site", "participant_id", "metric")
+    )
+
+
+SQL_LAKE_E2E = """
+WITH e AS (
+  SELECT ['LON','NYC','BER'][CAST(user_id % 3 AS INT) + 1] AS site,
+         'P' || CAST(user_id AS VARCHAR) AS participant_id,
+         event_type AS metric,
+         strftime(ts, '%Y-%m-%d') AS day,
+         value
+  FROM events
+  WHERE user_id % 7 = 3
+)
+SELECT site, participant_id, metric,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       min(day) AS first_day,
+       max(day) AS last_day,
+       round(sum(value), 2) AS sum_value
+FROM e
+GROUP BY site, participant_id, metric
+ORDER BY site, participant_id, metric
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based corpus mixing (mT5/mC4 recipe): per-source
     quotas ∝ sqrt(count) at T=2, derived from the data itself with
@@ -12497,19 +12623,23 @@ WITH runs AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), seqs AS (
-  SELECT user_id, s0 || '>' || s1 || '>' || s2 AS pattern
+  SELECT user_id, s0, s1, s2
   FROM runs
   WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
 ), t AS (
   SELECT count(DISTINCT user_id) AS n_total FROM events
 )
-SELECT pattern,
+-- Group by the STATE TUPLE and render the joined string afterwards,
+-- mirroring sequential_patterns: two distinct tuples whose rendered
+-- strings collide (an event_type containing '>') stay distinct rows
+-- here exactly as they do in the operator.
+SELECT s0 || '>' || s1 || '>' || s2 AS pattern,
        count(*) AS n_occurrences,
        count(DISTINCT user_id) AS n_entities,
        round(CAST(count(DISTINCT user_id) AS DOUBLE) / t.n_total, 6)
          AS support
 FROM seqs CROSS JOIN t
-GROUP BY pattern, t.n_total
+GROUP BY s0, s1, s2, t.n_total
 ORDER BY pattern
 """
 
@@ -12964,6 +13094,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_topk": q_lsh_topk,
     "staging_mirror": q_staging_mirror,
     "heatmap_render": q_heatmap_render,
+    "lake_e2e": q_lake_e2e,
     "temperature_mix": q_temperature_mix,
     "bm25_topk": q_bm25_topk,
     "bpe_pairs": q_bpe_pairs,
@@ -13216,6 +13347,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "staging_mirror": SQL_STAGING_MIRROR,
     "heatmap_render": SQL_HEATMAP_RENDER,
+    "lake_e2e": SQL_LAKE_E2E,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "bm25_topk": SQL_BM25_TOPK,
     "bpe_pairs": SQL_BPE_PAIRS,
@@ -13368,125 +13500,73 @@ GATE_PRIORITY: list[str] = [
     "tpch_q1",
     "overview_stats",
     "summary_assembly",
-    # -- round 7 rotation: STALENESS-BASED (VERDICT r6 #2), with the
-    #    documented precedence (b) new > (c) touched > (d) stale.
-    #    All 212 r6 keys are driver-green at least once, so the window
-    #    is (a) 3 canaries, (b) 37 keys NEW in round 7 (the round kept
-    #    producing operators, and a never-gated key always outranks an
-    #    old-green re-gate — the structural tripwire in
-    #    test_oracle_parity enforces this), (c) 7 keys whose
-    #    DEFINITION was touched, (d) the 3 stale-fill slots that
-    #    remain: the verdict-named q7/q9 join chains + q4's semi-join.
-    #    The other 11
-    #    verdict-named r2-stale keys each yielded a slot to a late-r7
-    #    capability key with an in-place rationale below; they lead
-    #    the r8 rotation together with the rest of the r2 block and
-    #    the 40 r3-last-green keys. Everything rotated out stays
-    #    hash-checked every CI run by tests/test_oracle_parity.py.
+    # -- round 8 rotation: the STALENESS-CLEARING round (VERDICT r7 #1).
+    #    Composed from scripts/gate_ledger.py stalest-first: the ENTIRE
+    #    43-key r2-last-green block re-gates this round (nothing from it
+    #    yields a slot this time), plus the round's one new key, the one
+    #    key whose oracle DEFINITION changed, the r4-green variant_extract
+    #    (rotation promised since r6), and one r3-stale fill. After a
+    #    green r8 run no key's newest driver-green predates r3; the 39
+    #    remaining r3-last-green keys lead the r9 rotation (they fit one
+    #    window: 3 canaries + 39 + 8 free slots). The r7 window text is
+    #    in git history (commit 9906bed) for the policy audit.
     #
-    # (b) new in round 7:
-    "doc_sb5_lm",            # configurable-order SB at the CCNet order
-    "avro_roundtrip",        # pure-Python Avro container sink/source
-    "ann_index_roundtrip",   # IVF-PQ persist/reload/search lifecycle
-    "dup_spans_recall",      # capped-vs-exact substring-dedup cert
-    "ann_index_append",      # incremental co-bucketed index appends
-    "doc_kn3_lm",            # interpolated KN trigram, held-out split
-    "doc_kn5_lm",            # 5-gram KN — the exact CCNet filter shape
-    "ols_trend",             # per-group OLS from one sufficient-stats agg
-    "winsorize_stats",       # exact-percentile heavy-tail clamp
-    "bootstrap_ci",          # md5-replayable Poisson bootstrap CI
-    "kmeans_iters",          # round-by-round-verified distributed Lloyd
-    "anova_f",               # sufficient-stats one-way ANOVA
-    "variance_homogeneity",  # Brown-Forsythe W (robust Levene)
-    "acf_lags",              # single-window-pass autocorrelation
-    "randomization_test",    # md5-replayable permutation-style test
-    "constraint_report",     # declarative expectations suite, 1-scan
-    "quantile_norm",         # cross-source score harmonization
-    "ccf_lags",              # hourly lead/lag cross-correlation
-    "stream_constraints",    # per-batch mergeable contract enforcement
-    "linreg_weights",        # in-plan Cramer-solved multivariate OLS
-    "event_transitions",     # per-user Markov transition matrix
-    "user_rfm",              # deterministic-tercile RFM segmentation
-    "robust_trend",          # Theil-Sen + Mann-Kendall over rollups
-    "ivm_rollup",            # (late r7-prior keys, never yet gated)
-    "image_phash_neardup",   # integer-exact aHash banded Hamming join
-    "k_anonymity",           # k-anon/l-diversity release-risk report
-    "dp_counts",             # seeded Laplace ε-DP noisy counts
-    "psi_drift",             # PSI/JS drift over reference deciles
-    "fs_linkage",            # Fellegi-Sunter linkage pattern scores
-    "label_communities",     # deterministic synchronous weighted LPA
-    "golden_records",        # ER survivorship: majority-vote fields
-    "event_sequences",       # consecutive k-gram patterns + support
-    "woe_iv",                # WoE/IV scorecard feature screening
-    "kmv_set_ops",           # theta-sketch distinct set algebra
-    "peak_concurrency",      # sweep-line interval overlap peak
-    "stream_topk",           # mergeable streaming top-k partials
-    "conformal_coverage",    # split-conformal exact-rank threshold
-    # (c) definitions touched in round 7, re-gated:
-    "knn_graph",             # zero-norm vectors dropped pre-cogroup
-    "mutual_knn",            # consumes knn_graph (same fix)
-    "mutual_knn_selective",  # consumes knn_graph (same fix)
-    "mutual_knn_recall",     # consumes both mutual plans
-    "ivfpq_topk",            # ivf_pq_topk refactored (probe + ADC split)
-    "doc_sb_lm",             # now the order=3 wrapper of sb_doc_scores
-    "subject_erasure",       # partition-dir names via Spark Cast
-    # (d) stalest driver-green keys — last green r2. Of the 14 keys
-    # the r6 verdict NAMED as never re-gated since r1-r3, THREE hold
-    # slots this round (q4's semi-join, the q7/q9 join chains); the
-    # other eleven yielded to
-    # late-r7 capability keys — each yield documented in place below
-    # with the kept key that covers its plan shape — and lead the r8
-    # rotation:
-    # (tpch_q2 and users_except yielded their stale-fill slots to the
-    # late-r7 privacy keys k_anonymity/dp_counts — new never-gated keys
-    # outrank old-green re-gates; q2's scan/join shape rides the named
-    # q7/q9/q15 re-gates, users_except shares users_intersect's exact
-    # scan pair. Both lead the r8 rotation with the rest of the r2
-    # block.)
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q9",
-    # (tpch_q11 yielded its slot to psi_drift — its scalar-threshold
-    # agg shape rides the kept q22 re-gate; leads the r8 rotation.)
-    # (tpch_q12 yielded its slot to fs_linkage — its shipmode
-    # case-agg is the canary q1's shape; leads the r8 rotation.)
-    # (tpch_q14 yielded its slot to label_communities — its promo
-    # ratio is q6/q19's scan-agg shape, both of which stay windowed;
-    # leads the r8 rotation.)
-    # (tpch_q15 yielded its slot to golden_records — its max-revenue
-    # scalar view is q2's kept shape; leads the r8 rotation.)
-    # (tpch_q16 yielded its slot to event_sequences — its anti-join
-    # distinct-agg rides the kept q20/q4 semi/anti re-gates; leads
-    # the r8 rotation.)
-    # (tpch_q19 yielded its slot to stream_topk — its disjunctive-
-    # pushdown scan is the benched q6 family, hash-checked every CI
-    # run; leads the r8 rotation.)
-    # (tpch_q20 yielded its slot to peak_concurrency — the kept q4
-    # re-gate covers the nested semi/anti family; leads the r8
-    # rotation.)
-    # (tpch_q22 yielded its slot to kmv_set_ops — the kept q4 re-gate
-    # covers the semi/anti family and user_rfm's gate row exercises
-    # the scalar-avg broadcast; leads the r8 rotation.)
-    # (users_intersect yielded its slot to conformal_coverage — the
-    # set-op pair is the registry's simplest plan family (two scans +
-    # a hash distinct), hash-checked every CI run; both set-op keys
-    # lead the r8 rotation.)
-    # (value_percentiles yielded its slot to woe_iv — the exact-
-    # percentile machinery is exercised harder by the NEW psi_drift /
-    # woe_iv gate keys, which bin every row on those same percentile
-    # edges; leads the r8 rotation.)
-    # All remaining r2-last-green keys (availability_pivot,
-    # cube_counts, daily_availability,
-    # date_ranges, device_split, distinct_measurements,
-    # event_gaps, feature_stats, gap_fill, iso_week_activity,
-    # json_extract, latest_event_state, lineitem_unpivot, missing_data,
-    # monthly_activity, rolling_anomalies, rollup_counts,
-    # salted_agg_parity, sessionization, split_assignment, stream_dedup,
-    # stream_interval_join, top_orders_per_customer, value_histogram,
-    # value_percentiles) and the 40 r3-last-green keys lead the r8
-    # rotation; the r6 window text is in git history (commit 6f0bd02)
-    # for the policy audit.
-    # (end of round-7 rotation)
+    # (a) new in round 8 (never driver-gated — must be windowed):
+    "lake_e2e",            # S1-S11 end-to-end: csv.gz lake sink -> scan
+    #                        -> path dims -> compact -> overview oracle
+    # (b) oracle definition touched in round 8, re-gated:
+    "event_sequences",     # oracle now groups by the state TUPLE
+    #                        (ADVICE r7: separator-collision parity)
+    # (c) the r6-promised single-green rotation:
+    "variant_extract",     # only green r4; promised re-gate since r6
+    # (d) the full r2-last-green block, stalest tier, alphabetical:
+    "availability_pivot",
+    "cube_counts",
+    "daily_availability",
+    "date_ranges",
+    "device_split",
+    "distinct_measurements",
+    "event_gaps",
+    "feature_stats",
+    "gap_fill",
+    "iso_week_activity",
+    "json_extract",
+    "latest_event_state",
+    "lineitem_unpivot",
+    "missing_data",
+    "monthly_activity",
+    "rolling_anomalies",
+    "rollup_counts",
+    "salted_agg_parity",
+    "sessionization",
+    "split_assignment",
+    "stream_dedup",
+    "stream_interval_join",
+    "top_orders_per_customer",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "value_histogram",
+    "value_percentiles",
+    # (e) r3-stale fill for the remaining slot (alphabetically first of
+    #     the r3 block; the other 39 lead the r9 rotation):
+    "analytic_windows",
+    # (end of round-8 rotation)
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -13780,6 +13860,9 @@ PERF_EVIDENCE_EXCLUSIONS: dict[str, str] = {
     "via availability_pivot family",
     "jsonl_roundtrip": "write+read roundtrip; IO-bound by design",
     "staging_mirror": "distributed file copy; IO-bound by design",
+    "lake_e2e": "fixture-sink gate: timing measures the ~500-tiny-"
+    "gzip fan-out it deliberately synthesizes, not an operator "
+    "(compaction is the production answer it certifies)",
     "llm_dataset_build": "composite of benched stages (dedup, quality, "
     "pack)",
     "corpus_prep": "composite of benched stages",

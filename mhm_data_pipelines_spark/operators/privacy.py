@@ -148,12 +148,23 @@ def dp_noisy_counts(
     seed: int = 42,
     include_true: bool = False,
 ) -> DataFrame:
-    """ε-differentially-private group counts via the Laplace mechanism
-    (sensitivity 1 for a count ⇒ scale 1/ε), with the noise draw
-    seeded by the group key so a release is replayable and
-    oracle-verifiable. Returns ``group_cols + (noisy_n,)`` (6dp);
-    ``include_true=True`` additionally emits the raw ``n`` — for
-    verification harnesses only, never for release.
+    """Laplace-mechanism noisy group counts (sensitivity 1 for a
+    count ⇒ scale 1/ε), with the noise draw seeded by the group key
+    so a run is replayable and oracle-verifiable.
+
+    **Privacy caveat — seeded mode is a SIMULATION, not a DP
+    release.** The draw is a deterministic public function of the
+    group key and ``seed``: anyone who knows (or can guess) the seed
+    recomputes the noise and subtracts it, recovering the true counts
+    exactly — zero differential privacy. The ε guarantee holds ONLY
+    if the seed is secret, high-entropy, and used for a single
+    release (treat it like key material). For any real release draw
+    the seed from a CSPRNG (e.g. ``secrets.randbits(64)``), never the
+    default, and never publish it; the default ``seed=42`` exists so
+    verification harnesses and the DuckDB oracle can replay the run.
+    Returns ``group_cols + (noisy_n,)`` (6dp); ``include_true=True``
+    additionally emits the raw ``n`` — for verification harnesses
+    only, never for release.
 
     NULL group values hash as the sentinel ``␀`` (U+2400; an explicit
     coalesce — ``concat_ws`` would otherwise SKIP nulls and give two

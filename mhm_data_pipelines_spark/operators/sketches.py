@@ -167,9 +167,15 @@ def kmv_set_ops(
     deterministic, engine-portable), keep the k smallest;
     ``|S| ≈ (k−1)/u_(k)``. Per pair: θ = min(θ_a, θ_b); every kept
     hash < θ is a uniform sample of the set, so
-    ``|A∩B| ≈ |samples_A ∩ samples_B below θ| / θ`` and the union
-    estimate follows by inclusion-exclusion on the two
-    (θ-restricted) estimates.
+    ``|A∩B| ≈ |samples_A ∩ samples_B below θ| / θ``. The union
+    estimate is inclusion-exclusion ``est_a + est_b − est_inter``
+    using each set's OWN full-θ cardinality estimate — only the
+    intersection term is θ-restricted. (The canonical theta-sketch
+    union — count of distinct kept hashes below the pair θ across
+    both samples, divided by θ — restricts all three terms and has
+    lower variance; this estimator is kept because it reuses the
+    already-computed per-set estimates in one pass and its bias is
+    identical, and the DuckDB oracle pins these exact semantics.)
 
     Returns one row per (set_a < set_b) pair: ``(set_a, set_b,
     est_a, est_b, est_inter, est_union)``, estimates rounded 2dp.

@@ -32,6 +32,7 @@ EXECUTES_ON_BUILD = {
     "tpch_q11",  # localCheckpoint of the reused per-part aggregate
     "staging_mirror",  # runs the distributed copy + status count on build
     "heatmap_render",  # renders + collects the bounded pivot on build
+    "lake_e2e",  # writes the csv.gz lake + compacts it on build
     "stream_neardup",  # drains a two-batch streaming query on build
     "jsonl_roundtrip",  # writes the line-JSON dump + persists the raw
                         # read on build (quarantine split)
