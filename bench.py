@@ -48,8 +48,53 @@ from mhm_data_pipelines_spark.session import get_spark  # noqa: E402
 STDOUT_BYTE_BUDGET = 1_600
 
 
+def criterion_summary(warm: dict[str, float]) -> dict | None:
+    """The two numbers the 2x criterion is judged on (VERDICT r7 #7),
+    computed against the FROZEN round-2 baseline (BASELINE.md's
+    per-query table, BENCH_r02.json) over the shared query set:
+    the summed warm-time ratio and the worst single-query ratio.
+    Queries under 0.2 s in the baseline are excluded from the
+    worst-query stat (noise floor, same as scripts/bench_diff.py)
+    but kept in the sums. None when the baseline file is absent
+    (e.g. a fresh checkout running bench standalone)."""
+    frozen = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"
+    )
+    if not os.path.exists(frozen):
+        return None
+    with open(frozen) as f:
+        doc = json.load(f)
+    if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    base = doc.get("queries_warm") or doc["queries"]
+    shared = sorted(set(base) & set(warm))
+    if not shared:
+        return None
+    base_sum = sum(base[k] for k in shared)
+    now_sum = sum(warm[k] for k in shared)
+    ratios = {
+        k: warm[k] / base[k]
+        for k in shared
+        if base[k] >= 0.2  # noise floor for per-query ratios
+    }
+    worst = max(ratios, key=ratios.get)
+    return {
+        "vs": "BENCH_r02.json (frozen r2 baseline)",
+        "n_shared": len(shared),
+        "baseline_set_ratio": round(now_sum / base_sum, 3),
+        "baseline_set_warm_sec": round(now_sum, 3),
+        "baseline_set_baseline_sec": round(base_sum, 3),
+        "worst_query": worst,
+        "worst_query_ratio": round(ratios[worst], 3),
+        "n_over_2x": sum(1 for r in ratios.values() if r > 2.0),
+    }
+
+
 def build_stdout_record(
-    cold_total: float, warm: dict[str, float], sf: float | None
+    cold_total: float,
+    warm: dict[str, float],
+    sf: float | None,
+    criterion: dict | None = None,
 ) -> str:
     """The compact final stdout line: totals + the top slowest warm
     queries, dropped smallest-first until the line fits the budget.
@@ -64,6 +109,16 @@ def build_stdout_record(
         "n_queries": len(warm),
         "queries": {k: round(warm[k], 2) for k in slowest},
     }
+    if criterion:
+        # The two judged numbers ride the byte-bounded line: fixed
+        # size, placed before the trimmable query map.
+        rec = {
+            **{k: rec[k] for k in ("metric", "value", "unit",
+                                   "warm_total", "sf", "n_queries")},
+            "vs_baseline_ratio": criterion["baseline_set_ratio"],
+            "worst_query_ratio": criterion["worst_query_ratio"],
+            "queries": rec["queries"],
+        }
     line = json.dumps(rec, separators=(",", ":"))
     while len(line.encode()) > STDOUT_BYTE_BUDGET and len(rec["queries"]) > 3:
         drop = min(rec["queries"], key=rec["queries"].get)
@@ -138,6 +193,7 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    crit = criterion_summary(warm)
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(cold.values()), 3),
@@ -146,6 +202,7 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "sf": float(sf) if sf else None,
+        "criterion": crit,
     }
     # Full record (cold + warm maps, 3-dec) for scripts/bench_diff.py.
     local_path = os.path.join(
@@ -156,7 +213,7 @@ def main() -> None:
         f.write("\n")
     # Final stdout line: byte-bounded by construction — see
     # build_stdout_record. Full maps are in BENCH_local.json above.
-    print(build_stdout_record(full["value"], warm, full["sf"]))
+    print(build_stdout_record(full["value"], warm, full["sf"], crit))
     spark.stop()
 
 

@@ -866,6 +866,16 @@ NOTES = {
         "Exchange; peak + earliest time come from a single "
         "lexicographic struct-max HashAggregate."
     ),
+    "lake_e2e": (
+        "end-to-end lake gate: the shown plan is the FINAL stage "
+        "only - an overview aggregate over the freshly compacted "
+        "parquet whose scan reads real partition columns "
+        "(site/participant_id/metric appear as partition values, "
+        "not data); the csv.gz fan-out sink and the compaction "
+        "write already ran on build. One hash aggregate; "
+        "countDistinct expands to the usual two-phase distinct "
+        "aggregate."
+    ),
 }
 
 
