@@ -12402,6 +12402,50 @@ FROM terms ORDER BY "group", bin
 """
 
 
+def q_pair_sample(spark, sf_dir):
+    """Budgeted candidate-pair sampling (linkage.blocked_pair_sample):
+    per (source, lang) block of the documents corpus, the C(k,2)
+    pairs among the k=6 md5-rank-smallest members, each row carrying
+    the TRUE block mass (n_block, pairs_total) so the sampling
+    fraction is exact. The bounded-output answer to the measured
+    output-bound all-pairs blowup (embedding_neardup /
+    image_phash_neardup sf1 probes): one block-shuffle + a k-bounded
+    self-join, output ≤ blocks × C(k,2) whatever the block sizes —
+    and the budget demonstrably BITES at gate scale (blocks up to 16
+    members → 120 true pairs, ≤ 15 emitted)."""
+    from mhm_data_pipelines_spark.operators.linkage import (
+        blocked_pair_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = blocked_pair_sample(
+        d, ["source", "lang"], id_col="doc_id", k=6, seed=42
+    )
+    return out.orderBy("source", "lang", "id_a", "id_b")
+
+
+SQL_PAIR_SAMPLE = """
+WITH ranked AS (
+  SELECT source, lang, doc_id,
+         count(*) OVER (PARTITION BY source, lang) AS n_block,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+         ) AS rn
+  FROM documents
+  WHERE doc_id IS NOT NULL
+)
+SELECT a.source, a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       a.n_block,
+       CAST(a.n_block * (a.n_block - 1) / 2 AS BIGINT) AS pairs_total
+FROM ranked a
+JOIN ranked b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.n_block >= 2 AND a.rn <= 6 AND b.rn <= 6
+ORDER BY a.source, a.lang, id_a, id_b
+"""
+
+
 def q_fs_linkage(spark, sf_dir):
     """Fellegi-Sunter linkage scoring over nation-blocked customer
     pairs (linkage.fs_pattern_summary): u-probabilities estimated
@@ -13216,6 +13260,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dp_counts": q_dp_counts,
     "psi_drift": q_psi_drift,
     "fs_linkage": q_fs_linkage,
+    "pair_sample": q_pair_sample,
     "label_communities": q_label_communities,
     "golden_records": q_golden_records,
     "event_sequences": q_event_sequences,
@@ -13474,6 +13519,7 @@ ORACLES: dict[str, str] = {
     "dp_counts": SQL_DP_COUNTS,
     "psi_drift": SQL_PSI_DRIFT,
     "fs_linkage": SQL_FS_LINKAGE,
+    "pair_sample": SQL_PAIR_SAMPLE,
     "label_communities": SQL_LABEL_COMMUNITIES,
     "golden_records": SQL_GOLDEN_RECORDS,
     "event_sequences": SQL_EVENT_SEQUENCES,
@@ -13563,9 +13609,12 @@ GATE_PRIORITY: list[str] = [
     "tpch_q22",
     "value_histogram",
     "value_percentiles",
-    # (e) r3-stale fill for the remaining slot (alphabetically first of
-    #     the r3 block; the other 39 lead the r9 rotation):
-    "analytic_windows",
+    # (e) second new-in-r8 key (never driver-gated — must be windowed;
+    #     it took the r3-stale fill slot analytic_windows briefly held
+    #     this round, per the standing precedence new > stale re-gate —
+    #     analytic_windows rejoins the 39 r3 keys leading the r9
+    #     rotation, all of which fit that one window):
+    "pair_sample",         # budgeted blocked candidate-pair sampling
     # (end of round-8 rotation)
 ]
 # ^ 50 slots = the driver-verified window (the external harness
@@ -13771,6 +13820,7 @@ BENCH_QUERIES: list[str] = [
     "dp_counts",
     "psi_drift",
     "fs_linkage",
+    "pair_sample",
     "label_communities",
     "event_sequences",
     "woe_iv",

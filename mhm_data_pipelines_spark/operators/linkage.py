@@ -266,3 +266,80 @@ def fs_pattern_summary(
         .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
         .select(*state_cols, "n_pairs", "score")
     )
+
+
+def blocked_pair_sample(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    id_col: str = "doc_id",
+    k: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Bounded, deterministic candidate-pair sample per block — the
+    budgeted pair generator for review/labeling workflows (the labeled
+    pairs Fellegi-Sunter's ``m`` estimation and clerical review need;
+    Splink's ``estimate_m_from_pairwise_labels`` consumes exactly this
+    shape).
+
+    Why it exists: emit-all-pairs candidate generation is OUTPUT-bound
+    when blocks hold genuine duplicate mass — a 2.5k-member block
+    yields ~3M pairs (measured: the sf1 probes of embedding_neardup /
+    image_phash_neardup are 88-112x wall on 10x data purely from pair
+    materialization). This operator bounds emission at
+    ``C(k,2)`` pairs per block while still reporting the TRUE mass:
+    each row carries ``n_block`` (members) and ``pairs_total``
+    (n·(n−1)/2), so downstream knows the sampling fraction exactly.
+
+    Determinism: the k members kept per block are the k smallest by
+    ``md5(id || ':' || seed)`` HEX-string order (lexicographic —
+    replayable in any engine with md5, no float rank), ties broken by
+    id; pairs are all C(≤k, 2) combinations among them.
+
+    Scale shape: ONE shuffle by block (two window functions over the
+    same partitioning: block size + md5 rank), then a self-equi-join
+    of the ≤k-member sample with Exchange reuse on both sides —
+    output is blocks x C(k,2) regardless of block sizes. Nothing
+    ever materializes the full pair set.
+
+    NULL block keys: rows whose block key is NULL never pair (the
+    self-equi-join drops them — NULL ≠ NULL), matching SQL blocking
+    semantics; coalesce to a sentinel upstream if NULL should be a
+    real block.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    bc = [F.col(c) for c in block_cols]
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    wn = Window.partitionBy(*bc)
+    wr = Window.partitionBy(*bc).orderBy("h", id_col)
+    kept = (
+        df.select(*block_cols, id_col)
+        .filter(F.col(id_col).isNotNull())
+        .withColumn("h", h)
+        .withColumn("n_block", F.count(F.lit(1)).over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("n_block") >= 2) & (F.col("rn") <= k))
+    )
+    a = kept.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        "n_block",
+    )
+    b = kept.select(*block_cols, F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            *block_cols,
+            "id_a",
+            "id_b",
+            "n_block",
+            (F.col("n_block") * (F.col("n_block") - 1) / 2)
+            .cast("long")
+            .alias("pairs_total"),
+        )
+    )

@@ -866,6 +866,15 @@ NOTES = {
         "Exchange; peak + earliest time come from a single "
         "lexicographic struct-max HashAggregate."
     ),
+    "pair_sample": (
+        "budgeted blocked pair sampling: ONE Exchange on the block "
+        "key feeds both window functions (block count + md5 rank, "
+        "with WindowGroupLimit pushing the rank<=k cut into the "
+        "sort); the self-join's build side is the k-BOUNDED sample "
+        "(<= blocks x k rows by construction), so AQE broadcasts it "
+        "- the right plan at any scale; output is blocks x C(k,2) "
+        "however large the blocks are."
+    ),
     "lake_e2e": (
         "end-to-end lake gate: the shown plan is the FINAL stage "
         "only - an overview aggregate over the freshly compacted "

@@ -173,3 +173,62 @@ def test_near_unique_field_agree_weight_clamped(spark):
     df = spark.createDataFrame(rows, "id int, blk string, f string")
     out = fs_pattern_summary(df, "id", ["blk"], ["f"], m=0.9)
     assert all(r["score"] is not None for r in out.collect())
+
+
+class TestBlockedPairSample:
+    @pytest.fixture(scope="class")
+    def sampled(self, spark):
+        import hashlib
+
+        # block A: 5 members (cap k=3 bites -> C(3,2)=3 pairs of 10
+        # true); block B: 2 members (below cap -> its 1 true pair);
+        # block C: 1 member (never pairs); one NULL block key.
+        rows = [(i, "A") for i in range(1, 6)]
+        rows += [(10, "B"), (11, "B"), (20, "C"), (30, None)]
+        df = spark.createDataFrame(rows, "doc_id long, blk string")
+        from mhm_data_pipelines_spark.operators.linkage import (
+            blocked_pair_sample,
+        )
+
+        out = blocked_pair_sample(
+            df, ["blk"], id_col="doc_id", k=3, seed=42
+        ).collect()
+        # Python replay of the md5-HEX-rank member selection.
+        keep = sorted(
+            range(1, 6),
+            key=lambda i: (
+                hashlib.md5(f"{i}:42".encode()).hexdigest(), i
+            ),
+        )[:3]
+        return out, keep
+
+    def test_budget_bites_and_small_blocks_full(self, sampled):
+        out, _ = sampled
+        a = [r for r in out if r.blk == "A"]
+        b = [r for r in out if r.blk == "B"]
+        assert len(a) == 3  # C(k=3, 2), not C(5,2)=10
+        assert len(b) == 1  # below cap: all pairs
+        assert all(r.n_block == 5 and r.pairs_total == 10 for r in a)
+        assert all(r.n_block == 2 and r.pairs_total == 1 for r in b)
+
+    def test_sampled_members_match_md5_rank_replay(self, sampled):
+        out, keep = sampled
+        ids = set()
+        for r in out:
+            if r.blk == "A":
+                ids.update((r.id_a, r.id_b))
+        assert ids == set(keep)
+        assert all(r.id_a < r.id_b for r in out)
+
+    def test_singleton_and_null_blocks_never_pair(self, sampled):
+        out, _ = sampled
+        assert not [r for r in out if r.blk in ("C", None)]
+
+    def test_k_below_two_rejected(self, spark):
+        from mhm_data_pipelines_spark.operators.linkage import (
+            blocked_pair_sample,
+        )
+
+        df = spark.createDataFrame([(1, "A")], "doc_id long, blk string")
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            blocked_pair_sample(df, ["blk"], id_col="doc_id", k=1)
