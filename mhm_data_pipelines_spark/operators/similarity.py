@@ -361,6 +361,13 @@ def train_kmeans(
       construction — is collected per round, and each round is an
       independent job over the base relation, so lineage never grows
       (nothing to checkpoint);
+    * the normalized ``(id, v)`` projection is persisted
+      (MEMORY_AND_DISK) for the duration of training and unpersisted
+      before returning — the standard iterative-ML pattern (MLlib
+      does the same): Lloyd re-reads the corpus ``max_iter`` times,
+      and the projection is far smaller than the source table. For a
+      corpus too large even projected, pre-stage it to a parquet
+      scratch table and pass that as ``df``;
     * empty lists keep their previous centroid; training stops early
       when total centroid movement drops under ``tol``.
 
@@ -378,9 +385,25 @@ def train_kmeans(
     """
     if n_lists < 1:
         raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(F.col(id_col), normalize(vec_col).alias("v")).filter(
         F.col("v").isNotNull()
     )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _lloyd_loop(
+            base, n_lists, id_col, max_iter, seed, tol,
+            init_centroids, round_means,
+        )
+    finally:
+        base.unpersist()
+
+
+def _lloyd_loop(
+    base, n_lists, id_col, max_iter, seed, tol,
+    init_centroids, round_means,
+):
     if init_centroids is not None:
         if not init_centroids:
             raise ValueError("init_centroids must be non-empty")
