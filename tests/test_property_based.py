@@ -463,3 +463,56 @@ def test_psi_self_comparison_is_zero(sp, vals, n_bins):
     for r in out:
         assert r["psi_term"] == 0.0 and r["js_term"] == 0.0
         assert r["n_ref"] == r["n_cur"]
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # id
+            st.integers(min_value=0, max_value=4),    # block
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=2, max_value=5),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_blocked_pair_sample_properties(sp, rows, k, parts):
+    """(1) per block: exactly C(min(n,k),2) pairs; (2) the emitted
+    pair SET is invariant to physical partitioning (deterministic
+    md5 rank, no rand()/monotonic id); (3) mass columns are the true
+    block stats; (4) a python md5 replay selects the same members."""
+    import hashlib
+    from collections import Counter
+
+    from mhm_data_pipelines_spark.operators.linkage import (
+        blocked_pair_sample,
+    )
+
+    df = sp.createDataFrame(rows, "doc_id long, blk int")
+    out = blocked_pair_sample(
+        df, ["blk"], id_col="doc_id", k=k
+    ).collect()
+    again = blocked_pair_sample(
+        df.repartition(parts), ["blk"], id_col="doc_id", k=k
+    ).collect()
+    key = lambda r: (r.blk, r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+    sizes = Counter(b for _, b in rows)
+    per_block = Counter(r.blk for r in out)
+    for blk, n in sizes.items():
+        m = min(n, k)
+        assert per_block.get(blk, 0) == m * (m - 1) // 2
+    for r in out:
+        n = sizes[r.blk]
+        assert r.n_block == n and r.pairs_total == n * (n - 1) // 2
+        members = sorted(
+            (i for i, b in rows if b == r.blk),
+            key=lambda i: (
+                hashlib.md5(f"{i}:42".encode()).hexdigest(), i
+            ),
+        )[:k]
+        assert r.id_a in members and r.id_b in members
