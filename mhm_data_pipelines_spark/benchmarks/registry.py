@@ -12402,6 +12402,66 @@ FROM terms ORDER BY "group", bin
 """
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily event-count
+    series per entity (timeseries.seasonal_decompose, weekly cycle):
+    trend = calendar-range centered MA (gap-tolerant RANGE frame,
+    partial edges), seasonal = re-centered mean detrended value per
+    day-of-week position, residual = the rest — the weekday/weekend
+    rhythm read on phenotyping sensor data, and the detrend step
+    anomaly scoring should run after. Counts as input ⇒ the trend
+    means are ratios of exact integer sums (no accumulation-order
+    risk); everything downstream derives from 6dp-rounded inputs."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("user_id") % 10).alias("entity"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out = seasonal_decompose(
+        daily, ["entity"], day_col="day", value_col="n", period=7
+    )
+    return out.orderBy("entity", "day")
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS entity,
+         CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), t AS (
+  SELECT entity, day, v,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS di,
+         round(avg(v) OVER (
+           PARTITION BY entity
+           ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         ), 6) AS trend
+  FROM daily
+), s_raw AS (
+  SELECT entity, di % 7 AS pos,
+         round(avg(v - trend), 6) AS s_raw
+  FROM t GROUP BY entity, di % 7
+), s AS (
+  SELECT entity, pos,
+         round(s_raw - avg(s_raw) OVER (PARTITION BY entity), 6)
+           AS seasonal
+  FROM s_raw
+)
+SELECT t.entity, strftime(t.day, '%Y-%m-%d') AS day,
+       round(t.v, 6) AS value, t.trend, s.seasonal,
+       round(t.v - t.trend - s.seasonal, 6) AS residual
+FROM t JOIN s ON t.entity = s.entity AND t.di % 7 = s.pos
+ORDER BY t.entity, day
+"""
+
+
 def q_pair_sample(spark, sf_dir):
     """Budgeted candidate-pair sampling (linkage.blocked_pair_sample):
     per (source, lang) block of the documents corpus, the C(k,2)
@@ -13261,6 +13321,7 @@ QUERIES: dict[str, QuerySpec] = {
     "psi_drift": q_psi_drift,
     "fs_linkage": q_fs_linkage,
     "pair_sample": q_pair_sample,
+    "seasonal_decompose": q_seasonal_decompose,
     "label_communities": q_label_communities,
     "golden_records": q_golden_records,
     "event_sequences": q_event_sequences,
@@ -13520,6 +13581,7 @@ ORACLES: dict[str, str] = {
     "psi_drift": SQL_PSI_DRIFT,
     "fs_linkage": SQL_FS_LINKAGE,
     "pair_sample": SQL_PAIR_SAMPLE,
+    "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "label_communities": SQL_LABEL_COMMUNITIES,
     "golden_records": SQL_GOLDEN_RECORDS,
     "event_sequences": SQL_EVENT_SEQUENCES,
@@ -13563,8 +13625,16 @@ GATE_PRIORITY: list[str] = [
     # (b) oracle definition touched in round 8, re-gated:
     "event_sequences",     # oracle now groups by the state TUPLE
     #                        (ADVICE r7: separator-collision parity)
-    # (c) the r6-promised single-green rotation:
-    "variant_extract",     # only green r4; promised re-gate since r6
+    # (c) third new-in-r8 key (never driver-gated — must be windowed).
+    #     It holds the slot variant_extract occupied earlier this
+    #     round: new keys outrank old-green re-gates, variant_extract's
+    #     r4 green already satisfies the r8 "nothing older than r3"
+    #     criterion, and this round's committed two-scale artifact
+    #     (CORRECTNESS_multiscale_r08.json) re-verified variant_extract
+    #     green at sf0.01 AND sf0.001 with the current definition; it
+    #     leads the r9 rotation with the r3 block (3 canaries + 39 r3
+    #     + variant_extract = 43, leaving 7 free r9 slots).
+    "seasonal_decompose",  # weekly additive decomposition, events
     # (d) the full r2-last-green block, stalest tier, alphabetical:
     "availability_pivot",
     "cube_counts",
@@ -13816,6 +13886,7 @@ BENCH_QUERIES: list[str] = [
     "event_transitions",
     "user_rfm",
     "robust_trend",
+    "seasonal_decompose",
     "k_anonymity",
     "dp_counts",
     "psi_drift",

@@ -1016,3 +1016,101 @@ def sequential_patterns(
             ).alias("support"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str = "day",
+    value_col: str = "value",
+    period: int = 7,
+    half_window: int | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series —
+    ``value = trend + seasonal + residual`` — per group, with a
+    weekly (``period=7``) cycle by default: the standard first look at
+    wearable/sensor phenotyping data (weekday/weekend activity
+    rhythm), and the detrending step CUSUM/anomaly scoring should run
+    AFTER so level shifts aren't masked by seasonality.
+
+    Method (classical decomposition, the moving-average variant of
+    statsmodels ``seasonal_decompose``; STL's non-iterative
+    ancestor):
+
+    * ``trend`` — centered moving average over a CALENDAR range of
+      ±``half_window`` days (default ``period // 2``), computed with a
+      range-framed window on the day index so data gaps shrink the
+      neighborhood instead of dragging in far-away days (a rows frame
+      would); edges use the partial window (documented divergence
+      from statsmodels' edge NaNs — partial means keep every day
+      scoreable).
+    * ``seasonal`` — the mean DETRENDED value per (group, day-of-cycle
+      position), re-centered so the seasonal components sum to zero
+      over the cycle (pure relabeling of level between trend and
+      seasonal otherwise).
+    * ``residual = value − trend − seasonal``.
+
+    Cross-engine discipline: trend is rounded 6dp BEFORE detrending,
+    the seasonal mean 6dp before re-centering, the centered seasonal
+    and residual 6dp again — every derived quantity computes from
+    already-rounded inputs, so engines that disagree in the last ulp
+    of a float sum still agree on every output cell.
+
+    Scale shape: one shuffle on the group key feeds the trend window;
+    the seasonal step is a (group, pos) hash aggregate joined back on
+    the same key (broadcast-sized right side: groups × period rows);
+    no collect, no cross join. Day-of-cycle position is
+    ``datediff(day, epoch) % period`` — calendar-stable, engine-
+    portable, and independent of each group's start date.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    hw = period // 2 if half_window is None else half_window
+    gc = [F.col(c) for c in group_cols]
+    d = F.to_date(F.col(day_col))
+    base = df.select(
+        *group_cols,
+        d.alias("day"),
+        F.datediff(d, F.lit("1970-01-01").cast("date")).alias("_di"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("day").isNotNull() & F.col("_v").isNotNull())
+
+    wt = (
+        Window.partitionBy(*gc)
+        .orderBy("_di")
+        .rangeBetween(-hw, hw)
+    )
+    detr = base.withColumn(
+        "trend", F.round(F.avg("_v").over(wt), 6)
+    ).withColumn("_detr", F.col("_v") - F.col("trend"))
+
+    pos = (F.col("_di") % period).alias("_pos")
+    seas = (
+        detr.select(*group_cols, pos, "_detr")
+        .groupBy(*group_cols, "_pos")
+        .agg(F.round(F.avg("_detr"), 6).alias("_s_raw"))
+    )
+    seas = seas.withColumn(
+        "seasonal",
+        F.round(
+            F.col("_s_raw")
+            - F.avg("_s_raw").over(Window.partitionBy(*gc)),
+            6,
+        ),
+    ).select(*group_cols, "_pos", "seasonal")
+
+    out = (
+        detr.withColumn("_pos", F.col("_di") % period)
+        .join(F.broadcast(seas), [*group_cols, "_pos"])
+        .select(
+            *group_cols,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("_v", 6).alias("value"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("_v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
+    return out

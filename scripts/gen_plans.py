@@ -866,6 +866,13 @@ NOTES = {
         "Exchange; peak + earliest time come from a single "
         "lexicographic struct-max HashAggregate."
     ),
+    "seasonal_decompose": (
+        "classical additive decomposition: the daily hash aggregate "
+        "and the RANGE-framed trend window share one shuffle on the "
+        "entity key; the seasonal table (entities x 7 rows) comes "
+        "from a second tiny aggregate and broadcasts back - no "
+        "corpus re-shuffle, no collect."
+    ),
     "pair_sample": (
         "budgeted blocked pair sampling: ONE Exchange on the block "
         "key feeds both window functions (block count + md5 rank, "

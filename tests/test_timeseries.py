@@ -453,3 +453,69 @@ def test_robust_trend_theil_sen_and_mann_kendall(spark):
     )
     rt = robust_trend(dft, ["g"], "x", "y").collect()[0]
     assert rt["mk_z"] is None and rt["mk_s"] == 0
+
+
+class TestSeasonalDecompose:
+    @pytest.fixture(scope="class")
+    def decomposed(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        # 28 days starting Mon 2024-01-01: constant level 10 plus a
+        # planted weekly pattern (+5 on pos 0, -5 on pos 1, 0 else).
+        # With a FULL-period centered window the MA of any 7
+        # consecutive days is exactly the level, so interior trend
+        # must be 10.0 and seasonal must recover the pattern exactly.
+        pat = {0: 5.0, 1: -5.0}
+        rows = []
+        for d in range(28):
+            day = dt.date(2024, 1, 1) + dt.timedelta(days=d)
+            rows.append(("e", day.isoformat(), 10.0 + pat.get(d % 7, 0.0)))
+        df = spark.createDataFrame(
+            rows, "entity string, day string, v double"
+        )
+        out = seasonal_decompose(
+            df, ["entity"], day_col="day", value_col="v", period=7
+        ).collect()
+        return {r["day"]: r for r in out}
+
+    def test_interior_trend_is_level(self, decomposed):
+        # days 4..24 have the full +-3 window inside the series
+        for d in range(3, 25):
+            day = (dt.date(2024, 1, 1) + dt.timedelta(days=d)).isoformat()
+            assert decomposed[day]["trend"] == pytest.approx(10.0)
+
+    def test_seasonal_recovers_pattern_and_sums_to_zero(self, decomposed):
+        # read the seasonal component off one interior week
+        week = [
+            decomposed[
+                (dt.date(2024, 1, 8) + dt.timedelta(days=i)).isoformat()
+            ]["seasonal"]
+            for i in range(7)
+        ]
+        # pos = di % 7; 2024-01-08 has di % 7 == 5 (1970-01-01 was a
+        # Thursday), so the +5/-5 pattern planted on (d % 7) == 0/1
+        # lands at week offsets 0 and 1 regardless — offsets ARE the
+        # planted d%7 positions.
+        assert week[0] == pytest.approx(5.0, abs=0.05)
+        assert week[1] == pytest.approx(-5.0, abs=0.05)
+        assert sum(week) == pytest.approx(0.0, abs=1e-4)
+
+    def test_identity_and_edges(self, decomposed):
+        assert len(decomposed) == 28  # partial edge windows still score
+        for r in decomposed.values():
+            assert r["value"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"], abs=2e-6
+            )
+
+    def test_period_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        df = spark.createDataFrame(
+            [("e", "2024-01-01", 1.0)], "entity string, day string, v double"
+        )
+        with pytest.raises(ValueError, match="period must be >= 2"):
+            seasonal_decompose(df, ["entity"], "day", "v", period=1)
