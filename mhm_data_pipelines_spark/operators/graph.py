@@ -332,3 +332,70 @@ def label_propagation(
             )
         labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    standard web-graph quality filter — pages outside a dense core are
+    disproportionately spam/boilerplate, and the ER/near-dup cluster
+    graphs built upstream use it to separate hub-dense families from
+    stragglers): repeatedly delete every node whose degree in the
+    CURRENT graph is < k until none remains. Returns ``(node,
+    core_degree)`` for the surviving subgraph — every core_degree is
+    ≥ k by construction, and the result is the unique maximal
+    subgraph with min degree ≥ k (order-independent, hence fully
+    deterministic: no ties exist to break).
+
+    Graph semantics: undirected simple graph — the edge list is
+    symmetrized, parallel edges collapse, self-loops drop (a self-loop
+    is not connectivity).
+
+    Scale shape: the symmetrized edge list is localCheckpoint'ed once;
+    each peel round is ONE hash aggregate (degrees) + two anti-joins
+    against the checkpoint-cached sub-k node set, with lineage
+    truncated per round — only the shrinking edge list cycles, and
+    rounds stop at the fixpoint (one bounded count() action per round
+    detects it; ``max_iter`` guards pathological chains — peeling
+    removes ≥1 node per non-final round, so max_iter bounds are loud,
+    not silent). An external SQL oracle can replay the rounds
+    verbatim: each round depends only on the previous round's edge
+    set, with no randomness and no tie-breaking.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    cur = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        bad = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") < k)
+            .select("a")
+            .localCheckpoint()  # eager: reused by both anti-joins
+        )
+        if bad.count() == 0:
+            break
+        cur = (
+            cur.join(bad, "a", "left_anti")
+            .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint in {max_iter} rounds"
+        )
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

@@ -247,3 +247,72 @@ def test_lpa_isolated_seed_node_survives(spark):
     got = _labels(label_propagation(df, iterations=2, seeds=seeds))
     assert got["z"] == "L9"  # isolated seed kept, clamped
     assert set(got) == {"a", "b", "z"}
+
+
+class TestKCore:
+    def test_known_graph(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import k_core
+
+        # triangle {1,2,3} (2-core) with a pendant chain 3-4-5 and an
+        # isolated edge 6-7; parallel + reversed + self-loop noise.
+        edges = [
+            (1, 2), (2, 3), (1, 3),
+            (3, 4), (4, 5),
+            (6, 7),
+            (2, 1),      # reverse duplicate
+            (1, 2),      # parallel duplicate
+            (5, 5),      # self-loop (dropped)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(df, k=2).collect()
+        }
+        # peeling: 5 (deg 1) out -> 4 (deg 1) out -> fixpoint; the
+        # 6-7 edge dies in round one; the triangle survives at deg 2.
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_k1_keeps_every_connected_node(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(
+            [(1, 2), (3, 4)], "src long, dst long"
+        )
+        got = {r["node"] for r in k_core(df, k=1).collect()}
+        assert got == {1, 2, 3, 4}
+
+    def test_empty_core_and_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import k_core
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        assert k_core(df, k=3).count() == 0
+        with _pt.raises(ValueError, match="k must be >= 1"):
+            k_core(df, k=0)
+
+    def test_core_matches_python_peel_on_random_graph(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import k_core
+
+        # deterministic pseudo-random graph; reference = naive peel
+        edges = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        k = 3
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        while True:
+            bad = [n for n, nb in adj.items() if len(nb) < k]
+            if not bad:
+                break
+            for n in bad:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+        want = {n: len(nb) for n, nb in adj.items()}
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(df, k=k).collect()
+        }
+        assert got == want
