@@ -516,3 +516,63 @@ def test_blocked_pair_sample_properties(sp, rows, k, parts):
             ),
         )[:k]
         assert r.id_a in members and r.id_b in members
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=8, max_size=40
+    ),
+    period=st.sampled_from([3, 5, 7]),
+)
+def test_seasonal_decompose_matches_numpy_replay(sp, vals, period):
+    """Full numpy replay of the documented semantics on a random
+    contiguous daily series: calendar-range centered MA trend
+    (partial edges), re-centered per-position mean of detrended,
+    residual identity — every cell equal to 6dp."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    start = dt.date(2024, 3, 1)
+    rows = [
+        ("g", (start + dt.timedelta(days=i)).isoformat(), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = sp.createDataFrame(rows, "g string, day string, v double")
+    got = {
+        r["day"]: r
+        for r in seasonal_decompose(
+            df, ["g"], day_col="day", value_col="v", period=period
+        ).collect()
+    }
+
+    n = len(vals)
+    hw = period // 2
+    v = np.array(vals, dtype=float)
+    trend = np.array(
+        [
+            round(v[max(0, i - hw): i + hw + 1].mean(), 6)
+            for i in range(n)
+        ]
+    )
+    detr = v - trend
+    di0 = (start - dt.date(1970, 1, 1)).days
+    pos = np.array([(di0 + i) % period for i in range(n)])
+    s_raw = {
+        p: round(detr[pos == p].mean(), 6) for p in sorted(set(pos))
+    }
+    center = np.mean(list(s_raw.values()))
+    seasonal = {p: round(s - center, 6) for p, s in s_raw.items()}
+    for i in range(n):
+        day = (start + dt.timedelta(days=i)).isoformat()
+        r = got[day]
+        assert r["trend"] == pytest.approx(trend[i], abs=2e-6)
+        assert r["seasonal"] == pytest.approx(seasonal[pos[i]], abs=2e-6)
+        assert r["residual"] == pytest.approx(
+            round(v[i] - trend[i] - seasonal[pos[i]], 6), abs=2e-6
+        )
