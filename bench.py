@@ -77,17 +77,19 @@ def criterion_summary(warm: dict[str, float]) -> dict | None:
         for k in shared
         if base[k] >= 0.2  # noise floor for per-query ratios
     }
-    worst = max(ratios, key=ratios.get)
-    return {
+    out = {
         "vs": "BENCH_r02.json (frozen r2 baseline)",
         "n_shared": len(shared),
         "baseline_set_ratio": round(now_sum / base_sum, 3),
         "baseline_set_warm_sec": round(now_sum, 3),
         "baseline_set_baseline_sec": round(base_sum, 3),
-        "worst_query": worst,
-        "worst_query_ratio": round(ratios[worst], 3),
         "n_over_2x": sum(1 for r in ratios.values() if r > 2.0),
     }
+    if ratios:  # every shared query can sit under the noise floor
+        worst = max(ratios, key=ratios.get)
+        out["worst_query"] = worst
+        out["worst_query_ratio"] = round(ratios[worst], 3)
+    return out
 
 
 def build_stdout_record(
@@ -116,7 +118,7 @@ def build_stdout_record(
             **{k: rec[k] for k in ("metric", "value", "unit",
                                    "warm_total", "sf", "n_queries")},
             "vs_baseline_ratio": criterion["baseline_set_ratio"],
-            "worst_query_ratio": criterion["worst_query_ratio"],
+            "worst_query_ratio": criterion.get("worst_query_ratio"),
             "queries": rec["queries"],
         }
     line = json.dumps(rec, separators=(",", ":"))
