@@ -13078,6 +13078,224 @@ FROM kk CROSS JOIN q CROSS JOIN ne CROSS JOIN ni
 """
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the urgent-order part
+    co-occurrence graph (graph.adamic_adar): candidate part pairs that
+    never co-occurred in an urgent order, scored by Σ 1/ln(deg) over
+    shared co-order partners. hub_cap=48 is BINDING at the tested
+    scales (max degree 50–85) so the oracle exercises the center
+    exclusion, not just the happy path. Top 200 by the integer
+    (common_neighbors, keys) order — no float-boundary ties."""
+    from mhm_data_pipelines_spark.operators.graph import adamic_adar
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    out = adamic_adar(edges, hub_cap=48)
+    return (
+        out.select(
+            F.col("node_a").cast("long").alias("node_a"),
+            F.col("node_b").cast("long").alias("node_b"),
+            F.col("common_neighbors").cast("long").alias(
+                "common_neighbors"
+            ),
+            F.round("aa_score", 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("common_neighbors"), "node_a", "node_b")
+        .limit(200)
+    )
+
+
+SQL_ADAMIC_ADAR = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l
+  JOIN orders r ON r.o_orderkey = l.l_orderkey
+  WHERE r.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), sym AS (
+  SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e
+), deg AS (
+  SELECT s, count(*) AS dg FROM sym GROUP BY s
+), adj AS (
+  SELECT sym.s AS z, sym.d AS n, 1.0 / ln(deg.dg) AS w
+  FROM sym JOIN deg ON deg.s = sym.s
+  WHERE deg.dg BETWEEN 2 AND 48
+), scores AS (
+  SELECT a1.n AS node_a, a2.n AS node_b,
+         count(*) AS common_neighbors, sum(a1.w) AS aa_score
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+  GROUP BY 1, 2
+)
+SELECT CAST(s.node_a AS BIGINT) AS node_a,
+       CAST(s.node_b AS BIGINT) AS node_b,
+       CAST(s.common_neighbors AS BIGINT) AS common_neighbors,
+       round(s.aa_score, 6) AS aa_score
+FROM scores s
+LEFT JOIN e ON e.x = s.node_a AND e.y = s.node_b
+WHERE e.x IS NULL
+ORDER BY s.common_neighbors DESC, s.node_a, s.node_b
+LIMIT 200
+"""
+
+
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (graph.k_core, k=12) of the urgent-order
+    part co-occurrence graph: the dense backbone that survives
+    iterative peeling of sub-12-degree parts. The oracle replays the
+    peel rounds verbatim in one recursive CTE (each round depends only
+    on the previous round's edge set — no randomness, no tie-breaks),
+    carried to a fixed round 24 where the set is provably stationary
+    (peeling removes ≥1 node per non-final round and the tested graphs
+    converge in <10; Spark raises past max_iter=50 rather than return
+    a non-fixpoint)."""
+    from mhm_data_pipelines_spark.operators.graph import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    out = k_core(edges, k=12)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    ).orderBy("node")
+
+
+SQL_K_CORE = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l
+  JOIN orders r ON r.o_orderkey = l.l_orderkey
+  WHERE r.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), peel(round, s, d) AS (
+  SELECT 0, s, d FROM (
+    SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e
+  )
+  UNION ALL
+  SELECT round + 1, s, d FROM (
+    SELECT round, s, d,
+           count(*) OVER (PARTITION BY round, s) AS ds,
+           count(*) OVER (PARTITION BY round, d) AS dd
+    FROM peel
+  ) WHERE round < 24 AND ds >= 12 AND dd >= 12
+)
+SELECT CAST(s AS BIGINT) AS node, count(*) AS core_degree
+FROM peel WHERE round = 24
+GROUP BY s
+ORDER BY node
+"""
+
+
+def q_fd_violations(spark, sf_dir):
+    """Approximate functional-dependency audit (profile.fd_report, the
+    g3 error of Kivinen-Mannila): six declared candidate FDs across
+    orders / lineitem / events — keys that must hold exactly
+    (o_orderkey -> o_orderstatus, (l_orderkey,l_linenumber) ->
+    l_partkey, event_id -> event_type) next to soft dependencies that
+    must NOT (o_custkey -> o_orderpriority, l_partkey -> l_suppkey,
+    user_id -> event_type) — so the oracle exercises both branches of
+    the holds flag and the exact violating-row count."""
+    from mhm_data_pipelines_spark.operators.profile import fd_report
+
+    o = fd_report(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+        ],
+    )
+    li = fd_report(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            (("l_orderkey", "l_linenumber"), "l_partkey"),
+            ("l_partkey", "l_suppkey"),
+        ],
+    )
+    ev = fd_report(
+        _t(spark, sf_dir, "events"),
+        [("event_id", "event_type"), ("user_id", "event_type")],
+    )
+    return (
+        o.unionByName(li)
+        .unionByName(ev)
+        .orderBy("determinant", "dependent")
+    )
+
+
+def _fd_sql(table: str, det_cols: list[str], dep: str) -> str:
+    det = ", ".join(det_cols)
+    name = ",".join(det_cols)
+    return f"""
+  SELECT '{name}' AS determinant, '{dep}' AS dependent,
+         CAST(sum(gn) AS BIGINT) AS n_rows,
+         count(*) AS n_groups,
+         count(CASE WHEN nd = 1 THEN 1 END) AS clean_groups,
+         CAST(sum(gn) - sum(keep) AS BIGINT) AS violating_rows,
+         round((sum(gn) - sum(keep)) / sum(gn), 6) AS g3_error,
+         sum(gn) = sum(keep) AS holds
+  FROM (
+    SELECT {det}, sum(c) AS gn, max(c) AS keep, count(*) AS nd
+    FROM (SELECT {det}, {dep}, count(*) AS c FROM {table} GROUP BY ALL)
+    GROUP BY {det}
+  )"""
+
+
+SQL_FD_VIOLATIONS = (
+    "\nUNION ALL\n".join(
+        [
+            _fd_sql("orders", ["o_orderkey"], "o_orderstatus"),
+            _fd_sql("orders", ["o_custkey"], "o_orderpriority"),
+            _fd_sql(
+                "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"
+            ),
+            _fd_sql("lineitem", ["l_partkey"], "l_suppkey"),
+            _fd_sql("events", ["event_id"], "event_type"),
+            _fd_sql("events", ["user_id"], "event_type"),
+        ]
+    )
+    + "\nORDER BY determinant, dependent"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -13330,6 +13548,9 @@ QUERIES: dict[str, QuerySpec] = {
     "peak_concurrency": q_peak_concurrency,
     "stream_topk": q_stream_topk,
     "conformal_coverage": q_conformal_coverage,
+    "adamic_adar": q_adamic_adar,
+    "k_core": q_k_core,
+    "fd_violations": q_fd_violations,
     "robust_trend": q_robust_trend,
 }
 
@@ -13590,6 +13811,9 @@ ORACLES: dict[str, str] = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "stream_topk": SQL_STREAM_TOPK,
     "conformal_coverage": SQL_CONFORMAL_COVERAGE,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "k_core": SQL_K_CORE,
+    "fd_violations": SQL_FD_VIOLATIONS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13686,6 +13910,16 @@ GATE_PRIORITY: list[str] = [
     #     rotation, all of which fit that one window):
     "pair_sample",         # budgeted blocked candidate-pair sampling
     # (end of round-8 rotation)
+    #
+    # -- r9 rotation queue (keys added AFTER the r8 rotation filled all
+    #    50 slots; each carries a committed two-scale green in
+    #    CORRECTNESS_multiscale_r08.json — sf0.01 + sf0.001, same
+    #    checker as the driver gate — per the refined no-never-verified
+    #    invariant in tests/test_oracle_parity.py). r9 window plan:
+    #    3 canaries + the 39 r3-last-green keys + variant_extract +
+    #    these, newest-first; anything that overflows 50 rolls to r10
+    #    ahead of stale re-gates:
+    #      adamic_adar, k_core, fd_violations, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -13898,6 +14132,9 @@ BENCH_QUERIES: list[str] = [
     "kmv_set_ops",
     "peak_concurrency",
     "conformal_coverage",
+    "adamic_adar",
+    "k_core",
+    "fd_violations",
 ]
 
 

@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -322,3 +324,82 @@ def concentration_report(
         F.round(hhi, round_to).alias("hhi"),
         F.round(gini, round_to).alias("gini"),
     )
+
+
+def fd_report(
+    df: DataFrame,
+    dependencies: Sequence[tuple[Sequence[str] | str, str]],
+) -> DataFrame:
+    """Approximate functional-dependency check (the g3 error of
+    Kivinen & Mannila 1995, the measure TANE-family FD discovery
+    ranks by): for each declared candidate ``determinant → dependent``,
+    how far the table is from satisfying it.
+
+    Per dependency, one row: ``determinant`` (comma-joined column
+    list), ``dependent``, ``n_rows``, ``n_groups`` (distinct
+    determinant values), ``clean_groups`` (groups whose rows all agree
+    on the dependent), ``violating_rows`` (the g3 numerator: the
+    minimum number of rows to delete so the FD holds exactly — n minus
+    the per-group majority-value count), ``g3_error``
+    (violating_rows / n_rows, 6dp) and ``holds`` (exact FD).
+
+    NULL semantics are SQL ``GROUP BY`` semantics on BOTH sides: a
+    NULL determinant is an equivalence class like any other, and a
+    NULL dependent is a value (two NULLs agree). This matches every
+    engine's grouping behavior, so an external oracle replays it
+    verbatim.
+
+    Scale shape, per dependency: one hash aggregate on
+    (determinant, dependent) — map-side combined, cardinality bounded
+    by the value-combination space, never a sort — then a hash
+    aggregate on the determinant, then a single-row rollup. The
+    declared dependencies run as independent branches of ONE unioned
+    plan (they share the scan when the source is cached). Nothing is
+    collected; no joins back to the corpus. Discovery across ALL
+    column pairs is deliberately out of scope — a 100-column table has
+    9900 directed pairs; callers enumerate the candidates they care
+    about (profile_table's distinct counts are the usual pruner:
+    determinants with distinct ≈ n_rows or dependents with distinct 1
+    are trivial).
+    """
+    if not dependencies:
+        raise ValueError("dependencies must be non-empty")
+    outs = []
+    for det, dep in dependencies:
+        det_cols = [det] if isinstance(det, str) else list(det)
+        if not det_cols:
+            raise ValueError("determinant column list must be non-empty")
+        if dep in det_cols:
+            raise ValueError(
+                f"dependent {dep!r} cannot appear in its determinant"
+            )
+        pair_counts = df.groupBy(
+            *[F.col(c) for c in det_cols], F.col(dep)
+        ).agg(F.count(F.lit(1)).alias("c"))
+        per_group = pair_counts.groupBy(*det_cols).agg(
+            F.sum("c").alias("gn"),
+            F.max("c").alias("keep"),
+            F.count(F.lit(1)).alias("n_dep_values"),
+        )
+        outs.append(
+            per_group.agg(
+                F.lit(",".join(det_cols)).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.sum("gn").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.count(
+                    F.when(F.col("n_dep_values") == 1, F.lit(1))
+                ).alias("clean_groups"),
+                (F.sum("gn") - F.sum("keep"))
+                .cast("long")
+                .alias("violating_rows"),
+                F.round(
+                    (F.sum("gn") - F.sum("keep")) / F.sum("gn"), 6
+                ).alias("g3_error"),
+                (F.sum("gn") == F.sum("keep")).alias("holds"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

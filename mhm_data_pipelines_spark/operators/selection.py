@@ -470,3 +470,96 @@ def conformal_report(
             F.lit(round(1.0 - float(alpha), 9)).alias("target"),
         )
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    id_col: str,
+    folds: int = 5,
+    smoothing: float = 20.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Out-of-fold smoothed mean target encoding (the Micci-Barreca
+    2001 empirical-Bayes encoder, K-fold regularized as every gradient
+    -boosting pipeline ships it): replace a categorical feature by the
+    smoothed mean of the target computed WITHOUT the row's own fold,
+    so the encoding never leaks a row's own label into its feature.
+
+    For a row in fold f with category c::
+
+        te = (sum_y(c) - sum_y(c, f) + smoothing * mu)
+           / (n(c)     - n(c, f)     + smoothing)
+
+    where sums/counts cover rows with a NON-NULL target, and ``mu`` is
+    the global target mean (the prior; its inclusion of the row's own
+    label is the standard, documented approximation — it is one label
+    among all of them). A category living entirely inside one fold
+    degrades gracefully to ``mu`` (smoothing > 0 keeps the denominator
+    positive). A NULL category is a category (SQL GROUP BY semantics).
+    NULL-target rows contribute nothing but still receive an encoding.
+
+    Fold assignment is content-deterministic: ``floor(md5_unit_draw(
+    id, seed) * folds)`` — bit-replayable in any md5 engine, stable
+    under repartitioning, no RNG state.
+
+    Returns the input rows plus ``fold`` (int) and ``te`` (double).
+
+    Scale shape: ONE hash aggregate to the (category × folds) table,
+    window sums over the category to get leave-fold-out totals (the
+    window runs on the aggregated table — dimension-sized, never the
+    corpus), one single-row prior broadcast, and one broadcast-sized
+    equi-join back onto the rows. The corpus is scanned twice (agg +
+    join) and shuffled on the join key only if the dimension side ever
+    outgrows broadcast; no sorts, no collects.
+    """
+    if folds < 2:
+        raise ValueError(f"folds must be >= 2, got {folds}")
+    if not smoothing > 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    from mhm_data_pipelines_spark.operators.sampling import md5_unit_draw
+
+    fold = F.floor(
+        md5_unit_draw(F.col(id_col), seed) * F.lit(int(folds))
+    ).cast("int")
+    rows = df.withColumn("fold", fold)
+    y = F.col(target_col).cast("double")
+
+    per_cf = rows.groupBy(
+        F.col(category_col).alias("_cat"), F.col("fold").alias("_fold")
+    ).agg(
+        F.sum(y).alias("_sy"),
+        F.count(y).alias("_ny"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_cat")
+    loo = per_cf.select(
+        "_cat",
+        "_fold",
+        (F.sum(F.coalesce(F.col("_sy"), F.lit(0.0))).over(w)
+         - F.coalesce(F.col("_sy"), F.lit(0.0))).alias("_sy_out"),
+        (F.sum("_ny").over(w) - F.col("_ny")).alias("_ny_out"),
+    )
+    prior = rows.agg(F.avg(y).alias("_mu"))
+    enc = (
+        loo.crossJoin(F.broadcast(prior))
+        .select(
+            "_cat",
+            "_fold",
+            (
+                (F.col("_sy_out") + F.lit(float(smoothing)) * F.col("_mu"))
+                / (F.col("_ny_out") + F.lit(float(smoothing)))
+            ).alias("te"),
+        )
+    )
+    cat_eq = (F.col(category_col).eqNullSafe(F.col("_cat")))
+    return (
+        rows.join(
+            F.broadcast(enc),
+            cat_eq & (F.col("fold") == F.col("_fold")),
+            "left",
+        )
+        .drop("_cat", "_fold")
+    )

@@ -316,3 +316,92 @@ class TestKCore:
             for r in k_core(df, k=k).collect()
         }
         assert got == want
+
+
+class TestAdamicAdar:
+    def test_known_graph(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.graph import adamic_adar
+
+        # star center c with leaves a,b,d plus edge a-b: candidate
+        # non-edges through c are (a,d),(b,d); (a,b) is an existing
+        # edge and must be anti-joined away by default.
+        edges = [("a", "c"), ("b", "c"), ("d", "c"), ("a", "b")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["common_neighbors"],
+                r["aa_score"],
+            )
+            for r in adamic_adar(df).collect()
+        }
+        w_c = 1.0 / math.log(3)  # deg(c) = 3
+        assert set(got) == {("a", "d"), ("b", "d")}
+        for pair in got:
+            assert got[pair][0] == 1
+            assert got[pair][1] == pytest.approx(w_c)
+
+    def test_include_existing_scores_edges_too(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.graph import adamic_adar
+
+        edges = [("a", "c"), ("b", "c"), ("a", "b")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r["node_a"], r["node_b"]): r["aa_score"]
+            for r in adamic_adar(df, include_existing=True).collect()
+        }
+        # (a,b) share c (deg 2); (a,c) share b (deg 2); (b,c) share a.
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert got[("a", "b")] == pytest.approx(1.0 / math.log(2))
+
+    def test_hub_cap_excludes_center_but_not_its_links(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import adamic_adar
+
+        # hub h with 4 leaves; wedge pairs exist only through h, so
+        # hub_cap=3 (< deg h = 4) empties the candidate set.
+        edges = [("h", x) for x in "abcd"]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        assert adamic_adar(df).count() == 6  # C(4,2) through h
+        assert adamic_adar(df, hub_cap=3).count() == 0
+        with pytest.raises(ValueError, match="hub_cap"):
+            adamic_adar(df, hub_cap=1)
+
+    def test_matches_python_reference_on_random_graph(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.graph import adamic_adar
+
+        edges = [((i * 7) % 19, (i * 13 + 5) % 19) for i in range(50)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        adj: dict = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        nodes = sorted(adj)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                if y in adj[x]:
+                    continue
+                common = adj[x] & adj[y]
+                if common:
+                    want[(x, y)] = (
+                        len(common),
+                        sum(1.0 / math.log(len(adj[z])) for z in common),
+                    )
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["common_neighbors"],
+                r["aa_score"],
+            )
+            for r in adamic_adar(df).collect()
+        }
+        assert set(got) == set(want)
+        for p in want:
+            assert got[p][0] == want[p][0]
+            assert got[p][1] == pytest.approx(want[p][1])

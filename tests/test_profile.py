@@ -179,3 +179,63 @@ def test_concentration_null_weights_dropped(spark):
     # match the 2-group hand case.
     assert row["n_groups"] == 2
     assert row["hhi"] == 0.625 and row["gini"] == 0.25
+
+
+class TestFDReport:
+    def _one(self, df, deps):
+        from mhm_data_pipelines_spark.operators.profile import fd_report
+
+        return {
+            (r["determinant"], r["dependent"]): r.asDict()
+            for r in fd_report(df, deps).collect()
+        }
+
+    def test_exact_fd_holds(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (3, "b")], "k int, v string"
+        )
+        got = self._one(df, [("k", "v")])[("k", "v")]
+        assert got["holds"] is True
+        assert got["violating_rows"] == 0
+        assert got["g3_error"] == 0.0
+        assert got["n_groups"] == 3 and got["clean_groups"] == 3
+
+    def test_g3_is_min_rows_to_delete(self, spark):
+        # group 1: values a,a,b -> delete 1 (the minority b);
+        # group 2: values c -> clean.
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k int, v string"
+        )
+        got = self._one(df, [("k", "v")])[("k", "v")]
+        assert got["holds"] is False
+        assert got["violating_rows"] == 1
+        assert got["g3_error"] == round(1 / 4, 6)
+        assert got["clean_groups"] == 1
+
+    def test_null_is_a_class_and_a_value(self, spark):
+        # NULL determinant groups together; NULL dependents agree.
+        df = spark.createDataFrame(
+            [(None, "x"), (None, "x"), (1, None), (1, None)],
+            "k int, v string",
+        )
+        got = self._one(df, [("k", "v")])[("k", "v")]
+        assert got["holds"] is True and got["n_groups"] == 2
+
+    def test_composite_determinant_and_multiple_deps(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "a", "p"), (1, 2, "b", "p"), (1, 1, "a", "q")],
+            "k1 int, k2 int, v string, w string",
+        )
+        got = self._one(df, [(("k1", "k2"), "v"), ("k1", "w")])
+        assert got[("k1,k2", "v")]["holds"] is True
+        assert got[("k1", "w")]["holds"] is False
+        assert got[("k1", "w")]["violating_rows"] == 1
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import fd_report
+
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        with pytest.raises(ValueError, match="non-empty"):
+            fd_report(df, [])
+        with pytest.raises(ValueError, match="cannot appear"):
+            fd_report(df, [(("k", "v"), "v")])
