@@ -13296,6 +13296,180 @@ SQL_FD_VIOLATIONS = (
 )
 
 
+def q_target_encoding(spark, sf_dir):
+    """Out-of-fold smoothed mean target encoding of event_type against
+    value (selection.target_encode, Micci-Barreca empirical Bayes,
+    5 content-hash folds): the gate output is the compact
+    (category x fold) encoding table itself — per-row te is constant
+    within a cell by construction, so the cell table pins every row's
+    feature value while keeping the compare dimension-sized."""
+    from mhm_data_pipelines_spark.operators.selection import (
+        target_encode,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    enc = target_encode(
+        ev, "event_type", "value", "event_id", folds=5, smoothing=20.0
+    )
+    return (
+        enc.groupBy("event_type", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("te"), 6).alias("te"),
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+SQL_TARGET_ENCODING = """
+WITH rows_ AS (
+  SELECT event_type AS cat, value AS y,
+         CAST(floor(
+           CAST(('0x' || substr(md5(event_id || ':42'), 1, 15))
+                AS BIGINT) / 1152921504606846976.0 * 5
+         ) AS INT) AS fold
+  FROM events
+), percf AS (
+  SELECT cat, fold, sum(y) AS sy, count(y) AS ny, count(*) AS n
+  FROM rows_ GROUP BY 1, 2
+), mu AS (
+  SELECT avg(y) AS mu FROM rows_
+), loo AS (
+  SELECT cat, fold, n,
+         sum(coalesce(sy, 0)) OVER (PARTITION BY cat)
+           - coalesce(sy, 0) AS sy_out,
+         sum(ny) OVER (PARTITION BY cat) - ny AS ny_out
+  FROM percf
+)
+SELECT loo.cat AS event_type, loo.fold,
+       CAST(loo.n AS BIGINT) AS n_rows,
+       round((loo.sy_out + 20.0 * mu.mu) / (loo.ny_out + 20.0), 6)
+         AS te
+FROM loo CROSS JOIN mu
+ORDER BY event_type, fold
+"""
+
+
+def q_touch_attribution(spark, sf_dir):
+    """Position-based multi-touch attribution of purchase conversions
+    (attribution.position_attribution, 40/20/40 U-shape, 7-day
+    lookback, (ts, event_id) rank tie-break): per-channel credit under
+    the four standard models from ONE user-keyed join + one
+    (user, conversion) window. Credit conservation (each model sums to
+    the attributed-conversion count) is what the cross-engine value
+    hash certifies."""
+    from mhm_data_pipelines_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = position_attribution(ev, "purchase", lookback_days=7)
+    return out.select(
+        "channel",
+        F.col("touches").cast("long").alias("touches"),
+        F.col("conversions_touched").cast("long").alias(
+            "conversions_touched"
+        ),
+        F.round("first_credit", 6).alias("first_credit"),
+        F.round("last_credit", 6).alias("last_credit"),
+        F.round("linear_credit", 6).alias("linear_credit"),
+        F.round("u_credit", 6).alias("u_credit"),
+    ).orderBy("channel")
+
+
+SQL_TOUCH_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, ts AS tts, event_id AS tid,
+         event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+), j AS (
+  SELECT t.channel, c.cid,
+         row_number() OVER (PARTITION BY c.u, c.cid
+                            ORDER BY t.tts, t.tid) AS rn,
+         count(*) OVER (PARTITION BY c.u, c.cid) AS sz
+  FROM touch t JOIN conv c ON t.u = c.u
+  WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+), credited AS (
+  SELECT channel, cid,
+         CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END AS first_c,
+         CASE WHEN rn = sz THEN 1.0 ELSE 0.0 END AS last_c,
+         1.0 / sz AS linear_c,
+         CASE WHEN sz = 1 THEN 1.0
+              WHEN sz = 2 THEN 0.5
+              WHEN rn = 1 OR rn = sz THEN 0.4
+              ELSE 0.2 / (sz - 2) END AS u_c
+  FROM j
+)
+SELECT channel,
+       count(*) AS touches,
+       count(DISTINCT cid) AS conversions_touched,
+       round(sum(first_c), 6) AS first_credit,
+       round(sum(last_c), 6) AS last_credit,
+       round(sum(linear_c), 6) AS linear_credit,
+       round(sum(u_c), 6) AS u_credit
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+def q_holt_trend(spark, sf_dir):
+    """Holt double exponential smoothing of each user's daily mean
+    value (timeseries.holt_trend, alpha=0.5, beta=0.3): the coupled
+    level/trend recursion runs in an Arrow-batched applyInPandas (the
+    one shape no window-frame composition expresses); the oracle
+    replays the IDENTICAL float expression tree in a recursive CTE
+    stepping rn -> rn+1 per user, so agreement is bit-level before the
+    6dp output rounding. Daily means are rounded 6dp PRE-recursion in
+    both engines (round-before-derive parity convention)."""
+    from mhm_data_pipelines_spark.operators.timeseries import holt_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("user_id"), F.to_date("ts").alias("d")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+    )
+    out = holt_trend(daily, "user_id", "d", "y", alpha=0.5, beta=0.3)
+    return out.orderBy("user_id")
+
+
+SQL_HOLT_TREND = """
+WITH RECURSIVE base AS (
+  SELECT CAST(user_id AS VARCHAR) AS u, CAST(ts AS DATE) AS d,
+         round(avg(value), 6) AS y
+  FROM events
+  GROUP BY 1, 2
+), series AS (
+  SELECT u, y,
+         row_number() OVER (PARTITION BY u ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY u) AS n,
+         lead(y) OVER (PARTITION BY u ORDER BY d) AS y_next
+  FROM base
+  WHERE y IS NOT NULL
+), hw(u, rn, n, s, b) AS (
+  SELECT u, 1, n, y,
+         CASE WHEN n > 1 THEN y_next - y ELSE 0.0 END
+  FROM series WHERE rn = 1
+  UNION ALL
+  SELECT h.u, h.rn + 1, h.n,
+         0.5 * sv.y + 0.5 * (h.s + h.b),
+         0.3 * ((0.5 * sv.y + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b
+  FROM hw h
+  JOIN series sv ON sv.u = h.u AND sv.rn = h.rn + 1
+)
+SELECT u AS user_id, CAST(n AS BIGINT) AS n_points,
+       round(s, 6) AS level, round(b, 6) AS trend,
+       round(s + b, 6) AS forecast_1
+FROM hw WHERE rn = n
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -13551,6 +13725,9 @@ QUERIES: dict[str, QuerySpec] = {
     "adamic_adar": q_adamic_adar,
     "k_core": q_k_core,
     "fd_violations": q_fd_violations,
+    "target_encoding": q_target_encoding,
+    "touch_attribution": q_touch_attribution,
+    "holt_trend": q_holt_trend,
     "robust_trend": q_robust_trend,
 }
 
@@ -13814,6 +13991,9 @@ ORACLES: dict[str, str] = {
     "adamic_adar": SQL_ADAMIC_ADAR,
     "k_core": SQL_K_CORE,
     "fd_violations": SQL_FD_VIOLATIONS,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "touch_attribution": SQL_TOUCH_ATTRIBUTION,
+    "holt_trend": SQL_HOLT_TREND,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -13919,7 +14099,8 @@ GATE_PRIORITY: list[str] = [
     #    3 canaries + the 39 r3-last-green keys + variant_extract +
     #    these, newest-first; anything that overflows 50 rolls to r10
     #    ahead of stale re-gates:
-    #      adamic_adar, k_core, fd_violations, ...
+    #      adamic_adar, k_core, fd_violations, target_encoding,
+    #      touch_attribution, holt_trend, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14135,6 +14316,9 @@ BENCH_QUERIES: list[str] = [
     "adamic_adar",
     "k_core",
     "fd_violations",
+    "target_encoding",
+    "touch_attribution",
+    "holt_trend",
 ]
 
 

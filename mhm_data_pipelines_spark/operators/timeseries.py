@@ -1114,3 +1114,96 @@ def seasonal_decompose(
         )
     )
     return out
+
+
+def holt_trend(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957)
+    per entity — the trend-aware big sibling of :func:`ewma`: a level
+    AND a slope, each exponentially updated, giving a one-step
+    forecast ``level + trend`` that tracks drifting series the flat
+    EWMA lags behind.
+
+    Recurrence (anchored at the first two points — the standard
+    classical init): ``s_1 = x_1``, ``b_1 = x_2 − x_1`` (``b_1 = 0``
+    for singleton series), then for t ≥ 2::
+
+        s_t = α·x_t + (1−α)·(s_{t−1} + b_{t−1})
+        b_t = β·(s_t − s_{t−1}) + (1−β)·b_{t−1}
+
+    NULL values are dropped before ordering (they carry no signal and
+    every engine agrees on that contract). Returns one row per entity:
+    ``(entity, n_points, level, trend, forecast_1)`` — the final
+    state and ``level + trend``, all 6dp.
+
+    Why a Pandas UDF: the two recursions are COUPLED — unlike the
+    plain EWMA (which unrolls to a closed-form power sum a window
+    expression computes), ``s_t`` needs ``b_{t−1}`` and vice versa, so
+    no fixed-size composition of built-in window frames expresses it.
+    This is exactly the contract ``applyInPandas`` exists for:
+    series are grouped by entity (ONE shuffle — the same hash
+    partitioning any per-entity window would pay), each group arrives
+    as one Arrow batch, and the per-group recursion is a trivial
+    O(n) numpy loop over an in-memory series. State never crosses
+    entities; entity cardinality bounds parallelism exactly like
+    every per-user window in this package. The float expression tree
+    is written IDENTICALLY here and in the SQL oracle's recursive CTE
+    (b_t inlines the s_t expression), so results agree to the bit
+    before the output rounding, not merely to tolerance.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    a = float(alpha)
+    g = float(beta)
+    import pandas as pd
+
+    out_schema = (
+        f"{entity_col} string, n_points long, level double, "
+        "trend double, forecast_1 double"
+    )
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        s = xs[0]
+        b = xs[1] - xs[0] if len(xs) > 1 else 0.0
+        for t in range(1, len(xs)):
+            s_new = a * xs[t] + (1.0 - a) * (s + b)
+            b = g * (s_new - s) + (1.0 - g) * b
+            s = s_new
+        return pd.DataFrame(
+            {
+                entity_col: [str(key[0])],
+                "n_points": [len(xs)],
+                "level": [s],
+                "trend": [b],
+                "forecast_1": [s + b],
+            }
+        )
+
+    clean = df.filter(
+        F.col(value_col).isNotNull() & F.col(entity_col).isNotNull()
+    ).select(
+        F.col(entity_col).cast("string").alias(entity_col),
+        F.col(order_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    raw = clean.groupBy(entity_col).applyInPandas(run, out_schema)
+    # HALF_UP rounding happens ENGINE-side (F.round), not in the UDF:
+    # Python's round() is banker's and would diverge from the SQL
+    # oracle's round() exactly on decimal-tie boundaries.
+    return raw.select(
+        entity_col,
+        "n_points",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_1", 6).alias("forecast_1"),
+    )

@@ -3,6 +3,8 @@ weights, deterministic top-n selection."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.operators.selection import (
@@ -440,3 +442,95 @@ def test_conformal_alpha_guard(spark):
     df = spark.createDataFrame([(1.0,)], "residual double")
     with _pytest.raises(ValueError):
         conformal_report(df, df, alpha=0.0)
+
+
+class TestTargetEncode:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, cat string, y double"
+        )
+
+    def test_out_of_fold_replay(self, spark):
+        import hashlib
+
+        from mhm_data_pipelines_spark.operators.selection import (
+            target_encode,
+        )
+
+        rows = [
+            (i, "ab"[i % 2], float((i * 7) % 5)) for i in range(40)
+        ]
+        df = self._df(spark, rows)
+        got = target_encode(
+            df, "cat", "y", "id", folds=3, smoothing=2.0
+        ).collect()
+
+        def fold(i):
+            h = int(
+                hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16
+            )
+            return int((h / 16**15) * 3)
+
+        mu = sum(r[2] for r in rows) / len(rows)
+        import collections
+
+        sy = collections.defaultdict(float)
+        ny = collections.defaultdict(int)
+        for i, c, y in rows:
+            sy[(c, fold(i))] += y
+            ny[(c, fold(i))] += 1
+        sy_c = collections.defaultdict(float)
+        ny_c = collections.defaultdict(int)
+        for (c, f), v in sy.items():
+            sy_c[c] += v
+        for (c, f), v in ny.items():
+            ny_c[c] += v
+        for r in got:
+            f = fold(r["id"])
+            assert r["fold"] == f
+            want = (
+                sy_c[r["cat"]] - sy[(r["cat"], f)] + 2.0 * mu
+            ) / (ny_c[r["cat"]] - ny[(r["cat"], f)] + 2.0)
+            assert r["te"] == pytest.approx(want)
+
+    def test_no_own_label_leakage_single_fold_category(self, spark):
+        from mhm_data_pipelines_spark.operators.selection import (
+            target_encode,
+        )
+
+        # category "z" has one row: its own fold's stats are excluded,
+        # so the encoding must be exactly the smoothed prior mu.
+        rows = [(1, "z", 100.0)] + [
+            (i, "a", 1.0) for i in range(2, 12)
+        ]
+        df = self._df(spark, rows)
+        out = {
+            r["id"]: r["te"]
+            for r in target_encode(
+                df, "cat", "y", "id", folds=5, smoothing=10.0
+            ).collect()
+        }
+        mu = (100.0 + 10.0) / 11
+        assert out[1] == pytest.approx(mu)
+
+    def test_null_category_and_null_target(self, spark):
+        from mhm_data_pipelines_spark.operators.selection import (
+            target_encode,
+        )
+
+        rows = [(1, None, 5.0), (2, None, 5.0), (3, "a", None)]
+        df = self._df(spark, rows)
+        out = target_encode(df, "cat", "y", "id", folds=2).collect()
+        assert len(out) == 3  # NULL-target row still encoded
+        assert all(r["te"] is not None for r in out)
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.selection import (
+            target_encode,
+        )
+
+        df = self._df(spark, [(1, "a", 1.0)])
+        with pytest.raises(ValueError, match="folds"):
+            target_encode(df, "cat", "y", "id", folds=1)
+        with pytest.raises(ValueError, match="smoothing"):
+            target_encode(df, "cat", "y", "id", smoothing=0.0)

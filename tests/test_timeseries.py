@@ -519,3 +519,79 @@ class TestSeasonalDecompose:
         )
         with pytest.raises(ValueError, match="period must be >= 2"):
             seasonal_decompose(df, ["entity"], "day", "v", period=1)
+
+
+class TestHoltTrend:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "u string, t int, y double"
+        )
+
+    def test_matches_numpy_replay(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_trend,
+        )
+
+        xs = [float((i * 13) % 7) + 0.25 * i for i in range(25)]
+        df = self._df(spark, [("a", i, x) for i, x in enumerate(xs)])
+        got = holt_trend(df, "u", "t", "y", alpha=0.5, beta=0.3)
+        row = got.collect()[0]
+        s, b = xs[0], xs[1] - xs[0]
+        for t in range(1, len(xs)):
+            s_new = 0.5 * xs[t] + 0.5 * (s + b)
+            b = 0.3 * (s_new - s) + 0.7 * b
+            s = s_new
+        assert row["n_points"] == 25
+        assert row["level"] == pytest.approx(round(s, 6))
+        assert row["trend"] == pytest.approx(round(b, 6))
+        assert row["forecast_1"] == pytest.approx(round(s + b, 6))
+
+    def test_linear_series_recovers_slope(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_trend,
+        )
+
+        # exact line: level tracks it exactly and trend == slope
+        df = self._df(
+            spark, [("a", i, 3.0 + 2.0 * i) for i in range(20)]
+        )
+        row = holt_trend(df, "u", "t", "y").collect()[0]
+        assert row["trend"] == pytest.approx(2.0)
+        assert row["level"] == pytest.approx(3.0 + 2.0 * 19)
+        assert row["forecast_1"] == pytest.approx(3.0 + 2.0 * 20)
+
+    def test_singleton_and_nulls(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_trend,
+        )
+
+        df = self._df(
+            spark,
+            [("a", 0, 7.0), ("b", 0, 1.0), ("b", 1, None),
+             ("b", 2, 3.0), (None, 0, 9.9)],
+        )
+        got = {r["u"]: r.asDict() for r in
+               holt_trend(df, "u", "t", "y").collect()}
+        assert set(got) == {"a", "b"}
+        assert got["a"]["n_points"] == 1
+        assert got["a"]["level"] == 7.0 and got["a"]["trend"] == 0.0
+        assert got["b"]["n_points"] == 2  # NULL dropped
+
+    def test_per_entity_isolation_and_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_trend,
+        )
+
+        df = self._df(
+            spark,
+            [("a", i, float(i)) for i in range(5)]
+            + [("b", i, 10.0 - i) for i in range(5)],
+        )
+        got = {r["u"]: r["trend"] for r in
+               holt_trend(df, "u", "t", "y").collect()}
+        assert got["a"] == pytest.approx(1.0)
+        assert got["b"] == pytest.approx(-1.0)
+        with pytest.raises(ValueError, match="alpha"):
+            holt_trend(df, "u", "t", "y", alpha=0.0)
+        with pytest.raises(ValueError, match="beta"):
+            holt_trend(df, "u", "t", "y", beta=1.5)
