@@ -13470,6 +13470,226 @@ ORDER BY user_id
 """
 
 
+def q_mi_ranking(spark, sf_dir):
+    """Mutual-information dependence screen (stats_tests.
+    mutual_information): three feature pairs over events — event_type
+    vs a user hash-bucket, event_type vs day-of-month, bucket vs day —
+    exact joint-table MI/NMI in nats. The model-free complement of
+    chi2_assoc/woe_iv; near-1 NMI against a label is the leakage
+    tripwire."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        mutual_information,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u7 = F.pmod(F.col("user_id"), F.lit(7))
+    dom = F.dayofmonth("ts")
+    out = mutual_information(
+        ev,
+        [
+            ("event_type", u7, "event_type", "user_mod7"),
+            ("event_type", dom, "event_type", "day_of_month"),
+            (u7, dom, "user_mod7", "day_of_month"),
+        ],
+    )
+    return out.orderBy("x_col", "y_col")
+
+
+def _mi_sql(x: str, y: str, xn: str, yn: str) -> str:
+    return f"""
+  SELECT '{xn}' AS x_col, '{yn}' AS y_col,
+         CAST(max(n) AS BIGINT) AS n,
+         round(sum(CASE WHEN xf THEN -(cx / n) * ln(cx / n)
+                        ELSE 0.0 END), 6) AS h_x,
+         round(sum(CASE WHEN yf THEN -(cy / n) * ln(cy / n)
+                        ELSE 0.0 END), 6) AS h_y,
+         round(sum((c / n) * ln(c * n / (cx * cy))), 6) AS mi,
+         round(CASE WHEN sum(CASE WHEN xf THEN -(cx / n) * ln(cx / n)
+                                  ELSE 0.0 END) > 0
+                     AND sum(CASE WHEN yf THEN -(cy / n) * ln(cy / n)
+                                  ELSE 0.0 END) > 0
+               THEN sum((c / n) * ln(c * n / (cx * cy)))
+                    / sqrt(sum(CASE WHEN xf THEN -(cx / n) * ln(cx / n)
+                                    ELSE 0.0 END)
+                         * sum(CASE WHEN yf THEN -(cy / n) * ln(cy / n)
+                                    ELSE 0.0 END))
+               ELSE 0.0 END, 6) AS nmi
+  FROM (
+    SELECT c * 1.0 AS c,
+           sum(c * 1.0) OVER (PARTITION BY x) AS cx,
+           sum(c * 1.0) OVER (PARTITION BY y) AS cy,
+           sum(c * 1.0) OVER () AS n,
+           row_number() OVER (PARTITION BY x ORDER BY y) = 1 AS xf,
+           row_number() OVER (PARTITION BY y ORDER BY x) = 1 AS yf
+    FROM (
+      SELECT {x} AS x, {y} AS y, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+  )"""
+
+
+SQL_MI_RANKING = (
+    "\nUNION ALL\n".join(
+        [
+            _mi_sql(
+                "event_type", "user_id % 7", "event_type", "user_mod7"
+            ),
+            _mi_sql(
+                "event_type", "day(ts)", "event_type", "day_of_month"
+            ),
+            _mi_sql(
+                "user_id % 7", "day(ts)", "user_mod7", "day_of_month"
+            ),
+        ]
+    )
+    + "\nORDER BY x_col, y_col"
+)
+
+
+def q_sprt_decision(spark, sf_dir):
+    """Wald SPRT early-stopping replay per event-type arm
+    (stats_tests.sprt_bernoulli): outcome = value > 34 (≈ the corpus
+    median), H0 p=0.45 vs H1 p=0.55, alpha=beta=0.05, observations in
+    (ts, event_id) order. The oracle replays the identical cumulative
+    LLR walk — agreement certifies the crossing index, not just the
+    final sum."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        sprt_bernoulli,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = sprt_bernoulli(
+        ev,
+        ["event_type"],
+        (F.col("value") > 34.0).cast("int"),
+        ["ts", "event_id"],
+        p0=0.45,
+        p1=0.55,
+        alpha=0.05,
+        beta=0.05,
+    )
+    return out.orderBy("event_type")
+
+
+SQL_SPRT_DECISION = """
+WITH cum AS (
+  SELECT event_type AS g,
+         CASE WHEN value > 34.0 THEN 1 ELSE 0 END AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         sum(CASE WHEN value > 34.0 THEN ln(0.55 / 0.45)
+                  ELSE ln(0.45 / 0.55) END)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS llr
+  FROM events
+), agg AS (
+  SELECT g,
+         count(*) AS n_obs,
+         CAST(sum(x) AS BIGINT) AS successes,
+         arg_max(llr, rn) AS final_llr,
+         min(rn) FILTER (WHERE llr >= ln(0.95 / 0.05)) AS rn1,
+         min(rn) FILTER (WHERE llr <= ln(0.05 / 0.95)) AS rn0,
+         arg_min(llr, rn) FILTER (WHERE llr >= ln(0.95 / 0.05))
+           AS llr1,
+         arg_min(llr, rn) FILTER (WHERE llr <= ln(0.05 / 0.95))
+           AS llr0
+  FROM cum GROUP BY g
+)
+SELECT g AS event_type, n_obs, successes,
+       round(final_llr, 6) AS final_llr,
+       CASE WHEN rn1 IS NOT NULL AND (rn0 IS NULL OR rn1 < rn0)
+              THEN 'accept_h1'
+            WHEN rn0 IS NOT NULL AND (rn1 IS NULL OR rn0 <= rn1)
+              THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(CASE WHEN rn1 IS NOT NULL AND (rn0 IS NULL OR rn1 < rn0)
+              THEN rn1
+            WHEN rn0 IS NOT NULL AND (rn1 IS NULL OR rn0 <= rn1)
+              THEN rn0 END AS BIGINT) AS n_at_decision,
+       round(CASE WHEN rn1 IS NOT NULL AND (rn0 IS NULL OR rn1 < rn0)
+              THEN llr1
+            WHEN rn0 IS NOT NULL AND (rn1 IS NULL OR rn0 <= rn1)
+              THEN llr0 END, 6) AS llr_at_decision
+FROM agg
+ORDER BY event_type
+"""
+
+
+def q_lag_features(spark, sf_dir):
+    """Calendar-aware supervised feature assembly over each user's
+    daily mean value (timeseries.lag_features): lag_1/lag_7 by exact
+    date-ordinal RANGE frames (gaps yield NULL, never a silent
+    reach-back), a strictly-prior 7-day rolling mean/count, and ISO
+    day-of-week — every frame served by ONE entity shuffle / one
+    Window node. DATE rendered ISO for cross-engine hash parity."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        lag_features,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    out = lag_features(daily, "user_id", "d", "y", lags=(1, 7))
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("dow").cast("int").alias("dow"),
+        "y",
+        "lag_1",
+        "lag_7",
+        # round-SUM-then-divide, NO rounding of the mean: round(sum,6)
+        # lands both engines on the identical grid double (the true
+        # window sum of 6dp inputs IS a 6-decimal number), and dividing
+        # identical doubles by the identical count is bit-equal — while
+        # rounding the MEAN can hit a true decimal tie (sf0.01 has a
+        # window where sum/6 is exactly x.xxxxxx5) that Spark's
+        # decimal HALF_UP and DuckDB's binary round break differently.
+        F.round("rsum_7", 6).alias("rsum_7"),
+        F.when(
+            F.col("rcount_7") > 0,
+            F.round("rsum_7", 6) / F.col("rcount_7"),
+        ).alias("rmean_7"),
+        F.col("rcount_7").cast("long").alias("rcount_7"),
+    ).orderBy("user_id", "d")
+
+
+SQL_LAG_FEATURES = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, round(avg(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT user_id, d, y,
+         datediff('day', DATE '1970-01-01', d) AS ord_
+  FROM daily
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
+       CAST(isodow(d) AS INT) AS dow, y,
+       max(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+         AS lag_1,
+       max(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING)
+         AS lag_7,
+       round(sum(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 6)
+         AS rsum_7,
+       CASE WHEN count(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) > 0
+       THEN
+         round(sum(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 6)
+         / count(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+       END AS rmean_7,
+       count(y) OVER (PARTITION BY user_id ORDER BY ord_
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+         AS rcount_7
+FROM o
+ORDER BY user_id, d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -13728,6 +13948,9 @@ QUERIES: dict[str, QuerySpec] = {
     "target_encoding": q_target_encoding,
     "touch_attribution": q_touch_attribution,
     "holt_trend": q_holt_trend,
+    "mi_ranking": q_mi_ranking,
+    "sprt_decision": q_sprt_decision,
+    "lag_features": q_lag_features,
     "robust_trend": q_robust_trend,
 }
 
@@ -13994,6 +14217,9 @@ ORACLES: dict[str, str] = {
     "target_encoding": SQL_TARGET_ENCODING,
     "touch_attribution": SQL_TOUCH_ATTRIBUTION,
     "holt_trend": SQL_HOLT_TREND,
+    "mi_ranking": SQL_MI_RANKING,
+    "sprt_decision": SQL_SPRT_DECISION,
+    "lag_features": SQL_LAG_FEATURES,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14100,7 +14326,8 @@ GATE_PRIORITY: list[str] = [
     #    these, newest-first; anything that overflows 50 rolls to r10
     #    ahead of stale re-gates:
     #      adamic_adar, k_core, fd_violations, target_encoding,
-    #      touch_attribution, holt_trend, ...
+    #      touch_attribution, holt_trend, mi_ranking,
+    #      sprt_decision, lag_features, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14319,6 +14546,9 @@ BENCH_QUERIES: list[str] = [
     "target_encoding",
     "touch_attribution",
     "holt_trend",
+    "mi_ranking",
+    "sprt_decision",
+    "lag_features",
 ]
 
 

@@ -32,7 +32,9 @@ once; only metadata-sized tables shuffle afterwards.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -618,4 +620,216 @@ def randomization_test(
         F.round(
             (F.lit(1) + F.col("n_extreme")) / F.lit(float(n_perm + 1)), 6
         ).alias("p_two_sided"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    pairs: Sequence[tuple[str | Column, str | Column, str, str]],
+) -> DataFrame:
+    """Exact mutual information + normalized MI between categorical
+    column pairs — the model-free dependence screen that catches what
+    chi-square's linear-in-deviation statistic and WoE's binary-target
+    framing miss (MI is the KL divergence between the joint and the
+    product of marginals; NMI = MI / sqrt(H(X)·H(Y)) is the
+    scale-free [0, 1] version used for feature ranking and target-
+    leakage detection: an NMI near 1 between a feature and the label
+    is a leak, not a discovery).
+
+    ``pairs`` is a list of ``(x_expr, y_expr, x_name, y_name)`` —
+    expressions (or column names) with display names, so callers
+    screen derived buckets without materializing them. Natural-log MI
+    (nats). NULL is a category (SQL GROUP BY semantics). Degenerate
+    marginals (H = 0, a constant column) define NMI = 0.0.
+
+    Returns one row per pair: ``(x_col, y_col, n, h_x, h_y, mi, nmi)``
+    all 6dp.
+
+    Scale shape, per pair: ONE corpus hash aggregate to the joint
+    (x, y) count table — bounded by the category-combination space —
+    then marginals via window sums OVER THE JOINT TABLE (dimension-
+    sized, never the corpus) and a single-row rollup. Pairs run as
+    branches of one unioned plan sharing the scan. Entropy and MI
+    sums run over the joint table only; nothing is collected.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for x_expr, y_expr, x_name, y_name in pairs:
+        xc = F.col(x_expr) if isinstance(x_expr, str) else x_expr
+        yc = F.col(y_expr) if isinstance(y_expr, str) else y_expr
+        joint = df.groupBy(
+            xc.alias("_x"), yc.alias("_y")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        wx = Window.partitionBy("_x")
+        wy = Window.partitionBy("_y")
+        wall = Window.partitionBy()
+        m = joint.select(
+            "c",
+            F.sum("c").over(wx).alias("cx"),
+            F.sum("c").over(wy).alias("cy"),
+            F.sum("c").over(wall).alias("n"),
+            # entropy terms must count each marginal cell ONCE:
+            # attribute the x-cell's term to the first y row in the
+            # x partition (any deterministic single row works)
+            (F.row_number().over(wx.orderBy("_y")) == 1).alias(
+                "x_first"
+            ),
+            (F.row_number().over(wy.orderBy("_x")) == 1).alias(
+                "y_first"
+            ),
+        )
+        c = F.col("c").cast("double")
+        cx = F.col("cx").cast("double")
+        cy = F.col("cy").cast("double")
+        n = F.col("n").cast("double")
+        mi_term = (c / n) * F.log(c * n / (cx * cy))
+        hx_term = F.when(
+            F.col("x_first"), -(cx / n) * F.log(cx / n)
+        ).otherwise(F.lit(0.0))
+        hy_term = F.when(
+            F.col("y_first"), -(cy / n) * F.log(cy / n)
+        ).otherwise(F.lit(0.0))
+        agg = m.agg(
+            F.lit(x_name).alias("x_col"),
+            F.lit(y_name).alias("y_col"),
+            F.max("n").cast("long").alias("n"),
+            F.sum(hx_term).alias("_hx"),
+            F.sum(hy_term).alias("_hy"),
+            F.sum(mi_term).alias("_mi"),
+        )
+        outs.append(
+            agg.select(
+                "x_col",
+                "y_col",
+                "n",
+                F.round("_hx", 6).alias("h_x"),
+                F.round("_hy", 6).alias("h_y"),
+                F.round("_mi", 6).alias("mi"),
+                F.round(
+                    F.when(
+                        (F.col("_hx") > 0) & (F.col("_hy") > 0),
+                        F.col("_mi")
+                        / F.sqrt(F.col("_hx") * F.col("_hy")),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("nmi"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    outcome: Column | str,
+    order_cols: Sequence[str],
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) for
+    Bernoulli outcomes, replayed exactly over each group's observation
+    order — the "stop the experiment early" complement of the fixed-
+    horizon :func:`two_proportion_ztest`: instead of waiting for n, the
+    cumulative log-likelihood ratio walks until it crosses
+    ``A = ln((1−β)/α)`` (accept H1: p = p1) or ``B = ln(β/(1−α))``
+    (accept H0: p = p0).
+
+    Per observation x ∈ {0, 1}: ``llr += x·ln(p1/p0) +
+    (1−x)·ln((1−p1)/(1−p0))``. The DECISION is the first boundary
+    crossing in ``order_cols`` order (include a unique id as the last
+    order column — ties would make "first" engine-dependent); later
+    observations never un-decide it (that is the point of the test).
+    NULL outcomes are skipped (they carry no trial).
+
+    Returns one row per group: ``n_obs``, ``successes``, ``final_llr``
+    (6dp), ``decision`` ('accept_h1' / 'accept_h0' / 'continue'),
+    ``n_at_decision`` (1-based observation index of the crossing, NULL
+    while 'continue'), ``llr_at_decision`` (6dp, NULL while
+    'continue').
+
+    Scale shape: one per-group cumulative-sum window (the same
+    entity-keyed shuffle any per-group window pays; group count bounds
+    parallelism) followed by one hash aggregate — the crossing search
+    is conditional min/first aggregation over the cumulated rows, no
+    second pass, no collect.
+    """
+    if not 0.0 < p0 < 1.0 or not 0.0 < p1 < 1.0 or p0 == p1:
+        raise ValueError(
+            f"p0, p1 must be distinct probabilities in (0,1), "
+            f"got {p0}, {p1}"
+        )
+    if not 0.0 < alpha < 1.0 or not 0.0 < beta < 1.0:
+        raise ValueError("alpha and beta must be in (0, 1)")
+    a_bound = _math.log((1.0 - beta) / alpha)
+    b_bound = _math.log(beta / (1.0 - alpha))
+    w_succ = _math.log(p1 / p0)
+    w_fail = _math.log((1.0 - p1) / (1.0 - p0))
+
+    x = (outcome if isinstance(outcome, Column) else F.col(outcome))
+    rows = df.select(
+        *group_cols,
+        *[c for c in order_cols],
+        x.cast("int").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    cum = rows.select(
+        *group_cols,
+        "_x",
+        F.row_number().over(w).alias("_rn"),
+        F.sum(
+            F.when(F.col("_x") == 1, F.lit(w_succ)).otherwise(
+                F.lit(w_fail)
+            )
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_llr"),
+    )
+    hit_h1 = F.col("_llr") >= F.lit(a_bound)
+    hit_h0 = F.col("_llr") <= F.lit(b_bound)
+    agg = cum.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_x").cast("long").alias("successes"),
+        F.max(F.struct("_rn", "_llr"))
+        .getField("_llr")
+        .alias("_final"),
+        F.min(F.when(hit_h1, F.col("_rn"))).alias("_rn1"),
+        F.min(F.when(hit_h0, F.col("_rn"))).alias("_rn0"),
+        F.min(F.when(hit_h1, F.struct("_rn", "_llr")))
+        .getField("_llr")
+        .alias("_llr1"),
+        F.min(F.when(hit_h0, F.struct("_rn", "_llr")))
+        .getField("_llr")
+        .alias("_llr0"),
+    )
+    first_is_h1 = F.col("_rn1").isNotNull() & (
+        F.col("_rn0").isNull() | (F.col("_rn1") < F.col("_rn0"))
+    )
+    first_is_h0 = F.col("_rn0").isNotNull() & (
+        F.col("_rn1").isNull() | (F.col("_rn0") <= F.col("_rn1"))
+    )
+    return agg.select(
+        *group_cols,
+        "n_obs",
+        "successes",
+        F.round("_final", 6).alias("final_llr"),
+        F.when(first_is_h1, F.lit("accept_h1"))
+        .when(first_is_h0, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(first_is_h1, F.col("_rn1"))
+        .when(first_is_h0, F.col("_rn0"))
+        .cast("long")
+        .alias("n_at_decision"),
+        F.round(
+            F.when(first_is_h1, F.col("_llr1")).when(
+                first_is_h0, F.col("_llr0")
+            ),
+            6,
+        ).alias("llr_at_decision"),
     )

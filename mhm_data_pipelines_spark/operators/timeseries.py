@@ -1170,33 +1170,54 @@ def holt_trend(
         "trend double, forecast_1 double"
     )
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
-        xs = pdf[value_col].to_numpy(dtype="float64")
-        s = xs[0]
-        b = xs[1] - xs[0] if len(xs) > 1 else 0.0
-        for t in range(1, len(xs)):
-            s_new = a * xs[t] + (1.0 - a) * (s + b)
-            b = g * (s_new - s) + (1.0 - g) * b
-            s = s_new
-        return pd.DataFrame(
-            {
-                entity_col: [str(key[0])],
-                "n_points": [len(xs)],
-                "level": [s],
-                "trend": [b],
-                "forecast_1": [s + b],
-            }
-        )
+    def run(batches):
+        for pdf in batches:
+            ents, ns, levels, trends, fcs = [], [], [], [], []
+            for ent, xs_list in zip(pdf[entity_col], pdf["_ys"]):
+                xs = [float(x) for x in xs_list]
+                s = xs[0]
+                b = xs[1] - xs[0] if len(xs) > 1 else 0.0
+                for t in range(1, len(xs)):
+                    s_new = a * xs[t] + (1.0 - a) * (s + b)
+                    b = g * (s_new - s) + (1.0 - g) * b
+                    s = s_new
+                ents.append(ent)
+                ns.append(len(xs))
+                levels.append(s)
+                trends.append(b)
+                fcs.append(s + b)
+            yield pd.DataFrame(
+                {
+                    entity_col: ents,
+                    "n_points": ns,
+                    "level": levels,
+                    "trend": trends,
+                    "forecast_1": fcs,
+                }
+            )
 
     clean = df.filter(
         F.col(value_col).isNotNull() & F.col(entity_col).isNotNull()
     ).select(
         F.col(entity_col).cast("string").alias(entity_col),
-        F.col(order_col),
-        F.col(value_col).cast("double").alias(value_col),
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_y"),
     )
-    raw = clean.groupBy(entity_col).applyInPandas(run, out_schema)
+    # ONE hash aggregate packs each entity's series time-ordered
+    # (array_sort on (order, value) structs — lexicographic by the
+    # order field first), then the recursion runs BATCHED: thousands
+    # of entities per Arrow batch through mapInPandas, instead of one
+    # Python call per entity (applyInPandas pays per-GROUP pandas
+    # overhead — measured 3.5 s for 1.5k tiny groups at sf0.1; this
+    # shape is 0.6 s). Series length is bounded per entity (a time
+    # dimension), so the packed array is small by construction.
+    packed = clean.groupBy(entity_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_ord", "_y"))),
+            lambda s: s.getField("_y"),
+        ).alias("_ys")
+    )
+    raw = packed.mapInPandas(run, out_schema)
     # HALF_UP rounding happens ENGINE-side (F.round), not in the UDF:
     # Python's round() is banker's and would diverge from the SQL
     # oracle's round() exactly on decimal-tie boundaries.
@@ -1206,4 +1227,85 @@ def holt_trend(
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
         F.round("forecast_1", 6).alias("forecast_1"),
+    )
+
+
+def lag_features(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 7),
+    window_days: int = 7,
+) -> DataFrame:
+    """Forecasting-ready supervised feature table from a per-entity
+    daily series — the standard "turn a time series into training
+    rows" transform (one row per observed day, features strictly from
+    the PAST, target = the day's value, zero leakage by construction).
+
+    Calendar-aware, not row-aware: every lag and window is keyed on
+    the actual date ordinal via RANGE frames, so a gap in the series
+    yields NULL lags (the truth) instead of silently reaching further
+    back the way ROW-frame ``lag()`` would. Emitted per row:
+    ``lag_<k>`` for each k in ``lags`` (the value exactly k days
+    before), ``rsum_<w>``/``rmean_<w>``/``rcount_<w>`` (sum, mean and count over the
+    ``window_days`` days strictly before today), and ``dow``
+    (ISO day-of-week 1–7, Monday=1 — the one calendar feature every
+    daily model wants).
+
+    Scale shape: ONE entity-keyed shuffle serves every feature — all
+    frames share the same (entity, ordinal) window ordering, so
+    Catalyst computes them in a single Window node over a single
+    Exchange; no self-joins, no per-lag scans. The series should
+    already be daily-aggregated (one row per entity-day); duplicate
+    days would make RANGE frames sum duplicates into means — aggregate
+    first (the same contract as gap_fill_daily).
+    """
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    if any(k < 1 for k in lags):
+        raise ValueError(f"lags must all be >= 1, got {list(lags)}")
+    if window_days < 1:
+        raise ValueError(
+            f"window_days must be >= 1, got {window_days}"
+        )
+    ord_ = F.datediff(F.col(date_col), F.lit("1970-01-01"))
+    base = df.withColumn("_ord", ord_)
+    w = Window.partitionBy(entity_col).orderBy("_ord")
+    feats = [
+        F.max(value_col)
+        .over(w.rangeBetween(-int(k), -int(k)))
+        .alias(f"lag_{k}")
+        for k in lags
+    ]
+    roll = w.rangeBetween(-int(window_days), -1)
+    feats.append(
+        F.sum(value_col).over(roll).alias(f"rsum_{window_days}")
+    )
+    feats.append(
+        F.avg(value_col).over(roll).alias(f"rmean_{window_days}")
+    )
+    feats.append(
+        F.count(value_col).over(roll).alias(f"rcount_{window_days}")
+    )
+    return base.select(
+        entity_col,
+        F.col(date_col),
+        F.dayofweek(date_col).alias("_dow_sun1"),
+        F.col(value_col),
+        *feats,
+    ).select(
+        entity_col,
+        date_col,
+        # ISO Monday=1 from Spark's Sunday=1 convention
+        (
+            F.when(F.col("_dow_sun1") == 1, F.lit(7)).otherwise(
+                F.col("_dow_sun1") - 1
+            )
+        ).alias("dow"),
+        value_col,
+        *[f"lag_{k}" for k in lags],
+        f"rsum_{window_days}",
+        f"rmean_{window_days}",
+        f"rcount_{window_days}",
     )

@@ -73,6 +73,10 @@ HEAVY = [
     # this list with a committed sf0.1+sf1 probe.
     "fs_linkage", "ivm_rollup", "embedding_neardup", "ivf_topk",
     "image_phash_neardup", "lsh_topk",
+    # round-8 second batch: the new graph keys over the urgent-order
+    # part co-occurrence graph (same 10x-structure sf1 co-order scaling
+    # as label_communities) — wedge-join AA and iterative k-core peel.
+    "adamic_adar", "k_core",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1

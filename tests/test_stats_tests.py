@@ -308,3 +308,169 @@ def test_randomization_test_md5_replay_and_power(spark):
         df0, "v", "g", "a", "b", "id", n_perm=99, seed=42
     ).collect()[0]["p_two_sided"]
     assert p0 > 0.05
+
+
+class TestMutualInformation:
+    def test_matches_math_replay(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mutual_information,
+        )
+
+        rows = [((i * 3) % 4, (i * 3) % 2) for i in range(40)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        got = mutual_information(df, [("x", "y", "x", "y")]).collect()[0]
+
+        import collections
+
+        jc = collections.Counter(rows)
+        xc = collections.Counter(r[0] for r in rows)
+        yc = collections.Counter(r[1] for r in rows)
+        n = len(rows)
+        mi = sum(
+            (c / n) * math.log(c * n / (xc[x] * yc[y]))
+            for (x, y), c in jc.items()
+        )
+        hx = -sum((c / n) * math.log(c / n) for c in xc.values())
+        hy = -sum((c / n) * math.log(c / n) for c in yc.values())
+        assert got["mi"] == pytest.approx(round(mi, 6), abs=1e-6)
+        assert got["h_x"] == pytest.approx(round(hx, 6), abs=1e-6)
+        assert got["h_y"] == pytest.approx(round(hy, 6), abs=1e-6)
+        assert got["nmi"] == pytest.approx(
+            round(mi / math.sqrt(hx * hy), 6), abs=1e-6
+        )
+
+    def test_independent_and_identical(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mutual_information,
+        )
+
+        # x uniform over 4, y = x -> perfectly dependent: nmi == 1
+        dep = spark.createDataFrame(
+            [(i % 4, i % 4) for i in range(40)], "x int, y int"
+        )
+        got = mutual_information(dep, [("x", "y", "x", "y")]).collect()[0]
+        assert got["nmi"] == pytest.approx(1.0)
+        assert got["mi"] == pytest.approx(round(math.log(4), 6))
+        # independent by construction (cycle lengths 2 and 5 coprime,
+        # 40 a multiple of 10): mi == 0
+        ind = spark.createDataFrame(
+            [(i % 2, i % 5) for i in range(40)], "x int, y int"
+        )
+        got = mutual_information(ind, [("x", "y", "x", "y")]).collect()[0]
+        assert got["mi"] == pytest.approx(0.0)
+        assert got["nmi"] == pytest.approx(0.0)
+
+    def test_constant_column_nmi_zero_and_null_category(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mutual_information,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (1, None), (1, 2)], "x int, y int"
+        )
+        got = mutual_information(df, [("x", "y", "x", "y")]).collect()[0]
+        assert got["h_x"] == 0.0
+        assert got["nmi"] == 0.0        # degenerate marginal contract
+        assert got["h_y"] > 0.0         # NULL counted as a category
+
+    def test_multiple_pairs_and_expressions(self, spark):
+        from pyspark.sql import functions as F
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mutual_information,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i % 3)) for i in range(30)], "x int, v double"
+        )
+        out = mutual_information(
+            df,
+            [
+                ("x", "v", "x", "v"),
+                (F.pmod(F.col("x"), F.lit(3)), "v", "xmod3", "v"),
+            ],
+        ).collect()
+        by = {(r["x_col"], r["y_col"]): r for r in out}
+        assert by[("xmod3", "v")]["nmi"] == pytest.approx(1.0)
+        with pytest.raises(ValueError, match="non-empty"):
+            mutual_information(df, [])
+
+
+class TestSPRT:
+    def _run(self, spark, seqs, **kw):
+        import math
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            sprt_bernoulli,
+        )
+
+        rows = [
+            (g, i, x) for g, xs in seqs.items() for i, x in enumerate(xs)
+        ]
+        df = spark.createDataFrame(rows, "g string, i int, x int")
+        got = {
+            r["g"]: r.asDict()
+            for r in sprt_bernoulli(
+                df, ["g"], "x", ["i"], **kw
+            ).collect()
+        }
+        return got, math
+
+    def test_matches_python_replay(self, spark):
+        kw = dict(p0=0.4, p1=0.6, alpha=0.05, beta=0.05)
+        seqs = {
+            "up": [1] * 12,                   # crosses A fast
+            "down": [0] * 12,                 # crosses B fast
+            "mix": [1, 0] * 4,                # wanders: continue
+        }
+        got, math = self._run(spark, seqs, **kw)
+        A = math.log((1 - 0.05) / 0.05)
+        B = math.log(0.05 / (1 - 0.05))
+        ws = math.log(0.6 / 0.4)
+        wf = math.log(0.4 / 0.6)
+        for g, xs in seqs.items():
+            llr, hit_rn, hit_llr, dec = 0.0, None, None, "continue"
+            for i, x in enumerate(xs, start=1):
+                llr += ws if x else wf
+                if dec == "continue":
+                    if llr >= A:
+                        dec, hit_rn, hit_llr = "accept_h1", i, llr
+                    elif llr <= B:
+                        dec, hit_rn, hit_llr = "accept_h0", i, llr
+            r = got[g]
+            assert r["decision"] == dec, g
+            assert r["n_at_decision"] == hit_rn
+            assert r["final_llr"] == pytest.approx(round(llr, 6))
+            if hit_llr is not None:
+                assert r["llr_at_decision"] == pytest.approx(
+                    round(hit_llr, 6)
+                )
+
+    def test_decision_sticks_after_crossing(self, spark):
+        # crosses A then collapses: decision stays accept_h1 at the
+        # FIRST crossing even though final_llr ends negative
+        seqs = {"g": [1] * 8 + [0] * 30}
+        got, math = self._run(
+            spark, seqs, p0=0.4, p1=0.6, alpha=0.05, beta=0.05
+        )
+        r = got["g"]
+        assert r["decision"] == "accept_h1"
+        assert r["n_at_decision"] == 8  # ln(1.5)*8 = 3.24 >= ln(19)
+        assert r["final_llr"] < 0
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            sprt_bernoulli,
+        )
+
+        df = spark.createDataFrame([("g", 1, 1)], "g string, i int, x int")
+        with pytest.raises(ValueError, match="p0, p1"):
+            sprt_bernoulli(df, ["g"], "x", ["i"], p0=0.5, p1=0.5)
+        with pytest.raises(ValueError, match="alpha"):
+            sprt_bernoulli(
+                df, ["g"], "x", ["i"], p0=0.4, p1=0.6, alpha=1.5
+            )

@@ -595,3 +595,89 @@ class TestHoltTrend:
             holt_trend(df, "u", "t", "y", alpha=0.0)
         with pytest.raises(ValueError, match="beta"):
             holt_trend(df, "u", "t", "y", beta=1.5)
+
+
+class TestLagFeatures:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "u string, d date, y double")
+
+    def test_calendar_lags_respect_gaps(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            lag_features,
+        )
+
+        d = lambda i: dt.date(2024, 1, 1) + dt.timedelta(days=i)  # noqa: E731
+        # days 0,1,3 — day 3's lag_1 must be NULL (day 2 missing),
+        # not day 1's value (what a ROW-frame lag would give)
+        df = self._df(
+            spark, [("a", d(0), 1.0), ("a", d(1), 2.0), ("a", d(3), 4.0)]
+        )
+        got = {
+            r["d"]: r.asDict()
+            for r in lag_features(df, "u", "d", "y", lags=(1, 2)).collect()
+        }
+        assert got[d(1)]["lag_1"] == 1.0
+        assert got[d(3)]["lag_1"] is None
+        assert got[d(3)]["lag_2"] == 2.0
+
+    def test_rolling_window_excludes_today(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            lag_features,
+        )
+
+        d = lambda i: dt.date(2024, 1, 1) + dt.timedelta(days=i)  # noqa: E731
+        df = self._df(
+            spark, [("a", d(i), float(i)) for i in range(10)]
+        )
+        got = {
+            r["d"]: r.asDict()
+            for r in lag_features(
+                df, "u", "d", "y", lags=(1,), window_days=3
+            ).collect()
+        }
+        # day 5: window = days 2,3,4 -> mean 3.0, count 3
+        assert got[d(5)]["rmean_3"] == pytest.approx(3.0)
+        assert got[d(5)]["rcount_3"] == 3
+        # day 0: empty window
+        assert got[d(0)]["rmean_3"] is None
+        assert got[d(0)]["rcount_3"] == 0
+
+    def test_iso_dow_and_entity_isolation(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            lag_features,
+        )
+
+        # 2024-01-01 is a Monday; 2024-01-07 a Sunday
+        df = self._df(
+            spark,
+            [
+                ("a", dt.date(2024, 1, 1), 1.0),
+                ("b", dt.date(2024, 1, 7), 9.0),
+            ],
+        )
+        got = {r["u"]: r.asDict() for r in
+               lag_features(df, "u", "d", "y").collect()}
+        assert got["a"]["dow"] == 1
+        assert got["b"]["dow"] == 7
+        assert got["b"]["lag_1"] is None  # a's data never leaks into b
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            lag_features,
+        )
+
+        import datetime as dt
+
+        df = self._df(spark, [("a", dt.date(2024, 1, 1), 1.0)])
+        with pytest.raises(ValueError, match="lags must be non-empty"):
+            lag_features(df, "u", "d", "y", lags=())
+        with pytest.raises(ValueError, match=">= 1"):
+            lag_features(df, "u", "d", "y", lags=(0,))
+        with pytest.raises(ValueError, match="window_days"):
+            lag_features(df, "u", "d", "y", window_days=0)
