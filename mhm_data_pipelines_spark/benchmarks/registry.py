@@ -13690,6 +13690,105 @@ ORDER BY user_id, d
 """
 
 
+def q_fdr_battery(spark, sf_dir):
+    """BH false-discovery-rate control over a 35-test battery
+    (stats_tests.fdr_adjust): one-vs-rest two-proportion z per
+    (event_type, user_id%7) cell on the value>34 outcome, p-values via
+    the engine-portable normal_cdf polynomial (functions.stats — the
+    SQL oracle interpolates NORMAL_CDF_SQL, the IDENTICAL expression
+    tree), then step-up adjustment. p_rank is withheld from the gate
+    output (row_number among TIED p is engine-arbitrary; the adjusted
+    values collapse ties deterministically, the rank does not)."""
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        fdr_adjust,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") > 34.0).cast("long")).alias("s"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("_N"), F.sum("s").alias("_S")
+    )
+    z_num = F.col("s") / F.col("n") - (F.col("_S") - F.col("s")) / (
+        F.col("_N") - F.col("n")
+    )
+    pooled = F.col("_S") / F.col("_N")
+    z_den = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n")
+            + F.lit(1.0) / (F.col("_N") - F.col("n"))
+        )
+    )
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "bucket",
+        "n",
+        "s",
+        (z_num / z_den).alias("z"),
+    )
+    withp = scored.withColumn(
+        "p",
+        F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(F.col("z")))),
+    )
+    adj = fdr_adjust(withp, "p", alpha=0.05)
+    return adj.select(
+        "event_type",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p"),
+        F.round("p_adj", 6).alias("p_adj"),
+        "reject",
+    ).orderBy("event_type", "bucket")
+
+
+from mhm_data_pipelines_spark.functions.stats import (  # noqa: E402
+    NORMAL_CDF_SQL as _PHI,
+)
+
+SQL_FDR_BATTERY = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 7 AS INT) AS bucket,
+         count(*) AS n,
+         sum(CASE WHEN value > 34.0 THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT sum(n) AS N_, sum(s) AS S_ FROM cells
+), scored AS (
+  SELECT c.event_type, c.bucket, c.n, c.s,
+         (c.s / (1.0 * c.n) - (t.S_ - c.s) / (1.0 * (t.N_ - c.n)))
+         / sqrt((t.S_ / (1.0 * t.N_)) * (1.0 - t.S_ / (1.0 * t.N_))
+                * (1.0 / c.n + 1.0 / (t.N_ - c.n))) AS z
+  FROM cells c CROSS JOIN tot t
+), withp AS (
+  SELECT *, 2.0 * (1.0 - __PHI__) AS p FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p) AS rn,
+         count(*) OVER () AS nt
+  FROM withp
+), adj AS (
+  SELECT *, least(1.0, min(p * nt / rn)
+           OVER (ORDER BY rn DESC ROWS UNBOUNDED PRECEDING)) AS p_adj
+  FROM ranked
+)
+SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS s,
+       round(z, 6) AS z, round(p, 6) AS p, round(p_adj, 6) AS p_adj,
+       p_adj <= 0.05 AS reject
+FROM adj
+ORDER BY event_type, bucket
+""".replace("__PHI__", _PHI.format(z="abs(z)"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -13951,6 +14050,7 @@ QUERIES: dict[str, QuerySpec] = {
     "mi_ranking": q_mi_ranking,
     "sprt_decision": q_sprt_decision,
     "lag_features": q_lag_features,
+    "fdr_battery": q_fdr_battery,
     "robust_trend": q_robust_trend,
 }
 
@@ -14220,6 +14320,7 @@ ORACLES: dict[str, str] = {
     "mi_ranking": SQL_MI_RANKING,
     "sprt_decision": SQL_SPRT_DECISION,
     "lag_features": SQL_LAG_FEATURES,
+    "fdr_battery": SQL_FDR_BATTERY,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14327,7 +14428,7 @@ GATE_PRIORITY: list[str] = [
     #    ahead of stale re-gates:
     #      adamic_adar, k_core, fd_violations, target_encoding,
     #      touch_attribution, holt_trend, mi_ranking,
-    #      sprt_decision, lag_features, ...
+    #      sprt_decision, lag_features, fdr_battery, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14549,6 +14650,7 @@ BENCH_QUERIES: list[str] = [
     "mi_ranking",
     "sprt_decision",
     "lag_features",
+    "fdr_battery",
 ]
 
 

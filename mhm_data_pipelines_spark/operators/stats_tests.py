@@ -833,3 +833,71 @@ def sprt_bernoulli(
             6,
         ).alias("llr_at_decision"),
     )
+
+
+def fdr_adjust(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment (Benjamini &
+    Hochberg 1995) over a battery of test results — the multiplicity
+    control every screening pass in this package feeds (psi_drift /
+    ks_drift / chi2 / z batteries produce one p per feature; testing
+    35 features at α=0.05 "discovers" ~2 by luck — BH caps the
+    expected FALSE-discovery fraction at α instead).
+
+    ``p_adj_i = min(1, min_{j ≥ i} p_(j) · n / j)`` over the
+    ascending-p order; ``reject = p_adj ≤ alpha``. Ties need no
+    tie-break: equal p's collapse to the same tail minimum by
+    construction, so the result is deterministic under any ordering
+    of equal values. NULL p's are excluded from n and ranking (a test
+    that produced no p is not a test) and pass through with NULL
+    adjusted values.
+
+    Returns the input rows plus ``p_rank``, ``p_adj``, ``reject``.
+
+    Scale shape: the input is a battery of TEST RESULTS — one row per
+    hypothesis, thousands at most, produced by upstream aggregations
+    that already reduced the corpus. The global rank and the reverse
+    running minimum are single-partition windows BY DESIGN on that
+    dimension-sized table (the same contract as every report-stage
+    operator here); the corpus itself never enters this function.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    p = F.col(p_col)
+    valid = df.filter(p.isNotNull())
+    nulls = df.filter(p.isNull())
+    w_rank = Window.orderBy(p)
+    w_tail = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = valid.select(
+        "*",
+        F.row_number().over(w_rank).alias("p_rank"),
+        n.alias("_n"),
+    )
+    adjusted = ranked.select(
+        "*",
+        F.least(
+            F.lit(1.0),
+            F.min(
+                p * F.col("_n") / F.col("p_rank")
+            ).over(w_tail),
+        ).alias("p_adj"),
+    ).drop("_n")
+    out = adjusted.select(
+        "*", (F.col("p_adj") <= F.lit(float(alpha))).alias("reject")
+    )
+    if nulls.isEmpty():
+        return out
+    return out.unionByName(
+        nulls.select(
+            "*",
+            F.lit(None).cast("int").alias("p_rank"),
+            F.lit(None).cast("double").alias("p_adj"),
+            F.lit(None).cast("boolean").alias("reject"),
+        )
+    )

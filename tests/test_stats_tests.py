@@ -474,3 +474,114 @@ class TestSPRT:
             sprt_bernoulli(
                 df, ["g"], "x", ["i"], p0=0.4, p1=0.6, alpha=1.5
             )
+
+
+class TestFDRAdjust:
+    def test_matches_statsmodels_reference_values(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            fdr_adjust,
+        )
+
+        # classic BH example: hand-computed step-up values
+        ps = [0.01, 0.04, 0.03, 0.005, 0.2]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(ps)], "id int, p double"
+        )
+        got = {
+            r["id"]: r.asDict()
+            for r in fdr_adjust(df, "p", alpha=0.05).collect()
+        }
+        # sorted: 0.005,0.01,0.03,0.04,0.2 -> q = .025,.025,.05,.05,.2
+        want = {3: 0.025, 0: 0.025, 2: 0.05, 1: 0.05, 4: 0.2}
+        for i, q in want.items():
+            assert got[i]["p_adj"] == pytest.approx(q), i
+            assert got[i]["reject"] == (q <= 0.05)
+
+    def test_monotone_capped_and_python_replay(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            fdr_adjust,
+        )
+
+        ps = [((i * 37) % 100 + 1) / 100.0 for i in range(30)]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(ps)], "id int, p double"
+        )
+        rows = fdr_adjust(df, "p").collect()
+        n = len(ps)
+        srt = sorted(ps)
+        adj_sorted = [0.0] * n
+        running = float("inf")
+        for j in range(n - 1, -1, -1):
+            running = min(running, srt[j] * n / (j + 1))
+            adj_sorted[j] = min(1.0, running)
+        want = dict(zip(srt, adj_sorted))  # ties collapse identically
+        for r in rows:
+            assert r["p_adj"] == pytest.approx(want[r["p"]])
+            assert r["p_adj"] <= 1.0
+
+    def test_null_p_passthrough_and_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            fdr_adjust,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.01), (2, None), (3, 0.5)], "id int, p double"
+        )
+        got = {r["id"]: r.asDict() for r in fdr_adjust(df, "p").collect()}
+        assert got[2]["p_adj"] is None and got[2]["reject"] is None
+        # NULL excluded from n: n=2, so p_adj(0.01) = 0.02
+        assert got[1]["p_adj"] == pytest.approx(0.02)
+        with pytest.raises(ValueError, match="alpha"):
+            fdr_adjust(df, "p", alpha=0.0)
+
+
+class TestNormalCDF:
+    def test_matches_erf_reference(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+        zs = [-4.0, -1.96, -0.5, 0.0, 0.3, 1.0, 2.575, 4.0]
+        df = spark.createDataFrame([(z,) for z in zs], "z double")
+        got = {
+            r["z"]: r["phi"]
+            for r in df.select(
+                "z", normal_cdf("z").alias("phi")
+            ).collect()
+        }
+        for z in zs:
+            ref = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+            assert got[z] == pytest.approx(ref, abs=1e-7)
+
+    def test_sql_twin_agrees_to_ulp(self, spark):
+        import duckdb
+
+        from mhm_data_pipelines_spark.functions.stats import (
+            NORMAL_CDF_SQL,
+            normal_cdf,
+        )
+
+        zs = [(-2.3,), (-0.1,), (0.7,), (1.644853,), (3.09,)]
+        df = spark.createDataFrame(zs, "z double")
+        spark_vals = [
+            r["phi"]
+            for r in df.select(normal_cdf("z").alias("phi"))
+            .orderBy("phi")
+            .collect()
+        ]
+        con = duckdb.connect()
+        duck_vals = sorted(
+            con.sql(
+                "SELECT "
+                + NORMAL_CDF_SQL.format(z="z")
+                + " FROM (SELECT unnest(["
+                + ",".join(str(z[0]) for z in zs)
+                + "]) AS z)"
+            ).df().iloc[:, 0]
+        )
+        import math
+
+        for s, d in zip(spark_vals, duck_vals):
+            # identical expression TREES; the only residual is the
+            # JVM-vs-C libm exp() last ulp (documented in normal_cdf)
+            assert math.isclose(s, d, rel_tol=1e-14), (s, d)
