@@ -13789,6 +13789,135 @@ ORDER BY event_type, bucket
 """.replace("__PHI__", _PHI.format(z="abs(z)"))
 
 
+def q_readability(spark, sf_dir):
+    """Corpus readability rollup (functions.text.readability_stats):
+    Flesch reading-ease + FK grade per (source, lang) — integer
+    word/sentence/syllable totals anchor the hash exactly; the two
+    mean scores are round(sum/n, 6) over per-doc doubles that are
+    bit-identical cross-engine (pure integer-count arithmetic)."""
+    from mhm_data_pipelines_spark.functions.text import (
+        readability_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        "source", "lang", readability_stats("text").alias("r")
+    ).select("source", "lang", "r.*")
+    return (
+        r.filter(F.col("words") > 0)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("sentences").cast("long").alias("sentences"),
+            F.sum("syllables").cast("long").alias("syllables"),
+            F.round(F.sum("flesch") / F.count("flesch"), 6).alias(
+                "mean_flesch"
+            ),
+            F.round(F.sum("fk_grade") / F.count("fk_grade"), 6).alias(
+                "mean_fk_grade"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_READABILITY = """
+WITH per_doc AS (
+  SELECT source, lang,
+         len(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           w -> w <> '')) AS words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         + len(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
+             w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]')))
+           AS syllables
+  FROM documents
+), scored AS (
+  SELECT source, lang, words, sentences, syllables,
+         206.835 - 1.015 * (words / (1.0 * sentences))
+                 - 84.6 * (syllables / (1.0 * words)) AS flesch,
+         0.39 * (words / (1.0 * sentences))
+           + 11.8 * (syllables / (1.0 * words)) - 15.59 AS fk_grade
+  FROM per_doc WHERE words > 0
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(sentences) AS BIGINT) AS sentences,
+       CAST(sum(syllables) AS BIGINT) AS syllables,
+       round(sum(flesch) / count(flesch), 6) AS mean_flesch,
+       round(sum(fk_grade) / count(fk_grade), 6) AS mean_fk_grade
+FROM scored
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def q_stream_holt(spark, sf_dir):
+    """§2.9 stateful streaming, second custom operator in the gate:
+    streaming Holt smoothing (streaming/stateful.holt_stream) drained
+    availableNow over the events table — per-user (level, trend) state
+    advanced in event order with the batch operator's exact float
+    tree (batch-split bit-invariance is test-asserted), so the final
+    state IS SQL-expressible and the oracle replays the recursion over
+    the raw per-user value series in one recursive CTE."""
+    from mhm_data_pipelines_spark.streaming.stateful import holt_stream
+
+    stream = _event_stream(spark, sf_dir)
+    out = holt_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("_stream_holt_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table("_stream_holt_gate")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_points"))
+    return (
+        snap.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_HOLT = """
+WITH RECURSIVE series AS (
+  SELECT user_id AS u, value AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lead(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS y_next
+  FROM events
+  WHERE value IS NOT NULL
+), hw(u, rn, n, s, b) AS (
+  SELECT u, 1, n, y,
+         CASE WHEN n > 1 THEN y_next - y ELSE 0.0 END
+  FROM series WHERE rn = 1
+  UNION ALL
+  SELECT h.u, h.rn + 1, h.n,
+         0.5 * sv.y + 0.5 * (h.s + h.b),
+         0.3 * ((0.5 * sv.y + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b
+  FROM hw h
+  JOIN series sv ON sv.u = h.u AND sv.rn = h.rn + 1
+)
+SELECT u AS user_id, CAST(n AS BIGINT) AS n_points,
+       round(s, 6) AS level, round(b, 6) AS trend
+FROM hw WHERE rn = n
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14051,6 +14180,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sprt_decision": q_sprt_decision,
     "lag_features": q_lag_features,
     "fdr_battery": q_fdr_battery,
+    "readability": q_readability,
+    "stream_holt": q_stream_holt,
     "robust_trend": q_robust_trend,
 }
 
@@ -14321,6 +14452,8 @@ ORACLES: dict[str, str] = {
     "sprt_decision": SQL_SPRT_DECISION,
     "lag_features": SQL_LAG_FEATURES,
     "fdr_battery": SQL_FDR_BATTERY,
+    "readability": SQL_READABILITY,
+    "stream_holt": SQL_STREAM_HOLT,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14428,7 +14561,8 @@ GATE_PRIORITY: list[str] = [
     #    ahead of stale re-gates:
     #      adamic_adar, k_core, fd_violations, target_encoding,
     #      touch_attribution, holt_trend, mi_ranking,
-    #      sprt_decision, lag_features, fdr_battery, ...
+    #      sprt_decision, lag_features, fdr_battery,
+    #      readability, stream_holt, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14651,6 +14785,8 @@ BENCH_QUERIES: list[str] = [
     "sprt_decision",
     "lag_features",
     "fdr_battery",
+    "readability",
+    "stream_holt",
 ]
 
 

@@ -860,3 +860,57 @@ def wordlist_hits(
         n_distinct.cast("long").alias("n_distinct_hits"),
         (n_hits > 0).alias("hit_any"),
     )
+
+
+def readability_stats(text: Column | str) -> Column:
+    """Flesch reading-ease + Flesch-Kincaid grade as ONE struct-typed
+    projection (Flesch 1948; Kincaid 1975) — the classical readability
+    screen corpus-quality pipelines run next to gopher_stats (wall-of-
+    jargon and OCR-shredded documents land at the extremes).
+
+    Heuristic, engine-portable counting (exactly replayable in SQL):
+
+    * words = whitespace tokens (``tokens``),
+    * sentences = runs of ``[.!?]`` , floored at 1,
+    * syllables = vowel-GROUP count ``[aeiouy]+`` over the lowercased
+      text, plus 1 for every vowel-less word (Flesch counts each word
+      as at least one syllable — "Mr" is a syllable, not zero).
+
+    ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)``;
+    ``fk_grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59``.
+    Empty/whitespace-only text yields NULL scores (0/0 is not a
+    document). Pure Column arithmetic over integer counts — the
+    per-document doubles are bit-identical in any engine; only
+    cross-document aggregation introduces float-order noise.
+
+    Returns ``struct(words, sentences, syllables, flesch, fk_grade)``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lower = F.lower(c)
+    toks = tokens(lower)
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    )
+    vowel_groups = F.size(
+        F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0)
+    )
+    no_vowel_words = F.size(
+        F.filter(toks, lambda t: ~t.rlike("[aeiouy]"))
+    )
+    syllables = vowel_groups + no_vowel_words
+    w = words.cast("double")
+    s = sentences.cast("double")
+    syl = syllables.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w)
+    )
+    fk = F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
+    has_words = words > 0
+    return F.struct(
+        words.cast("long").alias("words"),
+        F.when(has_words, sentences.cast("long")).alias("sentences"),
+        F.when(has_words, syllables.cast("long")).alias("syllables"),
+        F.when(has_words, flesch).alias("flesch"),
+        F.when(has_words, fk).alias("fk_grade"),
+    )

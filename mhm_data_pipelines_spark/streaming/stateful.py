@@ -369,3 +369,98 @@ def compact_signature_index(
         raise IOError("index compact: could not publish compacted epoch")
     fs.delete(hpath(tmp), True)
     return retired
+
+
+_HOLT_OUT_SCHEMA = (
+    "user_id bigint, n_points bigint, level double, trend double"
+)
+#: (n, s, b) — the running Holt recursion state per key.
+_HOLT_STATE_SCHEMA = "n bigint, s double, b double"
+
+
+def holt_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    value: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Streaming Holt linear-trend smoothing — the incremental twin of
+    ``timeseries.holt_trend``: per key, the coupled (level, trend)
+    recursion advances as micro-batches arrive, and each batch emits
+    the key's running ``(n_points, level, trend)`` snapshot (append
+    sink: the row with the max ``n_points`` per key is the current
+    state; with an availableNow drain over static files that is the
+    final state).
+
+    BATCH-SPLIT INVARIANCE, to the bit: the recursion is applied with
+    the exact float expression tree of the batch operator — including
+    the classical init, where the SECOND point first materializes
+    ``b₁ = x₂ − s₁`` and then runs the standard update against it — so
+    any partitioning of an in-order series into micro-batches yields
+    identical doubles to one batch pass (test-asserted). In-order is
+    the contract: events are sorted by ``(ts, order_id)`` WITHIN a
+    batch, and cross-batch reordering is upstream's watermark problem
+    (same contract as every incremental recursion — a late point
+    cannot be retro-inserted into an exponential smoother without
+    replaying the series).
+
+    State is three scalars per key (``NoTimeout`` — retention is
+    bounded by entity count, not event volume, the cheapest state
+    shape a stateful operator can have).
+    """
+    a = float(alpha)
+    g = float(beta)
+    if not 0.0 < a <= 1.0 or not 0.0 < g <= 1.0:
+        raise ValueError("alpha and beta must be in (0, 1]")
+
+    def fn(
+        key_: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key_
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:  # pragma: no cover - defensive
+            return
+        pdf = pdf[pdf[value].notna()].sort_values(
+            [ts, order_id], kind="mergesort"
+        )
+        if len(pdf) == 0:
+            return
+        xs = pdf[value].to_numpy(dtype="float64")
+        if state.exists:
+            n, s, b = state.get
+            n, s, b = int(n), float(s), float(b)
+        else:
+            n, s, b = 0, 0.0, 0.0
+        i = 0
+        if n == 0:
+            s, b, n = xs[0], 0.0, 1
+            i = 1
+        for t in range(i, len(xs)):
+            if n == 1:
+                b = xs[t] - s  # classical init: b1 = x2 - x1
+            s_new = a * xs[t] + (1.0 - a) * (s + b)
+            b = g * (s_new - s) + (1.0 - g) * b
+            s = s_new
+            n += 1
+        state.update((n, s, b))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_points": [n],
+                "level": [s],
+                "trend": [b],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        _HOLT_OUT_SCHEMA,
+        _HOLT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

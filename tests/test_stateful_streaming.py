@@ -348,3 +348,125 @@ def test_compact_signature_index_preserves_rows(spark, tmp_path):
         f"{index}/batch_id=7"
     )
     assert spark.read.parquet(index).count() == len(before) + 1
+
+
+class TestHoltStream:
+    def _drain(self, spark, stream, name, max_files=None):
+        from mhm_data_pipelines_spark.streaming.stateful import (
+            holt_stream,
+        )
+
+        out = holt_stream(stream)
+        w = out.writeStream.format("memory").queryName(name).outputMode(
+            "append"
+        ).trigger(availableNow=True)
+        q = w.start()
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    def test_single_batch_matches_batch_operator(self, spark, tmp_path):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_trend,
+        )
+
+        rows = [
+            (i, 1 + i % 2, i * MIN, float((i * 13) % 7) + 0.5 * i)
+            for i in range(30)
+        ]
+        path = _events_parquet(spark, tmp_path, rows)
+        got = {
+            r["user_id"]: r.asDict()
+            for r in self._drain(
+                spark, _stream(spark, path), "_holt_single"
+            ).collect()
+        }
+        batch_df = spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(path)
+        want = {
+            int(r["u"]): r.asDict()
+            for r in holt_trend(
+                batch_df, "user_id", "ts", "value"
+            )
+            .withColumnRenamed("user_id", "u")
+            .collect()
+        }
+        assert set(got) == set(want)
+        for u in got:
+            assert got[u]["n_points"] == want[u]["n_points"]
+            # batch operator rounds 6dp; stream emits raw state
+            assert round(got[u]["level"], 6) == want[u]["level"]
+            assert round(got[u]["trend"], 6) == want[u]["trend"]
+
+    def test_batch_split_is_bit_invariant(self, spark, tmp_path):
+        import pandas as pd
+
+        from mhm_data_pipelines_spark.streaming.stateful import (
+            holt_stream,
+        )
+
+        # same series split across three files, drained one file per
+        # micro-batch -> final state must be BIT-equal to one batch
+        xs = [float((i * 7) % 11) + 0.25 * i for i in range(24)]
+        path = tmp_path / "split"
+        path.mkdir()
+        for b in range(3):
+            pdf = pd.DataFrame(
+                {
+                    "event_id": list(range(b * 8, b * 8 + 8)),
+                    "user_id": [1] * 8,
+                    "ts": [
+                        pd.Timestamp(DEC + i * MIN, unit="s")
+                        for i in range(b * 8, b * 8 + 8)
+                    ],
+                    "value": xs[b * 8 : b * 8 + 8],
+                }
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(
+                str(path / f"b{b}")
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp, "
+                "value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(path))
+        )
+        out = holt_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("_holt_split")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("_holt_split").orderBy("n_points").collect()
+        assert rows[-1]["n_points"] == 24
+        # python replay with the exact float tree
+        a, g = 0.5, 0.3
+        s, b = xs[0], xs[1] - xs[0]
+        for t in range(1, len(xs)):
+            s_new = a * xs[t] + (1.0 - a) * (s + b)
+            b = g * (s_new - s) + (1.0 - g) * b
+            s = s_new
+        assert rows[-1]["level"] == s      # bit-equal, no rounding
+        assert rows[-1]["trend"] == b
+
+    def test_null_values_skipped_and_guard(self, spark, tmp_path):
+        import pytest as _pt
+
+        from mhm_data_pipelines_spark.streaming.stateful import (
+            holt_stream,
+        )
+
+        rows = [(0, 1, 0, 5.0)]
+        path = _events_parquet(spark, tmp_path, rows)
+        got = self._drain(
+            spark, _stream(spark, path), "_holt_null"
+        ).collect()
+        assert got[0]["n_points"] == 1 and got[0]["trend"] == 0.0
+        with _pt.raises(ValueError, match="alpha"):
+            holt_stream(_stream(spark, path), alpha=0.0)

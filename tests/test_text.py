@@ -760,3 +760,47 @@ def test_image_ahash_and_neardup_through_spark(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 2
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+class TestReadability:
+    def _one(self, spark, txt):
+        from pyspark.sql import functions as F
+
+        from mhm_data_pipelines_spark.functions.text import (
+            readability_stats,
+        )
+
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(
+            readability_stats("t").alias("r")
+        ).select("r.*").collect()[0]
+
+    def test_hand_counts(self, spark):
+        r = self._one(spark, "The cat sat. The dog ran away!")
+        # words: 7; sentences: 2; syllables: the(1) cat(1) sat(1)
+        # the(1) dog(1) ran(1) a-way(2) = 8
+        assert r["words"] == 7
+        assert r["sentences"] == 2
+        assert r["syllables"] == 8
+        w_s, syl_w = 7 / 2, 8 / 7
+        assert r["flesch"] == pytest.approx(
+            206.835 - 1.015 * w_s - 84.6 * syl_w
+        )
+        assert r["fk_grade"] == pytest.approx(
+            0.39 * w_s + 11.8 * syl_w - 15.59
+        )
+
+    def test_vowelless_word_counts_one_syllable(self, spark):
+        r = self._one(spark, "Mr Smith left.")
+        # mr: 0 vowel groups -> +1; smith: 1; left: 1
+        assert r["syllables"] == 3
+
+    def test_no_terminator_floors_sentences_at_one(self, spark):
+        r = self._one(spark, "no punctuation here at all")
+        assert r["sentences"] == 1
+
+    def test_empty_text_is_null_scores(self, spark):
+        r = self._one(spark, "   ")
+        assert r["words"] == 0
+        assert r["flesch"] is None and r["fk_grade"] is None
+        assert r["sentences"] is None
