@@ -13918,6 +13918,89 @@ ORDER BY user_id
 """
 
 
+def q_cuped_lift(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (stats_tests.cuped_report):
+    units = users, arm = user_id parity, covariate x = first-half-of-
+    month value sum, metric y = second-half sum (both 6dp-rounded
+    pre-derivation — on the 2-decimal input grid the rounded sums are
+    exact, so every downstream moment starts from identical doubles).
+    Pooled theta, per-arm before/after variances, reduction pct."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        cuped_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    unit = ev.groupBy(
+        F.col("user_id"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, F.col("value"))
+                .otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("x"),
+        F.round(
+            F.sum(
+                F.when(F.dayofmonth("ts") > 15, F.col("value"))
+                .otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("y"),
+    )
+    return cuped_report(unit, "arm", "y", "x").orderBy("arm")
+
+
+SQL_CUPED_LIFT = """
+WITH unit AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         round(sum(CASE WHEN day(ts) <= 15 THEN value
+                        ELSE 0.0 END), 6) AS x,
+         round(sum(CASE WHEN day(ts) > 15 THEN value
+                        ELSE 0.0 END), 6) AS y
+  FROM events GROUP BY 1, 2
+), per_arm AS (
+  SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+         sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM unit GROUP BY arm
+), pooled AS (
+  SELECT sum(sx) / sum(n) AS mean_x_g,
+         CASE WHEN sum(sxx) / sum(n)
+                   - (sum(sx) / sum(n)) * (sum(sx) / sum(n)) > 0
+              THEN (sum(sxy) / sum(n)
+                    - (sum(sx) / sum(n)) * (sum(sy) / sum(n)))
+                   / (sum(sxx) / sum(n)
+                      - (sum(sx) / sum(n)) * (sum(sx) / sum(n)))
+              ELSE 0.0 END AS theta
+  FROM per_arm
+)
+SELECT a.arm, CAST(a.n AS BIGINT) AS n,
+       round(a.sy / a.n, 6) AS mean_y,
+       round(a.sy / a.n - p.theta * (a.sx / a.n - p.mean_x_g), 6)
+         AS mean_cuped,
+       round(a.syy / a.n - (a.sy / a.n) * (a.sy / a.n), 6) AS var_y,
+       round((a.syy / a.n - (a.sy / a.n) * (a.sy / a.n))
+             - 2.0 * p.theta
+               * (a.sxy / a.n - (a.sx / a.n) * (a.sy / a.n))
+             + p.theta * p.theta
+               * (a.sxx / a.n - (a.sx / a.n) * (a.sx / a.n)), 6)
+         AS var_cuped,
+       round(p.theta, 6) AS theta,
+       round(CASE WHEN a.syy / a.n - (a.sy / a.n) * (a.sy / a.n) > 0
+         THEN 100.0 * (1.0 -
+              ((a.syy / a.n - (a.sy / a.n) * (a.sy / a.n))
+               - 2.0 * p.theta
+                 * (a.sxy / a.n - (a.sx / a.n) * (a.sy / a.n))
+               + p.theta * p.theta
+                 * (a.sxx / a.n - (a.sx / a.n) * (a.sx / a.n)))
+              / (a.syy / a.n - (a.sy / a.n) * (a.sy / a.n)))
+         END, 6) AS var_reduction_pct
+FROM per_arm a CROSS JOIN pooled p
+ORDER BY arm
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14182,6 +14265,7 @@ QUERIES: dict[str, QuerySpec] = {
     "fdr_battery": q_fdr_battery,
     "readability": q_readability,
     "stream_holt": q_stream_holt,
+    "cuped_lift": q_cuped_lift,
     "robust_trend": q_robust_trend,
 }
 
@@ -14454,6 +14538,7 @@ ORACLES: dict[str, str] = {
     "fdr_battery": SQL_FDR_BATTERY,
     "readability": SQL_READABILITY,
     "stream_holt": SQL_STREAM_HOLT,
+    "cuped_lift": SQL_CUPED_LIFT,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14562,7 +14647,7 @@ GATE_PRIORITY: list[str] = [
     #      adamic_adar, k_core, fd_violations, target_encoding,
     #      touch_attribution, holt_trend, mi_ranking,
     #      sprt_decision, lag_features, fdr_battery,
-    #      readability, stream_holt, ...
+    #      readability, stream_holt, cuped_lift, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14787,6 +14872,7 @@ BENCH_QUERIES: list[str] = [
     "fdr_battery",
     "readability",
     "stream_holt",
+    "cuped_lift",
 ]
 
 

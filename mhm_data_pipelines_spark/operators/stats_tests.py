@@ -901,3 +901,106 @@ def fdr_adjust(
             F.lit(None).cast("boolean").alias("reject"),
         )
     )
+
+
+def cuped_report(
+    df: DataFrame,
+    arm_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013 —
+    "Improving the Sensitivity of Online Controlled Experiments"):
+    adjust each unit's metric by its pre-experiment covariate,
+    ``y' = y − θ·(x − x̄)`` with the POOLED ``θ = cov(x, y)/var(x)``,
+    and report per-arm means and variances before/after — the
+    standard way to make an A/B readout sharper without more traffic
+    (same means in expectation, variance shrunk by the squared
+    x-y correlation).
+
+    Input is one row per experiment UNIT (already aggregated —
+    build x/y with conditional aggregation so both are always
+    defined; rows with a NULL arm, y or x are excluded here).
+    Returns one row per arm: ``n``, ``mean_y``, ``mean_cuped``,
+    ``var_y``, ``var_cuped`` (population variances),
+    ``var_reduction_pct`` (6dp), plus the shared ``theta``.
+    Degenerate ``var(x) = 0`` defines θ = 0 (no covariate signal —
+    CUPED becomes a no-op, not a division error).
+
+    Scale shape: everything derives from per-arm sufficient statistics
+    ``(n, Σy, Σx, Σy², Σx², Σxy)`` — ONE hash aggregate over the unit
+    table; the pooled moments re-aggregate the per-arm rows
+    (arm-count-sized), θ and x̄ ride back via a single-row broadcast.
+    The adjusted variance is expanded algebraically
+    (``var(y) − 2θ·cov + θ²·var(x)``), so no second pass over units
+    exists.
+    """
+    u = df.filter(
+        F.col(arm_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+    ).select(
+        F.col(arm_col).alias("arm"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(x_col).cast("double").alias("x"),
+    )
+    per_arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    pooled = per_arm.agg(
+        F.sum("n").alias("N"),
+        F.sum("sy").alias("SY"),
+        F.sum("sx").alias("SX"),
+        F.sum("sxx").alias("SXX"),
+        F.sum("sxy").alias("SXY"),
+    ).select(
+        "N",
+        (F.col("SX") / F.col("N")).alias("mean_x_g"),
+        (
+            F.col("SXX") / F.col("N")
+            - (F.col("SX") / F.col("N")) * (F.col("SX") / F.col("N"))
+        ).alias("var_x_g"),
+        (
+            F.col("SXY") / F.col("N")
+            - (F.col("SX") / F.col("N")) * (F.col("SY") / F.col("N"))
+        ).alias("cov_xy_g"),
+    ).select(
+        "mean_x_g",
+        F.when(
+            F.col("var_x_g") > 0,
+            F.col("cov_xy_g") / F.col("var_x_g"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    j = per_arm.crossJoin(F.broadcast(pooled))
+    mean_y = F.col("sy") / F.col("n")
+    mean_x = F.col("sx") / F.col("n")
+    var_y = F.col("syy") / F.col("n") - mean_y * mean_y
+    var_x = F.col("sxx") / F.col("n") - mean_x * mean_x
+    cov = F.col("sxy") / F.col("n") - mean_x * mean_y
+    th = F.col("theta")
+    var_c = var_y - F.lit(2.0) * th * cov + th * th * var_x
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(
+            mean_y - th * (mean_x - F.col("mean_x_g")), 6
+        ).alias("mean_cuped"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_c, 6).alias("var_cuped"),
+        F.round(th, 6).alias("theta"),
+        F.round(
+            F.when(
+                var_y > 0,
+                F.lit(100.0) * (F.lit(1.0) - var_c / var_y),
+            ),
+            6,
+        ).alias("var_reduction_pct"),
+    )

@@ -585,3 +585,81 @@ class TestNormalCDF:
             # identical expression TREES; the only residual is the
             # JVM-vs-C libm exp() last ulp (documented in normal_cdf)
             assert math.isclose(s, d, rel_tol=1e-14), (s, d)
+
+
+class TestCUPED:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cuped_report,
+        )
+
+        rng = [((i * 17) % 13, (i * 7) % 5) for i in range(60)]
+        rows = [
+            ("A" if i % 2 == 0 else "B", float(x + n), float(x))
+            for i, (x, n) in enumerate(rng)
+        ]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        got = {
+            r["arm"]: r.asDict()
+            for r in cuped_report(df, "arm", "y", "x").collect()
+        }
+        ys = np.array([r[1] for r in rows])
+        xs = np.array([r[2] for r in rows])
+        arms = np.array([r[0] for r in rows])
+        theta = np.cov(xs, ys, bias=True)[0, 1] / np.var(xs)
+        y_adj = ys - theta * (xs - xs.mean())
+        for a in ("A", "B"):
+            m = arms == a
+            assert got[a]["n"] == int(m.sum())
+            assert got[a]["mean_y"] == pytest.approx(
+                round(ys[m].mean(), 6)
+            )
+            assert got[a]["mean_cuped"] == pytest.approx(
+                round(y_adj[m].mean(), 6), abs=1e-6
+            )
+            assert got[a]["var_y"] == pytest.approx(
+                round(np.var(ys[m]), 6), abs=1e-6
+            )
+            assert got[a]["var_cuped"] == pytest.approx(
+                round(np.var(y_adj[m]), 6), abs=1e-5
+            )
+            assert got[a]["theta"] == pytest.approx(round(theta, 6))
+
+    def test_strong_covariate_shrinks_variance(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cuped_report,
+        )
+
+        # y = x + tiny noise: CUPED should remove nearly all variance
+        rows = [
+            ("A", float(i + (i % 3) * 0.01), float(i)) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        r = cuped_report(df, "arm", "y", "x").collect()[0]
+        assert r["var_reduction_pct"] > 99.0
+        # means preserved up to the covariate-mean centering (1 arm:
+        # x̄_arm == x̄_global, so mean_cuped == mean_y exactly)
+        assert r["mean_cuped"] == pytest.approx(r["mean_y"])
+
+    def test_degenerate_covariate_is_noop(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cuped_report,
+        )
+
+        rows = [("A", float(i), 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        r = cuped_report(df, "arm", "y", "x").collect()[0]
+        assert r["theta"] == 0.0
+        assert r["var_cuped"] == r["var_y"]
+
+    def test_null_rows_excluded(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cuped_report,
+        )
+
+        rows = [("A", 1.0, 2.0), ("A", None, 2.0), (None, 1.0, 2.0),
+                ("A", 3.0, None)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        assert cuped_report(df, "arm", "y", "x").collect()[0]["n"] == 1
