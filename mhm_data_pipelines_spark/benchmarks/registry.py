@@ -14001,6 +14001,55 @@ ORDER BY arm
 """
 
 
+def q_srm_audit(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail (stats_tests.srm_check): are
+    events split across the four user_id%4 pseudo-arms at the designed
+    uniform ratio? dof=3 exercises the Wilson-Hilferty branch of the
+    portable p-value (the oracle replays the same cube-root-normal
+    tree through NORMAL_CDF_SQL)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import srm_check
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arm", F.pmod(F.col("user_id"), F.lit(4)).cast("string")
+    )
+    return srm_check(
+        ev, "arm", {"0": 0.25, "1": 0.25, "2": 0.25, "3": 0.25}
+    )
+
+
+from mhm_data_pipelines_spark.functions.stats import (  # noqa: E402
+    NORMAL_CDF_SQL as _PHI_SRM,
+)
+
+_SRM_WH_Z = (
+    "((pow(chi2 / 3.0, 1.0 / 3.0)"
+    " - (1.0 - 2.0 / (9.0 * 3.0))) / sqrt(2.0 / (9.0 * 3.0)))"
+)
+
+SQL_SRM_AUDIT = """
+WITH obs AS (
+  SELECT CAST(user_id % 4 AS VARCHAR) AS arm, count(*) AS c
+  FROM events GROUP BY 1
+), merged AS (
+  SELECT e.arm, 0.25 AS share, coalesce(o.c, 0) AS c
+  FROM (SELECT unnest(['0', '1', '2', '3']) AS arm) e
+  LEFT JOIN obs o ON o.arm = e.arm
+), with_total AS (
+  SELECT *, sum(c) OVER () AS N FROM merged
+), base AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         count(*) AS k,
+         sum((c - share * N) * (c - share * N) / (share * N)) AS chi2
+  FROM with_total
+)
+SELECT n, CAST(0 AS BIGINT) AS n_null_arm,
+       CAST(k - 1 AS INT) AS dof,
+       round(chi2, 6) AS chi2,
+       round(1.0 - __PHI__, 6) AS p_value
+FROM base
+""".replace("__PHI__", _PHI_SRM.format(z=_SRM_WH_Z))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14266,6 +14315,7 @@ QUERIES: dict[str, QuerySpec] = {
     "readability": q_readability,
     "stream_holt": q_stream_holt,
     "cuped_lift": q_cuped_lift,
+    "srm_audit": q_srm_audit,
     "robust_trend": q_robust_trend,
 }
 
@@ -14539,6 +14589,7 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "stream_holt": SQL_STREAM_HOLT,
     "cuped_lift": SQL_CUPED_LIFT,
+    "srm_audit": SQL_SRM_AUDIT,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14647,7 +14698,8 @@ GATE_PRIORITY: list[str] = [
     #      adamic_adar, k_core, fd_violations, target_encoding,
     #      touch_attribution, holt_trend, mi_ranking,
     #      sprt_decision, lag_features, fdr_battery,
-    #      readability, stream_holt, cuped_lift, ...
+    #      readability, stream_holt, cuped_lift,
+    #      srm_audit, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14873,6 +14925,7 @@ BENCH_QUERIES: list[str] = [
     "readability",
     "stream_holt",
     "cuped_lift",
+    "srm_audit",
 ]
 
 

@@ -1004,3 +1004,109 @@ def cuped_report(
             6,
         ).alias("var_reduction_pct"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the chi-square goodness-of-fit
+    every experimentation platform runs before reading ANY metric —
+    Fabijan et al. 2019 call SRM "the most useful A/B diagnostic"): do
+    the observed arm counts match the designed split? A tiny p here
+    means assignment, logging, or filtering is broken and the
+    experiment readout is garbage regardless of its lift.
+
+    ``expected`` maps arm value (as string) → designed share (must sum
+    to ~1); omitted, a uniform split over the observed arms is
+    assumed. Arms in ``expected`` with zero observed traffic still
+    contribute (that is often the whole bug). NULL arms are counted
+    and reported separately (``n_null_arm``) but excluded from the
+    test — a NULL assignment is its own alarm.
+
+    Returns ONE row: ``n``, ``n_null_arm``, ``dof``, ``chi2`` (6dp),
+    ``p_value`` (6dp) — exact ``2·(1−Φ(√χ²))`` at 1 dof, the
+    Wilson-Hilferty cube-root normal approximation otherwise (both
+    via the engine-portable :func:`..functions.stats.normal_cdf`, so
+    a SQL oracle replays the identical tree).
+
+    Scale shape: one hash aggregate to the arm-count table (arms-sized)
+    + a single-row rollup; the expected shares ride in as a literal
+    lookup. Nothing else touches the data.
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    counts = (
+        df.groupBy(
+            F.col(arm_col).cast("string").alias("arm")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    if expected is not None:
+        tot_share = sum(expected.values())
+        if not 0.999 <= tot_share <= 1.001:
+            raise ValueError(
+                f"expected shares must sum to 1, got {tot_share}"
+            )
+        if any(v <= 0 for v in expected.values()):
+            raise ValueError("expected shares must be positive")
+        exp_df = counts.sparkSession.createDataFrame(
+            [(str(k), float(v)) for k, v in expected.items()],
+            "arm string, share double",
+        )
+        obs = counts.filter(F.col("arm").isNotNull())
+        merged = exp_df.join(obs, "arm", "left").select(
+            "arm",
+            "share",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        unexpected = obs.join(exp_df, "arm", "left_anti")
+    else:
+        obs = counts.filter(F.col("arm").isNotNull())
+        n_arms = obs.count()  # arms-sized table; bounded by design
+        if n_arms == 0:
+            raise ValueError("no non-NULL arms observed")
+        merged = obs.select(
+            "arm", F.lit(1.0 / n_arms).alias("share"), "c"
+        )
+        unexpected = obs.limit(0)
+    n_unexpected = unexpected.count()
+    if n_unexpected:
+        rows = [r["arm"] for r in unexpected.limit(5).collect()]
+        raise ValueError(
+            f"arms observed but absent from expected: {rows}"
+        )
+    nulls = counts.filter(F.col("arm").isNull()).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_null_arm")
+    )
+    with_total = merged.withColumn(
+        "N", F.sum("c").over(Window.partitionBy())
+    )
+    dev = F.col("c") - F.col("share") * F.col("N")
+    base = with_total.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(dev * dev / (F.col("share") * F.col("N"))).alias(
+            "chi2"
+        ),
+    )
+    k = F.col("k")
+    chi2 = F.col("chi2")
+    p_1dof = F.lit(2.0) * (
+        F.lit(1.0) - normal_cdf(F.sqrt(chi2))
+    )
+    # Wilson-Hilferty: (chi2/k)^(1/3) ~ N(1 - 2/(9k), 2/(9k))
+    wh_z = (
+        F.pow(chi2 / (k - 1), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * (k - 1)))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * (k - 1)))
+    p = F.when(k == 2, p_1dof).otherwise(
+        F.lit(1.0) - normal_cdf(wh_z)
+    )
+    return base.crossJoin(F.broadcast(nulls)).select(
+        "n",
+        F.col("n_null_arm").cast("long").alias("n_null_arm"),
+        (k - 1).cast("int").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+    )

@@ -663,3 +663,66 @@ class TestCUPED:
                 ("A", 3.0, None)]
         df = spark.createDataFrame(rows, "arm string, y double, x double")
         assert cuped_report(df, "arm", "y", "x").collect()[0]["n"] == 1
+
+
+class TestSRMCheck:
+    def test_matches_scipy_free_reference(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            srm_check,
+        )
+
+        # 60/40 observed vs designed 50/50 over n=100
+        rows = [("A",)] * 60 + [("B",)] * 40
+        df = spark.createDataFrame(rows, "arm string")
+        r = srm_check(
+            df, "arm", {"A": 0.5, "B": 0.5}
+        ).collect()[0]
+        # chi2 = (60-50)^2/50 + (40-50)^2/50 = 4.0
+        assert r["chi2"] == pytest.approx(4.0)
+        assert r["dof"] == 1
+        p_ref = 2 * (1 - 0.5 * (1 + math.erf(math.sqrt(4.0) / math.sqrt(2))))
+        assert r["p_value"] == pytest.approx(p_ref, abs=1e-6)
+
+    def test_uniform_default_and_zero_traffic_arm(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            srm_check,
+        )
+
+        df = spark.createDataFrame([("A",)] * 10, "arm string")
+        # designed 3-way split, two arms got NOTHING -> huge chi2
+        r = srm_check(
+            df, "arm", {"A": 1 / 3, "B": 1 / 3, "C": 1 / 3}
+        ).collect()[0]
+        assert r["dof"] == 2
+        assert r["chi2"] == pytest.approx(20.0)  # 2*(10/3) + (20/3)...
+        assert r["p_value"] < 0.001
+        # uniform default over OBSERVED arms: perfectly balanced
+        df2 = spark.createDataFrame(
+            [("A",)] * 5 + [("B",)] * 5, "arm string"
+        )
+        r2 = srm_check(df2, "arm").collect()[0]
+        assert r2["chi2"] == 0.0 and r2["p_value"] == pytest.approx(1.0)
+
+    def test_null_arms_reported_not_tested(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            srm_check,
+        )
+
+        df = spark.createDataFrame(
+            [("A",), ("B",), (None,), (None,)], "arm string"
+        )
+        r = srm_check(df, "arm").collect()[0]
+        assert r["n"] == 2 and r["n_null_arm"] == 2
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            srm_check,
+        )
+
+        df = spark.createDataFrame([("A",), ("Z",)], "arm string")
+        with pytest.raises(ValueError, match="sum to 1"):
+            srm_check(df, "arm", {"A": 0.5, "B": 0.1})
+        with pytest.raises(ValueError, match="absent from expected"):
+            srm_check(df, "arm", {"A": 0.5, "B": 0.5})
