@@ -13400,7 +13400,7 @@ WITH conv AS (
          CASE WHEN sz = 1 THEN 1.0
               WHEN sz = 2 THEN 0.5
               WHEN rn = 1 OR rn = sz THEN 0.4
-              ELSE 0.2 / (sz - 2) END AS u_c
+              ELSE (1.0 - 2.0 * 0.4) / (sz - 2) END AS u_c
   FROM j
 )
 SELECT channel,
@@ -13582,6 +13582,7 @@ WITH cum AS (
            OVER (PARTITION BY event_type ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS llr
   FROM events
+  WHERE value IS NOT NULL
 ), agg AS (
   SELECT g,
          count(*) AS n_obs,
@@ -13874,7 +13875,9 @@ def q_stream_holt(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_holt drain exceeded 300s")
     snap = spark.table("_stream_holt_gate")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_points"))
     return (
@@ -13963,7 +13966,9 @@ WITH unit AS (
 ), per_arm AS (
   SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
          sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
-  FROM unit GROUP BY arm
+  FROM unit
+  WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY arm
 ), pooled AS (
   SELECT sum(sx) / sum(n) AS mean_x_g,
          CASE WHEN sum(sxx) / sum(n)

@@ -878,8 +878,8 @@ def readability_stats(text: Column | str) -> Column:
 
     ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)``;
     ``fk_grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59``.
-    Empty/whitespace-only text yields NULL scores (0/0 is not a
-    document). Pure Column arithmetic over integer counts — the
+    Empty/whitespace-only/NULL text yields words = 0 and NULL
+    scores (0/0 is not a document). Pure Column arithmetic over integer counts — the
     per-document doubles are bit-identical in any engine; only
     cross-document aggregation introduces float-order noise.
 
@@ -908,7 +908,12 @@ def readability_stats(text: Column | str) -> Column:
     fk = F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
     has_words = words > 0
     return F.struct(
-        words.cast("long").alias("words"),
+        # size(NULL array) is -1 under Spark's legacy sizeOfNull;
+        # a NULL document counts as zero words, like whitespace-only
+        F.when(c.isNull(), F.lit(0))
+        .otherwise(words)
+        .cast("long")
+        .alias("words"),
         F.when(has_words, sentences.cast("long")).alias("sentences"),
         F.when(has_words, syllables.cast("long")).alias("syllables"),
         F.when(has_words, flesch).alias("flesch"),

@@ -47,6 +47,11 @@ __all__ = [
     "anova_oneway",
     "brown_forsythe",
     "randomization_test",
+    "mutual_information",
+    "sprt_bernoulli",
+    "fdr_adjust",
+    "cuped_report",
+    "srm_check",
 ]
 
 
@@ -891,8 +896,9 @@ def fdr_adjust(
     out = adjusted.select(
         "*", (F.col("p_adj") <= F.lit(float(alpha))).alias("reject")
     )
-    if nulls.isEmpty():
-        return out
+    # the NULL branch unions unconditionally — when empty it is a
+    # no-op plan branch; probing emptiness first (isEmpty) would be an
+    # eager action executing the whole upstream battery an extra time
     return out.unionByName(
         nulls.select(
             "*",
@@ -1040,7 +1046,12 @@ def srm_check(
     counts = (
         df.groupBy(
             F.col(arm_col).cast("string").alias("arm")
-        ).agg(F.count(F.lit(1)).alias("c"))
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        # arms-sized by design; materialized once so the validation
+        # action, the NULL tally and the chi2 rollup all reuse ONE
+        # corpus scan instead of re-aggregating per consumer
+        .localCheckpoint(eager=True)
     )
     if expected is not None:
         tot_share = sum(expected.values())

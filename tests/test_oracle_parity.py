@@ -95,7 +95,9 @@ def test_never_driver_verified_keys_are_gate_windowed():
         with open(f) as fh:
             per_scale = json.load(fh)
         sets = [_green_keys(rec) for rec in per_scale.values()]
-        if sets:
+        # a single-scale record is NOT multiscale evidence — the
+        # contract is green at BOTH sf0.01 and sf0.001
+        if len(sets) >= 2:
             multiscale_green |= set.intersection(*sets)
 
     never = set(QUERIES) - green
