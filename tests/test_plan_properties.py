@@ -107,6 +107,11 @@ SINGLE_ROW_BROADCAST_OK = {
                           # per-candidate work is m array lookups, and
                           # a bucketed IVF×PQ composition replaces the
                           # cross at larger query counts
+    "target_encoding",    # crossJoin(broadcast(global prior mu)) — 1 row
+    "fdr_battery",        # crossJoin(broadcast(global N,S totals)) — 1 row
+    "cuped_lift",         # crossJoin(broadcast(pooled theta + x-mean))
+                          # — 1 row, + the arm-sized nulls tally row
+    "srm_audit",          # crossJoin(broadcast(NULL-arm tally)) — 1 row
     "semantic_decontam",  # training × broadcast(curated eval set) —
                           # bounded cross by design (eval benchmarks
                           # are small); LSH/IVF blocking replaces the
