@@ -77,6 +77,10 @@ HEAVY = [
     # part co-occurrence graph (same 10x-structure sf1 co-order scaling
     # as label_communities) — wedge-join AA and iterative k-core peel.
     "adamic_adar", "k_core",
+    # round-8 third batch: the stateful streaming Holt drain (state is
+    # 3 scalars per key; cost is the stream machinery + one pass over
+    # the event volume, so it should scale ~linearly in rows).
+    "stream_holt",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1
