@@ -14055,6 +14055,95 @@ FROM base
 """.replace("__PHI__", _PHI_SRM.format(z=_SRM_WH_Z))
 
 
+def q_reach_curve(spark, sf_dir):
+    """Exact daily active/new/returning/cumulative-reach counts over
+    events (timeseries.reach_curve): the running reach is the sum of
+    new_users — exact because each user is new exactly once — so the
+    whole growth chart needs no distinct-union scans per day. DATE
+    rendered ISO for hash parity."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        reach_curve,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = reach_curve(ev)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "new_users",
+        "returning",
+        "cumulative_users",
+    ).orderBy("day")
+
+
+SQL_REACH_CURVE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM pairs GROUP BY day
+), news AS (
+  SELECT day, count(*) AS new_users FROM (
+    SELECT u, min(day) AS day FROM pairs GROUP BY u
+  ) GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(d.dau - coalesce(n.new_users, 0) AS BIGINT) AS returning,
+       CAST(sum(coalesce(n.new_users, 0))
+              OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM dau d LEFT JOIN news n ON n.day = d.day
+ORDER BY day
+"""
+
+
+def q_pareto_events(spark, sf_dir):
+    """Pareto/ABC concentration of event volume over users
+    (profile.pareto_report): how many top users produce 50/80/90% of
+    all events, plus top-1 share — the curve-coordinate complement of
+    source_concentration's HHI/Gini scalars. Weight ties break on the
+    user key, so every count is engine-deterministic."""
+    from mhm_data_pipelines_spark.operators.profile import (
+        pareto_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return pareto_report(ev, "user_id", thresholds=(0.5, 0.8, 0.9))
+
+
+SQL_PARETO_EVENTS = """
+WITH gw AS (
+  SELECT user_id AS g, count(*) AS wt FROM events GROUP BY user_id
+), cum AS (
+  SELECT wt,
+         row_number() OVER (ORDER BY wt DESC, g) AS rk,
+         sum(wt) OVER (ORDER BY wt DESC, g
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(wt) OVER () AS tot,
+         count(*) OVER () AS ng
+  FROM gw
+)
+SELECT max(ng) AS n_groups,
+       round(max(tot) * 1.0, 6) AS total_weight,
+       round(max(CASE WHEN rk = 1 THEN wt END) * 1.0 / max(tot), 6)
+         AS top1_share,
+       CAST(min(CASE WHEN cw * 1.0 / tot >= 0.5 THEN rk END)
+            AS BIGINT) AS n_to_50,
+       CAST(min(CASE WHEN cw * 1.0 / tot >= 0.8 THEN rk END)
+            AS BIGINT) AS n_to_80,
+       CAST(min(CASE WHEN cw * 1.0 / tot >= 0.9 THEN rk END)
+            AS BIGINT) AS n_to_90,
+       round(min(CASE WHEN cw * 1.0 / tot >= 0.5 THEN rk END)
+             * 1.0 / max(ng), 6) AS pct_groups_to_50,
+       round(min(CASE WHEN cw * 1.0 / tot >= 0.8 THEN rk END)
+             * 1.0 / max(ng), 6) AS pct_groups_to_80,
+       round(min(CASE WHEN cw * 1.0 / tot >= 0.9 THEN rk END)
+             * 1.0 / max(ng), 6) AS pct_groups_to_90
+FROM cum
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14321,6 +14410,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_holt": q_stream_holt,
     "cuped_lift": q_cuped_lift,
     "srm_audit": q_srm_audit,
+    "reach_curve": q_reach_curve,
+    "pareto_events": q_pareto_events,
     "robust_trend": q_robust_trend,
 }
 
@@ -14595,6 +14686,8 @@ ORACLES: dict[str, str] = {
     "stream_holt": SQL_STREAM_HOLT,
     "cuped_lift": SQL_CUPED_LIFT,
     "srm_audit": SQL_SRM_AUDIT,
+    "reach_curve": SQL_REACH_CURVE,
+    "pareto_events": SQL_PARETO_EVENTS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14704,7 +14797,7 @@ GATE_PRIORITY: list[str] = [
     #      touch_attribution, holt_trend, mi_ranking,
     #      sprt_decision, lag_features, fdr_battery,
     #      readability, stream_holt, cuped_lift,
-    #      srm_audit, ...
+    #      srm_audit, reach_curve, pareto_events, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -14931,6 +15024,8 @@ BENCH_QUERIES: list[str] = [
     "stream_holt",
     "cuped_lift",
     "srm_audit",
+    "reach_curve",
+    "pareto_events",
 ]
 
 

@@ -403,3 +403,79 @@ def fd_report(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def pareto_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+    thresholds: Sequence[float] = (0.5, 0.8, 0.9),
+) -> DataFrame:
+    """Pareto / ABC concentration curve over groups — the "how many
+    users produce 80% of the events?" readout that complements
+    :func:`concentration_report`'s scalar HHI/Gini with the actual
+    curve coordinates an on-call person quotes.
+
+    Per threshold t: ``n_groups_t`` = the MINIMUM number of top-weight
+    groups whose cumulative share reaches t (ties on weight broken by
+    the group key, so the count is deterministic in any engine), and
+    ``share_of_groups_t`` = that count over all groups (6dp). One
+    extra row per call (threshold = NULL sentinel 1.0 at rank 1)
+    would be redundant — top-1 share is readable from the t=0.5 row
+    only by accident, so ``top1_share`` is its own column on every
+    row instead.
+
+    Scale shape: ONE hash aggregate reduces the corpus to the
+    group-weight table; the cumulative share is a window over THAT
+    (group-count-sized — the same deliberate dimension-sized window
+    as every report-stage operator here); thresholds evaluate as
+    conditional min-aggregates over the cumulated rows. The corpus is
+    scanned once; nothing is collected.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = [float(t) for t in thresholds]
+    if any(not 0.0 < t <= 1.0 for t in ts):
+        raise ValueError(
+            f"thresholds must be in (0, 1], got {list(thresholds)}"
+        )
+    w = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
+    gw = df.groupBy(F.col(group_col).alias("g")).agg(w.alias("wt"))
+    win = Window.orderBy(F.desc("wt"), "g")
+    cum = gw.select(
+        "wt",
+        F.row_number().over(win).alias("rk"),
+        F.sum("wt")
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("ng"),
+    )
+    share = F.col("cw") / F.col("tot")
+    aggs = [
+        F.max("ng").alias("n_groups"),
+        F.round(F.max("tot").cast("double"), 6).alias("total_weight"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("wt"))) / F.max("tot"),
+            6,
+        ).alias("top1_share"),
+    ]
+    for t in ts:
+        pct = str(int(round(t * 100)))
+        aggs.append(
+            F.min(F.when(share >= F.lit(t), F.col("rk")))
+            .cast("long")
+            .alias(f"n_to_{pct}")
+        )
+    out = cum.agg(*aggs)
+    for t in ts:
+        pct = str(int(round(t * 100)))
+        out = out.withColumn(
+            f"pct_groups_to_{pct}",
+            F.round(F.col(f"n_to_{pct}") / F.col("n_groups"), 6),
+        )
+    return out

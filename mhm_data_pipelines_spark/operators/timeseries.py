@@ -1309,3 +1309,62 @@ def lag_features(
         f"rmean_{window_days}",
         f"rcount_{window_days}",
     )
+
+
+def reach_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active / new / returning / cumulative-reach counts — the
+    growth chart behind every DAU dashboard, exact (no HLL): per
+    observed day, ``dau`` (distinct users active), ``new_users``
+    (users whose FIRST-ever activity is that day), ``returning``
+    (dau − new), and ``cumulative_users`` (distinct users seen up to
+    and including the day — computed as the running sum of new_users,
+    which equals the distinct-union size exactly because a user is new
+    on precisely one day).
+
+    Days with zero activity don't appear (this is an activity report,
+    not a calendar grid — compose with ``gap_fill_daily`` when a dense
+    axis is needed). Returns ``(day, dau, new_users, returning,
+    cumulative_users)`` ordered by day.
+
+    Scale shape: one distinct to (user, day) pairs, one min-aggregate
+    to per-user first days (both user-keyed hash shuffles), two
+    day-keyed counts, and a running sum over the DAY-sized table (a
+    deliberate single-partition window over one row per day — the
+    dimension-sized report stage, never the corpus).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    pairs = df.select(F.col(user_col).alias("u"), day).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    news = (
+        pairs.groupBy("u")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dau.join(news, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("new_users").cast("long").alias("new_users"),
+            (F.col("dau") - F.col("new_users"))
+            .cast("long")
+            .alias("returning"),
+            F.sum("new_users").over(w).cast("long").alias(
+                "cumulative_users"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -239,3 +239,48 @@ class TestFDReport:
             fd_report(df, [])
         with pytest.raises(ValueError, match="cannot appear"):
             fd_report(df, [(("k", "v"), "v")])
+
+
+class TestParetoReport:
+    def test_hand_curve(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import (
+            pareto_report,
+        )
+
+        # weights: a=50, b=30, c=15, d=5 (total 100)
+        rows = (
+            [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+        )
+        df = spark.createDataFrame(rows, "g string")
+        r = pareto_report(df, "g").collect()[0]
+        assert r["n_groups"] == 4
+        assert r["total_weight"] == 100.0
+        assert r["top1_share"] == pytest.approx(0.5)
+        assert r["n_to_50"] == 1    # a alone reaches 50%
+        assert r["n_to_80"] == 2    # a+b = 80%
+        assert r["n_to_90"] == 3    # a+b+c = 95% >= 90%
+        assert r["pct_groups_to_80"] == pytest.approx(0.5)
+
+    def test_weight_col_and_tie_determinism(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import (
+            pareto_report,
+        )
+
+        # equal weights: ranks broken by group key — counts stable
+        df = spark.createDataFrame(
+            [("x", 10.0), ("y", 10.0), ("z", 10.0)], "g string, w double"
+        )
+        r = pareto_report(df, "g", "w", thresholds=(1 / 3, 1.0)).collect()[0]
+        assert r["n_to_33"] == 1
+        assert r["n_to_100"] == 3
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import (
+            pareto_report,
+        )
+
+        df = spark.createDataFrame([("a",)], "g string")
+        with pytest.raises(ValueError, match="non-empty"):
+            pareto_report(df, "g", thresholds=())
+        with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            pareto_report(df, "g", thresholds=(1.5,))

@@ -681,3 +681,56 @@ class TestLagFeatures:
             lag_features(df, "u", "d", "y", lags=(0,))
         with pytest.raises(ValueError, match="window_days"):
             lag_features(df, "u", "d", "y", window_days=0)
+
+
+class TestReachCurve:
+    def test_hand_counts(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            reach_curve,
+        )
+
+        t = lambda d, h=0: dt.datetime(2024, 1, d, h)  # noqa: E731
+        rows = [
+            (1, t(1)), (1, t(1, 5)),      # u1 day1 (twice)
+            (2, t(1)),                     # u2 day1
+            (1, t(2)),                     # u1 returns day2
+            (3, t(2)),                     # u3 new day2
+            (1, t(4)), (2, t(4)), (3, t(4)),  # all return day4; day3 empty
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {str(r["day"]): r.asDict() for r in
+               reach_curve(df).collect()}
+        assert got["2024-01-01"]["dau"] == 2
+        assert got["2024-01-01"]["new_users"] == 2
+        assert got["2024-01-01"]["returning"] == 0
+        assert got["2024-01-02"]["dau"] == 2
+        assert got["2024-01-02"]["new_users"] == 1
+        assert got["2024-01-02"]["returning"] == 1
+        assert got["2024-01-02"]["cumulative_users"] == 3
+        assert "2024-01-03" not in got  # no activity, no row
+        assert got["2024-01-04"]["dau"] == 3
+        assert got["2024-01-04"]["new_users"] == 0
+        assert got["2024-01-04"]["cumulative_users"] == 3
+
+    def test_cumulative_equals_distinct_union(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            reach_curve,
+        )
+
+        rows = [
+            ((i * 7) % 23, dt.datetime(2024, 1, 1 + (i % 9)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        curve = reach_curve(df).collect()
+        seen = set()
+        by_day = {}
+        for u, ts in sorted(rows, key=lambda r: r[1]):
+            seen.add(u)
+            by_day[ts.date()] = len(seen)
+        for r in curve:
+            assert r["cumulative_users"] == by_day[r["day"]]
