@@ -14144,6 +14144,81 @@ FROM cum
 """
 
 
+def q_did_lift(spark, sf_dir):
+    """2x2 difference-in-differences over user half-month outcomes
+    (stats_tests.did_report): arm = user parity (treat = odd), period
+    = first/second half of the month, unit outcome = 6dp-rounded value
+    sum — the pre/post cross-section DiD with delta-method SE and a
+    p-value through the portable normal-CDF tree the oracle replays."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        did_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    unit = ev.groupBy(
+        F.col("user_id"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("string").alias("arm"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    return did_report(unit, "arm", "period", "y", "1", "post")
+
+
+from mhm_data_pipelines_spark.functions.stats import (  # noqa: E402
+    NORMAL_CDF_SQL as _PHI_DID,
+)
+
+SQL_DID_LIFT = """
+WITH unit AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 1 THEN 't' ELSE 'c' END AS a,
+         CASE WHEN day(ts) <= 15 THEN 'q' ELSE 'p' END AS pp,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2, 3
+), cells AS (
+  SELECT a, pp, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+  FROM unit
+  WHERE y IS NOT NULL
+  GROUP BY a, pp
+), one AS (
+  SELECT
+    CAST(coalesce(max(CASE WHEN a='t' AND pp='p' THEN n END), 0)
+         AS BIGINT) AS n_tp,
+    CAST(coalesce(max(CASE WHEN a='t' AND pp='q' THEN n END), 0)
+         AS BIGINT) AS n_tq,
+    CAST(coalesce(max(CASE WHEN a='c' AND pp='p' THEN n END), 0)
+         AS BIGINT) AS n_cp,
+    CAST(coalesce(max(CASE WHEN a='c' AND pp='q' THEN n END), 0)
+         AS BIGINT) AS n_cq,
+    max(CASE WHEN a='t' AND pp='p' THEN m END) AS m_tp,
+    max(CASE WHEN a='t' AND pp='q' THEN m END) AS m_tq,
+    max(CASE WHEN a='c' AND pp='p' THEN m END) AS m_cp,
+    max(CASE WHEN a='c' AND pp='q' THEN m END) AS m_cq,
+    max(CASE WHEN a='t' AND pp='p' THEN v END) AS v_tp,
+    max(CASE WHEN a='t' AND pp='q' THEN v END) AS v_tq,
+    max(CASE WHEN a='c' AND pp='p' THEN v END) AS v_cp,
+    max(CASE WHEN a='c' AND pp='q' THEN v END) AS v_cq
+  FROM cells
+), stat AS (
+  SELECT *,
+    (m_tp - m_tq) - (m_cp - m_cq) AS did_,
+    sqrt(v_tp / n_tp + v_tq / n_tq + v_cp / n_cp + v_cq / n_cq)
+      AS se_
+  FROM one
+), zed AS (
+  SELECT *, CASE WHEN se_ > 0 THEN did_ / se_ END AS z FROM stat
+)
+SELECT n_tp, n_tq, n_cp, n_cq,
+       round(m_tp, 6) AS mean_tp, round(m_tq, 6) AS mean_tq,
+       round(m_cp, 6) AS mean_cp, round(m_cq, 6) AS mean_cq,
+       round(did_, 6) AS did, round(se_, 6) AS se,
+       round(z, 6) AS z,
+       round(2.0 * (1.0 - __PHI__), 6) AS p_value
+FROM zed
+""".replace("__PHI__", _PHI_DID.format(z="abs(z)"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14412,6 +14487,7 @@ QUERIES: dict[str, QuerySpec] = {
     "srm_audit": q_srm_audit,
     "reach_curve": q_reach_curve,
     "pareto_events": q_pareto_events,
+    "did_lift": q_did_lift,
     "robust_trend": q_robust_trend,
 }
 
@@ -14688,6 +14764,7 @@ ORACLES: dict[str, str] = {
     "srm_audit": SQL_SRM_AUDIT,
     "reach_curve": SQL_REACH_CURVE,
     "pareto_events": SQL_PARETO_EVENTS,
+    "did_lift": SQL_DID_LIFT,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14797,7 +14874,8 @@ GATE_PRIORITY: list[str] = [
     #      touch_attribution, holt_trend, mi_ranking,
     #      sprt_decision, lag_features, fdr_battery,
     #      readability, stream_holt, cuped_lift,
-    #      srm_audit, reach_curve, pareto_events, ...
+    #      srm_audit, reach_curve, pareto_events,
+    #      did_lift, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -15026,6 +15104,7 @@ BENCH_QUERIES: list[str] = [
     "srm_audit",
     "reach_curve",
     "pareto_events",
+    "did_lift",
 ]
 
 

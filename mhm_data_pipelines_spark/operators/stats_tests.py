@@ -52,6 +52,7 @@ __all__ = [
     "fdr_adjust",
     "cuped_report",
     "srm_check",
+    "did_report",
 ]
 
 
@@ -1120,4 +1121,120 @@ def srm_check(
         (k - 1).cast("int").alias("dof"),
         F.round(chi2, 6).alias("chi2"),
         F.round(p, 6).alias("p_value"),
+    )
+
+
+def did_report(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    y_col: str,
+    treat_value: str,
+    post_value: str,
+) -> DataFrame:
+    """Classical 2×2 difference-in-differences (Card & Krueger 1994
+    shape): ``DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`` over
+    unit-period outcomes, with the independent-samples delta-method
+    standard error ``se = sqrt(Σ_cell var_cell / n_cell)`` (sample
+    variance, n−1), z = DiD/se, and a two-sided p through the
+    engine-portable :func:`..functions.stats.normal_cdf`. The panel
+    refinement (clustered SEs for repeated units) is out of scope by
+    contract — this is the pre/post cross-section readout, documented
+    as such.
+
+    Input is one row per (unit, period) with the unit's outcome;
+    ``treat_value`` / ``post_value`` name which arm/period levels are
+    "treatment" and "post" (everything else is control/pre — the
+    2×2 collapse). Rows with NULL arm/period/y are excluded.
+
+    Returns ONE row: per-cell ``n_/mean_`` for tp/tq/cp/cq
+    (t=treat c=control, p=post q=pre), ``did``, ``se``, ``z``,
+    ``p_value`` (6dp; NULL when any cell is empty or has n < 2).
+
+    Scale shape: ONE hash aggregate to the four (arm, period)
+    sufficient-statistic cells; everything after is arithmetic on a
+    4-row frame collapsed to one row by conditional aggregation.
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    u = df.filter(
+        F.col(arm_col).isNotNull()
+        & F.col(period_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.when(
+            F.col(arm_col).cast("string") == str(treat_value), "t"
+        )
+        .otherwise("c")
+        .alias("a"),
+        F.when(
+            F.col(period_col).cast("string") == str(post_value), "p"
+        )
+        .otherwise("q")
+        .alias("pp"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    cells = u.groupBy("a", "pp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    one = cells.agg(
+        *[
+            x
+            for a in ("t", "c")
+            for p in ("p", "q")
+            for x in (
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("a") == a) & (F.col("pp") == p),
+                            F.col("n"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"n_{a}{p}"),
+                F.max(
+                    F.when(
+                        (F.col("a") == a) & (F.col("pp") == p),
+                        F.col("m"),
+                    )
+                ).alias(f"_m_{a}{p}"),
+                F.max(
+                    F.when(
+                        (F.col("a") == a) & (F.col("pp") == p),
+                        F.col("v"),
+                    )
+                ).alias(f"_v_{a}{p}"),
+            )
+        ]
+    )
+    did = (
+        (F.col("_m_tp") - F.col("_m_tq"))
+        - (F.col("_m_cp") - F.col("_m_cq"))
+    )
+    se = F.sqrt(
+        F.col("_v_tp") / F.col("n_tp")
+        + F.col("_v_tq") / F.col("n_tq")
+        + F.col("_v_cp") / F.col("n_cp")
+        + F.col("_v_cq") / F.col("n_cq")
+    )
+    z = F.when(se > 0, did / se)
+    return one.select(
+        "n_tp",
+        "n_tq",
+        "n_cp",
+        "n_cq",
+        F.round("_m_tp", 6).alias("mean_tp"),
+        F.round("_m_tq", 6).alias("mean_tq"),
+        F.round("_m_cp", 6).alias("mean_cp"),
+        F.round("_m_cq", 6).alias("mean_cq"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(z))), 6
+        ).alias("p_value"),
     )

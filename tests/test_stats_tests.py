@@ -726,3 +726,71 @@ class TestSRMCheck:
             srm_check(df, "arm", {"A": 0.5, "B": 0.1})
         with pytest.raises(ValueError, match="absent from expected"):
             srm_check(df, "arm", {"A": 0.5, "B": 0.5})
+
+
+class TestDiDReport:
+    def test_matches_numpy_reference(self, spark):
+        import math
+
+        import numpy as np
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            did_report,
+        )
+
+        cells = {
+            ("T", "post"): [5.0, 7.0, 6.0, 8.0],
+            ("T", "pre"): [2.0, 3.0, 4.0],
+            ("C", "post"): [3.0, 4.0, 5.0, 4.0],
+            ("C", "pre"): [2.0, 3.0, 2.5],
+        }
+        rows = [(a, p, y) for (a, p), ys in cells.items() for y in ys]
+        df = spark.createDataFrame(
+            rows, "arm string, period string, y double"
+        )
+        r = did_report(df, "arm", "period", "y", "T", "post").collect()[0]
+        m = {k: np.mean(v) for k, v in cells.items()}
+        v = {k: np.var(v, ddof=1) for k, v in cells.items()}
+        n = {k: len(v) for k, v in cells.items()}
+        did = (m[("T", "post")] - m[("T", "pre")]) - (
+            m[("C", "post")] - m[("C", "pre")]
+        )
+        se = math.sqrt(sum(v[k] / n[k] for k in cells))
+        assert r["did"] == pytest.approx(round(did, 6))
+        assert r["se"] == pytest.approx(round(se, 6), abs=1e-6)
+        assert r["z"] == pytest.approx(round(did / se, 6), abs=1e-6)
+        assert r["n_tp"] == 4 and r["n_cq"] == 3
+        assert 0.0 <= r["p_value"] <= 1.0
+
+    def test_parallel_trends_null_effect(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            did_report,
+        )
+
+        # both arms rise by exactly 2: DiD must be 0
+        rows = []
+        for i in range(20):
+            base = float(i % 5)
+            rows += [
+                ("T", "pre", base), ("T", "post", base + 2.0),
+                ("C", "pre", base), ("C", "post", base + 2.0),
+            ]
+        df = spark.createDataFrame(
+            rows, "arm string, period string, y double"
+        )
+        r = did_report(df, "arm", "period", "y", "T", "post").collect()[0]
+        assert r["did"] == 0.0
+
+    def test_empty_cell_yields_null_stats(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            did_report,
+        )
+
+        rows = [("T", "post", 1.0), ("T", "post", 2.0),
+                ("C", "pre", 1.0), ("C", "post", 2.0)]
+        df = spark.createDataFrame(
+            rows, "arm string, period string, y double"
+        )
+        r = did_report(df, "arm", "period", "y", "T", "post").collect()[0]
+        assert r["n_tq"] == 0
+        assert r["did"] is None and r["p_value"] is None
