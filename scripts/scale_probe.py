@@ -81,6 +81,11 @@ HEAVY = [
     # 3 scalars per key; cost is the stream machinery + one pass over
     # the event volume, so it should scale ~linearly in rows).
     "stream_holt",
+    # round-8 fourth batch: keys that sit NEAR the 2s auto-HEAVY line
+    # and cross it on noisy-host bench runs — probed so the threshold
+    # test can never flap on them (the ratio is noise-immune: both
+    # scales measure in the same run).
+    "profile_drift", "minhash_incremental",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1
