@@ -14219,6 +14219,67 @@ FROM zed
 """.replace("__PHI__", _PHI_DID.format(z="abs(z)"))
 
 
+def q_session_paths(spark, sf_dir):
+    """Top session entry paths over events (timeseries.
+    session_entry_paths, 30-min gap, depth 5, top 20): grouping on the
+    step TUPLE (the event_sequences separator-collision contract),
+    path string rendered after the count; the top-k cut is
+    deterministic via the (n desc, path asc) order."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        session_entry_paths,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return session_entry_paths(
+        ev, gap_minutes=30.0, depth=5, top_k=20
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH g AS (
+  SELECT user_id AS u, ts, event_id AS id, event_type AS t,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT u, ts, id, t,
+         sum(new_s) OVER (PARTITION BY u ORDER BY ts, id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), r AS (
+  SELECT u, sid, t,
+         row_number() OVER (PARTITION BY u, sid
+                            ORDER BY ts, id) AS rn
+  FROM s
+), p AS (
+  SELECT u, sid,
+         max(CASE WHEN rn = 1 THEN t END) AS s1,
+         max(CASE WHEN rn = 2 THEN t END) AS s2,
+         max(CASE WHEN rn = 3 THEN t END) AS s3,
+         max(CASE WHEN rn = 4 THEN t END) AS s4,
+         max(CASE WHEN rn = 5 THEN t END) AS s5
+  FROM r WHERE rn <= 5 GROUP BY u, sid
+), c AS (
+  SELECT s1, s2, s3, s4, s5, count(*) AS n
+  FROM p GROUP BY s1, s2, s3, s4, s5
+), tot AS (
+  SELECT sum(n) AS tt FROM c
+)
+SELECT concat_ws('>', s1, s2, s3, s4, s5) AS path,
+       CAST((s1 IS NOT NULL)::INT + (s2 IS NOT NULL)::INT
+          + (s3 IS NOT NULL)::INT + (s4 IS NOT NULL)::INT
+          + (s5 IS NOT NULL)::INT AS INT) AS steps,
+       CAST(n AS BIGINT) AS n_sessions,
+       round(n * 1.0 / tot.tt, 6) AS pct
+FROM c CROSS JOIN tot
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14488,6 +14549,7 @@ QUERIES: dict[str, QuerySpec] = {
     "reach_curve": q_reach_curve,
     "pareto_events": q_pareto_events,
     "did_lift": q_did_lift,
+    "session_paths": q_session_paths,
     "robust_trend": q_robust_trend,
 }
 
@@ -14765,6 +14827,7 @@ ORACLES: dict[str, str] = {
     "reach_curve": SQL_REACH_CURVE,
     "pareto_events": SQL_PARETO_EVENTS,
     "did_lift": SQL_DID_LIFT,
+    "session_paths": SQL_SESSION_PATHS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14875,7 +14938,7 @@ GATE_PRIORITY: list[str] = [
     #      sprt_decision, lag_features, fdr_battery,
     #      readability, stream_holt, cuped_lift,
     #      srm_audit, reach_curve, pareto_events,
-    #      did_lift, ...
+    #      did_lift, session_paths, ...
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()
@@ -15105,6 +15168,7 @@ BENCH_QUERIES: list[str] = [
     "reach_curve",
     "pareto_events",
     "did_lift",
+    "session_paths",
 ]
 
 

@@ -1368,3 +1368,96 @@ def reach_curve(
         )
         .orderBy("day")
     )
+
+
+def session_entry_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+    depth: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top session entry paths — "how do sessions start?": sessionize
+    each user's stream by inactivity gap (> ``gap_minutes`` starts a
+    new session, the same boundary semantics as the sessionization
+    gate key), take each session's first ``depth`` event types in
+    ``(ts, id)`` order, and count identical prefixes.
+
+    Grouping happens on the STEP TUPLE, never on a separator-joined
+    string (an event type containing the separator must not conflate
+    paths — the same contract the event_sequences oracle was fixed
+    to); the rendered ``path`` ("a>b>c") is display only, derived
+    after the count. Sessions shorter than ``depth`` count as their
+    full (shorter) prefix. Output: ``(path, steps, n_sessions,
+    pct)`` — top_k by (n_sessions desc, path asc); the path string
+    tie-break makes the cut deterministic in any engine.
+
+    Scale shape: one user-keyed window pass (lag + running session-id
+    sum + in-session rank — one shuffle), one (user, session) hash agg
+    pivoting the first ``depth`` steps via conditional max (depth is a
+    literal, so this is ``depth`` expressions, not an explode), one
+    hash agg on the step tuple, and a top-k sort of the path-count
+    table (path-cardinality-sized, bounded by the type-vocabulary^depth
+    at worst and in practice by observed behavior).
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    new_s = (
+        F.col(ts_col).cast("long") * 0  # placeholder, replaced below
+    )
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_s = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+        new_s.alias("_new"),
+    )
+    w2 = Window.partitionBy("_u").orderBy("_ts", "_id")
+    sess = marked.select(
+        "_u",
+        "_ts",
+        "_id",
+        "_t",
+        F.sum("_new")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sid"),
+    )
+    w3 = Window.partitionBy("_u", "_sid").orderBy("_ts", "_id")
+    ranked = sess.select(
+        "_u", "_sid", "_t", F.row_number().over(w3).alias("_rn")
+    ).filter(F.col("_rn") <= int(depth))
+    steps = [
+        F.max(F.when(F.col("_rn") == i, F.col("_t"))).alias(f"s{i}")
+        for i in range(1, int(depth) + 1)
+    ]
+    prefixes = ranked.groupBy("_u", "_sid").agg(*steps)
+    step_cols = [f"s{i}" for i in range(1, int(depth) + 1)]
+    counted = prefixes.groupBy(*step_cols).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    total = counted.agg(F.sum("n_sessions").alias("_tot"))
+    rendered = counted.crossJoin(F.broadcast(total)).select(
+        F.concat_ws(">", *step_cols).alias("path"),
+        sum(
+            (F.col(c).isNotNull().cast("int") for c in step_cols),
+            F.lit(0),
+        ).alias("steps"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.round(F.col("n_sessions") / F.col("_tot"), 6).alias("pct"),
+    )
+    return rendered.orderBy(
+        F.desc("n_sessions"), "path"
+    ).limit(int(top_k))

@@ -86,6 +86,10 @@ HEAVY = [
     # test can never flap on them (the ratio is noise-immune: both
     # scales measure in the same run).
     "profile_drift", "minhash_incremental",
+    # round-8 fifth: session entry-path mining (one user-keyed window
+    # pass + tuple-grouped prefix counts) — measured 2.0s warm at
+    # sf0.1, i.e. exactly on the auto-HEAVY line.
+    "session_paths",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1

@@ -112,6 +112,7 @@ SINGLE_ROW_BROADCAST_OK = {
     "cuped_lift",         # crossJoin(broadcast(pooled theta + x-mean))
                           # — 1 row, + the arm-sized nulls tally row
     "srm_audit",          # crossJoin(broadcast(NULL-arm tally)) — 1 row
+    "session_paths",      # crossJoin(broadcast(total session count)) — 1 row
     "semantic_decontam",  # training × broadcast(curated eval set) —
                           # bounded cross by design (eval benchmarks
                           # are small); LSH/IVF blocking replaces the

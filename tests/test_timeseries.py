@@ -734,3 +734,70 @@ class TestReachCurve:
             by_day[ts.date()] = len(seen)
         for r in curve:
             assert r["cumulative_users"] == by_day[r["day"]]
+
+
+class TestSessionEntryPaths:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(minutes=m), u, ty)
+                for i, (m, u, ty) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string",
+        )
+
+    def test_hand_paths_and_gap_boundary(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            session_entry_paths,
+        )
+
+        rows = [
+            (0, 1, "a"), (10, 1, "b"),          # u1 session 1: a>b
+            (100, 1, "a"), (110, 1, "b"),       # gap 90min: session 2: a>b
+            (0, 2, "a"), (31, 2, "c"),          # gap 31 > 30: two sessions
+        ]
+        got = {
+            r["path"]: r.asDict()
+            for r in session_entry_paths(
+                self._ev(spark, rows), depth=3
+            ).collect()
+        }
+        assert got["a>b"]["n_sessions"] == 2
+        assert got["a"]["n_sessions"] == 1   # u2 first session
+        assert got["c"]["n_sessions"] == 1   # u2 second session
+        assert got["a>b"]["steps"] == 2
+        assert got["a>b"]["pct"] == pytest.approx(0.5)
+
+    def test_depth_truncates_and_topk_tie_break(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            session_entry_paths,
+        )
+
+        rows = [(m, 1, "xyxyz"[m % 5]) for m in range(8)]  # one session
+        got = session_entry_paths(
+            self._ev(spark, rows), depth=3
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["path"] == "x>y>x"
+        assert got[0]["steps"] == 3
+        # top_k cut is deterministic: equal counts order by path asc
+        rows2 = [(0, u, ty) for u, ty in [(1, "a"), (2, "b"), (3, "c")]]
+        top2 = session_entry_paths(
+            self._ev(spark, rows2), top_k=2
+        ).collect()
+        assert [r["path"] for r in top2] == ["a", "b"]
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            session_entry_paths,
+        )
+
+        df = self._ev(spark, [(0, 1, "a")])
+        with pytest.raises(ValueError, match="depth"):
+            session_entry_paths(df, depth=0)
+        with pytest.raises(ValueError, match="top_k"):
+            session_entry_paths(df, top_k=0)
