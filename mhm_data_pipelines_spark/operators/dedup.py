@@ -1011,7 +1011,16 @@ def embedding_near_duplicates(
     blocked (equi-join on the block key — e.g. an LSH bucket or coarse
     label) so the pair space is per-block, not global. Without it this is
     brute force — correct at test scale, replaced by
-    similarity.lsh_bucket_ids blocking at 100 TB."""
+    similarity.lsh_bucket_ids blocking at 100 TB.
+
+    OUTPUT-BOUND at scale: emitting every qualifying pair costs what
+    the pair count costs — on near-dup-rich corpora that is
+    quadratic-in-cluster-size output even though the join itself is
+    blocked (scripts/scale_probe.py records 88x wall on 10x data with
+    ~14000x the TRUE pairs; wall tracks output, not compute). For
+    production dedup, aggregate instead of emitting: feed these pairs
+    into connected_components / *_dedup_keep paths, or cap per-block
+    fan-out upstream."""
     base = df.select(
         F.col(id_col),
         normalize(vec_col).alias("v"),

@@ -407,7 +407,15 @@ def ahash_near_duplicates(
     (operators/dedup.py ``hamming_near_duplicates``): one equi-join on
     (chunk_idx, chunk_value), never all-pairs. Input is
     :func:`image_ahash` output; undecoded rows are excluded (NULL
-    hashes cannot be near anything). Returns (id_a, id_b, hamming)."""
+    hashes cannot be near anything). Returns (id_a, id_b, hamming).
+
+    OUTPUT-BOUND at scale: the banded Hamming join is bucket-capped,
+    but emitting every qualifying pair costs what the pair count
+    costs — near-dup-rich image corpora produce quadratic-in-cluster
+    output (scripts/scale_probe.py records 112x wall on 10x data with
+    ~100x the TRUE pairs; wall tracks output, not compute). At
+    production scale aggregate the pairs (connected components /
+    keep-one-per-cluster) instead of materializing them."""
     from mhm_data_pipelines_spark.operators.dedup import (
         hamming_near_duplicates,
     )

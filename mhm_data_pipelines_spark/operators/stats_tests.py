@@ -1025,6 +1025,14 @@ def srm_check(
     means assignment, logging, or filtering is broken and the
     experiment readout is garbage regardless of its lift.
 
+    EAGER: unlike the other builders in this module (which stay lazy),
+    this one runs Spark jobs at CALL time — one corpus scan
+    materializes the arms-sized count table (``localCheckpoint``), and
+    small actions on it validate the arm set before the plan is
+    returned. A guardrail is read immediately by design; callers
+    composing large lazy plans should call it last, or accept the
+    scan-at-construction cost.
+
     ``expected`` maps arm value (as string) → designed share (must sum
     to ~1); omitted, a uniform split over the observed arms is
     assumed. Arms in ``expected`` with zero observed traffic still
@@ -1062,6 +1070,13 @@ def srm_check(
             )
         if any(v <= 0 for v in expected.values()):
             raise ValueError("expected shares must be positive")
+        if len(expected) < 2:
+            # k=1 gives dof=0: chi2 is identically 0 and the
+            # Wilson-Hilferty branch divides by (k-1)=0 → NaN p.
+            raise ValueError(
+                "srm_check needs >= 2 arms in expected; a one-arm "
+                f"split has 0 degrees of freedom (got {len(expected)})"
+            )
         exp_df = counts.sparkSession.createDataFrame(
             [(str(k), float(v)) for k, v in expected.items()],
             "arm string, share double",
@@ -1078,6 +1093,13 @@ def srm_check(
         n_arms = obs.count()  # arms-sized table; bounded by design
         if n_arms == 0:
             raise ValueError("no non-NULL arms observed")
+        if n_arms == 1:
+            # Same dof=0 hazard as the explicit-expected branch: a
+            # uniform split over ONE observed arm cannot mismatch.
+            raise ValueError(
+                "srm_check needs >= 2 observed arms under the uniform "
+                "split (got 1); pass expected= if arms can be absent"
+            )
         merged = obs.select(
             "arm", F.lit(1.0 / n_arms).alias("share"), "c"
         )

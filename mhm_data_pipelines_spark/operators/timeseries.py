@@ -1146,16 +1146,20 @@ def holt_trend(
     plain EWMA (which unrolls to a closed-form power sum a window
     expression computes), ``s_t`` needs ``b_{t−1}`` and vice versa, so
     no fixed-size composition of built-in window frames expresses it.
-    This is exactly the contract ``applyInPandas`` exists for:
-    series are grouped by entity (ONE shuffle — the same hash
-    partitioning any per-entity window would pay), each group arrives
-    as one Arrow batch, and the per-group recursion is a trivial
-    O(n) numpy loop over an in-memory series. State never crosses
-    entities; entity cardinality bounds parallelism exactly like
-    every per-user window in this package. The float expression tree
-    is written IDENTICALLY here and in the SQL oracle's recursive CTE
-    (b_t inlines the s_t expression), so results agree to the bit
-    before the output rounding, not merely to tolerance.
+    Shape: ONE hash aggregate packs each entity's series time-ordered
+    (``groupBy(entity).agg(array_sort(collect_list(struct(ord, y))))``
+    — the same shuffle any per-entity window would pay), then the
+    O(n) recursion runs over the packed arrays BATCHED through
+    ``mapInPandas`` — thousands of entities per Arrow batch, instead
+    of one Python call per group (``applyInPandas`` pays per-GROUP
+    pandas overhead; measured 3.5 s vs 0.6 s on 1.5k tiny groups at
+    sf0.1 — see the inline note at the ``packed =`` step). State
+    never crosses entities; series length is bounded per entity (a
+    time dimension), so the packed array is small by construction.
+    The float expression tree is written IDENTICALLY here and in the
+    SQL oracle's recursive CTE (b_t inlines the s_t expression), so
+    results agree to the bit before the output rounding, not merely
+    to tolerance.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -1409,9 +1413,6 @@ def session_entry_paths(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     gap_us = int(gap_minutes * 60 * 1_000_000)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    new_s = (
-        F.col(ts_col).cast("long") * 0  # placeholder, replaced below
-    )
     prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_s = F.when(
         prev_us.isNull()

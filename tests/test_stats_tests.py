@@ -727,6 +727,19 @@ class TestSRMCheck:
         with pytest.raises(ValueError, match="absent from expected"):
             srm_check(df, "arm", {"A": 0.5, "B": 0.5})
 
+    def test_single_arm_rejected_not_nan(self, spark):
+        # ADVICE r8: k=1 -> dof=0 made Wilson-Hilferty divide by zero
+        # and return NaN/Inf p_value; both branches must refuse early.
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            srm_check,
+        )
+
+        df = spark.createDataFrame([("A",)] * 7, "arm string")
+        with pytest.raises(ValueError, match=">= 2 arms in expected"):
+            srm_check(df, "arm", {"A": 1.0})
+        with pytest.raises(ValueError, match=">= 2 observed arms"):
+            srm_check(df, "arm")
+
 
 class TestDiDReport:
     def test_matches_numpy_reference(self, spark):
