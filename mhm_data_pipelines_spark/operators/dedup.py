@@ -77,6 +77,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_size: int = 5,
     hash_family: str = "xxhash64",
+    attach_empty: bool = True,
 ) -> DataFrame:
     """MinHash signatures over character shingles, entirely with builtin
     expressions — no Python, no UDF.
@@ -104,8 +105,14 @@ def minhash_signatures(
     bit-identical in any engine with md5 — this is the cross-engine
     oracle family, see the registry's DuckDB twin).
 
-    A document shorter than ``shingle_size`` has no shingles; it keeps a
-    row with an all-NULL signature (never band-matches real content).
+    A document shorter than ``shingle_size`` has no shingles; with
+    ``attach_empty=True`` (the default contract) it keeps a row with an
+    all-NULL signature (never band-matches real content). Consumers
+    that only ever band/verify — near-dup pipelines, where a NULL
+    signature can't produce a pair by construction — pass
+    ``attach_empty=False`` to skip the id-join that re-attaches those
+    rows: one less shuffle and one less corpus-id scan per build
+    (~12% of the sf0.1 near-dup wall).
     """
     df = _spread_small_input(df)
     # distinct=True: a min over hashes is duplicate-insensitive, so
@@ -154,6 +161,8 @@ def minhash_signatures(
         F.col(id_col),
         F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"),
     )
+    if not attach_empty:
+        return sigs
     # Re-attach shingle-less docs (explode dropped them) so the contract
     # stays one row per input doc. Join carries only ids — never text.
     empty = F.array_repeat(F.lit(None).cast("long"), num_hashes)
@@ -368,8 +377,14 @@ def minhash_near_duplicates(
     if signatures is not None:
         sigs = signatures
     else:
+        # attach_empty=False: a shingle-less doc has an all-NULL
+        # signature, which _band_signatures drops and which can never
+        # satisfy est-Jaccard — re-attaching it is a pure cost here
+        # (one id-join shuffle + a second corpus-id scan; ~12% of the
+        # sf0.1 warm wall, see minhash_signatures).
         sigs = minhash_signatures(
-            df, text_col, id_col, num_hashes, shingle_size, hash_family
+            df, text_col, id_col, num_hashes, shingle_size, hash_family,
+            attach_empty=False,
         )
         if share_scan:
             sigs = sigs.localCheckpoint(eager=False)
