@@ -14291,6 +14291,131 @@ LIMIT 20
 """
 
 
+def q_ranking_quality(spark, sf_dir):
+    """Per-query ranked-retrieval eval (ranking.ranking_metrics):
+    queries = event types, items = users ranked by mean event value
+    (6dp-rounded BEFORE ranking so the tie-break grid is
+    engine-identical), graded relevance = count % 3. nDCG@10 / MRR@10
+    / AP@10 per query — the offline leaderboard readout for any
+    retrieval stage."""
+    from mhm_data_pipelines_spark.operators.ranking import (
+        ranking_metrics,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    judged = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("query_id"),
+            F.col("user_id").alias("item_id"),
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("score"),
+            (F.count(F.lit(1)) % 3).cast("double").alias("relevance"),
+        )
+    )
+    out = ranking_metrics(judged, k=10)
+    return out.orderBy("query_id")
+
+
+SQL_RANKING_QUALITY = """
+WITH judged AS (
+  SELECT event_type AS q, user_id AS it,
+         round(avg(value), 6) AS sc,
+         CAST(count(*) % 3 AS DOUBLE) AS rel
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q, rel,
+         row_number() OVER (PARTITION BY q ORDER BY sc DESC, it) AS r,
+         row_number() OVER (PARTITION BY q ORDER BY rel DESC, it) AS ri
+  FROM judged
+), cum AS (
+  SELECT *,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY q ORDER BY r
+                 ROWS UNBOUNDED PRECEDING) AS cum_pos
+  FROM ranked
+), per_q AS (
+  SELECT q,
+         count(*) AS n_items,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         sum(CASE WHEN r <= 10
+                  THEN (pow(2.0, rel) - 1.0) / log2(r + 1.0) END)
+           AS dcg,
+         sum(CASE WHEN ri <= 10
+                  THEN (pow(2.0, rel) - 1.0) / log2(ri + 1.0) END)
+           AS idcg,
+         max(CASE WHEN r <= 10 AND rel > 0 THEN 1.0 / r END) AS rr,
+         sum(CASE WHEN r <= 10 AND rel > 0
+                  THEN cum_pos * 1.0 / r END) AS psum
+  FROM cum GROUP BY q
+)
+SELECT q AS query_id, n_items, n_pos,
+       round(coalesce(dcg, 0.0), 6) AS dcg_k,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg_k,
+       round(coalesce(rr, 0.0), 6) AS mrr_k,
+       round(CASE WHEN n_pos > 0
+                  THEN coalesce(psum, 0.0) / least(n_pos, 10) END, 6)
+         AS ap_k
+FROM per_q
+ORDER BY query_id
+"""
+
+
+def q_skyline_users(spark, sf_dir):
+    """Pareto-skyline of users over (total event value, event count,
+    distinct active days) — all maximized (selection.skyline, the
+    Börzsönyi skyline operator): the multi-criteria shortlist no
+    single score ranks. Metrics 6dp-rounded before the dominance test
+    so both engines compare identical grids."""
+    from mhm_data_pipelines_spark.operators.selection import skyline
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("n_days"),
+    )
+    out = skyline(
+        per_user,
+        ["total_value", "n_events", "n_days"],
+        ["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "total_value",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_days").cast("long").alias("n_days"),
+    ).orderBy("user_id")
+
+
+SQL_SKYLINE_USERS = """
+WITH per_user AS (
+  SELECT user_id,
+         round(sum(value), 6) AS total_value,
+         CAST(count(*) AS DOUBLE) AS n_events,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS n_days
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.total_value,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(p.n_days AS BIGINT) AS n_days
+FROM per_user p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_user d
+  WHERE d.total_value >= p.total_value
+    AND d.n_events >= p.n_events
+    AND d.n_days >= p.n_days
+    AND (d.total_value > p.total_value
+         OR d.n_events > p.n_events
+         OR d.n_days > p.n_days)
+)
+ORDER BY p.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14561,6 +14686,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pareto_events": q_pareto_events,
     "did_lift": q_did_lift,
     "session_paths": q_session_paths,
+    "ranking_quality": q_ranking_quality,
+    "skyline_users": q_skyline_users,
     "robust_trend": q_robust_trend,
 }
 
@@ -14839,6 +14966,8 @@ ORACLES: dict[str, str] = {
     "pareto_events": SQL_PARETO_EVENTS,
     "did_lift": SQL_DID_LIFT,
     "session_paths": SQL_SESSION_PATHS,
+    "ranking_quality": SQL_RANKING_QUALITY,
+    "skyline_users": SQL_SKYLINE_USERS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -14887,6 +15016,8 @@ GATE_PRIORITY: list[str] = [
     # (b) new in round 9 (never driver-gated — new keys outrank stale
     #     re-gates; each displaced one r3 re-gate from tier (c), which
     #     rolls to the r10 queue below):
+    "ranking_quality",     # nDCG/MRR/AP ranked-retrieval eval
+    "skyline_users",       # Pareto-dominance skyline (2-phase local)
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -14920,11 +15051,10 @@ GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "neardup_dedup_keep",
     "pack_documents",
-    "pii_redaction",
-    "range_join",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
+    #    pii_redaction, range_join (displaced by the r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
     #    tiered_rollup, top_terms_per_source, unigram_jaccard_pairs,
     #    users_except, users_intersect, vocab_stats, zorder_layout
@@ -15161,6 +15291,9 @@ BENCH_QUERIES: list[str] = [
     "pareto_events",
     "did_lift",
     "session_paths",
+    # round 9
+    "ranking_quality",
+    "skyline_users",
 ]
 
 

@@ -47,10 +47,10 @@ never-winner; items never compared at all do not appear.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bradley_terry"]
+__all__ = ["bradley_terry", "ranking_metrics"]
 
 
 def bradley_terry(
@@ -185,3 +185,112 @@ def bradley_terry(
         if it % 2 == 1 or it == iterations - 1:
             ratings = ratings.localCheckpoint(eager=True)
     return ratings.select("item", F.col("p").alias("rating"))
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    score_col: str = "score",
+    rel_col: str = "relevance",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranked-retrieval quality — nDCG@k, MRR@k, AP@k — over
+    ``(query, item, score, relevance)`` rows: the standard offline eval
+    for a retrieval / reranking stage (the consumer of
+    :func:`~..operators.retrieval.bm25_topk` / ``hybrid_rrf`` outputs,
+    and the leaderboard metric for embedding-search pipelines).
+
+    Definitions (Järvelin & Kekäläinen 2002 nDCG; TREC AP/MRR):
+
+    * rank: items ordered per query by ``score`` DESC, ties broken by
+      the item key ASC — deterministic in any engine.
+    * ``dcg_k   = Σ_{r<=k} (2^rel − 1) / log2(r + 1)`` (graded rel).
+    * ``ndcg_k  = dcg_k / idcg_k`` where idcg ranks by ``rel`` DESC
+      (same item-key tiebreak); NULL when the query has no positive
+      relevance (idcg = 0) — reported, not silently dropped.
+    * ``mrr_k   = 1 / rank`` of the first item with rel > 0 inside the
+      top-k, else 0.0.
+    * ``ap_k    = (Σ_{r<=k, rel_r>0} precision@r) / min(R, k)`` with
+      binary rel > 0, R = the query's total positives (inside OR
+      outside the top-k — the TREC denominator); NULL when R = 0.
+
+    Returns one row per query: ``(query, n_items, n_pos, dcg_k,
+    ndcg_k, mrr_k, ap_k)``, metrics rounded 6dp. Macro-average with a
+    plain ``.agg(avg(...))`` — kept out of this builder so the
+    per-query table stays joinable against query metadata.
+
+    Scale shape: ONE shuffle partitions by query; both rank windows
+    (actual + ideal), the top-k filter, and the final hash aggregate
+    all reuse that partitioning. NULL scores/relevance are treated as
+    0 relevance and rank wherever the engine's DESC NULL order puts
+    them is NOT acceptable — rows with NULL score or relevance are
+    dropped up front (documented contract; count them upstream).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("it"),
+        F.col(score_col).cast("double").alias("sc"),
+        F.col(rel_col).cast("double").alias("rel"),
+    )
+    w_rank = Window.partitionBy("q").orderBy(F.desc("sc"), F.asc("it"))
+    w_ideal = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("it"))
+    ranked = base.select(
+        "q",
+        "rel",
+        F.row_number().over(w_rank).alias("r"),
+        F.row_number().over(w_ideal).alias("ri"),
+    )
+    gain = lambda rel: (F.pow(F.lit(2.0), rel) - F.lit(1.0))  # noqa: E731
+    disc = lambda r: F.log2(r.cast("double") + F.lit(1.0))  # noqa: E731
+    is_pos = (F.col("rel") > 0).cast("int")
+    # precision@r numerator needs the running positive count along the
+    # ACTUAL ranking — same partitioning, rank-ordered frame.
+    w_cum = (
+        Window.partitionBy("q")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = ranked.withColumn("cum_pos", F.sum(is_pos).over(w_cum))
+    topk = F.col("r") <= k
+    per_q = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(is_pos).cast("long").alias("n_pos"),
+        F.sum(F.when(topk, gain(F.col("rel")) / disc(F.col("r"))))
+        .alias("_dcg"),
+        F.sum(
+            F.when(F.col("ri") <= k, gain(F.col("rel")) / disc(F.col("ri")))
+        ).alias("_idcg"),
+        F.max(
+            F.when(topk & (F.col("rel") > 0), F.lit(1.0) / F.col("r"))
+        ).alias("_rr"),
+        F.sum(
+            F.when(
+                topk & (F.col("rel") > 0),
+                F.col("cum_pos").cast("double") / F.col("r"),
+            )
+        ).alias("_psum"),
+    )
+    ap_den = F.least(F.col("n_pos"), F.lit(k)).cast("double")
+    return per_q.select(
+        F.col("q").alias(query_col),
+        "n_items",
+        "n_pos",
+        F.round(F.coalesce("_dcg", F.lit(0.0)), 6).alias("dcg_k"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")),
+            6,
+        ).alias("ndcg_k"),
+        F.round(F.coalesce("_rr", F.lit(0.0)), 6).alias("mrr_k"),
+        F.round(
+            F.when(
+                F.col("n_pos") > 0,
+                F.coalesce("_psum", F.lit(0.0)) / ap_den,
+            ),
+            6,
+        ).alias("ap_k"),
+    )

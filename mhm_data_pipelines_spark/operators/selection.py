@@ -563,3 +563,97 @@ def target_encode(
         )
         .drop("_cat", "_fold")
     )
+
+
+def skyline(
+    df: DataFrame,
+    metric_cols: list[str],
+    id_cols: list[str] | None = None,
+    maximize: bool = True,
+) -> DataFrame:
+    """Pareto-optimal (skyline) rows over ``metric_cols``: keep every
+    row no OTHER row strictly dominates — dominance meaning >= on all
+    metrics and > on at least one (``maximize=True``; minimize flips
+    both). The classic multi-criteria shortlist (Börzsönyi et al.
+    2001, "The Skyline Operator"): cheapest-AND-freshest suppliers,
+    highest-quality-AND-longest documents, best-loss-AND-smallest
+    checkpoints. Duplicate metric points dominate nothing, so whole
+    duplicate groups survive together (engine-agnostic contract).
+
+    Rows with a NULL in any metric are dropped up front — NULL can't
+    be ordered against a value in a dominance test; filter or impute
+    upstream if they matter.
+
+    Scale shape (two-phase, the standard distributed-skyline plan):
+
+    1. LOCAL skylines per input partition via ``mapInPandas`` — a
+       numpy lexicographic sort, then one dominance sweep that only
+       compares against already-kept points. A globally undominated
+       row is undominated in its own partition, so phase 1 never
+       drops a skyline member; it typically reduces the corpus by
+       orders of magnitude (random data keeps O(log^(d-1) n) points).
+    2. GLOBAL sweep over the union of local skylines on ONE partition
+       (same numpy kernel). Deliberate single-task stage: the reduced
+       set is skyline-sized by construction; a dominance join instead
+       would be a cartesian the plan gate forbids. For adversarial
+       inputs where the reduced set is still huge (all points on the
+       Pareto front), phase 2 cost equals output cost — inherent to
+       the operator, not the plan.
+
+    Returns the surviving rows with ``id_cols + metric_cols`` (all
+    columns when ``id_cols`` is None).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not metric_cols:
+        raise ValueError("metric_cols must be non-empty")
+    keep_cols = (
+        list(id_cols) + list(metric_cols) if id_cols is not None
+        else df.columns
+    )
+    base = df.select(*keep_cols).na.drop(subset=list(metric_cols))
+    sign = 1.0 if maximize else -1.0
+    mcols = list(metric_cols)
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        m = pdf[mcols].to_numpy(dtype=np.float64) * sign
+        # Lexicographic sort, best-first: a dominator is strictly
+        # greater lexicographically, so it always sorts BEFORE the
+        # row it dominates — and comparing against KEPT rows only is
+        # exact because dominance is transitive (if the dominator was
+        # itself dropped, whatever dropped it also dominates this
+        # row). np.lexsort keys are last-significant-first.
+        order = np.lexsort(
+            tuple(-m[:, j] for j in reversed(range(m.shape[1])))
+        )
+        ms = m[order]
+        kept_idx: list[int] = []
+        kept_pts: list[np.ndarray] = []
+        for i in range(ms.shape[0]):
+            p = ms[i]
+            if kept_pts:
+                kept_arr = np.asarray(kept_pts)
+                if bool(
+                    (
+                        (kept_arr >= p).all(axis=1)
+                        & (kept_arr > p).any(axis=1)
+                    ).any()
+                ):
+                    continue
+            kept_idx.append(int(order[i]))
+            kept_pts.append(p)
+        return pdf.iloc[sorted(kept_idx)]
+
+    def _run(batches):
+        for pdf in batches:
+            yield _sweep(pdf)
+
+    schema = base.schema
+    local = base.mapInPandas(_run, schema)
+    # Phase 2: one task over the reduced set. coalesce(1) avoids a
+    # shuffle (it narrows the upstream stage); the reduced set is
+    # skyline-sized, so the single task is cheap by construction.
+    return local.coalesce(1).mapInPandas(_run, schema)

@@ -108,3 +108,82 @@ def test_integer_items_supported(spark):
     )
     out = bradley_terry(df, iterations=4).collect()
     assert {r["item"] for r in out} == {1, 2, 3}
+
+
+class TestRankingMetrics:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id string, item_id long, score double, "
+                  "relevance double"
+        )
+
+    def test_hand_computed_ndcg_mrr_ap(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.ranking import (
+            ranking_metrics,
+        )
+
+        # query A: ranked by score desc -> items 1(rel2), 2(rel0),
+        # 3(rel1); ideal order rel desc -> 2,1,0
+        rows = [
+            ("A", 1, 9.0, 2.0),
+            ("A", 2, 5.0, 0.0),
+            ("A", 3, 3.0, 1.0),
+        ]
+        r = ranking_metrics(
+            self._df(spark, rows), k=3
+        ).collect()[0]
+        dcg = (2**2 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+        idcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+        assert r["n_items"] == 3 and r["n_pos"] == 2
+        assert r["dcg_k"] == pytest.approx(dcg, abs=1e-6)
+        assert r["ndcg_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+        assert r["mrr_k"] == pytest.approx(1.0)
+        # AP: hits at ranks 1 and 3 -> (1/1 + 2/3) / min(2, 3)
+        assert r["ap_k"] == pytest.approx((1.0 + 2 / 3) / 2, abs=1e-6)
+
+    def test_no_positives_yields_null_ndcg_ap_zero_mrr(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            ranking_metrics,
+        )
+
+        rows = [("A", 1, 2.0, 0.0), ("A", 2, 1.0, 0.0)]
+        r = ranking_metrics(self._df(spark, rows), k=10).collect()[0]
+        assert r["ndcg_k"] is None and r["ap_k"] is None
+        assert r["mrr_k"] == 0.0 and r["dcg_k"] == 0.0
+
+    def test_positives_outside_topk_in_ap_denominator(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            ranking_metrics,
+        )
+
+        # k=1: one positive at rank 1, a second positive at rank 2 —
+        # TREC denominator is min(R=2, k=1) = 1.
+        rows = [("A", 1, 9.0, 1.0), ("A", 2, 8.0, 1.0)]
+        r = ranking_metrics(self._df(spark, rows), k=1).collect()[0]
+        assert r["ap_k"] == pytest.approx(1.0)
+        assert r["n_pos"] == 2
+
+    def test_score_tie_breaks_on_item_key(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            ranking_metrics,
+        )
+
+        # equal scores: item 1 must rank before item 2 -> positive at
+        # rank 2 -> mrr 0.5
+        rows = [("A", 2, 5.0, 1.0), ("A", 1, 5.0, 0.0)]
+        r = ranking_metrics(self._df(spark, rows), k=10).collect()[0]
+        assert r["mrr_k"] == pytest.approx(0.5)
+
+    def test_null_rows_dropped_and_k_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            ranking_metrics,
+        )
+
+        rows = [("A", 1, 9.0, 1.0), ("A", 2, None, 1.0),
+                ("A", 3, 1.0, None)]
+        r = ranking_metrics(self._df(spark, rows), k=5).collect()[0]
+        assert r["n_items"] == 1
+        with pytest.raises(ValueError, match="k must be"):
+            ranking_metrics(self._df(spark, rows), k=0)

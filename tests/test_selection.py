@@ -534,3 +534,99 @@ class TestTargetEncode:
             target_encode(df, "cat", "y", "id", folds=1)
         with pytest.raises(ValueError, match="smoothing"):
             target_encode(df, "cat", "y", "id", smoothing=0.0)
+
+
+class TestSkyline:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, x double, y double"
+        )
+
+    @staticmethod
+    def _brute(rows, maximize=True):
+        s = 1 if maximize else -1
+        pts = [(i, s * x, s * y) for i, x, y in rows
+               if x is not None and y is not None]
+        out = []
+        for i, x, y in pts:
+            dominated = any(
+                (a >= x and b >= y and (a > x or b > y))
+                for j, a, b in pts if j != i
+            )
+            if not dominated:
+                out.append(i)
+        return sorted(out)
+
+    def test_matches_bruteforce_random(self, spark):
+        import random
+
+        from mhm_data_pipelines_spark.operators.selection import skyline
+
+        rng = random.Random(7)
+        rows = [
+            (i, round(rng.uniform(0, 10), 2), round(rng.uniform(0, 10), 2))
+            for i in range(300)
+        ]
+        got = sorted(
+            r["id"]
+            for r in skyline(
+                self._df(spark, rows).repartition(8), ["x", "y"], ["id"]
+            ).collect()
+        )
+        assert got == self._brute(rows)
+
+    def test_minimize_and_duplicates_survive_together(self, spark):
+        from mhm_data_pipelines_spark.operators.selection import skyline
+
+        rows = [(1, 1.0, 1.0), (2, 1.0, 1.0), (3, 2.0, 2.0),
+                (4, 0.5, 3.0)]
+        got = sorted(
+            r["id"]
+            for r in skyline(
+                self._df(spark, rows), ["x", "y"], ["id"],
+                maximize=False,
+            ).collect()
+        )
+        # minimizing: (1,1) duplicates both survive (equal points
+        # don't dominate), (0.5,3) survives, (2,2) dominated by (1,1)
+        assert got == [1, 2, 4]
+
+    def test_null_metrics_dropped_and_guard(self, spark):
+        import pytest as _pytest
+
+        from mhm_data_pipelines_spark.operators.selection import skyline
+
+        rows = [(1, 5.0, None), (2, 1.0, 1.0)]
+        got = [r["id"] for r in
+               skyline(self._df(spark, rows), ["x", "y"], ["id"]).collect()]
+        assert got == [2]
+        with _pytest.raises(ValueError, match="metric_cols"):
+            skyline(self._df(spark, rows), [], ["id"])
+
+    def test_three_dims(self, spark):
+        import random
+
+        from mhm_data_pipelines_spark.operators.selection import skyline
+
+        rng = random.Random(11)
+        rows = [
+            (i, float(rng.randint(0, 5)), float(rng.randint(0, 5)),
+             float(rng.randint(0, 5)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, x double, y double, z double"
+        ).repartition(6)
+        got = sorted(
+            r["id"] for r in skyline(df, ["x", "y", "z"], ["id"]).collect()
+        )
+        s = 1
+        pts = [(i, x, y, z) for i, x, y, z in rows]
+        brute = sorted(
+            i for i, x, y, z in pts
+            if not any(
+                a >= x and b >= y and c >= z and (a > x or b > y or c > z)
+                for j, a, b, c in pts if j != i
+            )
+        )
+        assert got == brute
