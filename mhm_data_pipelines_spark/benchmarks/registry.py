@@ -14416,6 +14416,81 @@ ORDER BY p.user_id
 """
 
 
+def q_cdc_snapshot(spark, sf_dir):
+    """CDC changelog merge onto the orders snapshot (cdc.cdc_apply):
+    a deterministic synthetic changelog derived from the base itself —
+    key%3==0 updated at seq 1 (total+1, an IEEE-exact payload edit —
+    multiplicative edits land on .xx5 rounding boundaries where
+    HALF_UP engines disagree), key%5==0 deleted at seq 2
+    (so %15 keys see U-then-D and end deleted), and a fresh insert
+    under the collision-free negative key -k-1 for key%7==0. Exercises
+    latest-winner ordering, delete-over-update, upsert-of-new-key and
+    untouched passthrough in one oracle."""
+    from mhm_data_pipelines_spark.operators.cdc import cdc_apply
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    upd = base.filter(F.col("k") % 3 == 0).select(
+        "k",
+        F.lit("X").alias("status"),
+        (F.col("total") + F.lit(1.0)).alias("total"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(F.col("k") % 5 == 0).select(
+        "k",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("total"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.filter(F.col("k") % 7 == 0).select(
+        (-F.col("k") - 1).alias("k"),
+        F.lit("N").alias("status"),
+        (F.col("total") + F.lit(1000.0)).alias("total"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(base, changes, ["k"]).orderBy("k")
+
+
+SQL_CDC_SNAPSHOT = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         o_totalprice AS total
+  FROM orders
+), changes AS (
+  SELECT k, 'X' AS status, total + 1.0 AS total,
+         1 AS seq, 'U' AS op
+  FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, NULL, NULL, 2, 'D' FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT -k - 1, 'N', total + 1000.0, 1, 'I'
+  FROM base WHERE k % 7 = 0
+), latest AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY k
+           ORDER BY seq DESC,
+                    CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2
+                            ELSE 1 END DESC) AS rn
+  FROM changes
+), w AS (
+  SELECT k, op, status, total FROM latest WHERE rn = 1
+)
+SELECT b.k, b.status, b.total
+FROM base b ANTI JOIN w ON b.k = w.k
+UNION ALL
+SELECT k, status, total FROM w WHERE op <> 'D'
+ORDER BY k
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14688,6 +14763,7 @@ QUERIES: dict[str, QuerySpec] = {
     "session_paths": q_session_paths,
     "ranking_quality": q_ranking_quality,
     "skyline_users": q_skyline_users,
+    "cdc_snapshot": q_cdc_snapshot,
     "robust_trend": q_robust_trend,
 }
 
@@ -14968,6 +15044,7 @@ ORACLES: dict[str, str] = {
     "session_paths": SQL_SESSION_PATHS,
     "ranking_quality": SQL_RANKING_QUALITY,
     "skyline_users": SQL_SKYLINE_USERS,
+    "cdc_snapshot": SQL_CDC_SNAPSHOT,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15018,6 +15095,7 @@ GATE_PRIORITY: list[str] = [
     #     rolls to the r10 queue below):
     "ranking_quality",     # nDCG/MRR/AP ranked-retrieval eval
     "skyline_users",       # Pareto-dominance skyline (2-phase local)
+    "cdc_snapshot",        # I/U/D changelog merge (latest-winner)
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15050,11 +15128,11 @@ GATE_PRIORITY: list[str] = [
     "lsh_topk",
     "multimodal_features",
     "neardup_dedup_keep",
-    "pack_documents",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    pii_redaction, range_join (displaced by the r9-new keys),
+    #    pack_documents, pii_redaction, range_join (displaced by the
+    #    r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
     #    tiered_rollup, top_terms_per_source, unigram_jaccard_pairs,
     #    users_except, users_intersect, vocab_stats, zorder_layout
@@ -15294,6 +15372,7 @@ BENCH_QUERIES: list[str] = [
     # round 9
     "ranking_quality",
     "skyline_users",
+    "cdc_snapshot",
 ]
 
 
