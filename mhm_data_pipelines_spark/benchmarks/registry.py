@@ -14491,6 +14491,153 @@ ORDER BY k
 """
 
 
+def q_mk_trend(spark, sf_dir):
+    """Mann-Kendall trend + Sen slope per user over daily value sums
+    (timeseries.mann_kendall): the nonparametric is-it-drifting test.
+    t = integer day offsets (exact doubles), y = 6dp-rounded daily
+    sums, so the O(n^2)-per-series pair sweep lands on an
+    engine-identical grid; z/p ride the shared portable normal-CDF
+    tree."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id").cast("string").alias("u"),
+            F.to_date("ts").alias("_d"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .select(
+            "u",
+            F.datediff(F.col("_d"), F.lit("2024-01-01").cast("date"))
+            .cast("double")
+            .alias("t"),
+            "y",
+        )
+    )
+    return mann_kendall(daily, "u", "t", "y").orderBy("u")
+
+
+SQL_MK_TREND = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS t,
+         round(sum(value), 6) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+), pairs AS (
+  SELECT a.u,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+              ELSE 0 END AS sgn,
+         CASE WHEN b.t <> a.t
+              THEN (b.y - a.y) / (b.t - a.t) END AS slope
+  FROM daily a JOIN daily b ON a.u = b.u AND a.t < b.t
+), nn AS (
+  SELECT u, count(*) AS n FROM daily GROUP BY u
+), corr AS (
+  SELECT u, sum(c * (c - 1) * (2 * c + 5)) AS corr
+  FROM (SELECT u, y, count(*) AS c FROM daily GROUP BY u, y)
+  GROUP BY u
+), agg AS (
+  SELECT u, coalesce(sum(sgn), 0) AS s,
+         median(slope) AS sen
+  FROM pairs GROUP BY u
+), stats AS (
+  SELECT nn.u, nn.n,
+         coalesce(a.s, 0) AS s,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(c.corr, 0))
+           / 18.0 AS var_s,
+         a.sen AS sen
+  FROM nn LEFT JOIN agg a ON a.u = nn.u
+          LEFT JOIN corr c ON c.u = nn.u
+), z AS (
+  SELECT *,
+         CASE WHEN var_s <= 0 THEN NULL
+              WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+              WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+              ELSE 0.0 END AS zv
+  FROM stats
+)
+SELECT u, CAST(n AS BIGINT) AS n_points, CAST(s AS BIGINT) AS s_stat,
+       round(var_s, 6) AS var_s,
+       round(zv, 6) AS z,
+       round(2.0 * (1.0 - __PHI__), 6) AS p_value,
+       round(sen, 6) AS sen_slope
+FROM z
+ORDER BY u
+""".replace("__PHI__", _PHI.format(z="abs(zv)"))
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """Fixed-anchor largest-triangle downsampling of each user's event
+    series to 20 buckets (timeseries.downsample_lttb): t = epoch
+    SECONDS (integer-exact double sums -> engine-identical bucket
+    means), y = 6dp value; survivors ordered for the hash."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("string").alias("u"),
+        F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+        .cast("double")
+        .alias("t"),
+        F.round("value", 6).alias("y"),
+        F.col("event_id").alias("eid"),
+    )
+    out = downsample_lttb(pts, "u", "t", "y", n_buckets=20, id_col="eid")
+    return out.select("u", "t", "y", "bucket").orderBy("u", "t", "y")
+
+
+SQL_LTTB_DOWNSAMPLE = """
+WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CAST(floor(epoch_us(ts) / 1000000) AS DOUBLE) AS t,
+         round(value, 6) AS y,
+         event_id AS eid
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT u, t, y,
+         row_number() OVER (PARTITION BY u ORDER BY t, eid) AS rn,
+         count(*) OVER (PARTITION BY u) AS n
+  FROM pts
+), bucketed AS (
+  SELECT u, t, y, rn,
+         CASE WHEN n <= 20 THEN n ELSE 20 END AS nbe,
+         CAST(CASE WHEN rn = 1 THEN 0
+              WHEN rn = n THEN (CASE WHEN n <= 20 THEN n ELSE 20 END) - 1
+              WHEN n <= 20 THEN rn - 1
+              ELSE 1 + floor((rn - 2) * 18 / (n - 2))
+         END AS BIGINT) AS b
+  FROM ranked
+), means AS (
+  SELECT u, b, round(avg(t), 6) AS mt, round(avg(y), 6) AS my
+  FROM bucketed GROUP BY u, b
+), joined AS (
+  SELECT c.u, c.t, c.y, c.rn, c.nbe, c.b,
+         round(abs((p.mt - nx.mt) * (c.y - p.my)
+                   - (p.mt - c.t) * (nx.my - p.my)), 6) AS area
+  FROM bucketed c
+  LEFT JOIN means p ON p.u = c.u AND p.b = c.b - 1
+  LEFT JOIN means nx ON nx.u = c.u AND nx.b = c.b + 1
+), scored AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY u, b
+           ORDER BY area DESC NULLS LAST, rn) AS kr
+  FROM joined
+)
+SELECT u, t, y, b AS bucket
+FROM scored
+WHERE b = 0 OR b = nbe - 1 OR kr = 1
+ORDER BY u, t, y
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14764,6 +14911,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ranking_quality": q_ranking_quality,
     "skyline_users": q_skyline_users,
     "cdc_snapshot": q_cdc_snapshot,
+    "mk_trend": q_mk_trend,
+    "lttb_downsample": q_lttb_downsample,
     "robust_trend": q_robust_trend,
 }
 
@@ -15045,6 +15194,8 @@ ORACLES: dict[str, str] = {
     "ranking_quality": SQL_RANKING_QUALITY,
     "skyline_users": SQL_SKYLINE_USERS,
     "cdc_snapshot": SQL_CDC_SNAPSHOT,
+    "mk_trend": SQL_MK_TREND,
+    "lttb_downsample": SQL_LTTB_DOWNSAMPLE,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15096,6 +15247,8 @@ GATE_PRIORITY: list[str] = [
     "ranking_quality",     # nDCG/MRR/AP ranked-retrieval eval
     "skyline_users",       # Pareto-dominance skyline (2-phase local)
     "cdc_snapshot",        # I/U/D changelog merge (latest-winner)
+    "mk_trend",            # Mann-Kendall + Sen slope per entity
+    "lttb_downsample",     # largest-triangle series downsampling
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15126,13 +15279,11 @@ GATE_PRIORITY: list[str] = [
     "ivf_topk",
     "lang_id",
     "lsh_topk",
-    "multimodal_features",
-    "neardup_dedup_keep",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    pack_documents, pii_redaction, range_join (displaced by the
-    #    r9-new keys),
+    #    multimodal_features, neardup_dedup_keep, pack_documents,
+    #    pii_redaction, range_join (displaced by the r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
     #    tiered_rollup, top_terms_per_source, unigram_jaccard_pairs,
     #    users_except, users_intersect, vocab_stats, zorder_layout
@@ -15373,6 +15524,8 @@ BENCH_QUERIES: list[str] = [
     "ranking_quality",
     "skyline_users",
     "cdc_snapshot",
+    "mk_trend",
+    "lttb_downsample",
 ]
 
 

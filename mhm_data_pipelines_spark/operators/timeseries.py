@@ -1462,3 +1462,240 @@ def session_entry_paths(
     return rendered.orderBy(
         F.desc("n_sessions"), "path"
     ).limit(int(top_k))
+
+
+def mann_kendall(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per entity —
+    the nonparametric "is this metric drifting?" readout (Mann 1945,
+    Kendall 1975; Sen 1968 for the slope): no linearity or normality
+    assumption, robust to outliers, the standard for sparse/dirty
+    operational series where OLS (:func:`ols_trend`) over-reacts.
+
+    Statistics over each entity's series ``(t_i, y_i)`` (NULLs
+    dropped; ``order_col`` cast to double for slopes):
+
+    * ``s_stat  = Σ_{i<j} sign(y_j − y_i)``
+    * ``var_s   = [n(n−1)(2n+5) − Σ_g c_g(c_g−1)(2c_g+5)] / 18`` with
+      the standard tie correction over equal-``y`` groups ``c_g``
+    * ``z`` via the ±1 continuity correction; ``p_value`` two-sided
+      normal (NULL when ``var_s = 0`` — a constant series has no
+      testable trend)
+    * ``sen_slope`` = median of all pairwise slopes
+      ``(y_j − y_i)/(t_j − t_i)`` (pairs with equal ``t`` skipped)
+
+    Scale shape: ONE hash aggregate packs each entity's series
+    time-ordered (the :func:`holt_trend` groupBy + array_sort +
+    ``mapInPandas`` idiom — thousands of entities per Arrow batch);
+    the O(n²) pair sweep runs in numpy on the packed array, bounded
+    per entity because a per-entity series is time-dimension-sized.
+    z / p are engine-side expressions over the UDF's exact-integer
+    ``s_stat`` and tie counts, so the float tree matches a SQL twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{entity_col} string, n_points long, s_stat long, "
+        "var_s double, sen_slope double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ents, ns, ss, vs, slopes = [], [], [], [], []
+            for ent, pairs in zip(pdf[entity_col], pdf["_pk"]):
+                t = np.asarray([p["_t"] for p in pairs], dtype=np.float64)
+                y = np.asarray([p["_y"] for p in pairs], dtype=np.float64)
+                n = y.size
+                dy = np.sign(y[None, :] - y[:, None])
+                iu = np.triu_indices(n, k=1)
+                s = float(dy[iu].sum())
+                _, counts = np.unique(y, return_counts=True)
+                corr = float(
+                    (counts * (counts - 1) * (2 * counts + 5)).sum()
+                )
+                var_s = (n * (n - 1) * (2 * n + 5) - corr) / 18.0
+                dt = t[None, :] - t[:, None]
+                num = y[None, :] - y[:, None]
+                valid = dt[iu] != 0
+                slope = (
+                    float(np.median(num[iu][valid] / dt[iu][valid]))
+                    if valid.any()
+                    else None
+                )
+                ents.append(ent)
+                ns.append(n)
+                ss.append(int(s))
+                vs.append(var_s)
+                slopes.append(slope)
+            yield pd.DataFrame(
+                {
+                    entity_col: ents,
+                    "n_points": ns,
+                    "s_stat": ss,
+                    "var_s": vs,
+                    "sen_slope": slopes,
+                }
+            )
+
+    clean = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(entity_col).isNotNull()
+    ).select(
+        F.col(entity_col).cast("string").alias(entity_col),
+        F.col(order_col).cast("double").alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    packed = clean.groupBy(entity_col).agg(
+        F.array_sort(F.collect_list(F.struct("_t", "_y"))).alias("_pk")
+    )
+    raw = packed.mapInPandas(run, out_schema)
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    s = F.col("s_stat").cast("double")
+    rt = F.sqrt("var_s")
+    z = (
+        F.when(F.col("var_s") <= 0, F.lit(None).cast("double"))
+        .when(s > 0, (s - 1) / rt)
+        .when(s < 0, (s + 1) / rt)
+        .otherwise(F.lit(0.0))
+    )
+    return raw.select(
+        entity_col,
+        "n_points",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(z))), 6
+        ).alias("p_value"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )
+
+
+def downsample_lttb(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    n_buckets: int = 100,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Visual downsampling per entity to ~``n_buckets`` points via the
+    largest-triangle family (Steinarsson 2013 LTTB), in the
+    FIXED-ANCHOR variant: both triangle anchors are the NEIGHBOR
+    BUCKETS' mean points rather than the previously-selected point.
+    Classic LTTB threads the selection sequentially bucket-to-bucket —
+    inherently serial per series; anchoring on bucket means keeps the
+    shape-preserving behavior (the point that subtends the largest
+    area against its neighborhood survives) while every bucket decides
+    INDEPENDENTLY — one window + one join, no recursion, so a million
+    series downsample in parallel. (This is LTTB's own "three buckets"
+    with the standard mean-anchor simplification some dashboards ship
+    as LTOB/LTTB-hybrid; documented here as the engine contract.)
+
+    Rules: first and last points always survive; interior points split
+    into ``n_buckets − 2`` equal-count buckets; per bucket the point
+    maximizing ``|(tp − tn)·(y − yp) − (tp − t)·(yn − yp)|`` survives
+    (p/n = prev/next bucket mean points, means and areas rounded 6dp
+    so the argmax grid is engine-identical; area ties break on the
+    earlier point). Series with ≤ ``n_buckets`` points pass through
+    whole. NULL order/value rows are dropped. ``id_col`` breaks
+    order-key ties deterministically.
+
+    Scale shape: ONE shuffle partitions by entity; the rank window,
+    the (entity, bucket) mean aggregate, the prev/next mean joins and
+    the per-bucket argmax window all reuse entity-hash partitioning.
+    Keep ``order_col`` values magnitude-sane (epoch seconds, not
+    micros): bucket means sum them, and integer-exact double sums are
+    what make the 6dp grid engine-portable.
+    """
+    if n_buckets < 3:
+        raise ValueError(f"n_buckets must be >= 3, got {n_buckets}")
+    e, nb = entity_col, n_buckets
+    order_cols = [F.asc("_t")] + ([F.asc(id_col)] if id_col else [])
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(e),
+        *([F.col(id_col)] if id_col else []),
+        F.col(order_col).cast("double").alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    w = Window.partitionBy(e)
+    wo = Window.partitionBy(e).orderBy(*order_cols)
+    rn = F.row_number().over(wo)
+    n = F.count(F.lit(1)).over(w)
+    ranked = base.select(
+        e, "_t", "_y", rn.alias("_rn"), n.alias("_n")
+    )
+    # Small series become all-singleton buckets: the uniform
+    # keep-first/keep-last/argmax-per-bucket logic then keeps every
+    # row — no per-entity branching, one code path.
+    nb_eff = F.when(F.col("_n") <= nb, F.col("_n")).otherwise(F.lit(nb))
+    bucket = (
+        F.when(F.col("_rn") == 1, F.lit(0))
+        .when(F.col("_rn") == F.col("_n"), nb_eff - 1)
+        .when(F.col("_n") <= nb, F.col("_rn") - 1)
+        .otherwise(
+            1
+            + F.floor(
+                (F.col("_rn") - 2) * (nb - 2) / (F.col("_n") - 2)
+            )
+        )
+    ).cast("long")
+    bucketed = ranked.select(
+        e, "_t", "_y", "_rn",
+        nb_eff.alias("_nbe"),
+        bucket.alias("_b"),
+    )
+    means = bucketed.groupBy(e, "_b").agg(
+        F.round(F.avg("_t"), 6).alias("_mt"),
+        F.round(F.avg("_y"), 6).alias("_my"),
+    )
+    prev = means.select(
+        F.col(e).alias("_pe"), (F.col("_b") + 1).alias("_pb"),
+        F.col("_mt").alias("_tp"), F.col("_my").alias("_yp"),
+    )
+    nxt = means.select(
+        F.col(e).alias("_ne"), (F.col("_b") - 1).alias("_nb"),
+        F.col("_mt").alias("_tn"), F.col("_my").alias("_yn"),
+    )
+    joined = bucketed.join(
+        prev,
+        (F.col(e) == F.col("_pe")) & (F.col("_b") == F.col("_pb")),
+        "left",
+    ).join(
+        nxt,
+        (F.col(e) == F.col("_ne")) & (F.col("_b") == F.col("_nb")),
+        "left",
+    )
+    area = F.round(
+        F.abs(
+            (F.col("_tp") - F.col("_tn")) * (F.col("_y") - F.col("_yp"))
+            - (F.col("_tp") - F.col("_t")) * (F.col("_yn") - F.col("_yp"))
+        ),
+        6,
+    )
+    wb = Window.partitionBy(e, "_b").orderBy(
+        F.desc_nulls_last("_area"), F.asc("_rn")
+    )
+    scored = joined.select(
+        e, "_t", "_y", "_rn", "_nbe", "_b", area.alias("_area")
+    ).withColumn("_keep_rank", F.row_number().over(wb))
+    kept = scored.filter(
+        (F.col("_b") == 0)
+        | (F.col("_b") == F.col("_nbe") - 1)
+        | (F.col("_keep_rank") == 1)
+    )
+    return kept.select(
+        F.col(e),
+        F.col("_t").alias(order_col),
+        F.col("_y").alias(value_col),
+        F.col("_b").alias("bucket"),
+    )

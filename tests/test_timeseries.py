@@ -801,3 +801,217 @@ class TestSessionEntryPaths:
             session_entry_paths(df, depth=0)
         with pytest.raises(ValueError, match="top_k"):
             session_entry_paths(df, top_k=0)
+
+
+class TestMannKendall:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "u string, t double, y double")
+
+    @staticmethod
+    def _reference(series):
+        """Textbook MK + Sen replay (pure python)."""
+        import math
+
+        t = [a for a, _ in series]
+        y = [b for _, b in series]
+        n = len(y)
+        s = sum(
+            (y[j] > y[i]) - (y[j] < y[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        corr = sum(
+            c * (c - 1) * (2 * c + 5) for c in Counter(y).values()
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - corr) / 18.0
+        slopes = sorted(
+            (y[j] - y[i]) / (t[j] - t[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+            if t[j] != t[i]
+        )
+        m = len(slopes)
+        sen = (
+            None if m == 0
+            else slopes[m // 2] if m % 2
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+        if var_s <= 0:
+            z = None
+        elif s > 0:
+            z = (s - 1) / math.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        p = (
+            None if z is None
+            else 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+        )
+        return s, var_s, z, p, sen
+
+    def test_matches_reference_with_ties(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            mann_kendall,
+        )
+
+        series = [
+            (1.0, 3.0), (2.0, 5.0), (3.0, 5.0), (4.0, 2.0),
+            (5.0, 8.0), (6.0, 9.0), (7.0, 9.0),
+        ]
+        s, var_s, z, p, sen = self._reference(series)
+        rows = [("a", t, y) for t, y in series]
+        r = mann_kendall(self._df(spark, rows), "u", "t", "y").collect()[0]
+        assert r["s_stat"] == s
+        assert r["var_s"] == pytest.approx(var_s, abs=1e-6)
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+        assert r["p_value"] == pytest.approx(p, abs=1e-6)
+        assert r["sen_slope"] == pytest.approx(sen, abs=1e-6)
+
+    def test_strictly_increasing_and_constant(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            mann_kendall,
+        )
+
+        rows = [("up", float(i), float(i) * 2) for i in range(1, 9)]
+        rows += [("flat", float(i), 4.0) for i in range(1, 6)]
+        out = {
+            r["u"]: r
+            for r in mann_kendall(
+                self._df(spark, rows), "u", "t", "y"
+            ).collect()
+        }
+        up = out["up"]
+        assert up["s_stat"] == 28  # all 28 pairs increasing
+        assert up["p_value"] < 0.01
+        assert up["sen_slope"] == pytest.approx(2.0)
+        flat = out["flat"]
+        assert flat["s_stat"] == 0
+        assert flat["var_s"] == 0.0
+        assert flat["z"] is None and flat["p_value"] is None
+
+    def test_nulls_dropped(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            mann_kendall,
+        )
+
+        rows = [("a", 1.0, 1.0), ("a", 2.0, None), ("a", None, 3.0),
+                ("a", 4.0, 5.0)]
+        r = mann_kendall(self._df(spark, rows), "u", "t", "y").collect()[0]
+        assert r["n_points"] == 2 and r["s_stat"] == 1
+
+
+class TestDownsampleLttb:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "u string, t double, y double")
+
+    @staticmethod
+    def _reference(series, nb):
+        """Pure-python replay of the fixed-anchor rules."""
+        pts = sorted(series)
+        n = len(pts)
+        if n <= nb:
+            return sorted(pts)
+        nbe = nb
+        buckets = {}
+        for rn, (t, y) in enumerate(pts, start=1):
+            if rn == 1:
+                b = 0
+            elif rn == n:
+                b = nbe - 1
+            else:
+                b = 1 + (rn - 2) * (nb - 2) // (n - 2)
+            buckets.setdefault(b, []).append((rn, t, y))
+        means = {
+            b: (
+                round(sum(t for _, t, _ in v) / len(v), 6),
+                round(sum(y for _, _, y in v) / len(v), 6),
+            )
+            for b, v in buckets.items()
+        }
+        out = []
+        for b, v in buckets.items():
+            if b in (0, nbe - 1):
+                out.extend((t, y) for _, t, y in v)
+                continue
+            tp, yp = means[b - 1]
+            tn, yn = means[b + 1]
+            scored = sorted(
+                (
+                    -round(abs((tp - tn) * (y - yp) - (tp - t) * (yn - yp)), 6),
+                    rn,
+                    t,
+                    y,
+                )
+                for rn, t, y in v
+            )
+            out.append((scored[0][2], scored[0][3]))
+        return sorted(out)
+
+    def test_matches_reference(self, spark):
+        import random
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            downsample_lttb,
+        )
+
+        rng = random.Random(3)
+        series = [
+            (float(i), round(rng.uniform(-5, 5), 2)) for i in range(137)
+        ]
+        got = sorted(
+            (r["t"], r["y"])
+            for r in downsample_lttb(
+                self._df(spark, [("a", t, y) for t, y in series]),
+                "u", "t", "y", n_buckets=12,
+            ).collect()
+        )
+        assert got == self._reference(series, 12)
+        # 12 buckets -> exactly 12 survivors (all interior non-empty)
+        assert len(got) == 12
+
+    def test_short_series_pass_through_whole(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            downsample_lttb,
+        )
+
+        rows = [("s", float(i), float(i)) for i in range(5)]
+        got = downsample_lttb(
+            self._df(spark, rows), "u", "t", "y", n_buckets=10
+        ).collect()
+        assert len(got) == 5
+
+    def test_first_last_always_kept_and_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            downsample_lttb,
+        )
+
+        rows = [("a", float(i), 1.0) for i in range(50)]
+        got = sorted(
+            r["t"]
+            for r in downsample_lttb(
+                self._df(spark, rows), "u", "t", "y", n_buckets=5
+            ).collect()
+        )
+        assert got[0] == 0.0 and got[-1] == 49.0 and len(got) == 5
+        with pytest.raises(ValueError, match="n_buckets"):
+            downsample_lttb(self._df(spark, rows), "u", "t", "y", 2)
+
+    def test_spike_survives(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            downsample_lttb,
+        )
+
+        # flat series with one huge spike: the spike's bucket must
+        # select the spike (largest triangle), never a flat neighbor
+        rows = [("a", float(i), 0.0) for i in range(100)]
+        rows[50] = ("a", 50.0, 100.0)
+        got = {
+            (r["t"], r["y"])
+            for r in downsample_lttb(
+                self._df(spark, rows), "u", "t", "y", n_buckets=10
+            ).collect()
+        }
+        assert (50.0, 100.0) in got
