@@ -14638,6 +14638,94 @@ ORDER BY u, t, y
 """
 
 
+def q_bayes_events(spark, sf_dir):
+    """Bayesian A/B conversion readout (stats_tests.bayes_ab):
+    arm = user parity, success = value > 34, uniform Beta(1,1) priors;
+    p_beats_control via the documented normal approximation on the
+    posterior difference, riding the shared portable normal-CDF tree.
+    All posterior moments are exact integer-ratio arithmetic, so both
+    engines divide identical doubles."""
+    from mhm_data_pipelines_spark.operators.stats_tests import bayes_ab
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.filter(F.col("value").isNotNull()).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        (F.col("value") > 34.0).alias("ok"),
+    )
+    return bayes_ab(df, "arm", "ok", control="A").orderBy("arm")
+
+
+SQL_BAYES_EVENTS = """
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         count(*) AS n,
+         sum(CASE WHEN value > 34.0 THEN 1 ELSE 0 END) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), post AS (
+  SELECT arm, n, s,
+         (1.0 + s) / ((1.0 + s) + (1.0 + n - s)) AS m,
+         ((1.0 + s) * (1.0 + n - s))
+           / (((1.0 + s) + (1.0 + n - s))
+              * ((1.0 + s) + (1.0 + n - s))
+              * (((1.0 + s) + (1.0 + n - s)) + 1)) AS v
+  FROM arms
+), ctl AS (
+  SELECT *,
+         max(CASE WHEN arm = 'A' THEN m END) OVER () AS mc,
+         max(CASE WHEN arm = 'A' THEN v END) OVER () AS vc
+  FROM post
+), zt AS (
+  SELECT *, (m - mc) / sqrt(v + vc) AS zv FROM ctl
+)
+SELECT arm, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       round(m, 6) AS post_mean,
+       round(v, 9) AS post_var,
+       round(CASE WHEN arm <> 'A' THEN __PHI__ END, 6)
+         AS p_beats_control
+FROM zt
+ORDER BY arm
+""".replace("__PHI__", _PHI.format(z="zv"))
+
+
+def q_entropy_ldiv(spark, sf_dir):
+    """Entropy l-diversity audit (privacy.entropy_l_diversity_classes)
+    over QI = (event_type, user bucket), sensitive = value decile
+    bucket (NULL value is its own sensitive category): per-class
+    Shannon entropy vs the ln(2) threshold, 6dp-grid comparison."""
+    from mhm_data_pipelines_spark.operators.privacy import (
+        entropy_l_diversity_classes,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_type",
+        (F.col("user_id") % 10).cast("int").alias("ub"),
+        F.floor(F.col("value") / 10).cast("int").alias("sv"),
+    )
+    out = entropy_l_diversity_classes(df, ["event_type", "ub"], "sv", l=2.0)
+    return out.orderBy("event_type", "ub")
+
+
+SQL_ENTROPY_LDIV = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 10 AS INT) AS ub,
+         CAST(floor(value / 10) AS INT) AS sv, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), cls AS (
+  SELECT event_type, ub, sum(c) AS n, count(*) AS ns,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM cells GROUP BY 1, 2
+)
+SELECT event_type, ub, CAST(n AS BIGINT) AS n,
+       ns AS n_sensitive,
+       round(h, 6) AS entropy,
+       round(exp(h), 6) AS effective_l,
+       round(h, 6) >= 0.693147 AS meets_l
+FROM cls
+ORDER BY event_type, ub
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -14913,6 +15001,8 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_snapshot": q_cdc_snapshot,
     "mk_trend": q_mk_trend,
     "lttb_downsample": q_lttb_downsample,
+    "bayes_events": q_bayes_events,
+    "entropy_ldiv": q_entropy_ldiv,
     "robust_trend": q_robust_trend,
 }
 
@@ -15196,6 +15286,8 @@ ORACLES: dict[str, str] = {
     "cdc_snapshot": SQL_CDC_SNAPSHOT,
     "mk_trend": SQL_MK_TREND,
     "lttb_downsample": SQL_LTTB_DOWNSAMPLE,
+    "bayes_events": SQL_BAYES_EVENTS,
+    "entropy_ldiv": SQL_ENTROPY_LDIV,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15249,6 +15341,8 @@ GATE_PRIORITY: list[str] = [
     "cdc_snapshot",        # I/U/D changelog merge (latest-winner)
     "mk_trend",            # Mann-Kendall + Sen slope per entity
     "lttb_downsample",     # largest-triangle series downsampling
+    "bayes_events",        # Beta-Binomial posterior A/B readout
+    "entropy_ldiv",        # entropy l-diversity per QI class
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15277,13 +15371,12 @@ GATE_PRIORITY: list[str] = [
     "frame_samples",
     "grouping_sets",
     "ivf_topk",
-    "lang_id",
-    "lsh_topk",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    multimodal_features, neardup_dedup_keep, pack_documents,
-    #    pii_redaction, range_join (displaced by the r9-new keys),
+    #    lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
+    #    pack_documents, pii_redaction, range_join (displaced by the
+    #    r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
     #    tiered_rollup, top_terms_per_source, unigram_jaccard_pairs,
     #    users_except, users_intersect, vocab_stats, zorder_layout
@@ -15526,6 +15619,8 @@ BENCH_QUERIES: list[str] = [
     "cdc_snapshot",
     "mk_trend",
     "lttb_downsample",
+    "bayes_events",
+    "entropy_ldiv",
 ]
 
 

@@ -53,6 +53,7 @@ __all__ = [
     "cuped_report",
     "srm_check",
     "did_report",
+    "bayes_ab",
 ]
 
 
@@ -1259,4 +1260,83 @@ def did_report(
         F.round(
             F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(z))), 6
         ).alias("p_value"),
+    )
+
+
+def bayes_ab(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    control: str,
+    prior_alpha: float = 1.0,
+    prior_beta: float = 1.0,
+) -> DataFrame:
+    """Bayesian A/B conversion readout under independent
+    Beta–Binomial posteriors: per arm, the Beta(α₀+s, β₀+n−s)
+    posterior mean/variance and ``p_beats_control`` — the posterior
+    probability the arm's true rate exceeds the control's, via the
+    standard normal approximation of the rate DIFFERENCE
+    (``Φ((m_a − m_c) / √(v_a + v_c))``; exact Beta quadrature isn't
+    expressible as a portable SQL tree, and at experiment-scale n the
+    normal approximation is tight — both facts documented here as the
+    engine contract). The control row reports NULL.
+
+    ``success_col`` is truthy per row (boolean or 0/1 numeric); NULL
+    successes count as failures only if you coalesce upstream — here
+    NULL rows are DROPPED (an unlogged outcome is not a failure).
+    Arms with zero rows simply don't appear; the control must appear
+    or the job fails loudly at execution (every comparison would be
+    NULL otherwise).
+
+    Scale shape: ONE hash aggregate to the arms-sized table; the
+    control's posterior attaches via a full-table window max (the
+    dimension-sized window every report operator here uses) — no
+    joins, nothing collected.
+    """
+    if prior_alpha <= 0 or prior_beta <= 0:
+        raise ValueError("priors must be positive")
+    a0, b0 = float(prior_alpha), float(prior_beta)
+    arms = (
+        df.filter(F.col(success_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(success_col).cast("boolean"), 1).otherwise(0)
+            ).cast("long").alias("s"),
+        )
+    )
+    a = F.lit(a0) + F.col("s")
+    b = F.lit(b0) + F.col("n") - F.col("s")
+    mean = a / (a + b)
+    var = a * b / ((a + b) * (a + b) * (a + b + 1))
+    post = arms.select(
+        "arm", "n", "s", mean.alias("_m"), var.alias("_v")
+    )
+    w = Window.partitionBy()
+    is_ctl = F.col("arm") == control
+    m_c = F.max(F.when(is_ctl, F.col("_m"))).over(w)
+    v_c = F.max(F.when(is_ctl, F.col("_v"))).over(w)
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    z = (F.col("_m") - m_c) / F.sqrt(F.col("_v") + v_c)
+    # The missing-control guard must sit in the TOP-LEVEL when: buried
+    # inside the z arithmetic, divide/multiply codegen short-circuits
+    # on its NULL operand and never evaluates the raise_error branch.
+    p = (
+        F.when(
+            m_c.isNull(),
+            F.raise_error(
+                F.lit(f"bayes_ab: control arm {control!r} has no rows")
+            ).cast("double"),
+        )
+        .when(~is_ctl, normal_cdf(z))
+    )
+    return post.select(
+        "arm",
+        "n",
+        "s",
+        F.round("_m", 6).alias("post_mean"),
+        F.round("_v", 9).alias("post_var"),
+        F.round(p, 6).alias("p_beats_control"),
     )

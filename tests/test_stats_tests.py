@@ -807,3 +807,92 @@ class TestDiDReport:
         r = did_report(df, "arm", "period", "y", "T", "post").collect()[0]
         assert r["n_tq"] == 0
         assert r["did"] is None and r["p_value"] is None
+
+
+class TestBayesAB:
+    def test_matches_closed_form(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            bayes_ab,
+        )
+
+        rows = [("A", 1)] * 30 + [("A", 0)] * 70 + \
+               [("B", 1)] * 45 + [("B", 0)] * 55
+        df = spark.createDataFrame(rows, "arm string, ok int")
+        out = {r["arm"]: r for r in
+               bayes_ab(df, "arm", "ok", control="A").collect()}
+
+        def post(s, n, a0=1.0, b0=1.0):
+            a, b = a0 + s, b0 + n - s
+            return a / (a + b), a * b / ((a + b) ** 2 * (a + b + 1))
+
+        ma, va = post(30, 100)
+        mb, vb = post(45, 100)
+        assert out["A"]["post_mean"] == pytest.approx(ma, abs=1e-6)
+        assert out["A"]["p_beats_control"] is None
+        z = (mb - ma) / math.sqrt(va + vb)
+        p = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+        assert out["B"]["p_beats_control"] == pytest.approx(p, abs=1e-5)
+        assert out["B"]["n"] == 100 and out["B"]["s"] == 45
+
+    def test_null_success_dropped_and_missing_control_fails(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            bayes_ab,
+        )
+
+        rows = [("A", True), ("A", None), ("B", False)]
+        df = spark.createDataFrame(rows, "arm string, ok boolean")
+        out = {r["arm"]: r for r in
+               bayes_ab(df, "arm", "ok", control="A").collect()}
+        assert out["A"]["n"] == 1
+        with pytest.raises(Exception, match="control arm"):
+            bayes_ab(df, "arm", "ok", control="Z").collect()
+        with pytest.raises(ValueError, match="priors"):
+            bayes_ab(df, "arm", "ok", control="A", prior_alpha=0)
+
+
+class TestEntropyLDiversity:
+    def test_hand_computed_entropy(self, spark):
+        import math
+
+        from mhm_data_pipelines_spark.operators.privacy import (
+            entropy_l_diversity_classes,
+        )
+
+        # class g1: sensitive 3:1 split -> H = -(0.75 ln .75 + .25 ln .25)
+        # class g2: uniform over 2 -> H = ln 2 (meets l=2 exactly)
+        rows = [("g1", "x")] * 3 + [("g1", "y")] + \
+               [("g2", "x"), ("g2", "y")]
+        df = spark.createDataFrame(rows, "qi string, s string")
+        out = {r["qi"]: r for r in entropy_l_diversity_classes(
+            df, ["qi"], "s", l=2.0).collect()}
+        h1 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert out["g1"]["entropy"] == pytest.approx(h1, abs=1e-6)
+        assert out["g1"]["meets_l"] is False  # H < ln 2
+        assert out["g2"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+        assert out["g2"]["meets_l"] is True
+        assert out["g1"]["effective_l"] == pytest.approx(
+            math.exp(h1), abs=1e-5
+        )
+
+    def test_null_sensitive_is_a_category(self, spark):
+        from mhm_data_pipelines_spark.operators.privacy import (
+            entropy_l_diversity_classes,
+        )
+
+        rows = [("g", "x"), ("g", None)]
+        df = spark.createDataFrame(rows, "qi string, s string")
+        r = entropy_l_diversity_classes(df, ["qi"], "s").collect()[0]
+        assert r["n_sensitive"] == 2 and r["meets_l"] is True
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.privacy import (
+            entropy_l_diversity_classes,
+        )
+
+        df = spark.createDataFrame([("g", "x")], "qi string, s string")
+        with pytest.raises(ValueError, match="quasi_cols"):
+            entropy_l_diversity_classes(df, [], "s")
+        with pytest.raises(ValueError, match="l must be"):
+            entropy_l_diversity_classes(df, ["qi"], "s", l=1.0)
