@@ -14726,6 +14726,81 @@ ORDER BY event_type, ub
 """
 
 
+def q_hw_forecast(spark, sf_dir):
+    """Additive Holt-Winters (period 7) over per-user daily value sums
+    (timeseries.holt_winters): level/trend/seasonal state after the
+    full series + one-step forecast. Entities with < 14 days are
+    omitted (nothing to init the weekly profile from) — mirrored by
+    the oracle's HAVING. The DuckDB twin replays the recursion as a
+    recursive CTE with LIST seasonal state, bit-identical because both
+    engines fold the same sequential float expression tree (validated
+    operand-for-operand; init means are sequential folds, not numpy
+    pairwise sums)."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id").cast("string").alias("u"),
+            F.to_date("ts").alias("_d"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .select(
+            "u",
+            F.datediff(F.col("_d"), F.lit("2024-01-01").cast("date"))
+            .cast("double")
+            .alias("t"),
+            "y",
+        )
+    )
+    return holt_winters(
+        daily, "u", "t", "y", period=7, alpha=0.4, beta=0.2, gamma=0.3
+    ).orderBy("u")
+
+
+SQL_HW_FORECAST = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS t,
+         round(sum(value), 6) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+), ser AS (
+  SELECT u, list(y ORDER BY t) AS xs, count(*) AS n
+  FROM daily GROUP BY u HAVING count(*) >= 14
+), init AS (
+  SELECT u, xs, n, 7 AS t,
+         list_sum(xs[1:7]) / 7 AS L,
+         (list_sum(xs[8:14]) / 7 - list_sum(xs[1:7]) / 7) / 7 AS B,
+         [x - list_sum(xs[1:7]) / 7 FOR x IN xs[1:7]] AS S
+  FROM ser
+), rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT u, xs, n, t + 1,
+         0.4 * (xs[t+1] - S[1]) + (1 - 0.4) * (L + B),
+         0.2 * ((0.4 * (xs[t+1] - S[1]) + (1 - 0.4) * (L + B)) - L)
+           + (1 - 0.2) * B,
+         S[2:] || [0.3 * (xs[t+1]
+                          - (0.4 * (xs[t+1] - S[1])
+                             + (1 - 0.4) * (L + B)))
+                   + (1 - 0.3) * S[1]]
+  FROM rec WHERE t < n
+)
+SELECT u, CAST(n AS BIGINT) AS n_points,
+       round(L, 6) AS level,
+       round(B, 6) AS trend,
+       round(S[1], 6) AS seasonal_next,
+       round(L + B + S[1], 6) AS forecast_1
+FROM rec WHERE t = n
+ORDER BY u
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15003,6 +15078,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lttb_downsample": q_lttb_downsample,
     "bayes_events": q_bayes_events,
     "entropy_ldiv": q_entropy_ldiv,
+    "hw_forecast": q_hw_forecast,
     "robust_trend": q_robust_trend,
 }
 
@@ -15288,6 +15364,7 @@ ORACLES: dict[str, str] = {
     "lttb_downsample": SQL_LTTB_DOWNSAMPLE,
     "bayes_events": SQL_BAYES_EVENTS,
     "entropy_ldiv": SQL_ENTROPY_LDIV,
+    "hw_forecast": SQL_HW_FORECAST,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15343,6 +15420,7 @@ GATE_PRIORITY: list[str] = [
     "lttb_downsample",     # largest-triangle series downsampling
     "bayes_events",        # Beta-Binomial posterior A/B readout
     "entropy_ldiv",        # entropy l-diversity per QI class
+    "hw_forecast",         # Holt-Winters seasonal smoothing
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15370,11 +15448,10 @@ GATE_PRIORITY: list[str] = [
     "embedding_topk",
     "frame_samples",
     "grouping_sets",
-    "ivf_topk",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
+    #    ivf_topk, lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
     #    pack_documents, pii_redaction, range_join (displaced by the
     #    r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
@@ -15621,6 +15698,7 @@ BENCH_QUERIES: list[str] = [
     "lttb_downsample",
     "bayes_events",
     "entropy_ldiv",
+    "hw_forecast",
 ]
 
 

@@ -1699,3 +1699,113 @@ def downsample_lttb(
         F.col("_y").alias(value_col),
         F.col("_b").alias("bucket"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.4,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per entity —
+    :func:`holt_trend` plus a seasonal component of length ``period``
+    (Winters 1960): the standard forecaster for daily series with a
+    weekly shape.
+
+    Classical init over the first two seasons (entities with fewer
+    than ``2*period`` points are OMITTED — there is nothing to
+    initialize the seasonal profile from):
+    ``L = mean(x_1..x_m)``, ``B = (mean(x_{m+1}..x_{2m}) − L) / m``,
+    ``S_i = x_i − L``; then for t > m::
+
+        L_t = α·(x_t − S_{t−m}) + (1−α)·(L_{t−1} + B_{t−1})
+        B_t = β·(L_t − L_{t−1}) + (1−β)·B_{t−1}
+        S_t = γ·(x_t − L_t) + (1−γ)·S_{t−m}
+
+    Returns one row per qualifying entity: ``(entity, n_points,
+    level, trend, seasonal_next, forecast_1 = level + trend +
+    seasonal_next)``, 6dp.
+
+    Same scale/portability shape as :func:`holt_trend`: ONE hash
+    aggregate packs each series time-ordered, the coupled recursion
+    runs batched through ``mapInPandas`` (thousands of entities per
+    Arrow batch), and every float expression — including the init
+    means as PLAIN SEQUENTIAL folds, not numpy pairwise sums — is
+    written in the exact operation order a SQL recursive-CTE twin
+    replays, so agreement is bitwise before the output rounding.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1], got {v}")
+    m, a, b, g = int(period), float(alpha), float(beta), float(gamma)
+    import pandas as pd
+
+    out_schema = (
+        f"{entity_col} string, n_points long, level double, "
+        "trend double, seasonal_next double, forecast_1 double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ents, ns, ls, bs, sn, fc = [], [], [], [], [], []
+            for ent, xs_list in zip(pdf[entity_col], pdf["_ys"]):
+                xs = [float(x) for x in xs_list]
+                if len(xs) < 2 * m:
+                    continue
+                lvl = sum(xs[:m]) / m
+                trd = (sum(xs[m:2 * m]) / m - sum(xs[:m]) / m) / m
+                seas = [x - lvl for x in xs[:m]]
+                for t in range(m, len(xs)):
+                    x = xs[t]
+                    s_old = seas[0]
+                    lvl_new = a * (x - s_old) + (1.0 - a) * (lvl + trd)
+                    trd = b * (lvl_new - lvl) + (1.0 - b) * trd
+                    seas = seas[1:] + [
+                        g * (x - lvl_new) + (1.0 - g) * s_old
+                    ]
+                    lvl = lvl_new
+                ents.append(ent)
+                ns.append(len(xs))
+                ls.append(lvl)
+                bs.append(trd)
+                sn.append(seas[0])
+                fc.append(lvl + trd + seas[0])
+            yield pd.DataFrame(
+                {
+                    entity_col: ents,
+                    "n_points": ns,
+                    "level": ls,
+                    "trend": bs,
+                    "seasonal_next": sn,
+                    "forecast_1": fc,
+                }
+            )
+
+    clean = df.filter(
+        F.col(value_col).isNotNull() & F.col(entity_col).isNotNull()
+    ).select(
+        F.col(entity_col).cast("string").alias(entity_col),
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    packed = clean.groupBy(entity_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_ord", "_y"))),
+            lambda s: s.getField("_y"),
+        ).alias("_ys")
+    )
+    raw = packed.mapInPandas(run, out_schema)
+    return raw.select(
+        entity_col,
+        "n_points",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal_next", 6).alias("seasonal_next"),
+        F.round("forecast_1", 6).alias("forecast_1"),
+    )

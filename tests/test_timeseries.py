@@ -1015,3 +1015,71 @@ class TestDownsampleLttb:
             ).collect()
         }
         assert (50.0, 100.0) in got
+
+
+class TestHoltWinters:
+    @staticmethod
+    def _reference(xs, m, a, b, g):
+        lvl = sum(xs[:m]) / m
+        trd = (sum(xs[m:2 * m]) / m - sum(xs[:m]) / m) / m
+        seas = [x - lvl for x in xs[:m]]
+        for t in range(m, len(xs)):
+            x = xs[t]
+            s_old = seas[0]
+            lvl_new = a * (x - s_old) + (1 - a) * (lvl + trd)
+            trd = b * (lvl_new - lvl) + (1 - b) * trd
+            seas = seas[1:] + [g * (x - lvl_new) + (1 - g) * s_old]
+            lvl = lvl_new
+        return lvl, trd, seas[0]
+
+    def test_matches_reference(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_winters,
+        )
+
+        xs = [3.0, 5.0, 4.0, 6.0, 7.0, 5.5, 4.5,
+              4.0, 6.5, 5.0, 7.5, 8.0, 6.0, 5.0,
+              5.5, 7.0, 6.0, 8.5]
+        rows = [("u", float(i), x) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "e string, t double, y double")
+        r = holt_winters(
+            df, "e", "t", "y", period=7, alpha=0.4, beta=0.2, gamma=0.3
+        ).collect()[0]
+        lvl, trd, s1 = self._reference(xs, 7, 0.4, 0.2, 0.3)
+        assert r["n_points"] == 18
+        assert r["level"] == pytest.approx(lvl, abs=1e-6)
+        assert r["trend"] == pytest.approx(trd, abs=1e-6)
+        assert r["seasonal_next"] == pytest.approx(s1, abs=1e-6)
+        assert r["forecast_1"] == pytest.approx(lvl + trd + s1, abs=1e-6)
+
+    def test_perfect_seasonality_forecasts_exactly(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_winters,
+        )
+
+        # pure period-3 pattern, no trend: forecast_1 must equal the
+        # next value in the pattern (gamma=1 tracks the season fully)
+        pat = [10.0, 20.0, 30.0]
+        xs = pat * 4
+        rows = [("u", float(i), x) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "e string, t double, y double")
+        r = holt_winters(
+            df, "e", "t", "y", period=3, alpha=0.5, beta=0.1, gamma=1.0
+        ).collect()[0]
+        assert r["forecast_1"] == pytest.approx(10.0, abs=1e-6)
+
+    def test_short_entities_omitted_and_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_winters,
+        )
+
+        rows = [("short", float(i), 1.0) for i in range(5)]
+        rows += [("long", float(i), float(i % 3)) for i in range(8)]
+        df = spark.createDataFrame(rows, "e string, t double, y double")
+        got = [r["e"] for r in
+               holt_winters(df, "e", "t", "y", period=3).collect()]
+        assert got == ["long"]
+        with pytest.raises(ValueError, match="period"):
+            holt_winters(df, "e", "t", "y", period=1)
+        with pytest.raises(ValueError, match="gamma"):
+            holt_winters(df, "e", "t", "y", period=3, gamma=0.0)
