@@ -14801,6 +14801,136 @@ ORDER BY u
 """
 
 
+def q_changepoint_shift(spark, sf_dir):
+    """Best single level-shift split per user daily series
+    (timeseries.single_changepoint, min_seg=3): pure prefix-sum window
+    algebra — the costs fold in identical ascending order in both
+    engines, so the 6dp argmin grid is engine-exact."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        single_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id").cast("string").alias("u"),
+            F.to_date("ts").alias("_d"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .select(
+            "u",
+            F.datediff(F.col("_d"), F.lit("2024-01-01").cast("date"))
+            .cast("double")
+            .alias("t"),
+            "y",
+        )
+    )
+    return single_changepoint(daily, "u", "t", "y", min_seg=3).orderBy("u")
+
+
+SQL_CHANGEPOINT_SHIFT = """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS t,
+         round(sum(value), 6) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+), scored AS (
+  SELECT u, t,
+         row_number() OVER w AS k,
+         count(*) OVER (PARTITION BY u) AS n,
+         sum(y) OVER (w ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(y * y) OVER (w ROWS UNBOUNDED PRECEDING) AS c2,
+         sum(y) OVER (PARTITION BY u) AS T1,
+         sum(y * y) OVER (PARTITION BY u) AS T2,
+         lead(t) OVER w AS t_next
+  FROM daily
+  WINDOW w AS (PARTITION BY u ORDER BY t, y)
+), cands AS (
+  SELECT *,
+         round((c2 - c1 * c1 / k)
+               + ((T2 - c2) - (T1 - c1) * (T1 - c1) / (n - k)),
+               6) AS cost
+  FROM scored
+  WHERE n >= 6 AND k >= 3 AND k <= n - 3
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY u
+                               ORDER BY cost, k) AS rn
+  FROM cands
+)
+SELECT u, CAST(n AS BIGINT) AS n_points,
+       CAST(k AS INT) AS split_k,
+       t_next AS split_order,
+       cost AS sse_split,
+       round(T2 - T1 * T1 / n, 6) AS sse_total,
+       round(CASE WHEN T2 - T1 * T1 / n > 0
+                  THEN 100.0 * (1.0 - cost / (T2 - T1 * T1 / n)) END,
+             6) AS reduction_pct
+FROM best WHERE rn = 1
+ORDER BY u
+"""
+
+
+def q_grid_clusters(spark, sf_dir):
+    """Grid-density clustering of the embedding map's first two
+    coordinates (density.grid_density_clusters, cell 0.05, min_pts 3):
+    dense cells -> 8-neighborhood region merge via iterative min-label
+    CC; points in sparse cells are NULL-cluster noise. The DuckDB twin
+    replays the grid exactly and resolves regions with a recursive-CTE
+    reachability min — labels are exact integers, so the match is
+    value-level."""
+    from mhm_data_pipelines_spark.operators.density import (
+        grid_density_clusters,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    out = grid_density_clusters(
+        pts, "x", "y", "vec_id", cell_size=0.05, min_pts=3
+    )
+    return out.orderBy("vec_id")
+
+
+SQL_GRID_CLUSTERS = """
+WITH RECURSIVE pts AS (
+  SELECT vec_id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT)
+           AS cx,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT)
+           AS cy
+  FROM embeddings
+  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+), binned AS (
+  SELECT vec_id, cx, cy,
+         (cx + 1000000) * 2000000 + (cy + 1000000) AS cid
+  FROM pts
+), dense AS (
+  SELECT cx, cy, cid, count(*) AS n
+  FROM binned GROUP BY 1, 2, 3 HAVING count(*) >= 3
+), edges AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cid <> b.cid
+), reach(node, lab) AS (
+  SELECT cid, cid FROM dense
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+)
+SELECT b.vec_id, b.cx, b.cy, c.cluster
+FROM binned b LEFT JOIN comp c ON c.node = b.cid
+ORDER BY b.vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15079,6 +15209,8 @@ QUERIES: dict[str, QuerySpec] = {
     "bayes_events": q_bayes_events,
     "entropy_ldiv": q_entropy_ldiv,
     "hw_forecast": q_hw_forecast,
+    "changepoint_shift": q_changepoint_shift,
+    "grid_clusters": q_grid_clusters,
     "robust_trend": q_robust_trend,
 }
 
@@ -15365,6 +15497,8 @@ ORACLES: dict[str, str] = {
     "bayes_events": SQL_BAYES_EVENTS,
     "entropy_ldiv": SQL_ENTROPY_LDIV,
     "hw_forecast": SQL_HW_FORECAST,
+    "changepoint_shift": SQL_CHANGEPOINT_SHIFT,
+    "grid_clusters": SQL_GRID_CLUSTERS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15421,6 +15555,8 @@ GATE_PRIORITY: list[str] = [
     "bayes_events",        # Beta-Binomial posterior A/B readout
     "entropy_ldiv",        # entropy l-diversity per QI class
     "hw_forecast",         # Holt-Winters seasonal smoothing
+    "changepoint_shift",   # single level-shift changepoint
+    "grid_clusters",       # grid-density clustering (region merge)
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15446,12 +15582,10 @@ GATE_PRIORITY: list[str] = [
     "embedding_neardup",
     "embedding_quantize",
     "embedding_topk",
-    "frame_samples",
-    "grouping_sets",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    ivf_topk, lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
+    #    frame_samples, grouping_sets, ivf_topk, lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
     #    pack_documents, pii_redaction, range_join (displaced by the
     #    r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
@@ -15699,6 +15833,8 @@ BENCH_QUERIES: list[str] = [
     "bayes_events",
     "entropy_ldiv",
     "hw_forecast",
+    "changepoint_shift",
+    "grid_clusters",
 ]
 
 

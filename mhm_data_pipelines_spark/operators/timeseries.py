@@ -1809,3 +1809,115 @@ def holt_winters(
         F.round("seasonal_next", 6).alias("seasonal_next"),
         F.round("forecast_1", 6).alias("forecast_1"),
     )
+
+
+def single_changepoint(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    min_seg: int = 2,
+) -> DataFrame:
+    """Best single level-shift changepoint per entity — the first
+    split of binary segmentation (Scott & Knott 1974; the inner step
+    of PELT-style detectors): the split position ``k`` minimizing
+    ``SSE(1..k) + SSE(k+1..n)``, reported with the no-split SSE and
+    the variance-explained reduction, so a caller can threshold
+    "is there a shift at all?" before trusting ``k``.
+
+    Pure window algebra — NO per-entity recursion: with prefix sums
+    ``c1 = Σy``, ``c2 = Σy²`` (ordered by ``order_col``; ties broken
+    by value order), every candidate split's cost is
+    ``(c2 − c1²/k) + ((T2−c2) − (T1−c1)²/(n−k))``. Costs are rounded
+    6dp before the argmin (prefix sums fold in the SAME ascending
+    order in any engine, so the grid is engine-identical); ties break
+    on the earlier split. Splits leaving a segment shorter than
+    ``min_seg`` are not candidates; entities with fewer than
+    ``2·min_seg`` points are omitted.
+
+    Returns ``(entity, n_points, split_k, split_order, sse_split,
+    sse_total, reduction_pct)`` — ``split_k`` is the LAST index of the
+    left segment, ``split_order`` the order value beginning the right
+    segment.
+
+    Scale shape: ONE shuffle partitions by entity; the prefix-sum
+    window, the candidate filter and the argmin window all reuse it.
+    """
+    if min_seg < 1:
+        raise ValueError(f"min_seg must be >= 1, got {min_seg}")
+    e = entity_col
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(entity_col).isNotNull()
+    ).select(
+        F.col(e).cast("string").alias(e),
+        F.col(order_col).cast("double").alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    wo = Window.partitionBy(e).orderBy("_t", "_y")
+    cum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    scored = base.select(
+        e,
+        "_t",
+        F.row_number().over(wo).alias("_k"),
+        F.count(F.lit(1)).over(Window.partitionBy(e)).alias("_n"),
+        F.sum("_y").over(cum).alias("_c1"),
+        F.sum(F.col("_y") * F.col("_y")).over(cum).alias("_c2"),
+        F.sum("_y").over(Window.partitionBy(e)).alias("_T1"),
+        F.sum(F.col("_y") * F.col("_y"))
+        .over(Window.partitionBy(e))
+        .alias("_T2"),
+        F.lead("_t").over(wo).alias("_t_next"),
+    )
+    k = F.col("_k").cast("double")
+    nk = (F.col("_n") - F.col("_k")).cast("double")
+    cost = F.round(
+        (F.col("_c2") - F.col("_c1") * F.col("_c1") / k)
+        + (
+            (F.col("_T2") - F.col("_c2"))
+            - (F.col("_T1") - F.col("_c1"))
+            * (F.col("_T1") - F.col("_c1"))
+            / nk
+        ),
+        6,
+    )
+    cands = scored.filter(
+        (F.col("_n") >= 2 * min_seg)
+        & (F.col("_k") >= min_seg)
+        & (F.col("_k") <= F.col("_n") - min_seg)
+    ).withColumn("_cost", cost)
+    wbest = Window.partitionBy(e).orderBy(F.asc("_cost"), F.asc("_k"))
+    best = cands.withColumn("_rn", F.row_number().over(wbest)).filter(
+        F.col("_rn") == 1
+    )
+    sse_total = F.round(
+        F.col("_T2")
+        - F.col("_T1") * F.col("_T1") / F.col("_n").cast("double"),
+        6,
+    )
+    return best.select(
+        F.col(e),
+        F.col("_n").alias("n_points"),
+        F.col("_k").alias("split_k"),
+        F.col("_t_next").alias("split_order"),
+        F.col("_cost").alias("sse_split"),
+        sse_total.alias("sse_total"),
+        F.round(
+            F.when(
+                F.col("_T2") - F.col("_T1") * F.col("_T1")
+                / F.col("_n").cast("double") > 0,
+                F.lit(100.0)
+                * (
+                    F.lit(1.0)
+                    - F.col("_cost")
+                    / (
+                        F.col("_T2")
+                        - F.col("_T1") * F.col("_T1")
+                        / F.col("_n").cast("double")
+                    )
+                ),
+            ),
+            6,
+        ).alias("reduction_pct"),
+    )

@@ -1083,3 +1083,73 @@ class TestHoltWinters:
             holt_winters(df, "e", "t", "y", period=1)
         with pytest.raises(ValueError, match="gamma"):
             holt_winters(df, "e", "t", "y", period=3, gamma=0.0)
+
+
+class TestSingleChangepoint:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "e string, t double, y double")
+
+    @staticmethod
+    def _reference(ys, min_seg=2):
+        n = len(ys)
+        t1, t2 = sum(ys), sum(y * y for y in ys)
+        best = None
+        for k in range(min_seg, n - min_seg + 1):
+            c1 = sum(ys[:k])
+            c2 = sum(y * y for y in ys[:k])
+            cost = round(
+                (c2 - c1 * c1 / k)
+                + ((t2 - c2) - (t1 - c1) ** 2 / (n - k)),
+                6,
+            )
+            if best is None or cost < best[1]:
+                best = (k, cost)
+        return best
+
+    def test_obvious_shift_found(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            single_changepoint,
+        )
+
+        ys = [1.0, 1.1, 0.9, 1.0, 5.0, 5.1, 4.9, 5.0]
+        rows = [("a", float(i), y) for i, y in enumerate(ys)]
+        r = single_changepoint(
+            self._df(spark, rows), "e", "t", "y"
+        ).collect()[0]
+        k, cost = self._reference(ys)
+        assert r["split_k"] == k == 4
+        assert r["split_order"] == 4.0  # right segment starts at t=4
+        assert r["sse_split"] == pytest.approx(cost, abs=1e-6)
+        assert r["reduction_pct"] > 95.0
+
+    def test_matches_reference_random(self, spark):
+        import random
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            single_changepoint,
+        )
+
+        rng = random.Random(5)
+        ys = [round(rng.uniform(0, 10), 2) for _ in range(41)]
+        rows = [("a", float(i), y) for i, y in enumerate(ys)]
+        r = single_changepoint(
+            self._df(spark, rows), "e", "t", "y", min_seg=3
+        ).collect()[0]
+        k, cost = self._reference(ys, min_seg=3)
+        assert r["split_k"] == k
+        assert r["sse_split"] == pytest.approx(cost, abs=1e-6)
+
+    def test_short_entities_omitted_and_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            single_changepoint,
+        )
+
+        rows = [("short", 1.0, 1.0), ("short", 2.0, 9.0),
+                ("short", 3.0, 1.0)]
+        rows += [("ok", float(i), float(i >= 2) * 10) for i in range(4)]
+        out = single_changepoint(
+            self._df(spark, rows), "e", "t", "y", min_seg=2
+        ).collect()
+        assert [r["e"] for r in out] == ["ok"]
+        with pytest.raises(ValueError, match="min_seg"):
+            single_changepoint(self._df(spark, rows), "e", "t", "y", 0)
