@@ -14931,6 +14931,78 @@ ORDER BY b.vec_id
 """
 
 
+def q_stream_cdc(spark, sf_dir):
+    """§2.9 streaming CDC maintenance end-to-end
+    (streaming.ingest.cdc_stream): the SAME deterministic changelog as
+    cdc_snapshot — derived from orders (U for key%3, D for key%5, I
+    under -k-1 for key%7) — but delivered through a file-source STREAM
+    into the foreachBatch bucket-pruned snapshot merger. The drained
+    snapshot must equal the batch operator's result, so the oracle is
+    cdc_snapshot's own SQL twin."""
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        cdc_stream,
+        read_cdc_snapshot,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+
+    def _stream_orders():
+        schema = (
+            spark.read.option("pathGlobFilter", "orders.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        st = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "orders.parquet")
+            .parquet(sf_dir)
+        )
+        return st.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+
+    upd = _stream_orders().filter(F.col("k") % 3 == 0).select(
+        "k",
+        F.lit("X").alias("status"),
+        (F.col("total") + F.lit(1.0)).alias("total"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = _stream_orders().filter(F.col("k") % 5 == 0).select(
+        "k",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("total"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = _stream_orders().filter(F.col("k") % 7 == 0).select(
+        (-F.col("k") - 1).alias("k"),
+        F.lit("N").alias("status"),
+        (F.col("total") + F.lit(1000.0)).alias("total"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    root = _scratch("mhm_stream_cdc_")
+    q = cdc_stream(
+        changes,
+        base,
+        f"{root}/snapshot",
+        ["k"],
+        checkpoint_dir=f"{root}/ckpt",
+        n_buckets=8,
+    )
+    q.awaitTermination(300)
+    return read_cdc_snapshot(spark, f"{root}/snapshot").orderBy("k")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15211,6 +15283,7 @@ QUERIES: dict[str, QuerySpec] = {
     "hw_forecast": q_hw_forecast,
     "changepoint_shift": q_changepoint_shift,
     "grid_clusters": q_grid_clusters,
+    "stream_cdc": q_stream_cdc,
     "robust_trend": q_robust_trend,
 }
 
@@ -15499,6 +15572,7 @@ ORACLES: dict[str, str] = {
     "hw_forecast": SQL_HW_FORECAST,
     "changepoint_shift": SQL_CHANGEPOINT_SHIFT,
     "grid_clusters": SQL_GRID_CLUSTERS,
+    "stream_cdc": SQL_CDC_SNAPSHOT,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15557,6 +15631,7 @@ GATE_PRIORITY: list[str] = [
     "hw_forecast",         # Holt-Winters seasonal smoothing
     "changepoint_shift",   # single level-shift changepoint
     "grid_clusters",       # grid-density clustering (region merge)
+    "stream_cdc",          # streaming bucket-pruned CDC snapshot
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15581,11 +15656,11 @@ GATE_PRIORITY: list[str] = [
     "embedding_centroids",
     "embedding_neardup",
     "embedding_quantize",
-    "embedding_topk",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    frame_samples, grouping_sets, ivf_topk, lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
+    #    embedding_topk, frame_samples, grouping_sets, ivf_topk,
+    #    lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
     #    pack_documents, pii_redaction, range_join (displaced by the
     #    r9-new keys),
     #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
@@ -15835,6 +15910,7 @@ BENCH_QUERIES: list[str] = [
     "hw_forecast",
     "changepoint_shift",
     "grid_clusters",
+    "stream_cdc",
 ]
 
 

@@ -440,3 +440,123 @@ def read_topk_table(
     return merged.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+def cdc_stream(
+    changes: DataFrame,
+    base: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    n_buckets: int = 16,
+):
+    """Maintain a parquet snapshot under a STREAMING changelog — the
+    Structured-Streaming face of :func:`..operators.cdc.cdc_apply`
+    (MERGE-INTO without a table format). ``base`` seeds the snapshot;
+    each micro-batch folds in via foreachBatch. Returns the started
+    query (``availableNow`` trigger — run, drain, exit; call
+    ``awaitTermination()``).
+
+    Scale design — the snapshot is NEVER rewritten whole: it is stored
+    hash-bucketed on the key (``_bucket = pmod(xxhash64(keys),
+    n_buckets)`` partition column), each batch only READS the buckets
+    its keys hash into (partition pruning on the filter) and only
+    REWRITES those buckets (dynamic partition overwrite). A 100 TB
+    snapshot under a 1 GB batch touches batch-sized data, not the
+    table. Within-batch conflicts resolve by cdc_apply's latest-seq
+    rule; ACROSS batches, arrival order applies batch-by-batch — the
+    standard CDC stream contract (per-key seq must not regress across
+    batches; within a batch any order is fine).
+
+    One deliberate driver action per batch: the touched-bucket list
+    and per-bucket survivor counts (both ≤ ``n_buckets`` rows) — the
+    latter because dynamic overwrite cannot write an EMPTY partition,
+    so a bucket whose last key was deleted is overwritten with a
+    zero-row parquet instead (stale rows gone, snapshot schema still
+    readable when the whole table empties).
+    """
+    from mhm_data_pipelines_spark.operators.cdc import cdc_apply
+
+    spark = base.sparkSession
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+    ).alias("_bucket")
+    base_cols = [c for c in base.columns]
+    (
+        base.select(*base_cols, bucket)
+        .write.partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(snapshot_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        b = batch_df.select(
+            "*",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols]),
+                F.lit(n_buckets),
+            ).alias("_bucket"),
+        )
+        touched = sorted(
+            r["_bucket"]
+            for r in b.select("_bucket").distinct().collect()
+        )  # bounded by n_buckets
+        current = (
+            sp.read.parquet(snapshot_dir)
+            .filter(F.col("_bucket").isin(touched))
+            .select(*base_cols)
+        )
+        merged = cdc_apply(
+            current, b.drop("_bucket"), key_cols, seq_col, op_col
+        ).select(
+            *base_cols,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols]),
+                F.lit(n_buckets),
+            ).alias("_bucket"),
+        )
+        # EAGER checkpoint, load-bearing twice over: (a) one compute
+        # for the write and the per-bucket counts below, and (b) the
+        # merge READS the very files the write below overwrites —
+        # materializing first is what makes read-then-overwrite safe.
+        merged = merged.localCheckpoint()
+        (
+            merged.write.partitionBy("_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(snapshot_dir)
+        )
+        nonempty = {
+            r["_bucket"]
+            for r in merged.groupBy("_bucket").count().collect()
+        }  # bounded by n_buckets
+        emptied = [t for t in touched if t not in nonempty]
+        for t in emptied:
+            # Overwrite the emptied bucket with a ZERO-ROW parquet
+            # rather than deleting the directory: stale rows go away,
+            # and the snapshot stays schema-readable even when every
+            # key in the table has been deleted.
+            (
+                merged.drop("_bucket")
+                .limit(0)
+                .write.mode("overwrite")
+                .parquet(f"{snapshot_dir}/_bucket={t}")
+            )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Current state maintained by :func:`cdc_stream` (bucket column
+    dropped)."""
+    return spark.read.parquet(snapshot_dir).drop("_bucket")

@@ -39,6 +39,8 @@ EXECUTES_ON_BUILD = {
     "stream_sketch_rollup",  # drains a two-batch sketch stream on build
     "stream_topk",  # drains a two-batch top-k stream on build
     "stream_manifest",  # drains a two-batch manifest stream on build
+    "stream_cdc",       # drains the changelog stream + rewrites the
+                        # bucketed snapshot on build
     "mmr_diverse",  # k greedy argmax rounds (bounded collects) on build
     "orc_roundtrip",     # writes the partitioned ORC dump on build
     "avro_roundtrip",    # writes the Avro containers on build (bounded

@@ -249,3 +249,124 @@ def test_topk_stream_merge_equals_batch_topk(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_stream_two_batches_and_bucket_emptying(spark, tmp_path):
+    """Streaming CDC maintenance: two micro-batches (two source files)
+    apply sequentially; a delete that empties an entire hash bucket
+    must remove the bucket directory, not leave stale rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhm_data_pipelines_spark.operators.cdc import cdc_apply
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        cdc_stream,
+        read_cdc_snapshot,
+    )
+
+    base_rows = [(k, f"s{k}", float(k) * 10) for k in range(1, 9)]
+    base = spark.createDataFrame(
+        base_rows, "k long, status string, total double"
+    )
+
+    ch_dir = tmp_path / "changes"
+    ch_dir.mkdir()
+    sch = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("status", pa.string()),
+            ("total", pa.float64()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+        ]
+    )
+
+    def _file(name, rows):
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        pq.write_table(
+            pa.table(
+                {f.name: list(c) for f, c in zip(sch, cols)}, schema=sch
+            ),
+            str(ch_dir / name),
+        )
+
+    # batch 1: update k=1, insert k=100, delete k=2
+    _file("b1.parquet", [
+        (1, "u1", 11.0, 1, "U"),
+        (100, "new", 5.0, 1, "I"),
+        (2, None, None, 1, "D"),
+    ])
+    # batch 2: delete the k=1 it updated, update k=100 again
+    _file("b2.parquet", [
+        (1, None, None, 2, "D"),
+        (100, "new2", 6.0, 2, "U"),
+    ])
+
+    changes = (
+        spark.readStream.schema(
+            "k long, status string, total double, seq long, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ch_dir))
+    )
+    snap = str(tmp_path / "snapshot")
+    q = cdc_stream(
+        changes, base, snap, ["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["k"]: (r["status"], r["total"])
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    # sequential batch replay with the batch operator as the reference
+    ch1 = spark.createDataFrame(
+        [(1, "u1", 11.0, 1, "U"), (100, "new", 5.0, 1, "I"),
+         (2, None, None, 1, "D")],
+        "k long, status string, total double, seq long, op string",
+    )
+    ch2 = spark.createDataFrame(
+        [(1, None, None, 2, "D"), (100, "new2", 6.0, 2, "U")],
+        "k long, status string, total double, seq long, op string",
+    )
+    want_df = cdc_apply(cdc_apply(base, ch1, ["k"]), ch2, ["k"])
+    want = {
+        r["k"]: (r["status"], r["total"]) for r in want_df.collect()
+    }
+    assert got == want
+    assert 1 not in got and 2 not in got and got[100] == ("new2", 6.0)
+
+
+def test_cdc_stream_single_key_bucket_fully_deleted(spark, tmp_path):
+    """n_buckets=1 forces every key into one bucket; deleting ALL keys
+    must leave an empty snapshot (the emptied-bucket directory is
+    removed, and reads return zero rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhm_data_pipelines_spark.streaming.ingest import (
+        cdc_stream,
+        read_cdc_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "k long, status string, total double",
+    )
+    ch_dir = tmp_path / "ch"
+    ch_dir.mkdir()
+    sch = "k long, status string, total double, seq long, op string"
+    spark.createDataFrame(
+        [(1, None, None, 1, "D"), (2, None, None, 1, "D")], sch
+    ).coalesce(1).write.parquet(str(ch_dir / "b1"))
+    changes = spark.readStream.schema(sch).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(ch_dir))
+    snap = str(tmp_path / "snap")
+    q = cdc_stream(
+        changes, base, snap, ["k"],
+        checkpoint_dir=str(tmp_path / "ck"), n_buckets=1,
+    )
+    q.awaitTermination(180)
+    assert read_cdc_snapshot(spark, snap).count() == 0
