@@ -15003,6 +15003,85 @@ def q_stream_cdc(spark, sf_dir):
     return read_cdc_snapshot(spark, f"{root}/snapshot").orderBy("k")
 
 
+def q_jaccard_linkpred(spark, sf_dir):
+    """Jaccard-coefficient link prediction (graph.jaccard_links) over
+    the urgent-order part co-occurrence graph — adamic_adar's
+    normalized sibling on the identical graph and hub_cap=48, so the
+    two keys differ ONLY in the scoring contract. Scores are exact
+    integer ratios; ordering rides the integer (common, keys) sort."""
+    from mhm_data_pipelines_spark.operators.graph import jaccard_links
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    out = jaccard_links(edges, hub_cap=48)
+    return (
+        out.select(
+            F.col("node_a").cast("long").alias("node_a"),
+            F.col("node_b").cast("long").alias("node_b"),
+            F.col("common_neighbors").cast("long").alias(
+                "common_neighbors"
+            ),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), "node_a", "node_b")
+        .limit(200)
+    )
+
+
+SQL_JACCARD_LINKPRED = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l
+  JOIN orders r ON r.o_orderkey = l.l_orderkey
+  WHERE r.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), sym AS (
+  SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e
+), deg AS (
+  SELECT s, count(*) AS dg FROM sym GROUP BY s
+), adj AS (
+  SELECT sym.s AS z, sym.d AS n
+  FROM sym JOIN deg ON deg.s = sym.s
+  WHERE deg.dg BETWEEN 2 AND 48
+), common AS (
+  SELECT a1.n AS node_a, a2.n AS node_b, count(*) AS cn
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+  GROUP BY 1, 2
+)
+SELECT CAST(c.node_a AS BIGINT) AS node_a,
+       CAST(c.node_b AS BIGINT) AS node_b,
+       CAST(c.cn AS BIGINT) AS common_neighbors,
+       round(c.cn * 1.0 / (dx.dg + dy.dg - c.cn), 6) AS jaccard
+FROM common c
+JOIN deg dx ON dx.s = c.node_a
+JOIN deg dy ON dy.s = c.node_b
+LEFT JOIN e ON e.x = c.node_a AND e.y = c.node_b
+WHERE e.x IS NULL
+ORDER BY c.cn DESC, c.node_a, c.node_b
+LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15284,6 +15363,7 @@ QUERIES: dict[str, QuerySpec] = {
     "changepoint_shift": q_changepoint_shift,
     "grid_clusters": q_grid_clusters,
     "stream_cdc": q_stream_cdc,
+    "jaccard_linkpred": q_jaccard_linkpred,
     "robust_trend": q_robust_trend,
 }
 
@@ -15573,6 +15653,7 @@ ORACLES: dict[str, str] = {
     "changepoint_shift": SQL_CHANGEPOINT_SHIFT,
     "grid_clusters": SQL_GRID_CLUSTERS,
     "stream_cdc": SQL_CDC_SNAPSHOT,
+    "jaccard_linkpred": SQL_JACCARD_LINKPRED,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15632,6 +15713,7 @@ GATE_PRIORITY: list[str] = [
     "changepoint_shift",   # single level-shift changepoint
     "grid_clusters",       # grid-density clustering (region merge)
     "stream_cdc",          # streaming bucket-pruned CDC snapshot
+    "jaccard_linkpred",    # Jaccard link prediction (wedge join)
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15655,11 +15737,11 @@ GATE_PRIORITY: list[str] = [
     "dup_groups",
     "embedding_centroids",
     "embedding_neardup",
-    "embedding_quantize",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    embedding_topk, frame_samples, grouping_sets, ivf_topk,
+    #    embedding_quantize, embedding_topk, frame_samples,
+    #    grouping_sets, ivf_topk,
     #    lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
     #    pack_documents, pii_redaction, range_join (displaced by the
     #    r9-new keys),
@@ -15911,6 +15993,7 @@ BENCH_QUERIES: list[str] = [
     "changepoint_shift",
     "grid_clusters",
     "stream_cdc",
+    "jaccard_linkpred",
 ]
 
 

@@ -477,3 +477,70 @@ def adamic_adar(
         "common_neighbors",
         "aa_score",
     )
+
+
+def jaccard_links(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    hub_cap: int | None = None,
+    include_existing: bool = False,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction over an undirected simple
+    graph: for candidate pairs (x < y) sharing a neighbor,
+    ``jaccard = |N(x)∩N(y)| / (deg x + deg y − |N(x)∩N(y)|)`` — the
+    normalized sibling of :func:`adamic_adar` (same wedge machinery,
+    different weighting): AA favors selective shared neighbors,
+    Jaccard penalizes mismatched neighborhood SIZES, the better signal
+    when near-dup/same-entity pairs should overlap almost completely.
+
+    Same graph contract and hub-cap semantics as :func:`adamic_adar`:
+    symmetrize / collapse parallels / drop self-loops; degrees on the
+    FULL graph; ``hub_cap`` excludes over-cap nodes from serving as
+    the wedge CENTER only — so the common count (and therefore the
+    score) is a LOWER BOUND when hubs are capped, the documented
+    trade-off that keeps the wedge fan-out quadratically bounded.
+
+    Returns ``(node_a, node_b, common_neighbors, jaccard)``,
+    node_a < node_b; the score is an exact integer ratio.
+    """
+    if hub_cap is not None and hub_cap < 2:
+        raise ValueError(f"hub_cap must be >= 2, got {hub_cap}")
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") >= 2)
+    if hub_cap is not None:
+        centers = centers.filter(F.col("deg") <= int(hub_cap))
+    adj = sym.join(centers.select("a"), "a").select(
+        F.col("a").alias("z"), F.col("b").alias("n")
+    )
+    lhs = adj.select("z", F.col("n").alias("x"))
+    rhs = adj.select("z", F.col("n").alias("y"))
+    common = (
+        lhs.join(rhs, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("deg").alias("_dx"))
+    dy = deg.select(F.col("a").alias("y"), F.col("deg").alias("_dy"))
+    scored = common.join(dx, "x").join(dy, "y")
+    if not include_existing:
+        und = sym.filter(F.col("a") < F.col("b")).select(
+            F.col("a").alias("x"), F.col("b").alias("y")
+        )
+        scored = scored.join(und, ["x", "y"], "left_anti")
+    jac = F.col("common_neighbors").cast("double") / (
+        F.col("_dx") + F.col("_dy") - F.col("common_neighbors")
+    ).cast("double")
+    return scored.select(
+        F.col("x").alias("node_a"),
+        F.col("y").alias("node_b"),
+        "common_neighbors",
+        jac.alias("jaccard"),
+    )

@@ -405,3 +405,57 @@ class TestAdamicAdar:
         for p in want:
             assert got[p][0] == want[p][0]
             assert got[p][1] == pytest.approx(want[p][1])
+
+
+class TestJaccardLinks:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_hand_computed(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import jaccard_links
+
+        # path graph 1-2-3 plus 1-4, 3-4: N(1)={2,4}, N(3)={2,4},
+        # pair (1,3): common {2,4} = 2, deg1=2, deg3=2 -> 2/(2+2-2)=1.0
+        edges = self._edges(
+            spark, [(1, 2), (2, 3), (1, 4), (3, 4)]
+        )
+        out = {
+            (r["node_a"], r["node_b"]): r
+            for r in jaccard_links(edges).collect()
+        }
+        assert out[(1, 3)]["common_neighbors"] == 2
+        assert out[(1, 3)]["jaccard"] == pytest.approx(1.0)
+        # (2,4): common {1,3} = 2, deg2=2, deg4=2 -> 1.0
+        assert out[(2, 4)]["jaccard"] == pytest.approx(1.0)
+        # existing edges excluded by default
+        assert (1, 2) not in out
+
+    def test_include_existing_and_selfloops(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import jaccard_links
+
+        edges = self._edges(
+            spark, [(1, 2), (2, 3), (1, 3), (1, 1)]
+        )
+        out = {
+            (r["node_a"], r["node_b"]): r["jaccard"]
+            for r in jaccard_links(
+                edges, include_existing=True
+            ).collect()
+        }
+        # triangle: every pair shares exactly 1 neighbor, degs all 2
+        # -> 1/(2+2-1)
+        for p in [(1, 2), (1, 3), (2, 3)]:
+            assert out[p] == pytest.approx(1 / 3)
+
+    def test_hub_cap_excludes_center_only(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import jaccard_links
+
+        # star center 0 with leaves 1..5: every leaf pair shares only
+        # the hub. hub_cap=4 < deg(0)=5 -> no wedges survive.
+        edges = self._edges(spark, [(0, i) for i in range(1, 6)])
+        assert jaccard_links(edges, hub_cap=4).count() == 0
+        out = jaccard_links(edges).collect()
+        # uncapped: all 10 leaf pairs, jaccard = 1/(1+1-1) = 1
+        assert len(out) == 10
+        with pytest.raises(ValueError, match="hub_cap"):
+            jaccard_links(edges, hub_cap=1)
