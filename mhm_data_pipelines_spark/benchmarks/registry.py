@@ -15082,6 +15082,133 @@ LIMIT 200
 """
 
 
+def q_ipw_lift(spark, sf_dir):
+    """Inverse-propensity-weighted treatment effect
+    (stats_tests.ipw_report): arm = user parity, outcome = value,
+    strata = event_type. Propensities are exact per-stratum integer
+    ratios, so both engines weight identical doubles."""
+    from mhm_data_pipelines_spark.operators.stats_tests import ipw_report
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 1, "T").otherwise("C").alias("arm"),
+        F.col("value").alias("y"),
+    )
+    return ipw_report(df, "arm", "y", ["event_type"], "T")
+
+
+SQL_IPW_LIFT = """
+WITH base AS (
+  SELECT event_type AS s,
+         (user_id % 2 = 1) AS t,
+         value AS y
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+), strata AS (
+  SELECT s, count(*) AS n_s,
+         sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt_s
+  FROM base GROUP BY s
+), joined AS (
+  SELECT b.t, b.y,
+         st.nt_s > 0 AND st.nt_s < st.n_s AS ov,
+         CASE WHEN b.t
+              THEN 1.0 / (st.nt_s * 1.0 / st.n_s)
+              ELSE 1.0 / (1.0 - st.nt_s * 1.0 / st.n_s) END AS w
+  FROM base b JOIN strata st ON st.s = b.s
+), agg AS (
+  SELECT CAST(sum(CASE WHEN ov THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+         CAST(sum(CASE WHEN ov AND t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(sum(CASE WHEN ov AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(sum(CASE WHEN NOT ov THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_overlap,
+         sum(CASE WHEN ov AND t THEN y * w END) AS tyw,
+         sum(CASE WHEN ov AND t THEN w END) AS tw,
+         sum(CASE WHEN ov AND NOT t THEN y * w END) AS cyw,
+         sum(CASE WHEN ov AND NOT t THEN w END) AS cw
+  FROM joined
+), ns AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata FROM strata
+)
+SELECT n_used, n_treat, n_control, n_no_overlap, ns.n_strata,
+       round(tyw / tw, 6) AS mu_treat,
+       round(cyw / cw, 6) AS mu_control,
+       round(tyw / tw - cyw / cw, 6) AS ate
+FROM agg CROSS JOIN ns
+"""
+
+
+#: RBO weight literals shared VERBATIM between the Spark operator and
+#: the SQL twin: suf[m] = sum_{d=m..k} p^(d-1)/d accumulated
+#: high-to-low (the operator pins the same fold order).
+_RBO_P, _RBO_K = 0.9, 50
+_rbo_suf: list[float] = [0.0] * (_RBO_K + 2)
+_acc = 0.0
+for _d in range(_RBO_K, 0, -1):
+    _acc = _acc + _RBO_P ** (_d - 1) / _d
+    _rbo_suf[_d] = _acc
+_RBO_VALUES = ", ".join(
+    f"({m}, {_rbo_suf[m]!r})" for m in range(1, _RBO_K + 1)
+)
+
+
+def q_rbo_rankers(spark, sf_dir):
+    """Rank-biased overlap between two user rankers per event type
+    (ranking.rank_biased_overlap, p=0.9, k=50): ranker A = mean value
+    (6dp), ranker B = event count. The suffix-weight literals are
+    generated once and embedded in BOTH engines' plans."""
+    from mhm_data_pipelines_spark.operators.ranking import (
+        rank_biased_overlap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    judged = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("q"),
+            F.col("user_id").alias("it"),
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("sa"),
+            F.count(F.lit(1)).cast("double").alias("sb"),
+        )
+    )
+    out = rank_biased_overlap(
+        judged, "q", "it", "sa", "sb", p=_RBO_P, k=_RBO_K
+    )
+    return out.orderBy("q")
+
+
+SQL_RBO_RANKERS = f"""
+WITH judged AS (
+  SELECT event_type AS q, user_id AS it,
+         round(avg(value), 6) AS sa,
+         CAST(count(*) AS DOUBLE) AS sb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q,
+         row_number() OVER (PARTITION BY q ORDER BY sa DESC, it) AS ra,
+         row_number() OVER (PARTITION BY q ORDER BY sb DESC, it) AS rb
+  FROM judged
+), wt(m, w) AS (
+  SELECT * FROM (VALUES {_RBO_VALUES})
+), contrib AS (
+  SELECT r.q, wt.w
+  FROM ranked r
+  LEFT JOIN wt ON wt.m = greatest(r.ra, r.rb)
+)
+SELECT q, CAST(count(*) AS BIGINT) AS n_items,
+       round({1.0 - _RBO_P!r} * coalesce(sum(w), 0.0), 6) AS rbo_k
+FROM contrib
+GROUP BY q
+ORDER BY q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15364,6 +15491,8 @@ QUERIES: dict[str, QuerySpec] = {
     "grid_clusters": q_grid_clusters,
     "stream_cdc": q_stream_cdc,
     "jaccard_linkpred": q_jaccard_linkpred,
+    "ipw_lift": q_ipw_lift,
+    "rbo_rankers": q_rbo_rankers,
     "robust_trend": q_robust_trend,
 }
 
@@ -15654,6 +15783,8 @@ ORACLES: dict[str, str] = {
     "grid_clusters": SQL_GRID_CLUSTERS,
     "stream_cdc": SQL_CDC_SNAPSHOT,
     "jaccard_linkpred": SQL_JACCARD_LINKPRED,
+    "ipw_lift": SQL_IPW_LIFT,
+    "rbo_rankers": SQL_RBO_RANKERS,
     "robust_trend": SQL_ROBUST_TREND,
 }
 
@@ -15714,6 +15845,8 @@ GATE_PRIORITY: list[str] = [
     "grid_clusters",       # grid-density clustering (region merge)
     "stream_cdc",          # streaming bucket-pruned CDC snapshot
     "jaccard_linkpred",    # Jaccard link prediction (wedge join)
+    "ipw_lift",            # inverse-propensity treatment effect
+    "rbo_rankers",         # rank-biased overlap of two rankers
     # (c) the stalest committed-green tier (r3-last-green, 40 keys
     #     post-r8), alphabetical-first fill of the remaining slots; the
     #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
@@ -15735,12 +15868,11 @@ GATE_PRIORITY: list[str] = [
     "doc_repetition",
     "doc_token_stats",
     "dup_groups",
-    "embedding_centroids",
-    "embedding_neardup",
     # (end of round-9 rotation)
     #
     # -- r10 rotation queue (stalest-first after a green r9):
-    #    embedding_quantize, embedding_topk, frame_samples,
+    #    embedding_centroids, embedding_neardup, embedding_quantize,
+    #    embedding_topk, frame_samples,
     #    grouping_sets, ivf_topk,
     #    lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
     #    pack_documents, pii_redaction, range_join (displaced by the
@@ -15994,6 +16126,8 @@ BENCH_QUERIES: list[str] = [
     "grid_clusters",
     "stream_cdc",
     "jaccard_linkpred",
+    "ipw_lift",
+    "rbo_rankers",
 ]
 
 

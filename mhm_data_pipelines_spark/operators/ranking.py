@@ -294,3 +294,75 @@ def ranking_metrics(
             6,
         ).alias("ap_k"),
     )
+
+
+def rank_biased_overlap(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    p: float = 0.9,
+    k: int = 50,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    rankers of the SAME item set, per query — the principled
+    "how similar are these two rankings?" metric: top-weighted (the
+    geometric ``p`` discount makes rank-1 disagreement matter far
+    more than rank-40), bounded [0, 1], defined without a gold
+    labeling. The standard readout when swapping a scorer: "RBO 0.95
+    vs prod" is a shippable sentence, Kendall's tau over full lists is
+    not.
+
+    Truncated form: ``rbo@k = (1−p) · Σ_{d=1}^{k} p^{d−1}·X_d/d``
+    where ``X_d`` is the overlap of the two depth-d prefixes. Since
+    both rankings cover the same items, an item with ranks (ra, rb)
+    joins every prefix pair from depth ``m = max(ra, rb)`` on, so its
+    total contribution is the SUFFIX SUM ``Σ_{d=m}^{k} p^{d−1}/d`` —
+    precomputed here as a k-element literal array shared verbatim
+    with the SQL twin (identical doubles in, identical out). Rows
+    with NULL scores are dropped; both ranks use the item key as the
+    deterministic tiebreak.
+
+    Returns ``(query, n_items, rbo_k)`` (6dp). Scale shape: one
+    query-partitioned shuffle; both rank windows and the final hash
+    aggregate reuse it; the weight lookup is an ``element_at`` on a
+    literal array — no join.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # suf[m] = sum_{d=m..k} p^(d-1)/d, 1-indexed — accumulated
+    # HIGH-to-LOW so the float fold order is pinned (the SQL twin
+    # embeds these exact literals, it never recomputes them)
+    terms = [p ** (d - 1) / d for d in range(1, k + 1)]
+    acc = 0.0
+    suf = [0.0] * (k + 2)
+    for d in range(k, 0, -1):
+        acc = acc + terms[d - 1]
+        suf[d] = acc
+    weights = F.array(*[F.lit(float(suf[m])) for m in range(1, k + 1)])
+    base = df.filter(
+        F.col(score_a_col).isNotNull() & F.col(score_b_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("it"),
+        F.col(score_a_col).cast("double").alias("sa"),
+        F.col(score_b_col).cast("double").alias("sb"),
+    )
+    wa = Window.partitionBy("q").orderBy(F.desc("sa"), F.asc("it"))
+    wb = Window.partitionBy("q").orderBy(F.desc("sb"), F.asc("it"))
+    ranked = base.select(
+        "q",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    m = F.greatest("ra", "rb")
+    contrib = F.when(m <= k, F.element_at(weights, m.cast("int")))
+    return ranked.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.lit(1.0 - p) * F.coalesce(F.sum(contrib), F.lit(0.0)), 6
+        ).alias("rbo_k"),
+    ).select(F.col("q").alias(query_col), "n_items", "rbo_k")

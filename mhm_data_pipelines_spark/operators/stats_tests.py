@@ -54,6 +54,7 @@ __all__ = [
     "srm_check",
     "did_report",
     "bayes_ab",
+    "ipw_report",
 ]
 
 
@@ -1339,4 +1340,92 @@ def bayes_ab(
         F.round("_m", 6).alias("post_mean"),
         F.round("_v", 9).alias("post_var"),
         F.round(p, 6).alias("p_beats_control"),
+    )
+
+
+def ipw_report(
+    df: DataFrame,
+    arm_col: str,
+    outcome_col: str,
+    strata_cols: Sequence[str],
+    treat_value,
+) -> DataFrame:
+    """Inverse-propensity-weighted treatment-effect readout for
+    OBSERVATIONAL comparisons (Horvitz-Thompson weighting with the
+    Hájek ratio form; Rosenbaum & Rubin 1983 for the propensity
+    idea): when assignment was NOT randomized, a raw arm-mean
+    difference confounds assignment with the strata that drove it.
+    Propensity here is the exact STRATIFIED rate
+    ``e(s) = n_treat(s) / n(s)`` over the given strata columns;
+    treated rows weight ``1/e(s)``, controls ``1/(1−e(s))``, and
+
+        ``ate = Σ_t y/e / Σ_t 1/e  −  Σ_c y/(1−e) / Σ_c 1/(1−e)``
+
+    Strata with NO overlap (every row treated, or none — the
+    positivity violation) cannot be weighted; their rows are DROPPED
+    and counted in ``n_no_overlap`` so the violation is visible, not
+    silent. NULL outcome/arm/strata rows are dropped.
+
+    Returns ONE row: ``n_used``, ``n_treat``, ``n_control``,
+    ``n_no_overlap``, ``n_strata``, ``mu_treat``, ``mu_control``,
+    ``ate`` (6dp).
+
+    Scale shape: one hash aggregate to the strata table, one
+    co-partitioned join attaching ``e(s)`` back (no broadcast
+    assumption — strata can be high-cardinality), one single-row
+    aggregate. The propensities are exact integer ratios, so both
+    engines weight identical doubles.
+    """
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    base = df.filter(
+        F.col(outcome_col).isNotNull() & F.col(arm_col).isNotNull()
+    )
+    for c in strata_cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.select(
+        *[F.col(c) for c in strata_cols],
+        (F.col(arm_col) == F.lit(treat_value)).alias("_t"),
+        F.col(outcome_col).cast("double").alias("_y"),
+    )
+    strata = base.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("_n_s"),
+        F.sum(F.col("_t").cast("int")).alias("_nt_s"),
+    )
+    joined = base.join(strata, list(strata_cols))
+    overlap = (F.col("_nt_s") > 0) & (F.col("_nt_s") < F.col("_n_s"))
+    e = F.col("_nt_s").cast("double") / F.col("_n_s").cast("double")
+    w = F.when(F.col("_t"), F.lit(1.0) / e).otherwise(
+        F.lit(1.0) / (F.lit(1.0) - e)
+    )
+    agg = joined.agg(
+        F.sum(F.when(overlap, 1).otherwise(0)).cast("long").alias("n_used"),
+        F.sum(F.when(overlap & F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(overlap & ~F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(~overlap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_overlap"),
+        F.sum(F.when(overlap & F.col("_t"), F.col("_y") * w)).alias("_tyw"),
+        F.sum(F.when(overlap & F.col("_t"), w)).alias("_tw"),
+        F.sum(F.when(overlap & ~F.col("_t"), F.col("_y") * w)).alias("_cyw"),
+        F.sum(F.when(overlap & ~F.col("_t"), w)).alias("_cw"),
+    )
+    n_strata = strata.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata")
+    )
+    mu_t = F.col("_tyw") / F.col("_tw")
+    mu_c = F.col("_cyw") / F.col("_cw")
+    return agg.crossJoin(F.broadcast(n_strata)).select(
+        "n_used",
+        "n_treat",
+        "n_control",
+        "n_no_overlap",
+        "n_strata",
+        F.round(mu_t, 6).alias("mu_treat"),
+        F.round(mu_c, 6).alias("mu_control"),
+        F.round(mu_t - mu_c, 6).alias("ate"),
     )

@@ -160,6 +160,9 @@ SINGLE_ROW_BROADCAST_OK = {
                           # tiny-aggregate cross by design; the
                           # element-volume join is the kept⋈kept
                           # hash equi-join
+    "ipw_lift",           # crossJoin(broadcast(1-row n_strata)) onto
+                          # the single-row IPW aggregate — the scalar
+                          # report-assembly shape
     "hard_negatives",     # corpus × broadcast(5 query rows) with the
                           # label-mismatch predicate in the join —
                           # bounded broadcast cross by design; compose

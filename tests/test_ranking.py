@@ -187,3 +187,116 @@ class TestRankingMetrics:
         assert r["n_items"] == 1
         with pytest.raises(ValueError, match="k must be"):
             ranking_metrics(self._df(spark, rows), k=0)
+
+
+class TestRankBiasedOverlap:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "q string, it long, sa double, sb double"
+        )
+
+    @staticmethod
+    def _reference(items, p, k):
+        """Textbook truncated RBO: (1-p) * sum p^(d-1) * X_d / d."""
+        ra = {it: r + 1 for r, (it, _, _) in enumerate(
+            sorted(items, key=lambda x: (-x[1], x[0])))}
+        rb = {it: r + 1 for r, (it, _, _) in enumerate(
+            sorted(items, key=lambda x: (-x[2], x[0])))}
+        total = 0.0
+        for d in range(1, k + 1):
+            xd = sum(
+                1 for it in ra if ra[it] <= d and rb[it] <= d
+            )
+            total += p ** (d - 1) * xd / d
+        return (1 - p) * total
+
+    def test_identical_rankings_approach_one(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            rank_biased_overlap,
+        )
+
+        rows = [("A", i, 100.0 - i, 200.0 - 2 * i) for i in range(10)]
+        r = rank_biased_overlap(
+            self._df(spark, rows), "q", "it", "sa", "sb",
+            p=0.9, k=50,
+        ).collect()[0]
+        want = self._reference([(i, 100.0 - i, 200.0 - 2 * i)
+                                for i in range(10)], 0.9, 50)
+        assert r["rbo_k"] == pytest.approx(want, abs=1e-6)
+        # identical 10-item lists at k=50: X_d/d < 1 past depth 10,
+        # so truncated RBO tops out at ~0.855 (the extrapolated full
+        # metric, not computed here, is what reaches 1.0)
+        assert r["rbo_k"] == pytest.approx(0.854709, abs=1e-5)
+
+    def test_disjoint_prefix_scores_low_and_matches_reference(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            rank_biased_overlap,
+        )
+
+        import random
+
+        rng = random.Random(2)
+        items = [(i, rng.random(), rng.random()) for i in range(25)]
+        rows = [("A", i, a, b) for i, a, b in items]
+        r = rank_biased_overlap(
+            self._df(spark, rows), "q", "it", "sa", "sb",
+            p=0.8, k=25,
+        ).collect()[0]
+        want = self._reference(items, 0.8, 25)
+        assert r["rbo_k"] == pytest.approx(want, abs=1e-6)
+
+    def test_reversed_ranking_and_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.ranking import (
+            rank_biased_overlap,
+        )
+
+        rows = [("A", i, float(i), float(-i)) for i in range(6)]
+        r = rank_biased_overlap(
+            self._df(spark, rows), "q", "it", "sa", "sb",
+            p=0.9, k=10,
+        ).collect()[0]
+        want = self._reference(
+            [(i, float(i), float(-i)) for i in range(6)], 0.9, 10
+        )
+        assert r["rbo_k"] == pytest.approx(want, abs=1e-6)
+        with pytest.raises(ValueError, match="p must"):
+            rank_biased_overlap(
+                self._df(spark, rows), "q", "it", "sa", "sb", p=1.0
+            )
+
+
+class TestIpwReport:
+    def test_hand_computed_confounded_lift(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            ipw_report,
+        )
+
+        # stratum s1: 75% treated (e=.75); s2: 25% treated (e=.25).
+        # outcomes differ by stratum, not treatment -> true ATE 0.
+        rows = []
+        rows += [("s1", "T", 10.0)] * 3 + [("s1", "C", 10.0)]
+        rows += [("s2", "T", 2.0)] + [("s2", "C", 2.0)] * 3
+        df = spark.createDataFrame(rows, "s string, arm string, y double")
+        r = ipw_report(df, "arm", "y", ["s"], "T").collect()[0]
+        assert r["n_used"] == 8 and r["n_no_overlap"] == 0
+        # mu_t = (3*10/.75 + 2/.25)/(3/.75 + 1/.25) = 48/8 = 6
+        assert r["mu_treat"] == pytest.approx(6.0)
+        assert r["mu_control"] == pytest.approx(6.0)
+        assert r["ate"] == pytest.approx(0.0)
+        # naive arm means would be (32/4=8) vs (16/4=4): lift of 4
+        # that IPW correctly removes.
+
+    def test_no_overlap_strata_dropped_loudly(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            ipw_report,
+        )
+
+        rows = [("all_t", "T", 1.0), ("all_t", "T", 2.0),
+                ("mix", "T", 3.0), ("mix", "C", 5.0)]
+        df = spark.createDataFrame(rows, "s string, arm string, y double")
+        r = ipw_report(df, "arm", "y", ["s"], "T").collect()[0]
+        assert r["n_no_overlap"] == 2 and r["n_used"] == 2
+        assert r["n_strata"] == 2
+        assert r["mu_treat"] == pytest.approx(3.0)
+        with pytest.raises(ValueError, match="strata_cols"):
+            ipw_report(df, "arm", "y", [], "T")
