@@ -136,6 +136,18 @@ def build_stdout_record(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Optional subset + output override, used by the sf1 baseline-set
+    # run (BENCH_sf1.json — VERDICT r8 #5): same harness, same timing
+    # policy, different key list and record path, so the two-scale
+    # numbers are produced by identical machinery.
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    bench_keys = (
+        [k for k in keys_env.split(",") if k] if keys_env else BENCH_QUERIES
+    )
+    unknown = [k for k in bench_keys if k not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown bench keys: {unknown}")
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     spark = get_spark(
         app_name="mhm-bench",
         master=f"local[{cpus}]",
@@ -178,7 +190,7 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_keys:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()
@@ -211,7 +223,10 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    crit = criterion_summary(warm)
+    # The frozen criterion baseline (BENCH_r02.json) was recorded at
+    # sf0.1 — ratios against it only mean something at that scale.
+    sf_val = float(sf) if sf else None
+    crit = criterion_summary(warm) if sf_val == 0.1 else None
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(cold.values()), 3),
@@ -219,13 +234,13 @@ def main() -> None:
         "queries": cold,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "sf": float(sf) if sf else None,
+        "sf": sf_val,
         "warm_policy": "median-of-3 when first warm run < 1 s",
         "criterion": crit,
     }
     # Full record (cold + warm maps, 3-dec) for scripts/bench_diff.py.
     local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     with open(local_path, "w") as f:
         json.dump(full, f, indent=1)

@@ -892,6 +892,85 @@ NOTES = {
         "countDistinct expands to the usual two-phase distinct "
         "aggregate."
     ),
+    "ranking_quality": (
+        "nDCG/MRR/AP: ONE hash Exchange partitions by query; the "
+        "actual-rank, ideal-rank and running-positive windows plus "
+        "the final per-query aggregate all reuse that partitioning - "
+        "no second corpus shuffle."
+    ),
+    "skyline_users": (
+        "Pareto skyline: per-user aggregate (one Exchange), then two "
+        "mapInPandas dominance sweeps - partition-local skylines, "
+        "coalesce(1) merge over the skyline-sized union; no dominance "
+        "join exists in the plan at all."
+    ),
+    "cdc_snapshot": (
+        "CDC merge: latest-winner window on the key Exchange, "
+        "anti-join of base against winners reuses key partitioning; "
+        "union of untouched + survivors - no broadcast assumption on "
+        "either side."
+    ),
+    "mk_trend": (
+        "Mann-Kendall: one hash aggregate packs each entity's series "
+        "(collect_list+array_sort), the O(n^2) pair sweep runs inside "
+        "mapInPandas on packed arrays; z/p are engine-side "
+        "expressions - one Exchange total."
+    ),
+    "lttb_downsample": (
+        "LTTB: entity Exchange reused by the rank window, the "
+        "(entity,bucket) mean aggregate, the prev/next mean joins and "
+        "the per-bucket argmax window; bucket means are "
+        "dimension-sized."
+    ),
+    "bayes_events": (
+        "Beta-Binomial A/B: one hash aggregate to the arms-sized "
+        "table; the control posterior attaches via a full-table "
+        "window over that arms table - no join, no second corpus "
+        "pass."
+    ),
+    "entropy_ldiv": (
+        "entropy l-diversity: two stacked hash aggregates (cells -> "
+        "classes); the entropy folds as ln(n) - sum(c ln c)/n inside "
+        "the second aggregate - no joins, no windows."
+    ),
+    "hw_forecast": (
+        "Holt-Winters: the daily pre-aggregate plus ONE pack "
+        "aggregate; the coupled recursion is a single mapInPandas "
+        "over packed arrays - entity-hash Exchange only."
+    ),
+    "changepoint_shift": (
+        "changepoint: prefix-sum windows, candidate filter and argmin "
+        "window all share the entity Exchange; costs are pure window "
+        "algebra - no per-entity recursion, no UDF."
+    ),
+    "grid_clusters": (
+        "grid clustering: per-cell hash aggregate, dense-cell "
+        "8-neighbor equi-join on shifted keys (grid-sized), iterative "
+        "min-label CC on the cell graph; the corpus shuffles once "
+        "for binning and once to join labels back."
+    ),
+    "jaccard_linkpred": (
+        "Jaccard links: same degree aggregate + center-keyed wedge "
+        "equi-join as adamic_adar (hub-capped fan-out), then two "
+        "degree joins and the existing-edge anti-join - all "
+        "key-partitioned equi-joins."
+    ),
+    "ipw_lift": (
+        "IPW: strata hash aggregate, co-partitioned propensity "
+        "re-attach join, single-row rollup; the 1-row n_strata "
+        "crosses back as a broadcast scalar."
+    ),
+    "rbo_rankers": (
+        "RBO: one query Exchange for both rank windows; the weight "
+        "lookup is element_at on a literal array - no join; final "
+        "per-query hash aggregate."
+    ),
+    "stream_cdc": (
+        "streaming CDC: foreachBatch merge - the batch plan reads "
+        "ONLY the buckets the batch keys hash into (partition "
+        "pruning on _bucket) and dynamically overwrites only those; "
+        "the drained snapshot read is a plain partitioned scan."
+    ),
 }
 
 

@@ -90,6 +90,13 @@ HEAVY = [
     # pass + tuple-grouped prefix counts) — measured 2.0s warm at
     # sf0.1, i.e. exactly on the auto-HEAVY line.
     "session_paths",
+    # round-9: the three new keys over the 2s warm auto-HEAVY line —
+    # the wedge-join Jaccard sibling of adamic_adar (same 10x-structure
+    # sf1 co-order graph), the iterative-CC grid clustering (cell
+    # graph is grid-sized, so cost should track the binning pass), and
+    # the streaming CDC drain (stream machinery + one pass over the
+    # 10x orders changelog; bucket-pruned rewrites).
+    "jaccard_linkpred", "grid_clusters", "stream_cdc",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1
