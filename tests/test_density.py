@@ -68,3 +68,32 @@ class TestGridDensityClusters:
             grid_density_clusters(df, "x", "y", "id", cell_size=0.0)
         with pytest.raises(ValueError, match="min_pts"):
             grid_density_clusters(df, "x", "y", "id", min_pts=0)
+
+    def test_cc_modes_agree(self, spark):
+        import random
+
+        from mhm_data_pipelines_spark.operators.density import (
+            grid_density_clusters,
+        )
+
+        rng = random.Random(9)
+        rows = [
+            (i, rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3))
+            for i in range(400)
+        ]
+        df = _df(spark, rows)
+        a = sorted(
+            (r["id"], r["cluster"])
+            for r in grid_density_clusters(
+                df, "x", "y", "id", 0.1, 3, cc_mode="local"
+            ).collect()
+        )
+        b = sorted(
+            (r["id"], r["cluster"])
+            for r in grid_density_clusters(
+                df, "x", "y", "id", 0.1, 3, cc_mode="iterative"
+            ).collect()
+        )
+        assert a == b
+        with pytest.raises(ValueError, match="cc_mode"):
+            grid_density_clusters(df, "x", "y", "id", cc_mode="bogus")
