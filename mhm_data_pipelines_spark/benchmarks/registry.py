@@ -15209,6 +15209,203 @@ ORDER BY q
 """
 
 
+
+
+def q_logrank_survival(spark, sf_dir):
+    """Two-cohort log-rank churn test (survival.logrank_test): do
+    users whose FIRST event was a click churn differently from users
+    whose first event was a view? Spans from the same censoring-aware
+    activity_spans agg as kaplan_meier; the whole test then runs on
+    the metadata-sized per-duration table (one global hash agg, two
+    horizon-bounded window sums, one final aggregate). p-value through
+    the engine-portable normal_cdf polynomial at 1 dof."""
+    from mhm_data_pipelines_spark.operators.survival import (
+        activity_spans,
+        logrank_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    spans = activity_spans(ev, churn_horizon_days=14)
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("cohort")
+    )
+    subjects = spans.join(cohorts, "user_id")
+    return logrank_test(
+        subjects, "click", "view", group_col="cohort"
+    )
+
+
+SQL_LOGRANK_SURVIVAL = """
+WITH cutoff AS (
+  SELECT max(ts)::DATE AS cd FROM events
+), first_ev AS (
+  SELECT user_id, event_type AS cohort
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1
+), pu AS (
+  SELECT e.user_id, f.cohort,
+         date_diff('day', min(e.ts)::DATE, max(e.ts)::DATE) AS t,
+         CASE WHEN max(e.ts)::DATE < (SELECT cd - 14 FROM cutoff)
+              THEN 1 ELSE 0 END AS ev,
+         CASE WHEN f.cohort = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events e JOIN first_ev f USING (user_id)
+  WHERE f.cohort IN ('click', 'view')
+  GROUP BY e.user_id, f.cohort
+), per_t AS (
+  SELECT t, sum(ev) AS d, sum(ev * ia) AS d_a,
+         count(*) AS c, sum(ia) AS c_a
+  FROM pu GROUP BY t
+), risk AS (
+  SELECT *, sum(c) OVER w AS n, sum(c_a) OVER w AS n_a
+  FROM per_t
+  WINDOW w AS (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT d, d_a,
+         d * (n_a * 1.0 / n) AS e_a,
+         CASE WHEN n > 1
+              THEN d * (n_a * 1.0 / n) * (1.0 - n_a * 1.0 / n)
+                   * (n - d) * 1.0 / (n - 1)
+              ELSE 0.0 END AS v
+  FROM risk WHERE d > 0
+), tot AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS na_subj,
+         CAST(sum(1 - ia) AS BIGINT) AS nb_subj
+  FROM pu
+), s AS (
+  SELECT CAST(coalesce(sum(d_a), 0) AS BIGINT) AS o_a,
+         CAST(coalesce(sum(d - d_a), 0) AS BIGINT) AS o_b,
+         coalesce(sum(e_a), 0.0) AS e_a,
+         coalesce(sum(d - e_a), 0.0) AS e_b,
+         coalesce(sum(v), 0.0) AS variance
+  FROM terms
+), c2 AS (
+  SELECT *, CASE WHEN variance > 0
+                 THEN (o_a - e_a) * (o_a - e_a) / variance
+            END AS chi2
+  FROM s
+)
+SELECT tot.na_subj AS n_a, tot.nb_subj AS n_b,
+       c2.o_a AS observed_a, round(c2.e_a, 6) AS expected_a,
+       c2.o_b AS observed_b, round(c2.e_b, 6) AS expected_b,
+       round(c2.variance, 6) AS variance, round(c2.chi2, 6) AS chi2,
+       round(2.0 * (1.0 - __PHI__), 6) AS p_value
+FROM c2 CROSS JOIN tot
+""".replace("__PHI__", _PHI.format(z="sqrt(chi2)"))
+
+
+def q_kw_groups(spark, sf_dir):
+    """Kruskal-Wallis across the five event types: are event values
+    location-shifted by type? Rank-based k-group test; fractional
+    ranks via the shared two-phase prefix sum, tie-corrected H,
+    Wilson-Hilferty p at k-1 dof (stats_tests.kruskal_wallis)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        kruskal_wallis,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "value", "event_type")
+
+
+_KW_WH_Z = (
+    "((pow(h_c / (k - 1), 1.0 / 3.0)"
+    " - (1.0 - 2.0 / (9.0 * (k - 1)))) / sqrt(2.0 / (9.0 * (k - 1))))"
+)
+
+SQL_KW_GROUPS = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type AS grp
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), pv AS (
+  SELECT v, count(*) AS t FROM base GROUP BY v
+), r AS (
+  SELECT v, t, sum(t) OVER (ORDER BY v) - t / 2.0 + 0.5 AS rk
+  FROM pv
+), gv AS (
+  SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2
+), pg AS (
+  SELECT gv.grp, sum(gv.c) AS n_j, sum(gv.c * r.rk) AS r_j
+  FROM gv JOIN r ON gv.v = r.v GROUP BY 1
+), gs AS (
+  SELECT CAST(sum(n_j) AS DOUBLE) AS n, count(*) AS k,
+         sum(r_j * r_j / n_j) AS rr
+  FROM pg
+), tm AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie_mass FROM r
+), hh AS (
+  SELECT n, k,
+         12.0 / (n * (n + 1)) * rr - 3.0 * (n + 1) AS h,
+         1.0 - tie_mass / (n * n * n - n) AS corr
+  FROM gs CROSS JOIN tm
+), hc AS (
+  SELECT n, k, h,
+         CASE WHEN corr > 0 AND k >= 2 THEN h / corr END AS h_c
+  FROM hh
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k,
+       round(h, 6) AS h, round(h_c, 6) AS h_corrected,
+       round(CASE WHEN k = 2 THEN 2.0 * (1.0 - __PHIA__)
+                  ELSE 1.0 - __PHIB__ END, 6) AS p_value
+FROM hc
+""".replace("__PHIA__", _PHI.format(z="sqrt(h_c)")).replace(
+    "__PHIB__", _PHI.format(z=_KW_WH_Z)
+)
+
+
+def q_ca_trend(spark, sf_dir):
+    """Cochran-Armitage dose-response: does the purchase share trend
+    with the hour of day? Hour 0-23 as the ordered score, one hash
+    agg to 24 rows, trend z + p through the engine-portable
+    normal_cdf polynomial (stats_tests.cochran_armitage)."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        cochran_armitage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dosed = ev.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.hour("ts").cast("double").alias("dose"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return cochran_armitage(dosed, "y", "dose")
+
+
+SQL_CA_TREND = """
+WITH base AS (
+  SELECT CAST(hour(ts) AS DOUBLE) AS w,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), lvl AS (
+  SELECT w, count(*) AS n_i, sum(y) AS s_i FROM base GROUP BY w
+), a AS (
+  SELECT CAST(sum(n_i) AS DOUBLE) AS n, count(*) AS k,
+         CAST(sum(s_i) AS DOUBLE) AS s,
+         sum(w * s_i) AS ws, sum(w * n_i) AS wn,
+         sum(w * w * n_i) AS wwn
+  FROM lvl
+), st AS (
+  SELECT n, k, s / n AS pbar,
+         ws - (s / n) * wn AS t_stat,
+         (s / n) * (1.0 - s / n) * (wwn - wn * wn / n) AS var
+  FROM a
+), z AS (
+  SELECT n, k, pbar,
+         CASE WHEN var > 0 THEN t_stat / sqrt(var) END AS zv
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k,
+       round(pbar, 6) AS rate, round(zv, 6) AS z,
+       round(2.0 * (1.0 - __PHI__), 6) AS p_value
+FROM z
+""".replace("__PHI__", _PHI.format(z="abs(zv)"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15494,6 +15691,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ipw_lift": q_ipw_lift,
     "rbo_rankers": q_rbo_rankers,
     "robust_trend": q_robust_trend,
+    "logrank_survival": q_logrank_survival,
+    "kw_groups": q_kw_groups,
+    "ca_trend": q_ca_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -15786,6 +15986,9 @@ ORACLES: dict[str, str] = {
     "ipw_lift": SQL_IPW_LIFT,
     "rbo_rankers": SQL_RBO_RANKERS,
     "robust_trend": SQL_ROBUST_TREND,
+    "logrank_survival": SQL_LOGRANK_SURVIVAL,
+    "kw_groups": SQL_KW_GROUPS,
+    "ca_trend": SQL_CA_TREND,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -15869,6 +16072,13 @@ GATE_PRIORITY: list[str] = [
     "doc_token_stats",
     "dup_groups",
     # (end of round-9 rotation)
+    #
+    # -- round-9 LATE additions (after the rotation commit): never
+    #    driver-gated, so they carry two-scale multiscale greens in
+    #    CORRECTNESS_multiscale_r09.json instead (the contract in
+    #    test_oracle_parity.test_never_driver_verified_keys_are_gate_
+    #    windowed) and LEAD the r10 rotation ahead of the stale tail:
+    #    logrank_survival, kw_groups, ca_trend
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -16128,6 +16338,10 @@ BENCH_QUERIES: list[str] = [
     "jaccard_linkpred",
     "ipw_lift",
     "rbo_rankers",
+    # round 9, late wave (multiscale-verified; lead the r10 window)
+    "logrank_survival",
+    "kw_groups",
+    "ca_trend",
 ]
 
 

@@ -55,6 +55,8 @@ __all__ = [
     "did_report",
     "bayes_ab",
     "ipw_report",
+    "kruskal_wallis",
+    "cochran_armitage",
 ]
 
 
@@ -1428,4 +1430,175 @@ def ipw_report(
         F.round(mu_t, 6).alias("mu_treat"),
         F.round(mu_c, 6).alias("mu_control"),
         F.round(mu_t - mu_c, 6).alias("ate"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group extension of
+    :func:`mann_whitney_u` (one-way ANOVA on ranks): are the k group
+    distributions location-shifted? Rank-based, so heavy tails and
+    outliers don't dominate the way they do in :func:`anova_oneway`.
+
+        ``H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)``
+        ``H_c = H / (1 − Σ(t³−t)/(N³−N))``   (tie correction)
+
+    with fractional (tie-averaged) ranks. p-value: exact
+    ``2·(1−Φ(√H_c))`` at 1 dof (k=2), Wilson-Hilferty cube-root
+    normal otherwise — the same engine-portable polynomial path as
+    :func:`srm_check`, so a SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: ranks come from the per-distinct-value count table
+    via the two-phase distributed prefix sum
+    (:func:`..budget.running_total` — no global sort, no single-task
+    window over data-sized input, same machinery as
+    :func:`mann_whitney_u`); per-group rank sums are one equi-join of
+    the (value, group) count table against that ranked value table
+    plus hash aggregates. NULL values and NULL groups are dropped.
+
+    Returns one row ``(n, k, h, h_corrected, p_value)``; the
+    statistics are NULL when every value is tied (zero rank
+    variance) or k < 2.
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+    from mhm_data_pipelines_spark.operators.budget import running_total
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).alias("grp"),
+    )
+    per_val = base.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    cum = running_total(
+        per_val, order_by=[("v", True)], value_col="t", out_col="cum"
+    )
+    ranked = cum.select(
+        "v",
+        "t",
+        (
+            F.col("cum").cast("double")
+            - F.col("t").cast("double") / 2
+            + F.lit(0.5)
+        ).alias("r"),
+    )
+    per_gv = base.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_g = (
+        per_gv.join(ranked.select("v", "r"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(F.col("c") * F.col("r")).alias("r_j"),
+        )
+    )
+    gstat = per_g.agg(
+        F.sum("n_j").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("rr"),
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_mass")
+    )
+    n, k = F.col("n"), F.col("k")
+    h = (
+        F.lit(12.0) / (n * (n + 1)) * F.col("rr")
+        - F.lit(3.0) * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie_mass") / (n * n * n - n)
+    h_c = F.when((corr > 0) & (k >= 2), h / corr)
+    p_1dof = F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.sqrt(h_c)))
+    # Wilson-Hilferty on (k-1) dof, as in srm_check
+    wh_z = (
+        F.pow(h_c / (k - 1), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * (k - 1)))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * (k - 1)))
+    p = F.when(k == 2, p_1dof).otherwise(
+        F.lit(1.0) - normal_cdf(wh_z)
+    )
+    return gstat.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.round(h, round_to).alias("h"),
+        F.round(h_c, round_to).alias("h_corrected"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    outcome_col: str,
+    dose_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary outcome rate
+    monotonically associated with an ORDERED exposure level? The
+    dose-response sibling of :func:`two_proportion_ztest` — k ordered
+    arms instead of 2, one degree of freedom spent on the linear
+    trend instead of k−1 on any difference, so it has far more power
+    against ordered alternatives (e.g. document-quality deciles vs
+    duplicate rate, app-version order vs crash rate).
+
+    With per-level counts ``n_i``, successes ``s_i``, numeric scores
+    ``w_i`` (the dose levels themselves), and pooled rate
+    ``p̄ = S/N``:
+
+        ``T = Σ w_i·s_i − p̄·Σ w_i·n_i``
+        ``Var = p̄(1−p̄)·(Σ w_i²·n_i − (Σ w_i·n_i)²/N)``
+        ``z = T/√Var``,  p = 2·(1−Φ(|z|))
+
+    Scale shape: ONE hash aggregate reduces the data to k rows; the
+    statistic is a second aggregate over those k rows. The dose
+    column must be numeric (its values are the trend scores); NULL
+    outcome or dose rows are dropped; the outcome is coerced via
+    ``cast(boolean)`` semantics (nonzero = success).
+
+    Returns one row ``(n, k, rate, z, p_value)`` — z signed (positive
+    = rate increases with dose); NULL z/p when the variance is zero
+    (single level, or pooled rate 0/1).
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    base = df.filter(
+        F.col(outcome_col).isNotNull() & F.col(dose_col).isNotNull()
+    ).select(
+        F.col(outcome_col).cast("boolean").cast("long").alias("y"),
+        F.col(dose_col).cast("double").alias("w"),
+    )
+    per_lvl = base.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("s_i")
+    )
+    agg = per_lvl.agg(
+        F.sum("n_i").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s_i").cast("double").alias("s"),
+        F.sum(F.col("w") * F.col("s_i")).alias("ws"),
+        F.sum(F.col("w") * F.col("n_i")).alias("wn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i")).alias("wwn"),
+    )
+    pbar = F.col("s") / F.col("n")
+    t_stat = F.col("ws") - pbar * F.col("wn")
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (F.col("wwn") - F.col("wn") * F.col("wn") / F.col("n"))
+    )
+    z = F.when(var > 0, t_stat / F.sqrt(var))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.round(pbar, round_to).alias("rate"),
+        F.round(z, round_to).alias("z"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(z))),
+            round_to,
+        ).alias("p_value"),
     )

@@ -131,3 +131,121 @@ def activity_spans(
         .alias("event"),
         "n_events",
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    group_a,
+    group_b,
+    duration: str = "duration",
+    event: str = "event",
+    group_col: str = "group",
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel-Cox): does survival differ
+    between cohorts ``group_a`` and ``group_b``? The censoring-aware
+    companion of :func:`kaplan_meier` — KM draws the curves, this
+    says whether they differ. Rows outside the two named cohorts are
+    filtered out (the caller names the comparison explicitly; no
+    hidden k-group semantics).
+
+    At every distinct event time t:
+
+        ``e_a(t) = d(t) · n_a(t)/n(t)``                 (expected)
+        ``v(t)   = d(t) · (n_a/n)(1 − n_a/n) · (n−d)/(n−1)``
+
+    with ``d`` = events at t (both groups), ``n`` / ``n_a`` = at-risk
+    totals. ``chi2 = (O_a − E_a)² / Σv`` is chi-square with 1 dof
+    under H0; the p-value is ``2·(1 − Φ(√chi2))`` via the
+    engine-portable :func:`..functions.stats.normal_cdf` polynomial,
+    so a SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: ONE hash aggregate reduces the subject table to one
+    row per distinct duration (bounded by the time horizon in
+    days/periods, not by subject count); the at-risk cumulative sums
+    are two descending window sums over that metadata-sized table
+    (single-task by design — the partition is the horizon, never the
+    data), and the test statistic is one final aggregate. Because the
+    per-duration table carries BOTH groups' counts on the same global
+    time axis, ``n_a(t) = Σ_{u≥t} c_a(u)`` needs no group×grid
+    densification and no cross join.
+
+    Returns one row ``(n_a, n_b, observed_a, expected_a, observed_b,
+    expected_b, variance, chi2, p_value)``; chi2/p are NULL when the
+    variance is zero (no events, or a degenerate risk set).
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    g = F.col(group_col)
+    base = subjects.filter(
+        g.isin([group_a, group_b]) & F.col(duration).isNotNull()
+    ).select(
+        F.col(duration).alias("t"),
+        F.col(event).cast("long").alias("ev"),
+        (g == F.lit(group_a)).cast("long").alias("ia"),
+    )
+    per_t = base.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.col("ev") * F.col("ia")).alias("d_a"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum("ia").alias("c_a"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = per_t.withColumn("n", F.sum("c").over(w)).withColumn(
+        "n_a", F.sum("c_a").over(w)
+    )
+    share = F.col("n_a").cast("double") / F.col("n")
+    terms = risk.filter(F.col("d") > 0).select(
+        "d",
+        "d_a",
+        (F.col("d") * share).alias("e_a"),
+        F.when(
+            F.col("n") > 1,
+            F.col("d").cast("double")
+            * share
+            * (F.lit(1.0) - share)
+            * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    totals = base.agg(
+        F.sum("ia").cast("long").alias("n_a_subjects"),
+        F.sum(F.lit(1) - F.col("ia")).cast("long").alias(
+            "n_b_subjects"
+        ),
+    )
+    stat = terms.agg(
+        F.coalesce(F.sum("d_a"), F.lit(0)).cast("long").alias("o_a"),
+        F.coalesce(F.sum(F.col("d") - F.col("d_a")), F.lit(0))
+        .cast("long")
+        .alias("o_b"),
+        F.coalesce(F.sum("e_a"), F.lit(0.0)).alias("e_a"),
+        F.coalesce(F.sum(F.col("d") - F.col("e_a")), F.lit(0.0)).alias(
+            "e_b"
+        ),
+        F.coalesce(F.sum("v"), F.lit(0.0)).alias("variance"),
+    )
+    dev = F.col("o_a") - F.col("e_a")
+    chi2 = F.when(
+        F.col("variance") > 0, dev * dev / F.col("variance")
+    )
+    return stat.crossJoin(F.broadcast(totals)).select(
+        F.col("n_a_subjects").alias("n_a"),
+        F.col("n_b_subjects").alias("n_b"),
+        F.col("o_a").alias("observed_a"),
+        F.round("e_a", round_to).alias("expected_a"),
+        F.col("o_b").alias("observed_b"),
+        F.round("e_b", round_to).alias("expected_b"),
+        F.round("variance", round_to).alias("variance"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.sqrt(chi2))),
+            round_to,
+        ).alias("p_value"),
+    )

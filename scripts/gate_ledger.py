@@ -48,8 +48,28 @@ from mhm_data_pipelines_spark.benchmarks.registry import (  # noqa: E402
 )
 
 
+def _row_green(rec: dict) -> bool:
+    return (
+        rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        # hash_match is None for rows-only keys — accept.
+        and rec.get("hash_match") is not False
+    )
+
+
 def last_green() -> dict[str, int]:
-    """key -> last round with a fully-green driver row (0 = never)."""
+    """key -> last round with a fully-green driver row (0 = never).
+
+    Two sources count, per the contract in
+    tests/test_oracle_parity.py::test_never_driver_verified_keys_are_
+    gate_windowed (accepted by the r8 verdict): the driver's own
+    ``CORRECTNESS_r{N}.json``, and a committed two-scale
+    ``CORRECTNESS_multiscale_r{N}.json`` green (same checker —
+    scripts/run_correctness.py — at sf0.01, the driver's scale, PLUS
+    sf0.001); the latter is how keys added AFTER a round's rotation
+    commit are verified without re-stranding a windowed stale key.
+    """
     out = {k: 0 for k in QUERIES}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
@@ -58,14 +78,22 @@ def last_green() -> dict[str, int]:
         for key, rec in rows.items():
             if key not in out:
                 continue  # renamed/retired keys don't count
-            ok = (
-                rec.get("err") is None
-                and rec.get("rows_match")
-                and rec.get("schema_match")
-                # hash_match is None for rows-only keys — accept.
-                and rec.get("hash_match") is not False
-            )
-            if ok:
+            if _row_green(rec):
+                out[key] = max(out[key], rnd)
+    for path in sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_multiscale_r*.json"))
+    ):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            per_scale = json.load(f)
+        if len(per_scale) < 2:
+            continue  # single-scale records are not multiscale evidence
+        green_sets = [
+            {k for k, rec in rows.items() if _row_green(rec)}
+            for rows in per_scale.values()
+        ]
+        for key in set.intersection(*green_sets):
+            if key in out:
                 out[key] = max(out[key], rnd)
     return out
 

@@ -19,11 +19,25 @@ MAX_STALE_ROUNDS = 6
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _last_green() -> tuple[dict[str, int], int]:
-    """(key -> newest driver-green round, newest committed round).
+def _row_green(rec: dict) -> bool:
+    return (
+        rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match") is not False
+    )
 
-    Same green predicate as scripts/gate_ledger.py: no err, rows and
-    schema match, and hash_match is not False (None = rows-only key).
+
+def _last_green() -> tuple[dict[str, int], int]:
+    """(key -> newest green round, newest committed driver round).
+
+    Same green sources as scripts/gate_ledger.py: driver
+    CORRECTNESS_r{N}.json rows, plus two-scale
+    CORRECTNESS_multiscale_r{N}.json greens (the accepted evidence
+    path for keys added after a round's rotation commit — see
+    test_oracle_parity.test_never_driver_verified_keys_are_gate_
+    windowed). max_round counts DRIVER artifacts only, so the
+    staleness floor is anchored to driver runs.
     """
     from mhm_data_pipelines_spark.benchmarks.registry import QUERIES
 
@@ -37,13 +51,22 @@ def _last_green() -> tuple[dict[str, int], int]:
         for key, rec in rows.items():
             if key not in out:
                 continue
-            ok = (
-                rec.get("err") is None
-                and rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match") is not False
-            )
-            if ok:
+            if _row_green(rec):
+                out[key] = max(out[key], rnd)
+    for path in sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_multiscale_r*.json"))
+    ):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            per_scale = json.load(f)
+        if len(per_scale) < 2:
+            continue
+        green_sets = [
+            {k for k, rec in rows.items() if _row_green(rec)}
+            for rows in per_scale.values()
+        ]
+        for key in set.intersection(*green_sets):
+            if key in out:
                 out[key] = max(out[key], rnd)
     return out, max_round
 

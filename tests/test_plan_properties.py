@@ -168,6 +168,10 @@ SINGLE_ROW_BROADCAST_OK = {
                           # bounded broadcast cross by design; compose
                           # knn_graph for query sets too big to
                           # broadcast
+    "logrank_survival",   # crossJoin(broadcast(1-row subject totals))
+                          # onto the single-row test statistic
+    "kw_groups",          # crossJoin(broadcast(1-row tie mass)) onto
+                          # the single-row group-stat aggregate
 }
 
 

@@ -896,3 +896,89 @@ class TestEntropyLDiversity:
             entropy_l_diversity_classes(df, [], "s")
         with pytest.raises(ValueError, match="l must be"):
             entropy_l_diversity_classes(df, ["qi"], "s", l=1.0)
+
+
+class TestKruskalWallis:
+    def test_textbook_no_ties(self, spark):
+        """Three separated groups of 3: H = 7.2 exactly (ranks 1..9)."""
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            kruskal_wallis,
+        )
+
+        rows = [("g1", v) for v in (1.0, 2.0, 3.0)] + [
+            ("g2", v) for v in (4.0, 5.0, 6.0)
+        ] + [("g3", v) for v in (7.0, 8.0, 9.0)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        r = kruskal_wallis(df, "v", "grp").collect()[0]
+        assert (r.n, r.k) == (9, 3)
+        assert r.h == pytest.approx(7.2)
+        assert r.h_corrected == pytest.approx(7.2)
+        assert 0 < r.p_value < 0.05
+
+    def test_two_groups_matches_mwu_z(self, spark):
+        """k=2 KW is the square of the MWU z (no ties): chi2 == z²."""
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            kruskal_wallis,
+            mann_whitney_u,
+        )
+
+        rows = [("a", float(v)) for v in (1, 4, 6, 9)] + [
+            ("b", float(v)) for v in (2, 3, 12, 20)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        kw = kruskal_wallis(df, "v", "grp").collect()[0]
+        mwu = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+        assert kw.h_corrected == pytest.approx(mwu.z**2, abs=1e-5)
+
+    def test_all_tied_null(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            kruskal_wallis,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 1.0)], "grp string, v double"
+        )
+        r = kruskal_wallis(df, "v", "grp").collect()[0]
+        assert r.h_corrected is None and r.p_value is None
+
+
+class TestCochranArmitage:
+    def test_hand_computed_trend(self, spark):
+        """Doses 0/1/2, rates .1/.5/.9 over n=10 each: T=8, Var=5."""
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cochran_armitage,
+        )
+
+        rows = (
+            [(0.0, 1)] * 1 + [(0.0, 0)] * 9
+            + [(1.0, 1)] * 5 + [(1.0, 0)] * 5
+            + [(2.0, 1)] * 9 + [(2.0, 0)] * 1
+        )
+        df = spark.createDataFrame(rows, "dose double, y int")
+        r = cochran_armitage(df, "y", "dose").collect()[0]
+        assert (r.n, r.k) == (30, 3)
+        assert r.rate == pytest.approx(0.5)
+        assert r.z == pytest.approx(8.0 / 5.0**0.5, abs=1e-6)
+        assert r.p_value < 0.001
+
+    def test_no_trend_small_z(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cochran_armitage,
+        )
+
+        rows = [(float(d), y) for d in (0, 1, 2) for y in (0, 1)]
+        df = spark.createDataFrame(rows, "dose double, y int")
+        r = cochran_armitage(df, "y", "dose").collect()[0]
+        assert r.z == pytest.approx(0.0, abs=1e-9)
+        assert r.p_value == pytest.approx(1.0, abs=1e-6)
+
+    def test_degenerate_null(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cochran_armitage,
+        )
+
+        df = spark.createDataFrame(
+            [(0.0, 1), (0.0, 1)], "dose double, y int"
+        )
+        r = cochran_armitage(df, "y", "dose").collect()[0]
+        assert r.z is None and r.p_value is None

@@ -73,3 +73,68 @@ def test_activity_spans_censoring_boundary(spark):
     assert (got[1].duration, got[1].event) == (2, 1)
     assert (got[2].duration, got[2].event) == (10, 0)
     assert (got[3].duration, got[3].event, got[3].n_events) == (0, 0, 1)
+
+
+class TestLogrank:
+    def test_textbook_example(self, spark):
+        """Fully-separated groups, all events: hand-computed O/E/V."""
+        from mhm_data_pipelines_spark.operators.survival import (
+            logrank_test,
+        )
+
+        rows = [("a", t, 1) for t in (1, 2, 3)] + [
+            ("b", t, 1) for t in (4, 5, 6)
+        ]
+        df = spark.createDataFrame(
+            rows, "grp string, duration int, event int"
+        )
+        r = logrank_test(
+            df, "a", "b", group_col="grp"
+        ).collect()[0]
+        assert (r.n_a, r.n_b) == (3, 3)
+        assert (r.observed_a, r.observed_b) == (3, 3)
+        # E_a = 0.5 + 0.4 + 0.25 + 0 + 0 + 0 = 1.15
+        assert r.expected_a == pytest.approx(1.15)
+        assert r.expected_b == pytest.approx(4.85)
+        assert r.variance == pytest.approx(0.6775)
+        assert r.chi2 == pytest.approx((3 - 1.15) ** 2 / 0.6775, abs=1e-6)
+        assert 0 < r.p_value < 0.05
+
+    def test_identical_groups_near_zero(self, spark):
+        from mhm_data_pipelines_spark.operators.survival import (
+            logrank_test,
+        )
+
+        rows = [(g, t, e) for g in ("a", "b")
+                for t, e in [(1, 1), (2, 0), (3, 1), (5, 1)]]
+        df = spark.createDataFrame(
+            rows, "grp string, duration int, event int"
+        )
+        r = logrank_test(df, "a", "b", group_col="grp").collect()[0]
+        assert r.chi2 == pytest.approx(0.0, abs=1e-9)
+        assert r.p_value == pytest.approx(1.0, abs=1e-6)
+
+    def test_all_censored_null_stat(self, spark):
+        from mhm_data_pipelines_spark.operators.survival import (
+            logrank_test,
+        )
+
+        rows = [("a", 1, 0), ("b", 2, 0)]
+        df = spark.createDataFrame(
+            rows, "grp string, duration int, event int"
+        )
+        r = logrank_test(df, "a", "b", group_col="grp").collect()[0]
+        assert r.chi2 is None and r.p_value is None
+        assert (r.observed_a, r.observed_b) == (0, 0)
+
+    def test_other_groups_ignored(self, spark):
+        from mhm_data_pipelines_spark.operators.survival import (
+            logrank_test,
+        )
+
+        rows = [("a", 1, 1), ("b", 2, 1), ("zz", 99, 1)]
+        df = spark.createDataFrame(
+            rows, "grp string, duration int, event int"
+        )
+        r = logrank_test(df, "a", "b", group_col="grp").collect()[0]
+        assert (r.n_a, r.n_b) == (1, 1)
