@@ -15406,6 +15406,208 @@ FROM z
 """.replace("__PHI__", _PHI.format(z="abs(zv)"))
 
 
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the urgent-order part co-occurrence
+    graph (graph.degree_assortativity) — the same graph adamic_adar /
+    jaccard_linkpred mine, summarized to Newman's mixing coefficient.
+    All sufficient statistics are integer sums (exact in doubles), so
+    the oracle reproduces r bit-identically."""
+    from mhm_data_pipelines_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    return degree_assortativity(edges)
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l
+  JOIN orders r ON r.o_orderkey = l.l_orderkey
+  WHERE r.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), sym AS (
+  SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e
+), deg AS (
+  SELECT s, count(*) AS dg FROM sym GROUP BY s
+), att AS (
+  SELECT dx.dg AS dxv, dy.dg AS dyv
+  FROM sym
+  JOIN deg dx ON dx.s = sym.s
+  JOIN deg dy ON dy.s = sym.d
+), a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(dxv) AS DOUBLE) AS sx,
+         CAST(sum(dxv * dyv) AS DOUBLE) AS sxy,
+         CAST(sum(dxv * dxv) AS DOUBLE) AS sxx
+  FROM att
+), nn AS (
+  SELECT count(*) AS n_nodes FROM deg
+)
+SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(a.m / 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN a.m * a.sxx - a.sx * a.sx > 0
+                  THEN (a.m * a.sxy - a.sx * a.sx)
+                       / (a.m * a.sxx - a.sx * a.sx)
+             END, 6) AS assortativity
+FROM a CROSS JOIN nn
+"""
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (privacy.t_closeness_report): classes are
+    (event_type, day-of-week), the ordered sensitive attribute is the
+    event value clamped into ten width-20 buckets. Each class's EMD
+    against the global bucket distribution runs on a literal-sequence
+    grid (no class-times-bucket cross join); all probabilities are
+    exact integer ratios."""
+    from mhm_data_pipelines_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.greatest(
+            F.lit(0), F.least(F.lit(9), F.floor(F.col("value") / 20))
+        ).alias("vbucket"),
+    )
+    out = t_closeness_report(
+        pre, ["event_type", "dow"], "vbucket", n_buckets=10, t=0.2
+    )
+    return out.orderBy("event_type", "dow")
+
+
+SQL_T_CLOSENESS = """
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         greatest(0, least(9, CAST(floor(value / 20) AS BIGINT)))
+           AS b
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+), cb AS (
+  SELECT event_type, dow, b, count(*) AS c FROM base GROUP BY 1, 2, 3
+), cls AS (
+  SELECT event_type, dow, sum(c) AS n FROM cb GROUP BY 1, 2
+), gdist AS (
+  SELECT b, count(*) * 1.0 / (SELECT count(*) FROM base) AS q
+  FROM base GROUP BY b
+), grid AS (
+  SELECT cls.event_type, cls.dow, cls.n, g.range AS b
+  FROM cls CROSS JOIN range(10) g
+), filled AS (
+  SELECT grid.event_type, grid.dow, grid.n, grid.b,
+         coalesce(cb.c, 0) * 1.0 / grid.n - coalesce(gdist.q, 0.0)
+           AS diff
+  FROM grid
+  LEFT JOIN cb ON cb.event_type = grid.event_type
+              AND cb.dow = grid.dow AND cb.b = grid.b
+  LEFT JOIN gdist ON gdist.b = grid.b
+), cum AS (
+  SELECT event_type, dow, n,
+         sum(diff) OVER (PARTITION BY event_type, dow ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cdiff
+  FROM filled
+), emd AS (
+  SELECT event_type, dow, CAST(max(n) AS BIGINT) AS n,
+         round(sum(abs(cdiff)) / 9, 6) AS emd
+  FROM cum GROUP BY 1, 2
+)
+SELECT event_type, dow, n, emd, emd <= 0.2 AS meets_t
+FROM emd ORDER BY event_type, dow
+"""
+
+
+def q_item_neighbors(spark, sf_dir):
+    """Item-based collaborative filtering readout
+    (baskets.item_cosine_neighbors): top-5 cosine neighbors per part
+    over order baskets — association_rules' machinery with the
+    normalized neighbor-list contract. Deterministic tie order
+    (cosine desc, pair count desc, neighbor asc); cosines are one
+    integer division by one sqrt, bit-identical across engines."""
+    from mhm_data_pipelines_spark.operators.baskets import (
+        item_cosine_neighbors,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = item_cosine_neighbors(
+        li, "l_orderkey", "l_partkey", k=5, min_pair_count=2
+    )
+    return out.select(
+        F.col("item").cast("long").alias("item"),
+        F.col("neighbor").cast("long").alias("neighbor"),
+        F.col("n_pair").cast("long").alias("n_pair"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("item", "rank")
+
+
+SQL_ITEM_NEIGHBORS = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), ok AS (
+  SELECT b FROM base GROUP BY b HAVING count(*) <= 64
+), sized AS (
+  SELECT base.b, base.it FROM base JOIN ok USING (b)
+), pairs AS (
+  SELECT x.it AS ia, y.it AS ib, count(*) AS np
+  FROM sized x JOIN sized y ON x.b = y.b AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), marg AS (
+  SELECT it, count(*) AS ni FROM sized GROUP BY it
+), sym AS (
+  SELECT ia AS item, ib AS neighbor, np FROM pairs
+  UNION ALL
+  SELECT ib, ia, np FROM pairs
+), scored AS (
+  SELECT s.item, s.neighbor, s.np,
+         s.np / sqrt(CAST(mi.ni AS DOUBLE) * mj.ni) AS cosine
+  FROM sym s
+  JOIN marg mi ON mi.it = s.item
+  JOIN marg mj ON mj.it = s.neighbor
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY cosine DESC, np DESC, neighbor) AS rank
+  FROM scored
+)
+SELECT CAST(item AS BIGINT) AS item,
+       CAST(neighbor AS BIGINT) AS neighbor,
+       CAST(np AS BIGINT) AS n_pair,
+       round(cosine, 6) AS cosine,
+       CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+ORDER BY item, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15694,6 +15896,9 @@ QUERIES: dict[str, QuerySpec] = {
     "logrank_survival": q_logrank_survival,
     "kw_groups": q_kw_groups,
     "ca_trend": q_ca_trend,
+    "degree_assortativity": q_degree_assortativity,
+    "t_closeness": q_t_closeness,
+    "item_neighbors": q_item_neighbors,
 }
 
 ORACLES: dict[str, str] = {
@@ -15989,6 +16194,9 @@ ORACLES: dict[str, str] = {
     "logrank_survival": SQL_LOGRANK_SURVIVAL,
     "kw_groups": SQL_KW_GROUPS,
     "ca_trend": SQL_CA_TREND,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "t_closeness": SQL_T_CLOSENESS,
+    "item_neighbors": SQL_ITEM_NEIGHBORS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -16078,7 +16286,8 @@ GATE_PRIORITY: list[str] = [
     #    CORRECTNESS_multiscale_r09.json instead (the contract in
     #    test_oracle_parity.test_never_driver_verified_keys_are_gate_
     #    windowed) and LEAD the r10 rotation ahead of the stale tail:
-    #    logrank_survival, kw_groups, ca_trend
+    #    logrank_survival, kw_groups, ca_trend,
+    #    degree_assortativity, t_closeness, item_neighbors
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -16342,6 +16551,9 @@ BENCH_QUERIES: list[str] = [
     "logrank_survival",
     "kw_groups",
     "ca_trend",
+    "degree_assortativity",
+    "t_closeness",
+    "item_neighbors",
 ]
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["item_pair_counts", "association_rules"]
+__all__ = ["item_pair_counts", "association_rules", "item_cosine_neighbors"]
 
 
 def item_pair_counts(
@@ -149,5 +149,99 @@ def association_rules(
                 F.col("n_pair") / F.col("n_baskets"), round_to
             ).alias("support"),
             F.round(lift, round_to).alias("lift"),
+        )
+    )
+
+
+def item_cosine_neighbors(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 10,
+    min_pair_count: int = 2,
+    max_basket_size: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item cosine similarity with per-item top-k neighbors —
+    the classic item-based collaborative-filtering readout (Sarwar et
+    al., WWW'01) on the same capped pair machinery as
+    :func:`association_rules`:
+
+        ``cosine(a, b) = n_pair / sqrt(n_a · n_b)``
+
+    over binary basket membership. Where ``lift`` asks "beyond
+    popularity?", cosine is the normalized strength used for ranked
+    neighbor lists ("users who took A also took B").
+
+    Scale shape: pair counting identical to :func:`item_pair_counts`
+    (distinct → basket-size cap → one self-equi-join); the per-item
+    top-k is a window over the SYMMETRIZED pair table partitioned by
+    item — rank fan-in is bounded by the item's co-occurrence degree,
+    and ties break deterministically (cosine desc, n_pair desc,
+    neighbor asc; the cosine doubles are identical across engines —
+    one division of exact integers by one correctly-rounded sqrt).
+
+    Returns ``(item, neighbor, n_pair, cosine, rank)``, rank 1..k per
+    item.
+    """
+    pairs = item_pair_counts(
+        df, basket_col, item_col, max_basket_size=max_basket_size
+    ).filter(F.col("n_pair") >= min_pair_count)
+    base = df.filter(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
+    ).distinct()
+    ok = base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
+        F.col("_sz") <= max_basket_size
+    ).select("b")
+    marg = base.join(ok, "b").groupBy("it").agg(
+        F.count("*").alias("n_item")
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_pair",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_pair",
+        )
+    )
+    scored = (
+        sym.join(
+            marg.select(
+                F.col("it").alias("item"), F.col("n_item").alias("n_i")
+            ),
+            "item",
+        )
+        .join(
+            marg.select(
+                F.col("it").alias("neighbor"),
+                F.col("n_item").alias("n_j"),
+            ),
+            "neighbor",
+        )
+        .withColumn(
+            "cosine",
+            F.col("n_pair")
+            / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.desc("n_pair"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item",
+            "neighbor",
+            "n_pair",
+            F.round("cosine", round_to).alias("cosine"),
+            "rank",
         )
     )

@@ -544,3 +544,68 @@ def jaccard_links(
         "common_neighbors",
         jac.alias("jaccard"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the edge list — do
+    high-degree nodes attach to other hubs (r > 0, social-network
+    shape) or to leaves (r < 0, hub-and-spoke / infrastructure
+    shape)? One scalar that summarizes the mixing pattern the other
+    graph operators (:func:`pagerank`, :func:`k_core`) resolve
+    per-node.
+
+    Graph contract as elsewhere in this module: symmetrize, collapse
+    parallel edges, drop self-loops; the correlation runs over BOTH
+    orientations of each undirected edge (the standard estimator), so
+    the two marginals coincide and
+
+        ``r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)``
+
+    with M = directed edge count and x, y the endpoint degrees. All
+    sufficient statistics are INTEGER sums (degrees are integers),
+    exact in doubles — an external SQL engine reproduces r bit-ic
+    identically; no streaming-covariance ops involved.
+
+    Scale shape: one hash agg for degrees, two AQE-sized equi-joins
+    to attach them to the symmetrized edge list, one final aggregate.
+    Returns one row ``(n_nodes, n_edges, assortativity)`` —
+    assortativity NULL for degree-regular graphs (zero variance).
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    attached = (
+        sym.join(deg.select("a", F.col("deg").alias("dx")), "a")
+        .join(
+            deg.select(
+                F.col("a").alias("b"), F.col("deg").alias("dy")
+            ),
+            "b",
+        )
+    )
+    agg = attached.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum(F.col("dx").cast("double") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx").cast("double") * F.col("dx")).alias("sxx"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(F.when(den > 0, num / den), round_to).alias(
+            "assortativity"
+        ),
+    )

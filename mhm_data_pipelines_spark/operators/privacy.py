@@ -35,7 +35,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.operators.sampling import md5_unit_draw
@@ -246,3 +246,100 @@ def entropy_l_diversity_classes(
     return out.withColumn(
         "meets_l", F.col("entropy") >= F.lit(round(math.log(l), 6))
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    bucket_col: str,
+    n_buckets: int,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness per equivalence class (Li, Li & Venkatasubramanian,
+    ICDE 2007) for an ORDERED sensitive attribute: l-diversity
+    (:func:`entropy_l_diversity_classes`) counts values but ignores
+    their ORDER — a salary class spread over {1k, 2k, 3k} and one over
+    {1k, 50k, 100k} look identical to it. t-closeness bounds the Earth
+    Mover's Distance between each class's sensitive distribution P and
+    the GLOBAL distribution Q on the ordered axis:
+
+        ``EMD(P, Q) = Σ_i |Σ_{j≤i} (p_j − q_j)| / (m − 1)``
+
+    (the equal-ground-distance form of the paper's ordered-attribute
+    metric, m = number of buckets).
+
+    Contract: the sensitive attribute arrives PRE-BUCKETED as an
+    integer in ``[0, n_buckets)`` (the caller owns the binning — same
+    division of labor as ``histogram_counts``). Rows with a NULL or
+    out-of-range bucket are excluded from BOTH distributions (they
+    have no position on the ordered axis); class totals are taken
+    over in-range rows so each P still sums to 1.
+
+    Scale shape: two hash aggregates build (class, bucket) and global
+    bucket counts; each class's bucket grid is densified by exploding
+    a LITERAL ``sequence(0, n_buckets−1)`` per class row — no
+    class×bucket cross join, no data-sized window (the cumulative sum
+    partitions by class over exactly ``n_buckets`` rows). The global
+    bucket table (≤ n_buckets rows) attaches via broadcast equi-join.
+
+    Returns one row per class: quasi cols, ``n``, ``emd`` (6dp),
+    ``meets_t`` (compared on the same 6dp grid, as in
+    :func:`entropy_l_diversity_classes`).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"t must be in (0, 1], got {t}")
+    q = [F.col(c) for c in quasi_cols]
+    bkt = F.col(bucket_col).cast("long")
+    base = df.filter(
+        bkt.isNotNull() & (bkt >= 0) & (bkt < n_buckets)
+    ).select(*q, bkt.alias("_b"))
+    cls_bkt = base.groupBy(*q, F.col("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cls = cls_bkt.groupBy(*q).agg(F.sum("_c").alias("_n"))
+    glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_g"))
+    glob_tot = F.sum("_g").over(Window.partitionBy())
+    glob_p = glob.select(
+        "_b", (F.col("_g").cast("double") / glob_tot).alias("_q")
+    )
+    grid = cls.select(
+        *q,
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_buckets) - 1))
+        ).alias("_b0"),
+    ).select(*q, "_n", F.col("_b0").cast("long").alias("_b"))
+    filled = (
+        grid.join(cls_bkt, [*quasi_cols, "_b"], "left")
+        .join(F.broadcast(glob_p), "_b", "left")
+        .select(
+            *q,
+            "_n",
+            "_b",
+            (
+                F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+                / F.col("_n")
+                - F.coalesce(F.col("_q"), F.lit(0.0))
+            ).alias("_diff"),
+        )
+    )
+    w = (
+        Window.partitionBy(*q)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    emd = (
+        filled.withColumn("_cum", F.sum("_diff").over(w))
+        .groupBy(*q)
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.round(
+                F.sum(F.abs(F.col("_cum"))) / (int(n_buckets) - 1), 6
+            ).alias("emd"),
+        )
+    )
+    return emd.withColumn("meets_t", F.col("emd") <= F.lit(round(t, 6)))

@@ -50,3 +50,44 @@ def test_rules_min_count_prunes(spark):
     df = spark.createDataFrame(ROWS, "b long, it string")
     got = association_rules(df, "b", "it", min_pair_count=3).collect()
     assert got == []
+
+
+class TestItemCosineNeighbors:
+    def test_hand_computed_cosines(self, spark):
+        from mhm_data_pipelines_spark.operators.baskets import (
+            item_cosine_neighbors,
+        )
+
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"),
+                (3, "z")]
+        df = spark.createDataFrame(rows, "b long, it string")
+        out = item_cosine_neighbors(
+            df, "b", "it", k=10, min_pair_count=1
+        ).collect()
+        got = {(r.item, r.neighbor): r for r in out}
+        assert got[("x", "y")].cosine == pytest.approx(
+            2 / 6**0.5, abs=1e-6
+        )
+        assert got[("x", "y")].rank == 1
+        assert got[("x", "z")].rank == 2
+        assert got[("y", "x")].rank == 1
+        assert got[("z", "x")].cosine == pytest.approx(
+            1 / 3**0.5, abs=1e-6
+        )
+
+    def test_k_truncates(self, spark):
+        from mhm_data_pipelines_spark.operators.baskets import (
+            item_cosine_neighbors,
+        )
+
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"),
+                (3, "z")]
+        df = spark.createDataFrame(rows, "b long, it string")
+        out = item_cosine_neighbors(
+            df, "b", "it", k=1, min_pair_count=1
+        ).collect()
+        per_item = {}
+        for r in out:
+            per_item.setdefault(r.item, []).append(r)
+        assert all(len(v) == 1 for v in per_item.values())
+        assert per_item["x"][0].neighbor == "y"

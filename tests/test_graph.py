@@ -459,3 +459,53 @@ class TestJaccardLinks:
         assert len(out) == 10
         with pytest.raises(ValueError, match="hub_cap"):
             jaccard_links(edges, hub_cap=1)
+
+
+class TestDegreeAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert (r.n_nodes, r.n_edges) == (4, 3)
+        assert r.assortativity == pytest.approx(-1.0)
+
+    def test_path_of_three(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r.assortativity == pytest.approx(-1.0)
+
+    def test_regular_graph_null(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        # triangle: every degree 2 -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r.assortativity is None
+        assert (r.n_nodes, r.n_edges) == (3, 3)
+
+    def test_parallel_and_self_loops_dropped(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 1), (2, 2), (0, 2)],
+            "src long, dst long",
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert (r.n_nodes, r.n_edges) == (3, 2)

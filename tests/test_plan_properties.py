@@ -172,6 +172,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # onto the single-row test statistic
     "kw_groups",          # crossJoin(broadcast(1-row tie mass)) onto
                           # the single-row group-stat aggregate
+    "degree_assortativity",  # crossJoin(broadcast(1-row node count))
+                             # onto the single-row moment aggregate
 }
 
 

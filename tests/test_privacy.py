@@ -137,3 +137,58 @@ def test_dp_counts_guards(spark):
         dp_noisy_counts(df, [], epsilon=1.0)
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+class TestTCloseness:
+    def test_hand_computed_emd(self, spark):
+        from mhm_data_pipelines_spark.operators.privacy import (
+            t_closeness_report,
+        )
+
+        rows = [("A", 0), ("A", 0), ("A", 1), ("B", 1)]
+        df = spark.createDataFrame(rows, "qi string, b int")
+        out = {
+            r.qi: r
+            for r in t_closeness_report(
+                df, ["qi"], "b", n_buckets=2, t=0.2
+            ).collect()
+        }
+        # global q = (1/2, 1/2); A p = (2/3, 1/3) -> EMD 1/6
+        assert out["A"].emd == pytest.approx(1 / 6, abs=1e-6)
+        assert out["A"].meets_t is True
+        # B p = (0, 1) -> EMD 1/2
+        assert out["B"].emd == pytest.approx(0.5, abs=1e-6)
+        assert out["B"].meets_t is False
+        assert (out["A"].n, out["B"].n) == (3, 1)
+
+    def test_identical_class_zero_emd_and_range_filter(self, spark):
+        from mhm_data_pipelines_spark.operators.privacy import (
+            t_closeness_report,
+        )
+
+        rows = [("A", 0), ("A", 2), ("B", 0), ("B", 2),
+                ("B", 99), ("B", None)]
+        df = spark.createDataFrame(rows, "qi string, b int")
+        out = {
+            r.qi: r
+            for r in t_closeness_report(
+                df, ["qi"], "b", n_buckets=3, t=0.1
+            ).collect()
+        }
+        # out-of-range 99 and NULL excluded: both classes match global
+        assert out["A"].emd == pytest.approx(0.0, abs=1e-9)
+        assert out["B"].emd == pytest.approx(0.0, abs=1e-9)
+        assert out["B"].n == 2
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.privacy import (
+            t_closeness_report,
+        )
+
+        df = spark.createDataFrame([("g", 0)], "qi string, b int")
+        with pytest.raises(ValueError, match="quasi_cols"):
+            t_closeness_report(df, [], "b", 2)
+        with pytest.raises(ValueError, match="n_buckets"):
+            t_closeness_report(df, ["qi"], "b", 1)
+        with pytest.raises(ValueError, match="t must be"):
+            t_closeness_report(df, ["qi"], "b", 2, t=0.0)
