@@ -15608,6 +15608,206 @@ ORDER BY item, rank
 """
 
 
+
+
+def q_spatial_join(spark, sf_dir):
+    """Grid-cell-blocked radius join (spatial.radius_neighbor_counts):
+    click events against view events on a deterministic plane
+    (x = value, y = user_id mod 97), radius 3 — candidate generation
+    is an equi-join on cell id with a constant 9-cell neighborhood
+    explode, never a cross join with a distance predicate. Aggregated
+    per-left-point readout (the production path; pair emission is
+    output-bound by nature)."""
+    from mhm_data_pipelines_spark.operators.spatial import (
+        radius_neighbor_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def pts(kind):
+        return ev.filter(
+            (F.col("event_type") == kind) & F.col("value").isNotNull()
+        ).select(
+            F.col("event_id").alias("id"),
+            F.col("value").cast("double").alias("x"),
+            (F.col("user_id") % 97).cast("double").alias("y"),
+        )
+
+    out = radius_neighbor_counts(pts("click"), pts("view"), 3.0)
+    return out.select(
+        F.col("left_id").cast("long").alias("left_id"),
+        F.col("n_neighbors").cast("long").alias("n_neighbors"),
+        "min_dist",
+    ).orderBy("left_id")
+
+
+SQL_SPATIAL_JOIN = """
+WITH lpt AS (
+  SELECT event_id AS id, CAST(value AS DOUBLE) AS x,
+         CAST(user_id % 97 AS DOUBLE) AS y
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+), rpt AS (
+  SELECT event_id AS id, CAST(value AS DOUBLE) AS x,
+         CAST(user_id % 97 AS DOUBLE) AS y
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+), offs AS (
+  SELECT unnest([-1, 0, 1]) AS o
+), lcell AS (
+  SELECT l.id, l.x, l.y,
+         CAST(floor(l.x / 3.0) AS BIGINT) + ox.o AS cx,
+         CAST(floor(l.y / 3.0) AS BIGINT) + oy.o AS cy
+  FROM lpt l CROSS JOIN offs ox CROSS JOIN offs oy
+), rcell AS (
+  SELECT id, x, y,
+         CAST(floor(x / 3.0) AS BIGINT) AS cx,
+         CAST(floor(y / 3.0) AS BIGINT) AS cy
+  FROM rpt
+), pairs AS (
+  SELECT l.id AS left_id, r.id AS right_id,
+         sqrt((l.x - r.x) * (l.x - r.x)
+              + (l.y - r.y) * (l.y - r.y)) AS dist
+  FROM lcell l JOIN rcell r ON l.cx = r.cx AND l.cy = r.cy
+)
+SELECT CAST(left_id AS BIGINT) AS left_id,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       round(min(dist), 6) AS min_dist
+FROM pairs WHERE dist <= 3.0
+GROUP BY left_id ORDER BY left_id
+"""
+
+
+def q_mcnemar_pairs(spark, sf_dir):
+    """McNemar paired-rate change (stats_tests.mcnemar_test): per
+    user, did-purchase in H1 vs H2 of the corpus timeline — the
+    paired binary contract (same subjects both measurements), so only
+    discordant users drive the statistic. One pivot aggregate + one
+    test aggregate."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        mcnemar_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    paired = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.month("ts") <= 6)
+            ).cast("int")
+        ).alias("h1"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.month("ts") > 6)
+            ).cast("int")
+        ).alias("h2"),
+    )
+    return mcnemar_test(paired, "h1", "h2")
+
+
+SQL_MCNEMAR_PAIRS = """
+WITH paired AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                   AND month(ts) <= 6 THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN event_type = 'purchase'
+                   AND month(ts) > 6 THEN 1 ELSE 0 END) AS h2
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS b10,
+         sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS c01
+  FROM paired
+), st AS (
+  SELECT n, b10, c01,
+         CASE WHEN b10 + c01 > 0
+              THEN greatest(abs(b10 - c01) - 1, 0)
+                   * greatest(abs(b10 - c01) - 1, 0)
+                   / CAST(b10 + c01 AS DOUBLE)
+         END AS chi2
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(b10 AS BIGINT) AS b,
+       CAST(c01 AS BIGINT) AS c, round(chi2, 6) AS chi2,
+       round(2.0 * (1.0 - __PHI__), 6) AS p_value
+FROM st
+""".replace("__PHI__", _PHI.format(z="sqrt(chi2)"))
+
+
+def q_cumulative_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard per first-event cohort
+    (survival.nelson_aalen) — the additive twin of the kaplan_meier
+    key over the identical censoring-aware spans, certifying H(t),
+    its variance, and the Fleming-Harrington survival exp(-H)."""
+    from mhm_data_pipelines_spark.operators.survival import (
+        activity_spans,
+        nelson_aalen,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    spans = activity_spans(ev, churn_horizon_days=14)
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("cohort")
+    )
+    subjects = spans.join(cohorts, "user_id").select(
+        "cohort", "duration", "event"
+    )
+    out = nelson_aalen(subjects, group_cols=["cohort"])
+    return out.select(
+        "cohort",
+        F.col("t").cast("long").alias("t"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "cum_hazard",
+        "hazard_var",
+        "survival_na",
+    ).orderBy("cohort", "t")
+
+
+SQL_CUMULATIVE_HAZARD = """
+WITH cutoff AS (
+  SELECT max(ts)::DATE AS cd FROM events
+), first_ev AS (
+  SELECT user_id, event_type AS cohort
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1
+), pu AS (
+  SELECT e.user_id, f.cohort,
+         date_diff('day', min(e.ts)::DATE, max(e.ts)::DATE)
+           AS duration,
+         CASE WHEN max(e.ts)::DATE < (SELECT cd - 14 FROM cutoff)
+              THEN 1 ELSE 0 END AS event
+  FROM events e JOIN first_ev f USING (user_id)
+  GROUP BY e.user_id, f.cohort
+), per_t AS (
+  SELECT cohort, duration AS t,
+         CAST(sum(event) AS BIGINT) AS n_events,
+         count(*) AS n_here
+  FROM pu GROUP BY cohort, duration
+), r AS (
+  SELECT *, CAST(sum(n_here) OVER (
+      PARTITION BY cohort ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_at_risk
+  FROM per_t
+), s AS (
+  SELECT *,
+    sum(n_events * 1.0 / n_at_risk) OVER w AS h,
+    sum(n_events * 1.0 / (CAST(n_at_risk AS DOUBLE) * n_at_risk))
+      OVER w AS hv
+  FROM r
+  WINDOW w AS (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort, t, n_at_risk, n_events,
+       round(h, 6) AS cum_hazard, round(hv, 6) AS hazard_var,
+       round(exp(-h), 6) AS survival_na
+FROM s ORDER BY cohort, t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -15899,6 +16099,9 @@ QUERIES: dict[str, QuerySpec] = {
     "degree_assortativity": q_degree_assortativity,
     "t_closeness": q_t_closeness,
     "item_neighbors": q_item_neighbors,
+    "spatial_join": q_spatial_join,
+    "mcnemar_pairs": q_mcnemar_pairs,
+    "cumulative_hazard": q_cumulative_hazard,
 }
 
 ORACLES: dict[str, str] = {
@@ -16197,6 +16400,9 @@ ORACLES: dict[str, str] = {
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "t_closeness": SQL_T_CLOSENESS,
     "item_neighbors": SQL_ITEM_NEIGHBORS,
+    "spatial_join": SQL_SPATIAL_JOIN,
+    "mcnemar_pairs": SQL_MCNEMAR_PAIRS,
+    "cumulative_hazard": SQL_CUMULATIVE_HAZARD,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -16287,7 +16493,8 @@ GATE_PRIORITY: list[str] = [
     #    test_oracle_parity.test_never_driver_verified_keys_are_gate_
     #    windowed) and LEAD the r10 rotation ahead of the stale tail:
     #    logrank_survival, kw_groups, ca_trend,
-    #    degree_assortativity, t_closeness, item_neighbors
+    #    degree_assortativity, t_closeness, item_neighbors,
+    #    spatial_join, mcnemar_pairs, cumulative_hazard
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -16554,6 +16761,9 @@ BENCH_QUERIES: list[str] = [
     "degree_assortativity",
     "t_closeness",
     "item_neighbors",
+    "spatial_join",
+    "mcnemar_pairs",
+    "cumulative_hazard",
 ]
 
 

@@ -57,6 +57,7 @@ __all__ = [
     "ipw_report",
     "kruskal_wallis",
     "cochran_armitage",
+    "mcnemar_test",
 ]
 
 
@@ -1599,6 +1600,68 @@ def cochran_armitage(
         F.round(z, round_to).alias("z"),
         F.round(
             F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(z))),
+            round_to,
+        ).alias("p_value"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    first_col: str,
+    second_col: str,
+    continuity: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — did the rate
+    change between two measurements of the SAME subjects (before vs
+    after a model swap, variant A vs B shown to the same user)?
+    Where :func:`two_proportion_ztest` assumes independent samples,
+    McNemar conditions on the discordant pairs only:
+
+        ``chi2 = (|b − c| − 1)² / (b + c)``   (continuity-corrected;
+        ``(b − c)²/(b + c)`` with ``continuity=False``)
+
+    with b = pairs flipping 1→0 and c = pairs flipping 0→1. p-value
+    at 1 dof via the engine-portable normal_cdf polynomial.
+
+    Scale shape: ONE aggregate over the paired table — no joins, no
+    windows. Rows where either outcome is NULL are dropped; outcomes
+    are coerced with ``cast(boolean)`` semantics.
+
+    Returns one row ``(n, b, c, chi2, p_value)``; chi2/p NULL when
+    there are no discordant pairs.
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    y1 = F.col(first_col).cast("boolean")
+    y2 = F.col(second_col).cast("boolean")
+    base = df.filter(y1.isNotNull() & y2.isNotNull()).select(
+        y1.cast("long").alias("a"), y2.cast("long").alias("b")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("a") == 1).cast("long")
+            * (F.col("b") == 0).cast("long")
+        ).alias("b10"),
+        F.sum(
+            (F.col("a") == 0).cast("long")
+            * (F.col("b") == 1).cast("long")
+        ).alias("c01"),
+    )
+    disc = F.col("b10") + F.col("c01")
+    diff = F.abs(F.col("b10") - F.col("c01"))
+    if continuity:
+        # clamp at 0 so |b-c|=0 doesn't go negative before squaring
+        diff = F.greatest(diff - F.lit(1), F.lit(0))
+    chi2 = F.when(disc > 0, diff * diff / disc.cast("double"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("b10").cast("long").alias("b"),
+        F.col("c01").cast("long").alias("c"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.sqrt(chi2))),
             round_to,
         ).alias("p_value"),
     )

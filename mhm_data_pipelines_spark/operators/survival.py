@@ -249,3 +249,69 @@ def logrank_test(
             round_to,
         ).alias("p_value"),
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration: str = "duration",
+    event: str = "event",
+    group_cols: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate — the additive
+    companion of :func:`kaplan_meier`'s product-limit survival:
+
+        ``H(t) = Σ_{u ≤ t} d(u)/n(u)``,  ``Var = Σ d(u)/n(u)²``
+
+    Preferred when hazards are the modelling target (H is what
+    regression models fit) and numerically benign where KM's
+    product hits zero. Same per-(group, duration) machinery: one
+    hash aggregate, one descending risk-set window, one cumulative
+    window — all partitioned by the cohort key over horizon-bounded
+    tables.
+
+    Returns one row per (group, distinct duration): ``n_at_risk``,
+    ``n_events``, ``cum_hazard``, ``hazard_var``, and
+    ``survival_na = exp(−H)`` (the Fleming-Harrington survival
+    estimate), ordered by group then time.
+    """
+    g = list(group_cols)
+    per_t = subjects.groupBy(
+        *g, F.col(duration).alias("t")
+    ).agg(
+        F.sum(F.col(event).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("_n_here"),
+    )
+    w_risk = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risked = per_t.withColumn(
+        "n_at_risk", F.sum("_n_here").over(w_risk)
+    )
+    inc = F.col("n_events").cast("double") / F.col("n_at_risk")
+    vinc = F.col("n_events").cast("double") / (
+        F.col("n_at_risk").cast("double") * F.col("n_at_risk")
+    )
+    return (
+        risked.withColumn("_h", F.sum(inc).over(w_cum))
+        .withColumn("_v", F.sum(vinc).over(w_cum))
+        .select(
+            *g,
+            "t",
+            "n_at_risk",
+            "n_events",
+            F.round("_h", round_to).alias("cum_hazard"),
+            F.round("_v", round_to).alias("hazard_var"),
+            F.round(F.exp(-F.col("_h")), round_to).alias(
+                "survival_na"
+            ),
+        )
+        .orderBy(*g, "t")
+    )

@@ -174,6 +174,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # the single-row group-stat aggregate
     "degree_assortativity",  # crossJoin(broadcast(1-row node count))
                              # onto the single-row moment aggregate
+    "cumulative_hazard",  # activity_spans' crossJoin(broadcast(1-row
+                          # corpus cutoff)) — same as kaplan_meier
 }
 
 

@@ -982,3 +982,44 @@ class TestCochranArmitage:
         )
         r = cochran_armitage(df, "y", "dose").collect()[0]
         assert r.z is None and r.p_value is None
+
+
+class TestMcnemar:
+    def test_hand_computed(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mcnemar_test,
+        )
+
+        rows = (
+            [(1, 0)] * 5 + [(0, 1)] * 1 + [(1, 1)] * 3 + [(0, 0)] * 2
+        )
+        df = spark.createDataFrame(rows, "y1 int, y2 int")
+        r = mcnemar_test(df, "y1", "y2").collect()[0]
+        assert (r.n, r.b, r.c) == (11, 5, 1)
+        assert r.chi2 == pytest.approx((4 - 1) ** 2 / 6.0, abs=1e-6)
+        r2 = mcnemar_test(df, "y1", "y2", continuity=False).collect()[0]
+        assert r2.chi2 == pytest.approx(16 / 6.0, abs=1e-6)
+        assert 0 < r.p_value < 1
+
+    def test_no_discordant_null(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mcnemar_test,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1), (0, 0)], "y1 int, y2 int"
+        )
+        r = mcnemar_test(df, "y1", "y2").collect()[0]
+        assert r.chi2 is None and r.p_value is None
+
+    def test_continuity_clamps_at_zero(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            mcnemar_test,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0), (0, 1)], "y1 int, y2 int"
+        )
+        r = mcnemar_test(df, "y1", "y2").collect()[0]
+        assert r.chi2 == pytest.approx(0.0)
+        assert r.p_value == pytest.approx(1.0, abs=1e-6)

@@ -138,3 +138,46 @@ class TestLogrank:
         )
         r = logrank_test(df, "a", "b", group_col="grp").collect()[0]
         assert (r.n_a, r.n_b) == (1, 1)
+
+
+class TestNelsonAalen:
+    def test_hand_computed_hazard(self, spark):
+        from mhm_data_pipelines_spark.operators.survival import (
+            nelson_aalen,
+        )
+
+        rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1)]
+        df = spark.createDataFrame(
+            rows, "grp string, duration int, event int"
+        )
+        got = {
+            r.t: r
+            for r in nelson_aalen(df, group_cols=["grp"]).collect()
+        }
+        assert got[1].cum_hazard == pytest.approx(1 / 3, abs=1e-6)
+        assert got[1].hazard_var == pytest.approx(1 / 9, abs=1e-6)
+        assert got[2].cum_hazard == pytest.approx(1 / 3, abs=1e-6)
+        assert got[3].cum_hazard == pytest.approx(4 / 3, abs=1e-6)
+        assert got[3].hazard_var == pytest.approx(1 / 9 + 1, abs=1e-6)
+        import math
+
+        assert got[3].survival_na == pytest.approx(
+            math.exp(-4 / 3), abs=1e-6
+        )
+
+    def test_groups_independent(self, spark):
+        from mhm_data_pipelines_spark.operators.survival import (
+            nelson_aalen,
+        )
+
+        rows = [("a", 1, 1), ("b", 1, 1), ("b", 2, 1)]
+        df = spark.createDataFrame(
+            rows, "grp string, duration int, event int"
+        )
+        got = {
+            (r.grp, r.t): r
+            for r in nelson_aalen(df, group_cols=["grp"]).collect()
+        }
+        assert got[("a", 1)].cum_hazard == pytest.approx(1.0)
+        assert got[("b", 1)].n_at_risk == 2
+        assert got[("b", 2)].cum_hazard == pytest.approx(1.5)
