@@ -15808,6 +15808,217 @@ FROM s ORDER BY cohort, t
 """
 
 
+
+
+def q_mobility_features(spark, sf_dir):
+    """Per-user mobility summary (spatial.mobility_features) on the
+    deterministic event plane (x = value, y = 7*event_id mod 50):
+    step distances from one per-user lag window, radius of gyration
+    from exact moment sums, cell-visit entropy via the one-aggregate
+    entropy algebra. The trajectory order is (ts, event_id) — fully
+    deterministic on ties."""
+    from mhm_data_pipelines_spark.operators.spatial import (
+        mobility_features,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        ((F.col("event_id") * 7) % 50).cast("double").alias("y"),
+    )
+    out = mobility_features(
+        pts, cell_size=10.0, order_tiebreak="event_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_points",
+        "total_distance",
+        "radius_of_gyration",
+        "n_cells",
+        "cell_entropy",
+    ).orderBy("user_id")
+
+
+SQL_MOBILITY_FEATURES = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(value AS DOUBLE) AS x,
+         CAST((event_id * 7) % 50 AS DOUBLE) AS y,
+         CAST(floor(value / 10.0) AS BIGINT) AS cx,
+         CAST(floor(((event_id * 7) % 50) / 10.0) AS BIGINT) AS cy
+  FROM events WHERE value IS NOT NULL
+), stepped AS (
+  SELECT user_id, x, y,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pu AS (
+  SELECT user_id, count(*) AS n_points,
+         coalesce(sum(sqrt(dx * dx + dy * dy)), 0.0) AS dist,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM stepped GROUP BY user_id
+), cells AS (
+  SELECT user_id, cx, cy, count(*) AS c
+  FROM pts GROUP BY 1, 2, 3
+), pc AS (
+  SELECT user_id, count(*) AS n_cells,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+           AS cell_entropy
+  FROM cells GROUP BY user_id
+)
+SELECT CAST(pu.user_id AS BIGINT) AS user_id,
+       CAST(pu.n_points AS BIGINT) AS n_points,
+       round(pu.dist, 6) AS total_distance,
+       round(sqrt(greatest(
+           (pu.sxx + pu.syy) / pu.n_points
+           - (pu.sx / pu.n_points) * (pu.sx / pu.n_points)
+           - (pu.sy / pu.n_points) * (pu.sy / pu.n_points),
+           0.0)), 6) AS radius_of_gyration,
+       CAST(pc.n_cells AS BIGINT) AS n_cells,
+       pc.cell_entropy
+FROM pu JOIN pc USING (user_id)
+ORDER BY user_id
+"""
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (spatial.stay_points): maximal
+    same-grid-cell runs per user on the event plane, kept at
+    >= 3 points — the gaps-and-islands window pipeline. Timestamps
+    emitted as epoch micros (exact integers) for hash parity."""
+    from mhm_data_pipelines_spark.operators.spatial import stay_points
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        ((F.col("event_id") * 7) % 50).cast("double").alias("y"),
+    )
+    out = stay_points(
+        pts, cell_size=20.0, min_points=3, order_tiebreak="event_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "cell_x",
+        "cell_y",
+        F.unix_micros("enter_ts").alias("enter_us"),
+        F.unix_micros("exit_ts").alias("exit_us"),
+        "n_points",
+        "duration_s",
+    ).orderBy("user_id", "enter_us")
+
+
+SQL_STAY_POINTS = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / 20.0) AS BIGINT) AS cx,
+         CAST(floor(((event_id * 7) % 50) / 20.0) AS BIGINT) AS cy
+  FROM events WHERE value IS NOT NULL
+), marked AS (
+  SELECT *, CASE WHEN cx IS DISTINCT FROM lag(cx) OVER w
+                   OR cy IS DISTINCT FROM lag(cy) OVER w
+                 THEN 1 ELSE 0 END AS new_run
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM marked
+), agg AS (
+  SELECT user_id, run_id, min(cx) AS cell_x, min(cy) AS cell_y,
+         min(ts) AS enter_ts, max(ts) AS exit_ts,
+         count(*) AS n_points
+  FROM runs GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, cell_x, cell_y,
+       epoch_us(enter_ts) AS enter_us, epoch_us(exit_ts) AS exit_us,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(date_diff('second', enter_ts, exit_ts) AS DOUBLE)
+         AS duration_s
+FROM agg WHERE n_points >= 3
+ORDER BY user_id, enter_us
+"""
+
+
+def q_friedman_groups(spark, sf_dir):
+    """Friedman repeated-measures test (stats_tests.friedman_test):
+    are the five event types consistently ordered in VOLUME within
+    user buckets? Blocks = user_id mod 40, one integer count per
+    (block, type) — ranks are computed on exact integers, so both
+    engines rank identically; complete blocks only."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        friedman_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.filter(F.col("event_type").isNotNull()).groupBy(
+        F.pmod(F.col("user_id"), F.lit(40)).alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return friedman_test(cells, "blk", "trt", "cnt")
+
+
+_FRIEDMAN_WH_Z = (
+    "((pow(q / (k - 1), 1.0 / 3.0)"
+    " - (1.0 - 2.0 / (9.0 * (k - 1)))) / sqrt(2.0 / (9.0 * (k - 1))))"
+)
+
+SQL_FRIEDMAN_GROUPS = """
+WITH cells AS (
+  SELECT user_id % 40 AS blk, event_type AS trt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+), ktot AS (
+  SELECT count(DISTINCT trt) AS k FROM cells
+), complete AS (
+  SELECT blk FROM cells GROUP BY blk
+  HAVING count(*) = (SELECT k FROM ktot)
+), kept AS (
+  SELECT c.* FROM cells c JOIN complete USING (blk)
+), ranked AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY blk ORDER BY v
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+         - (count(*) OVER (PARTITION BY blk, v) - 1) / 2.0 AS r
+  FROM kept
+), pt AS (
+  SELECT trt, sum(r) AS rj, count(*) AS nb FROM ranked GROUP BY trt
+), sq AS (
+  SELECT sum(r * r) AS rr FROM ranked
+), gs AS (
+  SELECT count(*) AS k, CAST(max(nb) AS DOUBLE) AS n,
+         sum(rj * rj) AS rjsq
+  FROM pt
+), qq AS (
+  SELECT n, k,
+         CASE WHEN (rr - n * k * (k + 1) * (k + 1) / 4) > 0
+                   AND k >= 2
+              THEN (k - 1)
+                   * (rjsq - n * n * k * (k + 1) * (k + 1) / 4)
+                   / (rr - n * k * (k + 1) * (k + 1) / 4)
+         END AS q
+  FROM gs CROSS JOIN sq
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS INT) AS k,
+       round(q, 6) AS q,
+       round(CASE WHEN k = 2 THEN 2.0 * (1.0 - __PHIA__)
+                  ELSE 1.0 - __PHIB__ END, 6) AS p_value
+FROM qq
+""".replace("__PHIA__", _PHI.format(z="sqrt(q)")).replace(
+    "__PHIB__", _PHI.format(z=_FRIEDMAN_WH_Z)
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -16102,6 +16313,9 @@ QUERIES: dict[str, QuerySpec] = {
     "spatial_join": q_spatial_join,
     "mcnemar_pairs": q_mcnemar_pairs,
     "cumulative_hazard": q_cumulative_hazard,
+    "mobility_features": q_mobility_features,
+    "stay_points": q_stay_points,
+    "friedman_groups": q_friedman_groups,
 }
 
 ORACLES: dict[str, str] = {
@@ -16403,6 +16617,9 @@ ORACLES: dict[str, str] = {
     "spatial_join": SQL_SPATIAL_JOIN,
     "mcnemar_pairs": SQL_MCNEMAR_PAIRS,
     "cumulative_hazard": SQL_CUMULATIVE_HAZARD,
+    "mobility_features": SQL_MOBILITY_FEATURES,
+    "stay_points": SQL_STAY_POINTS,
+    "friedman_groups": SQL_FRIEDMAN_GROUPS,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -16494,7 +16711,8 @@ GATE_PRIORITY: list[str] = [
     #    windowed) and LEAD the r10 rotation ahead of the stale tail:
     #    logrank_survival, kw_groups, ca_trend,
     #    degree_assortativity, t_closeness, item_neighbors,
-    #    spatial_join, mcnemar_pairs, cumulative_hazard
+    #    spatial_join, mcnemar_pairs, cumulative_hazard,
+    #    mobility_features, stay_points, friedman_groups
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -16764,6 +16982,9 @@ BENCH_QUERIES: list[str] = [
     "spatial_join",
     "mcnemar_pairs",
     "cumulative_hazard",
+    "mobility_features",
+    "stay_points",
+    "friedman_groups",
 ]
 
 

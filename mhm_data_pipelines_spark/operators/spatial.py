@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_radius_join", "radius_neighbor_counts"]
+__all__ = [
+    "grid_radius_join",
+    "radius_neighbor_counts",
+    "mobility_features",
+    "stay_points",
+]
 
 
 def grid_radius_join(
@@ -150,3 +155,180 @@ def radius_neighbor_counts(
         F.count(F.lit(1)).alias("n_neighbors"),
         F.round(F.min("dist"), round_to).alias("min_dist"),
     )
+
+
+def mobility_features(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 1.0,
+    order_tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-user mobility summary — the standard digital-phenotyping
+    trajectory features (Canzian & Musolesi, UbiComp'15 family) over a
+    planar point stream:
+
+    * ``total_distance`` — Σ euclidean steps between time-consecutive
+      points (lag window per user),
+    * ``radius_of_gyration`` — ``sqrt(Var(x) + Var(y))`` (population),
+      RMS dispersion around the user's centroid, computed from moment
+      SUMS (exact, no streaming variance op),
+    * ``n_cells`` / ``cell_entropy`` — distinct grid cells visited and
+      the Shannon entropy (nats) of the cell-visit distribution, via
+      the same one-aggregate algebra as ``entropy_l_diversity``
+      (``H = ln n − Σ c·ln c / n``).
+
+    Scale shape: one per-user lag window (ordered by ``ts`` then the
+    optional ``order_tiebreak``) feeding one hash aggregate, plus a
+    (user, cell)→user aggregate pair for the entropy; the two
+    per-user frames join AQE-sized. NULL coordinates are dropped.
+
+    Returns one row per user: ``(user, n_points, total_distance,
+    radius_of_gyration, n_cells, cell_entropy)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(
+        F.col(user).alias("_u"),
+        F.col(ts).alias("_ts"),
+        *( [F.col(order_tiebreak).alias("_tb")]
+           if order_tiebreak else [] ),
+        F.col(x).cast("double").alias("_x"),
+        F.col(y).cast("double").alias("_y"),
+        F.floor(F.col(x) / float(cell_size)).cast("long").alias("_cx"),
+        F.floor(F.col(y) / float(cell_size)).cast("long").alias("_cy"),
+    )
+    order = ["_ts", "_tb"] if order_tiebreak else ["_ts"]
+    w = Window.partitionBy("_u").orderBy(*order)
+    stepped = base.select(
+        "_u",
+        "_x",
+        "_y",
+        (F.col("_x") - F.lag("_x").over(w)).alias("_dx"),
+        (F.col("_y") - F.lag("_y").over(w)).alias("_dy"),
+    )
+    per_user = stepped.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(
+            F.sum(
+                F.sqrt(
+                    F.col("_dx") * F.col("_dx")
+                    + F.col("_dy") * F.col("_dy")
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_dist"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_points").cast("double")
+    rog = F.sqrt(
+        F.greatest(
+            (F.col("_sxx") + F.col("_syy")) / n
+            - (F.col("_sx") / n) * (F.col("_sx") / n)
+            - (F.col("_sy") / n) * (F.col("_sy") / n),
+            F.lit(0.0),  # clamp the negative ulp of a single point
+        )
+    )
+    cells = base.groupBy("_u", "_cx", "_cy").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    c_n = F.sum("_c")
+    ent = F.log(c_n) - F.sum(F.col("_c") * F.log("_c")) / c_n
+    per_cells = cells.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(ent, round_to).alias("cell_entropy"),
+    )
+    return per_user.join(per_cells, "_u").select(
+        F.col("_u").alias(user),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round("_dist", round_to).alias("total_distance"),
+        F.round(rog, round_to).alias("radius_of_gyration"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        "cell_entropy",
+    )
+
+
+def stay_points(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 1.0,
+    min_points: int = 3,
+    min_duration_s: float | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Stay-point detection — maximal runs of time-consecutive points
+    inside ONE grid cell (gaps-and-islands per user): where did the
+    user dwell, when, and for how long? The grid-snap variant of the
+    classic stay-point algorithm (Li et al., ACM GIS'08) chosen
+    because it keeps detection a pure window + aggregate pipeline —
+    no iterative region growing.
+
+    A run survives if it has ``≥ min_points`` points and (when
+    ``min_duration_s`` is set) spans at least that many seconds.
+
+    Scale shape: one lag window per user assigns run boundaries
+    (``cell != lag(cell)``), one running-sum window turns them into
+    run ids, one hash aggregate summarizes runs — the standard
+    sessionization shape, partitioned by user throughout.
+
+    Returns ``(user, cell_x, cell_y, enter_ts, exit_ts, n_points,
+    duration_s)`` ordered by user then enter time.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(
+        F.col(user).alias("_u"),
+        F.col(ts).alias("_ts"),
+        *( [F.col(order_tiebreak).alias("_tb")]
+           if order_tiebreak else [] ),
+        F.floor(F.col(x) / float(cell_size)).cast("long").alias("_cx"),
+        F.floor(F.col(y) / float(cell_size)).cast("long").alias("_cy"),
+    )
+    order = ["_ts", "_tb"] if order_tiebreak else ["_ts"]
+    w = Window.partitionBy("_u").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = base.withColumn(
+        "_new",
+        (
+            (F.col("_cx") != F.lag("_cx").over(w))
+            | (F.col("_cy") != F.lag("_cy").over(w))
+            | F.lag("_cx").over(w).isNull()
+        ).cast("long"),
+    ).withColumn("_run", F.sum("_new").over(w_run))
+    agg = runs.groupBy("_u", "_run").agg(
+        F.first("_cx").alias("cell_x"),
+        F.first("_cy").alias("cell_y"),
+        F.min("_ts").alias("enter_ts"),
+        F.max("_ts").alias("exit_ts"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    dur = (
+        F.unix_timestamp("exit_ts") - F.unix_timestamp("enter_ts")
+    ).cast("double")
+    out = agg.withColumn("duration_s", dur).filter(
+        F.col("n_points") >= int(min_points)
+    )
+    if min_duration_s is not None:
+        out = out.filter(F.col("duration_s") >= float(min_duration_s))
+    return out.select(
+        F.col("_u").alias(user),
+        "cell_x",
+        "cell_y",
+        "enter_ts",
+        "exit_ts",
+        F.col("n_points").cast("long").alias("n_points"),
+        "duration_s",
+    ).orderBy(user, "enter_ts")

@@ -58,6 +58,7 @@ __all__ = [
     "kruskal_wallis",
     "cochran_armitage",
     "mcnemar_test",
+    "friedman_test",
 ]
 
 
@@ -1664,4 +1665,109 @@ def mcnemar_test(
             F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.sqrt(chi2))),
             round_to,
         ).alias("p_value"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Friedman test — the repeated-measures sibling of
+    :func:`kruskal_wallis`: k treatments measured on the SAME blocks
+    (users, days, sites), ranked WITHIN each block so between-block
+    level differences cancel instead of inflating the variance.
+
+    Mid-ranks within block; the tie-robust (Conover) statistic
+
+        ``Q = (k−1)·Σ_j (R_j − n(k+1)/2)² / (Σ_ij r_ij² − nk(k+1)²/4)``
+
+    is chi-square with k−1 dof under H0 — p-value exact at k=2,
+    Wilson-Hilferty otherwise (same engine-portable path as
+    :func:`srm_check`).
+
+    Contract: one value per (block, treatment) — duplicates are
+    collapsed by ``max`` (deterministic; pre-aggregate for other
+    semantics). Only COMPLETE blocks (all k treatments present,
+    k = distinct treatments in the filtered input) enter the test;
+    ``n_blocks`` reports how many survived. NULLs are dropped.
+
+    Scale shape: ranks are a per-block window over exactly k rows
+    (range frame + tie-count window — no data-sized partition); the
+    statistic is two hash aggregates. Returns one row
+    ``(n_blocks, k, q, p_value)`` — NULL statistics when every
+    in-block ranking is fully tied (zero denominator) or k < 2.
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf
+
+    base = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("blk"),
+            F.col(treatment_col).alias("trt"),
+        )
+        .agg(F.max(F.col(value_col).cast("double")).alias("v"))
+    )
+    k_tot = base.select(
+        F.count_distinct("trt").alias("k")
+    )
+    complete = (
+        base.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_kb"))
+        .join(F.broadcast(k_tot), F.col("_kb") == F.col("k"))
+        .select("blk")
+    )
+    kept = base.join(complete, "blk")
+    w_le = (
+        Window.partitionBy("blk")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_tie = Window.partitionBy("blk", "v")
+    ranked = kept.withColumn(
+        "r",
+        F.count(F.lit(1)).over(w_le).cast("double")
+        - (F.count(F.lit(1)).over(w_tie) - 1) / 2.0,
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).alias("nb")
+    )
+    sq = ranked.agg(
+        F.sum(F.col("r") * F.col("r")).alias("rr"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    gstat = per_trt.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("nb").cast("double").alias("n"),
+        F.sum(F.col("rj") * F.col("rj")).alias("rjsq"),
+        F.sum("rj").alias("rsum"),
+    )
+    merged = gstat.crossJoin(F.broadcast(sq))
+    k = F.col("k")
+    n = F.col("n")
+    # Σ (R_j − n(k+1)/2)² = Σ R_j² − n²k(k+1)²/4  (since Σ R_j is fixed)
+    num = (k - 1) * (
+        F.col("rjsq") - n * n * k * (k + 1) * (k + 1) / 4
+    )
+    den = F.col("rr") - n * k * (k + 1) * (k + 1) / 4
+    q = F.when((den > 0) & (k >= 2), num / den)
+    p_1dof = F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.sqrt(q)))
+    wh_z = (
+        F.pow(q / (k - 1), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * (k - 1)))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * (k - 1)))
+    p = F.when(k == 2, p_1dof).otherwise(
+        F.lit(1.0) - normal_cdf(wh_z)
+    )
+    return merged.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("int").alias("k"),
+        F.round(q, round_to).alias("q"),
+        F.round(p, round_to).alias("p_value"),
     )

@@ -176,6 +176,8 @@ SINGLE_ROW_BROADCAST_OK = {
                              # onto the single-row moment aggregate
     "cumulative_hazard",  # activity_spans' crossJoin(broadcast(1-row
                           # corpus cutoff)) — same as kaplan_meier
+    "friedman_groups",    # crossJoin(broadcast(1-row rank-square
+                          # sum)) onto the single-row treatment agg
 }
 
 

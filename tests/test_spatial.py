@@ -104,3 +104,104 @@ class TestRadiusNeighborCounts:
         assert out[1].n_neighbors == 2
         assert out[1].min_dist == pytest.approx(0.3)
         assert 2 not in out  # zero-neighbor points absent
+
+
+class TestMobilityFeatures:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.spatial import (
+            mobility_features,
+        )
+
+        t0 = dt.datetime(2025, 1, 1)
+        rows = [
+            (1, t0, 0.0, 0.0),
+            (1, t0 + dt.timedelta(minutes=1), 3.0, 4.0),
+            (1, t0 + dt.timedelta(minutes=2), 3.0, 4.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, x double, y double"
+        )
+        r = mobility_features(df, cell_size=1.0).collect()[0]
+        assert r.n_points == 3
+        assert r.total_distance == pytest.approx(5.0)
+        # var(x)=2, var(y)=32/9 -> rog = sqrt(50/9)
+        assert r.radius_of_gyration == pytest.approx(
+            (50 / 9) ** 0.5, abs=1e-6
+        )
+        assert r.n_cells == 2
+        import math
+
+        assert r.cell_entropy == pytest.approx(
+            math.log(3) - 2 * math.log(2) / 3, abs=1e-6
+        )
+
+    def test_single_point_zero_features(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.spatial import (
+            mobility_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2025, 1, 1), 2.0, 2.0)],
+            "user_id long, ts timestamp, x double, y double",
+        )
+        r = mobility_features(df).collect()[0]
+        assert r.total_distance == pytest.approx(0.0)
+        assert r.radius_of_gyration == pytest.approx(0.0)
+        assert (r.n_cells, r.cell_entropy) == (1, pytest.approx(0.0))
+
+
+class TestStayPoints:
+    def test_runs_and_filters(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.spatial import (
+            stay_points,
+        )
+
+        t0 = dt.datetime(2025, 1, 1)
+        pts = [
+            (0.1, 0.1), (0.2, 0.3), (0.4, 0.2),  # cell (0,0) x3
+            (5.0, 5.0),                           # cell (5,5) x1
+            (0.3, 0.3),                           # back to (0,0) x1
+        ]
+        rows = [
+            (1, t0 + dt.timedelta(minutes=i), x, y)
+            for i, (x, y) in enumerate(pts)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, x double, y double"
+        )
+        out = stay_points(df, cell_size=1.0, min_points=3).collect()
+        assert len(out) == 1
+        sp = out[0]
+        assert (sp.cell_x, sp.cell_y, sp.n_points) == (0, 0, 3)
+        assert sp.duration_s == pytest.approx(120.0)
+        assert sp.enter_ts == t0
+
+    def test_min_duration_filter(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.spatial import (
+            stay_points,
+        )
+
+        t0 = dt.datetime(2025, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(seconds=i), 0.1, 0.1)
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, x double, y double"
+        )
+        assert (
+            stay_points(df, min_points=3, min_duration_s=60).count()
+            == 0
+        )
+        assert (
+            stay_points(df, min_points=3, min_duration_s=2).count()
+            == 1
+        )

@@ -1023,3 +1023,61 @@ class TestMcnemar:
         r = mcnemar_test(df, "y1", "y2").collect()[0]
         assert r.chi2 == pytest.approx(0.0)
         assert r.p_value == pytest.approx(1.0, abs=1e-6)
+
+
+class TestFriedman:
+    def test_textbook_q(self, spark):
+        """3 blocks, 3 treatments, identical orderings: Q = 6."""
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            friedman_test,
+        )
+
+        rows = [
+            (b, t, float(v))
+            for b in ("b1", "b2", "b3")
+            for t, v in (("t1", 1), ("t2", 2), ("t3", 3))
+        ]
+        df = spark.createDataFrame(rows, "blk string, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        assert (r.n_blocks, r.k) == (3, 3)
+        assert r.q == pytest.approx(6.0)
+        assert 0 < r.p_value < 0.1
+
+    def test_two_treatments_hand_computed(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            friedman_test,
+        )
+
+        rows = [
+            (b, t, float(v))
+            for b in range(4)
+            for t, v in (("a", 1), ("b", 2))
+        ]
+        df = spark.createDataFrame(rows, "blk int, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        assert r.q == pytest.approx(4.0)
+
+    def test_all_tied_null(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            friedman_test,
+        )
+
+        rows = [(b, t, 1.0) for b in range(3) for t in ("a", "b")]
+        df = spark.createDataFrame(rows, "blk int, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        assert r.q is None and r.p_value is None
+
+    def test_incomplete_blocks_excluded(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            friedman_test,
+        )
+
+        rows = [
+            (b, t, float(v))
+            for b in ("b1", "b2", "b3")
+            for t, v in (("t1", 1), ("t2", 2), ("t3", 3))
+        ] + [("b4", "t1", 9.0)]  # incomplete block -> dropped
+        df = spark.createDataFrame(rows, "blk string, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        assert r.n_blocks == 3
+        assert r.q == pytest.approx(6.0)
