@@ -16019,6 +16019,392 @@ FROM qq
 )
 
 
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Step-transition latency percentiles over the ordered
+    view->click->purchase funnel (timeseries.funnel_latencies):
+    funnel_progress's per-user chain unpivots to (transition,
+    latency) via a zero-shuffle stack, then ONE hash aggregate
+    computes counts + exact interpolated percentiles (= DuckDB
+    quantile_cont). Latencies are integer micros / 1e6 — identical
+    doubles both engines."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        funnel_latencies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_latencies(
+        ev, ["view", "click", "purchase"], within="3 days"
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT s1.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3 DAY
+  GROUP BY s1.user_id
+), s3 AS (
+  SELECT s2.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+         min(e.ts) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY
+  GROUP BY s2.user_id
+), long AS (
+  SELECT 1 AS pos, 'view' AS step_from, 'click' AS step_to,
+         (epoch_us(t2) - epoch_us(t1)) / 1e6 AS lat_s
+  FROM s3 WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 2, 'click', 'purchase',
+         (epoch_us(t3) - epoch_us(t2)) / 1e6
+  FROM s3 WHERE t3 IS NOT NULL
+)
+SELECT step_from, step_to,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+       round(avg(lat_s), 6) AS mean_s
+FROM long GROUP BY pos, step_from, step_to ORDER BY pos
+"""
+
+
+def q_fe_trend(spark, sf_dir):
+    """Within-user fixed-effects regression of event value on hour of
+    day (timeseries.fixed_effects_fit): entity intercepts absorbed by
+    the demeaning algebra over ONE per-user hash aggregate — the
+    panel-data answer to "does value move with hour, holding the user
+    constant?"."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        fixed_effects_fit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.select(
+        "user_id",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return fixed_effects_fit(pre, "y", "x", "user_id")
+
+
+SQL_FE_TREND = """
+WITH base AS (
+  SELECT user_id AS e, CAST(hour(ts) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), pe AS (
+  SELECT e, count(*) AS n_i, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM base GROUP BY e
+), a AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_entities,
+         sum(sxy) - sum(sx * sy / n_i) AS swxy,
+         sum(sxx) - sum(sx * sx / n_i) AS swxx,
+         sum(syy) - sum(sy * sy / n_i) AS swyy
+  FROM pe
+)
+SELECT n, n_entities,
+       round(CASE WHEN swxx > 0 THEN swxy / swxx END, 6) AS beta,
+       round(CASE WHEN swxx > 0 AND swyy > 0
+                  THEN swxy * swxy / (swxx * swyy) END, 6)
+         AS r2_within
+FROM a
+"""
+
+
+def q_stream_anomaly(spark, sf_dir):
+    """§2.9 stateful streaming: EWMA anomaly detection
+    (streaming/stateful.ewma_anomaly_stream) drained availableNow —
+    per-user EWMA mean/variance advanced in event order with
+    pre-update scoring; batch-split bit-invariance is test-asserted,
+    so the oracle replays the identical recursion (including the
+    anomaly counter) in one recursive CTE."""
+    from mhm_data_pipelines_spark.streaming.stateful import (
+        ewma_anomaly_stream,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    out = ewma_anomaly_stream(stream, alpha=0.25, threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("_stream_anomaly_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_anomaly drain exceeded 300s")
+    snap = spark.table("_stream_anomaly_gate")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_points"))
+    return (
+        snap.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round("mean", 6).alias("mean"),
+            F.round("var", 6).alias("var"),
+            F.col("n_anomalies").cast("long").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_ANOMALY = """
+WITH RECURSIVE series AS (
+  SELECT user_id AS u, value AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE value IS NOT NULL
+), ew(u, rn, n, m, v, k) AS (
+  SELECT u, 1, n, y, CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+  FROM series WHERE rn = 1
+  UNION ALL
+  SELECT e.u, e.rn + 1, e.n,
+         e.m + 0.25 * (sv.y - e.m),
+         (1.0 - 0.25) * (e.v + 0.25 * (sv.y - e.m) * (sv.y - e.m)),
+         e.k + CASE WHEN e.v > 0.0
+                     AND (sv.y - e.m) * (sv.y - e.m) > 9.0 * e.v
+                    THEN 1 ELSE 0 END
+  FROM ew e
+  JOIN series sv ON sv.u = e.u AND sv.rn = e.rn + 1
+)
+SELECT u AS user_id, CAST(n AS BIGINT) AS n_points,
+       round(m, 6) AS mean, round(v, 6) AS var,
+       CAST(k AS BIGINT) AS n_anomalies
+FROM ew WHERE rn = n
+ORDER BY user_id
+"""
+
+
+
+
+def q_weighted_percentiles(spark, sf_dir):
+    """Mass-weighted size percentiles per source
+    (profile.weighted_percentiles): the "half the corpus BYTES live
+    in documents bigger than X" readout — value = n_chars weighted by
+    n_chars, the lower weighted quantile over the per-(source, value)
+    weight table. Exact integer weights; engine-identical."""
+    from mhm_data_pipelines_spark.operators.profile import (
+        weighted_percentiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_percentiles(
+        docs,
+        "n_chars",
+        "n_chars",
+        qs=(0.5, 0.9, 0.99),
+        group_cols=["source"],
+    )
+    return out.orderBy("source")
+
+
+SQL_WEIGHTED_PERCENTILES = """
+WITH base AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), wv AS (
+  SELECT source, v, sum(w) AS wv FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT *, sum(wv) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS c,
+         sum(wv) OVER (PARTITION BY source) AS tot
+  FROM wv
+)
+SELECT source, round(sum(wv), 6) AS total_weight,
+       min(CASE WHEN c >= 0.5 * tot THEN v END) AS p50,
+       min(CASE WHEN c >= 0.9 * tot THEN v END) AS p90,
+       min(CASE WHEN c >= 0.99 * tot THEN v END) AS p99
+FROM cum GROUP BY source ORDER BY source
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (temporal.interval_overlap_join):
+    per-user DAILY activity spans of engagement events (view/click/
+    purchase) against the same user's error-event spans — "how much
+    of the active window was error-afflicted". Cell-quantized
+    equi-join (1-hour cells), each overlapping pair emitted exactly
+    once at the cell of its overlap start; aggregated to a per-user
+    total overlap readout. Bounds emitted as epoch micros."""
+    from mhm_data_pipelines_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def spans(pred, iid_alias):
+        return (
+            ev.filter(pred)
+            .groupBy(
+                "user_id", F.to_date("ts").alias("_d")
+            )
+            .agg(
+                F.min("ts").alias("start_ts"),
+                F.max("ts").alias("end_ts"),
+            )
+            .select(
+                "user_id",
+                F.datediff(
+                    F.col("_d"), F.lit("1970-01-01").cast("date")
+                ).cast("long").alias(iid_alias),
+                "start_ts",
+                "end_ts",
+            )
+        )
+
+    eng = spans(
+        F.col("event_type").isin(["view", "click", "purchase"]),
+        "eng_day",
+    )
+    err = spans(F.col("event_type") == "error", "err_day")
+    pairs = interval_overlap_join(
+        eng,
+        err,
+        ["user_id"],
+        "eng_day",
+        "err_day",
+        bucket="1 hour",
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.round(F.sum("overlap_s"), 6).alias("overlap_s_total"),
+            F.min(F.unix_micros("overlap_start")).alias(
+                "first_overlap_us"
+            ),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_overlaps").cast("long").alias("n_overlaps"),
+            "overlap_s_total",
+            "first_overlap_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH eng AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id, ts::DATE
+), err AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts::DATE
+), pairs AS (
+  SELECT eng.user_id,
+         greatest(eng.s, err.s) AS os, least(eng.e, err.e) AS oe
+  FROM eng JOIN err ON eng.user_id = err.user_id
+   AND greatest(eng.s, err.s) <= least(eng.e, err.e)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       round(sum((epoch_us(oe) - epoch_us(os)) / 1e6), 6)
+         AS overlap_s_total,
+       min(epoch_us(os)) AS first_overlap_us
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_group_sequential(spark, sf_dir):
+    """O'Brien-Fleming group-sequential monitoring
+    (stats_tests.group_sequential_ztest): per-user converted-ever
+    outcome, parity arms, enrollment order = user_id, 4 looks cut at
+    interpolated percentile quantiles (engine-portable). Cumulative
+    pooled z per look vs the c*sqrt(K/k) boundary."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        group_sequential_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    ).select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 1, "T")
+        .otherwise("C")
+        .alias("arm"),
+        "converted",
+    )
+    return group_sequential_ztest(
+        units, "arm", "converted", "user_id", "C", "T", looks=4
+    )
+
+
+SQL_GROUP_SEQUENTIAL = """
+WITH units AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 1 THEN 'T' ELSE 'C' END AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS y
+  FROM events GROUP BY user_id
+), cuts AS (
+  SELECT quantile_cont(CAST(user_id AS DOUBLE), 0.25) AS c1,
+         quantile_cont(CAST(user_id AS DOUBLE), 0.5) AS c2,
+         quantile_cont(CAST(user_id AS DOUBLE), 0.75) AS c3
+  FROM units
+), looked AS (
+  SELECT u.*,
+         1 + CASE WHEN u.user_id > c.c1 THEN 1 ELSE 0 END
+           + CASE WHEN u.user_id > c.c2 THEN 1 ELSE 0 END
+           + CASE WHEN u.user_id > c.c3 THEN 1 ELSE 0 END AS lk
+  FROM units u CROSS JOIN cuts c
+), cells AS (
+  SELECT lk,
+         sum(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN arm = 'T' THEN y ELSE 0 END) AS st,
+         sum(CASE WHEN arm = 'C' THEN y ELSE 0 END) AS sc
+  FROM looked GROUP BY lk
+), cum AS (
+  SELECT lk,
+         sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+         sum(st) OVER w AS cst, sum(sc) OVER w AS csc
+  FROM cells
+  WINDOW w AS (ORDER BY lk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT lk, cnt, cnc,
+         CASE WHEN ((cst + csc) * 1.0 / (cnt + cnc))
+                   * (1.0 - (cst + csc) * 1.0 / (cnt + cnc))
+                   * (1.0 / cnt + 1.0 / cnc) > 0
+              THEN (cst * 1.0 / cnt - csc * 1.0 / cnc)
+                   / sqrt(((cst + csc) * 1.0 / (cnt + cnc))
+                          * (1.0 - (cst + csc) * 1.0 / (cnt + cnc))
+                          * (1.0 / cnt + 1.0 / cnc))
+         END AS z,
+         2.024 * sqrt(4.0 / lk) AS boundary
+  FROM cum
+)
+SELECT CAST(lk AS INT) AS look,
+       CAST(cnt + cnc AS BIGINT) AS n,
+       CAST(cnt AS BIGINT) AS n_treat, CAST(cnc AS BIGINT) AS n_ctrl,
+       round(z, 6) AS z, round(boundary, 6) AS boundary,
+       CASE WHEN z IS NOT NULL THEN abs(z) > boundary END AS crossed
+FROM st ORDER BY look
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -16316,6 +16702,12 @@ QUERIES: dict[str, QuerySpec] = {
     "mobility_features": q_mobility_features,
     "stay_points": q_stay_points,
     "friedman_groups": q_friedman_groups,
+    "funnel_latency": q_funnel_latency,
+    "fe_trend": q_fe_trend,
+    "stream_anomaly": q_stream_anomaly,
+    "weighted_percentiles": q_weighted_percentiles,
+    "interval_overlap": q_interval_overlap,
+    "group_sequential": q_group_sequential,
 }
 
 ORACLES: dict[str, str] = {
@@ -16620,6 +17012,12 @@ ORACLES: dict[str, str] = {
     "mobility_features": SQL_MOBILITY_FEATURES,
     "stay_points": SQL_STAY_POINTS,
     "friedman_groups": SQL_FRIEDMAN_GROUPS,
+    "funnel_latency": SQL_FUNNEL_LATENCY,
+    "fe_trend": SQL_FE_TREND,
+    "stream_anomaly": SQL_STREAM_ANOMALY,
+    "weighted_percentiles": SQL_WEIGHTED_PERCENTILES,
+    "interval_overlap": SQL_INTERVAL_OVERLAP,
+    "group_sequential": SQL_GROUP_SEQUENTIAL,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -16712,7 +17110,9 @@ GATE_PRIORITY: list[str] = [
     #    logrank_survival, kw_groups, ca_trend,
     #    degree_assortativity, t_closeness, item_neighbors,
     #    spatial_join, mcnemar_pairs, cumulative_hazard,
-    #    mobility_features, stay_points, friedman_groups
+    #    mobility_features, stay_points, friedman_groups,
+    #    funnel_latency, fe_trend, stream_anomaly,
+    #    weighted_percentiles, interval_overlap, group_sequential
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -16985,6 +17385,12 @@ BENCH_QUERIES: list[str] = [
     "mobility_features",
     "stay_points",
     "friedman_groups",
+    "funnel_latency",
+    "fe_trend",
+    "stream_anomaly",
+    "weighted_percentiles",
+    "interval_overlap",
+    "group_sequential",
 ]
 
 

@@ -479,3 +479,72 @@ def pareto_report(
             F.round(F.col(f"n_to_{pct}") / F.col("n_groups"), 6),
         )
     return out
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact weighted percentiles — the lower weighted quantile
+    ``min{ v : cumW(v) ≥ q·W }`` per group, the estimator you need
+    when each row carries a mass (token counts per document, bytes
+    per file, duration per session) and "the p99 document by TOKENS"
+    is not "the p99 row".
+
+    Scale shape: one hash aggregate to the per-(group, value) weight
+    table; the cumulative weight is a window per group over that
+    DISTINCT-value table (grouped calls partition by the group key;
+    for ungrouped corpus-wide calls over a huge continuous value
+    domain, pre-bucket values or use the two-phase prefix sum in
+    ``budget.running_total`` — documented trade); one conditional
+    min-aggregate per requested q.
+
+    Returns one row per group: ``group_cols + total_weight +
+    p<q*100> columns`` (e.g. ``p50, p90, p99``). NULL values/weights
+    and non-positive weights are dropped.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"every q must be in (0, 1], got {qs}")
+    g = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *[F.col(c) for c in g],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    wv = base.groupBy(*g, F.col("_v")).agg(F.sum("_w").alias("_wv"))
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*g)
+    cum = wv.withColumn("_cum", F.sum("_wv").over(w_cum)).withColumn(
+        "_tot", F.sum("_wv").over(w_tot)
+    )
+
+    def name(q: float) -> str:
+        pct = q * 100
+        return f"p{pct:g}".replace(".", "_")
+
+    aggs = [
+        F.round(F.sum(F.col("_wv")), round_to).alias("total_weight")
+    ] + [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.lit(float(q)) * F.col("_tot"),
+                F.col("_v"),
+            )
+        ).alias(name(q))
+        for q in qs
+    ]
+    return cum.groupBy(*g).agg(*aggs)

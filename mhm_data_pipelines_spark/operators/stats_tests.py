@@ -59,6 +59,7 @@ __all__ = [
     "cochran_armitage",
     "mcnemar_test",
     "friedman_test",
+    "group_sequential_ztest",
 ]
 
 
@@ -1771,3 +1772,111 @@ def friedman_test(
         F.round(q, round_to).alias("q"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def group_sequential_ztest(
+    df: DataFrame,
+    arm_col: str,
+    outcome_col: str,
+    order_col: str,
+    control,
+    treatment,
+    looks: int = 4,
+    critical_c: float = 2.024,
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-sequential two-proportion monitoring with an
+    O'Brien-Fleming-shaped boundary — the interim-look discipline
+    :func:`sprt_bernoulli` provides per-observation, at the
+    "K scheduled analyses" granularity real experiments use:
+    enrollment is cut into ``looks`` equal waves by ``order_col``
+    quantiles, and at each look k the CUMULATIVE pooled two-proportion
+    z is compared against ``critical_c·sqrt(K/k)`` (conservative
+    early, nominal late — the OBF shape). ``critical_c`` is the
+    K-look critical constant from the standard OBF tables (default
+    2.024 = K=4 at two-sided α≈0.05; this operator does NOT solve
+    the boundary-crossing integral — pass the constant for your K/α).
+
+    Contract: one row per unit, binary outcome (cast-boolean
+    semantics), ``order_col`` is the enrollment order. Wave cuts are
+    interpolated ``percentile`` quantiles of ``order_col`` (exact,
+    engine-portable); units tied exactly on a cut land in the earlier
+    wave.
+
+    Scale shape: one quantile aggregate (1-row broadcast), one hash
+    aggregate to (look, arm) cells, then windows over the K-row
+    table. Returns one row per look: ``(look, n, n_treat, n_ctrl,
+    z, boundary, crossed)`` — z NULL when a look's pooled variance
+    is degenerate.
+    """
+    from mhm_data_pipelines_spark.functions.stats import normal_cdf  # noqa: F401
+
+    k_looks = int(looks)
+    if k_looks < 2:
+        raise ValueError(f"looks must be >= 2, got {looks}")
+    if critical_c <= 0:
+        raise ValueError(f"critical_c must be > 0, got {critical_c}")
+    g = F.col(arm_col)
+    base = df.filter(
+        g.isin([control, treatment])
+        & F.col(outcome_col).isNotNull()
+        & F.col(order_col).isNotNull()
+    ).select(
+        F.col(order_col).cast("double").alias("_o"),
+        (g == F.lit(treatment)).cast("long").alias("_it"),
+        F.col(outcome_col).cast("boolean").cast("long").alias("_y"),
+    )
+    q_list = [i / k_looks for i in range(1, k_looks)]
+    cuts = base.agg(
+        *[
+            F.expr(f"percentile(_o, {q!r})").alias(f"_c{i}")
+            for i, q in enumerate(q_list, start=1)
+        ]
+    )
+    look = F.lit(1)
+    for i in range(1, k_looks):
+        look = look + (F.col("_o") > F.col(f"_c{i}")).cast("int")
+    cells = (
+        base.crossJoin(F.broadcast(cuts))
+        .select(look.alias("_look"), "_it", "_y")
+        .groupBy("_look")
+        .agg(
+            F.sum("_it").alias("nt"),
+            F.sum(F.lit(1) - F.col("_it")).alias("nc"),
+            F.sum(F.col("_it") * F.col("_y")).alias("st"),
+            F.sum((F.lit(1) - F.col("_it")) * F.col("_y")).alias("sc"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("_look")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "_look",
+        F.sum("nt").over(w_cum).alias("cnt"),
+        F.sum("nc").over(w_cum).alias("cnc"),
+        F.sum("st").over(w_cum).alias("cst"),
+        F.sum("sc").over(w_cum).alias("csc"),
+    )
+    pt = F.col("cst") / F.col("cnt")
+    pc = F.col("csc") / F.col("cnc")
+    pool = (F.col("cst") + F.col("csc")) / (F.col("cnt") + F.col("cnc"))
+    var = (
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("cnt") + F.lit(1.0) / F.col("cnc"))
+    )
+    z = F.when(var > 0, (pt - pc) / F.sqrt(var))
+    boundary = F.lit(float(critical_c)) * F.sqrt(
+        F.lit(float(k_looks)) / F.col("_look").cast("double")
+    )
+    return cum.select(
+        F.col("_look").cast("int").alias("look"),
+        (F.col("cnt") + F.col("cnc")).cast("long").alias("n"),
+        F.col("cnt").cast("long").alias("n_treat"),
+        F.col("cnc").cast("long").alias("n_ctrl"),
+        F.round(z, round_to).alias("z"),
+        F.round(boundary, round_to).alias("boundary"),
+        F.when(z.isNotNull(), F.abs(z) > boundary).alias("crossed"),
+    ).orderBy("look")

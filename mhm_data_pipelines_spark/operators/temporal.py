@@ -248,3 +248,80 @@ def interval_concurrency(
         F.col("pk.c").cast("long").alias("peak_concurrency"),
         (-F.col("pk.neg_t")).cast("long").alias("peak_at_us"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_id: str,
+    right_id: str,
+    l_start: str = "start_ts",
+    l_end: str = "end_ts",
+    r_start: str = "start_ts",
+    r_end: str = "end_ts",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval×interval overlap join with overlap duration — the
+    "time-in-state" join (user sessions × experiment windows, device
+    uptime × incident windows): all key-matched pairs whose CLOSED
+    intervals intersect, with the intersection bounds and length.
+
+    Same cell-quantization strategy as :func:`range_join` (a naive
+    ``l_start <= r_end AND r_start <= l_end`` join plans as a per-key
+    cross product): BOTH sides explode to the cells they span and the
+    join is an equi-join on (key, cell). A pair sharing many cells
+    would emit once per shared cell, so the exact filter keeps ONLY
+    the cell containing ``greatest(l_start, r_start)`` — the first
+    overlapping cell, which both sides provably span — making each
+    qualifying pair appear exactly once, dedup-free.
+
+    Returns ``on + (left_id, right_id, overlap_start, overlap_end,
+    overlap_s)``. Fan-out per interval ≈ length/bucket + 1: choose
+    ``bucket`` near the typical interval length.
+    """
+    cell_us = F.unix_micros(
+        F.to_timestamp(F.lit("1970-01-01")) + F.expr(f"INTERVAL {bucket}")
+    )
+
+    def cells(s, e):
+        return F.sequence(
+            F.unix_micros(F.col(s)) - (F.unix_micros(F.col(s)) % cell_us),
+            F.unix_micros(F.col(e)) - (F.unix_micros(F.col(e)) % cell_us),
+            cell_us,
+        )
+
+    lhs = left.select(
+        *on,
+        F.col(left_id).alias("_lid"),
+        F.col(l_start).alias("_ls"),
+        F.col(l_end).alias("_le"),
+    ).withColumn("_cell", F.explode(cells("_ls", "_le")))
+    rhs = right.select(
+        *on,
+        F.col(right_id).alias("_rid"),
+        F.col(r_start).alias("_rs"),
+        F.col(r_end).alias("_re"),
+    ).withColumn("_cell", F.explode(cells("_rs", "_re")))
+    o_start = F.greatest(F.col("_ls"), F.col("_rs"))
+    o_end = F.least(F.col("_le"), F.col("_re"))
+    anchor = F.unix_micros(o_start) - (
+        F.unix_micros(o_start) % cell_us
+    )
+    return (
+        lhs.join(rhs, [*on, "_cell"])
+        .filter((o_start <= o_end) & (F.col("_cell") == anchor))
+        .select(
+            *on,
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            o_start.alias("overlap_start"),
+            o_end.alias("overlap_end"),
+            (
+                (
+                    F.unix_micros(o_end) - F.unix_micros(o_start)
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("overlap_s"),
+        )
+    )

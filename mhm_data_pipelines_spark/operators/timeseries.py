@@ -1921,3 +1921,143 @@ def single_changepoint(
             6,
         ).alias("reduction_pct"),
     )
+
+
+def funnel_latencies(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Step-transition latency readout over :func:`funnel_progress` —
+    the "how long between steps" companion of the reached-count
+    funnel: for every consecutive step pair, how many users converted
+    and the median / p90 / mean seconds the transition took.
+
+    Scale shape: funnel_progress's per-user (t_1..t_k) frame (one
+    keyed shuffle per step) unpivots the k−1 transition latencies via
+    ``stack`` — a zero-shuffle projection — and ONE hash aggregate
+    computes every step's count, exact interpolated percentiles
+    (``percentile``, = quantile_cont) and mean. Latencies are exact
+    integer micros divided by 1e6, so both engines aggregate
+    identical doubles.
+
+    Returns one row per transition: ``(step_from, step_to,
+    n_converted, p50_s, p90_s, mean_s)``, ordered by funnel position.
+    """
+    prog = funnel_progress(
+        df,
+        steps,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        within=within,
+    )
+    pairs = []
+    for i in range(1, len(steps)):
+        lat = (
+            F.unix_micros(F.col(f"t_{i + 1}"))
+            - F.unix_micros(F.col(f"t_{i}"))
+        ).cast("double") / F.lit(1e6)
+        pairs.append(
+            F.struct(
+                F.lit(i).alias("pos"),
+                F.lit(steps[i - 1]).alias("step_from"),
+                F.lit(steps[i]).alias("step_to"),
+                lat.alias("lat_s"),
+            )
+        )
+    long = prog.select(
+        F.explode(F.array(*pairs)).alias("tr")
+    ).select("tr.pos", "tr.step_from", "tr.step_to", "tr.lat_s")
+    return (
+        long.filter(F.col("lat_s").isNotNull())
+        .groupBy("pos", "step_from", "step_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(
+                F.expr("percentile(lat_s, 0.5)"), round_to
+            ).alias("p50_s"),
+            F.round(
+                F.expr("percentile(lat_s, 0.9)"), round_to
+            ).alias("p90_s"),
+            F.round(F.avg("lat_s"), round_to).alias("mean_s"),
+        )
+        .orderBy("pos")
+        .drop("pos")
+    )
+
+
+def fixed_effects_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    entity_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bivariate fixed-effects (within) regression — the panel-data
+    workhorse: regress y on x with one intercept PER ENTITY absorbed,
+    so any time-invariant entity-level confounder cancels and beta is
+    identified from WITHIN-entity variation only:
+
+        ``beta = Σ_i Σ_t (x−x̄_i)(y−ȳ_i) / Σ_i Σ_t (x−x̄_i)²``
+
+    computed by the demeaning algebra (no demeaned rows are ever
+    materialized): ``S_w = Σxy − Σ_i (Σx_i·Σy_i / n_i)`` per moment.
+
+    Scale shape: ONE per-entity hash aggregate (six sums) → one
+    final aggregate over the entity-sized table. NULL y/x rows are
+    dropped; entities with a single row contribute nothing to the
+    within moments (their deviation is zero), which the algebra
+    handles without special-casing.
+
+    Returns one row ``(n, n_entities, beta, r2_within)`` — NULL beta
+    when x has no within-entity variance.
+    """
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("_e"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(x_col).cast("double").alias("_x"),
+    )
+    per_e = base.groupBy("_e").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    agg = per_e.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        (
+            F.sum("sxy")
+            - F.sum(F.col("sx") * F.col("sy") / F.col("n_i"))
+        ).alias("swxy"),
+        (
+            F.sum("sxx")
+            - F.sum(F.col("sx") * F.col("sx") / F.col("n_i"))
+        ).alias("swxx"),
+        (
+            F.sum("syy")
+            - F.sum(F.col("sy") * F.col("sy") / F.col("n_i"))
+        ).alias("swyy"),
+    )
+    beta = F.when(F.col("swxx") > 0, F.col("swxy") / F.col("swxx"))
+    r2 = F.when(
+        (F.col("swxx") > 0) & (F.col("swyy") > 0),
+        F.col("swxy")
+        * F.col("swxy")
+        / (F.col("swxx") * F.col("swyy")),
+    )
+    return agg.select(
+        "n",
+        "n_entities",
+        F.round(beta, round_to).alias("beta"),
+        F.round(r2, round_to).alias("r2_within"),
+    )

@@ -464,3 +464,100 @@ def holt_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_EWMA_ANOM_OUT_SCHEMA = (
+    "user_id bigint, n_points bigint, mean double, var double, "
+    "n_anomalies bigint"
+)
+#: (n, m, v, k) — running EWMA mean/variance + cumulative anomaly count.
+_EWMA_ANOM_STATE_SCHEMA = "n bigint, m double, v double, k bigint"
+
+
+def ewma_anomaly_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    value: str = "value",
+    alpha: float = 0.25,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming EWMA anomaly detection — the incremental sibling of
+    ``timeseries.rolling_zscore``: per key, an exponentially-weighted
+    mean and variance advance point by point, and a point is counted
+    anomalous when its deviation from the PRE-UPDATE state exceeds
+    ``threshold`` sigmas (scoring against the pre-update state keeps
+    the anomaly from damping its own alarm). Each batch emits the
+    key's running ``(n_points, mean, var, n_anomalies)`` snapshot
+    (append sink; max-``n_points`` row per key = current state).
+
+    The exact recursion (replayed verbatim by the gate's recursive
+    SQL oracle — batch-split bit-invariance follows from applying the
+    identical float expression tree, same contract as
+    :func:`holt_stream`):
+
+        ``d = x − m;  anomalous ⇔ n ≥ 2 and v > 0 and d² > th²·v``
+        ``m ← m + α·d;  v ← (1−α)·(v + α·d²)``
+
+    (West-style EWMV — the variance update uses the pre-update
+    deviation). First point initializes ``m = x, v = 0``. In-order
+    delivery is the contract, as for every incremental recursion.
+    State is four scalars per key (``NoTimeout`` — entity-bounded).
+    """
+    a = float(alpha)
+    th = float(threshold)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if th <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+
+    def fn(
+        key_: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key_
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:  # pragma: no cover - defensive
+            return
+        pdf = pdf[pdf[value].notna()].sort_values(
+            [ts, order_id], kind="mergesort"
+        )
+        if len(pdf) == 0:
+            return
+        xs = pdf[value].to_numpy(dtype="float64")
+        if state.exists:
+            n, m, v, k = state.get
+            n, m, v, k = int(n), float(m), float(v), int(k)
+        else:
+            n, m, v, k = 0, 0.0, 0.0, 0
+        i = 0
+        if n == 0:
+            m, v, n = xs[0], 0.0, 1
+            i = 1
+        for t in range(i, len(xs)):
+            d = xs[t] - m
+            if v > 0.0 and d * d > th * th * v:
+                k += 1
+            m = m + a * d
+            v = (1.0 - a) * (v + a * d * d)
+            n += 1
+        state.update((n, m, v, k))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_points": [n],
+                "mean": [m],
+                "var": [v],
+                "n_anomalies": [k],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        _EWMA_ANOM_OUT_SCHEMA,
+        _EWMA_ANOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -97,6 +97,12 @@ HEAVY = [
     # the streaming CDC drain (stream machinery + one pass over the
     # 10x orders changelog; bucket-pruned rewrites).
     "jaccard_linkpred", "grid_clusters", "stream_cdc",
+    # round-9 late wave: the two keys over the 2s auto-HEAVY line —
+    # the symmetrized-pair top-k window of item-item cosine (same
+    # 10x-structure sf1 co-order baskets as basket_rules), and the
+    # log-rank drain whose cost is the activity_spans per-user agg
+    # (same shape as the probed kaplan_meier).
+    "item_neighbors", "logrank_survival",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1

@@ -59,6 +59,10 @@ EXECUTES_ON_BUILD = {
     "golden_records",     # iterative CC loop runs on build (same as
                           # neardup_clusters); survivorship shape
                           # checks live in tests/test_components.py
+    "stream_holt",        # drains the availableNow smoothing stream
+                          # on build
+    "stream_anomaly",     # drains the availableNow EWMA-anomaly
+                          # stream on build
 }
 
 #: Queries where a BroadcastNestedLoopJoin is EXPECTED: they cross-join
@@ -178,6 +182,8 @@ SINGLE_ROW_BROADCAST_OK = {
                           # corpus cutoff)) — same as kaplan_meier
     "friedman_groups",    # crossJoin(broadcast(1-row rank-square
                           # sum)) onto the single-row treatment agg
+    "group_sequential",   # crossJoin(broadcast(1-row quantile
+                          # cutpoints)) — the wave-assignment scalars
 }
 
 

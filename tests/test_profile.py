@@ -284,3 +284,52 @@ class TestParetoReport:
             pareto_report(df, "g", thresholds=())
         with pytest.raises(ValueError, match="in \\(0, 1\\]"):
             pareto_report(df, "g", thresholds=(1.5,))
+
+
+class TestWeightedPercentiles:
+    def test_hand_computed(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import (
+            weighted_percentiles,
+        )
+
+        rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        r = weighted_percentiles(
+            df, "v", "w", qs=(0.1, 0.5, 0.9)
+        ).collect()[0]
+        assert r.total_weight == pytest.approx(10.0)
+        assert r.p10 == pytest.approx(1.0)
+        assert r.p50 == pytest.approx(4.0)  # cum hits 5 only at v=4
+        assert r.p90 == pytest.approx(4.0)
+
+    def test_grouped_and_filters(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import (
+            weighted_percentiles,
+        )
+
+        rows = [
+            ("a", 1.0, 3.0), ("a", 9.0, 1.0),
+            ("b", 5.0, 2.0),
+            ("b", 7.0, None), ("b", None, 2.0), ("b", 8.0, 0.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        out = {
+            r.g: r
+            for r in weighted_percentiles(
+                df, "v", "w", qs=(0.5,), group_cols=["g"]
+            ).collect()
+        }
+        assert out["a"].p50 == pytest.approx(1.0)  # 3 of 4 mass at 1
+        assert out["b"].p50 == pytest.approx(5.0)
+        assert out["b"].total_weight == pytest.approx(2.0)
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.profile import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame([(1.0, 1.0)], "v double, w double")
+        with pytest.raises(ValueError, match="qs"):
+            weighted_percentiles(df, "v", "w", qs=())
+        with pytest.raises(ValueError, match="q must be"):
+            weighted_percentiles(df, "v", "w", qs=(1.5,))

@@ -5,6 +5,7 @@ must match batch exact dedup."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from mhm_data_pipelines_spark.streaming.stateful import (
@@ -470,3 +471,104 @@ class TestHoltStream:
         assert got[0]["n_points"] == 1 and got[0]["trend"] == 0.0
         with _pt.raises(ValueError, match="alpha"):
             holt_stream(_stream(spark, path), alpha=0.0)
+
+
+class TestEwmaAnomalyStream:
+    def _drain(self, spark, stream, name, **kw):
+        from mhm_data_pipelines_spark.streaming.stateful import (
+            ewma_anomaly_stream,
+        )
+
+        out = ewma_anomaly_stream(stream, **kw)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    @staticmethod
+    def _replay(xs, a=0.25, th=3.0):
+        n, m, v, k = 0, 0.0, 0.0, 0
+        for x in xs:
+            if n == 0:
+                m, v, n = x, 0.0, 1
+                continue
+            d = x - m
+            if v > 0.0 and d * d > th * th * v:
+                k += 1
+            m = m + a * d
+            v = (1.0 - a) * (v + a * d * d)
+            n += 1
+        return n, m, v, k
+
+    def test_matches_python_replay_and_flags_spike(
+        self, spark, tmp_path
+    ):
+        xs = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 60.0, 10.0, 9.9]
+        rows = [(i, 1, i * MIN, x) for i, x in enumerate(xs)]
+        path = _events_parquet(spark, tmp_path, rows)
+        got = self._drain(
+            spark, _stream(spark, path), "_ewma_anom_single"
+        ).collect()
+        latest = max(got, key=lambda r: r.n_points)
+        n, m, v, k = self._replay(xs)
+        assert latest.n_points == n
+        assert latest.mean == m
+        assert latest["var"] == v
+        assert latest.n_anomalies == k
+        assert k >= 1  # the 60.0 spike must be flagged
+
+    def test_batch_split_is_bit_invariant(self, spark, tmp_path):
+        import pandas as pd
+
+        xs = [float((i * 7) % 11) + 0.25 * i for i in range(24)]
+        path = tmp_path / "ewma_split"
+        path.mkdir()
+        for b in range(3):
+            chunk = xs[b * 8 : (b + 1) * 8]
+            pdf = pd.DataFrame(
+                {
+                    "event_id": [b * 8 + i for i in range(8)],
+                    "user_id": [1] * 8,
+                    "ts": [
+                        pd.Timestamp(DEC + (b * 8 + i) * MIN, unit="s")
+                        for i in range(8)
+                    ],
+                    "value": chunk,
+                }
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(
+                str(path / f"b{b}")
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp,"
+                " value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path))
+        )
+        got = self._drain(spark, stream, "_ewma_anom_split").collect()
+        latest = max(got, key=lambda r: r.n_points)
+        n, m, v, k = self._replay(xs)
+        assert latest.n_points == n
+        assert latest.mean == m  # bit-equal, no tolerance
+        assert latest["var"] == v
+        assert latest.n_anomalies == k
+
+    def test_guards(self, spark, tmp_path):
+        from mhm_data_pipelines_spark.streaming.stateful import (
+            ewma_anomaly_stream,
+        )
+
+        rows = [(0, 1, 0, 1.0)]
+        path = _events_parquet(spark, tmp_path, rows)
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_anomaly_stream(_stream(spark, path), alpha=0.0)
+        with pytest.raises(ValueError, match="threshold"):
+            ewma_anomaly_stream(_stream(spark, path), threshold=0.0)

@@ -1081,3 +1081,79 @@ class TestFriedman:
         r = friedman_test(df, "blk", "trt", "v").collect()[0]
         assert r.n_blocks == 3
         assert r.q == pytest.approx(6.0)
+
+
+class TestGroupSequential:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "unit long, arm string, y int"
+        )
+
+    def test_final_look_matches_pooled_ztest(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            group_sequential_ztest,
+            two_proportion_ztest,
+        )
+
+        rows = [
+            (i, "T" if i % 2 else "C", 1 if (i * 7) % 3 == 0 else 0)
+            for i in range(40)
+        ]
+        df = self._df(spark, rows)
+        gs = group_sequential_ztest(
+            df, "arm", "y", "unit", "C", "T", looks=4
+        ).collect()
+        assert [r.look for r in gs] == [1, 2, 3, 4]
+        final = gs[-1]
+        assert final.n == 40
+        ref = two_proportion_ztest(df, "arm", "T", "C", "y").collect()[0]
+        assert final.z == pytest.approx(ref.z, abs=1e-6)
+        # OBF shape: boundary shrinks toward critical_c at the end
+        bs = [r.boundary for r in gs]
+        assert bs == sorted(bs, reverse=True)
+        assert bs[-1] == pytest.approx(2.024, abs=1e-6)
+        assert bs[0] == pytest.approx(2.024 * 2.0, abs=1e-6)
+
+    def test_cumulative_counts_and_crossing(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            group_sequential_ztest,
+        )
+
+        # extreme effect: treatment always converts, control never
+        rows = [
+            (i, "T" if i % 2 else "C", 1 if i % 2 else 0)
+            for i in range(40)
+        ]
+        gs = group_sequential_ztest(
+            self._df(spark, rows), "arm", "y", "unit", "C", "T",
+            looks=2,
+        ).collect()
+        assert gs[0].n == 20 and gs[1].n == 40
+        assert gs[1].crossed is True
+
+    def test_degenerate_variance_null(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            group_sequential_ztest,
+        )
+
+        rows = [(i, "T" if i % 2 else "C", 0) for i in range(8)]
+        gs = group_sequential_ztest(
+            self._df(spark, rows), "arm", "y", "unit", "C", "T",
+            looks=2,
+        ).collect()
+        assert all(r.z is None and r.crossed is None for r in gs)
+
+    def test_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            group_sequential_ztest,
+        )
+
+        df = self._df(spark, [(1, "T", 1)])
+        with pytest.raises(ValueError, match="looks"):
+            group_sequential_ztest(
+                df, "arm", "y", "unit", "C", "T", looks=1
+            )
+        with pytest.raises(ValueError, match="critical_c"):
+            group_sequential_ztest(
+                df, "arm", "y", "unit", "C", "T", critical_c=0
+            )

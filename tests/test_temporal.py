@@ -211,3 +211,55 @@ def test_concurrency_null_and_inverted_dropped(spark):
         _iv_df(spark, rows), "s", "e", keys=["k"]
     ).collect()[0]
     assert out["n_intervals"] == 1 and out["peak_concurrency"] == 1
+
+
+class TestIntervalOverlapJoin:
+    def _df(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2025, 1, 1)
+        data = [
+            (k, i, t0 + dt.timedelta(hours=s), t0 + dt.timedelta(hours=e))
+            for (k, i, s, e) in rows
+        ]
+        return spark.createDataFrame(
+            data, "k string, iid long, start_ts timestamp, end_ts timestamp"
+        )
+
+    def test_overlap_duration_and_dedup(self, spark):
+        from mhm_data_pipelines_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        left = self._df(spark, [("u", 1, 0, 10)])   # 00:00-10:00
+        right = self._df(spark, [("u", 2, 4, 12)])  # 04:00-12:00
+        out = interval_overlap_join(
+            left, right, ["k"], "iid", "iid", bucket="1 hour"
+        ).collect()
+        # 6 shared cells but exactly ONE result row
+        assert len(out) == 1
+        r = out[0]
+        assert r.overlap_s == pytest.approx(6 * 3600.0)
+
+    def test_disjoint_and_touching(self, spark):
+        from mhm_data_pipelines_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        left = self._df(spark, [("u", 1, 0, 2)])
+        right = self._df(
+            spark, [("u", 2, 3, 4), ("u", 3, 2, 5), ("v", 4, 0, 2)]
+        )
+        out = {
+            r.iid_r: r
+            for r in interval_overlap_join(
+                left,
+                right.withColumnRenamed("iid", "iid_r"),
+                ["k"],
+                "iid",
+                "iid_r",
+            ).collect()
+        }
+        assert 2 not in out        # disjoint
+        assert 4 not in out        # different key
+        assert out[3].overlap_s == pytest.approx(0.0)  # touching, closed

@@ -1153,3 +1153,100 @@ class TestSingleChangepoint:
         assert [r["e"] for r in out] == ["ok"]
         with pytest.raises(ValueError, match="min_seg"):
             single_changepoint(self._df(spark, rows), "e", "t", "y", 0)
+
+
+class TestFunnelLatencies:
+    def test_hand_computed_percentiles(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            funnel_latencies,
+        )
+
+        t0 = dt.datetime(2025, 1, 1)
+
+        def ev(u, typ, secs):
+            return (u, typ, t0 + dt.timedelta(seconds=secs))
+
+        rows = [
+            # user 1: A->B in 10s, B->C in 100s
+            ev(1, "A", 0), ev(1, "B", 10), ev(1, "C", 110),
+            # user 2: A->B in 30s, never C
+            ev(2, "A", 0), ev(2, "B", 30),
+            # user 3: only A
+            ev(3, "A", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = funnel_latencies(df, ["A", "B", "C"]).collect()
+        assert [(r.step_from, r.step_to) for r in out] == [
+            ("A", "B"),
+            ("B", "C"),
+        ]
+        ab, bc = out
+        assert ab.n_converted == 2
+        assert ab.p50_s == pytest.approx(20.0)  # interp of {10, 30}
+        assert ab.mean_s == pytest.approx(20.0)
+        assert bc.n_converted == 1
+        assert bc.p50_s == pytest.approx(100.0)
+
+    def test_strict_order_excludes_pre_step_events(self, spark):
+        import datetime as dt
+
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            funnel_latencies,
+        )
+
+        t0 = dt.datetime(2025, 1, 1)
+        rows = [
+            (1, "B", t0),  # B before A: not a conversion
+            (1, "A", t0 + dt.timedelta(seconds=10)),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = funnel_latencies(df, ["A", "B"]).collect()
+        assert out == []
+
+
+class TestFixedEffectsFit:
+    def test_within_beta_removes_entity_confounder(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            fixed_effects_fit,
+        )
+
+        # y = 2x + entity offset; pooled OLS would be biased by the
+        # offsets, the within estimator recovers exactly 2.
+        rows = []
+        for e, off in (("a", 0.0), ("b", 100.0), ("c", -50.0)):
+            for x in (1.0, 2.0, 3.0):
+                rows.append((e, x, 2.0 * x + off))
+        df = spark.createDataFrame(rows, "e string, x double, y double")
+        r = fixed_effects_fit(df, "y", "x", "e").collect()[0]
+        assert (r.n, r.n_entities) == (9, 3)
+        assert r.beta == pytest.approx(2.0, abs=1e-9)
+        assert r.r2_within == pytest.approx(1.0, abs=1e-9)
+
+    def test_no_within_variance_null(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            fixed_effects_fit,
+        )
+
+        rows = [("a", 1.0, 5.0), ("a", 1.0, 6.0), ("b", 2.0, 7.0)]
+        df = spark.createDataFrame(rows, "e string, x double, y double")
+        r = fixed_effects_fit(df, "y", "x", "e").collect()[0]
+        assert r.beta is None and r.r2_within is None
+
+    def test_singleton_entities_contribute_nothing(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            fixed_effects_fit,
+        )
+
+        rows = [
+            ("a", 1.0, 2.0), ("a", 2.0, 4.0),
+            ("solo", 99.0, -1000.0),
+        ]
+        df = spark.createDataFrame(rows, "e string, x double, y double")
+        r = fixed_effects_fit(df, "y", "x", "e").collect()[0]
+        assert r.beta == pytest.approx(2.0, abs=1e-9)
