@@ -16405,6 +16405,375 @@ FROM st ORDER BY look
 """
 
 
+
+
+def q_geo_join(spark, sf_dir):
+    """Great-circle radius join (spatial.geo_radius_join): click
+    events vs view events on a deterministic globe (lat = value mod
+    100 − 50, lon = 11·event_id mod 360 − 180), radius 100 km inside
+    the declared ±50° band — degree-grid blocking sized for the worst
+    latitude, 3x3 neighborhood equi-join, exact haversine filter.
+    Aggregated per-left-point readout; the oracle mirrors the SAME
+    blocking (the all-pairs twin would be quadratic), so antimeridian
+    semantics match by construction."""
+    from mhm_data_pipelines_spark.operators.spatial import (
+        geo_radius_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def pts(kind):
+        return ev.filter(
+            (F.col("event_type") == kind) & F.col("value").isNotNull()
+        ).select(
+            F.col("event_id").alias("id"),
+            ((F.col("value") % 100.0) - 50.0).alias("lat"),
+            (((F.col("event_id") * 11) % 360) - 180)
+            .cast("double")
+            .alias("lon"),
+        )
+
+    pairs = geo_radius_join(
+        pts("click"), pts("view"), 100.0, 50.0
+    )
+    return (
+        pairs.groupBy("left_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(F.min("dist_km"), 6).alias("min_dist_km"),
+        )
+        .select(
+            F.col("left_id").cast("long").alias("left_id"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            "min_dist_km",
+        )
+        .orderBy("left_id")
+    )
+
+
+#: shared verbatim with spatial.KM_PER_DEG_LAT / EARTH_RADIUS_KM
+_GEO_DLAT = "(100.0 / 111.19492664455873)"
+_GEO_DLON = (
+    "(100.0 / (111.19492664455873 * cos(radians(50.0))))"
+)
+
+SQL_GEO_JOIN = """
+WITH lpt AS (
+  SELECT event_id AS id, (value % 100.0) - 50.0 AS lat,
+         CAST(((event_id * 11) % 360) - 180 AS DOUBLE) AS lon
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+   AND abs((value % 100.0) - 50.0) <= 50.0
+), rpt AS (
+  SELECT event_id AS id, (value % 100.0) - 50.0 AS lat,
+         CAST(((event_id * 11) % 360) - 180 AS DOUBLE) AS lon
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+   AND abs((value % 100.0) - 50.0) <= 50.0
+), offs AS (
+  SELECT unnest([-1, 0, 1]) AS o
+), lcell AS (
+  SELECT l.id, l.lat, l.lon,
+         CAST(floor(l.lat / __DLAT__) AS BIGINT) + ox.o AS cx,
+         CAST(floor(l.lon / __DLON__) AS BIGINT) + oy.o AS cy
+  FROM lpt l CROSS JOIN offs ox CROSS JOIN offs oy
+), rcell AS (
+  SELECT id, lat, lon,
+         CAST(floor(lat / __DLAT__) AS BIGINT) AS cx,
+         CAST(floor(lon / __DLON__) AS BIGINT) AS cy
+  FROM rpt
+), pairs AS (
+  SELECT l.id AS left_id, r.id AS right_id,
+         2.0 * 6371.0088 * asin(least(1.0, sqrt(
+           sin((r.lat - l.lat) * pi() / 180.0 / 2)
+             * sin((r.lat - l.lat) * pi() / 180.0 / 2)
+           + cos(l.lat * pi() / 180.0) * cos(r.lat * pi() / 180.0)
+             * sin((r.lon - l.lon) * pi() / 180.0 / 2)
+             * sin((r.lon - l.lon) * pi() / 180.0 / 2)
+         ))) AS dist_km
+  FROM lcell l JOIN rcell r ON l.cx = r.cx AND l.cy = r.cy
+)
+SELECT CAST(left_id AS BIGINT) AS left_id,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       round(min(dist_km), 6) AS min_dist_km
+FROM pairs WHERE dist_km <= 100.0
+GROUP BY left_id ORDER BY left_id
+""".replace("__DLAT__", _GEO_DLAT).replace("__DLON__", _GEO_DLON)
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    """Composition certification: seasonal-adjusted anomaly scoring =
+    seasonal_decompose's residual stream fed into rolling_zscore —
+    "unusual FOR a Tuesday", not merely unusual. No new operator
+    code; the key certifies that the two operators compose under ONE
+    full-value oracle across both stages."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        rolling_zscore,
+        seasonal_decompose,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    dec = seasonal_decompose(
+        daily, ["event_type"], day_col="day", value_col="value",
+        period=7,
+    )
+    scored = rolling_zscore(
+        dec.filter(F.col("residual").isNotNull()).select(
+            "event_type",
+            F.col("day").alias("ts"),
+            F.col("residual").alias("value"),
+        ),
+        ts="ts",
+        key="event_type",
+        value="value",
+        window=14,
+    )
+    return scored.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round("value", 6).alias("residual"),
+        F.round("z", 6).alias("z"),
+    ).orderBy("event_type", "day")
+
+
+def q_markov_chain(spark, sf_dir):
+    """Stationary distribution of the event-type transition chain
+    (graph.markov_stationary, 20 fixed power-iteration rounds):
+    where does a random walk over consecutive per-user event types
+    settle? Transitions from one per-user lead window; every round a
+    state-sized join + aggregate, 12dp round-before-derive — the
+    oracle unrolls the identical 20 rounds as chained CTEs."""
+    from mhm_data_pipelines_spark.operators.graph import (
+        markov_stationary,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    out = markov_stationary(pairs, n_iter=20)
+    return out.select(F.col("state").alias("state"), "pi")
+
+
+def _markov_sql() -> str:
+    head = """
+WITH pairs AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS d
+  FROM events
+), agg AS (
+  SELECT s, d, CAST(count(*) AS DOUBLE) AS w
+  FROM pairs WHERE d IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT s, sum(w) AS t FROM agg GROUP BY s
+), states AS (
+  SELECT DISTINCT s AS state FROM (
+    SELECT s FROM agg UNION ALL SELECT d FROM agg
+  )
+), p AS (
+  SELECT agg.s, agg.d, agg.w / tot.t AS p
+  FROM agg JOIN tot USING (s)
+  UNION ALL
+  SELECT st.state, st.state, 1.0
+  FROM states st
+  WHERE st.state NOT IN (SELECT s FROM tot)
+), pi0 AS (
+  SELECT state, 1.0 / (SELECT count(*) FROM states) AS pi
+  FROM states
+)"""
+    steps = []
+    for i in range(1, 21):
+        steps.append(
+            f", pi{i} AS (\n"
+            f"  SELECT p.d AS state,\n"
+            f"         round(sum(pi{i - 1}.pi * p.p), 12) AS pi\n"
+            f"  FROM pi{i - 1} JOIN p ON p.s = pi{i - 1}.state\n"
+            f"  GROUP BY p.d\n)"
+        )
+    tail = """
+SELECT s.state, round(coalesce(pi20.pi, 0.0), 6) AS pi
+FROM states s LEFT JOIN pi20 ON pi20.state = s.state
+ORDER BY s.state
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_MARKOV_CHAIN = _markov_sql()
+
+
+def q_eb_rates(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-user-bucket purchase rates
+    (stats_tests.eb_rate_shrinkage): method-of-moments Beta prior
+    over the 97 bucket rates, small buckets pulled hardest toward
+    the grand mean — "this bucket has 1/1 = 100%" smoothing. One
+    corpus agg + one group-sized moment broadcast."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        eb_rate_shrinkage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.select(
+        F.pmod(F.col("user_id"), F.lit(97)).alias("bucket"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    out = eb_rate_shrinkage(pre, "bucket", "y")
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "s",
+        "rate",
+        "shrunk_rate",
+        "prior_strength",
+    ).orderBy("bucket")
+
+
+SQL_EB_RATES = """
+WITH pg AS (
+  SELECT user_id % 97 AS bucket, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS s
+  FROM events GROUP BY 1
+), pr AS (
+  SELECT avg(s * 1.0 / n) AS m, var_pop(s * 1.0 / n) AS v FROM pg
+), kk AS (
+  SELECT m, v,
+         CASE WHEN v > 0 AND m > 0 AND m < 1
+                   AND (m * (1.0 - m) / v - 1.0) > 0
+              THEN m * (1.0 - m) / v - 1.0 END AS k
+  FROM pr
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       round(s * 1.0 / n, 6) AS rate,
+       round(CASE WHEN k IS NOT NULL
+                  THEN (s + m * k) / (n + k)
+                  ELSE s * 1.0 / n END, 6) AS shrunk_rate,
+       round(k, 6) AS prior_strength
+FROM pg CROSS JOIN kk ORDER BY bucket
+"""
+
+
+def q_negative_samples(spark, sf_dir):
+    """Popularity-weighted negative sampling
+    (sampling.popularity_negative_samples): 2 word2vec-style
+    count^0.75 negatives per (customer, part) purchase pair —
+    tempered weights as sqrt(c)*sqrt(sqrt(c)) (bit-identical where
+    pow() is libm-dependent), md5-unit draws, interval lookup via the
+    max-weight bucket equi-join. The oracle replays the identical
+    draw arithmetic with DuckDB's inequality join."""
+    from mhm_data_pipelines_spark.operators.sampling import (
+        popularity_negative_samples,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    inter = (
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    out = popularity_negative_samples(
+        inter, "cust", "part", k=2, seed=42
+    )
+    return out.select(
+        F.col("cust").cast("long").alias("cust"),
+        F.col("part").cast("long").alias("part"),
+        F.col("draw").cast("int").alias("draw"),
+        F.col("neg_item").cast("long").alias("neg_part"),
+    ).orderBy("cust", "part", "draw")
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+), pop AS (
+  SELECT part AS neg_item, count(*) AS c FROM inter GROUP BY part
+), iv AS (
+  SELECT neg_item,
+         sqrt(CAST(c AS DOUBLE)) * sqrt(sqrt(CAST(c AS DOUBLE)))
+           AS w,
+         sum(sqrt(CAST(c AS DOUBLE)) * sqrt(sqrt(CAST(c AS DOUBLE))))
+           OVER (ORDER BY neg_item
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hi
+  FROM pop
+), iv2 AS (
+  SELECT neg_item, hi - w AS lo, hi FROM iv
+), scal AS (
+  SELECT max(hi) AS W_ FROM iv
+), draws AS (
+  SELECT cust, part, j AS draw,
+         (CAST(('0x' || substr(
+             md5(cust || ':' || part || ':' || j || ':42'), 1, 15))
+           AS BIGINT) / 1152921504606846976.0) * scal.W_ AS tw
+  FROM inter CROSS JOIN (SELECT unnest([1, 2]) AS j) js
+  CROSS JOIN scal
+)
+SELECT CAST(d.cust AS BIGINT) AS cust,
+       CAST(d.part AS BIGINT) AS part,
+       CAST(d.draw AS INT) AS draw,
+       CAST(iv2.neg_item AS BIGINT) AS neg_part
+FROM draws d
+JOIN iv2 ON d.tw >= iv2.lo AND d.tw < iv2.hi
+WHERE iv2.neg_item <> d.part
+ORDER BY cust, part, draw
+"""
+
+
+
+SQL_SEASONAL_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS day,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT g, day, v,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS di,
+         round(avg(v) OVER (
+           PARTITION BY g
+           ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         ), 6) AS trend
+  FROM daily
+), s_raw AS (
+  SELECT g, di % 7 AS pos, round(avg(v - trend), 6) AS s_raw
+  FROM t GROUP BY g, di % 7
+), s AS (
+  SELECT g, pos,
+         round(s_raw - avg(s_raw) OVER (PARTITION BY g), 6)
+           AS seasonal
+  FROM s_raw
+), resid AS (
+  SELECT t.g, t.day,
+         round(t.v - t.trend - s.seasonal, 6) AS r
+  FROM t JOIN s ON t.g = s.g AND t.di % 7 = s.pos
+), zed AS (
+  SELECT g, day, r,
+         avg(r) OVER w AS mu, stddev_pop(r) OVER w AS sd,
+         count(r) OVER w AS cnt
+  FROM resid
+  WINDOW w AS (PARTITION BY g ORDER BY day
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+)
+SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(r, 6) AS residual,
+       round(CASE WHEN cnt = 14 AND sd > 0
+                  THEN (r - mu) / sd END, 6) AS z
+FROM zed ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overview_stats": q_overview_stats,
     "feature_stats": q_feature_stats,
@@ -16708,6 +17077,11 @@ QUERIES: dict[str, QuerySpec] = {
     "weighted_percentiles": q_weighted_percentiles,
     "interval_overlap": q_interval_overlap,
     "group_sequential": q_group_sequential,
+    "geo_join": q_geo_join,
+    "seasonal_anomalies": q_seasonal_anomalies,
+    "markov_chain": q_markov_chain,
+    "eb_rates": q_eb_rates,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLES: dict[str, str] = {
@@ -17018,6 +17392,11 @@ ORACLES: dict[str, str] = {
     "weighted_percentiles": SQL_WEIGHTED_PERCENTILES,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "group_sequential": SQL_GROUP_SEQUENTIAL,
+    "geo_join": SQL_GEO_JOIN,
+    "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
+    "markov_chain": SQL_MARKOV_CHAIN,
+    "eb_rates": SQL_EB_RATES,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -17112,7 +17491,9 @@ GATE_PRIORITY: list[str] = [
     #    spatial_join, mcnemar_pairs, cumulative_hazard,
     #    mobility_features, stay_points, friedman_groups,
     #    funnel_latency, fe_trend, stream_anomaly,
-    #    weighted_percentiles, interval_overlap, group_sequential
+    #    weighted_percentiles, interval_overlap, group_sequential,
+    #    geo_join, seasonal_anomalies,
+    #    markov_chain, eb_rates, negative_samples
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -17391,6 +17772,11 @@ BENCH_QUERIES: list[str] = [
     "weighted_percentiles",
     "interval_overlap",
     "group_sequential",
+    "geo_join",
+    "seasonal_anomalies",
+    "markov_chain",
+    "eb_rates",
+    "negative_samples",
 ]
 
 

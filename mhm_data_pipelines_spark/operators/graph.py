@@ -29,7 +29,7 @@ legal and count toward out-weight.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -608,4 +608,98 @@ def degree_assortativity(
         F.round(F.when(den > 0, num / den), round_to).alias(
             "assortativity"
         ),
+    )
+
+
+def markov_stationary(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 20,
+    iter_round: int = 12,
+    round_to: int = 6,
+) -> DataFrame:
+    """Stationary distribution of the Markov chain defined by a
+    weighted transition edge list — where does a random walk over the
+    observed transitions spend its time? The chain-level summary of
+    the per-step ``event_transitions`` matrix (and pagerank's
+    no-teleport sibling).
+
+    Fixed-point by ``n_iter`` synchronous power-iteration rounds from
+    the uniform start — a FIXED iteration count, not a convergence
+    test, so the result is a deterministic function of the input and
+    an external SQL engine replays it exactly. Each round rounds the
+    distribution at ``iter_round`` dp (round-before-derive — the
+    cross-engine float discipline used across this package).
+
+    States with no outgoing edges become explicit SELF-LOOPS in the
+    normalized matrix (mass stays put, Σπ = 1 — pagerank's teleport
+    is the alternative when absorption is unwanted). Folding the
+    dangling handling INTO the matrix keeps each round a single
+    join + hash aggregate that references the previous distribution
+    exactly once — the plan grows LINEARLY in n_iter (a per-round
+    anti-join would reference π twice and double the plan each
+    round), so the whole loop is one lazy job over state-sized
+    tables, no checkpoints.
+
+    State count is assumed metadata-sized (event types, pages);
+    this is a chain over CATEGORIES, not over users. Returns
+    ``(state, pi)`` rounded to ``round_to``, ordered by state.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    w = (
+        F.col(weight).cast("double")
+        if weight
+        else F.lit(1.0)
+    )
+    e = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w")
+    )
+    agg = e.groupBy("s", "d").agg(F.sum("w").alias("w"))
+    out_tot = agg.groupBy("s").agg(F.sum("w").alias("tot"))
+    p = agg.join(out_tot, "s").select(
+        "s", "d", (F.col("w") / F.col("tot")).alias("p")
+    )
+    states = (
+        e.select(F.col("s").alias("state"))
+        .unionByName(e.select(F.col("d").alias("state")))
+        .distinct()
+    )
+    dangling = states.join(
+        out_tot.select(F.col("s").alias("state")), "state", "left_anti"
+    ).select(
+        F.col("state").alias("s"),
+        F.col("state").alias("d"),
+        F.lit(1.0).alias("p"),
+    )
+    p_full = p.unionByName(dangling).localCheckpoint(eager=False)
+    n_states = Window.partitionBy()
+    pi = states.select(
+        "state",
+        (F.lit(1.0) / F.count(F.lit(1)).over(n_states)).alias("pi"),
+    )
+    for _ in range(int(n_iter)):
+        pi = (
+            pi.join(p_full, pi["state"] == p_full["s"])
+            .groupBy(F.col("d").alias("state"))
+            .agg(
+                F.round(
+                    F.sum(F.col("pi") * F.col("p")), iter_round
+                ).alias("pi")
+            )
+        )
+    # states whose mass hit exactly zero drop out of the join-agg
+    # stream mid-loop (absent = 0); re-attach them for a dense output
+    return (
+        states.join(pi, "state", "left")
+        .select(
+            "state",
+            F.round(F.coalesce(F.col("pi"), F.lit(0.0)), round_to)
+            .alias("pi"),
+        )
+        .orderBy("state")
     )

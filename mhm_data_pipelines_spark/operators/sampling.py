@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Denominator for hash-bucket fractions (1e6 → 0.0001% resolution).
@@ -583,3 +583,116 @@ def _parse_interval_us(interval: str) -> int:
     if unit not in mult:
         raise ValueError(f"unsupported embargo unit: {unit!r}")
     return int(qty) * mult[unit]
+
+
+def popularity_negative_samples(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 2,
+    seed: int = 42,
+    exclude_positive: bool = True,
+) -> DataFrame:
+    """Popularity-weighted negative sampling for contrastive /
+    recommender training (the word2vec ``count^0.75`` scheme,
+    Mikolov et al. 2013): for every observed (user, item) pair, draw
+    ``k`` negatives from the item-popularity distribution tempered to
+    the 3/4 power — uniform sampling over-trains on the torso,
+    raw-popularity over-trains on the head; 0.75 is the published
+    compromise.
+
+    Determinism & cross-engine parity: draws are
+    ``md5_unit_draw(user:item:j)`` (the package's one hash-draw
+    construction); the tempered weight is computed as
+    ``sqrt(c)·sqrt(sqrt(c))`` — two correctly-rounded IEEE sqrts and
+    one multiply, bit-identical in any engine, where ``pow(c, 0.75)``
+    is libm-dependent. The cumulative-mass table is a window cumsum
+    in item order, so both engines accumulate in the same sequence.
+
+    Scale shape: the draw→item lookup is an INTERVAL search over the
+    cumulative popularity table, realized as an equi-join on
+    mass-buckets of width ``B = max(weight)`` — every item interval
+    spans ≤ 2 buckets (w ≤ B), every draw hashes to exactly one, so
+    the join is bounded and never a cross. W and B attach as
+    single-row broadcasts. Popularity skew concentrates draws in the
+    head items' buckets — that is the SAMPLING DISTRIBUTION doing
+    its job, not a defect; AQE splits any hot bucket.
+
+    Returns ``(user, item, draw, neg_item)``; with
+    ``exclude_positive`` (default) draws that land on the positive
+    item itself are dropped, so a pair can yield < k rows (document
+    to consumers; re-drawing would need rejection rounds).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = interactions.filter(
+        F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    pop = base.groupBy("it").agg(F.count(F.lit(1)).alias("c"))
+    wexpr = F.sqrt(F.col("c").cast("double")) * F.sqrt(
+        F.sqrt(F.col("c").cast("double"))
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("neg_item")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = pop.select(F.col("it").alias("neg_item"), wexpr.alias("w"))
+    iv = iv.withColumn("hi", F.sum("w").over(w_cum)).withColumn(
+        "lo", F.col("hi") - F.col("w")
+    )
+    # W = the LAST cumulative bound (max hi), not an independent
+    # sum: a re-summation could differ from the sequential window
+    # accumulation by an ulp and strand a u~1 draw past the top
+    # interval in one engine only.
+    scal = iv.agg(
+        F.max("w").alias("B"), F.max("hi").alias("W")
+    )
+    items_b = (
+        iv.crossJoin(F.broadcast(scal))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.col("B")).cast("long"),
+                    F.floor(F.col("hi") / F.col("B")).cast("long"),
+                )
+            ),
+        )
+        .select("neg_item", "lo", "hi", "_bkt")
+    )
+    draws = (
+        base.withColumn(
+            "draw", F.explode(F.sequence(F.lit(1), F.lit(int(k))))
+        )
+        .withColumn(
+            "_t",
+            md5_unit_draw(
+                F.concat_ws(":", F.col("u"), F.col("it"), F.col("draw")),
+                seed=seed,
+            ),
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "u",
+            "it",
+            "draw",
+            (F.col("_t") * F.col("W")).alias("_tw"),
+            F.floor(F.col("_t") * F.col("W") / F.col("B"))
+            .cast("long")
+            .alias("_bkt"),
+        )
+    )
+    out = draws.join(items_b, "_bkt").filter(
+        (F.col("_tw") >= F.col("lo")) & (F.col("_tw") < F.col("hi"))
+    )
+    if exclude_positive:
+        out = out.filter(F.col("neg_item") != F.col("it"))
+    return out.select(
+        F.col("u").alias(user_col),
+        F.col("it").alias(item_col),
+        F.col("draw").cast("int").alias("draw"),
+        "neg_item",
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "radius_neighbor_counts",
     "mobility_features",
     "stay_points",
+    "geo_radius_join",
 ]
 
 
@@ -332,3 +333,124 @@ def stay_points(
         F.col("n_points").cast("long").alias("n_points"),
         "duration_s",
     ).orderBy(user, "enter_ts")
+
+
+#: Mean-earth kilometres per degree of latitude (WGS-84 mean radius
+#: 6371.0088 km * pi / 180) — shared verbatim with the SQL oracle.
+KM_PER_DEG_LAT = 111.19492664455873
+EARTH_RADIUS_KM = 6371.0088
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    max_abs_lat: float,
+    left_id: str = "id",
+    right_id: str = "id",
+    lat: str = "lat",
+    lon: str = "lon",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Great-circle radius join on lat/lon — the geodesic sibling of
+    :func:`grid_radius_join`: all (left, right) pairs within
+    ``radius_km`` haversine kilometres, ``(left_id, right_id,
+    dist_km)``.
+
+    Blocking: a fixed degree grid with ``dlat = r/KM_PER_DEG_LAT``
+    and ``dlon = r/(KM_PER_DEG_LAT·cos(max_abs_lat))`` — the caller
+    declares the latitude band the data lives in (``max_abs_lat``,
+    degrees, < 89), and the longitude cell is sized for the WORST
+    (highest) latitude, so the 3x3 neighborhood provably covers the
+    radius everywhere in band. Rows outside the band are dropped
+    (loud contract — polar data needs a different blocking, e.g.
+    S2/H3 cells). No meridian wrap: points near ±180° longitude
+    won't match across the antimeridian (documented limitation of
+    flat degree-grid blocking).
+
+    Exactness caveat (unlike the planar join, which is bit-exact):
+    haversine evaluates sin/cos, whose last-ulp values may differ
+    across engines' libm — a pair landing within ~1e-11 km of the
+    radius could flip membership between engines. Measure-zero in
+    practice; documented rather than hidden.
+    """
+    import math
+
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    if not 0.0 < max_abs_lat < 89.0:
+        raise ValueError(
+            f"max_abs_lat must be in (0, 89), got {max_abs_lat}"
+        )
+    dlat = float(radius_km) / KM_PER_DEG_LAT
+    dlon = float(radius_km) / (
+        KM_PER_DEG_LAT * math.cos(math.radians(float(max_abs_lat)))
+    )
+
+    def prepared(df, idc):
+        return df.filter(
+            F.col(lat).isNotNull()
+            & F.col(lon).isNotNull()
+            & (F.abs(F.col(lat)) <= float(max_abs_lat))
+        ).select(
+            F.col(idc).alias("_id"),
+            F.col(lat).cast("double").alias("_lat"),
+            F.col(lon).cast("double").alias("_lon"),
+            F.floor(F.col(lat) / dlat).cast("long").alias("_cx"),
+            F.floor(F.col(lon) / dlon).cast("long").alias("_cy"),
+        )
+
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    lhs = (
+        prepared(left, left_id)
+        .withColumnRenamed("_id", "_lid")
+        .withColumnRenamed("_lat", "_lat1")
+        .withColumnRenamed("_lon", "_lon1")
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            "_lid",
+            "_lat1",
+            "_lon1",
+            (F.col("_cx") + F.col("_o.ox")).alias("_cx"),
+            (F.col("_cy") + F.col("_o.oy")).alias("_cy"),
+        )
+    )
+    rhs = (
+        prepared(right, right_id)
+        .withColumnRenamed("_id", "_rid")
+        .withColumnRenamed("_lat", "_lat2")
+        .withColumnRenamed("_lon", "_lon2")
+    )
+    if cell_cap is not None:
+        ok = (
+            rhs.groupBy("_cx", "_cy")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= int(cell_cap))
+            .select("_cx", "_cy")
+        )
+        rhs = rhs.join(ok, ["_cx", "_cy"])
+    rad = math.pi / 180.0
+    sdlat = F.sin((F.col("_lat2") - F.col("_lat1")) * rad / 2)
+    sdlon = F.sin((F.col("_lon2") - F.col("_lon1")) * rad / 2)
+    a = sdlat * sdlat + F.cos(F.col("_lat1") * rad) * F.cos(
+        F.col("_lat2") * rad
+    ) * sdlon * sdlon
+    dist = (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    )
+    return (
+        lhs.join(rhs, ["_cx", "_cy"])
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            dist.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= float(radius_km))
+    )

@@ -60,6 +60,7 @@ __all__ = [
     "mcnemar_test",
     "friedman_test",
     "group_sequential_ztest",
+    "eb_rate_shrinkage",
 ]
 
 
@@ -1880,3 +1881,71 @@ def group_sequential_ztest(
         F.round(boundary, round_to).alias("boundary"),
         F.when(z.isNotNull(), F.abs(z) > boundary).alias("crossed"),
     ).orderBy("look")
+
+
+def eb_rate_shrinkage(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
+    the standard fix for "this item has 1/1 = 100% CTR": fit a Beta
+    prior to the OBSERVED spread of group rates by method of moments
+    and pull every group toward the grand mean in proportion to its
+    evidence:
+
+        ``m = mean(r_i)``, ``v = var_pop(r_i)``,
+        ``K = m(1−m)/v − 1``  (prior strength, = α+β),
+        ``shrunk_i = (s_i + m·K) / (n_i + K)``
+
+    When the between-group variance carries no signal (v = 0, or
+    K ≤ 0 — spread wider than binomial alone allows fitting), the
+    prior is undefined and ``shrunk_rate = rate`` with NULL
+    ``prior_strength`` — explicit, never a silent division.
+
+    Scale shape: one corpus hash aggregate to (group, n, s); the
+    moments are ONE aggregate over the group-sized table broadcast
+    back as a single row. Binary outcomes via cast-boolean; NULL
+    outcomes dropped.
+
+    Returns one row per group: ``(group, n, s, rate, shrunk_rate,
+    prior_strength)``.
+    """
+    y = F.col(outcome_col).cast("boolean").cast("long")
+    per_g = (
+        df.filter(
+            F.col(group_col).isNotNull() & y.isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum(y).alias("s")
+        )
+        .withColumn(
+            "rate", F.col("s").cast("double") / F.col("n")
+        )
+    )
+    prior = per_g.agg(
+        F.avg("rate").alias("m"),
+        F.var_pop("rate").alias("v"),
+    )
+    k = F.when(
+        (F.col("v") > 0)
+        & (F.col("m") > 0)
+        & (F.col("m") < 1),
+        F.col("m") * (F.lit(1.0) - F.col("m")) / F.col("v")
+        - F.lit(1.0),
+    )
+    k = F.when(k > 0, k)
+    shrunk = F.when(
+        k.isNotNull(),
+        (F.col("s") + F.col("m") * k) / (F.col("n") + k),
+    ).otherwise(F.col("rate"))
+    return per_g.crossJoin(F.broadcast(prior)).select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        F.round("rate", round_to).alias("rate"),
+        F.round(shrunk, round_to).alias("shrunk_rate"),
+        F.round(k, round_to).alias("prior_strength"),
+    )

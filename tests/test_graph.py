@@ -509,3 +509,53 @@ class TestDegreeAssortativity:
         )
         r = degree_assortativity(edges).collect()[0]
         assert (r.n_nodes, r.n_edges) == (3, 2)
+
+
+class TestMarkovStationary:
+    def test_two_state_chain_closed_form(self, spark):
+        """P(a->b)=1, P(b->a)=1/3, P(b->b)=2/3: pi = (1/4, 3/4)."""
+        from mhm_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b", 3.0), ("b", "a", 1.0), ("b", "b", 2.0)],
+            "src string, dst string, w double",
+        )
+        out = {
+            r.state: r.pi
+            for r in markov_stationary(
+                edges, weight="w", n_iter=60
+            ).collect()
+        }
+        assert out["a"] == pytest.approx(0.25, abs=1e-4)
+        assert out["b"] == pytest.approx(0.75, abs=1e-4)
+
+    def test_dangling_state_keeps_mass(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        # b has no outgoing edges: all mass ends up stuck in b
+        edges = spark.createDataFrame(
+            [("a", "b")], "src string, dst string"
+        )
+        out = {
+            r.state: r.pi
+            for r in markov_stationary(edges, n_iter=30).collect()
+        }
+        assert out["b"] == pytest.approx(1.0, abs=1e-6)
+        assert out["a"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_mass_conserved_and_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            markov_stationary,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+        )
+        rows = markov_stationary(edges, n_iter=15).collect()
+        assert sum(r.pi for r in rows) == pytest.approx(1.0, abs=1e-5)
+        with pytest.raises(ValueError, match="n_iter"):
+            markov_stationary(edges, n_iter=0)

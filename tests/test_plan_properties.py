@@ -184,6 +184,10 @@ SINGLE_ROW_BROADCAST_OK = {
                           # sum)) onto the single-row treatment agg
     "group_sequential",   # crossJoin(broadcast(1-row quantile
                           # cutpoints)) — the wave-assignment scalars
+    "eb_rates",           # crossJoin(broadcast(1-row prior moments))
+    "negative_samples",   # crossJoin(broadcast(1-row W/B mass
+                          # scalars)) on both the interval and draw
+                          # sides
 }
 
 

@@ -515,3 +515,69 @@ def test_embargo_split_nulls_and_validation(spark):
         temporal_embargo_split(df, "ts", 1.5)
     with _pt.raises(ValueError):
         temporal_embargo_split(df, "ts", 0.5, "2 fortnights")
+
+
+class TestPopularityNegativeSamples:
+    def _base(self, spark):
+        rows = [
+            (u, it)
+            for u in range(40)
+            for it in (["hot"] * 1 + (["warm"] if u % 2 else [])
+                       + (["cold"] if u % 10 == 0 else []))
+        ]
+        return spark.createDataFrame(rows, "u long, it string")
+
+    def test_deterministic_and_popularity_biased(self, spark):
+        from mhm_data_pipelines_spark.operators.sampling import (
+            popularity_negative_samples,
+        )
+
+        df = self._base(spark)
+        out1 = sorted(
+            (r.u, r.it, r.draw, r.neg_item)
+            for r in popularity_negative_samples(
+                df, "u", "it", k=3
+            ).collect()
+        )
+        out2 = sorted(
+            (r.u, r.it, r.draw, r.neg_item)
+            for r in popularity_negative_samples(
+                df, "u", "it", k=3
+            ).collect()
+        )
+        assert out1 == out2  # fully deterministic
+        counts = {}
+        for _, _, _, neg in out1:
+            counts[neg] = counts.get(neg, 0) + 1
+        # hot (40 interactions) must be drawn more than cold (4)
+        assert counts.get("hot", 0) > counts.get("cold", 0)
+
+    def test_exclude_positive_and_k(self, spark):
+        from mhm_data_pipelines_spark.operators.sampling import (
+            popularity_negative_samples,
+        )
+
+        df = self._base(spark)
+        out = popularity_negative_samples(
+            df, "u", "it", k=2, exclude_positive=True
+        ).collect()
+        assert all(r.neg_item != r.it for r in out)
+        per_pair = {}
+        for r in out:
+            per_pair.setdefault((r.u, r.it), []).append(r.draw)
+        assert all(len(v) <= 2 for v in per_pair.values())
+        with_pos = popularity_negative_samples(
+            df, "u", "it", k=2, exclude_positive=False
+        ).count()
+        # without the filter every (pair, draw) yields exactly one row
+        n_pairs = df.distinct().count()
+        assert with_pos == 2 * n_pairs
+
+    def test_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.sampling import (
+            popularity_negative_samples,
+        )
+
+        df = self._base(spark)
+        with pytest.raises(ValueError, match="k must"):
+            popularity_negative_samples(df, "u", "it", k=0)

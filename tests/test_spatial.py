@@ -205,3 +205,59 @@ class TestStayPoints:
             stay_points(df, min_points=3, min_duration_s=2).count()
             == 1
         )
+
+
+class TestGeoRadiusJoin:
+    def _pairs(self, spark, left_rows, right_rows, r, band=60.0, **kw):
+        from mhm_data_pipelines_spark.operators.spatial import (
+            geo_radius_join,
+        )
+
+        schema = "id long, lat double, lon double"
+        left = spark.createDataFrame(left_rows, schema)
+        right = spark.createDataFrame(right_rows, schema)
+        return {
+            (p.left_id, p.right_id): p.dist_km
+            for p in geo_radius_join(
+                left, right, r, band, **kw
+            ).collect()
+        }
+
+    def test_known_city_distance(self, spark):
+        # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278):
+        # haversine ~343.5 km on the mean sphere
+        got = self._pairs(
+            spark,
+            [(1, 48.8566, 2.3522)],
+            [(2, 51.5074, -0.1278), (3, 40.7128, -74.006)],
+            400.0,
+        )
+        assert set(got) == {(1, 2)}
+        assert got[(1, 2)] == pytest.approx(343.5, abs=1.0)
+
+    def test_cross_cell_neighbors_found(self, spark):
+        # ~55.6 km apart at lat 45 (0.5 deg lat): radius 60 must find
+        # it even across cell borders; radius 50 must not.
+        a, b = (1, 45.0, 10.0), (2, 45.5, 10.0)
+        assert set(self._pairs(spark, [a], [b], 60.0)) == {(1, 2)}
+        assert self._pairs(spark, [a], [b], 50.0) == {}
+
+    def test_out_of_band_dropped_and_guards(self, spark):
+        from mhm_data_pipelines_spark.operators.spatial import (
+            geo_radius_join,
+        )
+
+        got = self._pairs(
+            spark,
+            [(1, 70.0, 0.0)],  # outside the declared 60-degree band
+            [(2, 70.0, 0.1)],
+            50.0,
+        )
+        assert got == {}
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "id long, lat double, lon double"
+        )
+        with pytest.raises(ValueError, match="radius_km"):
+            geo_radius_join(df, df, 0.0, 60.0)
+        with pytest.raises(ValueError, match="max_abs_lat"):
+            geo_radius_join(df, df, 10.0, 90.0)

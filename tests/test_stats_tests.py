@@ -1157,3 +1157,64 @@ class TestGroupSequential:
             group_sequential_ztest(
                 df, "arm", "y", "unit", "C", "T", critical_c=0
             )
+
+
+class TestEbShrinkage:
+    def test_small_groups_shrink_more(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            eb_rate_shrinkage,
+        )
+
+        rows = (
+            [("tiny", 1)] * 1                      # 1/1 = 100%
+            + [("big", 1)] * 60 + [("big", 0)] * 40  # 60%
+            + [("mid", 1)] * 3 + [("mid", 0)] * 7    # 30%
+            + [("low", 1)] * 1 + [("low", 0)] * 9    # 10%
+        )
+        df = spark.createDataFrame(rows, "g string, y int")
+        out = {
+            r.g: r for r in eb_rate_shrinkage(df, "g", "y").collect()
+        }
+        assert out["tiny"].rate == pytest.approx(1.0)
+        # the 1/1 group is pulled far toward the grand mean...
+        assert out["tiny"].shrunk_rate < 0.9
+        # ...while the n=100 group barely moves
+        assert abs(out["big"].shrunk_rate - 0.6) < abs(
+            out["tiny"].shrunk_rate - 1.0
+        )
+        assert out["big"].prior_strength is not None
+
+    def test_python_replay(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            eb_rate_shrinkage,
+        )
+
+        data = {"a": (10, 3), "b": (20, 15), "c": (5, 1)}
+        rows = [
+            (g, 1 if i < s else 0)
+            for g, (n, s) in data.items()
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, y int")
+        out = {
+            r.g: r for r in eb_rate_shrinkage(df, "g", "y").collect()
+        }
+        rates = [s / n for (n, s) in data.values()]
+        m = sum(rates) / 3
+        v = sum((r - m) ** 2 for r in rates) / 3
+        kk = m * (1 - m) / v - 1
+        for g, (n, s) in data.items():
+            want = (s + m * kk) / (n + kk)
+            assert out[g].shrunk_rate == pytest.approx(want, abs=1e-6)
+
+    def test_degenerate_no_shrink(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            eb_rate_shrinkage,
+        )
+
+        rows = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+        df = spark.createDataFrame(rows, "g string, y int")
+        out = eb_rate_shrinkage(df, "g", "y").collect()
+        for r in out:
+            assert r.shrunk_rate == r.rate
+            assert r.prior_strength is None
