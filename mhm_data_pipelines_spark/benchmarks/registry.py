@@ -16732,6 +16732,198 @@ ORDER BY cust, part, draw
 
 
 
+def q_qini_uplift(spark, sf_dir):
+    """Qini uplift-evaluation curve (stats_tests.qini_curve): score =
+    first-half activity volume, parity arms, outcome = second-half
+    purchase — does targeting by engagement beat random targeting?
+    Decile cuts at engine-portable interpolated percentiles; the
+    whole curve lives on a 10-row cumulative window."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        qini_curve,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.month("ts") <= 6).cast("long")
+        ).alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.month("ts") > 6)
+            ).cast("int")
+        ).alias("y"),
+    ).select(
+        F.col("score").cast("double").alias("score"),
+        F.when(F.col("user_id") % 2 == 1, "T")
+        .otherwise("C")
+        .alias("arm"),
+        "y",
+    )
+    return qini_curve(units, "score", "arm", "y", "C", "T", n_bins=10)
+
+
+def _qini_sql() -> str:
+    cut_cols = ", ".join(
+        f"quantile_cont(score, {1.0 - i / 10!r}) AS c{i}"
+        for i in range(1, 10)
+    )
+    bin_expr = "1" + "".join(
+        f" + CASE WHEN u.score < c.c{i} THEN 1 ELSE 0 END"
+        for i in range(1, 10)
+    )
+    return f"""
+WITH units AS (
+  SELECT CAST(sum(CASE WHEN month(ts) <= 6 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS score,
+         CASE WHEN user_id % 2 = 1 THEN 'T' ELSE 'C' END AS arm,
+         max(CASE WHEN event_type = 'purchase' AND month(ts) > 6
+                  THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), cuts AS (
+  SELECT {cut_cols} FROM units
+), binned AS (
+  SELECT ({bin_expr}) AS bin,
+         CASE WHEN arm = 'T' THEN 1 ELSE 0 END AS it, y
+  FROM units u CROSS JOIN cuts c
+), cells AS (
+  SELECT bin, sum(it) AS nt, sum(1 - it) AS nc,
+         sum(it * y) AS st, sum((1 - it) * y) AS sc
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin,
+         sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+         sum(st) OVER w AS cst, sum(sc) OVER w AS csc,
+         sum(nt) OVER () AS tnt, sum(nc) OVER () AS tnc,
+         sum(st) OVER () AS tst, sum(sc) OVER () AS tsc
+  FROM cells
+  WINDOW w AS (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(cnt + cnc AS BIGINT) AS n_cum,
+       CAST(cnt AS BIGINT) AS n_treat_cum,
+       CAST(cnc AS BIGINT) AS n_ctrl_cum,
+       round(CASE WHEN cnc > 0
+                  THEN cst - csc * (cnt * 1.0) / cnc END, 6) AS qini,
+       round(CASE WHEN tnc > 0
+                  THEN (tst - tsc * (tnt * 1.0) / tnc)
+                       * ((cnt + cnc) * 1.0) / (tnt + tnc)
+             END, 6) AS random_line
+FROM cum ORDER BY bin
+"""
+
+
+SQL_QINI_UPLIFT = _qini_sql()
+
+
+def q_ht_readout(spark, sf_dir):
+    """Horvitz-Thompson population estimates from an
+    unequal-probability sample (sampling.ht_estimate): events kept by
+    an md5-unit draw with per-type inclusion probabilities (purchases
+    oversampled 5x vs views), then the HT total / Hájek mean / SE
+    reconstruct population-scale numbers from the sample alone."""
+    from mhm_data_pipelines_spark.operators.sampling import (
+        ht_estimate,
+        md5_unit_draw,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    prob = F.when(
+        F.col("event_type") == "purchase", F.lit(0.5)
+    ).otherwise(F.lit(0.1))
+    sampled = ev.withColumn("_p", prob).filter(
+        md5_unit_draw("event_id", seed=7) < F.col("_p")
+    )
+    return ht_estimate(sampled, "value", "_p")
+
+
+SQL_HT_READOUT = """
+WITH sampled AS (
+  SELECT value AS y,
+         CASE WHEN event_type = 'purchase' THEN 0.5 ELSE 0.1 END
+           AS p
+  FROM events
+  WHERE (CAST(('0x' || substr(md5(event_id || ':7'), 1, 15))
+              AS BIGINT) / 1152921504606846976.0)
+        < CASE WHEN event_type = 'purchase' THEN 0.5 ELSE 0.1 END
+), base AS (
+  SELECT CAST(y AS DOUBLE) AS y, CAST(p AS DOUBLE) AS p
+  FROM sampled WHERE y IS NOT NULL AND p > 0 AND p <= 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sample,
+       round(sum(y / p), 6) AS est_total,
+       round(sum(1.0 / p), 6) AS est_population,
+       round(sum(y / p) / sum(1.0 / p), 6) AS ht_mean,
+       round(sqrt(sum((1.0 - p) / (p * p) * y * y)), 6) AS se_total
+FROM base
+"""
+
+
+def q_holt_backtest(spark, sf_dir):
+    """Rolling-origin Holt forecast backtest
+    (timeseries.holt_backtest): per-user 80/20 ordered prefix split,
+    test points scored against level + h*trend from the 6dp train
+    state — the oracle replays the identical recursion over the
+    train prefix in one recursive CTE and aggregates the same
+    errors."""
+    from mhm_data_pipelines_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = holt_backtest(ev, "user_id", "event_id", "value")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_train",
+        "n_test",
+        "mae",
+        "rmse",
+    )
+
+
+SQL_HOLT_BACKTEST = """
+WITH RECURSIVE series AS (
+  SELECT user_id AS u, value AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lead(value) OVER (PARTITION BY user_id
+                           ORDER BY event_id) AS y_next
+  FROM events
+  WHERE value IS NOT NULL
+), kk AS (
+  SELECT u, CAST(floor(n * 0.8) AS BIGINT) AS k
+  FROM series WHERE rn = 1
+), hw(u, rn, k, s, b) AS (
+  SELECT sv.u, CAST(1 AS BIGINT), kk.k, sv.y, sv.y_next - sv.y
+  FROM series sv JOIN kk ON kk.u = sv.u
+  WHERE sv.rn = 1 AND kk.k >= 2
+  UNION ALL
+  SELECT h.u, h.rn + 1, h.k,
+         0.5 * sv.y + 0.5 * (h.s + h.b),
+         0.3 * ((0.5 * sv.y + 0.5 * (h.s + h.b)) - h.s) + 0.7 * h.b
+  FROM hw h JOIN series sv ON sv.u = h.u AND sv.rn = h.rn + 1
+  WHERE h.rn + 1 <= h.k
+), st AS (
+  SELECT u, k, round(s, 6) AS level, round(b, 6) AS trend
+  FROM hw WHERE rn = k
+), errs AS (
+  SELECT sv.u, st.k, st.level, st.trend,
+         sv.y - (st.level + (sv.rn - st.k) * st.trend) AS e
+  FROM series sv JOIN st ON st.u = sv.u AND sv.rn > st.k
+)
+SELECT CAST(u AS BIGINT) AS user_id, CAST(k AS BIGINT) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(CAST(sum(CAST(round(abs(e), 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(*), 6) AS mae,
+       round(sqrt(CAST(sum(CAST(round(e * e, 6) AS DECIMAL(28,6)))
+                       AS DOUBLE) / count(*)), 6) AS rmse
+FROM errs GROUP BY u, k ORDER BY user_id
+"""
+
+
+
 SQL_SEASONAL_ANOMALIES = """
 WITH daily AS (
   SELECT event_type AS g, ts::DATE AS day,
@@ -17082,6 +17274,9 @@ QUERIES: dict[str, QuerySpec] = {
     "markov_chain": q_markov_chain,
     "eb_rates": q_eb_rates,
     "negative_samples": q_negative_samples,
+    "qini_uplift": q_qini_uplift,
+    "ht_readout": q_ht_readout,
+    "holt_backtest": q_holt_backtest,
 }
 
 ORACLES: dict[str, str] = {
@@ -17397,6 +17592,9 @@ ORACLES: dict[str, str] = {
     "markov_chain": SQL_MARKOV_CHAIN,
     "eb_rates": SQL_EB_RATES,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "qini_uplift": SQL_QINI_UPLIFT,
+    "ht_readout": SQL_HT_READOUT,
+    "holt_backtest": SQL_HOLT_BACKTEST,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -17493,7 +17691,8 @@ GATE_PRIORITY: list[str] = [
     #    funnel_latency, fe_trend, stream_anomaly,
     #    weighted_percentiles, interval_overlap, group_sequential,
     #    geo_join, seasonal_anomalies,
-    #    markov_chain, eb_rates, negative_samples
+    #    markov_chain, eb_rates, negative_samples,
+    #    qini_uplift, ht_readout, holt_backtest
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -17777,6 +17976,9 @@ BENCH_QUERIES: list[str] = [
     "markov_chain",
     "eb_rates",
     "negative_samples",
+    "qini_uplift",
+    "ht_readout",
+    "holt_backtest",
 ]
 
 

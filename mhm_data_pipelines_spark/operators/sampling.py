@@ -696,3 +696,52 @@ def popularity_negative_samples(
         F.col("draw").cast("int").alias("draw"),
         "neg_item",
     )
+
+
+def ht_estimate(
+    sample: DataFrame,
+    value_col: str,
+    prob_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Horvitz-Thompson estimation from an unequal-probability sample
+    — the read-side completion of this module's samplers: given rows
+    that survived sampling WITH their inclusion probabilities, the
+    unbiased population total and the Hájek mean:
+
+        ``T̂ = Σ y/π``,   ``N̂ = Σ 1/π``,   ``mean = T̂/N̂``
+        ``Var(T̂) = Σ (1−π)/π² · y²``   (Poisson-sampling design)
+
+    so downstream consumers aggregate the 1% sample and still report
+    population-scale numbers with a standard error.
+
+    ONE hash aggregate; rows with NULL y/π or π outside (0, 1] are
+    dropped (an impossible inclusion probability is a data defect,
+    not a weight). Returns one row ``(n_sample, est_total,
+    est_population, ht_mean, se_total)``.
+    """
+    y = F.col(value_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    base = sample.filter(
+        y.isNotNull() & p.isNotNull() & (p > 0) & (p <= 1)
+    ).select(y.alias("_y"), p.alias("_p"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum(F.col("_y") / F.col("_p")).alias("t_hat"),
+        F.sum(F.lit(1.0) / F.col("_p")).alias("n_hat"),
+        F.sum(
+            (F.lit(1.0) - F.col("_p"))
+            / (F.col("_p") * F.col("_p"))
+            * F.col("_y")
+            * F.col("_y")
+        ).alias("v_hat"),
+    )
+    return agg.select(
+        F.col("n_sample").cast("long").alias("n_sample"),
+        F.round("t_hat", round_to).alias("est_total"),
+        F.round("n_hat", round_to).alias("est_population"),
+        F.round(F.col("t_hat") / F.col("n_hat"), round_to).alias(
+            "ht_mean"
+        ),
+        F.round(F.sqrt(F.col("v_hat")), round_to).alias("se_total"),
+    )

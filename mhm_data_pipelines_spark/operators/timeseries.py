@@ -2061,3 +2061,105 @@ def fixed_effects_fit(
         F.round(beta, round_to).alias("beta"),
         F.round(r2, round_to).alias("r2_within"),
     )
+
+
+def holt_backtest(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    train_frac: float = 0.8,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling-origin backtest of :func:`holt_trend` — does the
+    smoother actually FORECAST this data? Per entity: the first
+    ``floor(train_frac·n)`` points (in ``order_col`` order) train the
+    (level, trend) state; every held-out point at horizon h is scored
+    against the linear forecast ``level + h·trend``; MAE and RMSE
+    summarize.
+
+    Evaluation discipline: the split is an ORDERED prefix (never a
+    random split — that leaks the future into training), the trained
+    state is the 6dp-rounded output of :func:`holt_trend` (round-
+    before-derive, so an external engine replaying the recursion
+    scores identical forecasts), and entities with fewer than 2 train
+    or 1 test points are EXCLUDED (reported by omission — a forecast
+    eval over an unforecastable series is noise, not signal).
+
+    Scale shape: one per-entity rank window splits train/test,
+    :func:`holt_trend` reduces the train slice (one keyed Arrow-batch
+    pass), and the test join is entity-keyed; error rollup is one
+    hash aggregate. Returns one row per evaluated entity:
+    ``(entity, n_train, n_test, mae, rmse)``.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(
+            f"train_frac must be in (0, 1), got {train_frac}"
+        )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(entity_col).alias("_e"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy("_e").orderBy("_o")
+    w_n = Window.partitionBy("_e")
+    ranked = base.withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn(
+        "_k",
+        F.floor(F.count(F.lit(1)).over(w_n) * F.lit(float(train_frac)))
+        .cast("long"),
+    )
+    train = ranked.filter(
+        (F.col("_rn") <= F.col("_k")) & (F.col("_k") >= 2)
+    )
+    state = holt_trend(
+        train, "_e", "_o", "_v", alpha=alpha, beta=beta
+    ).select(
+        F.col("_e"),
+        F.col("n_points").alias("n_train"),
+        "level",
+        "trend",
+    )
+    test = ranked.filter(
+        (F.col("_rn") > F.col("_k")) & (F.col("_k") >= 2)
+    ).select(
+        "_e", (F.col("_rn") - F.col("_k")).alias("_h"), "_v"
+    )
+    err = F.col("_v") - (
+        F.col("level") + F.col("_h").cast("double") * F.col("trend")
+    )
+    # per-point errors round to 6dp and aggregate as DECIMAL: exact,
+    # ORDER-INDEPENDENT sums, so engines that hash-aggregate in
+    # different orders cannot disagree in the last rounded digit
+    # (a double sum flipped a 6dp boundary on real data).
+    ae = F.round(F.abs(err), 6).cast("decimal(28,6)")
+    se = F.round(err * err, 6).cast("decimal(28,6)")
+    return (
+        test.join(state, "_e")
+        .groupBy("_e")
+        .agg(
+            F.max("n_train").cast("long").alias("n_train"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(ae).cast("double") / F.count(F.lit(1)),
+                round_to,
+            ).alias("mae"),
+            F.round(
+                F.sqrt(
+                    F.sum(se).cast("double") / F.count(F.lit(1))
+                ),
+                round_to,
+            ).alias("rmse"),
+        )
+        .select(
+            F.col("_e").alias(entity_col),
+            "n_train",
+            "n_test",
+            "mae",
+            "rmse",
+        )
+        .orderBy(entity_col)
+    )

@@ -188,6 +188,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "negative_samples",   # crossJoin(broadcast(1-row W/B mass
                           # scalars)) on both the interval and draw
                           # sides
+    "qini_uplift",        # crossJoin(broadcast(1-row decile
+                          # cutpoints)) — the bin-assignment scalars
 }
 
 

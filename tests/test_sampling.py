@@ -581,3 +581,34 @@ class TestPopularityNegativeSamples:
         df = self._base(spark)
         with pytest.raises(ValueError, match="k must"):
             popularity_negative_samples(df, "u", "it", k=0)
+
+
+class TestHtEstimate:
+    def test_hand_computed_poisson_design(self, spark):
+        from mhm_data_pipelines_spark.operators.sampling import (
+            ht_estimate,
+        )
+
+        rows = [(2.0, 0.5), (4.0, 0.5), (6.0, 0.25)]
+        df = spark.createDataFrame(rows, "y double, p double")
+        r = ht_estimate(df, "y", "p").collect()[0]
+        assert r.n_sample == 3
+        assert r.est_total == pytest.approx(2 / 0.5 + 4 / 0.5 + 6 / 0.25)
+        assert r.est_population == pytest.approx(2 + 2 + 4)
+        assert r.ht_mean == pytest.approx(36.0 / 8.0)
+        want_var = (0.5 / 0.25) * 4 + (0.5 / 0.25) * 16 + (
+            0.75 / 0.0625
+        ) * 36
+        assert r.se_total == pytest.approx(want_var**0.5, abs=1e-6)
+
+    def test_invalid_probabilities_dropped(self, spark):
+        from mhm_data_pipelines_spark.operators.sampling import (
+            ht_estimate,
+        )
+
+        rows = [(2.0, 0.5), (9.0, 0.0), (9.0, 1.5), (None, 0.5),
+                (9.0, None)]
+        df = spark.createDataFrame(rows, "y double, p double")
+        r = ht_estimate(df, "y", "p").collect()[0]
+        assert r.n_sample == 1
+        assert r.est_total == pytest.approx(4.0)

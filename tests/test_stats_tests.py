@@ -1218,3 +1218,45 @@ class TestEbShrinkage:
         for r in out:
             assert r.shrunk_rate == r.rate
             assert r.prior_strength is None
+
+
+class TestQiniCurve:
+    def test_perfect_targeting_bows_above_random(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            qini_curve,
+        )
+
+        rows = []
+        for i in range(40):
+            score = float(40 - i)          # i < 20 -> top bin
+            arm = "T" if i % 2 == 0 else "C"
+            # persuadables live in the top half: treated convert
+            y = 1 if (i < 20 and arm == "T") else 0
+            rows.append((score, arm, y))
+        df = spark.createDataFrame(rows, "score double, arm string, y int")
+        out = qini_curve(
+            df, "score", "arm", "y", "C", "T", n_bins=2
+        ).collect()
+        assert [r.bin for r in out] == [1, 2]
+        top, last = out
+        # top bin: 10 treated converters, control zero
+        assert top.qini == pytest.approx(10.0)
+        assert top.qini > top.random_line
+        # the curve and the diagonal meet at the endpoint by identity
+        assert last.qini == pytest.approx(last.random_line)
+        assert last.n_cum == 40
+
+    def test_guards_and_filters(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            qini_curve,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, "T", 1), (2.0, "C", 0), (3.0, "X", 1),
+             (None, "T", 1)],
+            "score double, arm string, y int",
+        )
+        out = qini_curve(df, "score", "arm", "y", "C", "T", n_bins=2)
+        assert out.collect()[-1].n_cum == 2  # X and NULL dropped
+        with pytest.raises(ValueError, match="n_bins"):
+            qini_curve(df, "score", "arm", "y", "C", "T", n_bins=1)

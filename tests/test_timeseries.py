@@ -1250,3 +1250,49 @@ class TestFixedEffectsFit:
         df = spark.createDataFrame(rows, "e string, x double, y double")
         r = fixed_effects_fit(df, "y", "x", "e").collect()[0]
         assert r.beta == pytest.approx(2.0, abs=1e-9)
+
+
+class TestHoltBacktest:
+    def test_linear_series_forecast_exactly(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_backtest,
+        )
+
+        rows = [(1, t, 2.0 * t) for t in range(1, 11)]
+        df = spark.createDataFrame(rows, "e long, o int, v double")
+        r = holt_backtest(df, "e", "o", "v").collect()[0]
+        assert (r.n_train, r.n_test) == (8, 2)
+        assert r.mae == pytest.approx(0.0, abs=1e-6)
+        assert r.rmse == pytest.approx(0.0, abs=1e-6)
+
+    def test_python_replay_nonlinear(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_backtest,
+        )
+
+        xs = [float((t * 7) % 5) + 0.5 * t for t in range(10)]
+        rows = [(1, t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "e long, o int, v double")
+        r = holt_backtest(df, "e", "o", "v").collect()[0]
+        a, g = 0.5, 0.3
+        train, test = xs[:8], xs[8:]
+        s, b = train[0], train[1] - train[0]
+        for x in train[1:]:
+            s_new = a * x + (1 - a) * (s + b)
+            b = g * (s_new - s) + (1 - g) * b
+            s = s_new
+        s, b = round(s, 6), round(b, 6)  # operator emits 6dp state
+        errs = [abs(y - (s + (h + 1) * b)) for h, y in enumerate(test)]
+        assert r.mae == pytest.approx(sum(errs) / len(errs), abs=1e-6)
+
+    def test_short_entities_excluded_and_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.timeseries import (
+            holt_backtest,
+        )
+
+        rows = [(1, 0, 1.0), (1, 1, 2.0),   # k = 1 -> excluded
+                (2, 0, 1.0)]                 # singleton -> excluded
+        df = spark.createDataFrame(rows, "e long, o int, v double")
+        assert holt_backtest(df, "e", "o", "v").count() == 0
+        with pytest.raises(ValueError, match="train_frac"):
+            holt_backtest(df, "e", "o", "v", train_frac=1.0)
