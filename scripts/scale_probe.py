@@ -103,6 +103,11 @@ HEAVY = [
     # log-rank drain whose cost is the activity_spans per-user agg
     # (same shape as the probed kaplan_meier).
     "item_neighbors", "logrank_survival",
+    # round-9 late wave, final bench: the tempered-popularity draw
+    # joiner crossed the 2s line (2.04s warm) — probed; cost is the
+    # draw explode + one bucket equi-join, expected ~linear in
+    # interactions.
+    "negative_samples",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1
