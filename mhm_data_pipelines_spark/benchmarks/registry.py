@@ -15490,7 +15490,15 @@ def q_t_closeness(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    pre = ev.select(
+    # NULL value/ts are excluded BEFORE bucketing on both sides:
+    # Spark's greatest/least SKIP null operands, so an unguarded
+    # floor(NULL/20) would silently land in bucket 9 instead of
+    # dropping — caught in review against the SQL twin's WHERE.
+    pre = ev.filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
         "event_type",
         F.dayofweek("ts").cast("int").alias("dow"),
         F.greatest(
@@ -16369,13 +16377,18 @@ WITH units AS (
            + CASE WHEN u.user_id > c.c2 THEN 1 ELSE 0 END
            + CASE WHEN u.user_id > c.c3 THEN 1 ELSE 0 END AS lk
   FROM units u CROSS JOIN cuts c
-), cells AS (
+), cells0 AS (
   SELECT lk,
          sum(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS nt,
          sum(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS nc,
          sum(CASE WHEN arm = 'T' THEN y ELSE 0 END) AS st,
          sum(CASE WHEN arm = 'C' THEN y ELSE 0 END) AS sc
   FROM looked GROUP BY lk
+), cells AS (
+  SELECT g.range + 1 AS lk,
+         coalesce(c.nt, 0) AS nt, coalesce(c.nc, 0) AS nc,
+         coalesce(c.st, 0) AS st, coalesce(c.sc, 0) AS sc
+  FROM range(4) g LEFT JOIN cells0 c ON c.lk = g.range + 1
 ), cum AS (
   SELECT lk,
          sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,

@@ -184,9 +184,6 @@ def item_cosine_neighbors(
     Returns ``(item, neighbor, n_pair, cosine, rank)``, rank 1..k per
     item.
     """
-    pairs = item_pair_counts(
-        df, basket_col, item_col, max_basket_size=max_basket_size
-    ).filter(F.col("n_pair") >= min_pair_count)
     base = df.filter(
         F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
     ).select(
@@ -195,7 +192,26 @@ def item_cosine_neighbors(
     ok = base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
         F.col("_sz") <= max_basket_size
     ).select("b")
-    marg = base.join(ok, "b").groupBy("it").agg(
+    # THREE consumers (both pair sides + marginals) — lazily
+    # materialize the capped distinct table once instead of
+    # re-deriving it per consumer (association_rules' share_scan
+    # discipline; review caught this path rebuilding it twice).
+    sized = base.join(ok, "b").localCheckpoint(eager=False)
+    pairs = (
+        sized.alias("x")
+        .join(
+            sized.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.it") < F.col("y.it")),
+        )
+        .select(
+            F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b")
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    marg = sized.groupBy("it").agg(
         F.count("*").alias("n_item")
     )
     sym = pairs.select(

@@ -313,8 +313,24 @@ def t_closeness_report(
             F.sequence(F.lit(0), F.lit(int(n_buckets) - 1))
         ).alias("_b0"),
     ).select(*q, "_n", F.col("_b0").cast("long").alias("_b"))
+    # null-safe equality on the quasi keys: a class keyed by a NULL
+    # QI value is a REAL equivalence class (same stance as
+    # entropy_l_diversity_classes); a plain equality join would never
+    # match its own bucket counts and report the EMD of an empty
+    # distribution.
+    g_al = grid.alias("_g")
+    c_al = cls_bkt.alias("_cb")
+    cond = F.col("_g._b") == F.col("_cb._b")
+    for c in quasi_cols:
+        cond = cond & F.col(f"_g.{c}").eqNullSafe(F.col(f"_cb.{c}"))
     filled = (
-        grid.join(cls_bkt, [*quasi_cols, "_b"], "left")
+        g_al.join(c_al, cond, "left")
+        .select(
+            *[F.col(f"_g.{c}") for c in quasi_cols],
+            F.col("_g._n").alias("_n"),
+            F.col("_g._b").alias("_b"),
+            F.col("_cb._c").alias("_c"),
+        )
         .join(F.broadcast(glob_p), "_b", "left")
         .select(
             *q,

@@ -61,6 +61,7 @@ __all__ = [
     "friedman_test",
     "group_sequential_ztest",
     "eb_rate_shrinkage",
+    "qini_curve",
 ]
 
 
@@ -1810,8 +1811,6 @@ def group_sequential_ztest(
     z, boundary, crossed)`` — z NULL when a look's pooled variance
     is degenerate.
     """
-    from mhm_data_pipelines_spark.functions.stats import normal_cdf  # noqa: F401
-
     k_looks = int(looks)
     if k_looks < 2:
         raise ValueError(f"looks must be >= 2, got {looks}")
@@ -1847,6 +1846,22 @@ def group_sequential_ztest(
             F.sum(F.col("_it") * F.col("_y")).alias("st"),
             F.sum((F.lit(1) - F.col("_it")) * F.col("_y")).alias("sc"),
         )
+    )
+    # densify to ALL K looks: heavily tied order values can collapse
+    # adjacent quantile cuts, leaving a wave empty — the contract is
+    # one row per scheduled look, with an empty wave inheriting the
+    # prior cumulative state (zero-filled cell), not vanishing.
+    look_grid = cuts.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(k_looks))
+        ).alias("_look")
+    )
+    cells = look_grid.join(cells, "_look", "left").select(
+        "_look",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("nt", "nc", "st", "sc")
+        ],
     )
     w_cum = (
         Window.partitionBy()

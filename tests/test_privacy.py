@@ -192,3 +192,26 @@ class TestTCloseness:
             t_closeness_report(df, ["qi"], "b", 1)
         with pytest.raises(ValueError, match="t must be"):
             t_closeness_report(df, ["qi"], "b", 2, t=0.0)
+
+
+class TestTClosenessNullClass:
+    def test_null_quasi_class_gets_real_emd(self, spark):
+        """A class keyed by a NULL QI value must match its own bucket
+        counts (null-safe join), not report an empty distribution."""
+        from mhm_data_pipelines_spark.operators.privacy import (
+            t_closeness_report,
+        )
+
+        rows = [(None, 0), (None, 0), (None, 1), ("B", 1)]
+        df = spark.createDataFrame(rows, "qi string, b int")
+        out = {
+            r.qi: r
+            for r in t_closeness_report(
+                df, ["qi"], "b", n_buckets=2, t=0.2
+            ).collect()
+        }
+        # identical numbers to the non-null hand-computed case:
+        # global q=(1/2,1/2); NULL class p=(2/3,1/3) -> EMD 1/6
+        assert out[None].emd == pytest.approx(1 / 6, abs=1e-6)
+        assert out[None].n == 3
+        assert out["B"].emd == pytest.approx(0.5, abs=1e-6)

@@ -1260,3 +1260,26 @@ class TestQiniCurve:
         assert out.collect()[-1].n_cum == 2  # X and NULL dropped
         with pytest.raises(ValueError, match="n_bins"):
             qini_curve(df, "score", "arm", "y", "C", "T", n_bins=1)
+
+
+class TestGroupSequentialDensify:
+    def test_tied_order_still_emits_every_look(self, spark):
+        """Heavily tied enrollment order collapses quantile cuts; the
+        contract is still one row per scheduled look, empty waves
+        inheriting the prior cumulative state."""
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            group_sequential_ztest,
+        )
+
+        # 75% of units share order=1: cuts c1=c2=c3 collide
+        rows = [(1 if i < 30 else 2, "T" if i % 2 else "C",
+                 1 if i % 3 == 0 else 0) for i in range(40)]
+        df = spark.createDataFrame(rows, "o int, arm string, y int")
+        gs = group_sequential_ztest(
+            df, "arm", "y", "o", "C", "T", looks=4
+        ).collect()
+        assert [r.look for r in gs] == [1, 2, 3, 4]
+        # empty waves carry the previous cumulative n forward
+        ns = [r.n for r in gs]
+        assert ns[-1] == 40
+        assert all(a <= b for a, b in zip(ns, ns[1:]))
