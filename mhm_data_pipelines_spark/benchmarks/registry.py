@@ -16937,6 +16937,110 @@ FROM errs GROUP BY u, k ORDER BY user_id
 
 
 
+def q_wilson_rates(spark, sf_dir):
+    """Per-event-type purchase-share dashboard rates with Wilson
+    score intervals (stats_tests.wilson_ci): the interval that stays
+    inside [0, 1] and keeps width at the p = 0/1 edges where small
+    groups live. One hash aggregate + a pure projection; z is an
+    explicit literal, so both engines evaluate the identical closed
+    form."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        wilson_ci,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("first_type"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    out = wilson_ci(units, "first_type", "converted")
+    return out.orderBy("first_type")
+
+
+SQL_WILSON_RATES = """
+WITH firsts AS (
+  SELECT user_id, event_type AS first_type
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1
+), conv AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+), pg AS (
+  SELECT f.first_type AS g, count(*) AS n, sum(c.converted) AS s
+  FROM firsts f JOIN conv c USING (user_id)
+  GROUP BY 1
+), w AS (
+  SELECT g, n, s, s * 1.0 / n AS p,
+         1.959964 AS z, CAST(n AS DOUBLE) AS nd
+  FROM pg
+)
+SELECT g AS first_type, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS s, round(p, 6) AS rate,
+       round(greatest(
+         ((p + z * z / (2 * nd)) / (1 + z * z / nd))
+         - (z * sqrt(p * (1.0 - p) / nd + z * z / (4 * nd * nd))
+            / (1 + z * z / nd)), 0.0), 6) AS ci_low,
+       round(least(
+         ((p + z * z / (2 * nd)) / (1 + z * z / nd))
+         + (z * sqrt(p * (1.0 - p) / nd + z * z / (4 * nd * nd))
+            / (1 + z * z / nd)), 1.0), 6) AS ci_high
+FROM w ORDER BY first_type
+"""
+
+
+def q_cliffs_effect(spark, sf_dir):
+    """Cliff's delta effect size, purchase vs click event values
+    (stats_tests.cliffs_delta): the "by how much" companion of the
+    mwu_shift key on the identical rank machinery — pair dominance
+    probability from rank sums, never pair enumeration."""
+    from mhm_data_pipelines_spark.operators.stats_tests import (
+        cliffs_delta,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cliffs_delta(ev, "value", "event_type", "purchase", "click")
+
+
+SQL_CLIFFS_EFFECT = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+), pv AS (
+  SELECT v, count(*) AS t, sum(ia) AS ca FROM base GROUP BY v
+), r AS (
+  SELECT v, t, ca,
+         sum(t) OVER (ORDER BY v) - t / 2.0 + 0.5 AS rk
+  FROM pv
+), s AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na,
+         CAST(sum(t - ca) AS DOUBLE) AS nb,
+         sum(ca * rk) AS ra
+  FROM r
+), d AS (
+  SELECT na, nb,
+         2.0 * (ra - na * (na + 1) / 2) / (na * nb) - 1.0 AS delta
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(delta, 6) AS delta,
+       CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+
 SQL_SEASONAL_ANOMALIES = """
 WITH daily AS (
   SELECT event_type AS g, ts::DATE AS day,
@@ -17290,6 +17394,8 @@ QUERIES: dict[str, QuerySpec] = {
     "qini_uplift": q_qini_uplift,
     "ht_readout": q_ht_readout,
     "holt_backtest": q_holt_backtest,
+    "wilson_rates": q_wilson_rates,
+    "cliffs_effect": q_cliffs_effect,
 }
 
 ORACLES: dict[str, str] = {
@@ -17608,6 +17714,8 @@ ORACLES: dict[str, str] = {
     "qini_uplift": SQL_QINI_UPLIFT,
     "ht_readout": SQL_HT_READOUT,
     "holt_backtest": SQL_HOLT_BACKTEST,
+    "wilson_rates": SQL_WILSON_RATES,
+    "cliffs_effect": SQL_CLIFFS_EFFECT,
 }
 
 #: Driver-gate ordering. The external verify harness compares exactly the
@@ -17705,7 +17813,8 @@ GATE_PRIORITY: list[str] = [
     #    weighted_percentiles, interval_overlap, group_sequential,
     #    geo_join, seasonal_anomalies,
     #    markov_chain, eb_rates, negative_samples,
-    #    qini_uplift, ht_readout, holt_backtest
+    #    qini_uplift, ht_readout, holt_backtest,
+    #    wilson_rates, cliffs_effect
     #
     # -- r10 rotation queue (stalest-first after a green r9):
     #    embedding_centroids, embedding_neardup, embedding_quantize,
@@ -17992,6 +18101,8 @@ BENCH_QUERIES: list[str] = [
     "qini_uplift",
     "ht_readout",
     "holt_backtest",
+    "wilson_rates",
+    "cliffs_effect",
 ]
 
 

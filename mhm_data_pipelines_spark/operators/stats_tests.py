@@ -62,6 +62,8 @@ __all__ = [
     "group_sequential_ztest",
     "eb_rate_shrinkage",
     "qini_curve",
+    "wilson_ci",
+    "cliffs_delta",
 ]
 
 
@@ -2072,3 +2074,109 @@ def qini_curve(
         F.round(qini, round_to).alias("qini"),
         F.round(rand, round_to).alias("random_line"),
     ).orderBy("bin")
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group binomial rates with WILSON score intervals — the
+    interval every rate dashboard should use instead of the Wald
+    ``p ± z√(p(1−p)/n)``, which collapses to zero width at p ∈ {0, 1}
+    and goes negative near the edges exactly where small groups live:
+
+        ``center = (p + z²/2n) / (1 + z²/n)``
+        ``half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)``
+
+    (Wilson 1927). ``z`` defaults to the two-sided 95% normal
+    quantile as an explicit literal — both engines evaluate the same
+    closed form, no quantile function involved.
+
+    Scale shape: ONE hash aggregate to (group, n, s); the interval is
+    a pure projection. Binary outcomes via cast-boolean; NULL
+    outcomes/groups dropped. Returns one row per group:
+    ``(group, n, s, rate, ci_low, ci_high)``.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    y = F.col(outcome_col).cast("boolean").cast("long")
+    per_g = (
+        df.filter(F.col(group_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("s"))
+    )
+    zz = F.lit(float(z) * float(z))
+    n = F.col("n").cast("double")
+    p = F.col("s") / n
+    denom = F.lit(1.0) + zz / n
+    center = (p + zz / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n + zz / (4 * n * n)
+        )
+        / denom
+    )
+    return per_g.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        F.round(p, round_to).alias("rate"),
+        F.round(
+            F.greatest(center - half, F.lit(0.0)), round_to
+        ).alias("ci_low"),
+        F.round(
+            F.least(center + half, F.lit(1.0)), round_to
+        ).alias("ci_high"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cliff's delta — the nonparametric EFFECT SIZE companion of
+    :func:`mann_whitney_u`: with U_a counting (a, b) pairs where a
+    outranks b (ties as half),
+
+        ``δ = 2·U_a/(n_a·n_b) − 1  ∈ [−1, 1]``
+
+    — the probability a random A value exceeds a random B value,
+    minus the reverse. Reported because a p-value says "different",
+    never "by how much"; the conventional magnitude labels
+    (negligible < .147 ≤ small < .33 ≤ medium < .474 ≤ large,
+    Romano et al. 2006) ride along.
+
+    Scale shape: identical to :func:`mann_whitney_u` (the shared
+    prefix-sum rank machinery — no pair enumeration; the O(n_a·n_b)
+    pair count is computed from rank sums in O(distinct values)).
+    Returns one row ``(n_a, n_b, delta, magnitude)``.
+    """
+    u = mann_whitney_u(
+        df, value_col, group_col, group_a, group_b, round_to=9
+    )
+    delta = (
+        F.lit(2.0)
+        * F.col("u_a")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+        - F.lit(1.0)
+    )
+    mag = (
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return u.select(
+        "n_a",
+        "n_b",
+        F.round(delta, round_to).alias("delta"),
+        mag.alias("magnitude"),
+    )

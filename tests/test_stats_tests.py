@@ -1283,3 +1283,74 @@ class TestGroupSequentialDensify:
         ns = [r.n for r in gs]
         assert ns[-1] == 40
         assert all(a <= b for a, b in zip(ns, ns[1:]))
+
+
+class TestWilsonCi:
+    def test_hand_computed_95(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            wilson_ci,
+        )
+
+        rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1
+        df = spark.createDataFrame(rows, "g string, y int")
+        out = {r.g: r for r in wilson_ci(df, "g", "y").collect()}
+        a = out["a"]
+        z = 1.959964
+        n, p = 10.0, 0.8
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * ((p * 0.2 / n + z * z / (4 * n * n)) ** 0.5) / denom
+        assert a.ci_low == pytest.approx(center - half, abs=1e-6)
+        assert a.ci_high == pytest.approx(center + half, abs=1e-6)
+        # p = 1 on n = 1: Wald would give [1, 1]; Wilson stays wide
+        b = out["b"]
+        assert b.rate == pytest.approx(1.0)
+        assert b.ci_low < 0.3 and b.ci_high == pytest.approx(1.0)
+
+    def test_guard(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            wilson_ci,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "g string, y int")
+        with pytest.raises(ValueError, match="z must"):
+            wilson_ci(df, "g", "y", z=0.0)
+
+
+class TestCliffsDelta:
+    def test_complete_separation(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cliffs_delta,
+        )
+
+        rows = [("a", float(v)) for v in (5, 6, 7)] + [
+            ("b", float(v)) for v in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+        assert r.delta == pytest.approx(1.0)
+        assert r.magnitude == "large"
+
+    def test_hand_computed_with_ties(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cliffs_delta,
+        )
+
+        # a = {1, 3}, b = {1, 2}: pairs (1,1)=.5, (1,2)=0,
+        # (3,1)=1, (3,2)=1 -> U_a = 2.5, delta = 2*2.5/4 - 1 = 0.25
+        rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 2.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+        assert r.delta == pytest.approx(0.25)
+        assert r.magnitude == "small"
+
+    def test_identical_distributions_zero(self, spark):
+        from mhm_data_pipelines_spark.operators.stats_tests import (
+            cliffs_delta,
+        )
+
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(5)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+        assert r.delta == pytest.approx(0.0)
+        assert r.magnitude == "negligible"
