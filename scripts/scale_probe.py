@@ -108,6 +108,12 @@ HEAVY = [
     # draw explode + one bucket equi-join, expected ~linear in
     # interactions.
     "negative_samples",
+    # round-9 final bench on a noisy host pushed five more
+    # near-the-line keys over 2s warm — probed permanently so the
+    # auto-HEAVY threshold test can never flap on them (same
+    # discipline as the r8 fourth batch).
+    "fd_violations", "fdr_battery", "mi_ranking", "readability",
+    "stream_anomaly",
 ]
 
 #: Cost-ceiling annotations (VERDICT r7 #3): probed keys whose sf1
