@@ -219,6 +219,16 @@ def main() -> None:
         # (persisted index frames, mkdtemp sink/stream scratch) — the
         # r4 blanket clearCache() hid which queries leaked (ADVICE r4).
         release_query_resources()
+        # Drop the per-query DataFrame references NOW: localCheckpoint
+        # blocks (iterative graph/stream queries) are only released by
+        # the ContextCleaner once the Python refs die and a JVM GC
+        # runs; without this, blocks from query k inflate queries
+        # k+1.. (measured: identical queries drift 7.7 s → 16.4 s over
+        # one session as checkpoint blocks accumulate). Paired with
+        # spark.cleaner.periodicGC.interval in session defaults.
+        import gc
+
+        gc.collect()
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
             f" ({n} rows)",

@@ -12587,6 +12587,43 @@ ORDER BY s_seg, s_balk, s_sfx
 """
 
 
+def _co_order_pairs(op):
+    """Co-occurrence pair edges (src < dst) over (o, p) rows: ONE hash
+    aggregate (collect_set dedups (o, p) inside the agg buffer, no
+    standalone DISTINCT exchange) + a LOCAL C(m,2) pair explode from
+    each basket's sorted part array — replaces the former
+    distinct → self-equi-join-on-o shape (two exchanges + a join) that
+    every co-order graph key paid. Identical pair multiset: sorted
+    distinct parts per order, all (x, y) with x < y."""
+    return (
+        op.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .select("ps", F.posexplode("ps").alias("_i", "src"))
+        .select(
+            "src",
+            F.explode(F.expr("slice(ps, _i + 2, size(ps))")).alias("dst"),
+        )
+    )
+
+
+def _urgent_co_pairs(spark, sf_dir):
+    """The urgent-order part co-occurrence edge list shared by the
+    adamic_adar / k_core / jaccard_linkpred / degree_assortativity
+    keys (see _co_order_pairs for the shape)."""
+    return _co_order_pairs(
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+    )
+
+
 def q_label_communities(spark, sf_dir):
     """Deterministic synchronous label propagation over the co-order
     part graph (graph.label_propagation, 3 rounds): nodes = parts,
@@ -12598,20 +12635,11 @@ def q_label_communities(spark, sf_dir):
         label_propagation,
     )
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
+    pairs = _co_order_pairs(
+        _t(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("o"),
             F.col("l_partkey").alias("p"),
         )
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
     )
     out = label_propagation(pairs, "src", "dst", iterations=3)
     return out.orderBy("node")
@@ -13099,26 +13127,7 @@ def q_adamic_adar(spark, sf_dir):
     (common_neighbors, keys) order — no float-boundary ties."""
     from mhm_data_pipelines_spark.operators.graph import adamic_adar
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            _t(spark, sf_dir, "orders").filter(
-                F.col("o_orderpriority") == "1-URGENT"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    )
+    edges = _urgent_co_pairs(spark, sf_dir)
     out = adamic_adar(edges, hub_cap=48)
     return (
         out.select(
@@ -13181,26 +13190,7 @@ def q_k_core(spark, sf_dir):
     a non-fixpoint)."""
     from mhm_data_pipelines_spark.operators.graph import k_core
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            _t(spark, sf_dir, "orders").filter(
-                F.col("o_orderpriority") == "1-URGENT"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    )
+    edges = _urgent_co_pairs(spark, sf_dir)
     out = k_core(edges, k=12)
     return out.select(
         F.col("node").cast("long").alias("node"),
@@ -15011,26 +15001,7 @@ def q_jaccard_linkpred(spark, sf_dir):
     integer ratios; ordering rides the integer (common, keys) sort."""
     from mhm_data_pipelines_spark.operators.graph import jaccard_links
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            _t(spark, sf_dir, "orders").filter(
-                F.col("o_orderpriority") == "1-URGENT"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    )
+    edges = _urgent_co_pairs(spark, sf_dir)
     out = jaccard_links(edges, hub_cap=48)
     return (
         out.select(
@@ -15418,26 +15389,7 @@ def q_degree_assortativity(spark, sf_dir):
         degree_assortativity,
     )
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            _t(spark, sf_dir, "orders").filter(
-                F.col("o_orderpriority") == "1-URGENT"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    )
+    edges = _urgent_co_pairs(spark, sf_dir)
     return degree_assortativity(edges)
 
 

@@ -12,15 +12,23 @@ pair depth).
 Scale shape:
 
 * Baskets dedupe to DISTINCT (basket, item) first (multiplicity is
-  presence, not weight), then the pair stream is ONE self-equi-join
-  on the basket key with ``item_a < item_b`` folded into the join
-  condition — a basket with m items emits exactly C(m,2) pairs, so
-  the blow-up is bounded by ``max_basket_size``: larger baskets are
-  DROPPED (documented — a 10k-item "basket" is a data defect, and its
-  ~5·10⁷ pairs would dominate the stage; the cap is the same
-  hot-key discipline as the LSH bucket caps in ``dedup``).
-* Item marginals and the basket total are hash aggregates; rules
-  attach them with AQE-sized joins.
+  presence, not weight), then ONE ``collect_list`` hash aggregate
+  per basket produces the sorted item array, the size cap filters
+  on ``size(array)``, and C(m,2) pairs explode LOCALLY from each
+  array — no basket-size pre-join and no self-equi-join shuffle at
+  all (the former shape paid a count aggregate + semi-join + a
+  two-sided self-join on the basket key for the same pair stream).
+  Larger baskets are DROPPED (documented — a 10k-item "basket" is a
+  data defect, and its ~5·10⁷ pairs would dominate the stage; the
+  cap is the same hot-key discipline as the LSH bucket caps in
+  ``dedup``). The cap now applies AFTER collecting the basket's
+  distinct items, so per-task memory is bounded by the largest
+  defect basket's item array (tens of KB for the documented 10k
+  case) rather than by its quadratic pair fan-out — the guard the
+  cap exists for is unchanged.
+* Item marginals and the basket total are hash aggregates over the
+  same materialized basket-array table; rules attach them with
+  AQE-sized joins.
 
 ``lift = N·n_ij / (n_i·n_j)`` — integer counts everywhere, so both
 engines compute bit-identical doubles in the final divisions.
@@ -32,6 +40,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["item_pair_counts", "association_rules", "item_cosine_neighbors"]
+
+def _basket_lists(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int,
+) -> DataFrame:
+    """(b, its) — sorted DISTINCT item array per basket, baskets over
+    ``max_basket_size`` dropped. One hash aggregate after the distinct;
+    shared base of the pair/marginal/total consumers."""
+    return (
+        df.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("it"))
+        .distinct()
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_list("it")).alias("its"))
+        .filter(F.size("its") <= max_basket_size)
+    )
+
+
+def _pairs_from_lists(lists: DataFrame) -> DataFrame:
+    """(item_a, item_b) pair stream — C(m,2) per basket via two
+    codegen'd Generate steps (posexplode the sorted items, explode
+    each item's strict suffix slice); item_a < item_b guaranteed by
+    the sort."""
+    return lists.select(
+        "its", F.posexplode("its").alias("_i", "item_a")
+    ).select(
+        "item_a",
+        F.explode(F.expr("slice(its, _i + 2, size(its))")).alias("item_b"),
+    )
 
 
 def item_pair_counts(
@@ -46,24 +87,9 @@ def item_pair_counts(
     ``max_basket_size`` are dropped (quadratic-defect guard — see
     module doc). NULL baskets/items are ignored.
     """
-    base = df.filter(
-        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-    ).select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
-    ).distinct()
-    sized = base.join(
-        base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
-            F.col("_sz") <= max_basket_size
-        ).select("b"),
-        "b",
-    )
-    a = sized.select("b", F.col("it").alias("item_a"))
-    bb = sized.select("b", F.col("it").alias("item_b"))
+    lists = _basket_lists(df, basket_col, item_col, max_basket_size)
     return (
-        a.join(
-            bb,
-            (a["b"] == bb["b"]) & (a["item_a"] < bb["item_b"]),
-        )
+        _pairs_from_lists(lists)
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_pair"))
     )
@@ -87,38 +113,26 @@ def association_rules(
     support/lift stay internally consistent). Pairs below
     ``min_pair_count`` are pruned before the marginal joins.
     """
-    base = df.filter(
-        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-    ).select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
-    ).distinct()
-    ok = base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
-        F.col("_sz") <= max_basket_size
-    ).select("b")
-    sized = base.join(ok, "b")
+    lists = _basket_lists(df, basket_col, item_col, max_basket_size)
     if share_scan:
-        # FOUR consumers (both pair sides, marginals, basket total) —
-        # lazily materialize once instead of re-deriving the distinct
-        # + cap join per consumer (same trade as pca.covariance_long;
-        # pass False on Spark Connect).
-        sized = sized.localCheckpoint(eager=False)
+        # THREE consumers (pairs, marginals, basket total) — lazily
+        # materialize the basket-array table once instead of
+        # re-deriving the distinct + aggregate per consumer (same
+        # trade as pca.covariance_long; pass False on Spark Connect).
+        lists = lists.localCheckpoint(eager=False)
     pairs = (
-        sized.alias("x")
-        .join(
-            sized.alias("y"),
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.it") < F.col("y.it")),
-        )
-        .select(
-            F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b")
-        )
+        _pairs_from_lists(lists)
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair_count)
     )
-    marg = sized.groupBy("it").agg(F.count("*").alias("n_item"))
-    n_baskets = sized.agg(
-        F.count_distinct("b").cast("double").alias("n_baskets")
+    marg = (
+        lists.select(F.explode("its").alias("it"))
+        .groupBy("it")
+        .agg(F.count("*").alias("n_item"))
+    )
+    n_baskets = lists.agg(
+        F.count("*").cast("double").alias("n_baskets")
     )
     lift = (
         F.col("n_baskets")
@@ -174,8 +188,8 @@ def item_cosine_neighbors(
     neighbor lists ("users who took A also took B").
 
     Scale shape: pair counting identical to :func:`item_pair_counts`
-    (distinct → basket-size cap → one self-equi-join); the per-item
-    top-k is a window over the SYMMETRIZED pair table partitioned by
+    (distinct → basket-array aggregate → local pair explode); the
+    per-item top-k is a window over the SYMMETRIZED pair table partitioned by
     item — rank fan-in is bounded by the item's co-occurrence degree,
     and ties break deterministically (cosine desc, n_pair desc,
     neighbor asc; the cosine doubles are identical across engines —
@@ -184,35 +198,22 @@ def item_cosine_neighbors(
     Returns ``(item, neighbor, n_pair, cosine, rank)``, rank 1..k per
     item.
     """
-    base = df.filter(
-        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-    ).select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
-    ).distinct()
-    ok = base.groupBy("b").agg(F.count("*").alias("_sz")).filter(
-        F.col("_sz") <= max_basket_size
-    ).select("b")
-    # THREE consumers (both pair sides + marginals) — lazily
-    # materialize the capped distinct table once instead of
-    # re-deriving it per consumer (association_rules' share_scan
-    # discipline; review caught this path rebuilding it twice).
-    sized = base.join(ok, "b").localCheckpoint(eager=False)
+    # TWO consumers (pairs + marginals) — lazily materialize the
+    # basket-array table once instead of re-deriving it per consumer
+    # (association_rules' share_scan discipline).
+    lists = _basket_lists(
+        df, basket_col, item_col, max_basket_size
+    ).localCheckpoint(eager=False)
     pairs = (
-        sized.alias("x")
-        .join(
-            sized.alias("y"),
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.it") < F.col("y.it")),
-        )
-        .select(
-            F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b")
-        )
+        _pairs_from_lists(lists)
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair_count)
     )
-    marg = sized.groupBy("it").agg(
-        F.count("*").alias("n_item")
+    marg = (
+        lists.select(F.explode("its").alias("it"))
+        .groupBy("it")
+        .agg(F.count("*").alias("n_item"))
     )
     sym = pairs.select(
         F.col("item_a").alias("item"),

@@ -21,10 +21,11 @@ right-sized for keys (names, ids, titles ≤ ~64 chars), NOT for
 documents — near-dup text at document scale is MinHash/SimHash
 territory (``operators.dedup``).
 
-Scale notes: the variant join shuffles on the variant string —
-co-partitioned equi-join, never all-pairs. Very common variants
-(shared prefixes of sequential ids) fatten buckets; the equal-length
-pre-filter inside the join condition cuts most of the quadratic
+Scale notes: candidates shuffle ONCE on the variant string into a
+per-bucket member-array aggregate (pairs explode locally from the
+sorted array — never all-pairs, and no second self-join shuffle).
+Very common variants (shared prefixes of sequential ids) fatten
+buckets; the equal-length pre-filter cuts most of the quadratic
 bucket fan-out before the distinct, and ``max_bucket_size`` (same
 star-edge cap as the LSH emitters via ``_split_hot_buckets``) bounds
 adversarial buckets.
@@ -100,37 +101,46 @@ def edit_distance_join(
         F.length("_txt").alias("_len"),
         F.explode(deletion_variants(F.col("_txt"), k)).alias("_var"),
     )
-    # |len(a) - len(b)| <= k is implied by ed <= k; folding it into the
-    # join condition prunes fat variant buckets before the distinct
-    # (the variant row carries only (id, len, variant) — the full text
-    # re-attaches after dedup, so the shuffle payload stays narrow).
-    pair_cond = (
-        (F.col("a._var") == F.col("b._var"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (F.abs(F.col("a._len") - F.col("b._len")) <= k)
-    )
-    if max_bucket_size is None:
-        a, b = ex.alias("a"), ex.alias("b")
-        cands = (
-            a.join(b, pair_cond)
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
+    # Candidate pairs per variant bucket WITHOUT a self-join: ONE
+    # collect_list hash aggregate per variant builds the sorted
+    # (id, len) member array and C(m,2) pairs explode locally — the
+    # former two-sided self-equi-join on the variant string paid a
+    # second shuffle of the exploded frame for the identical pair
+    # multiset. |len(a) - len(b)| <= k (implied by ed <= k) prunes
+    # fat-bucket pairs before the distinct, as before. The member
+    # array carries only (id, len) — narrow — and its length is the
+    # bucket size the cap already governs.
+    def _bucket_pairs(frame: DataFrame) -> DataFrame:
+        return (
+            frame.groupBy("_var")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(id_col), F.col("_len")))
+                ).alias("ms")
             )
-            .distinct()
+            .select("ms", F.posexplode("ms").alias("_i", "x"))
+            .select(
+                "x",
+                F.explode(
+                    F.expr("slice(ms, _i + 2, size(ms))")
+                ).alias("y"),
+            )
+            .filter(F.abs(F.col("x._len") - F.col("y._len")) <= k)
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
         )
+
+    if max_bucket_size is None:
+        cands = _bucket_pairs(ex).distinct()
     else:
         # The exploded variant frame feeds the cap's count/anti/semi
-        # subtrees and both self-join sides — materialize once.
+        # subtrees and the pair aggregate — materialize once.
         ex = ex.localCheckpoint(eager=False)
         cold, star = _split_hot_buckets(ex, ["_var"], id_col, max_bucket_size)
-        a, b = cold.alias("a"), cold.alias("b")
         cands = (
-            a.join(b, pair_cond)
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
+            _bucket_pairs(cold)
             .unionByName(star.select("id_a", "id_b"))
             .distinct()
         )

@@ -40,6 +40,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 10,
     damping: float = 0.85,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -50,11 +51,14 @@ def pagerank(
     round; callers wanting it can compare successive calls).
 
     Scale shape: the per-round job is edges ⋈ ranks on the SOURCE key
-    followed by a hash aggregate on the DESTINATION key — one shuffle
-    per round on each side, both partitioned the same way every round.
-    The edge list (with precomputed ``w / out_w``) is checkpointed once
-    and reused; only the (node, rank) frame — one row per node —
-    cycles through the loop.
+    followed by a hash aggregate on the DESTINATION key. The edge list
+    (with precomputed ``w / out_w``) is checkpointed once and reused;
+    only the (node, rank) frame — one row per node — cycles through
+    the loop. When the node count (already computed for the 1/N init)
+    is ≤ ``broadcast_max_rows``, the per-round rank/inflow joins take
+    explicit broadcast hints so the edge list never shuffles inside a
+    round; past the threshold the joins fall back to shuffle joins
+    under AQE.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
@@ -82,18 +86,24 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    small = n <= broadcast_max_rows
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         inflow = (
             shares.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                _maybe_bcast(ranks.withColumnRenamed("node", "src")),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("in_rank"))
         )
         ranks = (
-            nodes.join(inflow, "node", "left")
+            nodes.join(_maybe_bcast(inflow), "node", "left")
             .select(
                 "node",
                 (
@@ -240,6 +250,7 @@ def label_propagation(
     weight: str | None = None,
     iterations: int = 3,
     seeds: DataFrame | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Synchronous weighted label propagation (Raghavan et al. 2007,
     made deterministic): community detection over an UNDIRECTED view
@@ -266,9 +277,23 @@ def label_propagation(
 
     Scale shape: identical to :func:`pagerank` — the symmetrized edge
     list is checkpointed once; each round is one join keyed by the
-    neighbour side + one hash aggregate + one ≤-degree-bounded window
-    over the (node, label) vote table, with lineage truncated per
-    round. Only the (node, label) frame cycles.
+    neighbour side + two hash aggregates (vote totals per (node,
+    label), then the per-node argmax as a single ``min(struct(-wt,
+    label))`` — exactly the window's (wt desc, label asc) winner but
+    with map-side partial aggregation and no per-node sort), with
+    lineage truncated per round. Only the (node, label) frame cycles.
+    When the node count (counted once up front) is ≤
+    ``broadcast_max_rows``, the per-round label/winner/seed joins take
+    explicit broadcast hints so the EDGE LIST never shuffles inside a
+    round — the label frame is one row per node and orders of
+    magnitude smaller than the edges it votes over; past the
+    threshold the joins fall back to shuffle joins under AQE.
+    Exact-equivalence note for the argmax: ``-wt`` negation is exact
+    for doubles, so the min-struct winner matches the window path
+    bit-for-bit whenever vote totals are comparable numbers (NaN
+    weights — already outside the documented "weights aggregate
+    exactly" contract — would rank first under the window and last
+    under min-struct).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -298,35 +323,49 @@ def label_propagation(
         # `nodes` treatment.
         nodes = nodes.unionByName(s.select("node")).distinct()
     nodes = nodes.localCheckpoint(eager=False)
+    # One count decides the per-round join strategy: the label frame
+    # is |nodes| rows, so when that fits comfortably in a broadcast
+    # the big edge list never shuffles inside the loop.
+    small = nodes.count() <= broadcast_max_rows
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     if s is not None:
-        labels = nodes.join(s, "node", "left").select(
+        labels = nodes.join(_maybe_bcast(s), "node", "left").select(
             "node",
             F.coalesce("seed_label", F.col("node")).alias("label"),
         )
     else:
         labels = nodes.select("node", F.col("node").alias("label"))
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("node").orderBy(
-        F.col("wt").desc(), F.col("label").asc()
-    )
     for _ in range(iterations):
         votes = (
-            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            sym.join(
+                _maybe_bcast(labels.withColumnRenamed("node", "a")), "a"
+            )
             .groupBy(F.col("b").alias("node"), "label")
             .agg(F.sum("w").alias("wt"))
         )
+        # Per-node argmax: min(struct(-wt, label)) == the window's
+        # (wt desc, label asc) first row, without the per-node sort.
         winners = (
-            votes.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("wt")).alias("_nw"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_best")
+            )
+            .select("node", F.col("_best.label").alias("new_label"))
         )
-        labels = labels.join(winners, "node", "left").select(
+        labels = labels.join(_maybe_bcast(winners), "node", "left").select(
             "node",
             F.coalesce("new_label", "label").alias("label"),
         )
         if s is not None:  # clamp: seeds never drift
-            labels = labels.join(s, "node", "left").select(
+            labels = labels.join(_maybe_bcast(s), "node", "left").select(
                 "node",
                 F.coalesce("seed_label", "label").alias("label"),
             )
@@ -340,6 +379,7 @@ def k_core(
     dst: str = "dst",
     k: int = 2,
     max_iter: int = 50,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     standard web-graph quality filter — pages outside a dense core are
@@ -356,27 +396,38 @@ def k_core(
     symmetrized, parallel edges collapse, self-loops drop (a self-loop
     is not connectivity).
 
-    Scale shape: the symmetrized edge list is localCheckpoint'ed once;
-    each peel round is ONE hash aggregate (degrees) + two anti-joins
-    against the checkpoint-cached sub-k node set, with lineage
-    truncated per round — only the shrinking edge list cycles, and
-    rounds stop at the fixpoint (one bounded count() action per round
-    detects it; ``max_iter`` guards pathological chains — peeling
-    removes ≥1 node per non-final round, so max_iter bounds are loud,
-    not silent). An external SQL oracle can replay the rounds
-    verbatim: each round depends only on the previous round's edge
-    set, with no randomness and no tie-breaking.
+    Scale shape: the symmetrized edge list is localCheckpoint'ed once
+    (dedup runs on the CANONICAL a<b half — half the exchange bytes —
+    and symmetrization after it is a narrow union); each peel round is
+    ONE hash aggregate (degrees) + two anti-joins against the
+    checkpoint-cached sub-k node set, with lineage truncated per round
+    — only the shrinking edge list cycles, and rounds stop at the
+    fixpoint (one bounded count() action per round detects it;
+    ``max_iter`` guards pathological chains — peeling removes ≥1 node
+    per non-final round, so max_iter bounds are loud, not silent).
+    The per-round sub-k node set is usually tiny relative to the edge
+    list; when its (already computed) count is ≤
+    ``broadcast_max_rows`` the anti-joins take an explicit broadcast
+    hint, so the edge list is never shuffled inside a round — without
+    the hint both anti-joins plan as sort-merge against the
+    unknown-size checkpoint RDD and re-shuffle the full edge list
+    every round. Past the threshold (a first peel round on a
+    power-law graph can drop most nodes at once) the joins fall back
+    to shuffle joins under AQE. An external SQL oracle can replay the
+    rounds verbatim: each round depends only on the previous round's
+    edge set, with no randomness and no tie-breaking.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    cur = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    canon = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    cur = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         bad = (
             cur.groupBy("a")
@@ -385,11 +436,17 @@ def k_core(
             .select("a")
             .localCheckpoint()  # eager: reused by both anti-joins
         )
-        if bad.count() == 0:
+        n_bad = bad.count()
+        if n_bad == 0:
             break
+        small = n_bad <= broadcast_max_rows
+        bad_a = F.broadcast(bad) if small else bad
+        bad_b = bad.withColumnRenamed("a", "b")
+        if small:
+            bad_b = F.broadcast(bad_b)
         cur = (
-            cur.join(bad, "a", "left_anti")
-            .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+            cur.join(bad_a, "a", "left_anti")
+            .join(bad_b, "b", "left_anti")
             .localCheckpoint(eager=False)
         )
     else:
@@ -430,44 +487,64 @@ def adamic_adar(
     Returns ``(node_a, node_b, common_neighbors, aa_score)`` with
     node_a < node_b.
 
-    Scale shape: one hash aggregate for degrees, one equi-join of the
-    adjacency list with itself keyed on the CENTER node (the only
-    fan-out — bounded by ``Σ_z min(deg z, hub_cap)²``, which hub_cap
-    caps quadratically; without it one celebrity node with degree 10^6
+    Scale shape: one hash aggregate for degrees (computed on the
+    canonical a<b half and symmetrized after — half the dedup
+    exchange), one per-center adjacency-ARRAY aggregate over the
+    center-filtered edge list (arrays are ≤ hub_cap elements by
+    construction because hubs were dropped BEFORE collecting — never
+    an unbounded collect), a pair explosion local to each center row
+    (bounded by ``Σ_z min(deg z, hub_cap)²``, which hub_cap caps
+    quadratically; without it one celebrity node with degree 10^6
     alone yields 10^12 wedges), one hash aggregate on the candidate
-    pair, and one anti-join against the canonical edge list. No
-    cartesian products, nothing collected to the driver.
+    pair, and one anti-join against the canonical edge list. The
+    array form replaces the former adjacency self-join: the wedge
+    fan-out happens inside a projection instead of shuffling the
+    adjacency list a second time on the center key. No cartesian
+    products, nothing collected to the driver.
     """
     if hub_cap is not None and hub_cap < 2:
         raise ValueError(f"hub_cap must be >= 2, got {hub_cap}")
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    canon = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     centers = deg.filter(F.col("deg") >= 2)
     if hub_cap is not None:
         centers = centers.filter(F.col("deg") <= int(hub_cap))
-    # adjacency restricted to usable wedge centers, weight attached
-    # once so the per-pair aggregate is a plain SUM
-    adj = sym.join(centers, "a").select(
-        F.col("a").alias("z"),
-        F.col("b").alias("n"),
-        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+    # Per-center adjacency arrays (hubs already filtered, so arrays
+    # are ≤ hub_cap), weight attached once so the per-pair aggregate
+    # is a plain SUM. sort_array makes every in-array pair (x, y)
+    # satisfy x < y without a post-filter.
+    adj = (
+        sym.join(centers, "a")
+        .groupBy("a")
+        .agg(
+            F.sort_array(F.collect_list("b")).alias("ns"),
+            F.first("deg").alias("deg"),
+        )
+        .select(
+            (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+            "ns",
+            F.posexplode("ns").alias("_i", "x"),
+        )
+        .select(
+            "w",
+            "x",
+            F.explode(F.expr("slice(ns, _i + 2, size(ns))")).alias("y"),
+        )
     )
-    lhs = adj.select(
-        F.col("z"), F.col("n").alias("x"), F.col("w")
-    )
-    rhs = adj.select(F.col("z"), F.col("n").alias("y"))
-    wedges = lhs.join(rhs, "z").filter(F.col("x") < F.col("y"))
-    scores = wedges.groupBy("x", "y").agg(
+    scores = adj.groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("common_neighbors"),
         F.sum("w").alias("aa_score"),
     )
     if not include_existing:
-        und = sym.filter(F.col("a") < F.col("b")).select(
+        und = canon.select(
             F.col("a").alias("x"), F.col("b").alias("y")
         )
         scores = scores.join(und, ["x", "y"], "left_anti")
@@ -509,21 +586,29 @@ def jaccard_links(
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    canon = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     centers = deg.filter(F.col("deg") >= 2)
     if hub_cap is not None:
         centers = centers.filter(F.col("deg") <= int(hub_cap))
-    adj = sym.join(centers.select("a"), "a").select(
-        F.col("a").alias("z"), F.col("b").alias("n")
-    )
-    lhs = adj.select("z", F.col("n").alias("x"))
-    rhs = adj.select("z", F.col("n").alias("y"))
+    # Same array-form wedge generation as adamic_adar: per-center
+    # adjacency arrays (≤ hub_cap — hubs filtered before collecting),
+    # pairs exploded locally instead of re-shuffling the adjacency
+    # list through a self-join on the center key.
     common = (
-        lhs.join(rhs, "z")
-        .filter(F.col("x") < F.col("y"))
+        sym.join(centers.select("a"), "a")
+        .groupBy("a")
+        .agg(F.sort_array(F.collect_list("b")).alias("ns"))
+        .select("ns", F.posexplode("ns").alias("_i", "x"))
+        .select(
+            "x",
+            F.explode(F.expr("slice(ns, _i + 2, size(ns))")).alias("y"),
+        )
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
     )
@@ -531,7 +616,7 @@ def jaccard_links(
     dy = deg.select(F.col("a").alias("y"), F.col("deg").alias("_dy"))
     scored = common.join(dx, "x").join(dy, "y")
     if not include_existing:
-        und = sym.filter(F.col("a") < F.col("b")).select(
+        und = canon.select(
             F.col("a").alias("x"), F.col("b").alias("y")
         )
         scored = scored.join(und, ["x", "y"], "left_anti")

@@ -315,7 +315,12 @@ def erase_subjects(
     scoped = spark.read.parquet(base_path).filter(
         _isin_with_null(partition_col, vals)
     )
-    before = scoped.count()
+    # rows_erased = the semi-join match count, directly — the old
+    # shape counted the touched partitions once for `before` and
+    # re-ran the whole anti-join for `after` just to subtract them.
+    erased = int(
+        scoped.join(F.broadcast(subj), key, "left_semi").count()
+    )
     kept = scoped.join(F.broadcast(subj), key, "left_anti")
     tmp_path = f"{base_path}__erase_tmp_{uuid.uuid4().hex}"
     kept.write.partitionBy(partition_col).parquet(tmp_path)
@@ -329,9 +334,8 @@ def erase_subjects(
         spark, partition_col, [touched[v] for v in vals]
     )
     _ensure_partition_dirs(spark, tmp_path, expected)
-    after = kept.count()
     _swap_partitions(spark, base_path, tmp_path, partition_col)
     return {
         "partitions_rewritten": len(vals),
-        "rows_erased": int(before - after),
+        "rows_erased": erased,
     }

@@ -91,3 +91,34 @@ class TestItemCosineNeighbors:
             per_item.setdefault(r.item, []).append(r)
         assert all(len(v) == 1 for v in per_item.values())
         assert per_item["x"][0].neighbor == "y"
+
+
+def test_array_pair_stream_matches_bruteforce(spark):
+    """r9 optimization: pairs now come from a per-basket sorted array
+    explode instead of a self-equi-join — the pair MULTISET must match
+    the brute-force join, including duplicate (b, it) collapse and the
+    exact cap boundary (a basket of exactly max_basket_size survives,
+    one more is dropped)."""
+    from mhm_data_pipelines_spark.operators.baskets import (
+        item_pair_counts,
+    )
+
+    rows = (
+        [("b1", i) for i in (3, 1, 2, 2)]        # dup (b1, 2) collapses
+        + [("b2", i) for i in (1, 2, 3, 4)]      # == cap -> kept
+        + [("b3", i) for i in (1, 2, 3, 4, 5)]   # cap+1 -> dropped
+        + [("b4", 9)]                            # singleton -> no pairs
+    )
+    df = spark.createDataFrame(rows, "b string, it long")
+    got = {
+        (r.item_a, r.item_b): r.n_pair
+        for r in item_pair_counts(df, "b", "it", max_basket_size=4).collect()
+    }
+    import itertools
+
+    want: dict = {}
+    baskets = {"b1": {1, 2, 3}, "b2": {1, 2, 3, 4}}
+    for its in baskets.values():
+        for x, y in itertools.combinations(sorted(its), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    assert got == want

@@ -559,3 +559,80 @@ class TestMarkovStationary:
         assert sum(r.pi for r in rows) == pytest.approx(1.0, abs=1e-5)
         with pytest.raises(ValueError, match="n_iter"):
             markov_stationary(edges, n_iter=0)
+
+
+class TestBroadcastThresholdEquivalence:
+    """r9 optimization: the iterative operators broadcast their small
+    per-round frames when the node/sub-k count fits under
+    ``broadcast_max_rows``. The hint changes join strategy only —
+    results must be IDENTICAL with the threshold forced to 0 (pure
+    shuffle joins, the at-scale plan)."""
+
+    def _edges(self, spark):
+        rows = [(i, (i * 7) % 23) for i in range(60)] + [
+            (i, i + 1) for i in range(25)
+        ]
+        return spark.createDataFrame(
+            [(a, b) for a, b in rows if a != b], "src long, dst long"
+        )
+
+    def test_k_core_same_either_strategy(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import k_core
+
+        e = self._edges(spark)
+        bc = {(r.node, r.core_degree) for r in k_core(e, k=3).collect()}
+        sj = {
+            (r.node, r.core_degree)
+            for r in k_core(e, k=3, broadcast_max_rows=0).collect()
+        }
+        assert bc == sj and bc  # non-trivial core
+
+    def test_label_propagation_same_either_strategy(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = self._edges(spark)
+        bc = {
+            (r.node, r.label)
+            for r in label_propagation(e, iterations=3).collect()
+        }
+        sj = {
+            (r.node, r.label)
+            for r in label_propagation(
+                e, iterations=3, broadcast_max_rows=0
+            ).collect()
+        }
+        assert bc == sj
+
+    def test_pagerank_same_either_strategy(self, spark):
+        from mhm_data_pipelines_spark.operators.graph import pagerank
+
+        e = self._edges(spark)
+        bc = {r.node: r.rank for r in pagerank(e, iterations=4).collect()}
+        sj = {
+            r.node: r.rank
+            for r in pagerank(
+                e, iterations=4, broadcast_max_rows=0
+            ).collect()
+        }
+        assert set(bc) == set(sj)
+        for k in bc:
+            assert bc[k] == pytest.approx(sj[k], rel=1e-12)
+
+    def test_label_propagation_tie_breaks_to_smallest_label(self, spark):
+        """The r9 min(struct(-wt, label)) argmax must keep the window's
+        (wt desc, label asc) tie rule: node 3's neighbours 1 and 2 vote
+        with equal weight — label 1 must win."""
+        from mhm_data_pipelines_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 3), (2, 3)], "src long, dst long"
+        )
+        out = {
+            r.node: r.label
+            for r in label_propagation(e, iterations=1).collect()
+        }
+        assert out[3] == 1
