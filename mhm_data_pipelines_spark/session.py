@@ -59,9 +59,13 @@ _DEFAULTS: dict[str, str] = {
     # when a JVM GC runs; with a large driver heap GCs are rare, so a
     # long-lived session accumulates orphaned blocks and every later job
     # pays for them (measured: identical iterative queries drift ~2×
-    # over one session). Default is 30min — far too lazy for sessions
-    # that run hundreds of plans.
-    "spark.cleaner.periodicGC.interval": "1min",
+    # over one session). Default is 30min — too lazy for sessions that
+    # run hundreds of plans. NOT shorter than 10min: a periodic FULL GC
+    # firing inside a running query measurably inflates it (the bench's
+    # 39-query criterion set ran 40% slower under a 1min interval), so
+    # latency-sensitive harnesses should trigger System.gc() at their
+    # own safe points instead (bench.py does, between queries).
+    "spark.cleaner.periodicGC.interval": "10min",
 }
 
 

@@ -299,10 +299,11 @@ PLAN_BUDGETS: dict[str, dict] = {
     # Gopher rules: one projection; the only Exchange is the display
     # orderBy.
     "gopher_quality": {"max_shuffles": 1},
-    # round-4 late additions. fuzzy_pairs: variant-pair distinct agg +
-    # display sort (the variant candidate join and both text re-attach
-    # joins ride broadcasts at test sf; budget holds for SMJ too with
-    # the extra join shuffles counted below). snapshot_diff: the two
+    # round-4 late additions. fuzzy_pairs (r9 shape): variant-bucket
+    # member-array agg + pair-distinct agg + display sort — the former
+    # variant self-join is gone (its broadcast hid an exchange at test
+    # sf but cost a second exploded-frame shuffle at scale); the text
+    # re-attach joins still ride broadcasts at test sf. snapshot_diff: the two
     # snapshot sides hash-shuffle into ONE full-outer SMJ + display
     # sort. weighted_sample: TakeOrdered — the display sort is the only
     # Exchange. semantic_decontam: broadcast eval cross + one max agg.
@@ -310,7 +311,7 @@ PLAN_BUDGETS: dict[str, dict] = {
     # totals agg + two id joins + display sort. knn_graph: assignment/
     # probe projections + cogroup (two hash Exchanges) + top-k window +
     # display sort; centroid literals come from a separate collect.
-    "fuzzy_pairs": {"max_shuffles": 2},
+    "fuzzy_pairs": {"max_shuffles": 3},
     "snapshot_diff": {"max_shuffles": 3},
     "weighted_sample": {"max_shuffles": 1},
     # was 2; +1 when the every-training-row contract fix (review r4)
