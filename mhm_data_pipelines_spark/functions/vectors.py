@@ -35,17 +35,42 @@ def norm(a: Column | str) -> Column:
     )
 
 
+def _bind_once(scalar: Column, body) -> Column:
+    """Evaluate ``scalar`` ONCE per row and hand it to ``body`` as a
+    lambda variable: higher-order functions run on the interpreted
+    path with no common-subexpression elimination, so a fold expression
+    referenced inside another lambda is re-evaluated at EVERY element
+    (measured: the old ``normalize`` inlined the norm fold into the
+    per-element division — 65 fold evaluations per 64-dim row, ~4x the
+    whole assignment stage). A transform over a one-element array binds
+    the scalar to a lambda variable instead."""
+    return F.transform(F.array(scalar), body)[0]
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL-safe on zero vectors (returns NULL)."""
-    denom = norm(a) * norm(b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    """Cosine similarity; NULL-safe on zero vectors (returns NULL).
+
+    The ``norm(a)·norm(b)`` denominator is bound once per row
+    (:func:`_bind_once`) — referencing it from both the zero-guard and
+    the division re-evaluated both norm folds."""
+    return _bind_once(
+        norm(a) * norm(b),
+        lambda d: F.when(d > 0, dot(a, b) / d),
+    )
 
 
 def normalize(a: Column | str) -> Column:
     """L2-normalize once at ingest so downstream cosine = dot — halves the
     per-pair cost of the brute-force search and makes LSH hyperplane
-    signs scale-invariant."""
-    n = norm(a)
-    return F.when(
-        n > 0, F.transform(_c(a), lambda x: x.cast("double") / n)
+    signs scale-invariant.
+
+    The norm is bound once per row (:func:`_bind_once`): the naive
+    ``transform(v, x -> x / norm(v))`` inlines the whole norm FOLD into
+    the per-element lambda — dim+1 fold evaluations per row on the
+    interpreted HOF path."""
+    return _bind_once(
+        norm(a),
+        lambda n: F.when(
+            n > 0, F.transform(_c(a), lambda x: x.cast("double") / n)
+        ),
     )

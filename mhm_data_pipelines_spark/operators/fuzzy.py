@@ -126,6 +126,12 @@ def edit_distance_join(
                 ).alias("y"),
             )
             .filter(F.abs(F.col("x._len") - F.col("y._len")) <= k)
+            # Duplicate-id inputs put the same id in a bucket twice and
+            # the sorted member array would pair it with itself (dist 0
+            # passes the verify) — the old self-join's `a.id < b.id`
+            # excluded that structurally; the sort guarantees x <= y,
+            # so one != filter restores the id_a < id_b contract.
+            .filter(F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
             .select(
                 F.col(f"x.{id_col}").alias("id_a"),
                 F.col(f"y.{id_col}").alias("id_b"),

@@ -111,7 +111,10 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy: the next round's rank-broadcast build (or the
+            # caller's action) materializes this frame; eager spent an
+            # extra job per round on the same work.
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -290,10 +293,13 @@ def label_propagation(
     threshold the joins fall back to shuffle joins under AQE.
     Exact-equivalence note for the argmax: ``-wt`` negation is exact
     for doubles, so the min-struct winner matches the window path
-    bit-for-bit whenever vote totals are comparable numbers (NaN
-    weights — already outside the documented "weights aggregate
-    exactly" contract — would rank first under the window and last
-    under min-struct).
+    bit-for-bit whenever vote totals are comparable numbers; all-NULL
+    vote totals are coalesced to +inf so they lose exactly like the
+    window's NULLS-last ``wt desc`` order (NaN weights — already
+    outside the documented "weights aggregate exactly" contract —
+    would rank first under the window and last under min-struct, and
+    a literal -inf vote total ties with the NULL sentinel instead of
+    beating it).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -348,12 +354,19 @@ def label_propagation(
         )
         # Per-node argmax: min(struct(-wt, label)) == the window's
         # (wt desc, label asc) first row, without the per-node sort.
+        # NULL vote totals (a (node, label) group whose weights are
+        # ALL NULL) are mapped to +inf so they rank LAST exactly like
+        # the window's `wt desc` NULLS-last ordering — bare NULL sorts
+        # FIRST in an ascending struct comparison and would have beaten
+        # every real vote.
         winners = (
             votes.groupBy("node")
             .agg(
                 F.min(
                     F.struct(
-                        (-F.col("wt")).alias("_nw"),
+                        F.coalesce(
+                            -F.col("wt"), F.lit(float("inf"))
+                        ).alias("_nw"),
                         F.col("label").alias("label"),
                     )
                 ).alias("_best")
@@ -369,7 +382,12 @@ def label_propagation(
                 "node",
                 F.coalesce("seed_label", "label").alias("label"),
             )
-        labels = labels.localCheckpoint(eager=True)
+        # Lazy: the next round's label-broadcast build (or the caller's
+        # action) materializes this round's frame — an eager checkpoint
+        # here spent one extra job per round on the same work. The
+        # checkpoint still truncates lineage so only the (node, label)
+        # frame cycles.
+        labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -429,24 +447,30 @@ def k_core(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
     for _ in range(max_iter):
+        # Lazy checkpoint + count = ONE job that computes the previous
+        # round's anti-joins, caches the sub-k node set, and returns
+        # the fixpoint test — the former eager checkpoint spent a
+        # separate job on the same materialization every round.
         bad = (
             cur.groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") < k)
-            .select("a")
-            .localCheckpoint()  # eager: reused by both anti-joins
+            .select(F.col("a").alias("_bad"))
+            .localCheckpoint(eager=False)
         )
         n_bad = bad.count()
         if n_bad == 0:
             break
-        small = n_bad <= broadcast_max_rows
-        bad_a = F.broadcast(bad) if small else bad
-        bad_b = bad.withColumnRenamed("a", "b")
-        if small:
-            bad_b = F.broadcast(bad_b)
+        # Both anti-joins reference the SAME hinted frame, so the
+        # broadcast exchange canonicalizes identically and is built
+        # once and reused (the former withColumnRenamed copy forced a
+        # second broadcast build job per round).
+        hinted = (
+            F.broadcast(bad) if n_bad <= broadcast_max_rows else bad
+        )
         cur = (
-            cur.join(bad_a, "a", "left_anti")
-            .join(bad_b, "b", "left_anti")
+            cur.join(hinted, F.col("a") == F.col("_bad"), "left_anti")
+            .join(hinted, F.col("b") == F.col("_bad"), "left_anti")
             .localCheckpoint(eager=False)
         )
     else:
@@ -490,9 +514,11 @@ def adamic_adar(
     Scale shape: one hash aggregate for degrees (computed on the
     canonical a<b half and symmetrized after — half the dedup
     exchange), one per-center adjacency-ARRAY aggregate over the
-    center-filtered edge list (arrays are ≤ hub_cap elements by
-    construction because hubs were dropped BEFORE collecting — never
-    an unbounded collect), a pair explosion local to each center row
+    center-filtered edge list (WHEN ``hub_cap`` is set, arrays are
+    ≤ hub_cap elements by construction because hubs were dropped
+    BEFORE collecting; with the default ``hub_cap=None`` a hub's full
+    neighborhood is collected into one row — set the cap on any graph
+    that can contain hubs), a pair explosion local to each center row
     (bounded by ``Σ_z min(deg z, hub_cap)²``, which hub_cap caps
     quadratically; without it one celebrity node with degree 10^6
     alone yields 10^12 wedges), one hash aggregate on the candidate
@@ -501,15 +527,28 @@ def adamic_adar(
     fan-out happens inside a projection instead of shuffling the
     adjacency list a second time on the center key. No cartesian
     products, nothing collected to the driver.
+
+    The canonical edge list is ``localCheckpoint(eager=False)``-ed:
+    it is referenced by the symmetrization (twice), the degree
+    aggregate behind the centers, and the existing-edge anti-join —
+    without the checkpoint every consumer re-derives the whole
+    upstream edge-build subtree (measured: the co-occurrence
+    edge-build aggregate appeared ~9x in one plan and the wall
+    regressed 20%+), while the checkpoint computes it once and serves
+    the cached rows to all consumers.
     """
     if hub_cap is not None and hub_cap < 2:
         raise ValueError(f"hub_cap must be >= 2, got {hub_cap}")
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    canon = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    canon = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sym = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -580,19 +619,42 @@ def jaccard_links(
 
     Returns ``(node_a, node_b, common_neighbors, jaccard)``,
     node_a < node_b; the score is an exact integer ratio.
+
+    The canonical edge list and the degree frame are
+    ``localCheckpoint(eager=False)``-ed: canon feeds the
+    symmetrization (twice) and the existing-edge anti-join, and deg
+    feeds the centers filter plus BOTH endpoint-degree attachments —
+    five consumers that would otherwise each re-derive the whole
+    upstream edge build (measured: ~9 copies of the edge-build
+    aggregate in one 214-node plan, and the wall REGRESSED vs the
+    self-join form it replaced; with the checkpoints each subtree is
+    computed once). The degree joins stay on the POST-aggregate
+    candidate-pair table: riding (neighbor, deg) structs through the
+    adjacency arrays instead was measured 1.5x slower interleaved —
+    map-side partial aggregation already shrinks the pair stream
+    before its exchange, while struct arrays double the collect/sort
+    bytes and add an edges⋈deg join.
     """
     if hub_cap is not None and hub_cap < 2:
         raise ValueError(f"hub_cap must be >= 2, got {hub_cap}")
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    canon = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    canon = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sym = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     centers = deg.filter(F.col("deg") >= 2)
     if hub_cap is not None:
         centers = centers.filter(F.col("deg") <= int(hub_cap))
@@ -665,9 +727,16 @@ def degree_assortativity(
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Checkpoint: sym is consumed by the degree aggregate AND both
+    # endpoint attachments — without it each consumer re-derives the
+    # whole upstream edge build.
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     attached = (
         sym.join(deg.select("a", F.col("deg").alias("dx")), "a")

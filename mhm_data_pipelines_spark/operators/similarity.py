@@ -289,12 +289,25 @@ def _centroid_sim_structs(
     zip_with/aggregate tree. Iterative callers (Lloyd rounds) rebuild
     this expression every round, so the construction cost was
     multiplied by the round count."""
+    import math
+
     vc = F.col(v) if isinstance(v, str) else v
+
+    def _render(x: float) -> str:
+        # repr() of a non-finite double ('nan'/'inf'/'-inf') is NOT a
+        # spelling Spark's string→double CAST accepts (NULL in non-ANSI
+        # mode — a silent all-NULL centroid); Java's parseDouble wants
+        # 'NaN'/'Infinity'. Finite shortest-repr doubles round-trip
+        # exactly (the same values F.lit embeds).
+        if math.isfinite(x):
+            return f"CAST('{x!r}' AS DOUBLE)"
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+
     out = []
     for list_id, cvec in centroids:
-        lits = ", ".join(
-            f"CAST('{x!r}' AS DOUBLE)" for x in _normalized_lit(cvec)
-        )
+        lits = ", ".join(_render(x) for x in _normalized_lit(cvec))
         out.append(
             F.struct(
                 dot(vc, F.expr(f"array({lits})")).alias("sim"),
@@ -515,11 +528,18 @@ def kmeans_assign(
     base = df.select(F.col(id_col), normalize(vec_col).alias("v")).filter(
         F.col("v").isNotNull()
     )
+    # One projection computes the argmax struct, a second extracts its
+    # fields: referencing best["list_id"] and best["sim"] from a single
+    # projection evaluates the whole greatest-of-k-folds expression
+    # TWICE per row (higher-order functions run on the interpreted
+    # path, which has no common-subexpression elimination — measured
+    # ~2x on the assignment stage). CollapseProject keeps the split
+    # because the alias is non-trivial and referenced twice.
     best = F.greatest(*_centroid_sim_structs(centroids, "v"))
-    return base.select(
+    return base.select(F.col(id_col), best.alias("_best")).select(
         F.col(id_col),
-        best["list_id"].alias("list_id"),
-        best["sim"].alias("cosine"),
+        F.col("_best.list_id").alias("list_id"),
+        F.col("_best.sim").alias("cosine"),
     )
 
 
