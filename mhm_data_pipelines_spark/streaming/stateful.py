@@ -85,7 +85,15 @@ def stateful_sessions(
             state.remove()
             yield _emit_row(uid, start, last, n, sv)
             return
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        # Single-chunk groups (the overwhelmingly common case) skip the
+        # pd.concat copy — called once per GROUP, so per-call overhead
+        # multiplies by the entity count.
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
         if len(pdf) == 0:  # pragma: no cover - defensive
             return
         pdf = pdf.sort_values(ts, kind="mergesort")
@@ -143,7 +151,10 @@ def stateful_sessions(
         state.setTimeoutTimestamp(open_seg[1] // 1000 + gap_us // 1000)
 
     return (
-        stream.withWatermark(ts, watermark)
+        # Only (key, ts, value) reach the stateful shuffle / Python
+        # workers (guide §4 column pruning — fn reads nothing else).
+        stream.select(key, ts, value)
+        .withWatermark(ts, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             fn,
@@ -422,7 +433,15 @@ def holt_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key_
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        # Single-chunk groups (the overwhelmingly common case) skip the
+        # pd.concat copy — called once per GROUP, so per-call overhead
+        # multiplies by the entity count.
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
         if len(pdf) == 0:  # pragma: no cover - defensive
             return
         pdf = pdf[pdf[value].notna()].sort_values(
@@ -457,12 +476,20 @@ def holt_stream(
             }
         )
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn,
-        _HOLT_OUT_SCHEMA,
-        _HOLT_STATE_SCHEMA,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    # Project to exactly the columns the state function reads BEFORE
+    # the stateful shuffle (guide §4: Spark cannot see inside the
+    # Python function, so unused event columns would be shuffled AND
+    # Arrow-shipped per group otherwise).
+    return (
+        stream.select(key, ts, order_id, value)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            _HOLT_OUT_SCHEMA,
+            _HOLT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -518,7 +545,15 @@ def ewma_anomaly_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key_
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        # Single-chunk groups (the overwhelmingly common case) skip the
+        # pd.concat copy — called once per GROUP, so per-call overhead
+        # multiplies by the entity count.
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
         if len(pdf) == 0:  # pragma: no cover - defensive
             return
         pdf = pdf[pdf[value].notna()].sort_values(
@@ -554,7 +589,10 @@ def ewma_anomaly_stream(
             }
         )
 
-    return stream.groupBy(key).applyInPandasWithState(
+    # Same column pruning as holt_stream: ship only what fn reads.
+    return stream.select(key, ts, order_id, value).groupBy(
+        key
+    ).applyInPandasWithState(
         fn,
         _EWMA_ANOM_OUT_SCHEMA,
         _EWMA_ANOM_STATE_SCHEMA,
