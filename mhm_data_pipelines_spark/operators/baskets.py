@@ -25,7 +25,10 @@ Scale shape:
   distinct items, so per-task memory is bounded by the largest
   defect basket's item array (tens of KB for the documented 10k
   case) rather than by its quadratic pair fan-out — the guard the
-  cap exists for is unchanged.
+  cap exists for is unchanged. For unbounded/untrusted basket sizes
+  pass ``prefilter_oversized=True``: a count pre-filter then drops
+  oversized baskets BEFORE the collect so no aggregation buffer ever
+  materializes them (same output; one extra exchange).
 * Item marginals and the basket total are hash aggregates over the
   same materialized basket-array table; rules attach them with
   AQE-sized joins.
@@ -46,17 +49,40 @@ def _basket_lists(
     basket_col: str,
     item_col: str,
     max_basket_size: int,
+    prefilter_oversized: bool = False,
 ) -> DataFrame:
     """(b, its) — sorted DISTINCT item array per basket, baskets over
     ``max_basket_size`` dropped. One hash aggregate after the distinct;
-    shared base of the pair/marginal/total consumers."""
-    return (
+    shared base of the pair/marginal/total consumers.
+
+    ``prefilter_oversized``: with the default ``False``, the size cap
+    filters AFTER ``collect_list`` — an oversized (defect) basket is
+    fully materialized in one aggregation buffer before being dropped
+    (fine for the documented 10k-item defect case, a risk only for
+    adversarial 10^8-item groups, since a single group's buffer cannot
+    spill). ``True`` inserts a count aggregate + left-semi join so
+    oversized baskets never reach the collect — identical output,
+    measured ~15% slower at bench scale (the extra exchange), the
+    right trade when basket sizes are unbounded/untrusted."""
+    d = (
         df.filter(
             F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
         )
         .select(F.col(basket_col).alias("b"), F.col(item_col).alias("it"))
         .distinct()
-        .groupBy("b")
+    )
+    if prefilter_oversized:
+        ok = (
+            d.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_basket_size)
+            .select("b")
+        )
+        return d.join(ok, "b", "left_semi").groupBy("b").agg(
+            F.sort_array(F.collect_list("it")).alias("its")
+        )
+    return (
+        d.groupBy("b")
         .agg(F.sort_array(F.collect_list("it")).alias("its"))
         .filter(F.size("its") <= max_basket_size)
     )
@@ -80,6 +106,7 @@ def item_pair_counts(
     basket_col: str,
     item_col: str,
     max_basket_size: int = 64,
+    prefilter_oversized: bool = False,
 ) -> DataFrame:
     """Unordered item-pair co-occurrence counts:
     ``(item_a, item_b, n_pair)`` with item_a < item_b, counted over
@@ -87,7 +114,9 @@ def item_pair_counts(
     ``max_basket_size`` are dropped (quadratic-defect guard — see
     module doc). NULL baskets/items are ignored.
     """
-    lists = _basket_lists(df, basket_col, item_col, max_basket_size)
+    lists = _basket_lists(
+        df, basket_col, item_col, max_basket_size, prefilter_oversized
+    )
     return (
         _pairs_from_lists(lists)
         .groupBy("item_a", "item_b")
@@ -103,6 +132,7 @@ def association_rules(
     max_basket_size: int = 64,
     round_to: int = 6,
     share_scan: bool = True,
+    prefilter_oversized: bool = False,
 ) -> DataFrame:
     """Pair-depth association statistics:
     ``(item_a, item_b, n_pair, n_a, n_b, support, lift)`` where
@@ -113,7 +143,9 @@ def association_rules(
     support/lift stay internally consistent). Pairs below
     ``min_pair_count`` are pruned before the marginal joins.
     """
-    lists = _basket_lists(df, basket_col, item_col, max_basket_size)
+    lists = _basket_lists(
+        df, basket_col, item_col, max_basket_size, prefilter_oversized
+    )
     if share_scan:
         # THREE consumers (pairs, marginals, basket total) — lazily
         # materialize the basket-array table once instead of
@@ -175,6 +207,7 @@ def item_cosine_neighbors(
     min_pair_count: int = 2,
     max_basket_size: int = 64,
     round_to: int = 6,
+    prefilter_oversized: bool = False,
 ) -> DataFrame:
     """Item-item cosine similarity with per-item top-k neighbors —
     the classic item-based collaborative-filtering readout (Sarwar et
@@ -202,7 +235,7 @@ def item_cosine_neighbors(
     # basket-array table once instead of re-deriving it per consumer
     # (association_rules' share_scan discipline).
     lists = _basket_lists(
-        df, basket_col, item_col, max_basket_size
+        df, basket_col, item_col, max_basket_size, prefilter_oversized
     ).localCheckpoint(eager=False)
     pairs = (
         _pairs_from_lists(lists)

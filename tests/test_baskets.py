@@ -122,3 +122,46 @@ def test_array_pair_stream_matches_bruteforce(spark):
         for x, y in itertools.combinations(sorted(its), 2):
             want[(x, y)] = want.get((x, y), 0) + 1
     assert got == want
+
+
+def test_prefilter_oversized_matches_and_drops_before_collect(spark):
+    """r10 scale guard: prefilter_oversized=True drops oversized
+    baskets with a count pre-filter BEFORE collect_list (no aggregation
+    buffer ever materializes the defect basket) and must produce the
+    IDENTICAL pair multiset as the default post-collect filter,
+    including the exact cap boundary. The pathological basket here is
+    big enough that correctness of the drop (not luck) decides the
+    assert."""
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.operators.baskets import (
+        item_pair_counts,
+    )
+
+    big = [("huge", i) for i in range(5000)]  # way over the cap
+    rows = (
+        [("b1", i) for i in (3, 1, 2)]
+        + [("b2", i) for i in (1, 2, 3, 4)]  # == cap -> kept
+        + big
+    )
+    df = spark.createDataFrame(rows, "b string, it long")
+    base = {
+        (r.item_a, r.item_b): r.n_pair
+        for r in item_pair_counts(
+            df, "b", "it", max_basket_size=4
+        ).collect()
+    }
+    pre = {
+        (r.item_a, r.item_b): r.n_pair
+        for r in item_pair_counts(
+            df, "b", "it", max_basket_size=4, prefilter_oversized=True
+        ).collect()
+    }
+    assert pre == base
+    assert ("huge", 0) not in {k[0] for k in pre}  # defect basket gone
+    # The guard really is pre-collect: the plan carries a LeftSemi join
+    # below the collect aggregate.
+    plan = item_pair_counts(
+        df, "b", "it", max_basket_size=4, prefilter_oversized=True
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
