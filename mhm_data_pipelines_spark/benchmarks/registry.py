@@ -4042,8 +4042,18 @@ GROUP BY label, CAST(r.pos AS INTEGER)
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label (the blocked
     equi-join shape that replaces the cross product at scale)."""
+    from mhm_data_pipelines_spark.session import default_parallelism
+
+    # Coarse-label blocking gives the join only ~10 distinct keys, so
+    # the quadratic pair fan-out would run on <=10 tasks (ONE after AQE
+    # coalescing — measured 253 s single-task at the sf1 probe while 31
+    # cores idled). Salt derives from the session's parallelism, never
+    # a local constant.
     out = embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+        _t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.3,
+        salt_buckets=max(2, min(16, default_parallelism(spark))),
     )
     return out.withColumn("cosine", F.round("cosine", 4))
 
@@ -11042,9 +11052,16 @@ def q_image_phash_neardup(spark, sf_dir):
 
     assets = docs.mapInPandas(gen, "asset_id long, payload binary")
     hashed = image_ahash(assets)
-    return ahash_near_duplicates(hashed, max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    # The planted aHash families concentrate on ~20 distinct values per
+    # band chunk, so the in-bucket pair fan-out needs the salt to use
+    # more than a handful of tasks (see hamming_near_duplicates).
+    from mhm_data_pipelines_spark.session import default_parallelism
+
+    return ahash_near_duplicates(
+        hashed,
+        max_hamming=3,
+        salt_buckets=max(2, min(16, default_parallelism(spark))),
+    ).orderBy("id_a", "id_b")
 
 
 SQL_IMAGE_PHASH_NEARDUP = """

@@ -669,6 +669,7 @@ def hamming_near_duplicates(
     max_hamming: int = 3,
     bits: int = 64,
     max_bucket_size: int | None = 10_000,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """The pigeonhole chunk-join over ANY precomputed ``bits``-wide
     integer signature column — the machinery behind
@@ -676,7 +677,18 @@ def hamming_near_duplicates(
     hashes (operators/multimodal.py ``ahash_near_duplicates``) and any
     other Hamming-space near-dup signal. Exactness, bucket-cap and
     scale contracts are documented on :func:`simhash_near_duplicates`;
-    returns (id_a, id_b, hamming)."""
+    returns (id_a, id_b, hamming).
+
+    ``salt_buckets`` (guide-§2.5 salting, same contract as
+    :func:`embedding_near_duplicates`): when the signature DISTRIBUTION
+    is concentrated — perceptual hashes of near-dup-rich image corpora
+    land on few distinct values — the (band, chunk) join key has low
+    effective cardinality and the quadratic in-bucket fan-out
+    serializes onto a handful of tasks. ``S > 1`` salts the left side
+    by a deterministic id hash and replicates the right side S ways:
+    identical pair output, S× join-input rows, S× the parallelism of
+    the pair stage. Leave ``None`` for well-spread signatures (simhash
+    over text) where chunk values already spread the work."""
     nb = max_hamming + 1
     base_w, extra = divmod(bits, nb)
     if base_w == 0:
@@ -714,14 +726,36 @@ def hamming_near_duplicates(
         & (F.col("a.chunk") == F.col("b.chunk"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
+    salted = salt_buckets is not None and salt_buckets > 1
     if max_bucket_size is None:
-        a = banded.alias("a")
+        a_side = banded
     else:
-        a = _with_bucket_stats(banded, ["band", "chunk"], id_col).alias("a")
+        a_side = _with_bucket_stats(banded, ["band", "chunk"], id_col)
         cond = cond & (
             (F.col("a._cnt") <= max_bucket_size) | (F.col("a._rn") == 1)
         )
-    b = banded.alias("b")
+    b_side = banded
+    if salted:
+        from mhm_data_pipelines_spark.session import default_parallelism
+
+        s = int(salt_buckets)
+        # Salt AFTER the bucket stats so _cnt/_rn stay per-bucket. The
+        # explicit keyed repartition guarantees the pair fan-out runs
+        # at session parallelism even under a broadcast plan (where the
+        # probe side would inherit the input file's partitioning) and
+        # is exempt from AQE byte-based coalescing — the quadratic
+        # in-bucket fan-out is invisible to byte estimates (see
+        # embedding_near_duplicates).
+        p = max(2, default_parallelism(sigs.sparkSession))
+        a_side = a_side.withColumn(
+            "_u", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
+        ).repartition(p, F.col("band"), F.col("chunk"), F.col("_u"))
+        b_side = b_side.withColumn(
+            "_j", F.explode(F.array(*[F.lit(j) for j in range(s)]))
+        )
+        cond = cond & (F.col("a._u") == F.col("b._j"))
+    a = a_side.alias("a")
+    b = b_side.alias("b")
     hamming = F.bit_count(
         F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
     )
@@ -1021,12 +1055,27 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.95,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With ``block_col`` the join is
     blocked (equi-join on the block key — e.g. an LSH bucket or coarse
     label) so the pair space is per-block, not global. Without it this is
     brute force — correct at test scale, replaced by
     similarity.lsh_bucket_ids blocking at 100 TB.
+
+    ``salt_buckets`` (guide-§2.5 hot-key salting): a blocked self-join's
+    execution parallelism is capped by the BLOCK-KEY CARDINALITY — with
+    10 coarse labels the quadratic pair fan-out runs on ≤10 tasks (and
+    AQE coalesces the byte-small exchange further; measured at the sf1
+    probe: ONE 253-second task while 31 cores idled). With
+    ``salt_buckets=S > 1`` the left side gets a deterministic
+    id-derived salt ``u ∈ [0, S)`` and the right side is replicated S
+    ways, so the join key becomes (block, salt) — S× the join-input
+    bytes (rows, NOT pairs) buys S× the parallelism of the
+    pair-quadratic stage. Each unordered pair is still produced exactly
+    once (left row x matches right replica u(x); the id_a < id_b
+    condition keeps one orientation). Identical output; derive S from
+    the session's parallelism, not a constant.
 
     OUTPUT-BOUND at scale: emitting every qualifying pair costs what
     the pair count costs — on near-dup-rich corpora that is
@@ -1041,11 +1090,40 @@ def embedding_near_duplicates(
         normalize(vec_col).alias("v"),
         *( [F.col(block_col)] if block_col else [] ),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    salted = bool(block_col) and salt_buckets is not None and salt_buckets > 1
+    if salted:
+        from mhm_data_pipelines_spark.session import default_parallelism
+
+        s = int(salt_buckets)
+        # Explicit repartition by the JOIN KEYS with a user-specified
+        # count: if the planner picks a broadcast join (small corpus),
+        # the probe side would otherwise run at the SCAN's partitioning
+        # — one task per input file, salt never consulted (measured: a
+        # single 315 s probe task at the sf1 probe). The explicit count
+        # is exempt from AQE byte-based coalescing, which would merge
+        # these partitions right back (the pair fan-out is per-row
+        # QUADRATIC and invisible to byte estimates); the count derives
+        # from the session's parallelism, and under a sort-merge plan
+        # the exchange doubles as the join's own distribution.
+        p = max(2, default_parallelism(df.sparkSession))
+        a = (
+            base.withColumn(
+                "_u", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
+            )
+            .repartition(p, F.col(block_col), F.col("_u"))
+            .alias("a")
+        )
+        b = base.withColumn(
+            "_j", F.explode(F.array(*[F.lit(j) for j in range(s)]))
+        ).alias("b")
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    if salted:
+        cond = cond & (F.col("a._u") == F.col("b._j"))
     # Both sides are L2-normalized above, so cosine == dot: ONE 64-term
     # fold per pair instead of cosine()'s three (dot + two norms of
     # already-unit vectors) — the per-pair hot path is 3x lighter.

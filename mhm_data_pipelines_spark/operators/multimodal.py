@@ -401,6 +401,7 @@ def ahash_near_duplicates(
     id_col: str = "asset_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = 10_000,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """All image pairs within aHash Hamming distance ≤ ``max_hamming``
     — EXACT below the bucket cap via the shared pigeonhole chunk-join
@@ -428,4 +429,8 @@ def ahash_near_duplicates(
         max_hamming=max_hamming,
         bits=64,
         max_bucket_size=max_bucket_size,
+        # Perceptual hashes of near-dup-rich corpora concentrate on few
+        # distinct values — pass salt_buckets to parallelize the
+        # in-bucket pair fan-out (see hamming_near_duplicates).
+        salt_buckets=salt_buckets,
     )

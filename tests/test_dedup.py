@@ -503,3 +503,71 @@ def test_remove_frequent_lines_df_counts_documents_not_occurrences(spark):
     }
     assert got[1].n_removed == 0
     assert got[1].clean_text == "spam\nspam\nspam\nspam\nspam"
+
+
+def test_salted_neardup_pairs_match_unsalted(spark):
+    """r10 guide-§2.5 salting: the salted blocked self-join (left side
+    salt + right side replication + keyed repartition) must produce the
+    IDENTICAL pair set as the unsalted join — each unordered pair
+    exactly once — for both the embedding-cosine and the banded-Hamming
+    operators."""
+    from pyspark.sql import functions as F
+
+    from mhm_data_pipelines_spark.operators.dedup import (
+        embedding_near_duplicates,
+        hamming_near_duplicates,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    plain = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates(
+            df, block_col="label", threshold=0.1
+        ).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_duplicates(
+            df, block_col="label", threshold=0.1, salt_buckets=4
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+    sigs = spark.createDataFrame(
+        [(i, (i % 5) * 1099511627776 + (i % 7)) for i in range(80)],
+        "doc_id long, simhash long",
+    )
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_duplicates(sigs, max_hamming=3).collect()
+    }
+    s4 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_duplicates(
+            sigs, max_hamming=3, salt_buckets=4
+        ).collect()
+    }
+    assert s4 == base and len(base) > 0
+    # the capped star path composes with the salt too
+    capped = {
+        (r.id_a, r.id_b)
+        for r in hamming_near_duplicates(
+            sigs, max_hamming=3, max_bucket_size=5, salt_buckets=4
+        ).collect()
+    }
+    capped_plain = {
+        (r.id_a, r.id_b)
+        for r in hamming_near_duplicates(
+            sigs, max_hamming=3, max_bucket_size=5
+        ).collect()
+    }
+    assert capped == capped_plain
