@@ -888,34 +888,58 @@ def readability_stats(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     lower = F.lower(c)
     toks = tokens(lower)
-    words = F.size(toks)
-    sentences = F.greatest(
-        F.lit(1), F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    # Bind the four integer counts ONCE per row: this struct sits in an
+    # INTERPRETED projection (the filter HOF below blocks codegen),
+    # which performs no common-subexpression elimination — referencing
+    # `words` from the guard conditions and both score formulas
+    # re-tokenized the document at every reference (~7 split passes per
+    # doc measured). A transform over a one-element array binds the
+    # counts to a lambda variable, so tokenize/regex run exactly once.
+    counts = F.struct(
+        F.size(toks).alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)),
+        ).alias("s"),
+        (
+            F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
+            + F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]")))
+        ).alias("syl"),
+        c.isNull().alias("isnull"),
     )
-    vowel_groups = F.size(
-        F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0)
-    )
-    no_vowel_words = F.size(
-        F.filter(toks, lambda t: ~t.rlike("[aeiouy]"))
-    )
-    syllables = vowel_groups + no_vowel_words
-    w = words.cast("double")
-    s = sentences.cast("double")
-    syl = syllables.cast("double")
-    flesch = (
-        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w)
-    )
-    fk = F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
-    has_words = words > 0
-    return F.struct(
-        # size(NULL array) is -1 under Spark's legacy sizeOfNull;
-        # a NULL document counts as zero words, like whitespace-only
-        F.when(c.isNull(), F.lit(0))
-        .otherwise(words)
-        .cast("long")
-        .alias("words"),
-        F.when(has_words, sentences.cast("long")).alias("sentences"),
-        F.when(has_words, syllables.cast("long")).alias("syllables"),
-        F.when(has_words, flesch).alias("flesch"),
-        F.when(has_words, fk).alias("fk_grade"),
-    )
+
+    def _scores(b):
+        words, sentences, syllables = b["w"], b["s"], b["syl"]
+        w = words.cast("double")
+        s = sentences.cast("double")
+        syl = syllables.cast("double")
+        flesch = (
+            F.lit(206.835)
+            - F.lit(1.015) * (w / s)
+            - F.lit(84.6) * (syl / w)
+        )
+        fk = (
+            F.lit(0.39) * (w / s)
+            + F.lit(11.8) * (syl / w)
+            - F.lit(15.59)
+        )
+        has_words = words > 0
+        return F.struct(
+            # size(NULL array) is -1 under Spark's legacy sizeOfNull;
+            # a NULL document counts as zero words, like
+            # whitespace-only
+            F.when(b["isnull"], F.lit(0))
+            .otherwise(words)
+            .cast("long")
+            .alias("words"),
+            F.when(has_words, sentences.cast("long")).alias(
+                "sentences"
+            ),
+            F.when(has_words, syllables.cast("long")).alias(
+                "syllables"
+            ),
+            F.when(has_words, flesch).alias("flesch"),
+            F.when(has_words, fk).alias("fk_grade"),
+        )
+
+    return F.transform(F.array(counts), _scores)[0]
