@@ -17702,102 +17702,72 @@ GATE_PRIORITY: list[str] = [
     "tpch_q1",
     "overview_stats",
     "summary_assembly",
-    # -- round 9 rotation (VERDICT r8 #1). Precedence, as every round:
-    #    never-driver-gated keys first, then the stalest committed-green
-    #    cohort, alphabetical within a tier. Composition:
+    # -- round 10 rotation, exactly the r10 queue the round-9 window
+    #    documented (stalest-first after a green r9; the policy text of
+    #    earlier windows is in git history — r9: commit 1d1c929, r8:
+    #    37d6b9f). Composition:
     #
-    # (a) the 18 round-8 keys the driver has never gated (GATE_LEDGER
-    #     last_green_round == 0; all green in the committed two-scale
-    #     artifact CORRECTNESS_multiscale_r08.json AND the r8 judge's
-    #     full 270-key rerun — this window makes the driver itself the
-    #     freshest witness):
-    "adamic_adar",
-    "cuped_lift",
-    "did_lift",
-    "fd_violations",
-    "fdr_battery",
-    "holt_trend",
-    "k_core",
-    "lag_features",
-    "mi_ranking",
-    "pareto_events",
-    "reach_curve",
-    "readability",
-    "session_paths",
-    "sprt_decision",
-    "srm_audit",
-    "stream_holt",
-    "target_encoding",
-    "touch_attribution",
-    # (b) new in round 9 (never driver-gated — new keys outrank stale
-    #     re-gates; each displaced one r3 re-gate from tier (c), which
-    #     rolls to the r10 queue below):
-    "ranking_quality",     # nDCG/MRR/AP ranked-retrieval eval
-    "skyline_users",       # Pareto-dominance skyline (2-phase local)
-    "cdc_snapshot",        # I/U/D changelog merge (latest-winner)
-    "mk_trend",            # Mann-Kendall + Sen slope per entity
-    "lttb_downsample",     # largest-triangle series downsampling
-    "bayes_events",        # Beta-Binomial posterior A/B readout
-    "entropy_ldiv",        # entropy l-diversity per QI class
-    "hw_forecast",         # Holt-Winters seasonal smoothing
-    "changepoint_shift",   # single level-shift changepoint
-    "grid_clusters",       # grid-density clustering (region merge)
-    "stream_cdc",          # streaming bucket-pruned CDC snapshot
-    "jaccard_linkpred",    # Jaccard link prediction (wedge join)
-    "ipw_lift",            # inverse-propensity treatment effect
-    "rbo_rankers",         # rank-biased overlap of two rankers
-    # (c) the stalest committed-green tier (r3-last-green, 40 keys
-    #     post-r8), alphabetical-first fill of the remaining slots; the
-    #     tail that does not fit (rolling_1h .. zorder_layout, 11 keys)
-    #     LEADS the r10 rotation together with the 45-key r4 cohort —
-    #     two windows clear both tiers, satisfying the <=6-round
-    #     staleness invariant enforced by tests/test_gate_ledger.py:
-    "analytic_windows",
-    "approx_sketch_bounds",
-    "asof_join",
-    "balanced_classes",
-    "binary_metadata",
-    "chunk_documents",
-    "corpus_composition",
-    "corpus_prep",
-    "decontamination",
-    "dedup_exact_keep",
-    "doc_lm_score",
-    "doc_quality",
-    "doc_repetition",
-    "doc_token_stats",
-    "dup_groups",
-    # (end of round-9 rotation)
-    #
-    # -- round-9 LATE additions (after the rotation commit): never
-    #    driver-gated, so they carry two-scale multiscale greens in
-    #    CORRECTNESS_multiscale_r09.json instead (the contract in
-    #    test_oracle_parity.test_never_driver_verified_keys_are_gate_
-    #    windowed) and LEAD the r10 rotation ahead of the stale tail:
-    #    logrank_survival, kw_groups, ca_trend,
-    #    degree_assortativity, t_closeness, item_neighbors,
-    #    spatial_join, mcnemar_pairs, cumulative_hazard,
-    #    mobility_features, stay_points, friedman_groups,
-    #    funnel_latency, fe_trend, stream_anomaly,
-    #    weighted_percentiles, interval_overlap, group_sequential,
-    #    geo_join, seasonal_anomalies,
-    #    markov_chain, eb_rates, negative_samples,
-    #    qini_uplift, ht_readout, holt_backtest,
-    #    wilson_rates, cliffs_effect
-    #
-    # -- r10 rotation queue (stalest-first after a green r9):
-    #    embedding_centroids, embedding_neardup, embedding_quantize,
-    #    embedding_topk, frame_samples,
-    #    grouping_sets, ivf_topk,
-    #    lang_id, lsh_topk, multimodal_features, neardup_dedup_keep,
-    #    pack_documents, pii_redaction, range_join (displaced by the
-    #    r9-new keys),
-    #    rolling_1h, source_mix, stratified_counts, tfidf_top_terms,
-    #    tiered_rollup, top_terms_per_source, unigram_jaccard_pairs,
-    #    users_except, users_intersect, vocab_stats, zorder_layout
-    #    (the 11 r3 keys displaced above), then variant_extract and the
-    #    45-key r4-last-green cohort, alphabetical. The r8 window text
-    #    is in git history (commit 37d6b9f) for the policy audit.
+    # (a) the full r3-last-green cohort (25 keys — every key that would
+    #     breach the <=6-round staleness invariant after round 10;
+    #     tests/test_gate_ledger.py enforces this), alphabetical:
+    "embedding_centroids",
+    "embedding_neardup",
+    "embedding_quantize",
+    "embedding_topk",
+    "frame_samples",
+    "grouping_sets",
+    "ivf_topk",
+    "lang_id",
+    "lsh_topk",
+    "multimodal_features",
+    "neardup_dedup_keep",
+    "pack_documents",
+    "pii_redaction",
+    "range_join",
+    "rolling_1h",
+    "source_mix",
+    "stratified_counts",
+    "tfidf_top_terms",
+    "tiered_rollup",
+    "top_terms_per_source",
+    "unigram_jaccard_pairs",
+    "users_except",
+    "users_intersect",
+    "vocab_stats",
+    "zorder_layout",
+    # (b) the stalest r4-last-green keys fill the remaining 22 slots
+    #     (variant_extract first per the documented r10 queue, then
+    #     alphabetical); the r4 tail (minhash_neardup ..
+    #     winnow_overlap, 24 keys) LEADS the r11 rotation — it reaches
+    #     the staleness floor only after round 11, so one more window
+    #     clears the tier, same two-window cadence the r9->r10 pair
+    #     used:
+    "variant_extract",
+    "ann_recall",
+    "bm25_topk",
+    "bpe_encode",
+    "bpe_pairs",
+    "c4_filter_stats",
+    "doc_bigram_lm",
+    "doc_fingerprints",
+    "doc_winnowing",
+    "dsir_weights",
+    "dup_spans",
+    "event_pagerank",
+    "fuzzy_pairs",
+    "gopher_quality",
+    "heatmap_render",
+    "heavy_hitters",
+    "hll_user_rollup",
+    "ivf_recall",
+    "jsonl_roundtrip",
+    "llm_dataset_build",
+    "minhash_exact_pairs",
+    "minhash_incremental",
+    # -- the 28 round-9 late-wave keys that previously led this list
+    #    hold committed two-scale greens (CORRECTNESS_multiscale_r09)
+    #    AND r9 driver rows, so their staleness clock starts at r9 —
+    #    no slot needed this round.
 ]
 # ^ 50 slots = the driver-verified window (the external harness
 # compares exactly the FIRST 50 entries of __spark_entry__.queries()

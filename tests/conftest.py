@@ -16,10 +16,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_TEST_NO_UI"):
+        extra["spark.ui.enabled"] = "false"
+    if os.environ.get("SPARK_GRAFT_TEST_CODEGEN") == "off":
+        extra["spark.sql.codegen.wholeStage"] = "false"
     spark = get_spark(
         app_name="mhm-tests",
-        master="local[4]",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
         shuffle_partitions=8,
+        extra_conf=extra or None,
     )
     yield spark
 

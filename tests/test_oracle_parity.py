@@ -1,21 +1,46 @@
 """Every declared query hash-matches its DuckDB oracle (the t2 gate),
 parametrized over the full registry, at sf0.001 for speed. The driver
-runs the same comparison at sf0.01."""
+runs the same comparison at sf0.01.
+
+Tiering (r10, VERDICT r9 #3 — the suite outgrew the driver's test
+budget): the FULL 312-key sweep is the `slow` tier (run with
+`pytest -m slow`, and per round via scripts/run_correctness.py whose
+CORRECTNESS_full_r*.json artifacts are committed); the DEFAULT tier
+hash-checks the driver's entire 50-key gate window, so the surface the
+driver actually gates on is verified on every default run."""
 
 from __future__ import annotations
 
 import pytest
 
-from mhm_data_pipelines_spark.benchmarks.registry import ORACLES, QUERIES
+from mhm_data_pipelines_spark.benchmarks.registry import (
+    GATE_PRIORITY,
+    ORACLES,
+    QUERIES,
+)
 from tests.oracle_utils import check_query
 from tests.conftest import SF_DIR
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(spark, name):
+@pytest.mark.parametrize(
+    "name", [k for k in GATE_PRIORITY if k in ORACLES]
+)
+def test_oracle_parity_gate_window(spark, name):
+    """Default tier: the 50 keys the driver verifies this round."""
     check_query(spark, SF_DIR, name)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", sorted(set(ORACLES) - set(GATE_PRIORITY))
+)
+def test_oracle_parity(spark, name):
+    """Slow tier: every remaining registry key (the gate-window keys
+    already ran in the default tier)."""
+    check_query(spark, SF_DIR, name)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)

@@ -10,6 +10,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Slow tier: hypothesis replays run dozens of Spark actions per test
+# (VERDICT r9 #3 — the default suite must fit the driver's budget);
+# run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 from mhm_data_pipelines_spark.operators.skew import salted_agg
 from mhm_data_pipelines_spark.operators.temporal import asof_join
 
